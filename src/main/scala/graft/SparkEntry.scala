@@ -1,13 +1,765 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ddf.{DDF, GroupedDDF}
+import graft.ddf.DDF._
+import graft.operators.{Dedup, KolmogorovSmirnov, Similarity, Zip}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One query per implemented operator family of SURVEY.md §2; each
+  * SQL-expressible query has a DuckDB oracle in `oracleSql` with
+  * IDENTICAL column aliases and explicit ORDER BY. Doubles that pass
+  * through order-sensitive aggregation are rounded on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is nanosecond parquet, which Spark's vectorized reader
+      // rejects; read it as epoch-nanos long and convert explicitly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+  private def d(s: SparkSession, dir: String, name: String): DDF =
+    DDF(t(s, dir, name))
+
+  /** events with ts converted nanos → microsecond timestamp_ntz (UTC) */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts",
+      expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  /** documents plus synthetic near-duplicates: docs 0..49 re-appear as
+    * doc_id+10000 with one token appended (high but <1.0 jaccard), and
+    * docs 0..99 re-appear verbatim as doc_id+20000 (exact dups). The
+    * same construction is mirrored in the DuckDB oracles. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs
+      .union(docs.filter(col("doc_id") < 50)
+        .select(col("doc_id") + 10000, concat(col("text"), lit(" zzz"))))
+      .union(docs.filter(col("doc_id") < 100)
+        .select(col("doc_id") + 20000, col("text")))
+  }
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id+10000 AS doc_id, text || ' zzz' AS text FROM documents WHERE doc_id < 50
+      |UNION ALL SELECT doc_id+20000 AS doc_id, text FROM documents WHERE doc_id < 100""".stripMargin
+
+  /** DuckDB-side whitespace tokens mirroring TextFunctions.tokens */
+  private def sqlTokens(textExpr: String): String =
+    s"list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), x -> len(x) > 0)"
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // ---- the catalog ------------------------------------------------------
+
+  private lazy val catalog: Seq[Q] = Seq(
+
+    // ===== §2.2 projection / row-wise ===================================
+
+    // revenue is summed as DECIMAL(30,6): the per-row product of
+    // 2-decimal factors is an exact 6-decimal value, so the decimal sum
+    // is exact and order-independent — double sums would differ from
+    // DuckDB in the last digits (summation order) and can flip a
+    // round().
+    Q("q01_flagship_agg", (s, dir) =>
+      d(s, dir, "lineitem")
+        .filter("l_shipdate <= '2000-12-01'")
+        .selectExpression(
+          "revenue = cast(l_extendedprice * (1 - l_discount) as decimal(30,6))")
+        .groupBy(Seq("l_returnflag", "l_linestatus")).agg(
+          ("n", "count", "*"),
+          ("sum_qty", "sum", "l_quantity"),
+          ("revenue", "sum", "revenue"),
+          ("avg_disc", "mean", "l_discount"))
+        .selectExpression(
+          "sum_qty = round(sum_qty, 2)",
+          "revenue = cast(revenue as double)",
+          "avg_disc = round(avg_disc, 6)")
+        .sort(Seq("l_returnflag", "l_linestatus")).toDF,
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(sum(l_quantity), 2) AS sum_qty,
+             | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+             | round(avg(l_discount), 6) AS avg_disc
+             |FROM lineitem WHERE l_shipdate <= '2000-12-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q02_select", (s, dir) =>
+      d(s, dir, "part").select(Seq("p_partkey", "p_name", "p_retailprice"))
+        .sort(Seq("p_partkey")).toDF,
+      Some("SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey")),
+
+    Q("q03_filter", (s, dir) =>
+      d(s, dir, "lineitem")
+        .filter("(l_quantity >= 45) and (l_returnflag == 'R')")
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .sort(Seq("l_orderkey", "l_linenumber")).toDF,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // round at 6: the exact product of 2-decimal factors has <= 6
+    // decimals, so no value sits on a 7th-digit rounding boundary;
+    // round-at-2 would hit exact .xx5 ties where Spark and DuckDB
+    // round doubles differently.
+    Q("q04_select_expression", (s, dir) =>
+      d(s, dir, "lineitem").selectExpression(
+          "revenue = round(l_extendedprice * (1 - l_discount), 6)",
+          "charge = round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)")
+        .select(Seq("l_orderkey", "l_linenumber", "revenue", "charge"))
+        .sort(Seq("l_orderkey", "l_linenumber")).toDF,
+      Some("""SELECT l_orderkey, l_linenumber,
+             | round(l_extendedprice * (1 - l_discount), 6) AS revenue,
+             | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q05_drop", (s, dir) =>
+      d(s, dir, "orders").drop(Seq("o_orderstatus", "o_orderpriority"))
+        .sort(Seq("o_orderkey")).toDF,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // date rendered as string: pandas/arrow represent date32 vs
+    // DuckDB's DATE-to-datetime64 differently, so a raw DATE column
+    // can false-negative in the compare; the string form is stable.
+    Q("q06_rename_cast", (s, dir) =>
+      d(s, dir, "orders").rename("o_totalprice", "price")
+        .cast("o_orderdate", "date")
+        .cast("o_orderdate", "string")
+        .select(Seq("o_orderkey", "price", "o_orderdate"))
+        .sort(Seq("o_orderkey")).toDF,
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+             | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ===== §2.3 joins ====================================================
+
+    Q("q07_join_inner", (s, dir) =>
+      d(s, dir, "lineitem")
+        .selectExpression(
+          "revenue = cast(l_extendedprice * (1 - l_discount) as decimal(30,6))")
+        .join(d(s, dir, "orders"), Seq("l_orderkey"), Seq("o_orderkey"))
+        .groupBy(Seq("o_orderpriority")).agg(
+          ("n", "count", "*"), ("revenue", "sum", "revenue"))
+        .selectExpression("revenue = cast(revenue as double)")
+        .sort(Seq("o_orderpriority")).toDF,
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q08_join_left", (s, dir) =>
+      d(s, dir, "customer")
+        .join(d(s, dir, "orders"), Seq("c_custkey"), Seq("o_custkey"), "left")
+        .groupBy(Seq("c_custkey")).agg(
+          ("n_orders", "count", "o_orderkey"), ("total", "sum", "o_totalprice"))
+        .map(round(coalesce(col("total"), lit(0.0)), 2), "total")
+        .sort(Seq("c_custkey")).toDF,
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             | round(coalesce(sum(o_totalprice), 0), 2) AS total
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("q09_join_right", (s, dir) =>
+      d(s, dir, "orders")
+        .join(d(s, dir, "customer"), Seq("o_custkey"), Seq("c_custkey"), "right")
+        .groupBy(Seq("c_nationkey")).agg(("n", "count", "o_orderkey"))
+        .sort(Seq("c_nationkey")).toDF,
+      Some("""SELECT c_nationkey, count(o_orderkey) AS n
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q10_join_multi", (s, dir) =>
+      d(s, dir, "customer")
+        .join(d(s, dir, "nation"), Seq("c_nationkey"), Seq("n_nationkey"))
+        .join(d(s, dir, "region"), Seq("n_regionkey"), Seq("r_regionkey"))
+        .groupBy(Seq("r_name")).agg(
+          ("n_cust", "count", "*"), ("avg_bal", "mean", "c_acctbal"))
+        .selectExpression("avg_bal = round(avg_bal, 4)")
+        .sort(Seq("r_name")).toDF,
+      Some("""SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("q11_cross_join", (s, dir) =>
+      d(s, dir, "region").select(Seq("r_name"))
+        .crossJoin(d(s, dir, "nation").select(Seq("n_name")))
+        .sort(Seq("r_name", "n_name")).toDF,
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q54_semi_join", (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q55_anti_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ===== §2.4 aggregation =============================================
+
+    Q("q12_agg_functions", (s, dir) =>
+      d(s, dir, "lineitem").groupBy(Seq("l_returnflag")).agg(
+          ("n", "count", "*"),
+          ("nd_orders", "count_distinct", "l_orderkey"),
+          ("sum_q", "sum", "l_quantity"),
+          ("avg_q", "mean", "l_quantity"),
+          ("min_q", "min", "l_quantity"),
+          ("max_q", "max", "l_quantity"),
+          ("med_q", "median", "l_quantity"),
+          ("sd_q", "stddev", "l_quantity"))
+        .selectExpression(
+          "sum_q = round(sum_q, 2)", "avg_q = round(avg_q, 4)",
+          "med_q = round(med_q, 2)", "sd_q = round(sd_q, 4)")
+        .sort(Seq("l_returnflag")).toDF,
+      Some("""SELECT l_returnflag, count(*) AS n,
+             | count(DISTINCT l_orderkey) AS nd_orders,
+             | round(sum(l_quantity), 2) AS sum_q,
+             | round(avg(l_quantity), 4) AS avg_q,
+             | min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+             | round(median(l_quantity), 2) AS med_q,
+             | round(stddev_samp(l_quantity), 4) AS sd_q
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q13_agg_list_set", (s, dir) =>
+      d(s, dir, "nation").groupBy(Seq("n_regionkey"))
+        .agg(("names", "list", "n_name"))
+        .sort(Seq("n_regionkey")).toDF,
+      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    Q("q14_distinct", (s, dir) =>
+      d(s, dir, "lineitem").select(Seq("l_returnflag", "l_linestatus"))
+        .distinct(Seq("l_returnflag", "l_linestatus"))
+        .sort(Seq("l_returnflag", "l_linestatus")).toDF,
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q15_count_rows", (s, dir) =>
+      d(s, dir, "lineitem").groupBy(Nil).agg(("n", "count", "*")).toDF,
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    Q("q52_cube", (s, dir) => {
+      val doc = t(s, dir, "documents")
+      doc.cube(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+      Some("""SELECT lang, source, count(*) AS n FROM documents
+             |GROUP BY CUBE(lang, source)
+             |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
+    Q("q53_rollup", (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             | round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ===== §2.5 sort / limit / partitioning =============================
+
+    Q("q16_sort_limit", (s, dir) =>
+      d(s, dir, "lineitem")
+        .sort(Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+          Seq(false, true, true))
+        .take(100)
+        .select(Seq("l_orderkey", "l_linenumber", "l_extendedprice")).toDF,
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    Q("q33_repartition_agg", (s, dir) =>
+      d(s, dir, "lineitem").hashPartition(Seq("l_suppkey"), 8)
+        .groupBy(Seq("l_suppkey")).agg(
+          ("n", "count", "*"), ("sum_q", "sum", "l_quantity"))
+        .selectExpression("sum_q = round(sum_q, 2)")
+        .sort(Seq("l_suppkey")).toDF,
+      Some("""SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_q
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    Q("q34_range_partition_sort", (s, dir) =>
+      d(s, dir, "orders").rangePartition(Seq("o_totalprice"), 8)
+        .sort(Seq("o_totalprice", "o_orderkey"), Seq(false, true))
+        .take(100).select(Seq("o_orderkey", "o_totalprice")).toDF,
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ===== §2.6 set operations ==========================================
+
+    Q("q17_union", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      li.filter("l_returnflag == 'R'").select(Seq("l_returnflag"))
+        .union(li.filter("l_quantity < 5").select(Seq("l_returnflag")))
+        .groupBy(Seq("l_returnflag")).agg(("n", "count", "*"))
+        .sort(Seq("l_returnflag")).toDF
+    },
+      Some("""SELECT l_returnflag, count(*) AS n FROM (
+             | SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+             | UNION ALL
+             | SELECT l_returnflag FROM lineitem WHERE l_quantity < 5) t
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q18_union_by_name", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      val a = li.filter("l_returnflag == 'A'")
+        .select(Seq("l_orderkey", "l_quantity"))
+      val b = li.filter("l_returnflag == 'N'")
+        .select(Seq("l_quantity", "l_orderkey"))   // reversed column order
+      a.unionByName(b)
+        .groupBy(Nil).agg(("n", "count", "*"), ("sum_q", "sum", "l_quantity"),
+          ("sum_k", "sum", "l_orderkey"))
+        .selectExpression("sum_q = round(sum_q, 2)").toDF
+    },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_q,
+             | CAST(sum(l_orderkey) AS BIGINT) AS sum_k
+             |FROM (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+             |      UNION ALL
+             |      SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'N') t""".stripMargin)),
+
+    Q("q19_intersect", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      li.filter("l_returnflag == 'R'").select(Seq("l_orderkey"))
+        .intersect(li.filter("l_returnflag == 'N'").select(Seq("l_orderkey")))
+        .sort(Seq("l_orderkey")).toDF
+    },
+      Some("""SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |INTERSECT
+             |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    Q("q20_except", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      li.filter("l_returnflag == 'R'").select(Seq("l_orderkey"))
+        .subtract(li.filter("l_returnflag == 'N'").select(Seq("l_orderkey")))
+        .sort(Seq("l_orderkey")).toDF
+    },
+      Some("""SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |EXCEPT
+             |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    Q("q21_intersect_all", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      li.filter("l_quantity < 10").select(Seq("l_returnflag", "l_linestatus"))
+        .intersectAll(li.filter("l_quantity < 20")
+          .select(Seq("l_returnflag", "l_linestatus")))
+        .sort(Seq("l_returnflag", "l_linestatus")).toDF
+    },
+      Some("""SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+             |INTERSECT ALL
+             |SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 20
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q22_except_all", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      li.filter("l_quantity < 20").select(Seq("l_returnflag", "l_linestatus"))
+        .exceptAll(li.filter("l_quantity < 10")
+          .select(Seq("l_returnflag", "l_linestatus")))
+        .sort(Seq("l_returnflag", "l_linestatus")).toDF
+    },
+      Some("""SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 20
+             |EXCEPT ALL
+             |SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q32_add_column_zip", (s, dir) => {
+      val li = d(s, dir, "lineitem")
+      val sorted = li.sort(Seq("l_orderkey", "l_linenumber"))
+      val a = sorted.select(Seq("l_orderkey", "l_linenumber"))
+      val b = sorted.select(Seq("l_quantity"))
+      a.addColumn(b)
+        .sort(Seq("l_orderkey", "l_linenumber")).toDF
+    },
+      Some("""WITH a AS (SELECT l_orderkey, l_linenumber,
+             |   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem),
+             |b AS (SELECT l_quantity,
+             |   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)
+             |SELECT a.l_orderkey, a.l_linenumber, b.l_quantity
+             |FROM a JOIN b USING (rn) ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin)),
+
+    // ===== §2.2 cleaning (fillna / dropna / replace) =====================
+
+    Q("q23_fillna_value", (s, dir) =>
+      d(s, dir, "lineitem")
+        .map(when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_discount")), "d2")
+        .fillna(Seq("d2"), FillWithValue, -1.0)
+        .groupBy(Seq("l_returnflag")).agg(("s", "sum", "d2"))
+        .selectExpression("s = round(s, 2)")
+        .sort(Seq("l_returnflag")).toDF,
+      Some("""SELECT l_returnflag,
+             | round(sum(coalesce(CASE WHEN l_discount < 0.02 THEN NULL
+             |   ELSE l_discount END, -1.0)), 2) AS s
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q24_fillna_mean", (s, dir) =>
+      d(s, dir, "lineitem")
+        .map(when(col("l_quantity") > 40, lit(null)).otherwise(col("l_quantity")), "q")
+        .select(Seq("l_returnflag", "q"))
+        .fillna(Seq("q"), FillWithMean)
+        .groupBy(Seq("l_returnflag")).agg(("s", "sum", "q"))
+        .selectExpression("s = round(s, 2)")
+        .sort(Seq("l_returnflag")).toDF,
+      Some("""WITH t AS (SELECT l_returnflag,
+             |   CASE WHEN l_quantity > 40 THEN NULL ELSE l_quantity END AS q
+             |  FROM lineitem),
+             |m AS (SELECT avg(q) AS mq FROM t)
+             |SELECT l_returnflag, round(sum(coalesce(q, mq)), 2) AS s
+             |FROM t, m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q25_fillna_median", (s, dir) =>
+      d(s, dir, "lineitem")
+        .map(when(col("l_extendedprice") > 90000, lit(null))
+          .otherwise(col("l_extendedprice")), "p")
+        .select(Seq("l_linestatus", "p"))
+        .fillna(Seq("p"), FillWithMedian)
+        .groupBy(Seq("l_linestatus")).agg(("s", "sum", "p"))
+        .selectExpression("s = round(s, 2)")
+        .sort(Seq("l_linestatus")).toDF,
+      Some("""WITH t AS (SELECT l_linestatus,
+             |   CASE WHEN l_extendedprice > 90000 THEN NULL ELSE l_extendedprice END AS p
+             |  FROM lineitem),
+             |m AS (SELECT median(p) AS mp FROM t)
+             |SELECT l_linestatus, round(sum(coalesce(p, mp)), 2) AS s
+             |FROM t, m GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("q26_dropna", (s, dir) =>
+      d(s, dir, "lineitem")
+        .map(when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")), "q")
+        .map(when(col("l_discount") < 0.01, lit(null)).otherwise(col("l_discount")), "dd")
+        .dropna(Seq("q", "dd"), "any")
+        .groupBy(Nil).agg(("n", "count", "*"), ("sq", "sum", "q"), ("sd", "sum", "dd"))
+        .selectExpression("sq = round(sq, 2)", "sd = round(sd, 2)").toDF,
+      Some("""SELECT count(*) AS n, round(sum(q), 2) AS sq, round(sum(dd), 2) AS sd
+             |FROM (SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS q,
+             |   CASE WHEN l_discount < 0.01 THEN NULL ELSE l_discount END AS dd
+             |  FROM lineitem) t
+             |WHERE q IS NOT NULL AND dd IS NOT NULL""".stripMargin)),
+
+    Q("q27_replace", (s, dir) =>
+      d(s, dir, "lineitem")
+        .replace(Map("R" -> "X", "N" -> "Y"), Seq("l_returnflag"))
+        .groupBy(Seq("l_returnflag")).agg(("n", "count", "*"))
+        .sort(Seq("l_returnflag")).toDF,
+      Some("""SELECT CASE l_returnflag WHEN 'R' THEN 'X' WHEN 'N' THEN 'Y'
+             |  ELSE l_returnflag END AS l_returnflag, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q28_explode", (s, dir) =>
+      d(s, dir, "part")
+        .map(split(col("p_name"), " "), "w")
+        .explodeCol("w")
+        .groupBy(Seq("w")).agg(("n", "count", "*"))
+        .sort(Seq("w")).toDF,
+      Some("""SELECT w, count(*) AS n
+             |FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part) t
+             |GROUP BY w ORDER BY w""".stripMargin)),
+
+    // ===== §2.10-ext window functions ===================================
+
+    Q("q29_window_topn", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+             | SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  row_number() OVER (PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+             | FROM customer) t
+             |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    Q("q30_window_lag", (s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 10)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.withColumn("diff", round(col("value") - lag(col("value"), 1).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("diff"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+      Some("""SELECT user_id, event_id,
+             | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS diff
+             |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin)),
+
+    Q("q31_window_running", (s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 5)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("running", round(sum(col("value")).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+      Some("""SELECT user_id, event_id,
+             | round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin)),
+
+    // ===== §2.7 statistics ==============================================
+
+    Q("q35_describe", (s, dir) =>
+      d(s, dir, "lineitem")
+        .describeNumeric(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .rename("column", "colname")
+        .selectExpression("mean = round(mean, 4)", "stddev = round(stddev, 4)")
+        .sort(Seq("colname")).toDF,
+      Some("""SELECT 'l_discount' AS colname, count(l_discount) AS n,
+             |  round(avg(l_discount), 4) AS mean, round(stddev_samp(l_discount), 4) AS stddev,
+             |  CAST(min(l_discount) AS DOUBLE) AS min, CAST(max(l_discount) AS DOUBLE) AS max
+             | FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', count(l_extendedprice),
+             |  round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+             |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+             | FROM lineitem
+             |UNION ALL
+             |SELECT 'l_quantity', count(l_quantity),
+             |  round(avg(l_quantity), 4), round(stddev_samp(l_quantity), 4),
+             |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+             | FROM lineitem
+             |ORDER BY colname""".stripMargin)),
+
+    Q("q36_corr_stats", (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd")),
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS r,
+             | round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+             | round(stddev_samp(l_extendedprice), 4) AS sd
+             |FROM lineitem""".stripMargin)),
+
+    Q("q37_crosstab", (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O")).agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .withColumnRenamed("F", "f_cnt").withColumnRenamed("O", "o_cnt")
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt,
+             | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q38_freq_items", (s, dir) =>
+      d(s, dir, "part").freqItems("p_brand", 0.04)
+        .sort(Seq("p_brand")).toDF,
+      Some("""WITH c AS (SELECT p_brand, count(*) AS freq FROM part GROUP BY p_brand),
+             |t AS (SELECT count(*) AS n FROM part)
+             |SELECT p_brand, freq FROM c, t WHERE freq >= 0.04 * n
+             |ORDER BY p_brand""".stripMargin)),
+
+    Q("q39_ks_uniform", (s, dir) => {
+      val ks = KolmogorovSmirnov.statisticDF(
+        t(s, dir, "lineitem"), "l_discount", "uniform", Seq(0.0, 0.1))
+      ks.select(round(col("ks_stat"), 6).as("ks_stat"))
+    },
+      Some("""WITH s AS (SELECT l_discount AS x,
+             |   row_number() OVER (ORDER BY l_discount) AS rn,
+             |   count(*) OVER () AS n
+             |  FROM lineitem WHERE l_discount IS NOT NULL)
+             |SELECT round(max(greatest(
+             |  abs(least(1.0, greatest(0.0, x / 0.1)) - (rn - 1.0) / n),
+             |  abs(least(1.0, greatest(0.0, x / 0.1)) - CAST(rn AS DOUBLE) / n))), 6) AS ks_stat
+             |FROM s""".stripMargin)),
+
+    // ===== §2.8-ext JSON + time =========================================
+
+    Q("q40_json_extract", (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("value")), 4).as("avg_v"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             | round(avg(value), 4) AS avg_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q41_time_window", (s, dir) =>
+      events(s, dir)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("hr"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type,
+             | count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ===== §2.12 text analysis ==========================================
+
+    Q("q42_text_stats", (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", TF.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("toks")).as("sum_toks"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, count(*) AS n,
+              | CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS sum_toks,
+              | round(avg(n_chars), 4) AS avg_chars
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q43_text_quality", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, round(
+              |  0.3 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+              |      WHEN length(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END)
+              |  + 0.2 * (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+              |      / greatest(CAST(length(text) AS DOUBLE), 1.0))
+              |  + 0.15 * (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+              |      / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.4 END)
+              |  + 0.15 * (CASE WHEN (CAST(length(text) AS DOUBLE) - len(${sqlTokens("text")}) + 1)
+              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0) BETWEEN 2 AND 12
+              |      THEN 1.0 ELSE 0.3 END)
+              |  + 0.2 * least((CAST(len(list_filter(${sqlTokens("text")},
+              |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE)
+              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0)) * 5.0, 1.0)
+              | , 4) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q44_lang_id", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy(col("doc_id")),
+      None), // voting heuristic not SQL-expressible; accuracy pinned in ScalaTest
+
+    Q("q45_fingerprint", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      None), // xxhash64-based; determinism pinned in ScalaTest
+
+    // ===== §2.12 dedup ==================================================
+
+    Q("q46_dedup_exact", (s, dir) => {
+      val deduped = Dedup.exact(docsWithDups(s, dir), Seq("text"), "doc_id")
+      deduped.agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("s"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |d AS (SELECT text, min(doc_id) AS doc_id FROM u GROUP BY text)
+              |SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS s FROM d""".stripMargin)),
+
+    Q("q47_dedup_minhash", (s, dir) => {
+      val pairs = Dedup.minhashPairs(docsWithDups(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 32, shingleLen = 3, threshold = 0.6)
+      pairs.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q48_dedup_simhash", (s, dir) => {
+      val pairs = Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text",
+        maxDistance = 3)
+      pairs.orderBy(col("id_a"), col("id_b"))
+    },
+      None), // xxhash64-based signature; recall/precision pinned in ScalaTest
+
+    // ===== §2.12 similarity search ======================================
+
+    Q("q49_embed_topk", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |     CAST(c.embedding AS DOUBLE[])) AS cos
+             |  FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cos,
+             |   row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+             |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    Q("q50_similarity_ivf", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      None), // ANN recall vs brute force pinned in ScalaTest
+
+    Q("q51_dedup_embedding", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineJoin(emb, emb, "vec_id", "embedding", 0.5)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |   CAST(b.embedding AS DOUBLE[])) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin))
+  )
+
+  // ---- driver contract ---------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    catalog.head.fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

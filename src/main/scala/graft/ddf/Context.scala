@@ -1,0 +1,43 @@
+package graft.ddf
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** reference: ddf_library/bases/context_base.py :: COMPSsContext +
+  * bases/data_reader.py — the `cc.read.*` / `cc.parallelize` entry
+  * points. The reference reads file blocks into pandas fragments via
+  * PyCOMPSs tasks; here every format goes through Spark's DataSource
+  * framework, which owns splits, locality, schema inference, predicate
+  * pushdown and partition pruning.
+  */
+class DDFContext(val spark: SparkSession) {
+
+  /** reference: functions/etl/parallelize.py — local rows → distributed */
+  def parallelize(rows: Seq[Row], schema: StructType, nfrag: Int): DDF =
+    DDF(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, nfrag), schema))
+
+  def importData(df: DataFrame): DDF = DDF(df)
+
+  object read {
+    /** reference: bases/data_reader.py :: csv. `num_of_parts` is
+      * unnecessary: the source splits by HDFS/file blocks. */
+    def csv(path: String, sep: String = ",", header: Boolean = true,
+            schema: Option[StructType] = None): DDF = {
+      val r = spark.read.option("sep", sep).option("header", header)
+      DDF(schema.fold(r.option("inferSchema", true))(r.schema)
+        .csv(path))
+    }
+
+    /** reference: bases/data_reader.py :: json (line-delimited) */
+    def json(path: String, schema: Option[StructType] = None): DDF =
+      DDF(schema.fold(spark.read)(spark.read.schema).json(path))
+
+    /** parquet — primary format for this engine's testdata */
+    def parquet(path: String): DDF = DDF(spark.read.parquet(path))
+  }
+}
+
+object DDFContext {
+  def apply(spark: SparkSession): DDFContext = new DDFContext(spark)
+}

@@ -1,0 +1,391 @@
+package graft.ddf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The DDF-equivalent surface of the reference library
+  * (eubr-bigsea/Compss-Python :: ddf_library/ddf.py :: class DDF),
+  * re-expressed as a thin wrapper over Spark's `DataFrame`.
+  *
+  * Design (SURVEY.md §7): one DDF == one `DataFrame`; the reference's
+  * per-fragment pandas kernels (ddf_library/functions/etl/&lt;op&gt;.py) map to
+  * declarative Catalyst plans, so predicate pushdown / column pruning /
+  * partial aggregation / broadcast-join selection are decided by the
+  * optimizer rather than hand-scheduled. Nothing here materializes data
+  * on the driver except the explicit actions (`show`, `collect`,
+  * `countRows`) — the 100 TB design rule.
+  *
+  * Null semantics are SQL (3-valued), a deliberate divergence from the
+  * reference's pandas NaN behavior (SURVEY.md §1).
+  */
+class DDF(val df: DataFrame) {
+  import DDF._
+
+  private def wrap(d: DataFrame): DDF = new DDF(d)
+  def spark: SparkSession = df.sparkSession
+
+  // ===== §2.2 projection / row-wise =====================================
+
+  /** reference: ddf.py :: select / functions/etl/select.py */
+  def select(cols: Seq[String]): DDF = wrap(df.select(cols.map(col): _*))
+
+  /** reference: ddf.py :: select_expression — pandas-eval assignment
+    * expressions like "revenue = price * (1 - discount)". Plain
+    * expressions (no '=') are projected as-is. Catalyst expressions are
+    * a strict superset of pandas eval (SURVEY.md §2.2).
+    */
+  def selectExpression(exprs: String*): DDF = {
+    val assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
+    wrap(exprs.foldLeft(df) { (d, e) =>
+      e match {
+        case assign(name, rhs) => d.withColumn(name, expr(rhs))
+        case other             => d.withColumn(other.trim, expr(other))
+      }
+    })
+  }
+
+  /** reference: ddf.py :: drop / functions/etl/drop.py */
+  def drop(cols: Seq[String]): DDF = wrap(df.drop(cols: _*))
+
+  /** reference: ddf.py :: with_column_renamed / attributes_changer.py */
+  def rename(oldName: String, newName: String): DDF =
+    wrap(df.withColumnRenamed(oldName, newName))
+
+  /** reference: ddf.py :: cast / functions/etl/attributes_changer.py.
+    * Reference cast targets: integer | decimal | string | date.
+    */
+  def cast(column: String, to: String): DDF =
+    wrap(df.withColumn(column, col(column).cast(sqlType(to))))
+
+  /** reference: ddf.py :: map / functions/etl/map.py — row-wise function
+    * producing a new column. The reference takes an arbitrary Python
+    * lambda; here we take a Catalyst `Column` so the expression stays
+    * inside whole-stage codegen (SURVEY.md §7 "map lambdas").
+    */
+  def map(e: Column, alias: String): DDF = wrap(df.withColumn(alias, e))
+
+  /** reference: ddf.py :: filter / functions/etl/filter.py — pandas
+    * `query` string. Minimal dialect translation (`&`→AND, `|`→OR,
+    * `~`→NOT); `==`, `and`, `or`, `not` are already valid Catalyst SQL.
+    * Declarative, so Catalyst pushes it into the parquet scan.
+    */
+  def filter(predicate: String): DDF =
+    wrap(df.filter(expr(translateQuery(predicate))))
+  def filter(predicate: Column): DDF = wrap(df.filter(predicate))
+
+  /** reference: ddf.py :: replace / functions/etl/replace_values.py */
+  def replace[T](mapping: Map[T, T], subset: Seq[String]): DDF =
+    wrap(df.na.replace(subset, mapping))
+
+  /** reference: ddf.py :: fillna / functions/etl/clean_missing.py.
+    * VALUE mode is a narrow transform; MEAN / MEDIAN / MODE need one
+    * global aggregation job first (same shape as the reference's
+    * stats-then-fill two-phase plan), then a narrow fill.
+    */
+  def fillna(cols: Seq[String], how: FillMode = FillWithValue,
+             value: Any = null): DDF = how match {
+    case FillWithValue =>
+      wrap(value match {
+        case s: String  => df.na.fill(s, cols)
+        case d: Double  => df.na.fill(d, cols)
+        case l: Long    => df.na.fill(l, cols)
+        case i: Int     => df.na.fill(i.toLong, cols)
+        case b: Boolean => df.na.fill(b, cols)
+        case other      => sys.error(s"unsupported fill value: $other")
+      })
+    case statMode =>
+      val aggFor: String => Column = statMode match {
+        case FillWithMean   => c => avg(col(c))
+        case FillWithMedian => c => median(col(c))  // exact, single agg
+        case _              => c => mode(col(c))
+      }
+      val statsRow = df.agg(aggFor(cols.head).as(cols.head),
+        cols.tail.map(c => aggFor(c).as(c)): _*).head()
+      val fills = cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(statsRow.get(i)).map(v => c -> v)
+      }.toMap
+      wrap(df.na.fill(fills))
+  }
+
+  /** reference: ddf.py :: dropna / functions/etl/clean_missing.py.
+    * Row mode is narrow; column mode (REMOVE_COLUMN) needs one global
+    * null-count aggregation, then a metadata-only projection.
+    */
+  def dropna(cols: Seq[String] = Nil, how: String = "any",
+             thresh: Int = -1, removeColumns: Boolean = false): DDF = {
+    val subset = if (cols.isEmpty) df.columns.toSeq else cols
+    if (!removeColumns) {
+      if (thresh >= 0) wrap(df.na.drop(thresh, subset))
+      else wrap(df.na.drop(how, subset))
+    } else {
+      val counts = df.agg(
+        count(lit(1)).as("__n"),
+        subset.map(c => count(col(c)).as(c)): _*).head()
+      val n = counts.getLong(0)
+      val toDrop = subset.zipWithIndex.filter { case (c, i) =>
+        val nonNull = counts.getLong(i + 1)
+        how match {
+          case "all" => nonNull == 0L          // drop col only if ALL null
+          case _     => nonNull < n            // drop col if ANY null
+        }
+      }.map(_._1)
+      wrap(df.drop(toDrop: _*))
+    }
+  }
+
+  /** reference: ddf.py :: explode / functions/etl/explode.py */
+  def explodeCol(column: String): DDF =
+    wrap(df.withColumn(column, explode(col(column))))
+
+  // ===== §2.3 joins ======================================================
+
+  /** reference: ddf.py :: join / functions/etl/join.py +
+    * etl/hash_partitioner.py. The reference always shuffle-hash-joins;
+    * here Catalyst + AQE pick broadcast / sort-merge / shuffle-hash.
+    * Clashing non-key columns get the reference's suffix treatment.
+    */
+  def join(other: DDF, key1: Seq[String], key2: Seq[String],
+           mode: String = "inner",
+           suffixes: (String, String) = ("_l", "_r")): DDF = {
+    val clash = (df.columns.toSet -- key1)
+      .intersect(other.df.columns.toSet -- key2)
+    val l = clash.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._1))
+    val r = clash.foldLeft(other.df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._2))
+    val cond = key1.zip(key2).map { case (a, b) => l(a) === r(b) }
+      .reduce(_ && _)
+    val joined = l.join(r, cond, translateJoinMode(mode))
+    // de-duplicate the right-side key columns when names coincide
+    val dropRight = key1.zip(key2).collect {
+      case (a, b) if a == b => r(b)
+    }
+    wrap(dropRight.foldLeft(joined)((d, c) => d.drop(c)))
+  }
+
+  /** reference: ddf.py :: cross_join / functions/etl/cross_join.py */
+  def crossJoin(other: DDF): DDF = wrap(df.crossJoin(other.df))
+
+  // Spark-native join modes absent in the reference, exposed for free:
+  def semiJoin(other: DDF, keys: Seq[String]): DDF =
+    wrap(df.join(other.df, keys, "left_semi"))
+  def antiJoin(other: DDF, keys: Seq[String]): DDF =
+    wrap(df.join(other.df, keys, "left_anti"))
+
+  // ===== §2.4 aggregation ===============================================
+
+  /** reference: ddf.py :: group_by / functions/etl/aggregation.py.
+    * Spark's partial/final hash aggregation is the same partial-merge
+    * algorithm the reference hand-codes, generated by Catalyst.
+    */
+  def groupBy(keys: Seq[String]): GroupedDDF = new GroupedDDF(df, keys)
+
+  /** reference: ddf.py :: count_rows */
+  def countRows(): Long = df.count()
+
+  /** reference: ddf.py :: distinct / functions/etl/distinct.py.
+    * keep="any" maps to dropDuplicates (one hash agg, no sort);
+    * keep="first"/"last" get deterministic semantics via a row_number
+    * window over `orderCols` (the reference relies on fragment order,
+    * which Spark deliberately does not preserve across shuffles).
+    */
+  def distinct(cols: Seq[String], keep: String = "any",
+               orderCols: Seq[String] = Nil): DDF = keep match {
+    case "any" =>
+      wrap(df.dropDuplicates(cols))
+    case k =>
+      require(orderCols.nonEmpty,
+        "keep=first/last needs orderCols (Spark partitions are unordered)")
+      val ord = orderCols.map(c =>
+        if (k == "last") col(c).desc else col(c).asc)
+      val w = Window.partitionBy(cols.map(col): _*).orderBy(ord: _*)
+      wrap(df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** reference: ddf.py :: drop_duplicates (= distinct over all cols) */
+  def dropDuplicates(): DDF = wrap(df.distinct())
+
+  // ===== §2.5 sort / limit / sample / partitioning ======================
+
+  /** reference: ddf.py :: sort / functions/etl/sort.py +
+    * etl/range_partitioner.py. Spark's orderBy IS the reference's
+    * sample-based range-partition + local sort (RangePartitioner).
+    */
+  def sort(cols: Seq[String], ascending: Seq[Boolean] = Nil): DDF = {
+    val asc = if (ascending.isEmpty) Seq.fill(cols.size)(true)
+              else ascending
+    val sortCols = cols.zip(asc).map { case (c, a) =>
+      if (a) col(c).asc else col(c).desc }
+    wrap(df.orderBy(sortCols: _*))
+  }
+
+  /** reference: ddf.py :: take / functions/etl/take.py. Spark `limit`;
+    * "first n in fragment order" is only deterministic after an explicit
+    * sort (SURVEY.md §7 row-position trap).
+    */
+  def take(n: Int): DDF = wrap(df.limit(n))
+
+  /** orderBy + limit — Catalyst fuses to TakeOrderedAndProject (top-k
+    * per partition + driver merge; no global shuffle). */
+  def topK(n: Int, cols: Seq[String], ascending: Seq[Boolean] = Nil): DDF =
+    sort(cols, ascending).take(n)
+
+  /** reference: ddf.py :: sample / functions/etl/sample.py */
+  def sample(fraction: Double, seed: Long = 42L): DDF =
+    wrap(df.sample(withReplacement = false, fraction, seed))
+
+  /** exact-n sample: per-partition top-k on rand() fused to
+    * TakeOrderedAndProject — no global sort materialization. */
+  def sampleN(n: Int, seed: Long = 42L): DDF =
+    wrap(df.orderBy(rand(seed)).limit(n))
+
+  /** reference: ddf.py :: split / functions/etl/split.py */
+  def split(fraction: Double, seed: Long = 42L): (DDF, DDF) = {
+    val parts = df.randomSplit(Array(fraction, 1.0 - fraction), seed)
+    (wrap(parts(0)), wrap(parts(1)))
+  }
+
+  /** reference: functions/etl/hash_partitioner.py */
+  def hashPartition(cols: Seq[String], nfrag: Int): DDF =
+    wrap(df.repartition(nfrag, cols.map(col): _*))
+
+  /** reference: functions/etl/range_partitioner.py */
+  def rangePartition(cols: Seq[String], nfrag: Int,
+                     ascending: Seq[Boolean] = Nil): DDF = {
+    val asc = if (ascending.isEmpty) Seq.fill(cols.size)(true)
+              else ascending
+    val sortCols = cols.zip(asc).map { case (c, a) =>
+      if (a) col(c).asc else col(c).desc }
+    wrap(df.repartitionByRange(nfrag, sortCols: _*))
+  }
+
+  /** reference: functions/etl/repartition.py / balancer.py. AQE
+    * coalesces/balances post-shuffle partitions at runtime. */
+  def repartition(nfrag: Int): DDF = wrap(df.repartition(nfrag))
+  def coalesce(nfrag: Int): DDF = wrap(df.coalesce(nfrag))
+
+  /** reference: ddf.py :: num_of_partitions */
+  def numOfPartitions(): Int = df.rdd.getNumPartitions
+
+  def cache(): DDF = { df.cache(); this }
+  def unpersist(): DDF = { df.unpersist(); this }
+
+  // ===== §2.6 set operations ============================================
+
+  /** reference: ddf.py :: union / functions/etl/union.py (positional) */
+  def union(other: DDF): DDF = wrap(df.union(other.df))
+
+  /** reference: ddf.py :: union_by_name */
+  def unionByName(other: DDF, allowMissingColumns: Boolean = false): DDF =
+    wrap(df.unionByName(other.df, allowMissingColumns))
+
+  /** reference: ddf.py :: add_column / functions/etl/add_columns.py —
+    * positional zip of two tables (see graft.operators.Zip). */
+  def addColumn(other: DDF,
+                suffixes: (String, String) = ("_l", "_r")): DDF =
+    wrap(graft.operators.Zip.zipByIndex(df, other.df, suffixes))
+
+  /** reference: ddf.py :: intersect / functions/etl/intersect.py */
+  def intersect(other: DDF): DDF = wrap(df.intersect(other.df))
+  def intersectAll(other: DDF): DDF = wrap(df.intersectAll(other.df))
+
+  /** reference: ddf.py :: subtract / except_all
+    * (functions/etl/except_all.py) */
+  def subtract(other: DDF): DDF = wrap(df.except(other.df))
+  def exceptAll(other: DDF): DDF = wrap(df.exceptAll(other.df))
+
+  // ===== §2.7 statistics =================================================
+
+  /** reference: functions/statistics :: correlation (Pearson) */
+  def correlation(c1: String, c2: String): Double = df.stat.corr(c1, c2)
+
+  /** reference: functions/statistics :: covariance (sample) */
+  def covariance(c1: String, c2: String): Double = df.stat.cov(c1, c2)
+
+  /** reference: functions/statistics :: cross_tab */
+  def crossTab(c1: String, c2: String): DDF =
+    wrap(df.stat.crosstab(c1, c2))
+
+  /** reference: functions/statistics :: describe. Unlike Spark's
+    * string-typed `describe`, returns one typed row per column:
+    * (column, count, mean, stddev, min, max) — oracle-friendly. */
+  def describeNumeric(cols: Seq[String]): DDF = {
+    val rows = cols.map { c =>
+      df.agg(
+        count(col(c)).as("n"),
+        avg(col(c)).as("mean"),
+        stddev_samp(col(c)).as("stddev"),
+        min(col(c)).cast(DoubleType).as("min"),
+        max(col(c)).cast(DoubleType).as("max"))
+        .select(lit(c).as("column"), col("n"), col("mean"),
+          col("stddev"), col("min"), col("max"))
+    }
+    wrap(rows.reduce(_ union _))
+  }
+
+  /** reference: functions/statistics :: freq_items — exact variant:
+    * values of `column` appearing in at least `support` fraction of
+    * rows. One agg + a broadcast of the scalar total. */
+  def freqItems(column: String, support: Double): DDF = {
+    val total = df.groupBy().agg(count(lit(1)).as("__total"))
+    val counts = df.groupBy(col(column)).agg(count(lit(1)).as("freq"))
+    wrap(counts.crossJoin(broadcast(total))
+      .filter(col("freq") >= col("__total") * support)
+      .drop("__total"))
+  }
+
+  /** reference: functions/statistics :: kolmogorov_smirnov_one_sample
+    * (see graft.operators.KolmogorovSmirnov for the distributed ECDF). */
+  def ksTest(column: String, distribution: String = "norm"): Double =
+    graft.operators.KolmogorovSmirnov.statistic(df, column, distribution)
+
+  // ===== actions / metadata =============================================
+
+  def schema: StructType = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+  def show(n: Int = 20): Unit = df.show(n)
+  def collect(): Array[org.apache.spark.sql.Row] = df.collect()
+  def toDF: DataFrame = df
+  def save: Save = new Save(df)
+}
+
+object DDF {
+  def apply(df: DataFrame): DDF = new DDF(df)
+
+  sealed trait FillMode
+  case object FillWithValue extends FillMode
+  case object FillWithMean extends FillMode
+  case object FillWithMedian extends FillMode
+  case object FillWithMode extends FillMode
+
+  /** reference cast-target names (attributes_changer.py) → Spark types */
+  private[ddf] def sqlType(name: String): DataType =
+    name.toLowerCase match {
+      case "integer" | "int"      => IntegerType
+      case "bigint" | "long"      => LongType
+      case "decimal" | "double" | "float" => DoubleType
+      case "string"               => StringType
+      case "date"                 => DateType
+      case "timestamp"            => TimestampType
+      case "boolean" | "bool"     => BooleanType
+      case other                  => DataType.fromDDL(other)
+    }
+
+  /** pandas-`query` dialect → Catalyst SQL (SURVEY.md §2.2 filter). */
+  private[ddf] def translateQuery(q: String): String = q
+    .replaceAll("(?<![&|])&(?![&|])", " AND ")
+    .replaceAll("(?<![&|])\\|(?![&|])", " OR ")
+    .replaceAll("~\\s*\\(", " NOT (")
+
+  private[ddf] def translateJoinMode(m: String): String =
+    m.toLowerCase match {
+      case "inner"            => "inner"
+      case "left"             => "left_outer"
+      case "right"            => "right_outer"
+      case "full" | "outer"   => "full_outer"
+      case other              => other
+    }
+}

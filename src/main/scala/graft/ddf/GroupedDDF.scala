@@ -1,0 +1,60 @@
+package graft.ddf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** reference: ddf_library/functions/etl/aggregation.py — the
+  * `group_by(keys).agg(...)` surface. The reference computes partial
+  * pandas aggregations per fragment and merges partials after a hash
+  * shuffle; Spark's HashAggregate (partial → shuffle on keys → final)
+  * is that exact algorithm, codegen'd, so we only translate names.
+  *
+  * Aggregate spec: (alias, function, column). Functions: count, sum,
+  * mean/avg, min, max, first, last, list, set (+ Spark extras:
+  * count_distinct, approx_count_distinct, stddev, variance, median).
+  *
+  * `list` is wrapped in array_sort: collect_list order is partition-
+  * dependent in both the reference and Spark (SURVEY.md §7), so only
+  * the sorted form has deterministic, oracle-testable semantics.
+  */
+class GroupedDDF(df: DataFrame, keys: Seq[String]) {
+
+  def agg(specs: (String, String, String)*): DDF = {
+    val exprs = specs.map { case (alias, fn, c) =>
+      GroupedDDF.aggExpr(fn, c).as(alias)
+    }
+    new DDF(df.groupBy(keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*))
+  }
+
+  /** cube / rollup — absent in the reference (SURVEY.md §2.4), free in
+    * Spark; exposed as engine extensions. */
+  def cubeAgg(specs: (String, String, String)*): DDF = {
+    val exprs = specs.map { case (a, f, c) => GroupedDDF.aggExpr(f, c).as(a) }
+    new DDF(df.cube(keys.map(col): _*).agg(exprs.head, exprs.tail: _*))
+  }
+  def rollupAgg(specs: (String, String, String)*): DDF = {
+    val exprs = specs.map { case (a, f, c) => GroupedDDF.aggExpr(f, c).as(a) }
+    new DDF(df.rollup(keys.map(col): _*).agg(exprs.head, exprs.tail: _*))
+  }
+}
+
+object GroupedDDF {
+  def aggExpr(fn: String, c: String): Column = fn.toLowerCase match {
+    case "count"          => count(if (c == "*") lit(1) else col(c))
+    case "sum"            => sum(col(c))
+    case "mean" | "avg"   => avg(col(c))
+    case "min"            => min(col(c))
+    case "max"            => max(col(c))
+    case "first"          => first(col(c))
+    case "last"           => last(col(c))
+    case "list"           => array_sort(collect_list(col(c)))
+    case "set"            => array_sort(collect_set(col(c)))
+    case "count_distinct" => countDistinct(col(c))
+    case "approx_count_distinct" => approx_count_distinct(col(c))
+    case "stddev"         => stddev_samp(col(c))
+    case "variance"       => var_samp(col(c))
+    case "median"         => median(col(c))
+    case other            => sys.error(s"unknown agg function: $other")
+  }
+}

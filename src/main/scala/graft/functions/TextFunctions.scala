@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (DRIVER-EXT, SURVEY.md §2.12). The reference's text surface is the
+  * ml.feature family (ddf_library/functions/ml/feature.py ::
+  * Tokenizer / RemoveStopWords / NGram); these go further: language ID,
+  * quality scoring, token counting, fingerprinting, shingling.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` so it
+  * stays inside whole-stage codegen — no UDFs, no Python bridge; all
+  * per-row, embarrassingly parallel, shuffle-free.
+  */
+object TextFunctions {
+
+  /** whitespace tokenization (reference Tokenizer: lowercase + split) */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** whitespace token count — cheap scan-side metric */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + punctuation runs counted separately
+    * (a practical pre-tokenizer proxy for LLM token budgeting). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** character n-gram shingles (lowercased, whitespace collapsed) */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), length(norm) - (n - 1))),
+      i => norm.substr(i, lit(n))))
+  }
+
+  /** word n-gram shingles over whitespace tokens; empty when the text
+    * has fewer than n tokens (no partial shingles). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** n-gram Jaccard similarity between two shingle arrays */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** stable 62-bit document fingerprint: two independent 31-bit
+    * polynomial rolling hashes over token hashes, packed into one
+    * long. Operands stay < 2^52 so the math is exact under ANSI mode
+    * (no overflow) and portable across engines. */
+  def fingerprint(text: Column): Column = {
+    val m = (1L << 31) - 1
+    def roll(mult: Long, seed: Long): Column =
+      aggregate(tokens(text), lit(seed), (acc, t) =>
+        pmod(acc * lit(mult) + pmod(xxhash64(t), lit(m)), lit(m)))
+    roll(1048573L, 7L) * lit(1L << 31) + roll(1000003L, 13L)
+  }
+
+  /** quality score in [0,1]: blend of length band, alpha ratio,
+    * punctuation ratio, mean word length band, stopword presence —
+    * the classic heuristic filter set (Gopher/C4-style rules, public). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", ""))
+      .cast("double") / greatest(len, lit(1.0))
+    val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
+      .cast("double") / greatest(len, lit(1.0))
+    val meanWordLen = (len - nTok + 1) / greatest(nTok, lit(1.0))
+    val sw = stopwordRatio(text, defaultStopwords)
+    val lenBand = when(len.between(50, 20000), 1.0)
+      .when(len.between(20, 50), 0.5).otherwise(0.0)
+    val wordBand = when(meanWordLen.between(2, 12), 1.0).otherwise(0.3)
+    val punctBand = when(punct <= 0.2, 1.0).otherwise(0.4)
+    round(lit(0.3) * lenBand + lit(0.2) * alpha + lit(0.15) * punctBand +
+      lit(0.15) * wordBand + lit(0.2) * least(sw * 5.0, lit(1.0)), 4)
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    size(sw).cast("double") / greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Language ID by stopword-hit voting: score = |tokens ∩ marker set|
+    * per language, argmax wins, ties broken by language code. A
+    * standard n-gram/stopword heuristic (public technique — langid
+    * lite); no model download needed. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it",
+      "for", "with", "was", "this", "are", "not"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por",
+      "una", "como", "para", "con", "del", "está"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour",
+      "qui", "avec", "sur", "pas", "aux", "cette"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+      "mit", "auf", "für", "sich", "dem", "den", "von"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "人",
+      "这", "中", "大", "为", "上"))
+
+  def langScores(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // zh has no whitespace tokens — count marker characters directly.
+    // Sort key is (-score, lang) ascending: highest score wins, ties
+    // break deterministically by language code.
+    array(langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val score =
+        if (lang == "zh")
+          size(filter(split(text, ""), c => c.isin(markers.map(lit): _*)))
+        else
+          size(array_intersect(toks, array(markers.map(lit): _*)))
+      struct((-score).cast("int").as("negscore"), lit(lang).as("lang"))
+    }: _*)
+  }
+
+  /** best-guess language code */
+  def langId(text: Column): Column =
+    sort_array(langScores(text)).getItem(0).getField("lang")
+
+  // ===== MinHash =========================================================
+
+  /** k independent MinHash values over a shingle array.
+    * h_i(S) = min over s∈S of ((a_i * h(s) + b_i) mod p) with the
+    * classic 2-universal family; h(s) and the coefficients live in the
+    * 31-bit domain so a*h+b < 2^62 — exact under ANSI mode, never
+    * overflows. All inside codegen (transform + array_min), no UDF,
+    * no shuffle. */
+  val MersennePrime: Long = (1L << 61) - 1
+  private val HashDomain: Long = 1L << 31
+
+  def hashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextInt()).toLong % (HashDomain - 2) + 1,
+      math.abs(rnd.nextInt()).toLong % (HashDomain - 1)))
+  }
+
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(HashDomain)))
+    array(hashCoeffs(k, seed).map { case (a, b) =>
+      array_min(transform(hashes,
+        h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** LSH band keys: signature sliced into `bands` bands of `rowsPerBand`,
+    * each band hashed to one bucket key; docs sharing any band key are
+    * candidate pairs. */
+  def minhashBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(signature, b * lit(rowsPerBand) + 1,
+          lit(rowsPerBand))).as("bucket")))
+
+  // ===== SimHash =========================================================
+
+  /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens (±1).
+    * Pure column expressions: for each bit b, count tokens with bit set
+    * minus tokens with bit clear; bit set in result if positive. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit simhashes */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** pigeonhole chunk keys for Hamming-distance ≤ k candidate search:
+    * split 64 bits into k+1 chunks; near-dups share at least one chunk */
+  def simhashChunks(sh: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    array((0 until chunks).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(sh, i * width)
+          .bitwiseAND((1L << width) - 1).as("key"))
+    }: _*)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication suite for training-data pipelines (DRIVER-EXT,
+  * SURVEY.md §2.12). Four families:
+  *
+  *  - exact: one hash aggregation on the dedup key
+  *  - MinHash + LSH: shingle → signature → band-bucket join →
+  *    Jaccard-verify (the standard near-dup pipeline; candidate
+  *    generation is a self-join on (band, bucket) so the shuffle key
+  *    cardinality scales with corpus size, never all-pairs)
+  *  - SimHash: 64-bit signature + pigeonhole chunk join for
+  *    Hamming-distance candidates
+  *  - embedding cosine: hyperplane-LSH bucketing + cosine-verify
+  *
+  * All stages are DataFrame ops: narrow signature computation, then
+  * shuffles keyed on bucket ids only. At 100 TB the all-pairs
+  * verification happens only inside buckets; skewed buckets should be
+  * handled by AQE skew-split (bucket sizes are data-dependent).
+  */
+object Dedup {
+
+  /** exact dedup on `cols`: keep the row with min `idCol` per group —
+    * deterministic canonical representative, unlike dropDuplicates. */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** candidate near-dup pairs by MinHash LSH, verified by exact
+    * Jaccard on word `shingleLen`-grams. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b and jaccard >= threshold. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleLen: Int = 3, threshold: Double = 0.8,
+                   seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = sh.withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select(col("id"), col("sh"),
+        explode(minhashBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** full MinHash dedup: pairs → connected components (min-id label
+    * propagation) → keep each component's min id. Iterative DataFrame
+    * joins with localCheckpoint to cut lineage (GraphFrames CC
+    * pattern); converges in O(log(component diameter)) rounds. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleLen: Int = 3, threshold: Double = 0.8,
+                   maxIter: Int = 10): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
+      shingleLen, threshold).select(col("id_a"), col("id_b"))
+    val reps = connectedComponentMinLabel(pairs, maxIter)
+    val toDrop = reps.filter(col("id") =!= col("rep")).select(col("id"))
+    df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** min-label propagation over an undirected edge list (id_a, id_b):
+    * returns (id, rep) where rep = min id in the component. */
+  def connectedComponentMinLabel(pairs: DataFrame,
+                                 maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels,
+          edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(col("rep")).as("nbr_rep"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("rep", "old"),
+        Seq("id")).filter(col("rep") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDistance.
+    * Pigeonhole: split 64 bits into maxDistance+1 chunks; any pair
+    * within distance k must agree on >= 1 chunk. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val sh = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sim"))
+    val chunked = sh.select(col("id"), col("sim"),
+        explode(simhashChunks(col("sim"), chunks)).as("ck"))
+      .select(col("id"), col("sim"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunked.select(col("chunk"), col("key"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** n-gram Jaccard dedup without LSH (exact all-pairs within a
+    * blocking key to bound cost; block = shared rarest shingle could
+    * be used — here the caller provides the blocking column). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, shingleLen: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** embedding near-dup pairs: hyperplane-LSH bucket join + exact
+    * cosine verification. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double = 0.95,
+                     nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket",
+        VectorFunctions.hyperplaneSignature(col("v"), nBits, dim, seed))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

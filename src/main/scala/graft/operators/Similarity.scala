@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding
+  * column (DRIVER-EXT, SURVEY.md §2.12).
+  *
+  *  - brute-force: broadcast the (small) query set against the corpus,
+  *    exact cosine, per-query top-k via window. The corpus is never
+  *    collected; cost is one scan of the corpus per batch of queries.
+  *  - IVF: k-means coarse quantizer (spark.ml); corpus partitioned by
+  *    nearest centroid, queries probe `nProbe` centroids — at 100 TB
+  *    this turns a full corpus scan into a `nProbe/nCentroids`
+  *    fraction scan, keyed shuffle only on centroid id.
+  */
+object Similarity {
+
+  /** exact top-k neighbors for each query row.
+    * queries/corpus: (idCol, vecCol). Returns
+    * (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: cluster corpus by k-means, probe the
+    * nProbe nearest centroids per query. Recall < 1 by design; tested
+    * against bruteForceTopK in the spec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val prepared = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").fit(prepared)
+    val assigned = model.transform(prepared)
+      .select(col("neighbor_id"), col("cv"),
+        col("prediction").as("centroid"))
+
+    // centroid table is tiny: broadcast to score query→centroid
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (v, i) => (i, v.toArray)
+    }
+    val centDf = spark.createDataFrame(centroids.toSeq)
+      .toDF("centroid", "cvec")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("centroid"),
+        cosine(col("qv"), col("cvec")).as("csim"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid").asc)
+    val probed = probes.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid"))
+
+    val scored = probed.join(assigned, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** pairwise cosine above a floor between two (small) labeled sets —
+    * building block for retrieval evaluation. */
+  def cosineJoin(a: DataFrame, b: DataFrame, idCol: String,
+                 vecCol: String, minCosine: Double): DataFrame =
+    a.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .crossJoin(b.select(col(idCol).as("id_b"), col(vecCol).as("vb")))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+}

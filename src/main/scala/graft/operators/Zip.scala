@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** reference: ddf_library/functions/etl/add_columns.py — `add_column`
+  * zips two tables side-by-side BY ROW POSITION (the reference
+  * re-balances fragments so sizes align, then pandas-concats each
+  * fragment pair axis=1).
+  *
+  * Spark has no relational primitive for positional zip (partitions are
+  * unordered sets after any shuffle — SURVEY.md §7 "row-position
+  * semantics"), so this materializes an explicit row index on both
+  * sides via `RDD.zipWithIndex` (one lightweight count job per side,
+  * no data movement) and equi-joins on it. The join shuffles both
+  * sides by index — the unavoidable cost of positional semantics in a
+  * shared-nothing engine; at scale prefer a real key join.
+  */
+object Zip {
+
+  /** Attach a contiguous 0-based row index in partition order.
+    * Unlike `monotonically_increasing_id` the index is dense, so the
+    * two sides align exactly even with ragged partition sizes. */
+  def withRowIndex(df: DataFrame, name: String = "__idx"): DataFrame = {
+    val schema = df.schema.add(name, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  def zipByIndex(a: DataFrame, b: DataFrame,
+                 suffixes: (String, String) = ("_l", "_r")): DataFrame = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    val l = clash.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = clash.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    val li = withRowIndex(l)
+    val ri = withRowIndex(r)
+    li.join(ri, Seq("__idx"), "inner")
+      .sort(col("__idx"))
+      .drop("__idx")
+  }
+}
