@@ -148,7 +148,14 @@ object TextFunctions {
       math.abs(rnd.nextInt()).toLong % (HashDomain - 1)))
   }
 
-  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    graft.expressions.VectorExpressions.minhashSignature(
+      shingles, hashCoeffs(k, seed), MersennePrime)
+
+  /** column-math formulation — semantic spec for the native
+    * expression (equivalence pinned in ScalaTest) */
+  private[graft] def minhashSignatureHof(shingles: Column, k: Int,
+                                         seed: Long = 42L): Column = {
     val hashes = transform(shingles, s => pmod(xxhash64(s), lit(HashDomain)))
     array(hashCoeffs(k, seed).map { case (a, b) =>
       array_min(transform(hashes,
@@ -167,10 +174,13 @@ object TextFunctions {
 
   // ===== SimHash =========================================================
 
-  /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens (±1).
-    * Pure column expressions: for each bit b, count tokens with bit set
-    * minus tokens with bit clear; bit set in result if positive. */
-  def simhash(text: Column): Column = {
+  /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens (±1). */
+  def simhash(text: Column): Column =
+    graft.expressions.VectorExpressions.simhash64(tokens(text))
+
+  /** column-math formulation — semantic spec for the native
+    * expression (equivalence pinned in ScalaTest) */
+  private[graft] def simhashHof(text: Column): Column = {
     val hashes = transform(tokens(text), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0L), (acc, h) =>

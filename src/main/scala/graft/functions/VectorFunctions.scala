@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
+
+  /** higher-order-function formulations, kept as the semantic spec for
+    * the native expressions (equivalence pinned in ScalaTest) */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }

@@ -44,20 +44,27 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
-    val banded = sh.withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .select(col("id"), col("sh"),
-        explode(minhashBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("sh"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .cache() // reused for banding and for verification joins
+    // band rows carry ONLY (id, band, bucket): the shingle payload
+    // would otherwise be duplicated `bands` times through the shuffle
+    val banded = sh
+      .select(col("id"),
+        explode(minhashBands(minhashSignature(col("sh"), numHashes, seed),
+          bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // candidate pairs dedup'd BEFORE verification: near-identical docs
+    // share most bands and would be jaccard-verified `bands` times
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -112,20 +119,21 @@ object Dedup {
                    maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val sh = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))
-    val chunked = sh.select(col("id"), col("sim"),
+      simhash(col(textCol)).as("sim")).cache()
+    val chunked = sh.select(col("id"),
         explode(simhashChunks(col("sim"), chunks)).as("ck"))
-      .select(col("id"), col("sim"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val a = chunked.select(col("chunk"), col("key"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("key"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "key"))
+      .select(col("id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val cand = chunked.select(col("chunk"), col("key"), col("id").as("id_a"))
+      .join(chunked.select(col("chunk"), col("key"), col("id").as("id_b")),
+        Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
   }
 
@@ -156,13 +164,17 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket",
         VectorFunctions.hyperplaneSignature(col("v"), nBits, dim, seed))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      .cache()
+    val cand = sig.select(col("bucket"), col("id").as("id_a"))
+      .join(sig.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }
