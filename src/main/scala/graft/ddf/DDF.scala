@@ -103,10 +103,16 @@ class DDF(val df: DataFrame) {
       }
       val statsRow = df.agg(aggFor(cols.head).as(cols.head),
         cols.tail.map(c => aggFor(c).as(c)): _*).head()
-      val fills = cols.zipWithIndex.flatMap { case (c, i) =>
-        Option(statsRow.get(i)).map(v => c -> v)
-      }.toMap
-      wrap(df.na.fill(fills))
+      // coalesce (not na.fill): widens the column type so an int
+      // column filled with a fractional mean becomes double, matching
+      // the reference's pandas upcast behavior
+      wrap(cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+        Option(statsRow.get(i)) match {
+          case Some(v) => acc.withColumn(c,
+            org.apache.spark.sql.functions.coalesce(col(c), lit(v)))
+          case None    => acc // all-null column: nothing to fill with
+        }
+      })
   }
 
   /** reference: ddf.py :: dropna / functions/etl/clean_missing.py.

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ddf.DDF
+import graft.ddf.DDF._
+
+/** ETL-surface invariants on micro-fixtures (FIXTURES.md §B), covering
+  * the pandas-vs-SQL semantic traps SURVEY.md §7 flags: SQL NULL
+  * semantics, null group keys, positional ops, multiset set-ops. */
+class DDFSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def people = DDF(Seq(
+    (1, "ann", Some(20), Some("rio")),
+    (2, "bob", None, Some("rio")),
+    (3, "cat", Some(40), None),
+    (4, "dan", Some(40), Some("oslo")),
+    (5, "eve", None, Some("oslo"))
+  ).toDF("id", "name", "age", "city"))
+
+  test("select / drop / rename / cast") {
+    assert(people.select(Seq("id", "age")).columns == Seq("id", "age"))
+    assert(people.drop(Seq("city")).columns == Seq("id", "name", "age"))
+    assert(people.rename("city", "town").columns.contains("town"))
+    val casted = people.cast("age", "double")
+    assert(casted.schema("age").dataType == DoubleType)
+    assert(people.cast("id", "string").schema("id").dataType == StringType)
+  }
+
+  test("selectExpression assignment and plain forms") {
+    val r = people.selectExpression("age2 = age * 2", "id + 1")
+    assert(r.columns.contains("age2"))
+    val got = r.toDF.filter($"id" === 1).select($"age2").head().getInt(0)
+    assert(got == 40)
+  }
+
+  test("filter accepts pandas-query dialect") {
+    assert(people.filter("(age == 40) and (city == 'oslo')").countRows() == 1)
+    assert(people.filter("(age == 40) & (city == 'oslo')").countRows() == 1)
+    // SQL 3-valued logic: NULL age rows are dropped, not matched
+    assert(people.filter("age != 40").countRows() == 1)
+  }
+
+  test("fillna VALUE / MEAN / MEDIAN / MODE") {
+    val v = people.fillna(Seq("age"), FillWithValue, 0L)
+    assert(v.toDF.agg(sum($"age")).head().getLong(0) == 100L)
+    val mean = people.fillna(Seq("age"), FillWithMean)
+    // mean of (20,40,40) = 100/3
+    val got = mean.toDF.filter($"id" === 2).select($"age").head().getDouble(0)
+    assert(math.abs(got - 100.0 / 3) < 1e-9)
+    val med = people.fillna(Seq("age"), FillWithMedian)
+    assert(med.toDF.filter($"id" === 2).select($"age").head().getDouble(0) == 40.0)
+    val mode = people.fillna(Seq("city"), FillWithMode)
+    val filled = mode.toDF.filter($"id" === 3).select($"city").head().getString(0)
+    assert(Set("rio", "oslo").contains(filled)) // bimodal: either is valid
+  }
+
+  test("dropna rows: any / all / thresh") {
+    assert(people.dropna(Seq("age", "city"), "any").countRows() == 2)
+    assert(people.dropna(Seq("age", "city"), "all").countRows() == 5)
+    // thresh = keep rows with >= 1 non-null among (age, city)
+    assert(people.dropna(Seq("age", "city"), thresh = 1).countRows() == 5)
+    assert(people.dropna(Seq("age", "city"), thresh = 2).countRows() == 2)
+  }
+
+  test("dropna column mode drops columns containing nulls") {
+    val r = people.dropna(removeColumns = true)
+    assert(r.columns == Seq("id", "name"))
+  }
+
+  test("replace on subset") {
+    val r = people.replace(Map("rio" -> "lima"), Seq("city"))
+    assert(r.toDF.filter($"city" === "lima").count() == 2)
+    // null untouched
+    assert(r.toDF.filter($"city".isNull).count() == 1)
+  }
+
+  test("groupBy null keys form their own group (SQL, not pandas)") {
+    val g = people.groupBy(Seq("city")).agg(("n", "count", "*"))
+    assert(g.countRows() == 3)
+    assert(g.toDF.filter($"city".isNull).select($"n").head().getLong(0) == 1)
+  }
+
+  test("groupBy agg functions incl list/set are sorted") {
+    val g = people.groupBy(Seq("city"))
+      .agg(("ages", "list", "age"), ("aset", "set", "age"))
+      .toDF.filter($"city" === "oslo").select($"ages", $"aset").head()
+    assert(g.getSeq[Int](0) == Seq(40)) // null dropped by collect_list
+    assert(g.getSeq[Int](1) == Seq(40))
+  }
+
+  test("distinct keep=first/last via orderCols") {
+    val d = DDF(Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k"))
+    val first = d.distinct(Seq("k"), "first", Seq("id")).toDF
+      .orderBy($"k").collect().map(_.getInt(0)).toSeq
+    assert(first == Seq(1, 3))
+    val last = d.distinct(Seq("k"), "last", Seq("id")).toDF
+      .orderBy($"k").collect().map(_.getInt(0)).toSeq
+    assert(last == Seq(2, 3))
+  }
+
+  test("multiset intersect_all / except_all arithmetic") {
+    val a = DDF(Seq("x", "x", "x", "y", "y", "z").toDF("v"))
+    val b = DDF(Seq("x", "x", "y", "w").toDF("v"))
+    assert(a.intersectAll(b).countRows() == 3) // 2x + 1y
+    assert(a.exceptAll(b).countRows() == 3)    // 1x + 1y + 1z
+    assert(a.intersect(b).countRows() == 2)    // {x, y}
+    assert(a.subtract(b).countRows() == 1)     // {z}
+  }
+
+  test("union is positional, unionByName aligns") {
+    val a = DDF(Seq((1, "a")).toDF("id", "v"))
+    val bSwapped = DDF(Seq(("b", 2)).toDF("v", "id"))
+    assert(a.unionByName(bSwapped).toDF.orderBy($"id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("addColumn zips by row position with suffixes") {
+    val a = DDF(Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+      .repartition(2).sortWithinPartitions($"id"))
+    val b = DDF(Seq(10.0, 20.0, 30.0).toDF("w").coalesce(1))
+    val sortedA = a.sort(Seq("id"))
+    val z = sortedA.addColumn(b).toDF.orderBy($"id").collect()
+    assert(z.length == 3)
+    assert(z.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // clash suffixes
+    val c = DDF(Seq(7).toDF("id"))
+    val zz = DDF(Seq(8).toDF("id")).addColumn(c)
+    assert(zz.columns.toSet == Set("id_l", "id_r"))
+  }
+
+  test("sample / split / take invariants") {
+    val d = DDF(spark.range(1000).toDF("id"))
+    val s = d.sample(0.1, seed = 7)
+    assert(s.countRows() > 20 && s.countRows() < 250)
+    val n = d.sampleN(17, seed = 7)
+    assert(n.countRows() == 17)
+    val (tr, te) = d.split(0.8, seed = 7)
+    assert(tr.countRows() + te.countRows() == 1000)
+    assert(d.take(5).countRows() == 5)
+  }
+
+  test("repartition family preserves content") {
+    val d = DDF(spark.range(100).toDF("id"))
+    assert(d.hashPartition(Seq("id"), 8).countRows() == 100)
+    assert(d.hashPartition(Seq("id"), 8).numOfPartitions() == 8)
+    assert(d.rangePartition(Seq("id"), 5).countRows() == 100)
+    assert(d.repartition(3).numOfPartitions() == 3)
+    assert(d.coalesce(1).numOfPartitions() == 1)
+  }
+
+  test("describeNumeric / freqItems / crossTab") {
+    val d = DDF(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"))
+    val desc = d.describeNumeric(Seq("x")).toDF.head()
+    assert(desc.getString(0) == "x" && desc.getLong(1) == 4L)
+    assert(desc.getDouble(2) == 2.5)
+    val f = DDF(Seq("a", "a", "a", "b").toDF("v")).freqItems("v", 0.5)
+    assert(f.toDF.collect().map(_.getString(0)).toSeq == Seq("a"))
+    val ct = DDF(Seq(("r", "x"), ("r", "y"), ("s", "x")).toDF("a", "b"))
+      .crossTab("a", "b")
+    assert(ct.countRows() == 2)
+  }
+
+  test("correlation / covariance") {
+    val d = DDF(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
+    assert(math.abs(d.correlation("x", "y") - 1.0) < 1e-12)
+    assert(math.abs(d.covariance("x", "y") - 2.0) < 1e-12)
+  }
+
+  test("explode flattens list column") {
+    val d = DDF(Seq((1, Seq("a", "b")), (2, Seq("c"))).toDF("id", "xs"))
+    assert(d.explodeCol("xs").countRows() == 3)
+  }
+
+  test("empty DataFrame no-ops cleanly through operators") {
+    val empty = DDF(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("v", StringType)))))
+    assert(empty.filter("id > 0").countRows() == 0)
+    assert(empty.groupBy(Seq("v")).agg(("n", "count", "*")).countRows() == 0)
+    assert(empty.distinct(Seq("v")).countRows() == 0)
+    assert(empty.sort(Seq("id")).countRows() == 0)
+    assert(empty.fillna(Seq("v"), FillWithValue, "x").countRows() == 0)
+  }
+}

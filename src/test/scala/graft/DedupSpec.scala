@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** documents plus planted near-dups (one appended token) and exact
+    * dups — mirrors SparkEntry.docsWithDups */
+  private lazy val corpus = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    docs
+      .union(docs.filter($"doc_id" < 30)
+        .select($"doc_id" + 10000, concat($"text", lit(" zzz"))))
+      .union(docs.filter($"doc_id" < 30).select($"doc_id" + 20000, $"text"))
+      .cache()
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val r = Dedup.exact(corpus, Seq("text"), "doc_id")
+    assert(r.count() == corpus.count() - 30) // the 30 verbatim dups go
+    assert(r.filter($"doc_id" >= 20000).count() == 0)
+  }
+
+  test("minhash pairs: full recall on planted dups, no false positives") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6).cache()
+    val found = pairs.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups (i, i+20000) must all be found with jaccard 1.0
+    val exactPlanted = (0L until 30L)
+      .filter(i => corpus.filter($"doc_id" === i)
+        .select(graft.functions.TextFunctions.wordShingles($"text", 3))
+        .head().getSeq[String](0).nonEmpty)
+      .map(i => (i, i + 20000L)).toSet
+    assert(exactPlanted.subsetOf(found),
+      s"missing: ${exactPlanted -- found}")
+    // every reported pair must truly verify >= threshold
+    assert(pairs.filter($"jaccard" < 0.6).count() == 0)
+    val ones = pairs.filter($"id_b" === $"id_a" + 20000 && $"jaccard" < 1.0)
+    assert(ones.count() == 0)
+  }
+
+  test("minhash dedup removes one side of each dup cluster") {
+    val r = Dedup.minhashDedup(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6)
+    // representatives keep the min doc_id: originals survive
+    assert(r.filter($"doc_id" >= 20000).count() == 0)
+    assert(r.count() < corpus.count())
+  }
+
+  test("simhash pairs: exact dups at distance 0, verified <= k") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDistance = 3)
+      .cache()
+    assert(pairs.filter($"hamming" > 3).count() == 0)
+    val zero = pairs.filter($"id_b" === $"id_a" + 20000)
+    assert(zero.filter($"hamming" =!= 0).count() == 0)
+    assert(zero.count() == 30)
+  }
+
+  test("connected components: min-label propagation on a path graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentMinLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("jaccard blocked pairs respect the blocking column") {
+    val d = Seq(
+      (1L, "a b c d e", "blk1"), (2L, "a b c d e", "blk1"),
+      (3L, "a b c d e", "blk2")).toDF("id", "text", "blk")
+    val pairs = Dedup.jaccardPairs(d, "id", "text", "blk", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 is identical but in another block
+  }
+
+  test("embedding pairs find planted duplicate vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dup = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val pairs = Dedup.embeddingPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.999)
+    val found = pairs.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).map(i => (i, i + 5000L)).forall(found.contains))
+  }
+}

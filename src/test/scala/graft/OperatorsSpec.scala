@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KolmogorovSmirnov, Zip}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("normalCdf matches known values of Phi") {
+    val d = Seq(0.0, 1.0, -1.0, 1.96, 2.5758).toDF("z")
+    val got = d.select($"z",
+      KolmogorovSmirnov.normalCdf($"z").as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0.0) - 0.5) < 1e-7)
+    assert(math.abs(got(1.0) - 0.8413447) < 1e-6)
+    assert(math.abs(got(-1.0) - 0.1586553) < 1e-6)
+    assert(math.abs(got(1.96) - 0.9750021) < 1e-6)
+    assert(math.abs(got(2.5758) - 0.995) < 1e-5)
+  }
+
+  test("KS statistic: exact value on a tiny known sample vs uniform") {
+    // values {0.1, 0.5, 0.9} vs U(0,1): D = max over the ecdf jumps
+    val df = Seq(0.1, 0.5, 0.9).toDF("x")
+    val d = KolmogorovSmirnov.statistic(df, "x", "uniform")
+    // ranks 0,1,2 of n=3: candidates |x - i/3|, |x - (i+1)/3|
+    val want = Seq(0.1 - 0.0, 1.0 / 3 - 0.1, 0.5 - 1.0 / 3, 2.0 / 3 - 0.5,
+      0.9 - 2.0 / 3, 1.0 - 0.9).max
+    assert(math.abs(d - want) < 1e-12)
+  }
+
+  test("KS statistic small for data drawn from the tested distribution") {
+    val n = 2000
+    val rnd = new scala.util.Random(7)
+    val unif = Seq.fill(n)(rnd.nextDouble()).toDF("x")
+    assert(KolmogorovSmirnov.statistic(unif, "x", "uniform") < 0.05)
+    val gauss = Seq.fill(n)(rnd.nextGaussian()).toDF("x")
+    assert(KolmogorovSmirnov.statistic(gauss, "x", "norm") < 0.05)
+    // and large when the distribution is wrong
+    assert(KolmogorovSmirnov.statistic(unif, "x", "norm") > 0.3)
+  }
+
+  test("zipByIndex aligns ragged partitioning") {
+    val a = spark.range(10).toDF("id").repartition(4)
+    val b = spark.range(10).select(($"id" * 2).as("v")).coalesce(1)
+    val z = Zip.zipByIndex(a.orderBy($"id"), b.orderBy($"v"))
+    assert(z.count() == 10)
+    assert(z.filter($"v" =!= $"id" * 2).count() == 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{VectorFunctions => VF}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine/dot native expressions match HOF formulation bitwise") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(40).select($"vec_id", $"embedding")
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(VF.cosine($"a.embedding", $"b.embedding").as("fast"),
+        VF.cosineHof($"a.embedding", $"b.embedding").as("spec"),
+        VF.dot($"a.embedding", $"b.embedding").as("dfast"),
+        VF.dotHof($"a.embedding", $"b.embedding").as("dspec"))
+    assert(pairs.filter($"fast" =!= $"spec" || $"dfast" =!= $"dspec")
+      .count() == 0)
+  }
+
+  test("cosine basics on known vectors") {
+    val d = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0) // zero vector -> 0 by convention
+    ).toDF("a", "b", "want")
+    val bad = d.select(VF.cosine($"a", $"b").as("got"), $"want")
+      .filter(abs($"got" - $"want") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, self excluded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val r = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 4)
+      .cache()
+    assert(r.count() == 12)
+    assert(r.filter($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are 1..k and cosine non-increasing within each query
+    val byQuery = r.collect().groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 4))
+      val cos = sorted.map(_.getDouble(2)).toSeq
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("IVF ANN recall >= 0.5 vs brute force at k=10") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 20)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    val approx = keyset(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 3))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+}

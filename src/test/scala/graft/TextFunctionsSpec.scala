@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tdf(xs: (Int, String)*) = xs.toDF("id", "txt")
+
+  test("tokens: empty, whitespace, unicode, punctuation-only") {
+    val d = tdf(1 -> "Hello  World", 2 -> "", 3 -> "   ", 4 -> "¡héllo!",
+      5 -> "...")
+    val got = d.select($"id", TF.tokens($"txt").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("hello", "world"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+    assert(got(4) == Seq("¡héllo!"))
+    assert(got(5) == Seq("..."))
+  }
+
+  test("tokenCount and bpeish count") {
+    val d = tdf(1 -> "a b c", 2 -> "don't stop!")
+    val got = d.select($"id", TF.tokenCount($"txt"),
+      TF.bpeishTokenCount($"txt")).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1) == ((3, 3)))
+    // don't stop! -> [don][']​[t][stop][!] = 5 bpe-ish units, 2 ws tokens
+    assert(got(2)._1 == 2 && got(2)._2 == 5)
+  }
+
+  test("word shingles: short docs yield empty, no partial shingles") {
+    val d = tdf(1 -> "a b c d", 2 -> "a b", 3 -> "")
+    val got = d.select($"id", TF.wordShingles($"txt", 3).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("a b c", "b c d"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
+  test("char shingles") {
+    val got = tdf(1 -> "AB cd").select(TF.charShingles($"txt", 2))
+      .head().getSeq[String](0)
+    assert(got == Seq("ab", "b ", " c", "cd"))
+  }
+
+  test("jaccard") {
+    val d = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = d.select(TF.jaccard($"x", $"y")).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(TF.jaccard($"x", $"y")).head().getDouble(0) == 0.0)
+  }
+
+  test("fingerprint: deterministic, order-sensitive, whitespace-robust") {
+    val d = tdf(1 -> "the quick fox", 2 -> "the  QUICK   fox",
+      3 -> "fox quick the")
+    val fp = d.select($"id", TF.fingerprint($"txt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fp(1) == fp(2)) // case/whitespace normalized
+    assert(fp(1) != fp(3)) // order matters
+  }
+
+  test("langId picks each language's marker-heavy text") {
+    val d = tdf(
+      1 -> "the cat and the dog are in that house with this",
+      2 -> "el perro y la casa de los que por una como",
+      3 -> "le chat est dans les maisons pour une avec sur",
+      4 -> "der hund und die katze ist nicht ein mit auf",
+      5 -> "这是一个中文的句子我们在这里")
+    val got = d.select($"id", TF.langId($"txt")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "en", 2 -> "es", 3 -> "fr", 4 -> "de", 5 -> "zh"))
+  }
+
+  // the synthetic documents table uses English DB-jargon vocabulary for
+  // EVERY lang label, so the label is not recoverable from content; pin
+  // the deterministic property instead: marker-bearing text -> en.
+  test("langId classifies the synthetic English-vocabulary docs as en") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").rlike("(^| )the( |$)"))
+    val n = docs.count()
+    val en = docs.filter(TF.langId(col("text")) === "en").count()
+    assert(n > 0 && en == n, s"$en of $n 'the'-bearing docs classified en")
+  }
+
+  test("qualityScore in [0,1], penalizes junk") {
+    val d = tdf(1 -> ("the data of this table is in the file and it " * 4),
+      2 -> "!!!???!!!...", 3 -> "")
+    val q = d.select($"id", TF.qualityScore($"txt")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1) > q(2) && q(1) > q(3))
+  }
+
+  test("native simhash expression == column-math formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val diff = docs.select(TF.simhash(col("text")).as("a"),
+        TF.simhashHof(col("text")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("native minhash expression == column-math formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(TF.wordShingles(col("text"), 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val diff = docs.select(TF.minhashSignature($"sh", 16).as("a"),
+        TF.minhashSignatureHof($"sh", 16).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("hammingDistance and simhashChunks") {
+    val d = Seq((0L, -1L), (5L, 4L)).toDF("a", "b")
+    val got = d.select(TF.hammingDistance($"a", $"b")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(got == Seq(64, 1))
+    val chunks = Seq(Tuple1(0x0123456789abcdefL)).toDF("s")
+      .select(TF.simhashChunks($"s", 4)).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(chunks.map(_.getLong(1)) == Seq(0xcdefL, 0x89abL, 0x4567L, 0x0123L))
+  }
+}
