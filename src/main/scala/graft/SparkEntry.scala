@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
-import graft.operators.{Dedup, KolmogorovSmirnov, Similarity, Zip}
+import graft.ml.{DBSCAN, Feature, KNN, Models}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
+import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -745,7 +748,156 @@ object SparkEntry {
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |   CAST(b.embedding AS DOUBLE[])) >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ===== §2.9 ML text pipeline ========================================
+
+    Q("q56_tokenize_stopwords", (s, dir) => {
+      val toks = Feature.tokenize(t(s, dir, "documents"), "text", "toks")
+      val clean = Feature.removeStopWords(toks, "toks", "clean",
+        TF.defaultStopwords)
+      clean.select(explode(col("clean")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("w"))
+    },
+      Some(s"""SELECT w, count(*) AS n
+              |FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents) t
+              |WHERE NOT list_contains([${TF.defaultStopwords
+                 .map(w => s"'$w'").mkString(",")}], w)
+              |GROUP BY w ORDER BY w""".stripMargin)),
+
+    Q("q57_ngram", (s, dir) => {
+      val toks = Feature.tokenize(t(s, dir, "documents"), "text", "toks")
+      val clean = toks.withColumn("toks",
+        filter(col("toks"), x => length(x) > 0))
+      Feature.ngram(clean, "toks", "bigrams", 2)
+        .select(explode(col("bigrams")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bg"))
+    },
+      Some(s"""SELECT bg, count(*) AS n
+              |FROM (SELECT unnest(list_transform(
+              |   range(1, greatest(len(${sqlTokens("text")}), 1)),
+              |   i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1])) AS bg
+              |  FROM documents) t
+              |GROUP BY bg ORDER BY bg""".stripMargin)),
+
+    // ===== §2.3-geo spatial join ========================================
+
+    // rectangles as explicit vertex polygons: the Spark side runs the
+    // full broadcast + bbox-prune + ray-cast path; the oracle reduces
+    // to range predicates (points never sit on a boundary: acctbal has
+    // 2 decimals vs .005-offset bounds).
+    Q("q63_geo_within", (s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        col("c_acctbal").as("x"), (col("c_custkey") % 100).cast("double").as("y"))
+      val polys = Seq(
+        ("zoneA", Seq((0.005, 10.5), (3000.005, 10.5), (3000.005, 60.5), (0.005, 60.5))),
+        ("zoneB", Seq((3000.005, 0.5), (8000.005, 0.5), (8000.005, 90.5), (3000.005, 90.5))))
+        .toDF("zone", "verts")
+        .select(col("zone"), expr(
+          "transform(verts, v -> named_struct('x', v._1, 'y', v._2))").as("verts"))
+      Geo.geoWithin(pts, polys, "x", "y", "verts")
+        .select(col("id"), col("zone"))
+        .orderBy(col("id"), col("zone"))
+    },
+      Some("""SELECT c_custkey AS id, 'zoneA' AS zone FROM customer
+             |WHERE c_acctbal > 0.005 AND c_acctbal < 3000.005
+             |  AND (c_custkey % 100) > 10.5 AND (c_custkey % 100) < 60.5
+             |UNION ALL
+             |SELECT c_custkey AS id, 'zoneB' AS zone FROM customer
+             |WHERE c_acctbal > 3000.005 AND c_acctbal < 8000.005
+             |  AND (c_custkey % 100) > 0.5 AND (c_custkey % 100) < 90.5
+             |ORDER BY id, zone""".stripMargin)),
+
+    // ===== §2.9 graph / clustering / fpm (rows-only: not ANSI-SQL-
+    // expressible; semantics pinned in ScalaTest) =========================
+
+    Q("q58_pagerank", (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      PageRank.run(edges, maxIters = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }, None),
+
+    Q("q59_kmeans", (s, dir) => {
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      val model = Models.kmeans(emb, "features", k = 8)
+      model.transform(emb)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"))
+    }, None),
+
+    Q("q60_knn", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      KNN.classify(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", "label", k = 5)
+        .orderBy(col("vec_id"))
+    }, None),
+
+    Q("q61_fpgrowth", (s, dir) => {
+      val txns = t(s, dir, "part")
+        .select(array_distinct(split(col("p_name"), " ")).as("items"))
+      val model = Models.fpGrowth(txns, "items", minSupport = 0.05,
+        minConfidence = 0.3)
+      model.freqItemsets
+        .select(concat_ws(",", array_sort(col("items"))).as("itemset"),
+          col("freq"))
+        .orderBy(col("itemset"))
+    }, None),
+
+    Q("q62_dbscan", (s, dir) => {
+      val pts = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        (element_at(col("embedding"), 1) * 10).cast("double").as("x"),
+        (element_at(col("embedding"), 2) * 10).cast("double").as("y"))
+      DBSCAN.cluster(pts, "id", "x", "y", eps = 2.0, minPts = 4)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
+    }, None),
+
+    // ===== §2.12 multimodal =============================================
+
+    Q("q64_multimodal_decode", (s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val decoded = Multimodal.decodeImages(media)
+      Multimodal.withResizeMeta(decoded, maxSide = 256)
+        .agg(count(lit(1)).as("n"),
+          max(col("out_width")).as("max_w"), max(col("out_height")).as("max_h"))
+    }, None),
+
+    Q("q65_frame_sample", (s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text",
+        kind = "video")
+      Multimodal.sampleFrames(media, stride = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id"))
+    }, None),
+
+    // ===== §2.10 structured streaming ===================================
+
+    // runs an actual streaming query (file source → watermark →
+    // windowed state → memory sink) to completion; result equals the
+    // batch window aggregation, so it oracles like any other query.
+    Q("q66_stream_window", (s, dir) => {
+      val stream = EventStream.readStream(s, dir)
+      val res = EventStream.runToMemory(
+        EventStream.windowedAgg(stream, width = "1 hour"),
+        "q66_mem",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      res.select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+             | event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** reference: ddf_library/functions/graph/ :: PageRank(inlink, outlink,
+  * damping, max_iters) — iterative DataFrame joins (the GraphFrames
+  * pattern): contribs = ranks/out-degree flowed along edges, new rank
+  * = (1-d) + d * Σ contribs. One shuffle per iteration keyed on dst;
+  * lineage cut with localCheckpoint each iteration so plans stay flat
+  * over arbitrarily many rounds (SURVEY.md §2.9).
+  */
+object PageRank {
+
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          damping: Double = 0.85, maxIters: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+
+    var ranks = vertices.withColumn("rank", lit(1.0))
+    var i = 0
+    while (i < maxIters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("recv"))
+      ranks = vertices
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table (DRIVER-EXT,
+  * SURVEY.md §2.10 — the reference has no streaming; PyCOMPSs is a
+  * batch task graph). readStream → watermark → windowed agg →
+  * writeStream, plus a mapGroupsWithState sessionizer for custom
+  * state. Batch/stream share the same transform functions so the
+  * semantics are testable against the batch engine (memory sink +
+  * processAllAvailable in the spec).
+  */
+object EventStream {
+
+  /** events parquet schema with ts as epoch-nanos long (the files are
+    * TIMESTAMP(NANOS) which Spark's reader only admits as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob, not bare file: the streaming file source requires a
+    // directory/glob basePath to monitor
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** tumbling (slide == width) or sliding window counts with an
+    * event-time watermark bounding state. */
+  def windowedAgg(events: DataFrame, width: String = "1 hour",
+                  slide: Option[String] = None,
+                  watermark: String = "2 hours"): DataFrame = {
+    val win = slide.fold(window(col("ts"), width))(s =>
+      window(col("ts"), width, s))
+    events.withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sv"))
+  }
+
+  case class Session(userId: Long, nEvents: Long, total: Double)
+
+  /** per-user running session state via mapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state path. */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[Session]) =>
+          val prev = state.getOption.getOrElse(Session(user, 0L, 0.0))
+          var n = prev.nEvents; var tot = prev.total
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = Session(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** run a streaming query to completion against static input via the
+    * memory sink; returns the materialized result table. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

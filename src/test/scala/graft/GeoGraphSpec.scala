@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Geo, PageRank}
+
+class GeoGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def square(cx: Double, cy: Double, half: Double) =
+    Seq((cx - half, cy - half), (cx + half, cy - half),
+      (cx + half, cy + half), (cx - half, cy + half))
+      .map { case (x, y) => (x, y) }
+
+  test("pointInPolygon: inside / outside / concave") {
+    val poly = Seq((1, square(0, 0, 1))).toDF("pid", "verts")
+      .select($"pid", expr(
+        "transform(verts, v -> named_struct('x', v._1, 'y', v._2))").as("verts"))
+    def hit(x: Double, y: Double): Boolean =
+      poly.select(Geo.pointInPolygon(lit(x), lit(y), $"verts")).head()
+        .getBoolean(0)
+    assert(hit(0.0, 0.0) && hit(0.9, -0.9))
+    assert(!hit(1.5, 0.0) && !hit(0.0, -2.0))
+    // concave "L" polygon: notch at the top-right quadrant
+    val l = Seq(Tuple1(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0),
+      (1.0, 2.0), (0.0, 2.0)))).toDF("verts")
+      .select(expr(
+        "transform(verts, v -> named_struct('x', v._1, 'y', v._2))").as("verts"))
+    def lhit(x: Double, y: Double): Boolean =
+      l.select(Geo.pointInPolygon(lit(x), lit(y), $"verts")).head()
+        .getBoolean(0)
+    assert(lhit(0.5, 0.5) && lhit(0.5, 1.5) && lhit(1.5, 0.5))
+    assert(!lhit(1.5, 1.5)) // the notch
+  }
+
+  test("geoWithin: points pick up attributes of containing polygons") {
+    val polys = Seq(("zoneA", square(0, 0, 1)), ("zoneB", square(10, 10, 1)))
+      .toDF("zone", "verts")
+      .select($"zone", expr(
+        "transform(verts, v -> named_struct('x', v._1, 'y', v._2))").as("verts"))
+    val pts = Seq((1L, 0.5, 0.5), (2L, 10.2, 9.8), (3L, 5.0, 5.0))
+      .toDF("id", "x", "y")
+    val joined = Geo.geoWithin(pts, polys, "x", "y", "verts")
+    val got = joined.select($"id", $"zone").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "zoneA", 2L -> "zoneB")) // 3 is nowhere
+  }
+
+  test("pagerank: sink of a triangle ranks highest, ranks positive") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val ranks = PageRank.run(edges, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 3)
+    assert(ranks.values.forall(_ > 0.15))
+    assert(ranks(3L) > ranks(2L)) // 3 receives from both 1 and 2
+    assert(ranks(1L) > ranks(2L)) // 1 receives all of 3's rank
+    // with no dangling nodes total rank converges to N
+    assert(math.abs(ranks.values.sum - 3.0) < 0.05)
+  }
+}

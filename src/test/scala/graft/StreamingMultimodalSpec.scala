@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+class StreamingMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch plan over static input") {
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.windowedAgg(stream, width = "1 hour"),
+      "win_counts", OutputMode.Complete())
+
+    val batch = spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val want = batch.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"sv")
+
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("stateful sessionize totals match batch aggregation") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val sessions = EventStream.sessionize(events).collect()
+      .map(s => s.userId -> ((s.nEvents, s.total))).toMap
+    val want = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("t")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sessions.keySet == want.keySet)
+    want.foreach { case (u, (n, t)) =>
+      assert(sessions(u)._1 == n)
+      assert(math.abs(sessions(u)._2 - t) < 1e-6)
+    }
+  }
+
+  test("multimodal: binary schema, batched decode, deterministic features") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = Multimodal.fromText(docs, "doc_id", "text").cache()
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    val decoded = Multimodal.decodeImages(media).cache()
+    assert(decoded.count() == docs.count())
+    assert(decoded.filter($"width" < 1 || $"width" > 1920).count() == 0)
+    // deterministic: same run twice, same values
+    val again = Multimodal.decodeImages(media)
+    assert(decoded.exceptAll(again).count() == 0)
+
+    val feats = Multimodal.extractFeatures(media, dim = 16).cache()
+    assert(feats.filter(size($"embedding") =!= 16).count() == 0)
+    // identical payloads get identical embeddings
+    val dup = Multimodal.fromText(
+      docs.select($"doc_id", $"text")
+        .union(docs.select($"doc_id" + 10000, $"text")), "doc_id", "text")
+    val f2 = Multimodal.extractFeatures(dup, dim = 16)
+    val clash = f2.select($"media_id" % 10000, $"embedding")
+      .groupBy("(media_id % 10000)").agg(countDistinct($"embedding").as("n"))
+      .filter($"n" > 1)
+    assert(clash.count() == 0)
+  }
+
+  test("multimodal: frame sampling and resize metadata") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = Multimodal.fromText(docs, "doc_id", "text", kind = "video")
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)
+
+    val resized = Multimodal.withResizeMeta(
+      Multimodal.decodeImages(media), maxSide = 256)
+    assert(resized.filter($"out_width" > 256 || $"out_height" > 256)
+      .count() == 0)
+    assert(resized.filter($"out_width" < 1 || $"out_height" < 1).count() == 0)
+  }
+}
