@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
+import graft.operators.{AsOfJoin, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -897,7 +897,33 @@ object SparkEntry {
     },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
              | event_type, count(*) AS n, round(sum(value), 2) AS sv
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ===== §2.3-ext as-of join ==========================================
+
+    // enrich every event with its user's most recent signup at-or-
+    // before the event; time axis is raw epoch-nanos (exact ordering,
+    // no timestamp truncation). Oracle is DuckDB's native ASOF JOIN.
+    Q("q67_asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.backward(ev, signups, Seq("user_id"), "ts", "ts",
+          payload = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          // microseconds: epoch-nanos as int64-with-nulls degrades to
+          // float64 in the compare and ns magnitudes exceed float64's
+          // exact-integer range; us values stay exact
+          expr("asof_ts div 1000").as("signup_ts"),
+          col("asof_value").as("signup_value"))
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT event_id, user_id, epoch_us(t2) AS signup_ts,
+             | v2 AS signup_value
+             |FROM events ASOF LEFT JOIN
+             | (SELECT user_id AS u2, ts AS t2, value AS v2 FROM events
+             |  WHERE event_type = 'signup') ON user_id = u2 AND ts >= t2
+             |ORDER BY event_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
