@@ -28,23 +28,31 @@ object TextFunctions {
     size(regexp_extract_all(text,
       lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
+  /** Bind `e` to a lambda variable so downstream per-element lambdas
+    * reference an evaluated value instead of re-evaluating the whole
+    * subtree (Catalyst does no CSE inside HOF lambdas — an unbound
+    * tokens() there turns O(L) construction into O(L^2) regex calls). */
+  private def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** character n-gram shingles (lowercased, whitespace collapsed) */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), length(norm) - (n - 1))),
-      i => norm.substr(i, lit(n))))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    bound(regexp_replace(lower(trim(text)), "\\s+", " ")) { norm =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), length(norm) - (n - 1))),
+        i => norm.substr(i, lit(n))))
+    }
 
   /** word n-gram shingles over whitespace tokens; empty when the text
-    * has fewer than n tokens (no partial shingles). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-  }
+    * has fewer than n tokens (no partial shingles). Tokens are bound
+    * once and indexed with element_at (O(1)) — linear in token count. */
+  def wordShingles(text: Column, n: Int): Column =
+    bound(tokens(text)) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))))
+    }
 
   /** n-gram Jaccard similarity between two shingle arrays */
   def jaccard(a: Column, b: Column): Column = {

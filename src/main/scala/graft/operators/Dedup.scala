@@ -36,10 +36,18 @@ object Dedup {
   /** candidate near-dup pairs by MinHash LSH, verified by exact
     * Jaccard on word `shingleLen`-grams. Returns (id_a, id_b, jaccard)
     * with id_a < id_b and jaccard >= threshold. */
+  /** `maxBucketSize`: band buckets larger than this are skipped during
+    * candidate generation. Oversized buckets arise from high-frequency
+    * shingles dominating a band's minima and contribute m^2 mostly-
+    * false candidates; true near-dup pairs (which agree on most bands,
+    * including selective rare-shingle ones) still surface from small
+    * buckets. This is the standard LSH-dedup skew guard at corpus
+    * scale. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, threshold: Double = 0.8,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleLen).as("sh"))
@@ -52,13 +60,22 @@ object Dedup {
         explode(minhashBands(minhashSignature(col("sh"), numHashes, seed),
           bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // candidate pairs dedup'd BEFORE verification: near-identical docs
-    // share most bands and would be jaccard-verified `bands` times
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // pairs generated per bucket from a collected id array (one hash
+    // aggregation) instead of a bucket self-join: no join-row blowup,
+    // and the size guard is a cheap filter on the aggregated row.
+    // Near-identical docs share most bands, so pairs are dedup'd
+    // BEFORE the (expensive) jaccard verification.
+    val cand = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    struct(least(element_at(ids, i), y) AS a,
+          |           greatest(element_at(ids, i), y) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
