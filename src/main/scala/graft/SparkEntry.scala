@@ -923,7 +923,24 @@ object SparkEntry {
              |FROM events ASOF LEFT JOIN
              | (SELECT user_id AS u2, ts AS t2, value AS v2 FROM events
              |  WHERE event_type = 'signup') ON user_id = u2 AND ts >= t2
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ===== §2.2-ext melt / unpivot ======================================
+
+    Q("q68_melt", (s, dir) =>
+      d(s, dir, "lineitem")
+        .melt(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_discount"))
+        .groupBy(Seq("variable")).agg(
+          ("n", "count", "*"), ("avg_v", "mean", "value"))
+        .selectExpression("avg_v = round(avg_v, 6)")
+        .sort(Seq("variable")).toDF,
+      Some("""SELECT variable, count(*) AS n, round(avg(value), 6) AS avg_v
+             |FROM (
+             | SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+             | UNION ALL
+             | SELECT 'l_discount' AS variable, l_discount AS value FROM lineitem) t
+             |GROUP BY variable ORDER BY variable""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

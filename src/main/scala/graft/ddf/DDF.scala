@@ -145,6 +145,14 @@ class DDF(val df: DataFrame) {
   def explodeCol(column: String): DDF =
     wrap(df.withColumn(column, explode(col(column))))
 
+  /** melt/unpivot (engine ext — absent in the reference, free in
+    * Spark): wide → long on `valueCols`, keyed by `idCols`. */
+  def melt(idCols: Seq[String], valueCols: Seq[String],
+           variableName: String = "variable",
+           valueName: String = "value"): DDF =
+    wrap(df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      variableName, valueName))
+
   // ===== §2.3 joins ======================================================
 
   /** reference: ddf.py :: join / functions/etl/join.py +

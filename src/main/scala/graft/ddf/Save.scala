@@ -15,4 +15,16 @@ class Save(df: DataFrame) {
     w(mode).json(path)
   def parquet(path: String, mode: String = "overwrite"): Unit =
     w(mode).parquet(path)
+
+  /** bucketed + sorted managed table: repeated joins/aggregations on
+    * `bucketCols` read co-located, pre-sorted buckets — no exchange,
+    * no sort at query time. The 100 TB answer to the reference's
+    * hash_partition-then-reuse pattern (etl/hash_partitioner.py),
+    * persisted across jobs instead of per-plan. */
+  def bucketedTable(name: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: String = "overwrite"): Unit =
+    w(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.ddf.DDF
+import graft.functions.GraftFunctions
+import graft.operators.Skew
+
+/** scale-path machinery: salting, bucketing, SQL registration, melt */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // one hot key (90% of rows) + uniform tail
+    val left = spark.range(10000)
+      .select(when($"id" % 10 =!= 0, lit(1L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val right = Seq((1L, "hot"), (7L, "cold"), (42L, "x")).toDF("k", "v")
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // left mode keeps unmatched rows
+    val saltedLeft = Skew.saltedJoin(left, right, Seq("k"), 8, "left")
+    assert(saltedLeft.count() == left.count())
+  }
+
+  test("bucketed tables join without an exchange") {
+    val a = spark.range(1000).select($"id", ($"id" * 2).as("x"))
+    val b = spark.range(1000).select($"id", ($"id" * 3).as("y"))
+    DDF(a).save.bucketedTable("graft_buck_a", Seq("id"), 4)
+    DDF(b).save.bucketedTable("graft_buck_b", Seq("id"), 4)
+    try {
+      withoutBroadcast {
+        val j = spark.table("graft_buck_a").join(
+          spark.table("graft_buck_b"), Seq("id"))
+        assert(j.count() == 1000)
+        val plan = j.queryExecution.executedPlan
+        val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+        assert(exchanges == 0, s"expected no exchange:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_buck_a")
+      spark.sql("DROP TABLE IF EXISTS graft_buck_b")
+    }
+  }
+
+  private def withoutBroadcast[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  private def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val expanded = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    expanded +: expanded.children.flatMap(collectAll)
+  }
+
+  test("native expressions are callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b")
+      .createOrReplaceTempView("graft_vecs")
+    val cos = spark.sql("SELECT cosine_sim(a, b) AS c FROM graft_vecs")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
+    val sh2 = spark.sql("SELECT simhash64(array('a','b')) AS s").head().getLong(0)
+    assert(sh == sh2)
+    assert(spark.sql("SELECT size(minhash_sig(array('x','y'))) AS n")
+      .head().getInt(0) == 64)
+  }
+
+  test("melt reshapes wide to long") {
+    val d = DDF(Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b"))
+    val m = d.melt(Seq("id"), Seq("a", "b")).toDF
+    assert(m.count() == 4)
+    assert(m.columns.toSeq == Seq("id", "variable", "value"))
+    assert(m.filter($"id" === 1 && $"variable" === "b").head()
+      .getDouble(2) == 20.0)
+  }
+}
