@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,16 +27,29 @@ object VectorExpressions {
       case other => sys.error(s"unsupported element type: $other")
     }
 
+  /** java accessor snippet reading element i of `arr` as double */
+  private def elemJava(arr: String, et: DataType, i: String): String =
+    et match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other => sys.error(s"unsupported element type: $other")
+    }
+
   /** dot(a, b): Σ a_i * b_i, accumulated left-to-right in double —
-    * bit-identical to aggregate(zip_with(a, b, _*_), 0.0, _+_). */
+    * bit-identical to aggregate(zip_with(a, b, _*_), 0.0, _+_).
+    * Participates in whole-stage codegen (doGenCode emits the loop
+    * inline); array elements must be non-null (dense vectors). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val xt = left.dataType.asInstanceOf[ArrayType].elementType
-      val yt = right.dataType.asInstanceOf[ArrayType].elementType
+      val xt = elemType(left); val yt = elemType(right)
       val n = math.min(x.numElements(), y.numElements())
       var s = 0.0
       var i = 0
@@ -46,20 +59,37 @@ object VectorExpressions {
       }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (${elemJava(a, elemType(left), i)}) *
+         |        (${elemJava(b, elemType(right), i)});
+         |}
+         |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
   /** cosine(a, b) = dot / (||a|| * ||b||), 0.0 when either norm is 0 —
-    * same formula shape as VectorFunctions.cosine. */
+    * same formula shape as VectorFunctions.cosine; codegen'd like
+    * DotProduct. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val xt = left.dataType.asInstanceOf[ArrayType].elementType
-      val yt = right.dataType.asInstanceOf[ArrayType].elementType
+      val xt = elemType(left); val yt = elemType(right)
       val n = math.min(x.numElements(), y.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -71,6 +101,25 @@ object VectorExpressions {
       val nn = math.sqrt(na) * math.sqrt(nb)
       if (nn == 0.0) 0.0 else dot / nn
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv"); val nn = ctx.freshName("nn")
+        s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${elemJava(a, elemType(left), i)};
+         |  double $yv = ${elemJava(b, elemType(right), i)};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($nn == 0.0) ? 0.0 : ($dot / $nn);
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
