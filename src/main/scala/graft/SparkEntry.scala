@@ -940,7 +940,48 @@ object SparkEntry {
              | SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
              | UNION ALL
              | SELECT 'l_discount' AS variable, l_discount AS value FROM lineitem) t
-             |GROUP BY variable ORDER BY variable""".stripMargin))
+             |GROUP BY variable ORDER BY variable""".stripMargin)),
+
+    // ===== §2.8 scalar-function catalog (string / date) =================
+
+    Q("q69_string_funcs", (s, dir) =>
+      d(s, dir, "part")
+        .selectExpression(
+          "p_partkey",
+          "up = upper(p_brand)",
+          "head = substring(p_name, 1, 5)",
+          "n_words = size(split(p_name, ' '))",
+          "branded = concat(p_brand, ':', p_type)",
+          "digit = regexp_extract(p_brand, '([0-9]+)', 1)")
+        .select(Seq("p_partkey", "up", "head", "n_words", "branded", "digit"))
+        .sort(Seq("p_partkey")).toDF,
+      Some("""SELECT p_partkey, upper(p_brand) AS up,
+             | substring(p_name, 1, 5) AS head,
+             | CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+             | p_brand || ':' || p_type AS branded,
+             | coalesce(regexp_extract(p_brand, '([0-9]+)', 1), '') AS digit
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q70_date_funcs", (s, dir) =>
+      d(s, dir, "orders")
+        .selectExpression(
+          "yr = year(o_orderdate)",
+          "mo = month(o_orderdate)",
+          "dow = dayofweek(o_orderdate)",
+          "age_days = datediff(timestamp'2002-01-01', o_orderdate)")
+        .groupBy(Seq("yr", "mo")).agg(
+          ("n", "count", "*"),
+          ("min_dow", "min", "dow"),
+          ("avg_age", "mean", "age_days"))
+        .selectExpression("avg_age = round(avg_age, 4)")
+        .sort(Seq("yr", "mo")).toDF,
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             | CAST(month(o_orderdate) AS INTEGER) AS mo,
+             | count(*) AS n,
+             | CAST(min(dayofweek(o_orderdate) + 1) AS INTEGER) AS min_dow,
+             | round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+             |   DATE '2002-01-01')), 4) AS avg_age
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
