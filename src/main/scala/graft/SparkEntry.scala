@@ -853,10 +853,14 @@ object SparkEntry {
         .orderBy(col("itemset"))
     }, None),
 
+    // x100 scaling: embedding components live in ~[-0.4, 0.4]; x10
+    // packed all points within eps of each other (a near-complete
+    // eps-graph = quadratic edge set). x100 puts mean eps-neighborhood
+    // around 10 points — the regime DBSCAN is for.
     Q("q62_dbscan", (s, dir) => {
       val pts = t(s, dir, "embeddings").select(col("vec_id").as("id"),
-        (element_at(col("embedding"), 1) * 10).cast("double").as("x"),
-        (element_at(col("embedding"), 2) * 10).cast("double").as("y"))
+        (element_at(col("embedding"), 1) * 100).cast("double").as("x"),
+        (element_at(col("embedding"), 2) * 100).cast("double").as("y"))
       DBSCAN.cluster(pts, "id", "x", "y", eps = 2.0, minPts = 4)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .orderBy(col("cluster"))

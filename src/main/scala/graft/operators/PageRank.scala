@@ -28,12 +28,15 @@ object PageRank {
         .join(outDeg, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("recv"))
-      ranks = vertices
+      val next = vertices
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // checkpoint every few rounds: enough to keep plans flat without
+      // paying a materialization per iteration
+      ranks = if (i % 3 == 2 || i == maxIters - 1) next.localCheckpoint()
+              else next
       i += 1
     }
     ranks

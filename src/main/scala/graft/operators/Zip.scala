@@ -37,8 +37,10 @@ object Zip {
     val r = clash.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
     val li = withRowIndex(l)
     val ri = withRowIndex(r)
+    // no ordering of the result: rows pair by index, but the output is
+    // a relation like any other (callers needing display order sort
+    // explicitly — SURVEY.md §7 row-position trap)
     li.join(ri, Seq("__idx"), "inner")
-      .sort(col("__idx"))
       .drop("__idx")
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Test.Parameters
+import graft.ddf.DDF
+
+/** ScalaCheck algebraic laws over the DDF surface (SURVEY.md §5):
+  * multiset arithmetic of the set operators, filter partitioning,
+  * sort idempotence — checked against a Scala reference model on
+  * arbitrary small inputs. */
+object AlgebraicLaws extends Properties("graft.ddf") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(10).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkTestBase.spark
+  import scala.jdk.CollectionConverters._
+
+  private def toDDF(xs: List[Int]): DDF = {
+    val rows = xs.map(x => org.apache.spark.sql.Row(x)).asJava
+    DDF(spark.createDataFrame(rows,
+      new org.apache.spark.sql.types.StructType()
+        .add("v", org.apache.spark.sql.types.IntegerType)))
+  }
+  private def counts(xs: List[Int]): Map[Int, Int] =
+    xs.groupBy(identity).view.mapValues(_.size).toMap
+
+  private val smallList = Gen.listOfN(12, Gen.choose(0, 5))
+
+  property("union preserves multiset cardinality") =
+    Prop.forAll(smallList, smallList) { (a, b) =>
+      toDDF(a).union(toDDF(b)).countRows() == a.size + b.size
+    }
+
+  property("exceptAll is multiset difference") =
+    Prop.forAll(smallList, smallList) { (a, b) =>
+      val want = counts(a).map { case (k, n) =>
+        math.max(0, n - counts(b).getOrElse(k, 0))
+      }.sum
+      toDDF(a).exceptAll(toDDF(b)).countRows() == want
+    }
+
+  property("intersectAll is multiset min") =
+    Prop.forAll(smallList, smallList) { (a, b) =>
+      val want = counts(a).map { case (k, n) =>
+        math.min(n, counts(b).getOrElse(k, 0))
+      }.sum
+      toDDF(a).intersectAll(toDDF(b)).countRows() == want
+    }
+
+  property("subtract is set difference, distinct is set size") =
+    Prop.forAll(smallList, smallList) { (a, b) =>
+      toDDF(a).subtract(toDDF(b)).countRows() ==
+        (a.toSet -- b.toSet).size &&
+      toDDF(a).dropDuplicates().countRows() == a.toSet.size
+    }
+
+  property("filter partitions the input") =
+    Prop.forAll(smallList, Gen.choose(0, 5)) { (a, pivot) =>
+      val d = toDDF(a)
+      d.filter(s"v < $pivot").countRows() +
+        d.filter(s"v >= $pivot").countRows() == a.size
+    }
+
+  property("sort is idempotent and content-preserving") =
+    Prop.forAll(smallList) { a =>
+      val once = toDDF(a).sort(Seq("v")).collect().map(_.getInt(0)).toSeq
+      val twice = toDDF(a).sort(Seq("v")).sort(Seq("v")).collect()
+        .map(_.getInt(0)).toSeq
+      once == twice && once == a.sorted
+    }
+}
