@@ -101,6 +101,37 @@ class DDFSpec extends SparkTestBase {
     assert(last == Seq(2, 3))
   }
 
+  test("join: suffix disambiguation, modes, empty side") {
+    val l = DDF(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x"))
+    val r = DDF(Seq((2, "B"), (3, "C"), (4, "D")).toDF("kk", "x"))
+    val inner = l.join(r, Seq("k"), Seq("kk"))
+    assert(inner.columns.toSet == Set("k", "kk", "x_l", "x_r"))
+    assert(inner.countRows() == 2)
+    val left = l.join(r, Seq("k"), Seq("kk"), "left")
+    assert(left.countRows() == 3)
+    assert(left.toDF.filter($"k" === 1 && $"x_r".isNull).count() == 1)
+    val right = l.join(r, Seq("k"), Seq("kk"), "right")
+    assert(right.countRows() == 3)
+    val full = l.join(r, Seq("k"), Seq("kk"), "full")
+    assert(full.countRows() == 4)
+    // same-named keys collapse to one column
+    val r2 = DDF(Seq((2, 9.0)).toDF("k", "w"))
+    val same = l.join(r2, Seq("k"), Seq("k"))
+    assert(same.columns.count(_ == "k") == 1 && same.countRows() == 1)
+    // empty side
+    val empty = DDF(Seq.empty[(Int, String)].toDF("kk", "x"))
+    assert(l.join(empty, Seq("k"), Seq("kk")).countRows() == 0)
+    assert(l.join(empty, Seq("k"), Seq("kk"), "left").countRows() == 3)
+  }
+
+  test("semi and anti joins") {
+    val l = DDF(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x"))
+    val r = DDF(Seq((2, "z"), (3, "z")).toDF("k", "z"))
+    assert(l.semiJoin(r, Seq("k")).countRows() == 2)
+    assert(l.antiJoin(r, Seq("k")).countRows() == 1)
+    assert(l.semiJoin(r, Seq("k")).columns == Seq("k", "x"))
+  }
+
   test("multiset intersect_all / except_all arithmetic") {
     val a = DDF(Seq("x", "x", "x", "y", "y", "z").toDF("v"))
     val b = DDF(Seq("x", "x", "y", "w").toDF("v"))

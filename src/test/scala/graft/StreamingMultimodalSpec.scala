@@ -28,6 +28,17 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("sliding windows: each event lands in width/slide windows") {
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.windowedAgg(stream, width = "2 hours",
+        slide = Some("1 hour")),
+      "win_sliding", OutputMode.Complete())
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    // width/slide = 2 -> every event counted in exactly 2 windows
+    assert(got.agg(sum($"n")).head().getLong(0) == 2 * total)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()
