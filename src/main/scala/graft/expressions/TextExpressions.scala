@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions: single-pass replacements for the
+  * tokenize→transform→distinct HOF chains (one regex split + one
+  * LinkedHashSet per row instead of per-element lambda evaluation). */
+object TextExpressions {
+
+  /** distinct word n-gram shingles of lower(trim(text)) split on
+    * whitespace; empty array when fewer than n tokens. Output order is
+    * first-occurrence — identical to array_distinct over the ordered
+    * n-gram sequence. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toLowerCase.trim()
+        .toString.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+}

@@ -44,9 +44,15 @@ object TextFunctions {
     }
 
   /** word n-gram shingles over whitespace tokens; empty when the text
-    * has fewer than n tokens (no partial shingles). Tokens are bound
-    * once and indexed with element_at (O(1)) — linear in token count. */
+    * has fewer than n tokens (no partial shingles). Native single-pass
+    * expression; the column-math formulation below is its spec. */
   def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(text, n)
+
+  /** column-math formulation — semantic spec for the native
+    * expression (equivalence pinned in ScalaTest). Tokens are bound
+    * once and indexed with element_at (O(1)) — linear in token count. */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column =
     bound(tokens(text)) { t =>
       when(size(t) < n, array().cast("array<string>"))
         .otherwise(array_distinct(transform(

@@ -45,6 +45,13 @@ object EventStream {
         col("n"), col("sv"))
   }
 
+  /** streaming exact dedup: state bounded by the event-time watermark
+    * (the streaming face of Dedup.exact for continuous ingestion). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

@@ -39,6 +39,17 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.agg(sum($"n")).head().getLong(0) == 2 * total)
   }
 
+  test("streaming dedup emits one row per key") {
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.dedupStream(stream, Seq("user_id", "event_type")),
+      "dedup_stream", OutputMode.Append())
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_type").distinct().count()
+    assert(got.count() == want)
+    assert(got.select($"user_id", $"event_type").distinct().count() == want)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()

@@ -92,6 +92,19 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(q(1) > q(2) && q(1) > q(3))
   }
 
+  test("native word-shingle expression == column-math formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(TF.wordShingles(col("text"), 3).as("a"),
+        TF.wordShinglesHof(col("text"), 3).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+    // unicode + mixed whitespace edge
+    val edge = tdf(1 -> " Ä  b\tC d ").select(
+      TF.wordShingles($"txt", 2).as("a"), TF.wordShinglesHof($"txt", 2).as("b"))
+      .head()
+    assert(edge.getSeq[String](0) == edge.getSeq[String](1))
+  }
+
   test("native simhash expression == column-math formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
