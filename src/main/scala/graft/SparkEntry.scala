@@ -985,7 +985,66 @@ object SparkEntry {
              | CAST(min(dayofweek(o_orderdate) + 1) AS INTEGER) AS min_dow,
              | round(avg(date_diff('day', CAST(o_orderdate AS DATE),
              |   DATE '2002-01-01')), 4) AS avg_age
-             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ===== §2.12 blocked jaccard + composite pipeline ===================
+
+    Q("q71_jaccard_block", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+          shingleLen = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some(s"""WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM documents WHERE len(${sqlTokens("text")}) >= 3)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              |FROM sh a, sh b
+              |WHERE a.source = b.source AND a.doc_id < b.doc_id
+              |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // the composite training-data pipeline: quality filter -> exact
+    // dedup -> per-language token budget. Every stage oracled at once.
+    Q("q73_pipeline_filter_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      val deduped = Dedup.exact(docs, Seq("text"), "doc_id")
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang, text, round(
+              |  0.3 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+              |      WHEN length(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END)
+              |  + 0.2 * (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+              |      / greatest(CAST(length(text) AS DOUBLE), 1.0))
+              |  + 0.15 * (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+              |      / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.4 END)
+              |  + 0.15 * (CASE WHEN (CAST(length(text) AS DOUBLE) - len(${sqlTokens("text")}) + 1)
+              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0) BETWEEN 2 AND 12
+              |      THEN 1.0 ELSE 0.3 END)
+              |  + 0.2 * least((CAST(len(list_filter(${sqlTokens("text")},
+              |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE)
+              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0)) * 5.0, 1.0)
+              | , 4) AS quality
+              |FROM documents),
+              |f AS (SELECT * FROM q WHERE quality >= 0.5),
+              |d AS (SELECT min(doc_id) AS keep FROM f GROUP BY text)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(len(${sqlTokens("f.text")})) AS BIGINT) AS n_tokens,
+              | round(avg(quality), 4) AS avg_quality
+              |FROM f JOIN d ON f.doc_id = d.keep
+              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
