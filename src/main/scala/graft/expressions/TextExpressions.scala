@@ -51,4 +51,41 @@ object TextExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Jaccard similarity of two string arrays as sets:
+    * |A ∩ B| / |A ∪ B|, 0.0 when the union is empty — identical to
+    * size(array_intersect)/size(array_union) with the empty-guard, in
+    * one hash-set pass per pair instead of per-element lambdas. */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val setA = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < x.numElements()) {
+        if (!x.isNullAt(i)) setA.add(x.getUTF8String(i))
+        i += 1
+      }
+      val setB = new java.util.HashSet[UTF8String]()
+      var inter = 0
+      var j = 0
+      while (j < y.numElements()) {
+        if (!y.isNullAt(j)) {
+          val s = y.getUTF8String(j)
+          if (setB.add(s) && setA.contains(s)) inter += 1
+        }
+        j += 1
+      }
+      val union = setA.size() + setB.size() - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def jaccardSim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -60,8 +60,12 @@ object TextFunctions {
           i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))))
     }
 
-  /** n-gram Jaccard similarity between two shingle arrays */
-  def jaccard(a: Column, b: Column): Column = {
+  /** n-gram Jaccard similarity between two shingle arrays (native
+    * one-pass expression; column-math spec below). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.expressions.TextExpressions.jaccardSim(a, b)
+
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)

@@ -32,7 +32,7 @@ object DBSCAN {
     val pts0 = df.select(col(idCol).as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"),
       tCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("t"))
-    val pts = pts0
+    val pts = graft.operators.Partitioning.spread(pts0)
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
       .withColumn("ct", if (tCol.isDefined) floor(col("t") / epsT).cast("long")

@@ -49,9 +49,9 @@ object Dedup {
                    seed: Long = 42L,
                    maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
+    val sh = Partitioning.spread(df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
       .cache() // reused for banding and for verification joins
     // band rows carry ONLY (id, band, bucket): the shingle payload
     // would otherwise be duplicated `bands` times through the shuffle
@@ -135,8 +135,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
-    val sh = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim")).cache()
+    val sh = Partitioning.spread(df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sim"))).cache()
     val chunked = sh.select(col("id"),
         explode(simhashChunks(col("sim"), chunks)).as("ck"))
       .select(col("id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
@@ -160,9 +160,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleLen: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    val sh = Partitioning.spread(
+      df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
@@ -178,7 +179,8 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
                      nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = Partitioning.spread(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("bucket",
         VectorFunctions.hyperplaneSignature(col("v"), nBits, dim, seed))
       .cache()

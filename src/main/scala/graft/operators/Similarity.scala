@@ -25,7 +25,8 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Partitioning.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
               else lit(true))

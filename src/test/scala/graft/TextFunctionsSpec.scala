@@ -51,6 +51,20 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(empty.select(TF.jaccard($"x", $"y")).head().getDouble(0) == 0.0)
   }
 
+  test("native jaccard expression == column-math formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(40).select(TF.wordShingles(col("text"), 3).as("sh"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select(TF.jaccard($"a.sh", $"b.sh").as("fast"),
+        TF.jaccardHof($"a.sh", $"b.sh").as("spec"))
+    assert(pairs.filter($"fast" =!= $"spec").count() == 0)
+    // duplicate elements behave as sets in both formulations
+    val dup = Seq((Seq("a", "a", "b"), Seq("a", "c", "c"))).toDF("x", "y")
+    val both = dup.select(TF.jaccard($"x", $"y"), TF.jaccardHof($"x", $"y"))
+      .head()
+    assert(both.getDouble(0) == both.getDouble(1))
+  }
+
   test("fingerprint: deterministic, order-sensitive, whitespace-robust") {
     val d = tdf(1 -> "the quick fox", 2 -> "the  QUICK   fox",
       3 -> "fox quick the")
