@@ -33,8 +33,13 @@ object Zip {
   def zipByIndex(a: DataFrame, b: DataFrame,
                  suffixes: (String, String) = ("_l", "_r")): DataFrame = {
     val clash = a.columns.toSet.intersect(b.columns.toSet)
+    // cache both sides: zipWithIndex runs a partition-sizing job before
+    // the real scan, which would otherwise recompute each side's full
+    // upstream plan (often a sort) twice
     val l = clash.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+      .cache()
     val r = clash.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+      .cache()
     val li = withRowIndex(l)
     val ri = withRowIndex(r)
     // no ordering of the result: rows pair by index, but the output is
