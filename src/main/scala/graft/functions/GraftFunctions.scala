@@ -23,5 +23,9 @@ object GraftFunctions {
         TextFunctions.hashCoeffs(64), TextFunctions.MersennePrime))
     Bridge.registerFunction(spark, "point_in_polygon",
       es => PointInPolygon(es(0), es(1), es(2)))
+    Bridge.registerFunction(spark, "jaccard_sim",
+      es => graft.expressions.TextExpressions.JaccardSim(es(0), es(1)))
+    Bridge.registerFunction(spark, "word_shingles",
+      es => graft.expressions.TextExpressions.WordShingles(es(0), 3))
   }
 }

@@ -74,6 +74,11 @@ class ScaleSpec extends SparkTestBase {
     assert(sh == sh2)
     assert(spark.sql("SELECT size(minhash_sig(array('x','y'))) AS n")
       .head().getInt(0) == 64)
+    assert(spark.sql(
+      "SELECT jaccard_sim(array('a','b'), array('b','c')) AS j")
+      .head().getDouble(0) == 1.0 / 3)
+    assert(spark.sql("SELECT word_shingles('a b c d') AS s")
+      .head().getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
   test("melt reshapes wide to long") {
