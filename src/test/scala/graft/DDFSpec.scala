@@ -201,6 +201,16 @@ class DDFSpec extends SparkTestBase {
     assert(math.abs(d.covariance("x", "y") - 2.0) < 1e-12)
   }
 
+  test("approx_count_distinct within 3 sigma of exact (default rsd 5%)") {
+    val d = DDF(spark.range(20000).select(($"id" % 3731).as("k")))
+    val row = d.groupBy(Nil).agg(
+      ("exact", "count_distinct", "k"),
+      ("approx", "approx_count_distinct", "k")).toDF.head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("explode flattens list column") {
     val d = DDF(Seq((1, Seq("a", "b")), (2, Seq("c"))).toDF("id", "xs"))
     assert(d.explodeCol("xs").countRows() == 3)
