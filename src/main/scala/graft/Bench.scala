@@ -23,7 +23,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line can drown in sbt log noise — also write the JSON
+    // to a file so the driver never depends on stdout scraping
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    catch { case _: Throwable => }
     spark.stop()
+    // final line of the process, after Spark's shutdown logging
+    println(json)
   }
 }

@@ -250,11 +250,18 @@ object SparkEntry {
              | round(stddev_samp(l_quantity), 4) AS sd_q
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Array result is stringified on BOTH sides: the driver's pandas-based
+    // compare cannot sort/hash an array<string> cell (numpy.ndarray is
+    // unhashable). The array-typed list/set aggs stay pinned in DDFSpec.
     Q("q13_agg_list_set", (s, dir) =>
       d(s, dir, "nation").groupBy(Seq("n_regionkey"))
-        .agg(("names", "list", "n_name"))
-        .sort(Seq("n_regionkey")).toDF,
-      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names
+        .agg(("names", "list", "n_name"), ("names_set", "set", "n_name"))
+        .sort(Seq("n_regionkey")).toDF
+        .withColumn("names", concat_ws("|", col("names")))
+        .withColumn("names_set", concat_ws("|", col("names_set"))),
+      Some("""SELECT n_regionkey,
+             | array_to_string(list_sort(list(n_name)), '|') AS names,
+             | array_to_string(list_sort(list(DISTINCT n_name)), '|') AS names_set
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     Q("q14_distinct", (s, dir) =>
@@ -734,20 +741,40 @@ object SparkEntry {
     },
       None), // ANN recall vs brute force pinned in ScalaTest
 
+    // The embeddings table has no planted near-duplicates (pairwise
+    // cosine tops out ~0.6 — random tail), so the dedup fixture plants
+    // them: vectors 0..49 reappear under vec_id+10000 scaled by 2 —
+    // same direction, cosine exactly 1. Hyperplane LSH finds scaled
+    // duplicates with recall 1 BY CONSTRUCTION (scaling by a power of
+    // two is exact in IEEE arithmetic, so sign(p·2v) == sign(p·v) in
+    // every table), which is what lets an exhaustive DuckDB oracle
+    // verify the LSH path: candidates + exact-cosine-verify must equal
+    // the full quadratic truth. No crossJoin in the executed plan —
+    // candidates come from the (table, code) bucket join.
     Q("q51_dedup_embedding", (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.cosineJoin(emb, emb, "vec_id", "embedding", 0.5)
-        .filter(col("id_a") < col("id_b"))
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .union(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Dedup.embeddingPairs(planted, "vec_id", "embedding", dim = 64,
+          threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
-      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      Some("""WITH u AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000 AS vec_id,
+             |         list_transform(embedding, x -> x * 2) AS embedding
+             |  FROM embeddings WHERE vec_id < 50)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-             |FROM embeddings a, embeddings b
+             |FROM u a, u b
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             |   CAST(b.embedding AS DOUBLE[])) >= 0.5
+             |   CAST(b.embedding AS DOUBLE[])) >= 0.95
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ===== §2.9 ML text pipeline ========================================
@@ -815,6 +842,11 @@ object SparkEntry {
     // ===== §2.9 graph / clustering / fpm (rows-only: not ANSI-SQL-
     // expressible; semantics pinned in ScalaTest) =========================
 
+    // Oracled by unrolling the fixed 10 PageRank iterations as chained
+    // CTEs (DuckDB disallows aggregates in recursive terms). Both
+    // sides run the identical recurrence rank' = 0.15 + 0.85 * Σ
+    // rank/deg over in-edges in double arithmetic; round(6) absorbs
+    // summation-order noise.
     Q("q58_pagerank", (s, dir) => {
       val edges = t(s, dir, "orders")
         .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
@@ -822,7 +854,27 @@ object SparkEntry {
       PageRank.run(edges, maxIters = 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("id"))
-    }, None),
+    }, Some {
+      val steps = (1 to 10).map { i =>
+        s"""p$i AS (
+           |  SELECT v.id, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(s.c, 0) AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / d.deg) AS c
+           |    FROM edges e JOIN p${i - 1} p ON e.src = p.id
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+         |  FROM orders WHERE o_custkey % 50 != o_orderkey % 50),
+         |verts AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+         |$steps
+         |SELECT id, round(rank, 6) AS rank FROM p10 ORDER BY id""".stripMargin
+    }),
 
     Q("q59_kmeans", (s, dir) => {
       import org.apache.spark.ml.functions.array_to_vector
@@ -835,12 +887,30 @@ object SparkEntry {
         .orderBy(col("prediction"))
     }, None),
 
+    // fully deterministic (cosine desc / neighbor_id asc top-k, then
+    // votes desc / label asc arg-max) → exact SQL oracle
     Q("q60_knn", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       KNN.classify(emb, emb.filter(col("vec_id") < 50), "vec_id",
           "embedding", "label", k = 5)
         .orderBy(col("vec_id"))
-    }, None),
+    },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id < 50),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |   c.label AS lbl,
+             |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |     CAST(c.embedding AS DOUBLE[])) AS cos
+             |  FROM q, embeddings c),
+             |r AS (SELECT query_id, lbl, row_number() OVER (
+             |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM s),
+             |v AS (SELECT query_id, lbl, count(*) AS votes FROM r
+             |  WHERE rnk <= 5 GROUP BY query_id, lbl),
+             |p AS (SELECT query_id, lbl, row_number() OVER (
+             |   PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn FROM v)
+             |SELECT query_id AS vec_id, lbl AS prediction FROM p
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     Q("q61_fpgrowth", (s, dir) => {
       val txns = t(s, dir, "part")
@@ -989,15 +1059,21 @@ object SparkEntry {
 
     // ===== §2.12 blocked jaccard + composite pipeline ===================
 
+    // Exact Jaccard similarity join over ALL document pairs — no
+    // caller blocking key and no LSH approximation. The prefix-filter
+    // candidate generation (AllPairs/PPJoin) provably emits every pair
+    // with J >= t, so the exhaustive DuckDB oracle must match exactly.
+    // (Round 1 blocked on the low-cardinality `source` column — O(m²)
+    // per block; the prefix filter replaces that with near-linear
+    // candidate generation AND strictly wider semantics.)
     Q("q71_jaccard_block", (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("source"))
-      Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
           shingleLen = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
-      Some(s"""WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
+      Some(s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
               |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
               |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
               |  FROM documents WHERE len(${sqlTokens("text")}) >= 3)
@@ -1005,7 +1081,7 @@ object SparkEntry {
               |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
               |FROM sh a, sh b
-              |WHERE a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE a.doc_id < b.doc_id
               |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
               |ORDER BY id_a, id_b""".stripMargin)),

@@ -35,6 +35,20 @@ class DDFContext(val spark: SparkSession) {
 
     /** parquet — primary format for this engine's testdata */
     def parquet(path: String): DDF = DDF(spark.read.parquet(path))
+
+    /** reference: bases/data_reader.py :: pickle. DOCUMENTED
+      * DIVERGENCE: the JVM cannot execute Python pickle, so the
+      * pickle alias stores/loads the same logical DataFrame as
+      * parquet (Save.pickle is the writing half). Files written by
+      * the reference's actual pickle writer are NOT readable here —
+      * re-export them as parquet/csv from the reference first. */
+    def pickle(path: String): DDF = parquet(path)
+
+    /** reference: functions/geo/read_shapefile.py — ESRI .shp
+      * geometry plus optional .dbf attributes; see
+      * [[graft.sources.Shapefile]]. Result feeds Geo.geoWithin. */
+    def shapefile(shpPath: String, dbfPath: Option[String] = None): DDF =
+      DDF(graft.sources.Shapefile.read(spark, shpPath, dbfPath))
   }
 }
 

@@ -40,8 +40,8 @@ class DDF(val df: DataFrame) {
     val assign = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(?![=])\\s*(.+)$".r
     wrap(exprs.foldLeft(df) { (d, e) =>
       e match {
-        case assign(name, rhs) => d.withColumn(name, expr(rhs))
-        case other             => d.withColumn(other.trim, expr(other))
+        case assign(name, rhs) => d.withColumn(name, expr(DDF.translateExpr(rhs)))
+        case other => d.withColumn(other.trim, expr(DDF.translateExpr(other)))
       }
     })
   }
@@ -172,11 +172,28 @@ class DDF(val df: DataFrame) {
     val cond = key1.zip(key2).map { case (a, b) => l(a) === r(b) }
       .reduce(_ && _)
     val joined = l.join(r, cond, translateJoinMode(mode))
-    // de-duplicate the right-side key columns when names coincide
-    val dropRight = key1.zip(key2).collect {
-      case (a, b) if a == b => r(b)
-    }
-    wrap(dropRight.foldLeft(joined)((d, c) => d.drop(c)))
+    // de-duplicate the right-side key columns when names coincide.
+    // For right/full joins the LEFT key is null on unmatched right
+    // rows, so the kept column must be coalesce(l.key, r.key) — just
+    // dropping the right side would lose the key value. Built as one
+    // explicit projection: same-name duplicates make withColumn/drop
+    // ambiguous.
+    val sameKeys = key1.zip(key2).filter { case (a, b) => a == b }
+    val merged =
+      if (sameKeys.isEmpty) joined
+      else {
+        val outer = Set("right_outer", "full_outer", "outer")
+          .contains(translateJoinMode(mode))
+        val lCols = l.columns.map { c =>
+          if (outer && sameKeys.exists(_._1 == c))
+            org.apache.spark.sql.functions.coalesce(l(c), r(c)).as(c)
+          else l(c)
+        }
+        val rCols = r.columns
+          .filter(c => !sameKeys.exists(_._2 == c)).map(r(_))
+        joined.select((lCols ++ rCols).toSeq: _*)
+      }
+    wrap(merged)
   }
 
   /** reference: ddf.py :: cross_join / functions/etl/cross_join.py */
@@ -389,10 +406,36 @@ object DDF {
     }
 
   /** pandas-`query` dialect → Catalyst SQL (SURVEY.md §2.2 filter). */
-  private[ddf] def translateQuery(q: String): String = q
+  private[ddf] def translateQuery(q: String): String = translateExpr(q
     .replaceAll("(?<![&|])&(?![&|])", " AND ")
     .replaceAll("(?<![&|])\\|(?![&|])", " OR ")
-    .replaceAll("~\\s*\\(", " NOT (")
+    .replaceAll("~\\s*\\(", " NOT ("))
+
+  /** pandas-eval surface → Catalyst SQL, shared by filter-query and
+    * select_expression (reference functions/etl/select.py evaluates
+    * pandas `eval` strings):
+    *  - `a ** b` → power(a, b), for identifier / literal /
+    *    parenthesized operands (applied repeatedly, right-to-left so
+    *    chains like a ** b ** c associate as pandas does)
+    *  - top-level `X if C else Y` → if((C), (X), (Y))
+    * Anything already valid Catalyst SQL passes through unchanged. */
+  private[ddf] def translateExpr(e: String): String = {
+    val operand = "(\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
+    val pow = (operand + "\\s*\\*\\*\\s*" + operand).r
+    var cur = e
+    var prev = ""
+    while (cur != prev) {
+      prev = cur
+      cur = pow.replaceAllIn(cur,
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"power(${m.group(1)}, ${m.group(2)})"))
+    }
+    val ternary = "^(.*?)\\s+if\\s+(.+?)\\s+else\\s+(.+)$".r
+    cur match {
+      case ternary(x, c, y) => s"if(($c), ($x), ($y))"
+      case other            => other
+    }
+  }
 
   private[ddf] def translateJoinMode(m: String): String =
     m.toLowerCase match {

@@ -16,6 +16,11 @@ class Save(df: DataFrame) {
   def parquet(path: String, mode: String = "overwrite"): Unit =
     w(mode).parquet(path)
 
+  /** reference: bases/data_saver.py :: pickle — DOCUMENTED
+    * DIVERGENCE: stored as parquet (see DDFContext.read.pickle). */
+  def pickle(path: String, mode: String = "overwrite"): Unit =
+    parquet(path, mode)
+
   /** bucketed + sorted managed table: repeated joins/aggregations on
     * `bucketCols` read co-located, pre-sorted buckets — no exchange,
     * no sort at query time. The 100 TB answer to the reference's

@@ -18,11 +18,11 @@ object TextExpressions {
     * first-occurrence — identical to array_distinct over the ordered
     * n-gram sequence. */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toLowerCase.trim()
+    def compute(v: UTF8String): Any = {
+      val toks = v.toLowerCase.trim()
         .toString.split("\\s+").filter(_.nonEmpty)
       if (toks.length < n) return new GenericArrayData(Array.empty[Any])
       val seen = new java.util.LinkedHashSet[String]()
@@ -45,6 +45,18 @@ object TextExpressions {
       while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
       new GenericArrayData(out)
     }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    // compute-reference pattern: children stay codegen'd; the kernel
+    // (regex split + LinkedHashSet) is one virtual call — it would be
+    // the same JVM code if emitted inline.
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ref = ctx.addReferenceObj("shingles", this,
+        classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
     override protected def withNewChildInternal(c: Expression) =
       copy(child = c)
   }
@@ -57,12 +69,10 @@ object TextExpressions {
     * size(array_intersect)/size(array_union) with the empty-guard, in
     * one hash-set pass per pair instead of per-element lambdas. */
   case class JaccardSim(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    def compute(x: org.apache.spark.sql.catalyst.util.ArrayData,
+                y: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
       val setA = new java.util.HashSet[UTF8String]()
       var i = 0
       while (i < x.numElements()) {
@@ -81,6 +91,15 @@ object TextExpressions {
       }
       val union = setA.size() + setB.size() - inter
       if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardSim].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)

@@ -126,12 +126,14 @@ object VectorExpressions {
 
   /** 64-bit SimHash over an array<string> of tokens: one pass, per
     * token one xxhash64 (seed 42, same as functions.xxhash64) and 64
-    * bit votes. */
+    * bit votes. doGenCode keeps the operator inside whole-stage
+    * codegen (children evaluated codegen'd; the kernel itself is one
+    * virtual call into `compute` — the loop is already tight JVM
+    * code, so emitting it as raw Java would buy nothing). */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
       val votes = new Array[Int](64)
       var i = 0
@@ -156,23 +158,34 @@ object VectorExpressions {
       }
       out
     }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** k MinHash values over an array<string> of shingles: one pass per
     * row; h(s) = xxhash64(s) mod 2^31 (identical to the column-math
     * formulation in TextFunctions), sig_i = min (a_i*h + b_i) mod p. */
+  /** An empty shingle array yields the sentinel signature
+    * (Long.MaxValue in every slot — no real minimum observed), NOT
+    * null: the expression's nullability stays child-derived, so
+    * returning expression-level null for a non-null input would
+    * violate the nullability contract the optimizer relies on.
+    * Callers that want empties excluded filter size(sh) > 0 upstream
+    * (the Dedup operators do). */
   case class MinHashSignature(child: Expression, coeffs: Seq[(Long, Long)],
                               prime: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private val as: Array[Long] = coeffs.map(_._1).toArray
     private val bs: Array[Long] = coeffs.map(_._2).toArray
     private val domain = 1L << 31
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
-      if (n == 0) return null
       val k = as.length
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
@@ -193,6 +206,73 @@ object VectorExpressions {
       }
       new GenericArrayData(mins)
     }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this,
+        classOf[MinHashSignature].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Multi-table hyperplane-LSH codes for a dense numeric vector:
+    * `nTables` independent tables of `bitsPerTable` random Gaussian
+    * hyperplanes each (deterministic from `seed`). Returns
+    * array<long> of length nTables; slot t packs that table's sign
+    * bits with the table id mixed into the high bits, so
+    * posexplode(codes) yields ready-to-join (table, bucket) keys.
+    *
+    * Sign invariance: codes(c * v) == codes(v) for any c > 0 — the
+    * projection scales exactly, so positive scalings of a vector land
+    * in the same bucket in every table (used by the embedding-dedup
+    * oracle). One pass over nTables*bitsPerTable*dim multiply-adds;
+    * stays inside whole-stage codegen via the compute-reference
+    * pattern. */
+  case class HyperplaneCodes(child: Expression, nTables: Int,
+                             bitsPerTable: Int, dim: Int, seed: Long)
+      extends UnaryExpression {
+    require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 56,
+      "bitsPerTable must be in [1, 56] (table id lives in the high bits)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val planes: Array[Double] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nTables * bitsPerTable * dim)(rnd.nextGaussian())
+    }
+    @transient private lazy val elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    def compute(arr: ArrayData): ArrayData = {
+      val p = planes
+      val et = elemType
+      val n = math.min(dim, arr.numElements())
+      val codes = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var code = 0L
+        var b = 0
+        while (b < bitsPerTable) {
+          val off = (t * bitsPerTable + b) * dim
+          var s = 0.0
+          var j = 0
+          while (j < n) {
+            s += elemDouble(arr, et, j) * p(off + j)
+            j += 1
+          }
+          if (s >= 0.0) code |= (1L << b)
+          b += 1
+        }
+        codes(t) = code | (t.toLong << 56)
+        t += 1
+      }
+      new GenericArrayData(codes)
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplanes", this,
+        classOf[HyperplaneCodes].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -210,4 +290,7 @@ object VectorExpressions {
   def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)],
                        prime: Long): Column =
     column(MinHashSignature(expression(shingles), coeffs, prime))
+  def hyperplaneCodes(vec: Column, nTables: Int, bitsPerTable: Int,
+                      dim: Int, seed: Long): Column =
+    column(HyperplaneCodes(expression(vec), nTables, bitsPerTable, dim, seed))
 }

@@ -54,4 +54,12 @@ object VectorFunctions {
       g.reduce((x, y) => x.bitwiseOR(y))
     }.reduce((x, y) => xxhash64(x, y))
   }
+
+  /** multi-table hyperplane-LSH codes (native, single pass): see
+    * [[graft.expressions.VectorExpressions.HyperplaneCodes]]. Returns
+    * array<long> — one packed (tableId, signBits) code per table. */
+  def hyperplaneCodes(v: Column, nTables: Int, bitsPerTable: Int,
+                      dim: Int, seed: Long = 42L): Column =
+    graft.expressions.VectorExpressions.hyperplaneCodes(
+      v, nTables, bitsPerTable, dim, seed)
 }

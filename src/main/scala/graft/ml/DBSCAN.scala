@@ -85,9 +85,14 @@ object DBSCAN {
     val labels = coreLabels.unionByName(borderLabels)
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
 
-    pts.select(col("id"), col("x"), col("y"))
+    val out = pts.select(col("id"), col("x"), col("y"))
       .join(labels, Seq("id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), lit(-1L)))
       .withColumnRenamed("id", idCol)
+      // materialize, then release the internal caches: repeated
+      // cluster() calls in a long session must not accumulate storage
+      .localCheckpoint(true)
+    Seq(pts, inEps, core).foreach(_.unpersist(false))
+    out
   }
 }

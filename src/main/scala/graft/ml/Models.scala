@@ -88,4 +88,32 @@ object Models {
       .agg(count(lit(1)).as("n"))
       .orderBy(col(labelCol), col(predictionCol))
   }
+
+  // ---- reference: ddf.py :: save_model / load_model --------------------
+  // The reference pickles the fitted model object; the Spark-native
+  // equivalent is the spark.ml persistence format (metadata JSON +
+  // parquet params), which is cluster-readable and version-tagged.
+
+  /** Persist any fitted spark.ml model (all Models.* results are
+    * MLWritable). Overwrites like the reference's pickle dump. */
+  def saveModel(model: org.apache.spark.ml.util.MLWritable,
+                path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a model saved by [[saveModel]] WITHOUT knowing its type —
+    * reference `load_model` semantics (pickle records the class; the
+    * spark.ml metadata JSON records `class`, which we dispatch on via
+    * the companion object's `load`). Cast at the call site, as with
+    * any unpickle. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): AnyRef = {
+    val meta = spark.sparkContext.textFile(s"$path/metadata", 1).first()
+    val className = "\"class\":\"([^\"]+)\"".r
+      .findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"no class in $path/metadata"))
+      .group(1)
+    val companion = Class.forName(className + "$")
+    val module = companion.getField("MODULE$").get(null)
+    companion.getMethod("load", classOf[String]).invoke(module, path)
+  }
 }

@@ -25,12 +25,51 @@ import graft.functions.VectorFunctions
 object Dedup {
 
   /** exact dedup on `cols`: keep the row with min `idCol` per group —
-    * deterministic canonical representative, unlike dropDuplicates. */
+    * deterministic canonical representative, unlike dropDuplicates.
+    *
+    * Scale shape: the shuffle is keyed on the 8-byte xxhash64 of the
+    * dedup key, not the raw key bytes — repartition(__h) satisfies the
+    * window's ClusteredDistribution(__h, cols...) (hash cols are a
+    * subset of the clustering cols), so no second exchange is added
+    * and the partition-local sort resolves almost every comparison on
+    * the hash. The raw columns stay in the window partition spec only
+    * as the hash-collision tie-guard. */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+    val h = xxhash64(cols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__h") +: cols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__h", h)
+      .repartition(col("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__h")
+  }
+
+  /** expand a bucket's collected id array into ordered unique pairs:
+    * one hash aggregation + in-row expansion instead of a bucket
+    * self-join (no join-row blowup on skewed buckets). Callers filter
+    * bucket size into [2, cap] BEFORE this. */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    struct(least(element_at(ids, i), y) AS a,
+          |           greatest(element_at(ids, i), y) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+  /** Materialize `result` (localCheckpoint) and release the operator's
+    * cached intermediates. Pair sets are small relative to the corpus,
+    * so the eager barrier is cheap; in exchange, repeated operator
+    * calls in a long-lived session do not accumulate storage memory
+    * (the checkpoint blocks themselves are dropped by the
+    * ContextCleaner once the result is garbage-collected). */
+  private def materializeAndRelease(result: DataFrame,
+                                    cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 
   /** candidate near-dup pairs by MinHash LSH, verified by exact
@@ -65,24 +104,17 @@ object Dedup {
     // and the size guard is a cheap filter on the aggregated row.
     // Near-identical docs share most bands, so pairs are dedup'd
     // BEFORE the (expensive) jaccard verification.
-    val cand = banded
+    val cand = pairsFromBuckets(banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1), i ->
-          |  transform(slice(ids, i + 1, size(ids) - i), y ->
-          |    struct(least(element_at(ids, i), y) AS a,
-          |           greatest(element_at(ids, i), y) AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-    cand
+      .filter(size(col("ids")).between(2, maxBucketSize)))
+    val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, sh)
   }
 
   /** full MinHash dedup: pairs → connected components (min-id label
@@ -146,17 +178,20 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+    materializeAndRelease(verified, sh)
   }
 
   /** n-gram Jaccard dedup without LSH (exact all-pairs within a
-    * blocking key to bound cost; block = shared rarest shingle could
-    * be used — here the caller provides the blocking column). */
+    * blocking key to bound cost; the caller provides the blocking
+    * column). Quadratic per block — prefer [[jaccardPairsPrefix]],
+    * which is exact without a caller key and near-linear on rare
+    * shingles. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleLen: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
@@ -174,26 +209,85 @@ object Dedup {
       .distinct()
   }
 
-  /** embedding near-dup pairs: hyperplane-LSH bucket join + exact
-    * cosine verification. */
+  /** EXACT all-pairs n-gram Jaccard join via prefix filtering
+    * (AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07;
+    * public algorithm). Shingles are globally ordered rarest-first
+    * (frequency asc, shingle asc); each doc emits only its first
+    * |sh| - ceil(t*|sh|) + 1 shingles as candidate keys. Any pair
+    * with J >= t has |A∩B| >= t*|A|, so the globally-smallest common
+    * shingle provably sits inside BOTH prefixes — recall is 1 by
+    * construction, no LSH approximation. Candidate volume is
+    * Σ_tok prefixCount(tok)^2, near-linear when shingles are rare
+    * (frequent shingles are pushed out of every prefix by the
+    * ordering).
+    *
+    * `maxTokenBucket` caps a degenerate token's bucket (a boilerplate
+    * shingle shared by >cap docs' prefixes); capping trades the
+    * recall guarantee for bounded cost — leave at the default for
+    * exactness. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, threshold: Double = 0.5,
+                         maxTokenBucket: Int = Int.MaxValue): DataFrame = {
+    val sh = Partitioning.spread(
+      df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0))
+      .cache()
+    val tok = sh.select(col("id"), explode(col("sh")).as("tok"))
+    // global shingle frequencies: partial (map-side) aggregation, then
+    // a broadcast-or-shuffle join back — both stages linear in corpus
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ordered = tok.join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("st"))
+      .select(col("id"), expr("transform(st, x -> x.tok)").as("toks"))
+    val pref = ordered.select(col("id"), expr(
+      s"slice(toks, 1, size(toks) - cast(ceil($threshold * size(toks)) as int) + 1)")
+      .as("pref"))
+    val cand = pairsFromBuckets(pref
+      .select(explode(col("pref")).as("tok"), col("id"))
+      .groupBy(col("tok")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxTokenBucket)))
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, sh)
+  }
+
+  /** embedding near-dup pairs: multi-table hyperplane-LSH bucket join
+    * + exact cosine verification. `nTables` independent tables of
+    * `bitsPerTable` hyperplanes each — a pair collides if it shares
+    * ANY table's full code, so recall at cosine c is
+    * 1 - (1 - p^bits)^tables with p = 1 - acos(c)/π; positively
+    * scaled duplicates (c = 1) collide in EVERY table, exactly.
+    * Candidates come from the same bucket-grouped expansion as
+    * minhashPairs — never an all-pairs join. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
-                     nBits: Int = 12, seed: Long = 42L): DataFrame = {
+                     nTables: Int = 8, bitsPerTable: Int = 16,
+                     seed: Long = 42L,
+                     maxBucketSize: Int = 10000): DataFrame = {
     val sig = Partitioning.spread(
       df.select(col(idCol).as("id"), col(vecCol).as("v")))
-      .withColumn("bucket",
-        VectorFunctions.hyperplaneSignature(col("v"), nBits, dim, seed))
+      .withColumn("codes",
+        VectorFunctions.hyperplaneCodes(col("v"), nTables, bitsPerTable,
+          dim, seed))
       .cache()
-    val cand = sig.select(col("bucket"), col("id").as("id_a"))
-      .join(sig.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
+    // (table, code) is one long (table id in the high bits): the
+    // bucket key shuffles 8 bytes per (doc, table)
+    val banded = sig.select(col("id"), explode(col("codes")).as("code"))
+    val cand = pairsFromBuckets(banded
+      .groupBy(col("code")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize)))
+    val verified = cand
       .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    materializeAndRelease(verified, sig)
   }
 }

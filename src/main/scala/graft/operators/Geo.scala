@@ -26,16 +26,11 @@ object Geo {
     * boundary-inclusive on vertices-level precision */
   case class PointInPolygon(px: Expression, py: Expression,
                             vertices: Expression)
-      extends Expression with CodegenFallback {
+      extends Expression {
     override def children: Seq[Expression] = Seq(px, py, vertices)
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val xv = px.eval(input); val yv = py.eval(input)
-      val vs = vertices.eval(input)
-      if (xv == null || yv == null || vs == null) return null
-      val x = xv.asInstanceOf[Double]; val y = yv.asInstanceOf[Double]
-      val arr = vs.asInstanceOf[ArrayData]
+    def compute(x: Double, y: Double, arr: ArrayData): Boolean = {
       val n = arr.numElements()
       var inside = false
       var i = 0
@@ -50,6 +45,36 @@ object Geo {
         i += 1
       }
       inside
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val xv = px.eval(input); val yv = py.eval(input)
+      val vs = vertices.eval(input)
+      if (xv == null || yv == null || vs == null) return null
+      compute(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+        vs.asInstanceOf[ArrayData])
+    }
+    // The exact test runs inside whole-stage codegen (it sits in a
+    // broadcast-join condition evaluated per bbox-pruned candidate —
+    // the hottest geo loop); children are codegen'd, the ray-casting
+    // kernel is one virtual call.
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val xGen = px.genCode(ctx)
+      val yGen = py.genCode(ctx)
+      val vGen = vertices.genCode(ctx)
+      val ref = ctx.addReferenceObj("pip", this, classOf[PointInPolygon].getName)
+      ev.copy(code = code"""
+        |${xGen.code}
+        |${yGen.code}
+        |${vGen.code}
+        |boolean ${ev.isNull} =
+        |  ${xGen.isNull} || ${yGen.isNull} || ${vGen.isNull};
+        |boolean ${ev.value} = false;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $ref.compute(${xGen.value}, ${yGen.value}, ${vGen.value});
+        |}""".stripMargin)
     }
     override protected def withNewChildrenInternal(
         c: IndexedSeq[Expression]): Expression =

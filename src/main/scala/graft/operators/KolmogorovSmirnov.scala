@@ -53,17 +53,24 @@ object KolmogorovSmirnov {
                   params: Seq[Double] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // cache the sorted values: count() is one job and zipWithIndex runs
+    // its own partition-sizing job plus the final pass — without the
+    // cache the global sort would execute up to 3x (the same lesson
+    // Zip.zipByIndex learned).
     val vals = df.select(col(column).cast("double")).na.drop
-      .orderBy(col(column))
+      .orderBy(col(column)).cache()
     val n = vals.count().toDouble
     val ranked = vals.rdd.zipWithIndex.map { case (r, i) =>
       (r.getDouble(0), i)
     }.toDF("x", "rank")
     val cdf = cdfFor(distribution, params)(col("x"))
-    ranked
+    val out = ranked
       .select(greatest(abs(cdf - col("rank") / lit(n)),
         abs(cdf - (col("rank") + 1) / lit(n))).as("d"))
       .agg(max(col("d")).as("ks_stat"))
+      .localCheckpoint(true) // 1 row; lets the sort cache release now
+    vals.unpersist(false)
+    out
   }
 
   def statistic(df: DataFrame, column: String, distribution: String,

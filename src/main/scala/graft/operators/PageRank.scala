@@ -39,6 +39,10 @@ object PageRank {
               else next
       i += 1
     }
-    ranks
+    // the final ranks are localCheckpoint-materialized (loop tail), so
+    // the graph-side caches can be released before returning
+    val out = if (maxIters == 0) ranks.localCheckpoint() else ranks
+    Seq(e, vertices, outDeg).foreach(_.unpersist(false))
+    out
   }
 }

@@ -32,6 +32,12 @@ object Similarity {
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
+    // rank<=k over a row_number window triggers Spark's
+    // WindowGroupLimit rewrite: each map task pre-reduces to its local
+    // top-k per query BEFORE the shuffle, so a query's post-shuffle
+    // partition holds at most k*numInputPartitions candidate rows, not
+    // the whole scored corpus (asserted on the executed plan in
+    // ScaleSpec).
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -43,7 +49,9 @@ object Similarity {
     * against bruteForceTopK in the spec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              nProbe: Int = 4, seed: Long = 42L,
+              fitFraction: Double = 1.0,
+              fitCap: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -51,8 +59,18 @@ object Similarity {
     val prepared = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // The coarse quantizer is fit on a bounded sample, never the full
+    // corpus: centroid quality saturates long before 100k vectors, and
+    // a full-corpus fit would re-scan 100 TB per KMeans iteration.
+    // At scale pass fitFraction ≈ fitCap / |corpus|; the limit is the
+    // hard stop either way. Partitioning.spread keeps the (possibly
+    // single-partition after limit) sample parallel across iterations.
+    val fitSample = Partitioning.spread(
+      prepared.select(col("features"))
+        .sample(withReplacement = false, fitFraction, seed)
+        .limit(fitCap))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("features").fit(prepared)
+      .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(prepared)
       .select(col("neighbor_id"), col("cv"),
         col("prediction").as("centroid"))

@@ -35,7 +35,12 @@ object Zip {
     val clash = a.columns.toSet.intersect(b.columns.toSet)
     // cache both sides: zipWithIndex runs a partition-sizing job before
     // the real scan, which would otherwise recompute each side's full
-    // upstream plan (often a sort) twice
+    // upstream plan (often a sort) twice.
+    // CACHING CONTRACT: both input caches stay registered after return
+    // (the result can be arbitrarily large, so it is NOT eagerly
+    // materialized here, unlike the pair-finding operators). Callers
+    // running many zips in one session should unpersist via
+    // spark.catalog.clearCache() between calls — Bench/Verify do.
     val l = clash.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
       .cache()
     val r = clash.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + suffixes._2))

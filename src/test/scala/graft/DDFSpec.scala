@@ -43,6 +43,18 @@ class DDFSpec extends SparkTestBase {
     assert(people.filter("age != 40").countRows() == 1)
   }
 
+  test("pandas-eval dialect: ** power and python ternary") {
+    val d = DDF(Seq((1, 2.0), (2, 3.0)).toDF("id", "v"))
+    val p = d.selectExpression(
+      "sq = v ** 2", "cube = (v + 1) ** 2", "flag = 1 if v > 2.5 else 0")
+      .toDF
+    assert(p.filter($"id" === 1).head().getDouble(2) == 4.0)
+    assert(p.filter($"id" === 2).head().getDouble(3) == 16.0)
+    assert(p.filter($"id" === 1).select($"flag").head().getInt(0) == 0)
+    assert(p.filter($"id" === 2).select($"flag").head().getInt(0) == 1)
+    assert(d.filter("v ** 2 > 5").countRows() == 1)
+  }
+
   test("fillna VALUE / MEAN / MEDIAN / MODE") {
     val v = people.fillna(Seq("age"), FillWithValue, 0L)
     assert(v.toDF.agg(sum($"age")).head().getLong(0) == 100L)
@@ -122,6 +134,24 @@ class DDFSpec extends SparkTestBase {
     val empty = DDF(Seq.empty[(Int, String)].toDF("kk", "x"))
     assert(l.join(empty, Seq("k"), Seq("kk")).countRows() == 0)
     assert(l.join(empty, Seq("k"), Seq("kk"), "left").countRows() == 3)
+  }
+
+  test("right/full join with identical key names keeps unmatched keys") {
+    val l = DDF(Seq((1, "a"), (2, "b")).toDF("k", "lv"))
+    val r = DDF(Seq((2, "x"), (3, "y")).toDF("k", "rv"))
+    val right = l.join(r, Seq("k"), Seq("k"), "right").toDF
+    assert(right.columns.count(_ == "k") == 1)
+    // unmatched right row (k=3) must keep its key, not null it out
+    assert(right.orderBy($"k").collect().map(_.getInt(0)).toSeq ==
+      Seq(2, 3))
+    assert(right.filter($"k" === 3 && $"lv".isNull && $"rv" === "y")
+      .count() == 1)
+    val full = l.join(r, Seq("k"), Seq("k"), "full").toDF
+    assert(full.orderBy($"k").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3))
+    // inner/left keep prior semantics: left key wins
+    val inner = l.join(r, Seq("k"), Seq("k"), "inner").toDF
+    assert(inner.columns.count(_ == "k") == 1 && inner.count() == 1)
   }
 
   test("semi and anti joins") {

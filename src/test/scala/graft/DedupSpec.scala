@@ -89,4 +89,48 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((0L until 5L).map(i => (i, i + 5000L)).forall(found.contains))
   }
+
+  test("embedding pairs: positively scaled dups collide in every table") {
+    // scaling is exact in IEEE arithmetic → identical LSH codes in all
+    // tables → recall 1 by construction, not by probability (the q51
+    // oracle's premise)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dup = emb.filter($"vec_id" < 8)
+      .select(($"vec_id" + 5000).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val all = emb.select($"vec_id", $"embedding").unionByName(dup)
+    val pairs = Dedup.embeddingPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.95).cache()
+    val found = pairs.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 8L).map(i => (i, i + 5000L)).forall(found.contains))
+    // scaled pairs verify at cosine 1 (within rounding)
+    assert(pairs.filter($"id_b" === $"id_a" + 5000 && $"cosine" < 0.9999999)
+      .count() == 0)
+  }
+
+  test("prefix-filter jaccard pairs == exhaustive all-pairs truth") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"jaccard", 9).as("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.15))
+    // ground truth: single-block variant = exact all-pairs
+    val truth = pairSet(Dedup.jaccardPairs(docs.withColumn("blk", lit(1)),
+      "doc_id", "text", "blk", shingleLen = 3, threshold = 0.15))
+    assert(got == truth, s"prefix=${got.size} truth=${truth.size} " +
+      s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("hash-keyed exact dedup equals groupBy-min truth") {
+    val truth = corpus.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.exact(corpus, Seq("text"), "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+  }
 }

@@ -71,6 +71,32 @@ class MLSpec extends SparkTestBase {
     assert(Models.confusionMatrix(pred).count() == 2)
   }
 
+  test("model save/load round-trips (reference save_model/load_model)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-models")
+      .toString
+    val pts = Seq((0.0, 0.0), (0.1, 0.0), (10.0, 10.0), (10.1, 10.0))
+      .toDF("x", "y")
+      .select(array_to_vector(array($"x", $"y")).as("features"))
+    val km = Models.kmeans(pts, "features", k = 2)
+    Models.saveModel(km, s"$dir/km")
+    val km2 = Models.loadModel(spark, s"$dir/km")
+      .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+    assert(km2.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      km.clusterCenters.map(_.toArray.toSeq).toSeq)
+
+    val d = (Seq.tabulate(20)(i => (0.0 + i / 100.0, 0.0)) ++
+      Seq.tabulate(20)(i => (5.0 + i / 100.0, 1.0)))
+      .toDF("x", "label")
+      .select(array_to_vector(array($"x")).as("features"), $"label")
+    val lr = Models.logisticRegression(d, "features", "label")
+    Models.saveModel(lr, s"$dir/lr")
+    val lr2 = Models.loadModel(spark, s"$dir/lr")
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(lr2.coefficients == lr.coefficients &&
+      lr2.intercept == lr.intercept)
+    assert(Models.accuracy(lr2.transform(d)) == 1.0)
+  }
+
   test("linear svc fits separable data") {
     val d = (Seq.tabulate(10)(i => (0.0 + i / 10.0, 0.0)) ++
       Seq.tabulate(10)(i => (5.0 + i / 10.0, 1.0)))

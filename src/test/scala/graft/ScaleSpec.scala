@@ -81,6 +81,42 @@ class ScaleSpec extends SparkTestBase {
       .head().getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("SQL functions validate arity and literal args") {
+    GraftFunctions.registerAll(spark)
+    // word_shingles honors an explicit n instead of silently using 3
+    assert(spark.sql("SELECT word_shingles('a b c d', 2) AS s")
+      .head().getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(spark.sql("SELECT size(minhash_sig(array('x','y'), 16)) AS n")
+      .head().getInt(0) == 16)
+    intercept[Exception] {
+      spark.sql("SELECT jaccard_sim(array('a'), array('b'), array('c'))")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', 2, 3)").collect()
+    }
+  }
+
+  test("minhash_sig of an empty array is the non-null sentinel") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(array()) AS s").head().getSeq[Long](0)
+    assert(r.length == 64 && r.forall(_ == Long.MaxValue))
+  }
+
+  test("bruteForceTopK pre-reduces via WindowGroupLimit before shuffle") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    r.count()
+    // string check: the partial WindowGroupLimit lives inside an AQE
+    // shuffle stage subtree that collectAll does not descend into
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("melt reshapes wide to long") {
     val d = DDF(Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b"))
     val m = d.melt(Seq("id"), Seq("a", "b")).toDF

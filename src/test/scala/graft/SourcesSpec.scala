@@ -51,4 +51,104 @@ class SourcesSpec extends SparkTestBase {
           org.apache.spark.sql.types.IntegerType))), nfrag = 4)
     assert(d.numOfPartitions() == 4 && d.countRows() == 10)
   }
+
+  test("pickle alias round-trips through parquet") {
+    val p = tmp("pickle")
+    sample.save.pickle(p)
+    val back = cc.read.pickle(p)
+    assert(back.toDF.orderBy($"id").collect().toSeq ==
+      sample.toDF.orderBy($"id").collect().toSeq)
+  }
+
+  // fixture written from the same public ESRI/dBase specs the reader
+  // implements — a real .shp/.dbf pair, byte-for-byte
+  private def writeShpFixture(dir: String): (String, String) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val polys = Seq(
+      Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)),
+      Array((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0),
+        (10.0, 10.0)))
+    val contents = polys.map(v => 4 + 32 + 8 + 4 + 16 * v.length)
+    val total = 100 + contents.map(_ + 8).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)
+    bb.putInt(24, total / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000) // version
+    bb.putInt(32, 5)    // polygon
+    var off = 100
+    polys.zip(contents).zipWithIndex.foreach { case ((verts, clen), i) =>
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(off, i + 1)
+      bb.putInt(off + 4, clen / 2)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      val s = off + 8
+      bb.putInt(s, 5)
+      bb.putDouble(s + 4, verts.map(_._1).min)  // bbox
+      bb.putDouble(s + 12, verts.map(_._2).min)
+      bb.putDouble(s + 20, verts.map(_._1).max)
+      bb.putDouble(s + 28, verts.map(_._2).max)
+      bb.putInt(s + 36, 1)            // numParts
+      bb.putInt(s + 40, verts.length) // numPoints
+      bb.putInt(s + 44, 0)            // parts[0]
+      verts.zipWithIndex.foreach { case ((x, y), j) =>
+        bb.putDouble(s + 48 + 16 * j, x)
+        bb.putDouble(s + 56 + 16 * j, y)
+      }
+      off = s + clen
+    }
+    val shp = s"$dir/test.shp"
+    Files.write(java.nio.file.Paths.get(shp), bb.array())
+
+    // .dbf: NAME (C,8), VAL (N,6)
+    val nRec = 2; val recSize = 1 + 8 + 6
+    val headerSize = 32 + 32 * 2 + 1
+    val db = ByteBuffer.allocate(headerSize + nRec * recSize + 1)
+    db.order(ByteOrder.LITTLE_ENDIAN)
+    db.put(0, 0x03.toByte)
+    db.putInt(4, nRec)
+    db.putShort(8, headerSize.toShort)
+    db.putShort(10, recSize.toShort)
+    def field(o: Int, name: String, t: Char, len: Int): Unit = {
+      name.getBytes("ASCII").zipWithIndex.foreach { case (b, i) =>
+        db.put(o + i, b) }
+      db.put(o + 11, t.toByte)
+      db.put(o + 16, len.toByte)
+    }
+    field(32, "NAME", 'C', 8)
+    field(64, "VAL", 'N', 6)
+    db.put(96, 0x0d.toByte)
+    def rec(o: Int, name: String, v: String): Unit = {
+      db.put(o, ' '.toByte)
+      (name.padTo(8, ' ') + v.reverse.padTo(6, ' ').reverse).getBytes("ASCII")
+        .zipWithIndex.foreach { case (b, i) => db.put(o + 1 + i, b) }
+    }
+    rec(headerSize, "unit", "3.5")
+    rec(headerSize + recSize, "far", "42")
+    val dbf = s"$dir/test.dbf"
+    Files.write(java.nio.file.Paths.get(dbf), db.array())
+    (shp, dbf)
+  }
+
+  test("shapefile: parses polygons + dbf attributes, feeds geoWithin") {
+    val dir = Files.createTempDirectory("graft_shp").toString
+    val (shp, dbf) = writeShpFixture(dir)
+    val polys = cc.read.shapefile(shp, Some(dbf)).toDF
+    assert(polys.count() == 2)
+    assert(polys.columns.toSeq ==
+      Seq("gid", "part", "vertices", "NAME", "VAL"))
+    val r1 = polys.filter($"gid" === 1).head()
+    assert(r1.getAs[String]("NAME") == "unit" &&
+      r1.getAs[Double]("VAL") == 3.5)
+    assert(r1.getSeq[org.apache.spark.sql.Row](2).length == 5)
+    // spatial join: point (1,1) falls in polygon 1 only
+    val pts = Seq((100L, 1.0, 1.0), (101L, 11.0, 11.0), (102L, 50.0, 50.0))
+      .toDF("pid", "x", "y")
+    val joined = graft.operators.Geo.geoWithin(pts, polys, "x", "y",
+      "vertices")
+    val got = joined.select($"pid", $"NAME").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((100L, "unit"), (101L, "far")))
+  }
 }
