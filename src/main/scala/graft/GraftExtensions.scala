@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extension entry point (SURVEY.md §7 custom-operator tier —
+  * `SparkSessionExtensions` registration):
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * injects every graft native SQL function into each new session at
+  * build time, so the engine behaves as a first-class Spark extension
+  * — no imperative `GraftFunctions.registerAll(spark)` call needed
+  * (that path remains for already-built sessions; both share the same
+  * builders). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  import graft.expressions.VectorExpressions._
+  import graft.expressions.TextExpressions.{JaccardSim, WordShingles}
+  import graft.functions.{GraftFunctions, TextFunctions}
+  import graft.operators.Geo.PointInPolygon
+
+  /** single source of truth for the SQL-surface builders, shared by
+    * the extension injection and GraftFunctions.registerAll */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "dot_product" -> (es => { GraftFunctions.arity("dot_product", es, 2, 2)
+        DotProduct(es(0), es(1)) }),
+      "cosine_sim" -> (es => { GraftFunctions.arity("cosine_sim", es, 2, 2)
+        CosineSimilarity(es(0), es(1)) }),
+      "simhash64" -> (es => { GraftFunctions.arity("simhash64", es, 1, 1)
+        SimHash64(es.head) }),
+      "minhash_sig" -> (es => {
+        GraftFunctions.arity("minhash_sig", es, 1, 2)
+        val k = if (es.length == 2)
+          GraftFunctions.literalInt("minhash_sig", es(1)) else 64
+        MinHashSignature(es.head,
+          TextFunctions.hashCoeffs(k), TextFunctions.MersennePrime)
+      }),
+      "point_in_polygon" -> (es => {
+        GraftFunctions.arity("point_in_polygon", es, 3, 3)
+        PointInPolygon(es(0), es(1), es(2)) }),
+      "jaccard_sim" -> (es => { GraftFunctions.arity("jaccard_sim", es, 2, 2)
+        JaccardSim(es(0), es(1)) }),
+      "word_shingles" -> (es => {
+        GraftFunctions.arity("word_shingles", es, 1, 2)
+        val n = if (es.length == 2)
+          GraftFunctions.literalInt("word_shingles", es(1)) else 3
+        WordShingles(es(0), n)
+      }),
+      "hyperplane_codes" -> (es => {
+        GraftFunctions.arity("hyperplane_codes", es, 4, 5)
+        val seed = if (es.length == 5)
+          GraftFunctions.literalInt("hyperplane_codes", es(4)).toLong else 42L
+        HyperplaneCodes(es.head,
+          GraftFunctions.literalInt("hyperplane_codes", es(1)),
+          GraftFunctions.literalInt("hyperplane_codes", es(2)),
+          GraftFunctions.literalInt("hyperplane_codes", es(3)), seed)
+      }))
+}

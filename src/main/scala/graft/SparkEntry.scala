@@ -661,11 +661,36 @@ object SparkEntry {
               | , 4) AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // stopword-vote argmax is pure deterministic set math → exact
+    // oracle (scores per language replicated in SQL; ties break by
+    // language code ascending on both sides)
     Q("q44_lang_id", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"), col("lang"))
         .orderBy(col("doc_id")),
-      None), // voting heuristic not SQL-expressible; accuracy pinned in ScalaTest
+      Some {
+        val marker = TF.langMarkers.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+        }
+        s"""WITH tk AS (SELECT doc_id, lang, text,
+           |  list_distinct(${sqlTokens("text")}) AS toks FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang, 'de' AS cand,
+           |    len(list_intersect(toks, ${marker("de")})) AS score FROM tk
+           |  UNION ALL SELECT doc_id, lang, 'en',
+           |    len(list_intersect(toks, ${marker("en")})) FROM tk
+           |  UNION ALL SELECT doc_id, lang, 'es',
+           |    len(list_intersect(toks, ${marker("es")})) FROM tk
+           |  UNION ALL SELECT doc_id, lang, 'fr',
+           |    len(list_intersect(toks, ${marker("fr")})) FROM tk
+           |  UNION ALL SELECT doc_id, lang, 'zh',
+           |    len(regexp_extract_all(text,
+           |      '[${TF.langMarkers("zh").mkString}]')) FROM tk),
+           |r AS (SELECT doc_id, lang, cand, row_number() OVER (
+           |   PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
+           |SELECT doc_id, cand AS pred_lang, lang FROM r WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     Q("q45_fingerprint", (s, dir) =>
       t(s, dir, "documents")
@@ -1060,15 +1085,17 @@ object SparkEntry {
     // ===== §2.12 blocked jaccard + composite pipeline ===================
 
     // Exact Jaccard similarity join over ALL document pairs — no
-    // caller blocking key and no LSH approximation. The prefix-filter
-    // candidate generation (AllPairs/PPJoin) provably emits every pair
-    // with J >= t, so the exhaustive DuckDB oracle must match exactly.
-    // (Round 1 blocked on the low-cardinality `source` column — O(m²)
-    // per block; the prefix filter replaces that with near-linear
-    // candidate generation AND strictly wider semantics.)
+    // caller blocking key and no LSH approximation. Co-occurrence
+    // counting computes every pair's intersection in one token
+    // self-join (arrays never shuffle), so the exhaustive DuckDB
+    // oracle must match exactly. (Round 1 blocked on the
+    // low-cardinality `source` column — O(m²) per block; this is
+    // near-linear candidate generation AND strictly wider semantics.
+    // At t=0.2 counting beats prefix filtering, whose prefixes cover
+    // 81% of each doc — see Dedup scaladoc for the crossover.)
     Q("q71_jaccard_block", (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      Dedup.jaccardPairsExact(docs, "doc_id", "text",
           shingleLen = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))

@@ -133,32 +133,75 @@ object Dedup {
   }
 
   /** min-label propagation over an undirected edge list (id_a, id_b):
-    * returns (id, rep) where rep = min id in the component. */
+    * returns (id, rep) where rep = min id in the component.
+    *
+    * Adaptive execution, same spirit as Spark's broadcast-join
+    * cutover: when the (deduplicated) edge list is below
+    * `driverThreshold` edges it is provably driver-resolvable — a
+    * single collect + union-find replaces O(diameter) iterative join
+    * jobs whose per-job overhead dominates on small component graphs.
+    * Above the threshold the distributed min-label loop runs, with
+    * the convergence flag computed inside the update (no extra join
+    * per round) and localCheckpoint lineage cuts. Near-dup component
+    * graphs are SMALL relative to the corpus (only docs with a
+    * near-dup partner appear), so the driver path is the common case
+    * even at 100 TB corpus scale; the threshold bounds driver memory
+    * to ~16 MB of longs either way. */
   def connectedComponentMinLabel(pairs: DataFrame,
-                                 maxIter: Int = 10): DataFrame = {
+                                 maxIter: Int = 10,
+                                 driverThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels,
-          edges("dst") === labels("id"))
-        .groupBy(edges("src").as("id"))
-        .agg(min(col("rep")).as("nbr_rep"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("rep", "old"),
-        Seq("id")).filter(col("rep") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
-      i += 1
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      // driver union-find with path compression (ids widened to long)
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      es.foreach { case (x, y) =>
+        val (a, b) = (find(x), find(y))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      import spark.implicits._
+      es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        .map((id: Long) => (id, find(id)))
+        .toDF("id", "rep")
+    } else {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("rep", col("id"))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges.join(labels,
+            edges("dst") === labels("id"))
+          .groupBy(edges("src").as("id"))
+          .agg(min(col("rep")).as("nbr_rep"))
+        // carry the previous rep through the update so convergence is
+        // one filter on the checkpointed result, not a second join
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("rep").as("old"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+          .localCheckpoint()
+        val changed = updated.filter(col("rep") =!= col("old"))
+          .limit(1).count()
+        labels = updated.select(col("id"), col("rep"))
+        converged = changed == 0
+        i += 1
+      }
+      labels
     }
-    labels
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDistance.
@@ -207,6 +250,66 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
+  }
+
+  /** EXACT all-pairs n-gram Jaccard join via co-occurrence counting:
+    * one token self-join on the (distinct) shingles computes
+    * |A∩B| for every pair sharing at least one shingle — partial
+    * (map-side) aggregation collapses counts before the shuffle — and
+    * J = inter / (|A| + |B| - inter) filters ≥ t. Exact by
+    * construction: a pair with J ≥ t > 0 shares a shingle, so it is
+    * counted; no arrays ever cross a shuffle and no LSH approximation
+    * is involved. Cost is Σ_tok C(freq_tok, 2) join rows — the
+    * canonical all-pairs-similarity cost, near-linear when shingles
+    * are rare. THE shape for low thresholds, where prefix filtering
+    * ([[jaccardPairsPrefix]]) degenerates to emitting almost every
+    * shingle; prefer the prefix variant for t ≳ 0.7 (short prefixes →
+    * far fewer candidates).
+    *
+    * `maxTokenBucket`: shingles shared by more docs than this are
+    * excluded from counting (boilerplate guard at corpus scale). A
+    * cap would corrupt the counts, not just drop candidates — so when
+    * it is set, pairs are re-verified EXACTLY on their full shingle
+    * arrays and only the candidate set is (documentedly) incomplete.
+    * Leave at the default for exactness. */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, threshold: Double = 0.5,
+                        maxTokenBucket: Int = Int.MaxValue): DataFrame = {
+    val sh = Partitioning.spread(
+      df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0))
+      .cache()
+    val tok0 = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val capped = maxTokenBucket < Int.MaxValue
+    val tok =
+      if (!capped) tok0
+      else {
+        val freq = tok0.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        tok0.join(freq.filter(col("freq") <= maxTokenBucket), Seq("tok"))
+          .select(col("id"), col("sz"), col("tok"))
+      }
+    val a = tok.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = tok.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val counted = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    val result =
+      if (!capped)
+        counted.select(col("id_a"), col("id_b"),
+          (col("inter") /
+            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      else // capped counts are lower bounds → re-verify exactly
+        counted.select(col("id_a"), col("id_b"))
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    materializeAndRelease(result, sh)
   }
 
   /** EXACT all-pairs n-gram Jaccard join via prefix filtering

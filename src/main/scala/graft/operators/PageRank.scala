@@ -18,14 +18,17 @@ object PageRank {
       .distinct().cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    // out-degree is static — join it into the cached edge table ONCE
+    // instead of once per iteration
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg")).cache()
 
     var ranks = vertices.withColumn("rank", lit(1.0))
     var i = 0
     while (i < maxIters) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outDeg, Seq("src"))
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("recv"))
       val next = vertices
@@ -42,7 +45,7 @@ object PageRank {
     // the final ranks are localCheckpoint-materialized (loop tail), so
     // the graph-side caches can be released before returning
     val out = if (maxIters == 0) ranks.localCheckpoint() else ranks
-    Seq(e, vertices, outDeg).foreach(_.unpersist(false))
+    Seq(e, vertices, eDeg).foreach(_.unpersist(false))
     out
   }
 }

@@ -63,10 +63,16 @@ class DedupSpec extends SparkTestBase {
   test("connected components: min-label propagation on a path graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponentMinLabel(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
-    assert(cc(10L) == 10L && cc(11L) == 10L)
+    // driver union-find path (small graph) and distributed min-label
+    // loop (forced with threshold 0) must agree
+    for (thr <- Seq(1L << 20, 0L)) {
+      val cc = Dedup.connectedComponentMinLabel(edges,
+          driverThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L,
+        s"thr=$thr: $cc")
+      assert(cc(10L) == 10L && cc(11L) == 10L, s"thr=$thr: $cc")
+    }
   }
 
   test("jaccard blocked pairs respect the blocking column") {
@@ -116,13 +122,21 @@ class DedupSpec extends SparkTestBase {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select($"id_a", $"id_b", round($"jaccard", 9).as("j")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
-      shingleLen = 3, threshold = 0.15))
     // ground truth: single-block variant = exact all-pairs
     val truth = pairSet(Dedup.jaccardPairs(docs.withColumn("blk", lit(1)),
       "doc_id", "text", "blk", shingleLen = 3, threshold = 0.15))
-    assert(got == truth, s"prefix=${got.size} truth=${truth.size} " +
-      s"missing=${truth -- got} extra=${got -- truth}")
+    val prefix = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.15))
+    assert(prefix == truth, s"prefix=${prefix.size} truth=${truth.size} " +
+      s"missing=${truth -- prefix} extra=${prefix -- truth}")
+    // count-based exact join, uncapped (trusted counts)...
+    val counted = pairSet(Dedup.jaccardPairsExact(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.15))
+    assert(counted == truth, s"counted=${counted.size} truth=${truth.size}")
+    // ...and capped (candidates re-verified on full arrays)
+    val capped = pairSet(Dedup.jaccardPairsExact(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.15, maxTokenBucket = 1000))
+    assert(capped == truth, s"capped=${capped.size} truth=${truth.size}")
   }
 
   test("hash-keyed exact dedup equals groupBy-min truth") {

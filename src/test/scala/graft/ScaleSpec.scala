@@ -97,6 +97,19 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("GraftExtensions instantiates reflectively and injects builders") {
+    // the path Spark takes for spark.sql.extensions=graft.GraftExtensions
+    val f = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    f(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    // both registration paths share one builder table
+    assert(graft.GraftExtensions.builders.map(_._1).toSet ==
+      Set("dot_product", "cosine_sim", "simhash64", "minhash_sig",
+        "point_in_polygon", "jaccard_sim", "word_shingles",
+        "hyperplane_codes"))
+  }
+
   test("minhash_sig of an empty array is the non-null sentinel") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
