@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup so JVM/codegen/scan-setup startup cost is not
+    // attributed to whichever query happens to run first (map order)
+    try SparkEntry.queries("q02_select")(spark, sfDir).count()
+    catch { case _: Throwable => }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

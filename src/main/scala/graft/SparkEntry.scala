@@ -998,6 +998,31 @@ object SparkEntry {
              | event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // stream–stream interval join run as a REAL streaming query (two
+    // file-source streams, watermark-bounded join state, append sink);
+    // the DuckDB oracle is the equivalent batch interval join.
+    Q("q72_stream_interval_join", (s, dir) => {
+      val stream = EventStream.readStream(s, dir)
+      val l = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("l_id"))
+      val r = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("ts_r"),
+          col("event_id").as("r_id"))
+      val res = EventStream.runToMemory(
+        EventStream.intervalJoin(l, r, "user_id",
+          before = "30 minutes", after = "30 minutes"),
+        "q72_mem",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      res.select(col("l_id"), col("r_id")).orderBy(col("l_id"), col("r_id"))
+    },
+      Some("""SELECT a.event_id AS l_id, b.event_id AS r_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'click' AND b.event_type = 'purchase'
+             | AND b.ts >= a.ts - INTERVAL 30 MINUTE
+             | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |ORDER BY l_id, r_id""".stripMargin)),
+
     // ===== §2.3-ext as-of join ==========================================
 
     // enrich every event with its user's most recent signup at-or-

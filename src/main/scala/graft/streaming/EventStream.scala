@@ -52,6 +52,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** stream–stream interval join: pair each left event with right
+    * events of the same key whose timestamp falls in
+    * [left.ts - before, left.ts + after]. Both sides carry event-time
+    * watermarks so the join state is bounded (Spark drops buffered
+    * rows once they can no longer match) — the streaming face of the
+    * as-of/range join family. Column names must be disjoint apart
+    * from the key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String = "ts", rightTs: String = "ts_r",
+                   before: String = "1 hour", after: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"),
+      "inner")
+      .drop(r(key))
+  }
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

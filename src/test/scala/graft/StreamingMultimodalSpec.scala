@@ -50,6 +50,36 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.select($"user_id", $"event_type").distinct().count() == want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val l = df.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("l_id"))
+      val r = df.filter($"event_type" === "purchase")
+        .select($"user_id".as("user_id"), $"ts".as("ts_r"),
+          $"event_id".as("r_id"))
+      (l, r)
+    }
+    val stream = EventStream.readStream(spark, dir)
+    val (sl, sr) = sides(stream)
+    val got = EventStream.runToMemory(
+      EventStream.intervalJoin(sl, sr, "user_id",
+        before = "30 minutes", after = "30 minutes"),
+      "interval_join", OutputMode.Append())
+
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val (bl, br) = sides(batch)
+    val want = bl.join(br,
+      bl("user_id") === br("user_id") &&
+        br("ts_r") >= bl("ts") - expr("INTERVAL 30 minutes") &&
+        br("ts_r") <= bl("ts") + expr("INTERVAL 30 minutes"))
+      .select(bl("l_id"), br("r_id"))
+    val gotPairs = got.select($"l_id", $"r_id")
+    assert(gotPairs.count() == want.count() && want.count() > 0)
+    assert(gotPairs.exceptAll(want).count() == 0)
+    assert(want.exceptAll(gotPairs).count() == 0)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()
