@@ -130,6 +130,43 @@ class ScaleSpec extends SparkTestBase {
       s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("q51 embedding dedup executes no cartesian/nested-loop join") {
+    // the operator checkpoints its result, so assert over every plan
+    // that actually EXECUTES during the query, via a listener
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val planted = emb.select($"vec_id", $"embedding")
+        .union(emb.filter($"vec_id" < 50)
+          .select(($"vec_id" + 10000).as("vec_id"),
+            transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+      val n = graft.operators.Dedup.embeddingPairs(planted, "vec_id",
+        "embedding", dim = 64, threshold = 0.95).count()
+      assert(n == 50)
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.synchronized(plans.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val all = plans.synchronized(plans.toList)
+      assert(all.nonEmpty)
+      all.foreach { p =>
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), s"cartesian in:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("melt reshapes wide to long") {
     val d = DDF(Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b"))
     val m = d.melt(Seq("id"), Seq("a", "b")).toDF
