@@ -69,4 +69,42 @@ object AlgebraicLaws extends Properties("graft.ddf") {
         .map(_.getInt(0)).toSeq
       once == twice && once == a.sorted
     }
+
+  // ---- exact similarity joins vs a Scala reference model ----------------
+
+  private val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+  private val doc = Gen.choose(3, 9).flatMap(n => Gen.listOfN(n, word))
+    .map(_.mkString(" "))
+  private val corpus = Gen.choose(3, 8)
+    .flatMap(n => Gen.listOfN(n, doc))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def refShingles(text: String, n: Int): Set[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  private def refJaccardPairs(docs: Seq[(Long, String)], n: Int,
+                              t: Double): Set[(Long, Long)] = {
+    val sh = docs.map { case (id, txt) => id -> refShingles(txt, n) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  property("jaccardPairsExact matches the reference model") =
+    Prop.forAll(corpus, Gen.oneOf(0.2, 0.4, 0.6)) { (docs, t) =>
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        docs.map { case (i, s) => org.apache.spark.sql.Row(i, s) }.asJava,
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType))
+      val got = graft.operators.Dedup
+        .jaccardPairsExact(df, "id", "text", shingleLen = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == refJaccardPairs(docs, 2, t)
+    }
 }
