@@ -937,6 +937,11 @@ object SparkEntry {
              |SELECT query_id AS vec_id, lbl AS prediction FROM p
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
+    // Oracled by Apriori enumeration in SQL up to 3-itemsets. Sound
+    // because of the Apriori property: every k-itemset's (k-1)-subsets
+    // must be frequent, so if the SQL's 3-itemset level is empty there
+    // are provably no larger frequent itemsets to miss — and if data
+    // ever produced one, the row-count mismatch fails LOUDLY.
     Q("q61_fpgrowth", (s, dir) => {
       val txns = t(s, dir, "part")
         .select(array_distinct(split(col("p_name"), " ")).as("items"))
@@ -946,12 +951,38 @@ object SparkEntry {
         .select(concat_ws(",", array_sort(col("items"))).as("itemset"),
           col("freq"))
         .orderBy(col("itemset"))
-    }, None),
+    },
+      Some("""WITH tx AS (SELECT row_number() OVER () AS tid,
+             |   list_distinct(string_split(p_name, ' ')) AS items FROM part),
+             |n AS (SELECT ceil(0.05 * count(*)) AS minc FROM tx),
+             |t1 AS (SELECT tid, unnest(items) AS a FROM tx),
+             |f1 AS (SELECT a, count(*) AS freq FROM t1 GROUP BY a
+             |  HAVING count(*) >= (SELECT minc FROM n)),
+             |p2 AS (SELECT x.tid, x.a AS a, y.a AS b FROM t1 x
+             |  JOIN t1 y ON x.tid = y.tid AND x.a < y.a
+             |  WHERE x.a IN (SELECT a FROM f1) AND y.a IN (SELECT a FROM f1)),
+             |f2 AS (SELECT a, b, count(*) AS freq FROM p2 GROUP BY a, b
+             |  HAVING count(*) >= (SELECT minc FROM n)),
+             |p3 AS (SELECT p.tid, p.a, p.b, z.a AS d FROM p2 p
+             |  JOIN t1 z ON p.tid = z.tid AND z.a > p.b),
+             |f3 AS (SELECT a, b, d, count(*) AS freq FROM p3
+             |  GROUP BY a, b, d HAVING count(*) >= (SELECT minc FROM n))
+             |SELECT itemset, freq FROM (
+             |  SELECT a AS itemset, freq FROM f1
+             |  UNION ALL SELECT a || ',' || b, freq FROM f2
+             |  UNION ALL SELECT a || ',' || b || ',' || d, freq FROM f3)
+             |ORDER BY itemset""".stripMargin)),
 
     // x100 scaling: embedding components live in ~[-0.4, 0.4]; x10
     // packed all points within eps of each other (a near-complete
     // eps-graph = quadratic edge set). x100 puts mean eps-neighborhood
     // around 10 points — the regime DBSCAN is for.
+    // DBSCAN is deterministic given the data (clusters = connected
+    // components of the eps-graph; labels = min core id; borders take
+    // the min neighbor cluster), so it oracles exactly: the SQL
+    // replicates the float->double coordinate derivation bit-for-bit,
+    // the quadratic eps-join (self-pairs included, as in the grid
+    // join), and min-label components via a recursive closure.
     Q("q62_dbscan", (s, dir) => {
       val pts = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         (element_at(col("embedding"), 1) * 100).cast("double").as("x"),
@@ -959,7 +990,35 @@ object SparkEntry {
       DBSCAN.cluster(pts, "id", "x", "y", eps = 2.0, minPts = 4)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .orderBy(col("cluster"))
-    }, None),
+    },
+      Some("""WITH pts AS (SELECT vec_id AS id,
+             |   CAST(CAST(embedding[1] AS FLOAT) * CAST(100 AS FLOAT) AS DOUBLE) AS x,
+             |   CAST(CAST(embedding[2] AS FLOAT) * CAST(100 AS FLOAT) AS DOUBLE) AS y
+             |  FROM embeddings),
+             |e AS (SELECT a.id AS id, b.id AS nid FROM pts a, pts b
+             |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
+             |deg AS (SELECT id, count(*) AS d FROM e GROUP BY id),
+             |core AS (SELECT id FROM deg WHERE d >= 4),
+             |ce AS (SELECT e.id, e.nid FROM e
+             |  WHERE e.id IN (SELECT id FROM core)
+             |    AND e.nid IN (SELECT id FROM core)),
+             |reach AS (
+             |  WITH RECURSIVE r(src, dst) AS (
+             |    SELECT id, id FROM core
+             |    UNION
+             |    SELECT r.src, ce.nid FROM r JOIN ce ON r.dst = ce.id)
+             |  SELECT * FROM r),
+             |corelab AS (SELECT src AS id, min(dst) AS cluster
+             |  FROM reach GROUP BY src),
+             |border AS (SELECT e.id, min(cl.cluster) AS cluster
+             |  FROM e JOIN corelab cl ON e.nid = cl.id GROUP BY e.id),
+             |lab AS (SELECT id, min(cluster) AS cluster FROM
+             |  (SELECT * FROM corelab UNION ALL SELECT * FROM border)
+             |  GROUP BY id),
+             |allpts AS (SELECT p.id, coalesce(l.cluster, -1) AS cluster
+             |  FROM pts p LEFT JOIN lab l ON p.id = l.id)
+             |SELECT cluster, count(*) AS n FROM allpts
+             |GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // ===== §2.12 multimodal =============================================
 
