@@ -12,10 +12,44 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Adaptive execution, same spirit as Spark's broadcast-join
+    * cutover (and Dedup.connectedComponentMinLabel): a graph below
+    * `driverThreshold` (deduplicated) edges is provably
+    * driver-resolvable — one collect + a tight local loop replaces
+    * maxIters rounds of join jobs whose per-job overhead dominates on
+    * small graphs. Above the threshold the distributed loop runs
+    * (one shuffle per iteration keyed on dst, lineage cut with
+    * localCheckpoint). Identical recurrence either way; summation
+    * order may differ at ~1 ulp, as between any two executions of a
+    * distributed sum. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          damping: Double = 0.85, maxIters: Int = 10): DataFrame = {
+          damping: Double = 0.85, maxIters: Int = 10,
+          driverThreshold: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
+    if (e.count() <= driverThreshold) {
+      import spark.implicits._
+      val es = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val verts = es.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct.sorted
+      val idx = verts.zipWithIndex.toMap
+      val deg = new Array[Int](verts.length)
+      es.foreach { case (s, _) => deg(idx(s)) += 1 }
+      var rank = Array.fill(verts.length)(1.0)
+      var it = 0
+      while (it < maxIters) {
+        val recv = new Array[Double](verts.length)
+        es.foreach { case (s, d) =>
+          recv(idx(d)) += rank(idx(s)) / deg(idx(s))
+        }
+        rank = recv.map(r => (1.0 - damping) + damping * r)
+        it += 1
+      }
+      return verts.zip(rank).toSeq.toDF("id", "rank")
+    }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     // out-degree is static — join it into the cached edge table ONCE

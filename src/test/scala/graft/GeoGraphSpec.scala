@@ -57,4 +57,18 @@ class GeoGraphSpec extends SparkTestBase {
     // with no dangling nodes total rank converges to N
     assert(math.abs(ranks.values.sum - 3.0) < 0.05)
   }
+
+  test("pagerank: distributed path agrees with the driver path") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L),
+      (2L, 4L)).toDF("src", "dst")
+    def ranks(thr: Long) = PageRank.run(edges, maxIters = 10,
+        driverThreshold = thr).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driver = ranks(1L << 20)
+    val dist = ranks(0L)
+    assert(driver.keySet == dist.keySet)
+    driver.foreach { case (id, r) =>
+      assert(math.abs(r - dist(id)) < 1e-9, s"id=$id $r vs ${dist(id)}")
+    }
+  }
 }
