@@ -69,7 +69,11 @@ object Similarity {
       prepared.select(col("features"))
         .sample(withReplacement = false, fitFraction, seed)
         .limit(fitCap))
+    // coarse quantizer, not a clustering result: random init + few
+    // Lloyd rounds is the standard IVF training recipe (k-means||'s
+    // extra passes buy nothing for bucket routing)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setInitMode("random").setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(prepared)
       .select(col("neighbor_id"), col("cv"),
