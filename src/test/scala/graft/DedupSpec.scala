@@ -139,6 +139,41 @@ class DedupSpec extends SparkTestBase {
     assert(capped == truth, s"capped=${capped.size} truth=${truth.size}")
   }
 
+  test("edge cases: empty / null / short / unicode inputs") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    import scala.jdk.CollectionConverters._
+    def df(rows: Seq[(java.lang.Long, String)]) =
+      spark.createDataFrame(rows.map { case (i, t) =>
+        org.apache.spark.sql.Row(i, t) }.asJava, schema)
+
+    // empty corpus: every pair finder returns an empty frame
+    val empty = df(Nil)
+    assert(Dedup.minhashPairs(empty, "id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "id", "text").count() == 0)
+    assert(Dedup.jaccardPairsExact(empty, "id", "text").count() == 0)
+    assert(Dedup.exact(empty, Seq("text"), "id").count() == 0)
+
+    // null text, blank text, sub-shingle-length text: never crash,
+    // never pair; unicode near-dups still pair
+    val weird = df(Seq(
+      (1L: java.lang.Long, null),
+      (2L: java.lang.Long, ""),
+      (3L: java.lang.Long, "  one two  "),
+      (4L: java.lang.Long, "héllo wörld ünïcode tëst héllo wörld ünïcode"),
+      (5L: java.lang.Long, "héllo wörld ünïcode tëst héllo wörld ünïcode")))
+    val pairs = Dedup.jaccardPairsExact(weird, "id", "text",
+      shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)))
+    val mh = Dedup.minhashPairs(weird, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((4L, 5L)))
+    // exact dedup keeps the null-text row (nulls form their own group)
+    assert(Dedup.exact(weird, Seq("text"), "id").count() == 4)
+  }
+
   test("hash-keyed exact dedup equals groupBy-min truth") {
     val truth = corpus.groupBy($"text")
       .agg(min($"doc_id").as("doc_id"))
