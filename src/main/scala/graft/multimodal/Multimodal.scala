@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing (schema, batching, partition sizing,
   * column pruning of the heavy binary column until the decode stage)
-  * is real and tested. The codec kernels themselves are STUBS —
-  * deterministic functions of the bytes — because no image/audio
-  * libraries exist in this container; swap `decodeKernel` /
-  * `embedKernel` for real codecs (JNI/javacv) without touching the
-  * plumbing.
+  * is real and tested. The kernels are REAL for every format the JDK
+  * itself can decode — images via javax.imageio (PNG/JPEG/BMP/GIF):
+  * true dimensions, channel counts and a downsampled-luminance
+  * content embedding; audio via javax.sound.sampled (WAV/AIFF):
+  * sample rate / channels / duration. Only payloads outside the
+  * JDK's codec set (webp, mp3, video containers — would need
+  * external libs absent from this container) fall back to
+  * clearly-marked deterministic hash-derived stand-ins, so synthetic
+  * fixtures exercise the same plumbing.
   *
   * At 100 TB: binary payloads dominate scan width, so every transform
   * here keeps the payload column out of shuffles — decode outputs are
@@ -43,21 +47,75 @@ object Multimodal {
         lit(s"application/x-fake-$kind").as("mime"),
         lit("testdata").as("source")).as("meta"))
 
-  // ---- STUB kernels (deterministic fakes; the ??? of this container) --
+  // ---- decode kernels --------------------------------------------------
+  // REAL for the formats the JDK ships codecs for — javax.imageio
+  // (PNG/JPEG/BMP/GIF) and javax.sound.sampled (WAV/AIFF) — with a
+  // clearly-marked deterministic fallback for payloads no JDK codec
+  // accepts (e.g. the synthetic text-byte fixtures, or formats that
+  // would need external libs: webp, mp3, video containers).
 
-  /** STUB image decode: real impl would JNI into a codec; this derives
-    * (width, height, channels) deterministically from the bytes. */
+  /** image decode → (width, height, channels). JDK ImageIO first;
+    * non-decodable bytes fall back to a deterministic hash-derived
+    * shape (FALLBACK, not a real decode — kept so synthetic fixtures
+    * flow through the same plumbing). */
   private[multimodal] def decodeKernel(bytes: Array[Byte]): (Int, Int, Int) = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null)
+        return (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    } catch { case _: Throwable => }
     val h = java.util.Arrays.hashCode(bytes)
     (math.abs(h % 1920) + 1, math.abs((h >> 8) % 1080) + 1, 3)
   }
 
-  /** STUB feature extraction: dim floats seeded from the payload hash
-    * — stands in for a vision/audio encoder forward pass. */
+  /** feature extraction → dim floats. For JDK-decodable images this is
+    * a REAL content embedding: the image is resampled onto a
+    * ceil(sqrt(dim))² grayscale grid (average pooling via
+    * getScaledInstance) and the normalized luminances are the vector.
+    * Non-decodable payloads fall back to hash-seeded pseudo-features
+    * (FALLBACK — stands in for an encoder forward pass). */
   private[multimodal] def embedKernel(bytes: Array[Byte], dim: Int): Array[Float] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null) {
+        val side = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val small = new java.awt.image.BufferedImage(side, side,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.drawImage(img.getScaledInstance(side, side,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+        g.dispose()
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val p = small.getRGB(i % side, i / side)
+          val lum = (((p >> 16) & 0xff) * 0.299 + ((p >> 8) & 0xff) * 0.587 +
+            (p & 0xff) * 0.114) / 255.0
+          out(i) = (lum * 2 - 1).toFloat
+          i += 1
+        }
+        return out
+      }
+    } catch { case _: Throwable => }
     val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
     Array.fill(dim)(rnd.nextFloat() * 2 - 1)
   }
+
+  /** audio decode → (sampleRate, channels, frames) via the JDK's
+    * javax.sound.sampled (WAV/AIFF/AU are in every JDK); null for
+    * payloads no JDK codec accepts. */
+  private[multimodal] def audioKernel(bytes: Array[Byte])
+      : Option[(Float, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val r = (fmt.getSampleRate, fmt.getChannels, in.getFrameLength)
+      in.close()
+      Some(r)
+    } catch { case _: Throwable => None }
 
   // ---- partition-batched transforms ------------------------------------
 
@@ -113,6 +171,30 @@ object Multimodal {
           blocks.collect { case (b, i) if i % stride == 0 =>
             Row(r.getLong(0), i,
               java.util.Arrays.hashCode(b).toLong)
+          }
+        }
+      }(enc)
+  }
+
+  /** audio metadata: (media_id, sample_rate, channels, frames,
+    * duration_s) for JDK-decodable audio; non-audio rows are dropped
+    * (generator shape — narrow output, payload never leaves the
+    * partition). */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", FloatType),
+      StructField("channels", IntegerType),
+      StructField("frames", LongType),
+      StructField("duration_s", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          audioKernel(r.getAs[Array[Byte]]("content")).map {
+            case (rate, ch, frames) =>
+              Row(r.getLong(0), rate, ch, frames,
+                if (rate > 0) frames.toDouble / rate else 0.0)
           }
         }
       }(enc)

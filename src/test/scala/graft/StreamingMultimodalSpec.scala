@@ -122,6 +122,51 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(clash.count() == 0)
   }
 
+  test("multimodal: REAL JDK decode of PNG images and WAV audio") {
+    // a real 37x23 PNG with a white left half, black right half
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 37; y <- 0 until 23)
+      img.setRGB(x, y, if (x < 18) 0xffffff else 0x000000)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+
+    // a real 1-second 8 kHz mono WAV of silence
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](16000)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 8000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val rows = Seq((1L, "image", png), (2L, "audio", wav),
+      (3L, "image", "not an image".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "kind", "content")
+
+    // image decode: true dimensions for the PNG, fallback for garbage
+    val dec = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(dec(1L) == ((37, 23)), s"got ${dec(1L)}")
+
+    // content embedding: white-half vs black-half separates along
+    // the grid; a real luminance vector, not a hash
+    val emb = Multimodal.extractFeatures(
+      media.filter($"media_id" === 1), dim = 16).head().getSeq[Float](1)
+    assert(emb.length == 16)
+    assert(emb.take(2).forall(_ > 0.5) && emb.slice(2, 4).forall(_ < -0.5),
+      s"left of grid should be bright, right dark: $emb")
+
+    // audio decode: exact rate/channels/duration for the WAV; the
+    // png and garbage rows are dropped (not audio)
+    val au = Multimodal.decodeAudio(media).collect()
+    assert(au.length == 1 && au.head.getLong(0) == 2L)
+    assert(au.head.getFloat(1) == 8000f && au.head.getInt(2) == 1)
+    assert(math.abs(au.head.getDouble(4) - 1.0) < 1e-6)
+  }
+
   test("multimodal: frame sampling and resize metadata") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val media = Multimodal.fromText(docs, "doc_id", "text", kind = "video")
