@@ -1022,13 +1022,38 @@ object SparkEntry {
 
     // ===== §2.12 multimodal =============================================
 
+    // REAL codec roundtrip, exactly oracled: each doc_id becomes a
+    // genuine PNG (JDK ImageIO encode) whose dimensions are a known
+    // function of the id; the decode stage reads the dimensions back
+    // through the real javax.imageio path, and DuckDB verifies them
+    // algebraically — the query is green only if encode→decode works.
     Q("q64_multimodal_decode", (s, dir) => {
-      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
-      val decoded = Multimodal.decodeImages(media)
-      Multimodal.withResizeMeta(decoded, maxSide = 256)
-        .agg(count(lit(1)).as("n"),
-          max(col("out_width")).as("max_w"), max(col("out_height")).as("max_h"))
-    }, None),
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = (16 + id % 32).toInt; val h = (16 + id % 16).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            org.apache.spark.sql.Row(id, out.toByteArray)
+          }
+        }(enc)
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"))
+        .orderBy(col("media_id"))
+    },
+      Some("""SELECT doc_id AS media_id,
+             | CAST(16 + doc_id % 32 AS INT) AS width,
+             | CAST(16 + doc_id % 16 AS INT) AS height,
+             | CAST(3 AS INT) AS channels
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     Q("q65_frame_sample", (s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text",

@@ -133,7 +133,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition setup for a real codec would go here
         rows.map { r =>
-          val (w, h, c) = decodeKernel(r.getAs[Array[Byte]]("content"))
+          val (w, h, c) = decodeKernel(r.getAs[Array[Byte]](1))
           Row(r.getLong(0), w, h, c)
         }
       }(enc)
@@ -149,7 +149,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0),
-            embedKernel(r.getAs[Array[Byte]]("content"), dim).toSeq)
+            embedKernel(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }(enc)
   }
@@ -166,7 +166,7 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]]("content")
+          val bytes = r.getAs[Array[Byte]](1)
           val blocks = bytes.grouped(1024).zipWithIndex
           blocks.collect { case (b, i) if i % stride == 0 =>
             Row(r.getLong(0), i,
@@ -191,7 +191,7 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          audioKernel(r.getAs[Array[Byte]]("content")).map {
+          audioKernel(r.getAs[Array[Byte]](1)).map {
             case (rate, ch, frames) =>
               Row(r.getLong(0), rate, ch, frames,
                 if (rate > 0) frames.toDouble / rate else 0.0)
