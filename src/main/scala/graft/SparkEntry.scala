@@ -1055,13 +1055,22 @@ object SparkEntry {
              | CAST(3 AS INT) AS channels
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // the sampled-frame COUNT is an exact function of payload byte
+    // length (ceil(ceil(bytes/1024)/2) for stride 2), so the batching
+    // and stride plumbing oracles exactly; only the per-frame hash
+    // value itself stays pinned in ScalaTest (JVM hash, no SQL
+    // equivalent).
     Q("q65_frame_sample", (s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text",
         kind = "video")
       Multimodal.sampleFrames(media, stride = 2)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy(col("media_id"))
-    }, None),
+    },
+      Some("""SELECT doc_id AS media_id,
+             | CAST(ceil(ceil(octet_length(encode(text)) / 1024.0) / 2.0) AS BIGINT) AS n_frames
+             |FROM documents WHERE octet_length(encode(text)) > 0
+             |ORDER BY media_id""".stripMargin)),
 
     // ===== §2.10 structured streaming ===================================
 
