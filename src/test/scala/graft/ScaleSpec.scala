@@ -130,6 +130,22 @@ class ScaleSpec extends SparkTestBase {
       s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("hash-keyed exact dedup shuffles once, keyed on the 8-byte hash") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val r = graft.operators.Dedup.exact(docs, Seq("text"), "doc_id")
+    r.count()
+    val plan = r.queryExecution.executedPlan.toString
+    // the single exchange partitions on xxhash64(text), not raw text;
+    // the window adds no second exchange because HashPartitioning(__h)
+    // satisfies ClusteredDistribution(__h, text)
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected one exchange:\n$plan")
+    assert(plan.contains("xxhash64"), s"shuffle not hash-keyed:\n$plan")
+  }
+
   test("q51 embedding dedup executes no cartesian/nested-loop join") {
     // the operator checkpoints its result, so assert over every plan
     // that actually EXECUTES during the query, via a listener
