@@ -200,8 +200,53 @@ object Multimodal {
       }(enc)
   }
 
-  /** resize metadata update (STUB: real impl re-encodes the payload;
-    * here only the typed metadata transform is exercised). */
+  /** REAL image resize: decode via ImageIO, downscale so
+    * max(width, height) <= maxSide (aspect preserved, area-averaging
+    * filter), re-encode as PNG. Non-decodable payloads and images
+    * already within bounds pass through unchanged. Output carries the
+    * new payload plus decoded dimensions; runs partition-local, the
+    * payload never crosses a shuffle. */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide)
+            Row(r.getLong(0), bytes,
+              if (img == null) null else Integer.valueOf(img.getWidth),
+              if (img == null) null else Integer.valueOf(img.getHeight))
+          else {
+            val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val small = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            g.drawImage(img.getScaledInstance(w, h,
+              java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(small, "png", out)
+            Row(r.getLong(0), out.toByteArray,
+              Integer.valueOf(w), Integer.valueOf(h))
+          }
+        }
+      }(enc)
+  }
+
+  /** resize metadata update (kept for payload-less flows: computes the
+    * target dimensions without touching bytes — [[resizeImages]] is
+    * the real re-encoding variant). */
   def withResizeMeta(decoded: DataFrame, maxSide: Int): DataFrame =
     decoded
       .withColumn("scale",

@@ -165,6 +165,19 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(au.length == 1 && au.head.getLong(0) == 2L)
     assert(au.head.getFloat(1) == 8000f && au.head.getInt(2) == 1)
     assert(math.abs(au.head.getDouble(4) - 1.0) < 1e-6)
+
+    // REAL resize: 37x23 at maxSide 20 -> 20x12, and the re-encoded
+    // payload decodes back to exactly those dimensions
+    val rs = Multimodal.resizeImages(media.filter($"media_id" === 1),
+      maxSide = 20).head()
+    assert(rs.getInt(2) == 20 && rs.getInt(3) == 12, s"got $rs")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs.getAs[Array[Byte]](1)))
+    assert(back.getWidth == 20 && back.getHeight == 12)
+    // within-bounds image passes through byte-identical
+    val keep = Multimodal.resizeImages(media.filter($"media_id" === 1),
+      maxSide = 100).head()
+    assert(java.util.Arrays.equals(keep.getAs[Array[Byte]](1), png))
   }
 
   test("multimodal: frame sampling and resize metadata") {
