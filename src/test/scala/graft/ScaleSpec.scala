@@ -97,6 +97,34 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("spark.sql.extensions entry point works in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // spark.sql.extensions is a STATIC conf, read from the
+      // SparkContext at JVM-first-session time — unreachable from a
+      // shared test context. withExtensions exercises the same
+      // injection path (Builder.applyExtensions); the string-config
+      // leg is the reflective-instantiation test below.
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old) // a genuinely new session, extensions applied
+      val v = s2.sql(
+        "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+      assert(s2.sql("SELECT word_shingles('a b c', 2) AS s")
+        .head().getSeq[String](0) == Seq("a b", "b c"))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftExtensions instantiates reflectively and injects builders") {
     // the path Spark takes for spark.sql.extensions=graft.GraftExtensions
     val f = Class.forName("graft.GraftExtensions")
