@@ -57,10 +57,10 @@ object KolmogorovSmirnov {
     // its own partition-sizing job plus the final pass — without the
     // cache the global sort would execute up to 3x (the same lesson
     // Zip.zipByIndex learned).
-    val vals = df.select(col(column).cast("double")).na.drop
+    val vals = df.select(col(column).cast("double")).na.drop()
       .orderBy(col(column)).cache()
     val n = vals.count().toDouble
-    val ranked = vals.rdd.zipWithIndex.map { case (r, i) =>
+    val ranked = vals.rdd.zipWithIndex().map { case (r, i) =>
       (r.getDouble(0), i)
     }.toDF("x", "rank")
     val cdf = cdfFor(distribution, params)(col("x"))

@@ -24,7 +24,7 @@ object Zip {
     * two sides align exactly even with ragged partition sizes. */
   def withRowIndex(df: DataFrame, name: String = "__idx"): DataFrame = {
     val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
