@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
+import graft.operators.{AsOfJoin, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -58,6 +58,24 @@ object SparkEntry {
   /** DuckDB-side whitespace tokens mirroring TextFunctions.tokens */
   private def sqlTokens(textExpr: String): String =
     s"list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB-side replica of TextFunctions.qualityScore (shared by the
+    * q73 pipeline and q74 token-budget oracles) */
+  private def sqlQuality(textExpr: String): String =
+    s"""round(
+       |  0.3 * (CASE WHEN length($textExpr) BETWEEN 50 AND 20000 THEN 1.0
+       |      WHEN length($textExpr) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END)
+       |  + 0.2 * (CAST(length(regexp_replace($textExpr, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+       |      / greatest(CAST(length($textExpr) AS DOUBLE), 1.0))
+       |  + 0.15 * (CASE WHEN CAST(length(regexp_replace($textExpr, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / greatest(CAST(length($textExpr) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.4 END)
+       |  + 0.15 * (CASE WHEN (CAST(length($textExpr) AS DOUBLE) - len(${sqlTokens(textExpr)}) + 1)
+       |      / greatest(CAST(len(${sqlTokens(textExpr)}) AS DOUBLE), 1.0) BETWEEN 2 AND 12
+       |      THEN 1.0 ELSE 0.3 END)
+       |  + 0.2 * least((CAST(len(list_filter(${sqlTokens(textExpr)},
+       |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE)
+       |      / greatest(CAST(len(${sqlTokens(textExpr)}) AS DOUBLE), 1.0)) * 5.0, 1.0)
+       | , 4)""".stripMargin
 
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
@@ -1244,20 +1262,8 @@ object SparkEntry {
           round(avg(col("quality")), 4).as("avg_quality"))
         .orderBy(col("lang"))
     },
-      Some(s"""WITH q AS (SELECT doc_id, lang, text, round(
-              |  0.3 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
-              |      WHEN length(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END)
-              |  + 0.2 * (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
-              |      / greatest(CAST(length(text) AS DOUBLE), 1.0))
-              |  + 0.15 * (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-              |      / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.4 END)
-              |  + 0.15 * (CASE WHEN (CAST(length(text) AS DOUBLE) - len(${sqlTokens("text")}) + 1)
-              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0) BETWEEN 2 AND 12
-              |      THEN 1.0 ELSE 0.3 END)
-              |  + 0.2 * least((CAST(len(list_filter(${sqlTokens("text")},
-              |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE)
-              |      / greatest(CAST(len(${sqlTokens("text")}) AS DOUBLE), 1.0)) * 5.0, 1.0)
-              | , 4) AS quality
+      Some(s"""WITH q AS (SELECT doc_id, lang, text,
+              |  ${sqlQuality("text")} AS quality
               |FROM documents),
               |f AS (SELECT * FROM q WHERE quality >= 0.5),
               |d AS (SELECT min(doc_id) AS keep FROM f GROUP BY text)
@@ -1265,7 +1271,34 @@ object SparkEntry {
               | CAST(sum(len(${sqlTokens("f.text")})) AS BIGINT) AS n_tokens,
               | round(avg(quality), 4) AS avg_quality
               |FROM f JOIN d ON f.doc_id = d.keep
-              |GROUP BY lang ORDER BY lang""".stripMargin))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // per-language token-budget selection — the data-mixing primitive:
+    // greedily keep the highest-quality docs per language until each
+    // language's token budget fills. Deterministic (quality desc,
+    // doc_id asc) → exact cumulative-sum oracle.
+    Q("q74_token_budget", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.tokenBudgetSelect(docs, "lang", "doc_id", "quality", "n_tok",
+          budget = 5000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("quality")), 4).as("min_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+              |  ${sqlQuality("text")} AS quality,
+              |  len(${sqlTokens("text")}) AS n_tok
+              |FROM documents),
+              |c AS (SELECT *, sum(n_tok) OVER (
+              |   PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              | round(min(quality), 4) AS min_quality
+              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

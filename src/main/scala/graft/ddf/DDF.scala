@@ -273,6 +273,13 @@ class DDF(val df: DataFrame) {
   def sampleN(n: Int, seed: Long = 42L): DDF =
     wrap(df.orderBy(rand(seed)).limit(n))
 
+  /** stratified sample: per-stratum fractions (engine ext — the
+    * reference has uniform sample only; per-language / per-source
+    * quotas are the training-data version). One scan, no shuffle. */
+  def sampleBy[T](colName: String, fractions: Map[T, Double],
+                  seed: Long = 42L): DDF =
+    wrap(df.stat.sampleBy(colName, fractions, seed))
+
   /** reference: ddf.py :: split / functions/etl/split.py */
   def split(fraction: Double, seed: Long = 42L): (DDF, DDF) = {
     val parts = df.randomSplit(Array(fraction, 1.0 - fraction), seed)

@@ -43,6 +43,18 @@ class DDFSpec extends SparkTestBase {
     assert(people.filter("age != 40").countRows() == 1)
   }
 
+  test("sampleBy is stratified: fraction-1 strata kept, fraction-0 dropped") {
+    val d = DDF((1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("s", "v"))
+    val r = d.sampleBy("s", Map("a" -> 1.0, "b" -> 0.0)).toDF
+    assert(r.filter($"s" === "b").count() == 0)
+    assert(r.filter($"s" === "a").count() == 50)
+    // seeded: same seed, same rows
+    val x = d.sampleBy("s", Map("a" -> 0.4, "b" -> 0.7), seed = 7L).toDF
+    val y = d.sampleBy("s", Map("a" -> 0.4, "b" -> 0.7), seed = 7L).toDF
+    assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0)
+  }
+
   test("pandas-eval dialect: ** power and python ternary") {
     val d = DDF(Seq((1, 2.0), (2, 3.0)).toDF("id", "v"))
     val p = d.selectExpression(

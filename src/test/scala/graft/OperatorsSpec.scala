@@ -46,4 +46,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(z.count() == 10)
     assert(z.filter($"v" =!= $"id" * 2).count() == 0)
   }
+
+  test("token budget keeps the quality-ranked prefix per stratum") {
+    val d = Seq(
+      ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 50L), ("en", 3L, 0.7, 30L),
+      ("fr", 4L, 0.5, 100L), ("fr", 5L, 0.9, 60L))
+      .toDF("lang", "id", "q", "tok")
+    val r = graft.operators.Budget
+      .tokenBudgetSelect(d, "lang", "id", "q", "tok", budget = 100L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // en: 40+50=90 fits, +30 would exceed -> {1,2}; fr: 60 fits,
+    // +100 would exceed -> {5}
+    assert(r == Set(1L, 2L, 5L))
+    // budget smaller than the best doc -> empty stratum, no crash
+    assert(graft.operators.Budget
+      .tokenBudgetSelect(d, "lang", "id", "q", "tok", budget = 10L)
+      .count() == 0)
+  }
 }
