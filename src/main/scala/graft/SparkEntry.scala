@@ -1273,6 +1273,31 @@ object SparkEntry {
               |FROM f JOIN d ON f.doc_id = d.keep
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // repetition filtering (Gopher-style) + within-doc line dedup
+    // (C4-style): both pure column math, both replicated exactly in
+    // SQL. The repetition ratio counts repeated word 3-grams; line
+    // dedup keeps first occurrences in order.
+    Q("q75_text_repetition", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.repetitionRatio(col("text"), 3), 6).as("rep3"),
+          length(TF.lineDedup(col("text"))).as("dedup_len"),
+          length(col("text")).as("raw_len"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |  ${sqlTokens("text")} AS tk FROM documents),
+              |s AS (SELECT doc_id, text, greatest(len(tk) - 2, 0) AS total,
+              |  len(list_distinct(list_transform(
+              |    range(1, greatest(len(tk) - 1, 1)),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS dist
+              | FROM t)
+              |SELECT doc_id,
+              | round(CASE WHEN total <= 0 THEN 0.0
+              |   ELSE 1.0 - CAST(dist AS DOUBLE) / total END, 6) AS rep3,
+              | CAST(length(array_to_string(list_distinct(string_split(text, chr(10))), chr(10))) AS INT) AS dedup_len,
+              | CAST(length(text) AS INT) AS raw_len
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
     // per-language token-budget selection — the data-mixing primitive:
     // greedily keep the highest-quality docs per language until each
     // language's token budget fills. Deterministic (quality desc,

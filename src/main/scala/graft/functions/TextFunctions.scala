@@ -149,6 +149,22 @@ object TextFunctions {
   def langId(text: Column): Column =
     sort_array(langScores(text)).getItem(0).getField("lang")
 
+  /** within-document line dedup (C4-style rule): keep each distinct
+    * line's first occurrence, preserving order. Pure column math. */
+  def lineDedup(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /** n-gram repetition ratio (Gopher-style rule): fraction of word
+    * n-gram occurrences that are repeats of an earlier n-gram —
+    * 1 - distinct/total, 0 for docs shorter than n tokens. High
+    * values flag boilerplate/spam for quality filtering. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(wordShingles(text, n)).cast("double")
+        / total.cast("double"))
+  }
+
   // ===== MinHash =========================================================
 
   /** k independent MinHash values over a shingle array.

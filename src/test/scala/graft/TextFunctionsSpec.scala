@@ -148,4 +148,19 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.simhashChunks($"s", 4)).head().getSeq[org.apache.spark.sql.Row](0)
     assert(chunks.map(_.getLong(1)) == Seq(0xcdefL, 0x89abL, 0x4567L, 0x0123L))
   }
+
+  test("repetitionRatio and lineDedup (Gopher/C4-style rules)") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),      // 7 3-gram slots, 3 distinct
+      (2L, "one two three four"),     // no repeats
+      (3L, "x y"),                    // shorter than n -> 0
+      (4L, "l1\nl2\nl1\nl3")).toDF("id", "text")
+    val rep = d.select($"id", TF.repetitionRatio($"text", 3)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rep(1L) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(rep(2L) == 0.0 && rep(3L) == 0.0)
+    val ld = d.filter($"id" === 4)
+      .select(TF.lineDedup($"text")).head().getString(0)
+    assert(ld == "l1\nl2\nl3")
+  }
 }
