@@ -1134,6 +1134,28 @@ object SparkEntry {
              | AND b.ts <= a.ts + INTERVAL 30 MINUTE
              |ORDER BY l_id, r_id""".stripMargin)),
 
+    // gap-merged session windows (native session_window); the oracle
+    // is the classic gaps-and-islands SQL: a session breaks exactly
+    // when the gap to the previous event reaches 30 minutes
+    // (session_window's end bound is exclusive, hence >=).
+    Q("q76_session_window", (s, dir) =>
+      EventStream.sessionWindowAgg(events(s, dir), "user_id", "30 minutes")
+        .select(col("s_start").cast("timestamp_ntz").as("s_start"),
+          col("user_id"), col("n"), round(col("sv"), 2).as("sv"))
+        .orderBy(col("user_id"), col("s_start")),
+      Some("""WITH m AS (SELECT user_id, ts, value,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |   THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |i AS (SELECT *, sum(brk) OVER (
+             |   PARTITION BY user_id ORDER BY ts
+             |   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT CAST(min(ts) AS TIMESTAMP) AS s_start, user_id,
+             | count(*) AS n, round(sum(value), 2) AS sv
+             |FROM i GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // ===== §2.3-ext as-of join ==========================================
 
     // enrich every event with its user's most recent signup at-or-

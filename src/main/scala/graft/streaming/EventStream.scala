@@ -45,6 +45,18 @@ object EventStream {
         col("n"), col("sv"))
   }
 
+  /** session-window aggregation (native `session_window`, gap-merged
+    * event-time sessions). Works identically on a stream (state
+    * bounded by the watermark) and on a batch DataFrame (withWatermark
+    * is a no-op there) — one definition, both engines. */
+  def sessionWindowAgg(events: DataFrame, keyCol: String = "user_id",
+                       gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("w.start").as("s_start"), col(keyCol), col("n"), col("sv"))
+
   /** streaming exact dedup: state bounded by the event-time watermark
     * (the streaming face of Dedup.exact for continuous ingestion). */
   def dedupStream(events: DataFrame, keys: Seq[String],

@@ -80,6 +80,19 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(want.exceptAll(gotPairs).count() == 0)
   }
 
+  test("session windows: stream equals batch (same definition)") {
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.sessionWindowAgg(stream, "user_id", "30 minutes"),
+      "session_win", OutputMode.Complete())
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val want = EventStream.sessionWindowAgg(batch, "user_id", "30 minutes")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()
