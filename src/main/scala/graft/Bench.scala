@@ -35,6 +35,11 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     catch { case _: Throwable => }
+    // also drop a copy in the repo so the artifact is readable even if
+    // the driver's stdout parse truncates (committed per round)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"), json)
+    catch { case _: Throwable => }
     spark.stop()
     // final line of the process, after Spark's shutdown logging
     println(json)

@@ -774,15 +774,26 @@ object SparkEntry {
              |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ANN is approximate by design (no SQL oracle), so the query
+    // output IS the quality metric: recall of IVF top-k vs the exact
+    // brute-force top-k, one numeric row the driver gate can read.
+    // The spec floor (recall >= 0.5, SimilaritySpec) is asserted in
+    // ScalaTest; this row makes it visible in the correctness dump.
     Q("q50_similarity_ivf", (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").as("rnk"))
-        .orderBy(col("query_id"), col("rnk"))
+      val q = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(5).as("k"), lit(10).as("n_queries"), col("hits"),
+          round(col("hits") / (5 * 10.0), 4).as("recall"))
     },
-      None), // ANN recall vs brute force pinned in ScalaTest
+      None), // approximate op: the emitted recall is the gate signal
 
     // The embeddings table has no planted near-duplicates (pairwise
     // cosine tops out ~0.6 — random tail), so the dedup fixture plants
@@ -1330,6 +1341,34 @@ object SparkEntry {
         .withColumn("n_tok", TF.tokenCount(col("text")))
       Budget.tokenBudgetSelect(docs, "lang", "doc_id", "quality", "n_tok",
           budget = 5000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("quality")), 4).as("min_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+              |  ${sqlQuality("text")} AS quality,
+              |  len(${sqlTokens("text")}) AS n_tok
+              |FROM documents),
+              |c AS (SELECT *, sum(n_tok) OVER (
+              |   PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              | round(min(quality), 4) AS min_quality
+              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // the SCALABLE token-budget path (sampled score cutoff → exact
+    // window on the candidate prefix only — Budget.scala scaladoc for
+    // the proof sketch): provably the SAME selection as q74's exact
+    // window, so it shares q74's SQL oracle verbatim — the oracle
+    // match IS the equivalence gate.
+    Q("q77_token_budget_threshold", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.tokenBudgetSelectThreshold(docs, "lang", "doc_id", "quality",
+          "n_tok", budget = 5000L)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           round(min(col("quality")), 4).as("min_quality"))

@@ -83,9 +83,15 @@ class DDF(val df: DataFrame) {
     * VALUE mode is a narrow transform; MEAN / MEDIAN / MODE need one
     * global aggregation job first (same shape as the reference's
     * stats-then-fill two-phase plan), then a narrow fill.
+    *
+    * `approxMedian`: MEDIAN's exact `median()` is a sort-based
+    * aggregate — correct, and the oracle mode, but at 100 TB the scale
+    * option is `approx_percentile` (t-digest sketch, one streaming
+    * pass, no sort): set approxMedian = true to use it. Same plan
+    * shape, bounded-error fill value (both modes spec-pinned).
     */
   def fillna(cols: Seq[String], how: FillMode = FillWithValue,
-             value: Any = null): DDF = how match {
+             value: Any = null, approxMedian: Boolean = false): DDF = how match {
     case FillWithValue =>
       wrap(value match {
         case s: String  => df.na.fill(s, cols)
@@ -98,7 +104,13 @@ class DDF(val df: DataFrame) {
     case statMode =>
       val aggFor: String => Column = statMode match {
         case FillWithMean   => c => avg(col(c))
-        case FillWithMedian => c => median(col(c))  // exact, single agg
+        case FillWithMedian =>
+          // cast to double either way: median() returns double, and
+          // approx_percentile would otherwise keep the input type —
+          // the fill upcast must not depend on the mode
+          if (approxMedian)
+            c => approx_percentile(col(c).cast("double"), lit(0.5), lit(10000))
+          else c => median(col(c))  // exact, single agg
         case _              => c => mode(col(c))
       }
       val statsRow = df.agg(aggFor(cols.head).as(cols.head),
@@ -422,26 +434,63 @@ object DDF {
     * select_expression (reference functions/etl/select.py evaluates
     * pandas `eval` strings):
     *  - `a ** b` → power(a, b), for identifier / literal /
-    *    parenthesized operands (applied repeatedly, right-to-left so
-    *    chains like a ** b ** c associate as pandas does)
+    *    parenthesized operands. Rewrites the RIGHTMOST `**` of each
+    *    chain first (a negative lookahead bars a right operand that is
+    *    itself followed by `**`), so `a ** b ** c` associates
+    *    right-to-left — power(a, power(b, c)) — exactly as Python/
+    *    pandas `eval` does (2**3**2 = 512, not 64).
     *  - top-level `X if C else Y` → if((C), (X), (Y))
-    * Anything already valid Catalyst SQL passes through unchanged. */
+    * Single-quoted string literals are masked before either rewrite
+    * runs and restored after, so `**` or ` if ... else ` INSIDE a
+    * literal is never touched. Anything already valid Catalyst SQL
+    * passes through unchanged. */
   private[ddf] def translateExpr(e: String): String = {
-    val operand = "(\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
-    val pow = (operand + "\\s*\\*\\*\\s*" + operand).r
-    var cur = e
+    // mask '...' literals ('' escapes split into adjacent literals,
+    // which mask/restore handles transparently). The placeholder is a
+    // plain identifier so the pow-operand regex treats it atomically.
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = "'[^']*'".r.replaceAllIn(e, m => {
+      lits += m.matched
+      java.util.regex.Matcher.quoteReplacement(s"__graft_str_${lits.size - 1}__")
+    })
+    val operand = "(?:\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
+    // match a whole ** chain and fold it right-associatively in one
+    // replacement (a ** b ** c → power(a, power(b, c))); the fixpoint
+    // loop then reaches chains nested inside parenthesized operands.
+    val pow = (operand + "(?:\\s*\\*\\*\\s*" + operand + ")+").r
+    var cur = masked
     var prev = ""
     while (cur != prev) {
       prev = cur
       cur = pow.replaceAllIn(cur,
-        m => java.util.regex.Matcher.quoteReplacement(
-          s"power(${m.group(1)}, ${m.group(2)})"))
+        m => java.util.regex.Matcher.quoteReplacement(foldPowChain(m.matched)))
     }
     val ternary = "^(.*?)\\s+if\\s+(.+?)\\s+else\\s+(.+)$".r
-    cur match {
+    val out = cur match {
       case ternary(x, c, y) => s"if(($c), ($x), ($y))"
       case other            => other
     }
+    "__graft_str_([0-9]+)__".r.replaceAllIn(out,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+  }
+
+  /** split a matched `a ** b ** c` chain on its TOP-LEVEL `**`s (depth
+    * tracking skips any `**` inside a parenthesized operand) and fold
+    * right-associatively: power(a, power(b, c)) — Python semantics. */
+  private def foldPowChain(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '*' if depth == 0 && i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          parts += s.substring(start, i).trim; i += 2; start = i
+        case _ => i += 1
+      }
+    }
+    parts += s.substring(start).trim
+    parts.reduceRight((a, b) => s"power($a, $b)")
   }
 
   private[ddf] def translateJoinMode(m: String): String =

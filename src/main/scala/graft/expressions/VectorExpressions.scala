@@ -232,7 +232,10 @@ object VectorExpressions {
   case class HyperplaneCodes(child: Expression, nTables: Int,
                              bitsPerTable: Int, dim: Int, seed: Long)
       extends UnaryExpression {
-    require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 56,
+    require(nTables >= 1 && nTables <= 256,
+      "nTables must be in [1, 256] (table id is the 8 high bits of the " +
+        "packed code; more tables would wrap mod 2^64 and alias buckets)")
+    require(bitsPerTable >= 1 && bitsPerTable <= 56,
       "bitsPerTable must be in [1, 56] (table id lives in the high bits)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     @transient private lazy val planes: Array[Double] = {

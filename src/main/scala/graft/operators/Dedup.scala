@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -118,13 +119,14 @@ object Dedup {
   }
 
   /** full MinHash dedup: pairs → connected components (min-id label
-    * propagation) → keep each component's min id. Iterative DataFrame
-    * joins with localCheckpoint to cut lineage (GraphFrames CC
-    * pattern); converges in O(log(component diameter)) rounds. */
+    * propagation with pointer jumping) → keep each component's min
+    * id. Iterative DataFrame joins with localCheckpoint to cut
+    * lineage (GraphFrames CC pattern); runs until converged —
+    * O(log(component diameter)) rounds. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, threshold: Double = 0.8,
-                   maxIter: Int = 10): DataFrame = {
+                   maxIter: Int = 50): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
       shingleLen, threshold).select(col("id_a"), col("id_b"))
     val reps = connectedComponentMinLabel(pairs, maxIter)
@@ -137,26 +139,39 @@ object Dedup {
     *
     * Adaptive execution, same spirit as Spark's broadcast-join
     * cutover: when the (deduplicated) edge list is below
-    * `driverThreshold` edges it is provably driver-resolvable — a
-    * single collect + union-find replaces O(diameter) iterative join
-    * jobs whose per-job overhead dominates on small component graphs.
-    * Above the threshold the distributed min-label loop runs, with
-    * the convergence flag computed inside the update (no extra join
-    * per round) and localCheckpoint lineage cuts. Near-dup component
-    * graphs are SMALL relative to the corpus (only docs with a
-    * near-dup partner appear), so the driver path is the common case
-    * even at 100 TB corpus scale; the threshold bounds driver memory
-    * to ~16 MB of longs either way. */
+    * `driverThreshold` edges AND the id type is integral (the
+    * union-find keys on longs — string ids would NPE and fractional
+    * ids would silently merge distinct vertices), it is provably
+    * driver-resolvable — a single collect + union-find replaces the
+    * iterative join jobs whose per-job overhead dominates on small
+    * component graphs. The driver result is cast back to the input id
+    * type so both paths produce the same schema. Otherwise the
+    * distributed loop runs: neighbor-min propagation PLUS a pointer-
+    * jumping shortcut (rep := min(rep, rep(rep)) each round), which
+    * halves label-tree depth per round — O(log diameter) rounds, with
+    * localCheckpoint lineage cuts. The loop runs UNTIL CONVERGED;
+    * `maxIter` is only a runaway bound and exceeding it THROWS rather
+    * than silently returning half-merged components. Near-dup
+    * component graphs are SMALL relative to the corpus (only docs
+    * with a near-dup partner appear), so the driver path is the
+    * common case even at 100 TB corpus scale; the threshold bounds
+    * driver memory to ~16 MB of longs either way. */
   def connectedComponentMinLabel(pairs: DataFrame,
-                                 maxIter: Int = 10,
+                                 maxIter: Int = 50,
                                  driverThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    val idType = edges.schema("src").dataType
+    val integralIds = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
     val nEdges = edges.count()
-    if (nEdges <= driverThreshold) {
-      // driver union-find with path compression (ids widened to long)
+    if (integralIds && nEdges <= driverThreshold) {
+      // driver union-find with path compression (ids widened to long,
+      // exact for integral types; result cast back to the input type)
       import scala.collection.mutable
       val parent = mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -178,21 +193,36 @@ object Dedup {
       es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
         .map((id: Long) => (id, find(id)))
         .toDF("id", "rep")
+        .select(col("id").cast(idType).as("id"),
+          col("rep").cast(idType).as("rep"))
     } else {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("rep", col("id"))
       var converged = false
       var i = 0
-      while (!converged && i < maxIter) {
+      while (!converged) {
+        if (i >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponentMinLabel did not converge in $maxIter " +
+              "rounds — with pointer jumping that needs component " +
+              s"diameter > 2^$maxIter; raise maxIter")
         val nbrMin = edges.join(labels,
             edges("dst") === labels("id"))
           .groupBy(edges("src").as("id"))
           .agg(min(col("rep")).as("nbr_rep"))
         // carry the previous rep through the update so convergence is
         // one filter on the checkpointed result, not a second join
-        val updated = labels.join(nbrMin, Seq("id"), "left")
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("rep").as("old"),
             least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+          .localCheckpoint()
+        // pointer jumping: follow rep one hop through the new mapping
+        // (reps are themselves vertex ids, so the lookup always
+        // resolves); label-tree depth halves each round → O(log d)
+        val hop = stepped.select(col("id").as("mid"), col("rep").as("mrep"))
+        val updated = stepped.join(hop, col("rep") === col("mid"), "left")
+          .select(col("id"), col("old"),
+            least(col("rep"), coalesce(col("mrep"), col("rep"))).as("rep"))
           .localCheckpoint()
         val changed = updated.filter(col("rep") =!= col("old"))
           .limit(1).count()
@@ -206,21 +236,33 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxDistance.
     * Pigeonhole: split 64 bits into maxDistance+1 chunks; any pair
-    * within distance k must agree on >= 1 chunk. */
+    * within distance k must agree on >= 1 chunk.
+    *
+    * `maxBucketSize`: (chunk, key) buckets larger than this are
+    * skipped during candidate generation — the same skew guard as
+    * minhashPairs/embeddingPairs. A hot 16-bit chunk value (simhash
+    * bits correlate across a boilerplate-heavy corpus) would
+    * otherwise contribute m² mostly-false candidates; a true pair at
+    * distance ≤ k agrees on every chunk its ≤ k differing bits miss
+    * (at least one, usually several), so it still surfaces from the
+    * selective chunks — same recall trade as the LSH band guard. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
+                   maxDistance: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     val sh = Partitioning.spread(df.select(col(idCol).as("id"),
       simhash(col(textCol)).as("sim"))).cache()
     val chunked = sh.select(col("id"),
         explode(simhashChunks(col("sim"), chunks)).as("ck"))
       .select(col("id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val cand = chunked.select(col("chunk"), col("key"), col("id").as("id_a"))
-      .join(chunked.select(col("chunk"), col("key"), col("id").as("id_b")),
-        Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // pairs from a per-bucket collected id array (one hash
+    // aggregation + in-row expansion), not a bucket self-join: no
+    // join-row blowup, and the size guard is a filter on the
+    // aggregated row — identical shape to minhashPairs
+    val cand = pairsFromBuckets(chunked
+      .groupBy(col("chunk"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize)))
     val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
@@ -271,7 +313,10 @@ object Dedup {
     * cap would corrupt the counts, not just drop candidates — so when
     * it is set, pairs are re-verified EXACTLY on their full shingle
     * arrays and only the candidate set is (documentedly) incomplete.
-    * Leave at the default for exactness. */
+    * Leave at the default for exactness. The capped path — the 100 TB
+    * recipe — is gate-executed: DedupSpec "prefix-filter jaccard
+    * pairs == exhaustive all-pairs truth" pins capped == uncapped ==
+    * truth on the documents testdata. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.5,
                         maxTokenBucket: Int = Int.MaxValue): DataFrame = {

@@ -14,21 +14,40 @@ object PageRank {
 
   /** Adaptive execution, same spirit as Spark's broadcast-join
     * cutover (and Dedup.connectedComponentMinLabel): a graph below
-    * `driverThreshold` (deduplicated) edges is provably
-    * driver-resolvable — one collect + a tight local loop replaces
-    * maxIters rounds of join jobs whose per-job overhead dominates on
-    * small graphs. Above the threshold the distributed loop runs
-    * (one shuffle per iteration keyed on dst, lineage cut with
-    * localCheckpoint). Identical recurrence either way; summation
-    * order may differ at ~1 ulp, as between any two executions of a
-    * distributed sum. */
+    * `driverThreshold` (deduplicated) edges whose vertex ids are
+    * INTEGRAL is provably driver-resolvable — one collect + a tight
+    * local loop replaces maxIters rounds of join jobs whose per-job
+    * overhead dominates on small graphs. The local loop indexes
+    * vertices as longs, so string ids (URL-labeled graphs) or
+    * fractional ids take the distributed path instead of NPE-ing /
+    * silently collapsing distinct vertices; the driver result is cast
+    * back to the input id type so both paths agree on schema. Above
+    * the threshold the distributed loop runs (one shuffle per
+    * iteration keyed on dst, lineage cut with localCheckpoint).
+    * Identical recurrence either way; summation order may differ at
+    * ~1 ulp, as between any two executions of a distributed sum. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
           damping: Double = 0.85, maxIters: Int = 10,
           driverThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
-    if (e.count() <= driverThreshold) {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType, DataType}
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    // the output id column is cast back to the WIDER of the two input
+    // types (src ids and dst ids may differ in width)
+    val srcT = e.schema("src").dataType
+    val dstT = e.schema("dst").dataType
+    val idType = if (Seq(srcT, dstT).contains(LongType)) LongType
+                 else if (Seq(srcT, dstT).contains(IntegerType)) IntegerType
+                 else if (Seq(srcT, dstT).contains(ShortType)) ShortType
+                 else srcT
+    val integralIds = integral(srcT) && integral(dstT)
+    if (integralIds && e.count() <= driverThreshold) {
       import spark.implicits._
       val es = e.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -49,6 +68,7 @@ object PageRank {
         it += 1
       }
       return verts.zip(rank).toSeq.toDF("id", "rank")
+        .select(col("id").cast(idType).as("id"), col("rank"))
     }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()

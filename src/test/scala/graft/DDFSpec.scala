@@ -67,6 +67,23 @@ class DDFSpec extends SparkTestBase {
     assert(d.filter("v ** 2 > 5").countRows() == 1)
   }
 
+  test("pandas-eval dialect: ** is right-associative, literals masked") {
+    val d = DDF(Seq((1, 2.0)).toDF("id", "v"))
+    // python: 2 ** 3 ** 2 == 2 ** (3 ** 2) == 512, not (2**3)**2 == 64
+    val r = d.selectExpression("p = v ** 3 ** 2").toDF
+    assert(r.head().getDouble(2) == 512.0)
+    // 4-deep chain folds right-to-left too: 2^(2^(2^2)) = 2^16
+    val r4 = d.selectExpression("p = v ** v ** v ** v").toDF
+    assert(r4.head().getDouble(2) == 65536.0)
+    // parenthesized left still overrides: (2**3)**2 = 64
+    val rp = d.selectExpression("p = (v ** 3) ** 2").toDF
+    assert(rp.head().getDouble(2) == 64.0)
+    // '**' or ' if ... else ' INSIDE a string literal is untouched
+    val s = DDF(Seq((1, "a ** b")).toDF("id", "t"))
+    assert(s.filter("t == 'a ** b'").countRows() == 1)
+    assert(s.filter("t == 'x if y else z'").countRows() == 0)
+  }
+
   test("fillna VALUE / MEAN / MEDIAN / MODE") {
     val v = people.fillna(Seq("age"), FillWithValue, 0L)
     assert(v.toDF.agg(sum($"age")).head().getLong(0) == 100L)
@@ -76,6 +93,10 @@ class DDFSpec extends SparkTestBase {
     assert(math.abs(got - 100.0 / 3) < 1e-9)
     val med = people.fillna(Seq("age"), FillWithMedian)
     assert(med.toDF.filter($"id" === 2).select($"age").head().getDouble(0) == 40.0)
+    // the 100 TB option: approx_percentile sketch instead of the
+    // sort-based exact median — same fill on this data
+    val medA = people.fillna(Seq("age"), FillWithMedian, approxMedian = true)
+    assert(medA.toDF.filter($"id" === 2).select($"age").head().getDouble(0) == 40.0)
     val mode = people.fillna(Seq("city"), FillWithMode)
     val filled = mode.toDF.filter($"id" === 3).select($"city").head().getString(0)
     assert(Set("rio", "oslo").contains(filled)) // bimodal: either is valid

@@ -75,6 +75,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: long chain (diameter >> 10) converges") {
+    // a 40-hop path: the pre-fix loop stopped silently at maxIter=10
+    // with half-merged labels; pointer jumping must converge in
+    // O(log 40) rounds on the forced-distributed path
+    val edges = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentMinLabel(edges, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 41 && cc.values.forall(_ == 1L), s"bad labels: $cc")
+  }
+
+  test("connected components: string ids take the distributed path") {
+    // the driver union-find keys on longs — string ids must route to
+    // the min-label loop (not NPE) and label by lexicographic min
+    val edges = Seq(("url_b", "url_a"), ("url_b", "url_c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentMinLabel(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("url_a") == "url_a" && cc("url_b") == "url_a" &&
+      cc("url_c") == "url_a" && cc("x") == "x" && cc("y") == "x", s"$cc")
+  }
+
+  test("simhash pairs: bucket cap drops candidates, never corrupts") {
+    val all = Dedup.simhashPairs(corpus, "doc_id", "text", maxDistance = 3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxDistance = 3, maxBucketSize = 40)
+      .cache()
+    val cappedSet = capped.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped candidates ⊆ uncapped, and every survivor still verifies
+    assert(cappedSet.subsetOf(all), s"extra: ${cappedSet -- all}")
+    assert(capped.filter($"hamming" > 3).count() == 0)
+  }
+
   test("jaccard blocked pairs respect the blocking column") {
     val d = Seq(
       (1L, "a b c d e", "blk1"), (2L, "a b c d e", "blk1"),

@@ -63,4 +63,31 @@ class OperatorsSpec extends SparkTestBase {
       .tokenBudgetSelect(d, "lang", "id", "q", "tok", budget = 10L)
       .count() == 0)
   }
+
+  test("threshold token budget == exact window selection") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("quality", TF.qualityScore($"text"))
+      .withColumn("n_tok", TF.tokenCount($"text"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    for (budget <- Seq(500L, 5000L, 50000L)) {
+      val exact = ids(graft.operators.Budget.tokenBudgetSelect(
+        docs, "lang", "doc_id", "quality", "n_tok", budget))
+      val thr = ids(graft.operators.Budget.tokenBudgetSelectThreshold(
+        docs, "lang", "doc_id", "quality", "n_tok", budget))
+      assert(thr == exact, s"budget=$budget: " +
+        s"missing=${exact -- thr} extra=${thr -- exact}")
+    }
+    // micro fixture: sample is empty at fraction 0.1 → whole-stratum
+    // candidates → safety check falls through to the exact window
+    val d = Seq(
+      ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 50L), ("en", 3L, 0.7, 30L),
+      ("fr", 4L, 0.5, 100L), ("fr", 5L, 0.9, 60L))
+      .toDF("lang", "id", "q", "tok")
+    val r = graft.operators.Budget
+      .tokenBudgetSelectThreshold(d, "lang", "id", "q", "tok", budget = 100L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(r == Set(1L, 2L, 5L))
+  }
 }
