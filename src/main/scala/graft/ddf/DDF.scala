@@ -46,6 +46,11 @@ class DDF(val df: DataFrame) {
     })
   }
 
+  /** pandas `eval(expr, local_dict=...)`: `@name` references resolve
+    * from `params` and inline as SQL literals. */
+  def selectExpression(exprs: Seq[String], params: Map[String, Any]): DDF =
+    selectExpression(exprs.map(DDF.substituteParams(_, params)): _*)
+
   /** reference: ddf.py :: drop / functions/etl/drop.py */
   def drop(cols: Seq[String]): DDF = wrap(df.drop(cols: _*))
 
@@ -73,6 +78,11 @@ class DDF(val df: DataFrame) {
     */
   def filter(predicate: String): DDF =
     wrap(df.filter(expr(translateQuery(predicate))))
+  /** pandas `query(expr, local_dict=...)`: `@name` references resolve
+    * from `params` and inline as SQL literals. */
+  def filter(predicate: String, params: Map[String, Any]): DDF =
+    wrap(df.filter(expr(translateQuery(
+      DDF.substituteParams(predicate, params)))))
   def filter(predicate: Column): DDF = wrap(df.filter(predicate))
 
   /** reference: ddf.py :: replace / functions/etl/replace_values.py */
@@ -424,11 +434,16 @@ object DDF {
       case other                  => DataType.fromDDL(other)
     }
 
-  /** pandas-`query` dialect → Catalyst SQL (SURVEY.md §2.2 filter). */
-  private[ddf] def translateQuery(q: String): String = translateExpr(q
-    .replaceAll("(?<![&|])&(?![&|])", " AND ")
-    .replaceAll("(?<![&|])\\|(?![&|])", " OR ")
-    .replaceAll("~\\s*\\(", " NOT ("))
+  /** pandas-`query` dialect → Catalyst SQL (SURVEY.md §2.2 filter).
+    * The `&`/`|`/`~` rewrites run with string literals masked, so an
+    * ampersand inside a quoted value is never rewritten. */
+  private[ddf] def translateQuery(q: String): String = {
+    val (masked, lits) = maskLiterals(q)
+    translateExpr(restoreLiterals(masked
+      .replaceAll("(?<![&|])&(?![&|])", " AND ")
+      .replaceAll("(?<![&|])\\|(?![&|])", " OR ")
+      .replaceAll("~\\s*\\(", " NOT ("), lits))
+  }
 
   /** pandas-eval surface → Catalyst SQL, shared by filter-query and
     * select_expression (reference functions/etl/select.py evaluates
@@ -440,19 +455,83 @@ object DDF {
     *    right-to-left — power(a, power(b, c)) — exactly as Python/
     *    pandas `eval` does (2**3**2 = 512, not 64).
     *  - top-level `X if C else Y` → if((C), (X), (Y))
-    * Single-quoted string literals are masked before either rewrite
-    * runs and restored after, so `**` or ` if ... else ` INSIDE a
-    * literal is never touched. Anything already valid Catalyst SQL
-    * passes through unchanged. */
-  private[ddf] def translateExpr(e: String): String = {
-    // mask '...' literals ('' escapes split into adjacent literals,
-    // which mask/restore handles transparently). The placeholder is a
-    // plain identifier so the pow-operand regex treats it atomically.
+    *  - `col.str.<method>(...)` accessors → Spark string functions
+    *    (see [[rewriteStrAccessors]])
+    *  - `@var` references are substituted by the filter/
+    *    selectExpression overloads that take a params map
+    * Single-quoted string literals are masked before any rewrite
+    * runs and restored after, so `**`, ` if ... else `, `.str.` or
+    * `@` INSIDE a literal is never touched. Anything already valid
+    * Catalyst SQL passes through unchanged. */
+  /** mask '...' literals ('' escapes split into adjacent literals,
+    * which mask/restore handles transparently). The placeholder is a
+    * plain identifier so rewrite regexes treat it atomically. */
+  private def maskLiterals(e: String): (String, IndexedSeq[String]) = {
     val lits = scala.collection.mutable.ArrayBuffer.empty[String]
     val masked = "'[^']*'".r.replaceAllIn(e, m => {
       lits += m.matched
       java.util.regex.Matcher.quoteReplacement(s"__graft_str_${lits.size - 1}__")
     })
+    (masked, lits.toIndexedSeq)
+  }
+
+  private def restoreLiterals(e: String, lits: IndexedSeq[String]): String =
+    "__graft_str_([0-9]+)__".r.replaceAllIn(e,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
+  /** a Scala value as a SQL literal (for `@var` substitution) */
+  private[ddf] def sqlLiteral(v: Any): String = v match {
+    case null                  => "NULL"
+    case s: String             => "'" + s.replace("'", "''") + "'"
+    case b: Boolean            => if (b) "true" else "false"
+    case d: java.sql.Date      => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case other                 => other.toString
+  }
+
+  /** pandas-eval `@var` driver-variable references → inline SQL
+    * literals. `@` inside a string literal stays literal text (masked
+    * during substitution), matching pandas. Unknown names throw. */
+  private[ddf] def substituteParams(e: String, params: Map[String, Any]): String = {
+    val (masked, lits) = maskLiterals(e)
+    val sub = "@([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(masked, m =>
+      params.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(sqlLiteral(v))
+        case None => throw new IllegalArgumentException(
+          s"@${m.group(1)} referenced but not provided in params")
+      })
+    restoreLiterals(sub, lits)
+  }
+
+  /** pandas `.str` accessor calls → Spark SQL string functions:
+    * col.str.contains/startswith/endswith(x), col.str.replace(a, b),
+    * col.str.len(), col.str.lower/upper/strip/lstrip/rstrip().
+    * Unknown .str methods are left as-is (clear Catalyst parse error
+    * rather than a silent wrong rewrite). */
+  private def rewriteStrAccessors(e: String): String = {
+    val acc = "([A-Za-z_][A-Za-z0-9_]*)\\.str\\.([a-z]+)\\(([^()]*)\\)".r
+    acc.replaceAllIn(e, m => {
+      val (c, f, args) = (m.group(1), m.group(2), m.group(3).trim)
+      val out = f match {
+        case "contains"   => s"contains($c, $args)"
+        case "startswith" => s"startswith($c, $args)"
+        case "endswith"   => s"endswith($c, $args)"
+        case "replace"    => s"replace($c, $args)"
+        case "len"        => s"length($c)"
+        case "lower"      => s"lower($c)"
+        case "upper"      => s"upper($c)"
+        case "strip"      => s"trim($c)"
+        case "lstrip"     => s"ltrim($c)"
+        case "rstrip"     => s"rtrim($c)"
+        case _            => m.matched
+      }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+  }
+
+  private[ddf] def translateExpr(e: String): String = {
+    val (masked0, lits) = maskLiterals(e)
+    val masked = rewriteStrAccessors(masked0)
     val operand = "(?:\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
     // match a whole ** chain and fold it right-associatively in one
     // replacement (a ** b ** c → power(a, power(b, c))); the fixpoint
@@ -470,8 +549,7 @@ object DDF {
       case ternary(x, c, y) => s"if(($c), ($x), ($y))"
       case other            => other
     }
-    "__graft_str_([0-9]+)__".r.replaceAllIn(out,
-      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+    restoreLiterals(out, lits)
   }
 
   /** split a matched `a ** b ** c` chain on its TOP-LEVEL `**`s (depth

@@ -68,13 +68,18 @@ object Budget {
                                  sampleFraction: Double = 0.1,
                                  margin: Double = 2.0,
                                  seed: Long = 42L): DataFrame = {
-    val totals = df.groupBy(col(strataCol))
+    // the operator runs several passes (totals, sample, candidates,
+    // safety stats, final window) — cache the input so an expensive
+    // upstream (score/token computation over raw text) evaluates once,
+    // not once per pass; released before returning
+    val in = df.cache()
+    val totals = in.groupBy(col(strataCol))
       .agg(sum(col(tokenCol)).as("__tot"), count(lit(1)).as("__cnt"))
       .cache()
     val under = totals.filter(col("__tot") <= budget).select(col(strataCol))
-    val keptWhole = df.join(broadcast(under), Seq(strataCol), "left_semi")
+    val keptWhole = in.join(broadcast(under), Seq(strataCol), "left_semi")
 
-    val over = df.join(broadcast(totals.filter(col("__tot") > budget)
+    val over = in.join(broadcast(totals.filter(col("__tot") > budget)
       .select(col(strataCol))), Seq(strataCol), "left_semi")
 
     // per-stratum cutoff from a sample: scaled cumulative tokens over
@@ -110,7 +115,7 @@ object Budget {
     val trimmed = tokenBudgetSelect(okCand.unionByName(fallback),
       strataCol, idCol, scoreCol, tokenCol, budget)
     val out = keptWhole.unionByName(trimmed).localCheckpoint(true)
-    Seq(totals, ok).foreach(_.unpersist(false))
+    Seq(totals, ok, in).foreach(_.unpersist(false))
     out
   }
 }
