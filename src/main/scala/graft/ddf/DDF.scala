@@ -506,17 +506,36 @@ object DDF {
   /** pandas `.str` accessor calls → Spark SQL string functions:
     * col.str.contains/startswith/endswith(x), col.str.replace(a, b),
     * col.str.len(), col.str.lower/upper/strip/lstrip/rstrip().
-    * Unknown .str methods are left as-is (clear Catalyst parse error
-    * rather than a silent wrong rewrite). */
+    * Regex semantics follow pandas (≥2.0) defaults:
+    *  - `.str.contains(pat)` treats pat as a REGEX (regex=True
+    *    default) → `rlike`, which shares Java-regex unanchored-search
+    *    semantics with pandas' `re.search`;
+    *  - `.str.replace(pat, repl)` treats pat as a LITERAL
+    *    (regex=False default since pandas 2.0) → `replace`;
+    *  - an explicit trailing `regex=True/False` kwarg overrides either
+    *    direction (`contains(p, regex=False)` → literal `contains`,
+    *    `replace(a, b, regex=True)` → `regexp_replace`).
+    * This runs on the literal-masked string, so splitting args on
+    * commas is safe. Unknown .str methods are left as-is (clear
+    * Catalyst parse error rather than a silent wrong rewrite). */
   private def rewriteStrAccessors(e: String): String = {
     val acc = "([A-Za-z_][A-Za-z0-9_]*)\\.str\\.([a-z]+)\\(([^()]*)\\)".r
     acc.replaceAllIn(e, m => {
-      val (c, f, args) = (m.group(1), m.group(2), m.group(3).trim)
+      val (c, f) = (m.group(1), m.group(2))
+      val rawArgs = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
+      val regexKw = rawArgs.lastOption.collect {
+        case "regex=True"  => true
+        case "regex=False" => false
+      }
+      val args = if (regexKw.isDefined) rawArgs.dropRight(1) else rawArgs
+      val a = args.mkString(", ")
       val out = f match {
-        case "contains"   => s"contains($c, $args)"
-        case "startswith" => s"startswith($c, $args)"
-        case "endswith"   => s"endswith($c, $args)"
-        case "replace"    => s"replace($c, $args)"
+        case "contains" if regexKw.getOrElse(true) => s"rlike($c, $a)"
+        case "contains"   => s"contains($c, $a)"
+        case "startswith" => s"startswith($c, $a)"
+        case "endswith"   => s"endswith($c, $a)"
+        case "replace" if regexKw.getOrElse(false) => s"regexp_replace($c, $a)"
+        case "replace"    => s"replace($c, $a)"
         case "len"        => s"length($c)"
         case "lower"      => s"lower($c)"
         case "upper"      => s"upper($c)"

@@ -61,25 +61,38 @@ object Budget {
     *     merely slower for that stratum.
     *
     * Deterministic given `seed`; result set equality with the exact
-    * variant is pinned in OperatorsSpec. */
+    * variant is pinned in OperatorsSpec. Assumes (`strataCol`,
+    * `idCol`) identifies a row — the same assumption the exact
+    * window's deterministic tie-break already makes.
+    *
+    * Materialization strategy (r4, measured in BENCH_NOTES): all
+    * selection machinery runs on a cached NARROW projection —
+    * (strata, id, score, token) — so the score/token computation over
+    * the wide payload evaluates exactly ONCE regardless of how many
+    * sub-passes follow, and the cache is 4 columns even when the input
+    * carries text/binary payloads (at 100 TB of documents the narrow
+    * state is ~1% of input size; caching the full input, as the r3
+    * version did, would not fit). Only the small per-stratum /
+    * per-selected-id outputs are eagerly checkpointed; the wide input
+    * is touched exactly twice, by the two column-pruned semi-joins of
+    * the returned (lazy) plan. */
   def tokenBudgetSelectThreshold(df: DataFrame, strataCol: String,
                                  idCol: String, scoreCol: String,
                                  tokenCol: String, budget: Long,
                                  sampleFraction: Double = 0.1,
                                  margin: Double = 2.0,
                                  seed: Long = 42L): DataFrame = {
-    // the operator runs several passes (totals, sample, candidates,
-    // safety stats, final window) — cache the input so an expensive
-    // upstream (score/token computation over raw text) evaluates once,
-    // not once per pass; released before returning
-    val in = df.cache()
-    val totals = in.groupBy(col(strataCol))
+    val narrow = df.select(col(strataCol), col(idCol), col(scoreCol),
+      col(tokenCol)).cache()
+    val totals = narrow.groupBy(col(strataCol))
       .agg(sum(col(tokenCol)).as("__tot"), count(lit(1)).as("__cnt"))
       .cache()
-    val under = totals.filter(col("__tot") <= budget).select(col(strataCol))
-    val keptWhole = in.join(broadcast(under), Seq(strataCol), "left_semi")
-
-    val over = in.join(broadcast(totals.filter(col("__tot") > budget)
+    // under-budget strata are kept whole — one output row per stratum,
+    // eagerly checkpointed (strata are languages/sources/domains:
+    // bounded small) so the returned plan references no cache
+    val under = totals.filter(col("__tot") <= budget)
+      .select(col(strataCol)).localCheckpoint(true)
+    val over = narrow.join(broadcast(totals.filter(col("__tot") > budget)
       .select(col(strataCol))), Seq(strataCol), "left_semi")
 
     // per-stratum cutoff from a sample: scaled cumulative tokens over
@@ -97,7 +110,9 @@ object Budget {
 
     // candidate prefix = all rows at-or-above the cutoff (score ties
     // included, so candidates form an order-prefix); a stratum whose
-    // sample produced no cutoff rows keeps all rows as candidates
+    // sample produced no cutoff rows keeps all rows as candidates.
+    // Reads the narrow cache twice (safety stats + final window) —
+    // cheap; not separately cached.
     val cand = over.join(broadcast(cutoffs), Seq(strataCol), "left")
       .filter(col("__cutoff").isNull || col(scoreCol) >= col("__cutoff"))
       .drop("__cutoff")
@@ -108,14 +123,22 @@ object Budget {
       .agg(sum(col(tokenCol)).as("__ctot"), count(lit(1)).as("__ccnt"))
     val ok = candStats.join(totals, Seq(strataCol))
       .filter(col("__ctot") >= budget || col("__ccnt") === col("__cnt"))
-      .select(col(strataCol)).cache()
+      .select(col(strataCol))
     val okCand = cand.join(broadcast(ok), Seq(strataCol), "left_semi")
     val fallback = over.join(broadcast(ok), Seq(strataCol), "left_anti")
 
-    val trimmed = tokenBudgetSelect(okCand.unionByName(fallback),
+    // exact trim on candidates only, then keep just the selected keys:
+    // ≤ budget tokens' worth of (strata, id) rows per over-budget
+    // stratum, eagerly checkpointed while the narrow cache is alive
+    val trimmedIds = tokenBudgetSelect(okCand.unionByName(fallback),
       strataCol, idCol, scoreCol, tokenCol, budget)
-    val out = keptWhole.unionByName(trimmed).localCheckpoint(true)
-    Seq(totals, ok, in).foreach(_.unpersist(false))
-    out
+      .select(col(strataCol), col(idCol)).localCheckpoint(true)
+    Seq(totals, narrow).foreach(_.unpersist(false))
+
+    // the wide input appears only here: two semi-joins against the
+    // checkpointed key sets (AQE broadcasts them when small). The
+    // union branches are disjoint by construction (under/over split).
+    df.join(broadcast(under), Seq(strataCol), "left_semi")
+      .unionByName(df.join(trimmedIds, Seq(strataCol, idCol), "left_semi"))
   }
 }

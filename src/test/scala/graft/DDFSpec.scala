@@ -84,6 +84,37 @@ class DDFSpec extends SparkTestBase {
     assert(s.filter("t == 'x if y else z'").countRows() == 0)
   }
 
+  test(".str accessors: contains is regex by default, replace literal") {
+    // pandas .str.contains(pat) defaults to regex=True → 'a|b' is an
+    // ALTERNATION (ann/bob/cat/dan match), not the 3-char literal
+    assert(people.filter("name.str.contains('a|b')").countRows() == 4)
+    assert(
+      people.filter("name.str.contains('a|b', regex=False)").countRows() == 0)
+    assert(people.filter("name.str.contains('^a')").countRows() == 1)
+    // .str.replace defaults to regex=False (pandas >= 2.0): literal
+    val lit = people.selectExpression("x = name.str.replace('a|b', 'Z')")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0)
+    assert(lit == "ann")
+    val re = people
+      .selectExpression("x = name.str.replace('a|b', 'Z', regex=True)")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0)
+    assert(re == "Znn")
+    // startswith stays literal; len composes in predicates
+    assert(people.filter("name.str.startswith('a')").countRows() == 1)
+    assert(people.filter("name.str.len() == 3").countRows() == 5)
+  }
+
+  test("pandas-eval dialect: @var params inline as SQL literals") {
+    val r = people.filter("age == @target and city == @town",
+      Map("target" -> 40, "town" -> "oslo"))
+    assert(r.countRows() == 1)
+    // '@' inside a string literal is untouched; unknown @name throws
+    assert(people.filter("city != '@town'").countRows() == 4)
+    intercept[IllegalArgumentException] {
+      people.filter("age == @missing", Map.empty)
+    }
+  }
+
   test("fillna VALUE / MEAN / MEDIAN / MODE") {
     val v = people.fillna(Seq("age"), FillWithValue, 0L)
     assert(v.toDF.agg(sum($"age")).head().getLong(0) == 100L)
