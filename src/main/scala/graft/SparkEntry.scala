@@ -790,10 +790,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .select(lit(5).as("k"), lit(10).as("n_queries"), col("hits"),
+        .select(lit(5).as("k"), lit(10).as("n_queries"),
+          lit(8).as("n_centroids"), lit(3).as("n_probe"), col("hits"),
           round(col("hits") / (5 * 10.0), 4).as("recall"))
     },
-      None), // approximate op: the emitted recall is the gate signal
+      None), // approximate op: the emitted recall is the gate signal;
+             // (n_centroids, n_probe) make the operating point
+             // self-describing — see Similarity.ivfTopK sizing notes
 
     // The embeddings table has no planted near-duplicates (pairwise
     // cosine tops out ~0.6 — random tail), so the dedup fixture plants

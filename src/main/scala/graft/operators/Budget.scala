@@ -99,14 +99,34 @@ object Budget {
     // the sample's (score desc, id asc) window; the cutoff is the
     // LOWEST score whose scaled cumsum stays under margin*budget —
     // i.e. everything above it is (estimated) within the margin.
+    // The rank floor guards the small-budget regime: when margin*budget
+    // is less than ONE sampled row's scaled representation
+    // (token/sampleFraction), the cumsum filter alone would pass no
+    // rows, yield a null cutoff, and silently demote the stratum to
+    // "all rows are candidates" — i.e. the full-stratum window the
+    // threshold path exists to avoid (found by the r4 mega-stratum
+    // smoke: 50 s vs 5.4 s exact at 256×). Keeping the top
+    // `minSampleRows` sampled rows regardless bounds candidates at
+    // ~minSampleRows/sampleFraction population rows; the safety check
+    // below still verifies coverage and falls back exactly when the
+    // estimate was genuinely short.
+    val minSampleRows = 32
     val sw = Window.partitionBy(col(strataCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
+    // one row per over-budget stratum — eagerly checkpointed, like
+    // every per-stratum aggregate here: left lazy, each one would
+    // re-execute inside every downstream job that broadcasts it (the
+    // r4 profile showed the final trim job re-running the whole
+    // sample-window + safety chain twice through its broadcasts)
     val cutoffs = over.sample(withReplacement = false, sampleFraction, seed)
       .withColumn("__scum",
         sum(col(tokenCol)).over(sw) / lit(sampleFraction))
-      .filter(col("__scum") <= budget * margin)
+      .withColumn("__srank", row_number().over(sw))
+      .filter(col("__scum") <= budget * margin ||
+        col("__srank") <= minSampleRows)
       .groupBy(col(strataCol))
       .agg(min(col(scoreCol)).as("__cutoff"))
+      .localCheckpoint(true)
 
     // candidate prefix = all rows at-or-above the cutoff (score ties
     // included, so candidates form an order-prefix); a stratum whose
@@ -124,6 +144,7 @@ object Budget {
     val ok = candStats.join(totals, Seq(strataCol))
       .filter(col("__ctot") >= budget || col("__ccnt") === col("__cnt"))
       .select(col(strataCol))
+      .localCheckpoint(true)
     val okCand = cand.join(broadcast(ok), Seq(strataCol), "left_semi")
     val fallback = over.join(broadcast(ok), Seq(strataCol), "left_anti")
 

@@ -46,7 +46,22 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: cluster corpus by k-means, probe the
     * nProbe nearest centroids per query. Recall < 1 by design; tested
-    * against bruteForceTopK in the spec. */
+    * against bruteForceTopK in the spec.
+    *
+    * Sizing (the defaults are TESTDATA-scale — 6k vectors in the gate
+    * fixture — not corpus-scale): the standard IVF rule is
+    * `nCentroids ≈ √n` for an n-vector corpus (1B vectors → ~32k
+    * centroids), which balances the two scan costs — each query scores
+    * all nCentroids centroids, then reads `nProbe/nCentroids` of the
+    * corpus. Recall rises roughly linearly in nProbe at small values
+    * (nProbe=1 is fastest and worst; nProbe=nCentroids degenerates to
+    * brute force); start at nProbe ≈ nCentroids/16 and tune against a
+    * brute-force sample exactly the way q50 does — its output row
+    * carries (nCentroids, nProbe, recall) so every gate run documents
+    * the operating point it measured. The quantizer fit stays bounded
+    * by `fitCap` regardless of corpus size (see below); at 100 TB set
+    * `fitFraction ≈ fitCap / n` so the sample is uniform rather than
+    * a prefix. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, seed: Long = 42L,

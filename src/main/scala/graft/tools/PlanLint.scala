@@ -1,15 +1,47 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Engine-wide physical-plan linter: builds (does not execute) every
   * catalog query's initial physical plan and flags scale red-flags —
   * cartesian products, nested-loop joins, parquet scans that read all
-  * columns, filter-bearing scans without pushed filters. Intentional
-  * exceptions are allow-listed with the reason inline. Run:
+  * columns, filter-bearing scans without pushed filters, and (r4)
+  * latency-floor checks: more shuffle exchanges than any sane plan of
+  * ours needs, or a shuffled join whose build side the optimizer
+  * estimates small enough to broadcast. Intentional exceptions are
+  * allow-listed with the reason inline. Run:
   * `sbt "runMain graft.tools.PlanLint"`. Exit code 1 on unexpected
   * findings (used as a local gate before benching). */
 object PlanLint {
+
+  /** shuffle-exchange ceiling: the deepest legitimate plan in the
+    * catalog (multi-stage dedup / ML pipelines) stays under this;
+    * anything above it historically meant an accidental repartition
+    * or a join that lost its broadcast. */
+  private val maxExchanges = 12
+
+  /** a shuffled join side estimated under this is broadcast material
+    * (10k rows of any of our schemas is well under 1 MiB) */
+  private val smallSideBytes = BigInt(1 << 20)
+
+  /** shuffled joins whose min estimated side is broadcast-small */
+  private def smallSideShuffledJoins(p: SparkPlan): Seq[String] = {
+    def stat(c: SparkPlan): Option[BigInt] =
+      c.logicalLink.map(_.stats.sizeInBytes)
+    p.collect {
+      case j: SortMergeJoinExec => ("SortMergeJoin", j.children)
+      case j: ShuffledHashJoinExec => ("ShuffledHashJoin", j.children)
+    }.flatMap { case (kind, kids) =>
+      val sizes = kids.flatMap(stat)
+      // unknown stats → no claim; flag only when the optimizer itself
+      // says a side is broadcast-small and we shuffled anyway
+      sizes.reduceOption(_ min _).filter(_ < smallSideBytes)
+        .map(s => s"$kind(minSide=${s}B)")
+    }
+  }
 
   // queries where a "red flag" node is the intended plan shape
   private val allow: Map[String, String] = Map(
@@ -57,18 +89,24 @@ object PlanLint {
       if (!skip(name)) {
         try {
           val df = fn(spark, dir)
-          val plan = df.queryExecution.executedPlan.toString
+          val physical = df.queryExecution.executedPlan
+          val plan = physical.toString
           mustContain.get(name).foreach { case (needle, why) =>
             if (!plan.contains(needle)) {
               bad += 1
               println(s"[plan-lint] FLAG  $name: $why (missing `$needle`)")
             }
           }
+          val nExchanges = physical.collect {
+            case e: ShuffleExchangeExec => e
+          }.size
+          val smallJoins = smallSideShuffledJoins(physical)
           val flags = Seq(
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             "BroadcastNestedLoopJoin" ->
-              plan.contains("BroadcastNestedLoopJoin")
-          ).collect { case (f, true) => f }
+              plan.contains("BroadcastNestedLoopJoin"),
+            s"exchanges=$nExchanges" -> (nExchanges > maxExchanges)
+          ).collect { case (f, true) => f } ++ smallJoins
           if (flags.nonEmpty) {
             allow.get(name) match {
               case Some(reason) =>

@@ -47,6 +47,57 @@ object ScaleSmoke {
       c.unpersist()
       spark.catalog.clearCache()
     }
+
+    // ---- token-budget mega-stratum: replicate ONE language k× (ids
+    // offset) and union the other languages untouched, so a single
+    // stratum carries ~k× the rows while the strata machinery sees a
+    // realistic mix. The exact path must drag the whole mega-stratum
+    // through ONE window partition; the threshold path windows only
+    // the ~margin×budget candidate prefix. Replication is NARROW —
+    // quality/n_tok are computed once on the real docs, then the
+    // 4-column selection rows are exploded k× — so the smoke reaches
+    // multi-million-row strata (where the window partition actually
+    // binds) without dragging text payloads or a k-way union plan
+    // through every measurement.
+    import graft.functions.{TextFunctions => TF}
+    val narrowDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("n_tok", TF.tokenCount(col("text")))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"))
+      .cache()
+    val topLang = narrowDocs.groupBy(col("lang")).count()
+      .orderBy(col("count").desc).head().getString(0)
+    def megaCorpus(k: Int) = {
+      val one = narrowDocs.filter(col("lang") === topLang)
+      val rest = narrowDocs.filter(col("lang") =!= topLang)
+      one.select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("__r"),
+          col("doc_id"), col("lang"), col("quality"), col("n_tok"))
+        .select((col("doc_id") + col("__r") * lit(10000000L)).as("doc_id"),
+          col("lang"), col("quality"), col("n_tok"))
+        .unionByName(rest)
+        .repartition(cpus.toInt * 2)
+        .cache()
+    }
+    // prescribed 1/4/8 plus larger points: the single-partition window
+    // sort only starts to bind in the millions of rows
+    val budgetScales = (scales ++ Seq(64, 512, 4096)).distinct.sorted
+    budgetScales.foreach { k =>
+      val c = megaCorpus(k)
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("budgetExact")(graft.operators.Budget.tokenBudgetSelect(
+        c, "lang", "doc_id", "quality", "n_tok", budget = 5000L).count())
+      time("budgetThreshold")(graft.operators.Budget
+        .tokenBudgetSelectThreshold(
+          c, "lang", "doc_id", "quality", "n_tok", budget = 5000L).count())
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
