@@ -512,29 +512,53 @@ object DDF {
     *    semantics with pandas' `re.search`;
     *  - `.str.replace(pat, repl)` treats pat as a LITERAL
     *    (regex=False default since pandas 2.0) → `replace`;
-    *  - an explicit trailing `regex=True/False` kwarg overrides either
-    *    direction (`contains(p, regex=False)` → literal `contains`,
-    *    `replace(a, b, regex=True)` → `regexp_replace`).
+    *  - a `regex=True/False` kwarg overrides either direction
+    *    (`contains(p, regex=False)` → literal `contains`,
+    *    `replace(a, b, regex=True)` → `regexp_replace`);
+    *  - `case=False` on contains/startswith/endswith matches
+    *    case-insensitively (`(?i)` for the regex path, lower() both
+    *    sides for the literal paths).
     * This runs on the literal-masked string, so splitting args on
-    * commas is safe. Unknown .str methods are left as-is (clear
-    * Catalyst parse error rather than a silent wrong rewrite). */
+    * commas is safe; one nesting level of parens inside args (function
+    * calls like `concat(a, b)`) is tolerated by the match. Unknown
+    * .str methods are left as-is (clear Catalyst parse error rather
+    * than a silent wrong rewrite). */
   private def rewriteStrAccessors(e: String): String = {
-    val acc = "([A-Za-z_][A-Za-z0-9_]*)\\.str\\.([a-z]+)\\(([^()]*)\\)".r
+    val acc = ("([A-Za-z_][A-Za-z0-9_]*)\\.str\\.([a-z]+)" +
+      "\\(((?:[^()]|\\([^()]*\\))*)\\)").r
     acc.replaceAllIn(e, m => {
       val (c, f) = (m.group(1), m.group(2))
-      val rawArgs = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
-      val regexKw = rawArgs.lastOption.collect {
-        case "regex=True"  => true
-        case "regex=False" => false
+      // split args on TOP-LEVEL commas only (nested calls keep theirs)
+      val rawArgs = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; var start = 0
+        val s = m.group(3)
+        for (i <- 0 until s.length) s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => buf += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        buf += s.substring(start)
+        buf.toSeq.map(_.trim).filter(_.nonEmpty)
       }
-      val args = if (regexKw.isDefined) rawArgs.dropRight(1) else rawArgs
+      val kw = "([a-z]+)=(True|False)".r
+      val kwargs = rawArgs.collect { case kw(k, v) => k -> (v == "True") }.toMap
+      val args = rawArgs.filter { case kw(_, _) => false; case _ => true }
       val a = args.mkString(", ")
+      val regex = kwargs.get("regex")
+      val ci = !kwargs.getOrElse("case", true)
+      def lit1 = args.headOption.getOrElse("")
       val out = f match {
-        case "contains" if regexKw.getOrElse(true) => s"rlike($c, $a)"
-        case "contains"   => s"contains($c, $a)"
-        case "startswith" => s"startswith($c, $a)"
-        case "endswith"   => s"endswith($c, $a)"
-        case "replace" if regexKw.getOrElse(false) => s"regexp_replace($c, $a)"
+        case "contains" if regex.getOrElse(true) =>
+          if (ci) s"rlike($c, concat('(?i)', $a))" else s"rlike($c, $a)"
+        case "contains" =>
+          if (ci) s"contains(lower($c), lower($lit1))" else s"contains($c, $a)"
+        case "startswith" =>
+          if (ci) s"startswith(lower($c), lower($lit1))" else s"startswith($c, $a)"
+        case "endswith" =>
+          if (ci) s"endswith(lower($c), lower($lit1))" else s"endswith($c, $a)"
+        case "replace" if regex.getOrElse(false) => s"regexp_replace($c, $a)"
         case "replace"    => s"replace($c, $a)"
         case "len"        => s"length($c)"
         case "lower"      => s"lower($c)"

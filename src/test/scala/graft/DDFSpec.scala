@@ -102,6 +102,19 @@ class DDFSpec extends SparkTestBase {
     // startswith stays literal; len composes in predicates
     assert(people.filter("name.str.startswith('a')").countRows() == 1)
     assert(people.filter("name.str.len() == 3").countRows() == 5)
+    // case=False: regex and literal paths; kwarg order-insensitive
+    assert(people.filter("name.str.contains('A|B', case=False)")
+      .countRows() == 4)
+    assert(people
+      .filter("name.str.contains('ANN', regex=False, case=False)")
+      .countRows() == 1)
+    assert(people.filter("name.str.startswith('A', case=False)")
+      .countRows() == 1)
+    // nested call in an argument still matches the accessor rewrite
+    val nested = people
+      .selectExpression("x = name.str.replace(concat('a', 'n'), 'Z')")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0)
+    assert(nested == "Zn")
   }
 
   test("pandas-eval dialect: @var params inline as SQL literals") {
