@@ -1387,7 +1387,70 @@ object SparkEntry {
               |SELECT lang, count(*) AS n_docs,
               | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               | round(min(quality), 4) AS min_quality
-              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing >= 2 word-3-grams with
+    // the "eval suite" (every 97th doc) are dropped. Eval-side shingle
+    // set is broadcast; the plan never self-joins the corpus.
+    // reference: none (DRIVER-EXT §2.12 — training-data pipeline op)
+    Q("q78_decontaminate", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+          shingleLen = 3, minOverlap = 2)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM documents WHERE len(${sqlTokens("text")}) >= 3),
+              |ev AS (SELECT DISTINCT unnest(sh) AS tok FROM sh WHERE doc_id % 97 = 0),
+              |hits AS (SELECT s.doc_id, count(*) AS n
+              |  FROM (SELECT doc_id, unnest(sh) AS tok FROM sh) s
+              |  JOIN ev USING (tok) GROUP BY s.doc_id),
+              |bad AS (SELECT doc_id FROM hits WHERE n >= 2)
+              |SELECT lang, count(*) AS n_kept FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // PII redaction: deterministic synthetic PII is appended per doc
+    // (the synthetic corpus contains none), redacted by the shared
+    // regexp_replace chain, and counted by placeholder type. The
+    // oracle replicates the chain verbatim — patterns restricted to
+    // Java-regex ∩ RE2 syntax for exactly this reason.
+    // reference: none (DRIVER-EXT §2.12 — training-data pipeline op)
+    Q("q79_pii_redact", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val salted = docs.withColumn("t2",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or "), (col("doc_id") % 200 + 1).cast("string"),
+          lit(".17.0.1 ssn 042-42-1234")))
+      salted.withColumn("red", TF.redactPii(col("t2")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("red").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email"),
+          sum(when(col("red").contains("<IPV4>"), 1L).otherwise(0L)).as("n_ipv4"),
+          sum(when(col("red").contains("<SSN>"), 1L).otherwise(0L)).as("n_ssn"),
+          sum(length(col("red"))).as("total_len"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH salted AS (SELECT lang,
+             |  text || ' contact user' || doc_id || '@example.com or '
+             |    || CAST(doc_id % 200 + 1 AS VARCHAR) || '.17.0.1 ssn 042-42-1234' AS t2
+             |  FROM documents),
+             |red AS (SELECT lang, regexp_replace(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS red
+             |  FROM salted)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN red LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+             |  CAST(sum(CASE WHEN red LIKE '%<IPV4>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
+             |  CAST(sum(CASE WHEN red LIKE '%<SSN>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn,
+             |  CAST(sum(length(red)) AS BIGINT) AS total_len
+             |FROM red GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

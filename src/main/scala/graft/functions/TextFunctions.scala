@@ -239,4 +239,25 @@ object TextFunctions {
           .bitwiseAND((1L << width) - 1).as("key"))
     }: _*)
   }
+
+  /** PII redaction patterns (DRIVER-EXT, SURVEY.md §2.12): each maps a
+    * conservative public pattern to a typed placeholder. Deliberately
+    * restricted to syntax shared by Java regex and RE2, so the DuckDB
+    * oracle replicates the chain verbatim (no lookaround, no
+    * backreferences). Order matters and is part of the contract:
+    * email first (so a host part containing digits is never
+    * half-rewritten by later rules), then SSN (dashes), then IPv4
+    * (dots — cannot collide with the email rule's output since
+    * placeholders contain no digits). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ipv4" -> "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** redact PII to `<EMAIL>`/`<SSN>`/`<IPV4>` placeholders — one
+    * codegen'd regexp_replace chain, shuffle-free, linear per row */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
 }

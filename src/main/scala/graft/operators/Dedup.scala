@@ -357,6 +357,35 @@ object Dedup {
     materializeAndRelease(result, sh)
   }
 
+  /** Benchmark decontamination (DRIVER-EXT, SURVEY.md §2.12): drop
+    * corpus docs sharing at least `minOverlap` distinct word n-grams
+    * with ANY doc of `evalSet` — the standard guard against training
+    * on evaluation data. 100 TB shape: the eval side (a benchmark
+    * suite — thousands of docs, MBs of shingles) reduces to a DISTINCT
+    * shingle set and broadcasts; the corpus side explodes its (already
+    * distinct per doc) shingles once, hash-joins the broadcast set,
+    * and counts hits per doc — no corpus self-join and no shuffle of
+    * corpus text, only of the (id, hit) pairs that actually match.
+    * Set `broadcastEval = false` for an unusually large eval set; the
+    * join then shuffles on the shingle key instead.
+    * Returns the SURVIVING corpus rows unchanged. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, evalTextCol: String = "text",
+                    shingleLen: Int = 3, minOverlap: Int = 1,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val evalSh0 = evalSet.select(
+      explode(wordShingles(col(evalTextCol), shingleLen)).as("tok"))
+      .distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val corpusSh = corpus.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleLen)).as("tok"))
+    val contaminated = corpusSh.join(evalSh, Seq("tok"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs n-gram Jaccard join via prefix filtering
     * (AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07;
     * public algorithm). Shingles are globally ordered rarest-first

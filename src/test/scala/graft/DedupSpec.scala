@@ -110,6 +110,32 @@ class DedupSpec extends SparkTestBase {
     assert(capped.filter($"hamming" > 3).count() == 0)
   }
 
+  test("decontaminate drops overlapping docs, keeps the rest verbatim") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"), // shares 2 shingles with eval
+      (3L, "one two three four five"),
+      (4L, "totally unrelated words here now"),
+      (5L, "hi")                          // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // minOverlap=2: doc 1 (all shingles shared) and doc 2 (shares
+    // 'alpha beta gamma' + ... only 1 shingle: 'alpha beta gamma');
+    // doc 2 shares exactly one 3-gram, so it SURVIVES at 2
+    val kept2 = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+      shingleLen = 3, minOverlap = 2)
+    assert(kept2.select("doc_id").as[Long].collect().sorted
+      === Array(2L, 3L, 4L, 5L))
+    // minOverlap=1 also drops doc 2; shingle-less docs always survive
+    val kept1 = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+      shingleLen = 3, minOverlap = 1)
+    assert(kept1.select("doc_id").as[Long].collect().sorted
+      === Array(3L, 4L, 5L))
+    // schema passes through unchanged
+    assert(kept1.columns === corpus.columns)
+  }
+
   test("jaccard blocked pairs respect the blocking column") {
     val d = Seq(
       (1L, "a b c d e", "blk1"), (2L, "a b c d e", "blk1"),

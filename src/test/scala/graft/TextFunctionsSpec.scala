@@ -97,6 +97,23 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(n > 0 && en == n, s"$en of $n 'the'-bearing docs classified en")
   }
 
+  test("redactPii: email/ssn/ipv4 placeholders, order-stable") {
+    val d = tdf(
+      1 -> "mail me at jane.doe+x@sub.example.co.uk today",
+      2 -> "server 192.168.001.1 and 10.0.0.7 up",
+      3 -> "ssn 123-45-6789 on file",
+      4 -> "mixed: a@b.io 1.2.3.4 987-65-4321",
+      5 -> "no pii here, just 3.14 and v1.2 and a-b-c")
+    val r = d.select($"id", TF.redactPii($"txt").as("red"))
+      .as[(Int, String)].collect().toMap
+    assert(r(1) == "mail me at <EMAIL> today")
+    assert(r(2) == "server <IPV4> and <IPV4> up")
+    assert(r(3) == "ssn <SSN> on file")
+    assert(r(4) == "mixed: <EMAIL> <IPV4> <SSN>")
+    // near-misses survive: short decimals, version strings, a-b-c
+    assert(r(5) == "no pii here, just 3.14 and v1.2 and a-b-c")
+  }
+
   test("qualityScore in [0,1], penalizes junk") {
     val d = tdf(1 -> ("the data of this table is in the file and it " * 4),
       2 -> "!!!???!!!...", 3 -> "")
