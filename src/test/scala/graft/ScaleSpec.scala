@@ -211,6 +211,20 @@ class ScaleSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("decontaminate broadcasts the eval shingle set, never self-joins") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.filter($"doc_id" % 97 === 0)
+    val r = graft.operators.Dedup.decontaminate(docs, evalSet,
+      "doc_id", "text", shingleLen = 3, minOverlap = 2)
+    r.count()
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian in:\n$plan")
+  }
+
   test("melt reshapes wide to long") {
     val d = DDF(Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b"))
     val m = d.melt(Seq("id"), Seq("a", "b")).toDF
