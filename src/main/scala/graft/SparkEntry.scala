@@ -1450,7 +1450,51 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN red LIKE '%<IPV4>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
              |  CAST(sum(CASE WHEN red LIKE '%<SSN>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn,
              |  CAST(sum(length(red)) AS BIGINT) AS total_len
-             |FROM red GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM red GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Quality-aware near-dup dedup: keep each component's
+    // HIGHEST-QUALITY doc, not its min id. Oracled end to end: the
+    // minhash config matches q47's, where the gate already proves
+    // candidate recall 1 vs exhaustive Jaccard on this fixture, so the
+    // oracle recomputes pairs exhaustively, closes components with a
+    // recursive CTE (the q62 pattern), and applies the same
+    // argmax-quality/min-id policy.
+    // reference: none (DRIVER-EXT §2.12 — training-data pipeline op)
+    Q("q80_dedup_keep_best", (s, dir) => {
+      val docs = docsWithDups(s, dir)
+        .withColumn("quality", TF.qualityScore(col("text")))
+      Dedup.minhashDedup(docs, "doc_id", "text", numHashes = 64,
+          bands = 32, shingleLen = 3, threshold = 0.6,
+          keepCol = "quality")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+              |e AS (SELECT id_a AS s, id_b AS d FROM p
+              |  UNION SELECT id_b, id_a FROM p),
+              |r AS (
+              |  WITH RECURSIVE rr(src, dst) AS (
+              |    SELECT s, s FROM (SELECT DISTINCT s FROM e)
+              |    UNION
+              |    SELECT rr.src, e.d FROM rr JOIN e ON rr.dst = e.s)
+              |  SELECT * FROM rr),
+              |comp AS (SELECT src AS id, min(dst) AS rep FROM r GROUP BY src),
+              |q AS (SELECT doc_id, ${sqlQuality("text")} AS quality FROM u),
+              |ranked AS (SELECT c.id,
+              |    row_number() OVER (PARTITION BY c.rep
+              |      ORDER BY q.quality DESC, c.id) AS rn
+              |  FROM comp c JOIN q ON c.id = q.doc_id),
+              |dropd AS (SELECT id FROM ranked WHERE rn > 1)
+              |SELECT doc_id FROM u
+              |WHERE doc_id NOT IN (SELECT id FROM dropd)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -27,6 +27,9 @@ object Dedup {
 
   /** exact dedup on `cols`: keep the row with min `idCol` per group —
     * deterministic canonical representative, unlike dropDuplicates.
+    * With `keepCol` set, the kept row is the group's argmax of that
+    * column instead (ties broken by min id) — training pipelines keep
+    * the highest-quality copy, not the lowest-id one.
     *
     * Scale shape: the shuffle is keyed on the 8-byte xxhash64 of the
     * dedup key, not the raw key bytes — repartition(__h) satisfies the
@@ -35,10 +38,13 @@ object Dedup {
     * and the partition-local sort resolves almost every comparison on
     * the hash. The raw columns stay in the window partition spec only
     * as the hash-collision tie-guard. */
-  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+  def exact(df: DataFrame, cols: Seq[String], idCol: String,
+            keepCol: String = ""): DataFrame = {
     val h = xxhash64(cols.map(col): _*)
+    val order = if (keepCol.isEmpty) Seq(col(idCol).asc)
+                else Seq(col(keepCol).desc, col(idCol).asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h") +: cols.map(col): _*).orderBy(col(idCol).asc)
+      .partitionBy(col("__h") +: cols.map(col): _*).orderBy(order: _*)
     df.withColumn("__h", h)
       .repartition(col("__h"))
       .withColumn("__rn", row_number().over(w))
@@ -119,18 +125,34 @@ object Dedup {
   }
 
   /** full MinHash dedup: pairs → connected components (min-id label
-    * propagation with pointer jumping) → keep each component's min
-    * id. Iterative DataFrame joins with localCheckpoint to cut
-    * lineage (GraphFrames CC pattern); runs until converged —
-    * O(log(component diameter)) rounds. */
+    * propagation with pointer jumping) → keep one row per component.
+    * Default representative is the component's min id; with `keepCol`
+    * set, it is the component's argmax of that column (ties broken by
+    * min id) — keep the highest-quality copy of each near-dup
+    * cluster, the standard training-data policy. Iterative DataFrame
+    * joins with localCheckpoint to cut lineage (GraphFrames CC
+    * pattern); runs until converged — O(log(component diameter))
+    * rounds. The per-component window partitions on the component
+    * label: dup clusters are small by nature, so no mega-partition
+    * risk. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, threshold: Double = 0.8,
-                   maxIter: Int = 50): DataFrame = {
+                   maxIter: Int = 50, keepCol: String = ""): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
       shingleLen, threshold).select(col("id_a"), col("id_b"))
     val reps = connectedComponentMinLabel(pairs, maxIter)
-    val toDrop = reps.filter(col("id") =!= col("rep")).select(col("id"))
+    val toDrop =
+      if (keepCol.isEmpty) reps.filter(col("id") =!= col("rep")).select(col("id"))
+      else {
+        val scored = reps.join(
+          df.select(col(idCol).as("id"), col(keepCol).as("__s")), Seq("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rep"))
+          .orderBy(col("__s").desc, col("id").asc)
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1).select(col("id"))
+      }
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 

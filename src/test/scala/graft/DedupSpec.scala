@@ -110,6 +110,34 @@ class DedupSpec extends SparkTestBase {
     assert(capped.filter($"hamming" > 3).count() == 0)
   }
 
+  test("keepCol dedup keeps the argmax-quality row, min id on ties") {
+    // exact: two content groups; scores pick doc 3 over 1/2, tie 5/6
+    val d = Seq(
+      (1L, "same text here", 0.2), (2L, "same text here", 0.5),
+      (3L, "same text here", 0.9),
+      (5L, "other words entirely", 0.7), (6L, "other words entirely", 0.7)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.exact(d, Seq("text"), "doc_id", keepCol = "q")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(3L, 5L))
+    // default policy unchanged: min id
+    val minKept = Dedup.exact(d, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(minKept === Array(1L, 5L))
+    // minhash component keep-best: near-dup cluster {10,11,12}, the
+    // middle-quality exact text tie resolves by min id within ties
+    val c = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", 0.3),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota", 0.8),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta", 0.3),
+      (20L, "completely different content lives over here now", 0.1)
+    ).toDF("doc_id", "text", "q")
+    val best = Dedup.minhashDedup(c, "doc_id", "text",
+        threshold = 0.6, keepCol = "q")
+      .select("doc_id").as[Long].collect().sorted
+    assert(best === Array(11L, 20L))
+  }
+
   test("decontaminate drops overlapping docs, keeps the rest verbatim") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
