@@ -479,13 +479,18 @@ object DDF {
     "__graft_str_([0-9]+)__".r.replaceAllIn(e,
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
-  /** a Scala value as a SQL literal (for `@var` substitution) */
+  /** a Scala value as a SQL literal (for `@var` substitution).
+    * Collections render as parenthesized lists so `a in @xs` works. */
   private[ddf] def sqlLiteral(v: Any): String = v match {
     case null                  => "NULL"
     case s: String             => "'" + s.replace("'", "''") + "'"
     case b: Boolean            => if (b) "true" else "false"
     case d: java.sql.Date      => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case xs: Seq[_]            => xs.map(sqlLiteral).mkString("(", ", ", ")")
+    case xs: Array[_]          => xs.map(sqlLiteral).mkString("(", ", ", ")")
+    case xs: Set[_]            => xs.toSeq.map(sqlLiteral).sorted
+                                    .mkString("(", ", ", ")")
     case other                 => other.toString
   }
 
@@ -574,7 +579,13 @@ object DDF {
 
   private[ddf] def translateExpr(e: String): String = {
     val (masked0, lits) = maskLiterals(e)
-    val masked = rewriteStrAccessors(masked0)
+    // pandas `x in [a, b]` / `x not in [a, b]` → SQL IN lists (the
+    // bracket list only, and only right after the in keyword — plain
+    // Catalyst array indexing elsewhere is untouched)
+    val inRewritten = "(?i)\\b(not\\s+in|in)\\s*\\[([^\\]]*)\\]".r
+      .replaceAllIn(masked0, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1).toUpperCase} (${m.group(2)})"))
+    val masked = rewriteStrAccessors(inRewritten)
     val operand = "(?:\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
     // match a whole ** chain and fold it right-associatively in one
     // replacement (a ** b ** c → power(a, power(b, c))); the fixpoint

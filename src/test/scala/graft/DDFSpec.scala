@@ -117,6 +117,17 @@ class DDFSpec extends SparkTestBase {
     assert(nested == "Zn")
   }
 
+  test("pandas-eval dialect: in / not in lists and @list params") {
+    assert(people.filter("age in [20, 40]").countRows() == 3)
+    // SQL 3-valued logic: NULL ages drop from NOT IN too
+    assert(people.filter("age not in [40]").countRows() == 1)
+    assert(people.filter("city in ['rio']").countRows() == 2)
+    assert(people.filter("age in @ages",
+      Map("ages" -> Seq(20, 40))).countRows() == 3)
+    assert(people.filter("city in @cities",
+      Map("cities" -> Seq("rio", "oslo"))).countRows() == 4)
+  }
+
   test("pandas-eval dialect: @var params inline as SQL literals") {
     val r = people.filter("age == @target and city == @town",
       Map("target" -> 40, "town" -> "oslo"))
