@@ -455,6 +455,10 @@ object DDF {
     *    right-to-left — power(a, power(b, c)) — exactly as Python/
     *    pandas `eval` does (2**3**2 = 512, not 64).
     *  - top-level `X if C else Y` → if((C), (X), (Y))
+    *  - `x in [a, b]` / `x not in [a, b]` → SQL IN lists
+    *  - `col.isnull()/isna()/notnull()/notna()` → isnull/isnotnull
+    *  - `col.dt.year/month/day/hour/minute/second/dayofweek/
+    *    dayofyear/quarter/date` → the matching SQL datetime function
     *  - `col.str.<method>(...)` accessors → Spark string functions
     *    (see [[rewriteStrAccessors]])
     *  - `@var` references are substituted by the filter/
@@ -585,7 +589,20 @@ object DDF {
     val inRewritten = "(?i)\\b(not\\s+in|in)\\s*\\[([^\\]]*)\\]".r
       .replaceAllIn(masked0, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1).toUpperCase} (${m.group(2)})"))
-    val masked = rewriteStrAccessors(inRewritten)
+    // pandas null tests and `.dt` datetime accessors → SQL functions
+    val nullRewritten = "([A-Za-z_][A-Za-z0-9_]*)\\.(isnull|isna|notnull|notna)\\(\\s*\\)".r
+      .replaceAllIn(inRewritten, m => java.util.regex.Matcher.quoteReplacement(
+        if (m.group(2).startsWith("not")) s"isnotnull(${m.group(1)})"
+        else s"isnull(${m.group(1)})"))
+    val dtFns = Map("year" -> "year", "month" -> "month", "day" -> "day",
+      "hour" -> "hour", "minute" -> "minute", "second" -> "second",
+      "dayofweek" -> "dayofweek", "dayofyear" -> "dayofyear",
+      "quarter" -> "quarter", "date" -> "to_date")
+    val dtRewritten = "([A-Za-z_][A-Za-z0-9_]*)\\.dt\\.([a-z_]+)".r
+      .replaceAllIn(nullRewritten, m => java.util.regex.Matcher.quoteReplacement(
+        dtFns.get(m.group(2)).map(f => s"$f(${m.group(1)})")
+          .getOrElse(m.matched)))
+    val masked = rewriteStrAccessors(dtRewritten)
     val operand = "(?:\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
     // match a whole ** chain and fold it right-associatively in one
     // replacement (a ** b ** c → power(a, power(b, c))); the fixpoint

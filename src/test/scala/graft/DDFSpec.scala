@@ -128,6 +128,22 @@ class DDFSpec extends SparkTestBase {
       Map("cities" -> Seq("rio", "oslo"))).countRows() == 4)
   }
 
+  test("pandas-eval dialect: isnull/notnull and .dt accessors") {
+    assert(people.filter("age.isnull()").countRows() == 2)
+    assert(people.filter("age.notnull()").countRows() == 3)
+    assert(people.filter("city.isna() or age.notna()").countRows() == 3)
+    val ev = DDF(Seq(
+      (1, java.sql.Timestamp.valueOf("2024-03-15 10:30:00")),
+      (2, java.sql.Timestamp.valueOf("2023-11-02 23:05:09"))
+    ).toDF("id", "ts"))
+    assert(ev.filter("ts.dt.year == 2024").countRows() == 1)
+    assert(ev.filter("ts.dt.month == 11 and ts.dt.hour == 23")
+      .countRows() == 1)
+    val y = ev.selectExpression("y = ts.dt.year").toDF
+      .filter($"id" === 2).select($"y").head().getInt(0)
+    assert(y == 2023)
+  }
+
   test("pandas-eval dialect: @var params inline as SQL literals") {
     val r = people.filter("age == @target and city == @town",
       Map("target" -> 40, "town" -> "oslo"))
