@@ -62,34 +62,58 @@ object Similarity {
     * by `fitCap` regardless of corpus size (see below); at 100 TB set
     * `fitFraction ≈ fitCap / n` so the sample is uniform rather than
     * a prefix. */
+  /** Fit the IVF coarse quantizer ONCE for reuse across query batches
+    * (at corpus scale the quantizer is a long-lived asset, not a
+    * per-call step — fit it when the corpus lands, then serve every
+    * batch through the `ivfTopK` overload that takes the model).
+    *
+    * The fit uses a bounded sample, never the full corpus: centroid
+    * quality saturates long before 100k vectors, and a full-corpus fit
+    * would re-scan 100 TB per KMeans iteration. At scale pass
+    * `fitFraction ≈ fitCap / |corpus|` so the sample is uniform rather
+    * than a prefix; the limit is the hard stop either way. Random init
+    * + few Lloyd rounds is the standard IVF training recipe
+    * (k-means||'s extra passes buy nothing for bucket routing). */
+  def fitIvfQuantizer(corpus: DataFrame, vecCol: String,
+                      nCentroids: Int = 16, seed: Long = 42L,
+                      fitFraction: Double = 1.0,
+                      fitCap: Int = 100000): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // Partitioning.spread keeps the (possibly single-partition after
+    // limit) sample parallel across iterations
+    val fitSample = Partitioning.spread(
+      corpus.select(
+          array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+        .sample(withReplacement = false, fitFraction, seed)
+        .limit(fitCap))
+    new KMeans().setK(nCentroids).setSeed(seed)
+      .setInitMode("random").setMaxIter(10).setTol(1e-3)
+      .setFeaturesCol("features").fit(fitSample)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, seed: Long = 42L,
               fitFraction: Double = 1.0,
-              fitCap: Int = 100000): DataFrame = {
+              fitCap: Int = 100000): DataFrame =
+    ivfTopK(corpus, queries, idCol, vecCol, k,
+      fitIvfQuantizer(corpus, vecCol, nCentroids, seed, fitFraction,
+        fitCap), nProbe)
+
+  /** [[ivfTopK]] against a PRE-FITTED quantizer (see
+    * [[fitIvfQuantizer]]) — the serving path: no KMeans work per
+    * batch, only the probe join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int,
+              model: org.apache.spark.ml.clustering.KMeansModel,
+              nProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val prepared = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // The coarse quantizer is fit on a bounded sample, never the full
-    // corpus: centroid quality saturates long before 100k vectors, and
-    // a full-corpus fit would re-scan 100 TB per KMeans iteration.
-    // At scale pass fitFraction ≈ fitCap / |corpus|; the limit is the
-    // hard stop either way. Partitioning.spread keeps the (possibly
-    // single-partition after limit) sample parallel across iterations.
-    val fitSample = Partitioning.spread(
-      prepared.select(col("features"))
-        .sample(withReplacement = false, fitFraction, seed)
-        .limit(fitCap))
-    // coarse quantizer, not a clustering result: random init + few
-    // Lloyd rounds is the standard IVF training recipe (k-means||'s
-    // extra passes buy nothing for bucket routing)
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setInitMode("random").setMaxIter(10).setTol(1e-3)
-      .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(prepared)
       .select(col("neighbor_id"), col("cv"),
         col("prediction").as("centroid"))

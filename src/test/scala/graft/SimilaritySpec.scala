@@ -48,6 +48,21 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("prefitted quantizer serves identical results to inline fit") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val inline = graft.operators.Similarity.ivfTopK(emb, q, "vec_id",
+        "embedding", k = 5, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val model = graft.operators.Similarity.fitIvfQuantizer(emb,
+      "embedding", nCentroids = 8)
+    val served = graft.operators.Similarity.ivfTopK(emb, q, "vec_id",
+        "embedding", k = 5, model, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(inline == served)
+  }
+
   test("IVF ANN recall >= 0.5 vs brute force at k=10") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 20)
