@@ -1494,7 +1494,36 @@ object SparkEntry {
               |dropd AS (SELECT id FROM ranked WHERE rn > 1)
               |SELECT doc_id FROM u
               |WHERE doc_id NOT IN (SELECT id FROM dropd)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted data mixing: a mixture recipe (per-language weights)
+    // over one total token budget; strata missing from the recipe are
+    // dropped. Per-stratum caps join in as a broadcast literal table.
+    // reference: none (DRIVER-EXT §2.12 — training-data pipeline op)
+    Q("q81_token_budget_weighted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.tokenBudgetSelectWeighted(docs, "lang", "doc_id", "quality",
+          "n_tok", totalBudget = 20000L,
+          weights = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("quality")), 4).as("min_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+              |  ${sqlQuality("text")} AS quality,
+              |  len(${sqlTokens("text")}) AS n_tok
+              |FROM documents),
+              |b(lang, budget) AS (VALUES ('en', 10000), ('fr', 6000), ('de', 4000)),
+              |c AS (SELECT q.*, b.budget, sum(n_tok) OVER (
+              |   PARTITION BY q.lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q JOIN b ON q.lang = b.lang)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              | round(min(quality), 4) AS min_quality
+              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -34,6 +34,32 @@ object Budget {
       .drop("__cum")
   }
 
+  /** Weighted data mixing: split `totalBudget` tokens across strata by
+    * `weights` (the mixture recipe — e.g. en 0.5, fr 0.2, code 0.3)
+    * and keep each stratum's best-scoring prefix within its share.
+    * Strata absent from `weights` get weight 0 (dropped). Budgets
+    * floor to whole tokens; the same (score desc, id asc) greedy
+    * prefix as [[tokenBudgetSelect]], with the per-stratum cap joined
+    * in as a broadcast literal table — one window, one shuffle. */
+  def tokenBudgetSelectWeighted(df: DataFrame, strataCol: String,
+                                idCol: String, scoreCol: String,
+                                tokenCol: String, totalBudget: Long,
+                                weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq
+      .map { case (s, w) => (s, (totalBudget * w).toLong) }
+      .toDF(strataCol, "__budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(broadcast(budgets), Seq(strataCol))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .select(df.columns.map(col): _*) // original column order
+  }
+
   /** Scalable variant of [[tokenBudgetSelect]] — provably the SAME
     * selection, without putting an entire stratum through one window
     * partition. Shape:

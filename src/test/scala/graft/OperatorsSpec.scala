@@ -64,6 +64,25 @@ class OperatorsSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("weighted token budget splits the total by recipe, drops others") {
+    val d = Seq(
+      ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 50L), ("en", 3L, 0.7, 30L),
+      ("fr", 4L, 0.5, 100L), ("fr", 5L, 0.9, 60L),
+      ("zh", 6L, 0.9, 10L)) // not in the recipe -> dropped
+      .toDF("lang", "id", "q", "tok")
+    val r = graft.operators.Budget.tokenBudgetSelectWeighted(
+        d, "lang", "id", "q", "tok", totalBudget = 200L,
+        weights = Map("en" -> 0.5, "fr" -> 0.5))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // en budget 100: 40+50 fits -> {1,2}; fr budget 100: 60 fits,
+    // +100 exceeds -> {5}; zh absent from recipe -> gone
+    assert(r == Set(1L, 2L, 5L))
+    // column order preserved
+    val cols = graft.operators.Budget.tokenBudgetSelectWeighted(
+      d, "lang", "id", "q", "tok", 200L, Map("en" -> 1.0)).columns
+    assert(cols === d.columns)
+  }
+
   test("threshold token budget == exact window selection") {
     import graft.functions.{TextFunctions => TF}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
