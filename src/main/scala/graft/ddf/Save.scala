@@ -7,14 +7,24 @@ import org.apache.spark.sql.DataFrame
   * partition of the final stage, same contract.
   */
 class Save(df: DataFrame) {
-  private def w(mode: String) = df.write.mode(mode)
+  private def w(mode: String, partitionBy: Seq[String] = Nil) = {
+    val base = df.write.mode(mode)
+    if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
+  }
   def csv(path: String, mode: String = "overwrite",
-          header: Boolean = true): Unit =
-    w(mode).option("header", header).csv(path)
-  def json(path: String, mode: String = "overwrite"): Unit =
-    w(mode).json(path)
-  def parquet(path: String, mode: String = "overwrite"): Unit =
-    w(mode).parquet(path)
+          header: Boolean = true, partitionBy: Seq[String] = Nil): Unit =
+    w(mode, partitionBy).option("header", header).csv(path)
+  def json(path: String, mode: String = "overwrite",
+           partitionBy: Seq[String] = Nil): Unit =
+    w(mode, partitionBy).json(path)
+  /** `partitionBy`: hive-style directory partitioning — the 100 TB
+    * layout lever: a reader filtering on a partition column prunes
+    * whole directories before any IO (PartitionFilters in the scan,
+    * asserted in SourcesSpec). Choose low-cardinality columns
+    * (language, source, date), never ids. */
+  def parquet(path: String, mode: String = "overwrite",
+              partitionBy: Seq[String] = Nil): Unit =
+    w(mode, partitionBy).parquet(path)
 
   /** reference: bases/data_saver.py :: pickle — DOCUMENTED
     * DIVERGENCE: stored as parquet (see DDFContext.read.pickle). */

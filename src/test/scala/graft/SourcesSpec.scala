@@ -23,6 +23,29 @@ class SourcesSpec extends SparkTestBase {
       sample.toDF.orderBy($"id").collect().toSeq)
   }
 
+  test("partitioned parquet write prunes directories on read") {
+    val p = tmp("part_parquet")
+    val docs = DDF(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet"))
+    docs.save.parquet(p, partitionBy = Seq("lang"))
+    // hive-style layout on disk
+    val dirs = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")), s"no lang= dirs in $dirs")
+    // a lang filter becomes a PartitionFilter — pruned before IO,
+    // never a post-scan Filter over all rows
+    val back = cc.read.parquet(p).filter("lang == 'en'")
+    val plan = back.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang") ||
+      plan.contains("PartitionFilters: [(lang"),
+      s"lang filter not pushed to partition pruning:\n$plan")
+    // content round-trips (modulo column order: partition col moves)
+    val full = cc.read.parquet(p)
+    assert(full.countRows() == docs.countRows())
+    assert(back.countRows() ==
+      docs.filter("lang == 'en'").countRows())
+  }
+
   test("csv round-trip with header and schema") {
     val p = tmp("csv")
     sample.save.csv(p)
