@@ -62,8 +62,12 @@ object Bench {
         .mkString("{", ",", "}")
     val totalBest = timings.values.map(_._2).sum
     val totalCold = timings.values.map(_._1).sum
+    // the driver-documented fields (metric/value/unit/queries/sf) keep
+    // their original order and come first; protocol extensions append
+    // strictly after, so any prefix- or key-based parse of the old
+    // shape still works
     val json =
-      s"""{"metric":"total","value":$totalBest,"unit":"sec","queries":${jmap(_._2)},"queries_cold":${jmap(_._1)},"value_cold":$totalCold,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalBest,"unit":"sec","queries":${jmap(_._2)},"sf":"$sfDir","queries_cold":${jmap(_._1)},"value_cold":$totalCold,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // the stdout line can drown in sbt log noise — also write the JSON
     // to a file so the driver never depends on stdout scraping
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
