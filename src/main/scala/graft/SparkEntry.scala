@@ -1523,7 +1523,40 @@ object SparkEntry {
               |SELECT lang, count(*) AS n_docs,
               | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               | round(min(quality), 4) AS min_quality
-              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Token-bounded chunking: sliding windows of 32 tokens advancing
+    // by 24 (overlap 8). The oracle rebuilds every chunk string in
+    // DuckDB (1-based inclusive list slice + join) and aggregates the
+    // same stats — chunk CONTENT is verified via summed characters,
+    // not just counts.
+    // reference: none (DRIVER-EXT §2.12 — training-data pipeline op)
+    Q("q82_chunk_documents", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          explode(TF.chunkTokens(col("text"), maxTokens = 32,
+            overlap = 8)).as("chunk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(TF.tokenCount(col("chunk"))).as("sum_chunk_tokens"),
+          max(TF.tokenCount(col("chunk"))).as("max_chunk_tokens"),
+          sum(length(col("chunk"))).as("sum_chunk_chars"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH tk AS (SELECT lang, ${sqlTokens("text")} AS t
+              |  FROM documents),
+              |ch AS (SELECT lang, len(t) AS n, t,
+              |    unnest(range(0, greatest((len(t) - 8 - 1) // 24, 0) + 1)) AS i
+              |  FROM tk WHERE len(t) > 0),
+              |c2 AS (SELECT lang,
+              |    least(i*24 + 32, n) - i*24 AS chunk_toks,
+              |    array_to_string(t[i*24 + 1 : least(i*24 + 32, n)], ' ') AS chunk
+              |  FROM ch)
+              |SELECT lang, count(*) AS n_chunks,
+              | CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_tokens,
+              | CAST(max(chunk_toks) AS INT) AS max_chunk_tokens,
+              | CAST(sum(length(chunk)) AS BIGINT) AS sum_chunk_chars
+              |FROM c2 GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

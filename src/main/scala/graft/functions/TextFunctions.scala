@@ -240,6 +240,29 @@ object TextFunctions {
     }: _*)
   }
 
+  /** Token-bounded document chunking (DRIVER-EXT, SURVEY.md §2.12):
+    * split a document into sliding windows of at most `maxTokens`
+    * whitespace tokens advancing by `maxTokens - overlap` — the
+    * pre-tokenization step of a training pipeline. Returns an array of
+    * chunk strings (single-space-joined tokens); empty array for
+    * empty/whitespace text. Chunk count is
+    * `max(floor((n - overlap - 1) / step), 0) + 1` for n > 0, which
+    * covers every token (the final window may be shorter). Pure column
+    * math — one tokens() pass bound once, no shuffle. */
+  def chunkTokens(text: Column, maxTokens: Int, overlap: Int = 0): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    bound(tokens(text)) { t =>
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), greatest(
+            ((size(t) - lit(overlap) - lit(1)) / lit(step)).cast("int"),
+            lit(0))),
+          i => concat_ws(" ", slice(t, i * lit(step) + 1, lit(maxTokens)))))
+    }
+  }
+
   /** PII redaction patterns (DRIVER-EXT, SURVEY.md §2.12): each maps a
     * conservative public pattern to a typed placeholder. Deliberately
     * restricted to syntax shared by Java regex and RE2, so the DuckDB

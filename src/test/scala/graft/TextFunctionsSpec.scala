@@ -97,6 +97,27 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(n > 0 && en == n, s"$en of $n 'the'-bearing docs classified en")
   }
 
+  test("chunkTokens: sliding windows cover all tokens, overlap honored") {
+    import spark.implicits._
+    val d = tdf(
+      1 -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2 -> "a b c", 3 -> "   ",
+      4 -> (1 to 33).map(i => s"t$i").mkString(" "))
+    val r = d.select($"id", TF.chunkTokens($"txt", 32, 8).as("c"))
+      .as[(Int, Seq[String])].collect().toMap
+    // 40 tokens, step 24: windows [1..32], [25..40]
+    assert(r(1) == Seq((1 to 32).map(i => s"w$i").mkString(" "),
+      (25 to 40).map(i => s"w$i").mkString(" ")))
+    assert(r(2) == Seq("a b c"))     // short doc: one whole chunk
+    assert(r(3) == Seq())            // whitespace-only: no chunks
+    // 33 tokens: tail window is mostly overlap but still emitted
+    assert(r(4).map(_.split(" ").length) == Seq(32, 9))
+    // overlap 0 partitions exactly
+    val e = d.filter($"id" === 1)
+      .select(TF.chunkTokens($"txt", 10).as("c")).as[Seq[String]].head()
+    assert(e.map(_.split(" ").length) == Seq(10, 10, 10, 10))
+  }
+
   test("redactPii: email/ssn/ipv4 placeholders, order-stable") {
     val d = tdf(
       1 -> "mail me at jane.doe+x@sub.example.co.uk today",
