@@ -107,6 +107,26 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("text pipeline (quality/redact/chunk) is streaming-safe") {
+    import graft.functions.{TextFunctions => TF}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"lang",
+        TF.qualityScore($"text").as("q"),
+        TF.redactPii($"text").as("red"),
+        explode(TF.chunkTokens($"text", 32, 8)).as("chunk"))
+    // stateless column transforms run identically under the streaming
+    // engine — the whole text-analysis family applies to streams as-is
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+    val got = EventStream.runToMemory(xform(stream), "text_pipe",
+      OutputMode.Append())
+    val want = xform(spark.read.parquet(s"$dir/documents.parquet"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("multimodal: binary schema, batched decode, deterministic features") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val media = Multimodal.fromText(docs, "doc_id", "text").cache()
