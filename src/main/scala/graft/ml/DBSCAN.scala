@@ -60,7 +60,11 @@ object DBSCAN {
           (col("y") - col("ny")) * (col("y") - col("ny")) <= eps * eps)
       .filter(if (tCol.isDefined) abs(col("t") - col("nt")) <= epsT
               else lit(true))
-      .select(col("id"), col("nid")).distinct()
+      // no distinct needed: the join key is the neighbor's HOME cell and
+      // each probe list names each of the 9/27 distinct cells exactly once,
+      // so a pair (id, nid) can match in exactly one cell. A distinct here
+      // would full-shuffle the largest intermediate of the plan for nothing.
+      .select(col("id"), col("nid"))
       .cache()
 
     val degrees = inEps.groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -42,7 +42,7 @@ object ProfileDbscan {
     val inEps = probes.join(home, Seq("gx", "gy"))
       .filter((col("x") - col("nx")) * (col("x") - col("nx")) +
         (col("y") - col("ny")) * (col("y") - col("ny")) <= eps * eps)
-      .select(col("id"), col("nid")).distinct().cache()
+      .select(col("id"), col("nid")).cache() // pairs unique by construction
     time("inEps")(println("  edges=" + inEps.count()))
     val degrees = inEps.groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val core = degrees.filter(col("deg") >= minPts).select(col("id")).cache()
