@@ -455,9 +455,15 @@ object DDF {
     *    right-to-left — power(a, power(b, c)) — exactly as Python/
     *    pandas `eval` does (2**3**2 = 512, not 64).
     *  - top-level `X if C else Y` → if((C), (X), (Y))
-    *  - `x in [a, b]` / `x not in [a, b]` → SQL IN lists
+    *  - `x in [a, b]` / `x not in [a, b]` → SQL IN lists with PANDAS
+    *    null semantics: `not in` keeps null rows (`x IS NULL OR x NOT
+    *    IN (..)`), and an empty list folds to constant false/true
+    *    instead of the `IN ()` parse error. Only the bracket-list /
+    *    `@var` forms get this treatment — a raw SQL `NOT IN (..)`
+    *    passes through with SQL three-valued logic.
     *  - `col.isnull()/isna()/notnull()/notna()` → isnull/isnotnull
-    *  - `col.dt.year/month/day/hour/minute/second/dayofweek/
+    *  - `col.dt.year/month/day/hour/minute/second/dayofweek(=weekday,
+    *    Monday=0..Sunday=6 pandas numbering via Spark weekday())/
     *    dayofyear/quarter/date` → the matching SQL datetime function
     *  - `col.str.<method>(...)` accessors → Spark string functions
     *    (see [[rewriteStrAccessors]])
@@ -484,17 +490,20 @@ object DDF {
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
 
   /** a Scala value as a SQL literal (for `@var` substitution).
-    * Collections render as parenthesized lists so `a in @xs` works. */
+    * Collections render as BRACKET lists (`[a, b]`) — the pandas-list
+    * form — so `a in @xs` / `a not in @xs` flow through the same
+    * in-list rewrite as inline lists and inherit its pandas semantics
+    * (null-keeping `not in`, constant-folded empty list). */
   private[ddf] def sqlLiteral(v: Any): String = v match {
     case null                  => "NULL"
     case s: String             => "'" + s.replace("'", "''") + "'"
     case b: Boolean            => if (b) "true" else "false"
     case d: java.sql.Date      => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-    case xs: Seq[_]            => xs.map(sqlLiteral).mkString("(", ", ", ")")
-    case xs: Array[_]          => xs.map(sqlLiteral).mkString("(", ", ", ")")
+    case xs: Seq[_]            => xs.map(sqlLiteral).mkString("[", ", ", "]")
+    case xs: Array[_]          => xs.map(sqlLiteral).mkString("[", ", ", "]")
     case xs: Set[_]            => xs.toSeq.map(sqlLiteral).sorted
-                                    .mkString("(", ", ", ")")
+                                    .mkString("[", ", ", "]")
     case other                 => other.toString
   }
 
@@ -514,7 +523,12 @@ object DDF {
 
   /** pandas `.str` accessor calls → Spark SQL string functions:
     * col.str.contains/startswith/endswith(x), col.str.replace(a, b),
-    * col.str.len(), col.str.lower/upper/strip/lstrip/rstrip().
+    * col.str.len(), col.str.lower/upper/strip/lstrip/rstrip(),
+    * col.str.slice(i[, j]) (non-negative int-literal bounds →
+    * substring; negative/step forms fall through), col.str.split(pat)
+    * (pat is a Java regex — pandas treats a length-1 pat as literal,
+    * a DOCUMENTED DIVERGENCE), col.str.extract(pat) (group 1, NULL on
+    * no match; an empty capture also yields NULL — divergence).
     * Regex semantics follow pandas (≥2.0) defaults:
     *  - `.str.contains(pat)` treats pat as a REGEX (regex=True
     *    default) → `rlike`, which shares Java-regex unanchored-search
@@ -524,9 +538,16 @@ object DDF {
     *  - a `regex=True/False` kwarg overrides either direction
     *    (`contains(p, regex=False)` → literal `contains`,
     *    `replace(a, b, regex=True)` → `regexp_replace`);
-    *  - `case=False` on contains/startswith/endswith matches
-    *    case-insensitively (`(?i)` for the regex path, lower() both
-    *    sides for the literal paths).
+    *  - `case=False` on contains/startswith/endswith and on
+    *    `replace(.., regex=True)` matches case-insensitively (`(?i)`
+    *    for the regex paths, lower() both sides for the literal
+    *    paths). Pandas REJECTS `case` on literal replace; here it is
+    *    ignored there.
+    * DOCUMENTED DIVERGENCE: the `replace(.., regex=True)` pattern AND
+    * replacement use the Java regex dialect (`$1` group references,
+    * Java escape rules), not Python `re` (`\1`). Patterns valid in
+    * both dialects behave identically; backreference spelling does
+    * not.
     * This runs on the literal-masked string, so splitting args on
     * commas is safe; one nesting level of parens inside args (function
     * calls like `concat(a, b)`) is tolerated by the match. Unknown
@@ -567,8 +588,24 @@ object DDF {
           if (ci) s"startswith(lower($c), lower($lit1))" else s"startswith($c, $a)"
         case "endswith" =>
           if (ci) s"endswith(lower($c), lower($lit1))" else s"endswith($c, $a)"
-        case "replace" if regex.getOrElse(false) => s"regexp_replace($c, $a)"
+        case "replace" if regex.getOrElse(false) =>
+          if (ci && args.length >= 2)
+            s"regexp_replace($c, concat('(?i)', ${args(0)}), ${args(1)})"
+          else s"regexp_replace($c, $a)"
         case "replace"    => s"replace($c, $a)"
+        // slice(i[, j]) for NON-NEGATIVE integer-literal bounds →
+        // 1-based substring; negative indices / step fall through to
+        // the parse-error path (documented)
+        case "slice" if args.nonEmpty && args.forall(_.matches("[0-9]+")) =>
+          val i = args(0).toInt
+          if (args.length == 1) s"substring($c, ${i + 1})"
+          else s"substring($c, ${i + 1}, ${math.max(0, args(1).toInt - i)})"
+        case "split" if args.length == 1 => s"split($c, $lit1)"
+        case "extract" if args.length == 1 =>
+          // group 1 of the first match; no-match → NULL (pandas NaN).
+          // nullif conflates a legitimately empty capture with no
+          // match — documented divergence
+          s"nullif(regexp_extract($c, $lit1, 1), '')"
         case "len"        => s"length($c)"
         case "lower"      => s"lower($c)"
         case "upper"      => s"upper($c)"
@@ -583,26 +620,54 @@ object DDF {
 
   private[ddf] def translateExpr(e: String): String = {
     val (masked0, lits) = maskLiterals(e)
-    // pandas `x in [a, b]` / `x not in [a, b]` → SQL IN lists (the
-    // bracket list only, and only right after the in keyword — plain
-    // Catalyst array indexing elsewhere is untouched)
-    val inRewritten = "(?i)\\b(not\\s+in|in)\\s*\\[([^\\]]*)\\]".r
-      .replaceAllIn(masked0, m => java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1).toUpperCase} (${m.group(2)})"))
     // pandas null tests and `.dt` datetime accessors → SQL functions
     val nullRewritten = "([A-Za-z_][A-Za-z0-9_]*)\\.(isnull|isna|notnull|notna)\\(\\s*\\)".r
-      .replaceAllIn(inRewritten, m => java.util.regex.Matcher.quoteReplacement(
+      .replaceAllIn(masked0, m => java.util.regex.Matcher.quoteReplacement(
         if (m.group(2).startsWith("not")) s"isnotnull(${m.group(1)})"
         else s"isnull(${m.group(1)})"))
+    // dayofweek/weekday map to Spark's weekday() (Monday=0..Sunday=6,
+    // the pandas numbering) — NOT SQL dayofweek() (Sunday=1..Saturday=7)
     val dtFns = Map("year" -> "year", "month" -> "month", "day" -> "day",
       "hour" -> "hour", "minute" -> "minute", "second" -> "second",
-      "dayofweek" -> "dayofweek", "dayofyear" -> "dayofyear",
+      "dayofweek" -> "weekday", "weekday" -> "weekday",
+      "dayofyear" -> "dayofyear",
       "quarter" -> "quarter", "date" -> "to_date")
     val dtRewritten = "([A-Za-z_][A-Za-z0-9_]*)\\.dt\\.([a-z_]+)".r
       .replaceAllIn(nullRewritten, m => java.util.regex.Matcher.quoteReplacement(
         dtFns.get(m.group(2)).map(f => s"$f(${m.group(1)})")
           .getOrElse(m.matched)))
-    val masked = rewriteStrAccessors(dtRewritten)
+    val strRewritten = rewriteStrAccessors(dtRewritten)
+    // pandas `x in [a, b]` / `x not in [a, b]` → SQL IN lists (the
+    // bracket list only, and only right after the in keyword — plain
+    // Catalyst array indexing elsewhere is untouched). Runs AFTER the
+    // accessor rewrites so a `.dt`/`.str` left operand has already
+    // become a plain call the operand pattern can capture. Pandas
+    // semantics, not SQL three-valued logic:
+    //  - `x not in [..]` KEEPS null rows (pandas: NaN not-in-list is
+    //    True) → rewritten `(x IS NULL OR x NOT IN (..))`;
+    //  - an empty list (`x in []`, or `x in @xs` with an empty
+    //    collection) folds to constant false / true, never the
+    //    `IN ()` Catalyst parse error.
+    // The left operand is captured (identifier, call, indexed access,
+    // or one parenthesized group) so the null-guard and empty-list
+    // folds can reference it; a raw SQL `NOT IN (..)` paren form
+    // passes through untouched with its SQL semantics, per the
+    // pass-through promise above.
+    val inOperand = "(" +
+      "\\((?:[^()]|\\([^()]*\\))*\\)" +
+      "|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\)|\\[[^\\]]*\\])?" +
+      ")"
+    val inRewritten = ("(?i)" + inOperand + "\\s+(not\\s+in|in)\\s*\\[([^\\]]*)\\]").r
+      .replaceAllIn(strRewritten, m => {
+        val x = m.group(1)
+        val neg = m.group(2).toLowerCase.startsWith("not")
+        val items = m.group(3).trim
+        java.util.regex.Matcher.quoteReplacement(
+          if (items.isEmpty) { if (neg) "true" else "false" }
+          else if (neg) s"($x IS NULL OR $x NOT IN ($items))"
+          else s"$x IN ($items)")
+      })
+    val masked = inRewritten
     val operand = "(?:\\((?:[^()]|\\([^()]*\\))*\\)|[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?|[0-9]+(?:\\.[0-9]+)?)"
     // match a whole ** chain and fold it right-associatively in one
     // replacement (a ** b ** c → power(a, power(b, c))); the fixpoint

@@ -115,17 +115,49 @@ class DDFSpec extends SparkTestBase {
       .selectExpression("x = name.str.replace(concat('a', 'n'), 'Z')")
       .toDF.filter($"id" === 1).select($"x").head().getString(0)
     assert(nested == "Zn")
+    // case=False on the regex replace path prepends (?i): 'ann' → 'Z'
+    val ciRep = people
+      .selectExpression("x = name.str.replace('ANN', 'Z', regex=True, case=False)")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0)
+    assert(ciRep == "Z")
+    // slice → substring (0-based → 1-based), 1-arg form runs to end
+    assert(people.selectExpression("x = name.str.slice(0, 2)")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0) == "an")
+    assert(people.selectExpression("x = name.str.slice(1)")
+      .toDF.filter($"id" === 1).select($"x").head().getString(0) == "nn")
+    // split on a (regex) pattern
+    assert(people.selectExpression("x = city.str.split('i')")
+      .toDF.filter($"id" === 1).select($"x").head().getSeq[String](0)
+      == Seq("r", "o"))
+    // extract: group 1, NULL (pandas NaN) when the pattern misses
+    val ext = people.selectExpression("x = name.str.extract('a(n+)')").toDF
+    assert(ext.filter($"id" === 1).select($"x").head().getString(0) == "nn")
+    assert(ext.filter($"id" === 2).select($"x").head().isNullAt(0))
   }
 
   test("pandas-eval dialect: in / not in lists and @list params") {
     assert(people.filter("age in [20, 40]").countRows() == 3)
-    // SQL 3-valued logic: NULL ages drop from NOT IN too
-    assert(people.filter("age not in [40]").countRows() == 1)
+    // pandas semantics, not SQL 3VL: NULL ages are KEPT by `not in`
+    // (ages 20, null, 40, 40, null → 20 + the two nulls = 3)
+    assert(people.filter("age not in [40]").countRows() == 3)
     assert(people.filter("city in ['rio']").countRows() == 2)
     assert(people.filter("age in @ages",
       Map("ages" -> Seq(20, 40))).countRows() == 3)
     assert(people.filter("city in @cities",
       Map("cities" -> Seq("rio", "oslo"))).countRows() == 4)
+    assert(people.filter("age not in @ages",
+      Map("ages" -> Seq(40))).countRows() == 3)
+    // empty lists fold to constants (pandas: all-false / all-true),
+    // inline and via @var, instead of the `IN ()` parse error
+    assert(people.filter("age in []").countRows() == 0)
+    assert(people.filter("age not in []").countRows() == 5)
+    assert(people.filter("age in @xs", Map("xs" -> Seq.empty[Int]))
+      .countRows() == 0)
+    assert(people.filter("age not in @xs", Map("xs" -> Seq.empty[Int]))
+      .countRows() == 5)
+    // accessor left operands rewrite before the in-list rewrite, so
+    // the null-guard references the translated call
+    assert(people.filter("name.str.len() not in [3]").countRows() == 0)
   }
 
   test("pandas-eval dialect: isnull/notnull and .dt accessors") {
@@ -142,6 +174,11 @@ class DDFSpec extends SparkTestBase {
     val y = ev.selectExpression("y = ts.dt.year").toDF
       .filter($"id" === 2).select($"y").head().getInt(0)
     assert(y == 2023)
+    // pandas numbering Monday=0..Sunday=6 (Spark weekday(), NOT SQL
+    // dayofweek()'s Sunday=1): 2024-03-15 is a Friday → 4,
+    // 2023-11-02 is a Thursday → 3; .dt.weekday is the pandas alias
+    assert(ev.filter("ts.dt.dayofweek == 4").countRows() == 1)
+    assert(ev.filter("ts.dt.weekday == 3").countRows() == 1)
   }
 
   test("pandas-eval dialect: @var params inline as SQL literals") {
