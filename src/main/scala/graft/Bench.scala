@@ -4,17 +4,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark gate main. Runs every catalog query on
   * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
   *
-  * Measurement protocol (round 4): each query runs TWICE — a cold pass
-  * and a repeat pass — and the headline `queries`/`value` fields carry
-  * the per-query MINIMUM of the two. The single-shot cold numbers are
-  * kept in `queries_cold`/`value_cold`. Rationale (BENCH_NOTES.md): the
-  * shared host shows a 67–295 s total-time variance envelope for
-  * identical bytecode across rounds; one sample per query cannot
-  * distinguish a code regression from a noisy neighbor, and in round 3
-  * that ambiguity cost ~150 s of phantom time in the gate artifact. The
-  * best-of-two is the capability number; cold-vs-best spread plus the
-  * recorded `/proc/loadavg` make contention visible inside the artifact
-  * itself instead of requiring an out-of-band triage.
+  * Measurement protocol (round 5 revision): each query runs TWICE — a
+  * cold pass and a repeat pass. The driver-documented fields `value`/
+  * `queries` carry the SINGLE COLD PASS, the meaning they had in
+  * rounds 1–3, so any consumer keying on them compares like with like
+  * across every round. The per-query minimum of the two passes — the
+  * capability number — is appended as the extension fields
+  * `queries_best`/`value_best` (round 4 briefly redefined `value` as
+  * best-of; ADVICE r4 flagged the silent contract change and this
+  * restores it). Rationale for two passes (BENCH_NOTES.md): the shared
+  * host shows a 67–295 s total-time variance envelope for identical
+  * bytecode across rounds; one sample per query cannot distinguish a
+  * code regression from a noisy neighbor. Cold-vs-best spread plus the
+  * recorded `/proc/loadavg` make contention visible inside the
+  * artifact itself instead of requiring an out-of-band triage.
   */
 object Bench {
   private def loadavg(): String =
@@ -63,11 +66,12 @@ object Bench {
     val totalBest = timings.values.map(_._2).sum
     val totalCold = timings.values.map(_._1).sum
     // the driver-documented fields (metric/value/unit/queries/sf) keep
-    // their original order and come first; protocol extensions append
-    // strictly after, so any prefix- or key-based parse of the old
-    // shape still works
+    // their original order, original SINGLE-COLD-PASS meaning, and come
+    // first; protocol extensions (best-of-two, loadavg) append strictly
+    // after, so any prefix- or key-based parse of the old shape still
+    // works and never silently changes metric
     val json =
-      s"""{"metric":"total","value":$totalBest,"unit":"sec","queries":${jmap(_._2)},"sf":"$sfDir","queries_cold":${jmap(_._1)},"value_cold":$totalCold,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // the stdout line can drown in sbt log noise — also write the JSON
     // to a file so the driver never depends on stdout scraping
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
