@@ -53,15 +53,25 @@ object KolmogorovSmirnov {
                   params: Seq[Double] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // cache the sorted values: count() is one job and zipWithIndex runs
-    // its own partition-sizing job plus the final pass — without the
-    // cache the global sort would execute up to 3x (the same lesson
-    // Zip.zipByIndex learned).
+    // cache the sorted values: the sizing job below is one pass and the
+    // final sup-distance aggregation is the second — without the cache
+    // the global sort would execute twice (the same lesson Zip.zipByIndex
+    // learned).
     val vals = df.select(col(column).cast("double")).na.drop()
       .orderBy(col(column)).cache()
-    val n = vals.count().toDouble
-    val ranked = vals.rdd.zipWithIndex().map { case (r, i) =>
-      (r.getDouble(0), i)
+    // ONE sizing job supplies both the per-partition rank offsets (what
+    // RDD.zipWithIndex computes internally) and the global n — the
+    // separate count() this replaces was a third full pass over the
+    // cached sort.
+    val rdd = vals.rdd
+    val sizes = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val n = sizes.sum.toDouble
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { r => val out = (r.getDouble(0), k); k += 1; out }
     }.toDF("x", "rank")
     val cdf = cdfFor(distribution, params)(col("x"))
     val out = ranked
