@@ -73,13 +73,22 @@ object Similarity {
     * `fitFraction ≈ fitCap / |corpus|` so the sample is uniform rather
     * than a prefix; the limit is the hard stop either way. Random init
     * + few Lloyd rounds is the standard IVF training recipe
-    * (k-means||'s extra passes buy nothing for bucket routing). */
+    * (k-means||'s extra passes buy nothing for bucket routing).
+    *
+    * `nCentroids = 0` self-sizes by the √n rule: one column-pruned
+    * count of the corpus (cheap next to the KMeans fit; parquet
+    * answers it from footer metadata) → ⌈√n⌉ centroids, capped at
+    * `fitCap` (KMeans cannot produce more clusters than fit rows). */
   def fitIvfQuantizer(corpus: DataFrame, vecCol: String,
                       nCentroids: Int = 16, seed: Long = 42L,
                       fitFraction: Double = 1.0,
                       fitCap: Int = 100000): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val kEff =
+      if (nCentroids > 0) nCentroids
+      else math.max(1, math.min(fitCap.toLong,
+        math.ceil(math.sqrt(corpus.count().toDouble)).toLong).toInt)
     // Partitioning.spread keeps the (possibly single-partition after
     // limit) sample parallel across iterations
     val fitSample = Partitioning.spread(
@@ -87,11 +96,13 @@ object Similarity {
           array_to_vector(col(vecCol).cast("array<double>")).as("features"))
         .sample(withReplacement = false, fitFraction, seed)
         .limit(fitCap))
-    new KMeans().setK(nCentroids).setSeed(seed)
+    new KMeans().setK(kEff).setSeed(seed)
       .setInitMode("random").setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("features").fit(fitSample)
   }
 
+  /** inline-fit convenience overload; `nCentroids = 0` self-sizes by
+    * the √n rule (see [[fitIvfQuantizer]]). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, seed: Long = 42L,

@@ -82,7 +82,14 @@ object PlanLint {
       "q01_flagship_agg" -> ("PushedFilters: [IsNotNull(",
         "filter not pushed to the scan"),
       "q02_select" -> ("ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>",
-        "projection not pruned to the 3 selected columns"))
+        "projection not pruned to the 3 selected columns"),
+      // decontamination contract: the DISTINCT eval shingle set joins
+      // the corpus as a BROADCAST build side (Dedup.decontaminate
+      // broadcastEval=true default); losing the hint re-shuffles the
+      // full corpus shingle explosion. ScaleSpec pins the same
+      // property on the executed plan — this catches it pre-bench.
+      "q78_decontaminate" -> ("BroadcastHashJoin",
+        "eval shingle side no longer broadcasts"))
 
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -110,6 +110,22 @@ class DedupSpec extends SparkTestBase {
     assert(capped.filter($"hamming" > 3).count() == 0)
   }
 
+  test("simhash bucket cap CAN drop true pairs — the documented recall trade") {
+    // adversarial: 6 IDENTICAL docs, so every (chunk, key) bucket holds
+    // all 6 ids. A cap below 6 skips EVERY bucket — the true hamming-0
+    // pairs are lost. This pins that the guard trades RECALL (drops
+    // pairs), never correctness (the cap-subset test above), and that
+    // "a true pair still surfaces from selective chunks" fails exactly
+    // when all of a pair's chunks are hot — the documented residual.
+    val same = (1L to 6L).map(i => (i, "the exact same boilerplate text"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(same, "doc_id", "text", maxDistance = 3)
+    assert(uncapped.count() == 15) // C(6,2), all hamming 0
+    val capped = Dedup.simhashPairs(same, "doc_id", "text",
+      maxDistance = 3, maxBucketSize = 5)
+    assert(capped.count() == 0)
+  }
+
   test("keepCol dedup keeps the argmax-quality row, min id on ties") {
     // exact: two content groups; scores pick doc 3 over 1/2, tie 5/6
     val d = Seq(

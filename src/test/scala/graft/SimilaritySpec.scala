@@ -63,6 +63,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(inline == served)
   }
 
+  test("nCentroids=0 self-sizes the quantizer by the sqrt(n) rule") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val model = Similarity.fitIvfQuantizer(emb, "embedding", nCentroids = 0)
+    val want = math.ceil(math.sqrt(n.toDouble)).toInt
+    // KMeans can return fewer clusters than k on degenerate data, never
+    // more — pin the ceiling and a sane floor
+    assert(model.clusterCenters.length <= want && model.clusterCenters.length >= want / 2,
+      s"k=${model.clusterCenters.length} for n=$n (sqrt rule wants $want)")
+  }
+
   test("IVF ANN recall >= 0.5 vs brute force at k=10") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 20)
