@@ -1556,7 +1556,56 @@ object SparkEntry {
               | CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_tokens,
               | CAST(max(chunk_toks) AS INT) AS max_chunk_tokens,
               | CAST(sum(length(chunk)) AS BIGINT) AS sum_chunk_chars
-              |FROM c2 GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM c2 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Corpus vocabulary (operators/Vocabulary): tokenizer-training /
+    // stopword-heuristic prep. Two partial-aggregated groupBys; the
+    // oracle rebuilds both stages from the shared tokenization.
+    Q("q83_vocabulary", (s, dir) =>
+      graft.operators.Vocabulary.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 5),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(${sqlTokens("text")}) AS token FROM documents),
+              |pd AS (SELECT doc_id, token, count(*) AS c
+              |  FROM tok GROUP BY 1, 2)
+              |SELECT token, CAST(sum(c) AS BIGINT) AS tok_count,
+              | count(*) AS doc_freq
+              |FROM pd GROUP BY token HAVING sum(c) >= 5
+              |ORDER BY tok_count DESC, token""".stripMargin)),
+
+    // URL-level dedup (Dedup.byCanonicalUrl over UrlFunctions
+    // .normalizeUrl). URLs are DERIVED deterministically from existing
+    // columns with every mess the canonicalizer handles — case, www,
+    // default port, tracking params, unsorted params, fragments,
+    // trailing slashes — spread across doc_id residues. The oracle
+    // does NOT replay the regex chain: it states the intended
+    // canonical form directly and dedups that, so the whole
+    // normalization recipe is pinned end-to-end semantically.
+    Q("q84_url_dedup", (s, dir) => {
+      val withUrl = t(s, dir, "documents").withColumn("url", concat(
+        when(col("doc_id") % 7 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".example"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/d/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?b=2&a=1")),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit(""))))
+      graft.operators.Dedup.byCanonicalUrl(withUrl, "url", "doc_id")
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.normalizeUrl(col("url"))
+            .as("canonical_url"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH u AS (SELECT doc_id,
+             |   'https://' || source || '.example/d/' ||
+             |   CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' AS canonical_url
+             | FROM documents),
+             |r AS (SELECT doc_id, canonical_url, row_number()
+             |   OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+             | FROM u)
+             |SELECT doc_id, canonical_url FROM r WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

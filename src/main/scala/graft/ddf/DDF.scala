@@ -528,7 +528,11 @@ object DDF {
     * substring; negative/step forms fall through), col.str.split(pat)
     * (pat is a Java regex — pandas treats a length-1 pat as literal,
     * a DOCUMENTED DIVERGENCE), col.str.extract(pat) (group 1, NULL on
-    * no match; an empty capture also yields NULL — divergence).
+    * no match; an empty capture also yields NULL — divergence),
+    * col.str.pad(w[, side=..., fillchar=...]) (left/right; 'both'
+    * falls through; never truncates, like pandas), col.str.zfill(w)
+    * (plain left zero-pad — pandas' sign-aware hole is a divergence),
+    * col.str.get(i) (non-negative i; NULL out of range).
     * Regex semantics follow pandas (≥2.0) defaults:
     *  - `.str.contains(pat)` treats pat as a REGEX (regex=True
     *    default) → `rlike`, which shares Java-regex unanchored-search
@@ -553,7 +557,18 @@ object DDF {
     * calls like `concat(a, b)`) is tolerated by the match. Unknown
     * .str methods are left as-is (clear Catalyst parse error rather
     * than a silent wrong rewrite). */
-  private def rewriteStrAccessors(e: String): String = {
+  private def rewriteStrAccessors(e: String,
+                                  lits: IndexedSeq[String]): String = {
+    // resolve a masked-literal placeholder to its string content, for
+    // kwargs whose VALUE steers the rewrite (side='left'); the
+    // placeholder itself is re-emitted wherever the value flows into
+    // the generated SQL
+    val litRef = "__graft_str_([0-9]+)__".r
+    def litContent(s: String): Option[String] = s match {
+      case litRef(n) => Some(lits(n.toInt)
+        .stripPrefix("'").stripSuffix("'").replace("''", "'"))
+      case _ => None
+    }
     val acc = ("([A-Za-z_][A-Za-z0-9_]*)\\.str\\.([a-z]+)" +
       "\\(((?:[^()]|\\([^()]*\\))*)\\)").r
     acc.replaceAllIn(e, m => {
@@ -572,12 +587,16 @@ object DDF {
         buf += s.substring(start)
         buf.toSeq.map(_.trim).filter(_.nonEmpty)
       }
-      val kw = "([a-z]+)=(True|False)".r
-      val kwargs = rawArgs.collect { case kw(k, v) => k -> (v == "True") }.toMap
+      // kwargs: boolean (regex=True, case=False) and string-valued
+      // (side='left' — the value arrives as a masked placeholder and
+      // resolves through litContent). `[^=].*` bars a comparison arg
+      // like `x == 1` from parsing as a kwarg.
+      val kw = "([a-z]+)\\s*=\\s*([^=].*)".r
+      val kwargsRaw = rawArgs.collect { case kw(k, v) => k -> v.trim }.toMap
       val args = rawArgs.filter { case kw(_, _) => false; case _ => true }
       val a = args.mkString(", ")
-      val regex = kwargs.get("regex")
-      val ci = !kwargs.getOrElse("case", true)
+      val regex = kwargsRaw.get("regex").map(_ == "True")
+      val ci = kwargsRaw.get("case").contains("False")
       def lit1 = args.headOption.getOrElse("")
       val out = f match {
         case "contains" if regex.getOrElse(true) =>
@@ -606,6 +625,24 @@ object DDF {
           // nullif conflates a legitimately empty capture with no
           // match — documented divergence
           s"nullif(regexp_extract($c, $lit1, 1), '')"
+        // pad/zfill never truncate (Spark lpad/rpad DO when the string
+        // already exceeds width — guard with a length test)
+        case "pad" if args.length == 1 && args.head.matches("[0-9]+") =>
+          val w = args.head
+          val fill = kwargsRaw.getOrElse("fillchar", "' '")
+          kwargsRaw.get("side").flatMap(litContent).getOrElse("left") match {
+            case "left"  => s"if(length($c) >= $w, $c, lpad($c, $w, $fill))"
+            case "right" => s"if(length($c) >= $w, $c, rpad($c, $w, $fill))"
+            case _       => m.matched // side='both' falls through
+          }
+        case "zfill" if args.length == 1 && args.head.matches("[0-9]+") =>
+          val w = args.head
+          s"if(length($c) >= $w, $c, lpad($c, $w, '0'))"
+        // element at position i: out-of-range → NULL (pandas NaN);
+        // nullif conflates with an empty-string char, which substring
+        // cannot produce in-range, so the mapping is exact
+        case "get" if args.length == 1 && args.head.matches("[0-9]+") =>
+          s"nullif(substring($c, ${args.head.toInt + 1}, 1), '')"
         case "len"        => s"length($c)"
         case "lower"      => s"lower($c)"
         case "upper"      => s"upper($c)"
@@ -636,7 +673,7 @@ object DDF {
       .replaceAllIn(nullRewritten, m => java.util.regex.Matcher.quoteReplacement(
         dtFns.get(m.group(2)).map(f => s"$f(${m.group(1)})")
           .getOrElse(m.matched)))
-    val strRewritten = rewriteStrAccessors(dtRewritten)
+    val strRewritten = rewriteStrAccessors(dtRewritten, lits)
     // pandas `x in [a, b]` / `x not in [a, b]` → SQL IN lists (the
     // bracket list only, and only right after the in keyword — plain
     // Catalyst array indexing elsewhere is untouched). Runs AFTER the

@@ -379,6 +379,19 @@ object Dedup {
     materializeAndRelease(result, sh)
   }
 
+  /** URL-level dedup (DRIVER-EXT, SURVEY.md §2.12): one row per
+    * CANONICAL URL ([[graft.functions.UrlFunctions.normalizeUrl]]) —
+    * the first dedup pass of every web-derived corpus (re-crawls and
+    * mirrors store the same page under trivially different URLs).
+    * Keep policy and 100 TB shape are exactly [[exact]]'s: a single
+    * exchange keyed on xxhash64 of the canonical string, min-id (or
+    * argmax `keepCol`) winner per group. */
+  def byCanonicalUrl(df: DataFrame, urlCol: String, idCol: String,
+                     keepCol: String = ""): DataFrame =
+    exact(df.withColumn("__url_canon",
+        graft.functions.UrlFunctions.normalizeUrl(col(urlCol))),
+      Seq("__url_canon"), idCol, keepCol).drop("__url_canon")
+
   /** Benchmark decontamination (DRIVER-EXT, SURVEY.md §2.12): drop
     * corpus docs sharing at least `minOverlap` distinct word n-grams
     * with ANY doc of `evalSet` — the standard guard against training

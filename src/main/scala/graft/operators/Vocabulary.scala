@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus vocabulary / token-frequency table (DRIVER-EXT, SURVEY.md
+  * §2.12 text analysis) — the tokenizer-training and stopword/quality
+  * heuristic prep step every large-scale text pipeline runs before
+  * anything model-shaped.
+  *
+  * Shape at 100 TB: explode → groupBy(doc, token) → groupBy(token),
+  * both aggregations partial (map-side combine), so the first shuffle
+  * carries one row per DISTINCT token per document (not one per
+  * occurrence — a document's tokens sit in one partition and combine
+  * before the exchange) and the second carries one row per distinct
+  * (token, partition). No windows, no driver state, no skew hazard —
+  * a hot token is just a big count. Tokenization is
+  * [[TextFunctions.tokens]] so counts agree with tokenCount()
+  * everywhere else in the engine.
+  */
+object Vocabulary {
+
+  /** (token, tok_count, doc_freq) descending by tok_count (token asc
+    * tie-break). `minCount` prunes AFTER aggregation: a hapax-heavy
+    * tail shrinks the RESULT, not the shuffles — partial aggregation
+    * already bounded the map-side volume, and pruning earlier would
+    * need the very global counts being computed. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("__c")).as("tok_count"),
+        count(lit(1)).as("doc_freq"))
+      .filter(col("tok_count") >= minCount)
+      .orderBy(col("tok_count").desc, col("token").asc)
+  }
+}

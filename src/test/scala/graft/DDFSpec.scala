@@ -133,6 +133,18 @@ class DDFSpec extends SparkTestBase {
     val ext = people.selectExpression("x = name.str.extract('a(n+)')").toDF
     assert(ext.filter($"id" === 1).select($"x").head().getString(0) == "nn")
     assert(ext.filter($"id" === 2).select($"x").head().isNullAt(0))
+    // pad/zfill never truncate; side/fillchar kwargs resolve through
+    // the literal mask; get is NULL out of range
+    def s1(expr: String): org.apache.spark.sql.Row =
+      people.selectExpression(s"x = $expr").toDF
+        .filter($"id" === 1).select($"x").head()
+    assert(s1("name.str.pad(5)").getString(0) == "  ann")
+    assert(s1("name.str.pad(5, side='right', fillchar='_')")
+      .getString(0) == "ann__")
+    assert(s1("name.str.pad(2)").getString(0) == "ann") // no truncation
+    assert(s1("name.str.zfill(5)").getString(0) == "00ann")
+    assert(s1("name.str.get(1)").getString(0) == "n")
+    assert(s1("name.str.get(9)").isNullAt(0))
   }
 
   test("pandas-eval dialect: in / not in lists and @list params") {

@@ -201,4 +201,52 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.lineDedup($"text")).head().getString(0)
     assert(ld == "l1\nl2\nl3")
   }
+
+  test("normalizeUrl: canonical recipe, non-URLs pass through") {
+    import graft.functions.UrlFunctions.normalizeUrl
+    val cases = Seq(
+      // scheme+host lowercase, www/default-port/fragment stripped,
+      // tracking params dropped, survivors sorted, trailing slash cut
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"
+        -> "https://example.com/a/b?a=1&b=2",
+      "http://example.com:80/" -> "http://example.com",
+      // non-default port and path case survive
+      "http://Example.com:8080/PaTh/" -> "http://example.com:8080/PaTh",
+      // all params tracking → no '?'
+      "https://example.com/?utm_campaign=z&gclid=1" -> "https://example.com",
+      "  https://example.com  " -> "https://example.com",
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(normalizeUrl($"u")).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("byCanonicalUrl dedups on the canonical form, exact() policy") {
+    import graft.operators.Dedup
+    val d = Seq(
+      (1L, "https://www.a.com/x/?b=2&a=1", 0.2),
+      (2L, "HTTPS://A.COM:443/x?a=1&b=2#f", 0.9), // same canonical as 1
+      (3L, "https://a.com/y", 0.5)
+    ).toDF("doc_id", "url", "q")
+    assert(Dedup.byCanonicalUrl(d, "url", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(Dedup.byCanonicalUrl(d, "url", "doc_id", keepCol = "q")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // helper column dropped, schema unchanged
+    assert(Dedup.byCanonicalUrl(d, "url", "doc_id").columns.toSeq ==
+      Seq("doc_id", "url", "q"))
+  }
+
+  test("vocabulary: counts, doc_freq, minCount, ordering") {
+    import graft.operators.Vocabulary
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c c C")).toDF("id", "txt")
+    val v = Vocabulary.vocabulary(d, "id", "txt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 3 occurrences in 2 docs; c: 4 (lowercased) in 2 docs; b: 2 in 2
+    assert(v.toSeq == Seq(("a", 3L, 2L), ("c", 4L, 2L), ("b", 2L, 2L))
+      .sortBy { case (t, n, _) => (-n, t) }, s"got ${v.toSeq}")
+    val pruned = Vocabulary.vocabulary(d, "id", "txt", minCount = 3)
+      .select("token").as[String].collect().toSet
+    assert(pruned == Set("a", "c"))
+  }
 }
