@@ -31,6 +31,46 @@ class Save(df: DataFrame) {
   def pickle(path: String, mode: String = "overwrite"): Unit =
     parquet(path, mode)
 
+  /** Training-shard writer (DRIVER-EXT, SURVEY.md §2.12): exactly
+    * `nShards` parquet files with rows DETERMINISTICALLY shuffled —
+    * the standard last step of a training-data pipeline (a trainer
+    * streaming shards in order must see a well-mixed sample, and a
+    * re-run must produce identical shards for reproducibility).
+    *
+    * Mechanics: shard = pmod(xxhash64(seed, id), nShards), routed by
+    * an IDENTITY partitioner through
+    * `repartitionAndSortWithinPartitions` (one spill-backed shuffle-
+    * with-sort, the TeraSort machinery), rows ordered inside each
+    * shard by the same hash. Membership and order are pure functions
+    * of (seed, id) — rerun-stable regardless of input partition
+    * layout. `repartitionByRange` would NOT be: its range boundaries
+    * come from a sampling pass seeded by the ephemeral RDD id, and a
+    * `rand()` shuffle depends on partition layout. No skew by
+    * construction (the hash is uniform); no driver materialization.
+    * Rows whose ids hash-collide have unspecified relative order.
+    * The DataFrame→RDD hop costs one encode pass — fine for a
+    * terminal write. */
+  def shards(path: String, idCol: String, nShards: Int,
+             seed: Long = 42L, mode: String = "overwrite"): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__shuf", xxhash64(lit(seed), col(idCol)))
+    val n = nShards
+    val pairs = keyed.rdd.map { r =>
+      val h = r.getLong(r.length - 1) // __shuf is the appended last col
+      (((h % n + n) % n).toInt -> h, r)
+    }
+    val byShard = new org.apache.spark.Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+    }
+    val shuffled = pairs
+      .repartitionAndSortWithinPartitions(byShard).map(_._2)
+    spark.createDataFrame(shuffled, keyed.schema).drop("__shuf")
+      .write.mode(mode).parquet(path)
+  }
+
   /** bucketed + sorted managed table: repeated joins/aggregations on
     * `bucketCols` read co-located, pre-sorted buckets — no exchange,
     * no sort at query time. The 100 TB answer to the reference's

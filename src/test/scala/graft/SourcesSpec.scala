@@ -75,6 +75,35 @@ class SourcesSpec extends SparkTestBase {
     assert(d.numOfPartitions() == 4 && d.countRows() == 10)
   }
 
+  test("shard writer: exact file count, lossless, rerun-identical") {
+    val docs = DDF(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet"))
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    def shardContents(p: String): Seq[Seq[Long]] = partFiles(p).map(f =>
+      spark.read.parquet(f.getPath).select($"doc_id").as[Long]
+        .collect().toSeq)
+    val (p1, p2) = (tmp("shards1"), tmp("shards2"))
+    docs.save.shards(p1, "doc_id", nShards = 4, seed = 7L)
+    docs.save.shards(p2, "doc_id", nShards = 4, seed = 7L)
+    val (s1, s2) = (shardContents(p1), shardContents(p2))
+    assert(s1.size == 4, s"expected 4 shards, got ${s1.size}")
+    // lossless: shards partition the corpus exactly
+    val n = docs.countRows()
+    assert(s1.map(_.size).sum == n && s1.flatten.toSet.size == n.toInt)
+    // deterministic: rerun gives identical membership AND in-shard
+    // order (membership/order are pure functions of (seed, id))
+    assert(s1 == s2)
+    // mixed: no shard is a contiguous doc_id range (hash-shuffled)
+    assert(s1.forall(s => s != s.sorted))
+    // a different seed produces a different permutation
+    val p3 = tmp("shards3")
+    docs.save.shards(p3, "doc_id", nShards = 4, seed = 8L)
+    assert(shardContents(p3) != s1)
+  }
+
   test("pickle alias round-trips through parquet") {
     val p = tmp("pickle")
     sample.save.pickle(p)
