@@ -1605,7 +1605,34 @@ object SparkEntry {
              |   OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
              | FROM u)
              |SELECT doc_id, canonical_url FROM r WHERE rn = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-global span dedup (Dedup.dedupSpansGlobal): the C4 rule
+    // at 8-token-span granularity. The oracle rebuilds spans with the
+    // q82 slicing, picks winners by an encoded (doc_id, pos) min
+    // (equivalent to the operator's struct min for non-negative ids
+    // and pos < 1e6), and reassembles every surviving document.
+    Q("q85_span_dedup", (s, dir) =>
+      graft.operators.Dedup.dedupSpansGlobal(t(s, dir, "documents"),
+          "doc_id", "text", spanTokens = 8)
+        .select(col("doc_id"), col("text").as("text_dedup"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t
+              |  FROM documents),
+              |sp AS (SELECT doc_id, i AS pos,
+              |    array_to_string(t[i*8 + 1 : least(i*8 + 8, len(t))], ' ') AS span
+              |  FROM (SELECT doc_id, t,
+              |      unnest(range(0, greatest((len(t) - 1) // 8, 0) + 1)) AS i
+              |    FROM tk WHERE len(t) > 0)),
+              |w AS (SELECT span, min(doc_id * 1000000 + pos) AS wkey
+              |  FROM sp GROUP BY span),
+              |k AS (SELECT sp.doc_id, sp.pos, sp.span FROM sp
+              |  JOIN w ON sp.span = w.span
+              |   AND sp.doc_id * 1000000 + sp.pos = w.wkey)
+              |SELECT d.doc_id,
+              | coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS text_dedup
+              |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -392,6 +392,47 @@ object Dedup {
         graft.functions.UrlFunctions.normalizeUrl(col(urlCol))),
       Seq("__url_canon"), idCol, keepCol).drop("__url_canon")
 
+  /** Corpus-GLOBAL span dedup (DRIVER-EXT, SURVEY.md §2.12) — the
+    * C4 rule at token-span granularity: any `spanTokens`-token span
+    * (non-overlapping [[graft.functions.TextFunctions.chunkTokens]]
+    * windows) occurring more than once in the corpus survives only at
+    * its FIRST occurrence — smallest (id, position) — and later
+    * occurrences are cut from their documents. Returns the input
+    * schema with `textCol` REASSEMBLED from the surviving spans, in
+    * the tokens() normalization (lowercased, single-space-joined —
+    * the normalization the spans dedup under; DOCUMENTED DIVERGENCE
+    * from byte-exact text surgery). A document losing every span
+    * keeps an empty string.
+    *
+    * 100 TB shape: posexplode → ONE aggregation keyed on the span
+    * string taking min(struct(id, pos)) — a boilerplate span shared
+    * by millions of documents reduces to one aggregation row
+    * (partial-aggregated map-side), where a window over the span key
+    * would pile the hot span into a single partition. Survivors come
+    * back via an equi-join on (span + winner key) and one
+    * groupBy(id) rebuilds the text; every shuffle is keyed and
+    * partial-aggregatable, nothing driver-side. */
+  def dedupSpansGlobal(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = 32): DataFrame = {
+    val spans = df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TextFunctions
+        .chunkTokens(col(textCol), spanTokens)).as(Seq("__pos", "__span")))
+    val winners = spans.groupBy(col("__span"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__span"), col("__w.__id").as("__wid"),
+        col("__w.__pos").as("__wpos"))
+    val rebuilt = spans.join(winners, Seq("__span"))
+      .filter(col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__span")))),
+        s => s.getField("__span"))).as("__text"))
+    df.drop(textCol)
+      .join(rebuilt.select(col("__id").as(idCol), col("__text").as(textCol)),
+        Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   /** Benchmark decontamination (DRIVER-EXT, SURVEY.md §2.12): drop
     * corpus docs sharing at least `minOverlap` distinct word n-grams
     * with ANY doc of `evalSet` — the standard guard against training

@@ -126,6 +126,24 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("global span dedup cuts later occurrences, keeps first") {
+    // span size 2: doc 1 owns both its spans; doc 2 repeats doc 1's
+    // first span (cut) and keeps its own; doc 3 duplicates doc 1
+    // entirely (emptied); doc 4 repeats a span WITHIN itself (second
+    // occurrence cut). Case-insensitive via tokens() normalization;
+    // the extra column rides through untouched.
+    val d = Seq(
+      (1L, "A b c d", "k1"), (2L, "a B x y", "k2"),
+      (3L, "a b c d", "k3"), (4L, "p q p q", "k4")
+    ).toDF("doc_id", "text", "tag")
+    val r = Dedup.dedupSpansGlobal(d, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("text"),
+        x.getAs[String]("tag"))).toSeq
+    assert(r == Seq((1L, "a b c d", "k1"), (2L, "x y", "k2"),
+      (3L, "", "k3"), (4L, "p q", "k4")), s"got $r")
+  }
+
   test("keepCol dedup keeps the argmax-quality row, min id on ties") {
     // exact: two content groups; scores pick doc 3 over 1/2, tie 5/6
     val d = Seq(
