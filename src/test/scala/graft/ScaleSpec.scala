@@ -225,6 +225,26 @@ class ScaleSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), s"cartesian in:\n$plan")
   }
 
+  test("span dedup and vocabulary aggregate without a window node") {
+    // both ops reduce hot keys via partial aggregation — a Window over
+    // the span/token key would pile a boilerplate key into one
+    // partition. Pin: no Window in the executed plan, aggregation only.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sd = graft.operators.Dedup
+      .dedupSpansGlobal(docs, "doc_id", "text", spanTokens = 8)
+    sd.count()
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("Window"), s"window in span dedup:\n$sdPlan")
+    val v = graft.operators.Vocabulary.vocabulary(docs, "doc_id", "text")
+    v.count()
+    val vPlan = v.queryExecution.executedPlan.toString
+    assert(!vPlan.contains("Window"), s"window in vocabulary:\n$vPlan")
+    // two-stage shape: doc×token then token (plus the final order) —
+    // partial aggregation keeps per-occurrence rows off the wire
+    assert(vPlan.contains("partial"), s"no partial agg in:\n$vPlan")
+  }
+
   test("melt reshapes wide to long") {
     val d = DDF(Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b"))
     val m = d.melt(Seq("id"), Seq("a", "b")).toDF
