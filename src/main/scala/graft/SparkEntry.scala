@@ -1632,7 +1632,38 @@ object SparkEntry {
               |SELECT d.doc_id,
               | coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS text_dedup
               |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
-              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // Temperature-resampled mixing (Budget.tokenBudgetSelectTemperature,
+    // the mT5/XLM-R α-sampling recipe): weights ∝ tokens^α derived
+    // FROM the data, then the q81 weighted selection. The oracle
+    // derives the same weights in SQL (pow + normalize + floor — both
+    // sides floor the per-stratum budget to whole tokens).
+    Q("q86_temperature_mixing", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.tokenBudgetSelectTemperature(docs, "lang", "doc_id",
+          "quality", "n_tok", totalBudget = 20000L, alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+              |  ${sqlQuality("text")} AS quality,
+              |  len(${sqlTokens("text")}) AS n_tok FROM documents),
+              |tot AS (SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS t
+              |  FROM q GROUP BY lang),
+              |w AS (SELECT lang, pow(t, 0.5) AS pw FROM tot),
+              |b AS (SELECT lang, CAST(floor(
+              |    20000 * pw / (SELECT sum(pw) FROM w)) AS BIGINT) AS budget
+              |  FROM w),
+              |c AS (SELECT q.*, b.budget, sum(n_tok) OVER (
+              |   PARTITION BY q.lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q JOIN b ON q.lang = b.lang)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -60,6 +60,43 @@ object Budget {
       .select(df.columns.map(col): _*) // original column order
   }
 
+  /** Temperature-based mixture weights — the α-sampling rule of the
+    * multilingual-pretraining literature (mT5 / XLM-R, public recipe):
+    * weight_s ∝ (tokens_s)^α, normalized to sum 1. α = 1 reproduces
+    * the corpus's natural distribution, α → 0 approaches uniform;
+    * the standard low-resource-boosting range is 0.2–0.7. Returns the
+    * recipe Map for [[tokenBudgetSelectWeighted]].
+    *
+    * The per-stratum token totals are a one-row-per-stratum aggregate
+    * (tens of language/source strata) — collecting them to the driver
+    * is the same bounded barrier as the engine's other per-group
+    * stats, and the recipe usually feeds configs, logs, and the
+    * broadcast budgets table anyway. Stratum keys are rendered as
+    * strings (the recipe's currency). */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+                         tokenCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__t"))
+      .select(col(strataCol).cast("string"), col("__t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .sortBy(_._1) // fixed summation order → rerun-stable weights
+    val powed = totals.map { case (k, v) => k -> math.pow(v, alpha) }
+    val z = powed.map(_._2).sum
+    powed.map { case (k, v) => k -> v / z }.toMap
+  }
+
+  /** α-resampled mixing in one call: derive the recipe with
+    * [[temperatureWeights]], select with
+    * [[tokenBudgetSelectWeighted]]. */
+  def tokenBudgetSelectTemperature(df: DataFrame, strataCol: String,
+                                   idCol: String, scoreCol: String,
+                                   tokenCol: String, totalBudget: Long,
+                                   alpha: Double): DataFrame =
+    tokenBudgetSelectWeighted(df, strataCol, idCol, scoreCol, tokenCol,
+      totalBudget, temperatureWeights(df, strataCol, tokenCol, alpha))
+
   /** Scalable variant of [[tokenBudgetSelect]] — provably the SAME
     * selection, without putting an entire stratum through one window
     * partition. Shape:

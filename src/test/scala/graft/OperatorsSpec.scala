@@ -83,6 +83,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(cols === d.columns)
   }
 
+  test("temperature weights: alpha=1 natural, alpha=0 uniform, boosts tail") {
+    val d = Seq(
+      ("en", 1L, 0.9, 900L), ("fr", 2L, 0.9, 90L), ("zh", 3L, 0.9, 10L))
+      .toDF("lang", "id", "q", "tok")
+    val B = graft.operators.Budget
+    val nat = B.temperatureWeights(d, "lang", "tok", alpha = 1.0)
+    assert(math.abs(nat("en") - 0.9) < 1e-12 &&
+      math.abs(nat("zh") - 0.01) < 1e-12)
+    val uni = B.temperatureWeights(d, "lang", "tok", alpha = 0.0)
+    assert(uni.values.forall(w => math.abs(w - 1.0 / 3) < 1e-12))
+    // 0 < alpha < 1 boosts the low-resource stratum above natural,
+    // never above uniform; weights always normalize
+    val mid = B.temperatureWeights(d, "lang", "tok", alpha = 0.5)
+    assert(mid("zh") > nat("zh") && mid("zh") < uni("zh"))
+    assert(math.abs(mid.values.sum - 1.0) < 1e-12)
+    // the one-call form == weighted selection with the derived recipe
+    val viaTemp = B.tokenBudgetSelectTemperature(
+        d, "lang", "id", "q", "tok", 100L, 0.5)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val viaRecipe = B.tokenBudgetSelectWeighted(
+        d, "lang", "id", "q", "tok", 100L, mid)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(viaTemp == viaRecipe)
+  }
+
   test("threshold token budget == exact window selection") {
     import graft.functions.{TextFunctions => TF}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
