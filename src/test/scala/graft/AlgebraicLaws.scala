@@ -94,6 +94,40 @@ object AlgebraicLaws extends Properties("graft.ddf") {
     } yield (a, b)).toSet
   }
 
+  private def toDDFOpt(xs: List[Option[Int]]): DDF = {
+    val rows = xs.map(x =>
+      org.apache.spark.sql.Row(x.map(Int.box).orNull)).asJava
+    DDF(spark.createDataFrame(rows,
+      new org.apache.spark.sql.types.StructType()
+        .add("v", org.apache.spark.sql.types.IntegerType)))
+  }
+  private val optList =
+    Gen.listOfN(10, Gen.option(Gen.choose(0, 5)))
+
+  // pandas semantics: `in` keeps only non-null members; `not in`
+  // keeps nulls AND non-members; empty lists fold to none/all
+  property("in / not in lists follow pandas null semantics") =
+    Prop.forAll(optList, Gen.choose(0, 3).flatMap(
+        n => Gen.listOfN(n, Gen.choose(0, 5)))) { (vs, lst) =>
+      val d = toDDFOpt(vs)
+      val listStr = lst.mkString("[", ", ", "]")
+      val wantIn = vs.count(_.exists(lst.contains))
+      val wantNot = vs.count(_.forall(x => !lst.contains(x)))
+      d.filter(s"v in $listStr").countRows() == wantIn &&
+        d.filter(s"v not in $listStr").countRows() == wantNot &&
+        d.filter("v in @xs", Map("xs" -> lst)).countRows() == wantIn &&
+        d.filter("v not in @xs", Map("xs" -> lst)).countRows() == wantNot
+    }
+
+  property("** chains fold right-associatively (python semantics)") =
+    Prop.forAll(Gen.choose(1, 3), Gen.choose(1, 3), Gen.choose(1, 3)) {
+      (a, b, c) =>
+        val got = toDDF(List(1))
+          .selectExpression(s"x = $a ** $b ** $c").toDF
+          .select("x").head().getDouble(0)
+        got == math.pow(a, math.pow(b, c))
+    }
+
   property("jaccardPairsExact matches the reference model") =
     Prop.forAll(corpus, Gen.oneOf(0.2, 0.4, 0.6)) { (docs, t) =>
       import scala.jdk.CollectionConverters._
