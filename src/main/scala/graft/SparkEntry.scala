@@ -1663,7 +1663,157 @@ object SparkEntry {
               |  FROM q JOIN b ON q.lang = b.lang)
               |SELECT lang, count(*) AS n_docs,
               | CAST(sum(n_tok) AS BIGINT) AS n_tokens
-              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM c WHERE cum <= budget GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Corpus-trained add-k bigram LM scoring (operators/LanguageModel)
+    // — the CCNet-style perplexity quality signal. The oracle retrains
+    // the identical model in SQL: same bigram keys, same corpus
+    // counts, same one-row vocabulary size, same add-k formula; both
+    // sides round the order-sensitive float mean to 6 decimals.
+    Q("q87_lm_perplexity", (s, dir) =>
+      graft.operators.LanguageModel.bigramNll(
+          t(s, dir, "documents"), "doc_id", "text", k = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t
+              |  FROM documents),
+              |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              |    FROM tk WHERE len(t) >= 2)),
+              |dbg AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+              |cb AS (SELECT bg, sum(m) AS c12 FROM dbg GROUP BY bg),
+              |cu AS (SELECT w, count(*) AS c1
+              |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+              |v AS (SELECT count(*) AS v FROM cu),
+              |sc AS (SELECT d.doc_id, d.m,
+              |    -ln((cb.c12 + 0.5) / (cu.c1 + 0.5 * v.v)) AS nll
+              |  FROM dbg d JOIN cb ON d.bg = cb.bg
+              |  JOIN cu ON string_split(d.bg, ' ')[1] = cu.w, v)
+              |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+              | round(sum(m * nll) / sum(m), 6) AS nll
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic content-hash split (DDF.hashSplit): membership is
+    // a pure function of md5(id) — rerun-stable, unlike randomSplit.
+    // Spark compares the first 8 hex chars numerically (conv base 16);
+    // the oracle compares the same substring against the equivalent
+    // hex literal lexicographically — identical on fixed-width
+    // lowercase hex.
+    Q("q88_hash_split", (s, dir) => {
+      val (test, train) = d(s, dir, "documents").hashSplit("doc_id", 0.25)
+      test.toDF.select(col("doc_id"), lit("test").as("split"))
+        .union(train.toDF.select(col("doc_id"), lit("train").as("split")))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id,
+             | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |        < '40000000'
+             |   THEN 'test' ELSE 'train' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Top-k per-document keywords by TF-IDF (Vocabulary.topKeywords).
+    // Scores are rounded to 6 decimals BEFORE ranking on both sides,
+    // so the window ordering itself is pinned (ties break on token).
+    Q("q89_tfidf_keywords", (s, dir) =>
+      graft.operators.Vocabulary.topKeywords(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf
+              |  FROM tok GROUP BY 1, 2),
+              |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.token,
+              |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS score
+              |  FROM tf JOIN dfq USING (token), n),
+              |r AS (SELECT doc_id, token, score, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+              |  FROM sc)
+              |SELECT doc_id, rank, token, score FROM r
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Stream–static enrichment join run as a REAL streaming query:
+    // the events stream joins a batch-computed per-type dimension
+    // (broadcast, stateless) and aggregates above-average counts.
+    // The oracle is the equivalent batch join + aggregation.
+    Q("q90_stream_enrich", (s, dir) => {
+      val dim = events(s, dir).groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_avg"))
+      val stream = EventStream.readStream(s, dir)
+      val res = EventStream.runToMemory(
+        EventStream.enrich(stream, dim, "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > col("type_avg"), 1L).otherwise(0L))
+              .as("n_above")),
+        "q90_mem",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      res.orderBy(col("event_type"))
+    },
+      Some("""WITH dim AS (SELECT event_type, avg(value) AS type_avg
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             | CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_above
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
+    // Values supplied explicitly (the scale-correct form: fixed
+    // schema, no distinct pre-pass); the oracle is the classic
+    // CASE-WHEN conditional aggregation.
+    Q("q91_pivot", (s, dir) =>
+      d(s, dir, "lineitem").groupBy(Seq("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))(("qty", "sum", "l_quantity"))
+        .toDF
+        .select(col("l_returnflag"),
+          round(col("F"), 2).as("qty_f"), round(col("O"), 2).as("qty_o"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+             | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact group-wise quantiles (GroupedDDF "pNN" aggregates →
+    // percentile, linear interpolation — the same definition as
+    // DuckDB's quantile_cont, so values match to float noise and
+    // round(4) absorbs that).
+    Q("q92_group_quantiles", (s, dir) =>
+      d(s, dir, "lineitem").groupBy(Seq("l_returnflag")).agg(
+          ("p50_price", "p50", "l_extendedprice"),
+          ("p95_price", "p95", "l_extendedprice"),
+          ("med_qty", "median", "l_quantity"))
+        .selectExpression(
+          "p50_price = round(p50_price, 4)",
+          "p95_price = round(p95_price, 4)",
+          "med_qty = round(med_qty, 4)")
+        .sort(Seq("l_returnflag")).toDF,
+      Some("""SELECT l_returnflag,
+             | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+             | round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Domain-blocklist filter (operators/DomainFilter): hosts derived
+    // deterministically from existing columns, with doc_id%4 rows on a
+    // `cdn.` subdomain so the dot-suffix match is exercised. Like q84,
+    // the oracle states the INTENDED surviving set directly (source
+    // not blocked), pinning host extraction + suffix semantics
+    // end-to-end rather than replaying the regex chain.
+    Q("q93_domain_filter", (s, dir) => {
+      import s.implicits._
+      val withUrl = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 4 === 0, lit("cdn.")).otherwise(lit("www.")),
+          col("source"), lit(".example/p/"), col("doc_id").cast("string")))
+      val blocked = Seq("src3.example", "SRC7.example").toDF("domain")
+      graft.operators.DomainFilter.dropBlockedDomains(withUrl, "url", blocked)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE source NOT IN ('src3', 'src7')
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -36,6 +36,12 @@ class DDFContext(val spark: SparkSession) {
     /** parquet — primary format for this engine's testdata */
     def parquet(path: String): DDF = DDF(spark.read.parquet(path))
 
+    /** ORC (engine ext): the other columnar format Spark ships a
+      * vectorized, pushdown-capable reader for — same predicate
+      * pushdown / column pruning / partition pruning behavior as
+      * parquet, for interop with Hive-era warehouses. */
+    def orc(path: String): DDF = DDF(spark.read.orc(path))
+
     /** reference: bases/data_reader.py :: pickle. DOCUMENTED
       * DIVERGENCE: the JVM cannot execute Python pickle, so the
       * pickle alias stores/loads the same logical DataFrame as

@@ -308,6 +308,23 @@ class DDF(val df: DataFrame) {
     (wrap(parts(0)), wrap(parts(1)))
   }
 
+  /** Deterministic content-hash split (engine ext — the training-data
+    * version of split): membership is a pure function of the ID, so
+    * the same row lands on the same side across reruns, cluster sizes,
+    * and partition layouts — unlike `split`, whose RNG draw depends on
+    * partition order. The standard way to hold out an eval set that
+    * stays disjoint from training data forever. First element gets
+    * ~`fraction` of rows. Hash = first 8 hex chars of md5(id as
+    * string), compared as a number — uniform on [0, 2^32). */
+  def hashSplit(idCol: String, fraction: Double): (DDF, DDF) = {
+    require(fraction >= 0 && fraction <= 1,
+      s"fraction must be in [0,1], got $fraction")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val cut = (fraction * 4294967296.0).toLong
+    (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
+  }
+
   /** reference: functions/etl/hash_partitioner.py */
   def hashPartition(cols: Seq[String], nfrag: Int): DDF =
     wrap(df.repartition(nfrag, cols.map(col): _*))

@@ -27,6 +27,23 @@ class GroupedDDF(df: DataFrame, keys: Seq[String]) {
       .agg(exprs.head, exprs.tail: _*))
   }
 
+  /** pivot (engine ext — pairs with DDF.melt): wide-format
+    * aggregation. Supply `values` at scale: omitting it costs an
+    * extra distinct job AND makes the output schema data-dependent
+    * (both are fine interactively, neither belongs in a pipeline).
+    * One shuffle on the group keys either way — pivot columns are
+    * folded into the aggregation buffers, not extra exchanges. */
+  def pivot(pivotCol: String, values: Seq[Any] = Nil)
+           (specs: (String, String, String)*): DDF = {
+    val g = df.groupBy(keys.map(col): _*)
+    val p = if (values.nonEmpty) g.pivot(pivotCol, values)
+            else g.pivot(pivotCol)
+    val exprs = specs.map { case (a, f, c) =>
+      GroupedDDF.aggExpr(f, c).as(a)
+    }
+    new DDF(p.agg(exprs.head, exprs.tail: _*))
+  }
+
   /** cube / rollup — absent in the reference (SURVEY.md §2.4), free in
     * Spark; exposed as engine extensions. */
   def cubeAgg(specs: (String, String, String)*): DDF = {
@@ -55,6 +72,12 @@ object GroupedDDF {
     case "stddev"         => stddev_samp(col(c))
     case "variance"       => var_samp(col(c))
     case "median"         => median(col(c))
+    // exact linear-interpolation percentile, e.g. "p25"/"p50"/"p95"
+    // (same definition as DuckDB quantile_cont, so it oracles). Exact
+    // means a sort per group — prefer approx_percentile at 100 TB
+    // when ±1% is acceptable.
+    case p if p.length > 1 && p.head == 'p' && p.tail.forall(_.isDigit) =>
+      percentile(col(c), lit(p.tail.toInt / 100.0))
     case other            => sys.error(s"unknown agg function: $other")
   }
 }

@@ -26,6 +26,34 @@ class Save(df: DataFrame) {
               partitionBy: Seq[String] = Nil): Unit =
     w(mode, partitionBy).parquet(path)
 
+  /** Range-clustered parquet write (engine ext) — the scan-locality
+    * layout lever for HIGH-cardinality keys, complementing
+    * `partitionBy` (low-cardinality directories): repartitionByRange +
+    * sortWithinPartitions on the cluster key, so every output file
+    * covers a narrow, non-overlapping key interval and parquet
+    * min/max stats prune whole files/row-groups for range predicates.
+    * One sampling pass + one shuffle-with-sort; file count = `nFiles`
+    * (0 = let AQE size the shuffle — at scale, set it from
+    * total-bytes / target-file-size). Range boundaries come from a
+    * sampling job, so the LAYOUT is not rerun-stable (content is) —
+    * use `shards` when byte-identical reruns matter more than
+    * locality. */
+  def clustered(path: String, clusterBy: Seq[String],
+                nFiles: Int = 0, mode: String = "overwrite"): Unit = {
+    require(clusterBy.nonEmpty, "clustered needs at least one column")
+    val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+    val ranged = if (nFiles > 0) df.repartitionByRange(nFiles, cols: _*)
+                 else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** ORC sink (engine ext, pairs with DDFContext.read.orc) — same
+    * `partitionBy` hive-style directory layout as parquet. */
+  def orc(path: String, mode: String = "overwrite",
+          partitionBy: Seq[String] = Nil): Unit =
+    w(mode, partitionBy).orc(path)
+
   /** reference: bases/data_saver.py :: pickle — DOCUMENTED
     * DIVERGENCE: stored as parquet (see DDFContext.read.pickle). */
   def pickle(path: String, mode: String = "overwrite"): Unit =

@@ -49,4 +49,14 @@ object UrlFunctions {
       scheme, lit("://"), host, path,
       when(length(params) > 0, concat(lit("?"), params)).otherwise(lit(""))))
   }
+
+  /** Host of a URL, normalized like [[normalizeUrl]] (lowercase, no
+    * `www.` prefix, no port) — the key for domain-level filtering and
+    * per-site statistics. Empty string when the value has no
+    * `scheme://`. */
+  def host(url: Column): Column = {
+    val h = regexp_replace(lower(regexp_extract(trim(url), urlRe, 2)),
+      "^www\\.", "")
+    regexp_replace(h, ":[0-9]+$", "")
+  }
 }

@@ -39,4 +39,42 @@ object Vocabulary {
       .filter(col("tok_count") >= minCount)
       .orderBy(col("tok_count").desc, col("token").asc)
   }
+
+  /** Top-k keywords per document by TF-IDF (tf · ln(N/df)) — the
+    * classic per-document salience signal (topic tagging, index
+    * terms, clustering features).
+    *
+    * Shape at 100 TB: the same partial-aggregated (doc, token, tf)
+    * table as [[vocabulary]] feeds both the document-frequency agg
+    * and the scoring join (shuffle keyed on token; hot tokens are
+    * single hot count-lookup keys, AQE-splittable). N enters as a
+    * one-row broadcast. The final top-k is a window PARTITIONed on
+    * the document id — group size = the document's distinct-token
+    * count, never corpus-scale. Score ties break on token asc so the
+    * result is fully deterministic. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = df
+      .select(col(idCol).as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("__n"))
+    val scored = perDoc
+      .join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__doc").as(idCol), col("rank"), col("token"),
+        col("score"))
+  }
 }

@@ -85,6 +85,16 @@ object EventStream {
       .drop(r(key))
   }
 
+  /** stream–static enrichment join: each micro-batch joins against a
+    * bounded dimension table (broadcast — the dim never shuffles the
+    * stream side, and the join is STATELESS: nothing buffers between
+    * batches, unlike stream–stream joins). The standard lookup/
+    * enrichment step of a continuous ingestion pipeline; at scale the
+    * dim must stay broadcast-sized or be replaced by a keyed state
+    * store. Dim column names must be disjoint apart from the key. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "inner")
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

@@ -57,7 +57,14 @@ object PlanLint {
       "build side is a single row"),
     "q50_similarity_ivf" -> ("query->centroid scoring is a broadcast " +
       "cross of Q x K rows (K = nCentroids, tiny); corpus side is " +
-      "probed, never crossed"))
+      "probed, never crossed"),
+    "q87_lm_perplexity" -> ("scalar-broadcast pattern: the 1-row " +
+      "vocabulary size crosses the already-aggregated score rows"),
+    "q89_tfidf_keywords" -> ("scalar-broadcast pattern: the 1-row " +
+      "document count crosses the already-aggregated tf rows"),
+    "q93_domain_filter" -> ("broadcast non-equi anti join: the " +
+      "blocklist side is broadcast-small by contract; the " +
+      "equality-or-dot-suffix match cannot be an equi join"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -72,7 +79,8 @@ object PlanLint {
     // streaming/eager queries execute work at construction — lint the
     // batch-plan queries only (the eager ops assert their plan shapes
     // in ScaleSpec instead)
-    val skip = Set("q66_stream_window", "q72_stream_interval_join")
+    val skip = Set("q66_stream_window", "q72_stream_interval_join",
+      "q90_stream_enrich")
 
     // positive checks: these queries MUST show the named scan property
     // (filter pushdown reaching parquet / column-pruned read schema)

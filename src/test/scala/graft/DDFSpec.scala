@@ -399,6 +399,36 @@ class DDFSpec extends SparkTestBase {
     assert(d.explodeCol("xs").countRows() == 3)
   }
 
+  test("pivot: wide-format conditional aggregation, absent cell = null") {
+    val d = DDF(Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+      ("a", "x", 4.0)).toDF("k", "p", "v"))
+    val wide = d.groupBy(Seq("k")).pivot("p", Seq("x", "y"))(
+      ("s", "sum", "v")).toDF
+    assert(wide.columns.toSeq == Seq("k", "x", "y"))
+    val rows = wide.collect().map(r =>
+      r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows("a") == (Some(5.0), Some(2.0)))
+    assert(rows("b") == (Some(3.0), None)) // (b, y) never occurs
+    // inferred-values path finds the same columns
+    assert(d.groupBy(Seq("k")).pivot("p")(("s", "sum", "v"))
+      .columns.toSet == Set("k", "x", "y"))
+  }
+
+  test("pNN aggregates: exact linear-interpolation percentiles") {
+    val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0))
+      .toDF("k", "v"))
+    val r = d.groupBy(Seq("k")).agg(
+      ("p50", "p50", "v"), ("p25", "p25", "v"), ("p100", "p100", "v"))
+      .toDF.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2),
+        x.getDouble(3))).toMap
+    assert(r("a") == ((2.0, 1.5, 4.0))) // (n-1)*q interpolation on [1,2,4]
+    assert(r("b") == ((10.0, 10.0, 10.0)))
+    intercept[RuntimeException] {
+      graft.ddf.GroupedDDF.aggExpr("pxx", "v")
+    }
+  }
+
   test("empty DataFrame no-ops cleanly through operators") {
     val empty = DDF(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],

@@ -134,4 +134,78 @@ class OperatorsSpec extends SparkTestBase {
       .select($"id").collect().map(_.getLong(0)).toSet
     assert(r == Set(1L, 2L, 5L))
   }
+
+  test("bigram LM: hand-computed add-k NLL on a tiny corpus") {
+    // corpus: d1 = [a b a b], d2 = [a c]
+    // unigrams c(a)=3 c(b)=2 c(c)=1, V=3; bigrams "a b":2 "b a":1 "a c":1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("id", "text")
+    val got = graft.operators.LanguageModel.bigramNll(docs, "id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (2 + 0.5) / (3 + 0.5 * 3)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 3)
+    val pAC = (1 + 0.5) / (3 + 0.5 * 3)
+    val d1 = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    val d2 = -math.log(pAC)
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-6)
+    assert(math.abs(got(2L)._2 - d2) < 1e-6)
+    // a one-token document carries no bigrams and is dropped
+    val single = Seq((1L, "a b"), (2L, "x")).toDF("id", "text")
+    assert(graft.operators.LanguageModel.bigramNll(single, "id", "text")
+      .select($"id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("hashSplit: disjoint, lossless, layout-independent, ~fraction") {
+    val df = graft.ddf.DDF(spark.range(10000).toDF("id"))
+    val (test_, train) = df.hashSplit("id", 0.25)
+    val te = test_.toDF.select($"id").collect().map(_.getLong(0)).toSet
+    val tr = train.toDF.select($"id").collect().map(_.getLong(0)).toSet
+    assert(te.intersect(tr).isEmpty)
+    assert(te.size + tr.size == 10000)
+    assert(te.size > 2000 && te.size < 3000, s"test side ${te.size}")
+    // membership is a pure function of the id: any partition layout
+    // (the failure mode of randomSplit) produces the same sides
+    val (te2, _) = graft.ddf.DDF(
+      spark.range(10000).toDF("id").repartition(17)).hashSplit("id", 0.25)
+    assert(te2.toDF.select($"id").collect().map(_.getLong(0)).toSet == te)
+    // edge fractions
+    assert(df.hashSplit("id", 0.0)._1.countRows() == 0)
+    assert(df.hashSplit("id", 1.0)._2.countRows() == 0)
+  }
+
+  test("domain filter: exact host, subdomain suffix, case, non-URLs") {
+    val docs = Seq(
+      (1L, "https://www.good.com/a"),
+      (2L, "https://bad.com/x"),          // exact block
+      (3L, "https://ads.bad.com/y"),      // subdomain of blocked
+      (4L, "https://notbad.com/z"),       // suffix of the NAME, not a subdomain
+      (5L, "HTTP://WWW.BAD.COM:80/u"),    // case + port + www
+      (6L, "not a url at all")            // host() = "" -> kept
+    ).toDF("id", "url")
+    val blocked = Seq("BAD.com").toDF("domain")
+    val kept = graft.operators.DomainFilter
+      .dropBlockedDomains(docs, "url", blocked)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L))
+    // the blocklist side broadcasts; the corpus never shuffles
+    val plan = graft.operators.DomainFilter
+      .dropBlockedDomains(docs, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$plan")
+  }
+
+  test("topKeywords: tf-idf ranking with deterministic tie-break") {
+    val docs = Seq((1L, "x x y z"), (2L, "x y y"), (3L, "z z z q"))
+      .toDF("id", "text")
+    val got = graft.operators.Vocabulary.topKeywords(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // df: x=2 y=2 z=2 q=1, N=3
+    // d1: x 2ln1.5 > {y,z} 1ln1.5 (tie -> token asc picks y)
+    assert(got((1L, 1)) == "x" && got((1L, 2)) == "y")
+    // d2: y 2ln1.5 > x ln1.5
+    assert(got((2L, 1)) == "y" && got((2L, 2)) == "x")
+    // d3: z 3ln1.5 ~ 1.216 > q ln3 ~ 1.099
+    assert(got((3L, 1)) == "z" && got((3L, 2)) == "q")
+  }
 }

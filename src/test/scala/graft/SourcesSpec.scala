@@ -46,6 +46,46 @@ class SourcesSpec extends SparkTestBase {
       docs.filter("lang == 'en'").countRows())
   }
 
+  test("clustered write: files cover disjoint key ranges, lossless") {
+    val p = tmp("clustered")
+    val li = DDF(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    li.save.clustered(p, Seq("l_orderkey"), nFiles = 4)
+    val files = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 2, s"expected multiple files, got ${files.length}")
+    // per-file key intervals must not interleave: that's what makes
+    // parquet min/max stats prune whole files for range predicates
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"l_orderkey"),
+          org.apache.spark.sql.functions.max($"l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges interleave: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(p).count() == li.countRows())
+  }
+
+  test("orc round-trip with partition pruning") {
+    val p = tmp("orc")
+    sample.save.orc(p)
+    val back = cc.read.orc(p)
+    assert(back.toDF.orderBy($"id").collect().toSeq ==
+      sample.toDF.orderBy($"id").collect().toSeq)
+    // partitioned layout prunes like parquet
+    val p2 = tmp("orc_part")
+    sample.save.orc(p2, partitionBy = Seq("s"))
+    val pruned = cc.read.orc(p2).filter("s == 'a'")
+    val plan = pruned.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(s") ||
+      plan.contains("PartitionFilters: [(s"),
+      s"s filter not pushed to partition pruning:\n$plan")
+    assert(pruned.countRows() == 1)
+  }
+
   test("csv round-trip with header and schema") {
     val p = tmp("csv")
     sample.save.csv(p)

@@ -50,6 +50,30 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.select($"user_id", $"event_type").distinct().count() == want)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dim = batch.groupBy($"event_type")
+      .agg(avg($"value").as("type_avg"))
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.enrich(stream, dim, "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"value" > $"type_avg", 1L).otherwise(0L)).as("n_above")),
+      "enrich_stream", OutputMode.Complete())
+    val want = batch.join(dim, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" > $"type_avg", 1L).otherwise(0L)).as("n_above"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    // the dim side broadcasts: no shuffle on the stream path
+    val plan = EventStream.enrich(batch, dim, "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val l = df.filter($"event_type" === "click")
