@@ -1813,7 +1813,53 @@ object SparkEntry {
     },
       Some("""SELECT doc_id, source FROM documents
              |WHERE source NOT IN ('src3', 'src7')
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // k-fold assignment (DDF.withFold, the hashSplit hash family):
+    // fold = md5-bucket mod k. DuckDB parses the same 8 hex chars via
+    // CAST('0x…'), so the oracle replays the bucket arithmetic
+    // exactly.
+    Q("q94_kfold", (s, dir) =>
+      d(s, dir, "documents").withFold("doc_id", 5).toDF
+        .select(col("doc_id"), col("fold"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |     AS BIGINT) % 5 AS INT) AS fold
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Per-group row cap (Budget.capPerGroup — "at most n docs per
+    // domain"): winners chosen by md5(id) order, so both engines rank
+    // identically and the cap is rerun-stable.
+    Q("q95_cap_per_group", (s, dir) =>
+      Budget.capPerGroup(t(s, dir, "documents"),
+          Seq("source"), "doc_id", maxPerGroup = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Column profiler (operators/Profile): one scan, one aggregation,
+    // stacked to long format. The oracle is the per-column UNION ALL
+    // census.
+    Q("q96_profile", (s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy(col("col_name")),
+      Some(Seq("o_orderkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS col_name,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             | count(DISTINCT $c) AS n_distinct,
+             | CAST(min($c) AS VARCHAR) AS min_val,
+             | CAST(max($c) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -325,6 +325,19 @@ class DDF(val df: DataFrame) {
     (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
   }
 
+  /** k-fold assignment (engine ext, same hash family as
+    * [[hashSplit]]): adds `foldCol` ∈ [0, k) = md5-bucket of the id
+    * mod k — deterministic and layout-stable, so cross-validation
+    * folds and sharded eval holdouts survive reruns and repartitions.
+    * Pure column math, no shuffle; folds are near-uniform (the 32-bit
+    * bucket space mod k skews by at most 1 part in 2³²/k). */
+  def withFold(idCol: String, k: Int, foldCol: String = "fold"): DDF = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    wrap(df.withColumn(foldCol,
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+        16, 10).cast("long"), lit(k.toLong)).cast("int")))
+  }
+
   /** reference: functions/etl/hash_partitioner.py */
   def hashPartition(cols: Seq[String], nfrag: Int): DDF =
     wrap(df.repartition(nfrag, cols.map(col): _*))

@@ -225,4 +225,27 @@ object Budget {
     df.join(broadcast(under), Seq(strataCol), "left_semi")
       .unionByName(df.join(trimmedIds, Seq(strataCol, idCol), "left_semi"))
   }
+
+  /** Per-group row cap (the C4/Gopher-style "at most n documents per
+    * domain" rule): keep at most `maxPerGroup` rows per value of
+    * `groupCols`, chosen DETERMINISTICALLY by md5(id) — an unbiased,
+    * rerun- and layout-stable downsample of each oversized group
+    * (ordering by the id itself would bias toward old/crawl-ordered
+    * rows; RNG would not be rerun-stable).
+    *
+    * One shuffle keyed on the group; the window sort spills per
+    * group, so a mega-group costs a disk sort but never driver
+    * memory. For extreme groups the threshold pattern of
+    * [[tokenBudgetSelectThreshold]] applies the same way (estimate
+    * the md5 cutoff on a sample, filter, trim the boundary). */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    require(groupCols.nonEmpty, "capPerGroup needs group columns")
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
 }

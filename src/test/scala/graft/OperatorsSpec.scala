@@ -173,6 +173,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(df.hashSplit("id", 1.0)._2.countRows() == 0)
   }
 
+  test("withFold: k folds, near-uniform, layout-stable, no shuffle") {
+    val df = graft.ddf.DDF(spark.range(10000).toDF("id"))
+    val folds = df.withFold("id", 5).toDF
+      .groupBy($"fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    folds.values.foreach(n => assert(n > 1700 && n < 2300, folds))
+    // same ids land in the same fold under any partition layout
+    val again = graft.ddf.DDF(spark.range(10000).toDF("id")
+      .repartition(13)).withFold("id", 5).toDF
+      .filter($"fold" === 0).select($"id").collect().map(_.getLong(0)).toSet
+    val first = df.withFold("id", 5).toDF
+      .filter($"fold" === 0).select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+    // fold assignment is pure column math - no exchange in the plan
+    val plan = df.withFold("id", 5).toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"withFold shuffled:\n$plan")
+  }
+
+  test("capPerGroup: exact cap, small groups untouched, deterministic") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+    val df = rows.toDF("id", "g")
+    val capped = graft.operators.Budget.capPerGroup(df, Seq("g"), "id", 25)
+    val byG = capped.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("big" -> 25L, "small" -> 20L))
+    // deterministic winners across reruns and layouts
+    val a = capped.select($"id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Budget
+      .capPerGroup(df.repartition(7), Seq("g"), "id", 25)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("profile: null/distinct/min/max census in one aggregation") {
+    val df = Seq((Some(1L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))).toDF("x", "s")
+    val got = graft.operators.Profile.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("x") == ((1L, 2L, "1", "3")))
+    assert(got("s") == ((1L, 2L, "a", "b")))
+    // approx variant keeps the same schema and null counts
+    val approx = graft.operators.Profile
+      .profile(df, Seq("x", "s"), exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx == Map("x" -> 1L, "s" -> 1L))
+  }
+
   test("domain filter: exact host, subdomain suffix, case, non-URLs") {
     val docs = Seq(
       (1L, "https://www.good.com/a"),
