@@ -1859,7 +1859,49 @@ object SparkEntry {
              | CAST(min($c) AS VARCHAR) AS min_val,
              | CAST(max($c) AS VARCHAR) AS max_val
              |FROM orders""".stripMargin
-        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Exact quantile discretizer (DDF.ntileBucket): per-group ntile
+    // with pinned tie-break; both engines share the ntile definition
+    // (equal-size buckets, earlier buckets one row larger). Output is
+    // the per-bucket census (count + value range) — it pins every
+    // row's assignment without shipping 60k rows.
+    Q("q97_ntile_discretizer", (s, dir) =>
+      d(s, dir, "lineitem")
+        .ntileBucket("l_extendedprice", 4, out = "bucket",
+          partitionBy = Seq("l_returnflag"),
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .toDF
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("l_returnflag"), col("bucket")),
+      Some("""WITH b AS (SELECT l_returnflag, l_extendedprice,
+             |   ntile(4) OVER (PARTITION BY l_returnflag
+             |     ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+             | FROM lineitem)
+             |SELECT l_returnflag, bucket, count(*) AS n,
+             | round(min(l_extendedprice), 2) AS lo,
+             | round(max(l_extendedprice), 2) AS hi
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Rolling-frame window aggregate (rows-between moving average) —
+    // the remaining frame shape the window family (q29 rank / q30 lag
+    // / q31 running) didn't cover.
+    Q("q98_moving_avg", (s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 10)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      ev.withColumn("mavg", round(avg(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("mavg"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+      Some("""SELECT user_id, event_id,
+             | round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+             |FROM events WHERE user_id < 10
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

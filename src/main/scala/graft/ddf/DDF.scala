@@ -325,6 +325,24 @@ class DDF(val df: DataFrame) {
     (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
   }
 
+  /** Exact quantile discretizer (engine ext): adds `out` ∈ [1, k] =
+    * the row's ntile bucket of `valueCol` (ties broken by `tieCols`
+    * so the assignment is deterministic and oracle-testable). With
+    * `partitionBy` the sort is per-group and scale-safe; EMPTY
+    * `partitionBy` is a single total sort through one task — fine
+    * interactively, not in a 100 TB pipeline (use spark.ml's
+    * approxQuantile-based QuantileDiscretizer when ±ε edges are
+    * acceptable at that scale). */
+  def ntileBucket(valueCol: String, k: Int, out: String = "bucket",
+                  partitionBy: Seq[String] = Nil,
+                  tieCols: Seq[String] = Nil): DDF = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val base = if (partitionBy.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partitionBy.map(col): _*)
+    val w = base.orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+    wrap(df.withColumn(out, ntile(k).over(w)))
+  }
+
   /** k-fold assignment (engine ext, same hash family as
     * [[hashSplit]]): adds `foldCol` ∈ [0, k) = md5-bucket of the id
     * mod k — deterministic and layout-stable, so cross-validation

@@ -116,6 +116,23 @@ object EventStream {
       }
   }
 
+  /** Append-mode parquet sink with a checkpoint: drains everything
+    * currently available (Trigger.AvailableNow) and stops. The
+    * checkpoint makes restarts exactly-once — a resumed query picks
+    * up AFTER the last committed batch, never reprocessing source
+    * files (pinned in StreamingMultimodalSpec). This is the durable
+    * face of the streaming surface; the memory sink below is the
+    * test/interactive face. */
+  def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** run a streaming query to completion against static input via the
     * memory sink; returns the materialized result table. */
   def runToMemory(df: DataFrame, name: String,

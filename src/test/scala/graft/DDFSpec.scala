@@ -414,6 +414,22 @@ class DDFSpec extends SparkTestBase {
       .columns.toSet == Set("k", "x", "y"))
   }
 
+  test("ntileBucket: equal-size buckets, earlier buckets one larger") {
+    val d = DDF(Seq(10, 20, 30, 40, 50, 60, 70).map(v => Tuple1(v))
+      .toDF("v"))
+    val got = d.ntileBucket("v", 4).toDF.collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(10 -> 1, 20 -> 1, 30 -> 2, 40 -> 2, 50 -> 3,
+      60 -> 3, 70 -> 4))
+    // partitioned: each group gets its own quantile edges
+    val g = DDF(Seq(("a", 1), ("a", 2), ("b", 100), ("b", 200))
+      .toDF("k", "v"))
+    val parts = g.ntileBucket("v", 2, partitionBy = Seq("k")).toDF
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(parts == Map(("a", 1) -> 1, ("a", 2) -> 2,
+      ("b", 100) -> 1, ("b", 200) -> 2))
+  }
+
   test("pNN aggregates: exact linear-interpolation percentiles") {
     val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v"))

@@ -117,6 +117,35 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_stream_eo").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    Files.createDirectories(Paths.get(src))
+    val rawFile = new java.io.File(s"$dir/events.parquet").toPath
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+
+    def drain(): Unit = EventStream.runToParquet(
+      spark.readStream.schema(EventStream.rawSchema)
+        .parquet(s"$src/*.parquet")
+        .select($"event_id", $"user_id", $"value"),
+      sink, chk)
+
+    Files.copy(rawFile, Paths.get(s"$src/a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    drain()
+    assert(spark.read.parquet(sink).count() == n)
+    // restart with one NEW source file: only the new file is
+    // processed - the checkpoint prevents reprocessing a.parquet
+    Files.copy(rawFile, Paths.get(s"$src/b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    drain()
+    assert(spark.read.parquet(sink).count() == 2 * n)
+    // and a restart with nothing new appends nothing
+    drain()
+    assert(spark.read.parquet(sink).count() == 2 * n)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()
