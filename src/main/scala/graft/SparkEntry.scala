@@ -1901,7 +1901,71 @@ object SparkEntry {
              | round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
              |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
              |FROM events WHERE user_id < 10
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // TPC-H Q5-shaped 6-table pipeline through the DDF join surface:
+    // Catalyst broadcasts region/nation/supplier under the default
+    // 10 MB threshold and reorders the fact joins; the same-nation
+    // constraint is a post-join filter Catalyst folds into the join
+    // condition. Revenue is summed as DECIMAL for oracle exactness
+    // (q01 pattern).
+    Q("q99_tpch_q5_shape", (s, dir) =>
+      d(s, dir, "customer")
+        .join(d(s, dir, "orders")
+            .filter("o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'"),
+          Seq("c_custkey"), Seq("o_custkey"))
+        .join(d(s, dir, "lineitem"), Seq("o_orderkey"), Seq("l_orderkey"))
+        .join(d(s, dir, "supplier"), Seq("l_suppkey"), Seq("s_suppkey"))
+        .filter("c_nationkey == s_nationkey")
+        .join(d(s, dir, "nation"), Seq("s_nationkey"), Seq("n_nationkey"))
+        .join(d(s, dir, "region"), Seq("n_regionkey"), Seq("r_regionkey"))
+        .filter("r_name == 'ASIA'")
+        .selectExpression(
+          "revenue = cast(l_extendedprice * (1 - l_discount) as decimal(30,6))")
+        .groupBy(Seq("n_name")).agg(("revenue", "sum", "revenue"))
+        .selectExpression("revenue = cast(revenue as double)")
+        .sort(Seq("n_name")).toDF,
+      Some("""SELECT n_name,
+             | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+             | AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // TPC-H Q3-shaped top-k: selective dim filter -> two fact joins ->
+    // group -> top-10 by the EXACT decimal revenue (ties broken by
+    // key), cast to double only for output.
+    Q("q100_tpch_q3_shape", (s, dir) =>
+      d(s, dir, "customer").filter("c_mktsegment == 'BUILDING'")
+        .join(d(s, dir, "orders").filter("o_orderdate < '1998-06-01'"),
+          Seq("c_custkey"), Seq("o_custkey"))
+        .join(d(s, dir, "lineitem").filter("l_shipdate > '1998-06-01'"),
+          Seq("o_orderkey"), Seq("l_orderkey"))
+        .selectExpression(
+          "revenue = cast(l_extendedprice * (1 - l_discount) as decimal(30,6))")
+        .groupBy(Seq("o_orderkey", "o_orderdate"))
+        .agg(("revenue", "sum", "revenue"))
+        .sort(Seq("revenue", "o_orderkey"), Seq(false, true))
+        .take(10)
+        .selectExpression("revenue = cast(revenue as double)")
+        .cast("o_orderdate", "string").rename("o_orderdate", "odate")
+        .select(Seq("o_orderkey", "odate", "revenue")).toDF,
+      Some("""WITH a AS (SELECT o_orderkey, o_orderdate,
+             |   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
+             | FROM customer
+             | JOIN orders ON c_custkey = o_custkey
+             | JOIN lineitem ON o_orderkey = l_orderkey
+             | WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < '1998-06-01' AND l_shipdate > '1998-06-01'
+             | GROUP BY 1, 2)
+             |SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS odate,
+             | CAST(rev AS DOUBLE) AS revenue
+             |FROM a ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

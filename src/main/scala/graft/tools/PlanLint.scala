@@ -97,7 +97,12 @@ object PlanLint {
       // full corpus shingle explosion. ScaleSpec pins the same
       // property on the executed plan — this catches it pre-bench.
       "q78_decontaminate" -> ("BroadcastHashJoin",
-        "eval shingle side no longer broadcasts"))
+        "eval shingle side no longer broadcasts"),
+      // the Q5-shaped 6-table join must broadcast its dim tables —
+      // a sort-merge join against region/nation/supplier at sf means
+      // the size estimation or the join order regressed
+      "q99_tpch_q5_shape" -> ("BroadcastHashJoin",
+        "dimension tables no longer broadcast in the 6-table join"))
 
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
