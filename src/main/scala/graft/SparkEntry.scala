@@ -1965,7 +1965,66 @@ object SparkEntry {
              | GROUP BY 1, 2)
              |SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS odate,
              | CAST(rev AS DOUBLE) AS revenue
-             |FROM a ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin))
+             |FROM a ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Forward as-of join (AsOfJoin.forward, q67's mirror direction):
+    // each event picks the EARLIEST signup at-or-after it. DuckDB's
+    // ASOF JOIN takes the reversed inequality directly.
+    Q("q101_asof_forward", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.forward(ev, signups, Seq("user_id"), "ts", "ts",
+          payload = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          expr("asof_ts div 1000").as("next_signup_ts"),
+          col("asof_value").as("next_signup_value"))
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT event_id, user_id, epoch_us(t2) AS next_signup_ts,
+             | v2 AS next_signup_value
+             |FROM events ASOF LEFT JOIN
+             | (SELECT user_id AS u2, ts AS t2, value AS v2 FROM events
+             |  WHERE event_type = 'signup') ON user_id = u2 AND ts <= t2
+             |ORDER BY event_id""".stripMargin)),
+
+    // Per-group z-score normalization (DDF.zscore): window mean/stddev,
+    // rounded on both sides (the window's float sum order differs
+    // between engines far below 1e-4).
+    Q("q102_group_zscore", (s, dir) =>
+      DDF(events(s, dir).filter(col("user_id") < 10))
+        .zscore("value", by = Seq("event_type"), out = "z")
+        .selectExpression("z = round(z, 4)")
+        .select(Seq("event_id", "event_type", "z"))
+        .sort(Seq("event_id")).toDF,
+      Some("""SELECT event_id, event_type,
+             | round((value - avg(value) OVER (PARTITION BY event_type))
+             |   / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+             |FROM events WHERE user_id < 10
+             |ORDER BY event_id""".stripMargin)),
+
+    // Tukey-fence outlier trim (DDF.iqrFilter): per-group exact
+    // quartile fences; output is the per-group surviving census.
+    Q("q103_iqr_filter", (s, dir) =>
+      d(s, dir, "lineitem")
+        .iqrFilter("l_extendedprice", by = Seq("l_returnflag"), k = 1.5)
+        .toDF
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH f AS (SELECT l_returnflag,
+             |   quantile_cont(l_extendedprice, 0.25) AS q1,
+             |   quantile_cont(l_extendedprice, 0.75) AS q3
+             | FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, count(*) AS n,
+             | round(min(l_extendedprice), 2) AS lo,
+             | round(max(l_extendedprice), 2) AS hi
+             |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+             |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
+             |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

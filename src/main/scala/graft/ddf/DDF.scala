@@ -325,6 +325,40 @@ class DDF(val df: DataFrame) {
     (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
   }
 
+  /** Per-group z-score normalization (engine ext, the relational face
+    * of ml's StandardScaler): (x − mean)/stddev over the `by` groups
+    * via window aggregates — one shuffle on the group key, no join,
+    * no driver stats pass. Empty `by` = whole-frame stats through a
+    * single partition (interactive use only at scale). */
+  def zscore(valueCol: String, by: Seq[String] = Nil,
+             out: String = "zscore"): DDF = {
+    val w = if (by.isEmpty) Window.partitionBy()
+            else Window.partitionBy(by.map(col): _*)
+    wrap(df.withColumn(out,
+      (col(valueCol) - avg(col(valueCol)).over(w)) /
+        stddev_samp(col(valueCol)).over(w)))
+  }
+
+  /** Tukey-fence outlier filter (engine ext): keep rows inside
+    * [q1 − k·IQR, q3 + k·IQR] of their group's `valueCol`
+    * distribution — the standard robust trim before training-metric
+    * aggregation. Exact percentiles via window aggregates (same
+    * linear interpolation as DuckDB quantile_cont); one shuffle on
+    * the group key. */
+  def iqrFilter(valueCol: String, by: Seq[String] = Nil,
+                k: Double = 1.5): DDF = {
+    val w = if (by.isEmpty) Window.partitionBy()
+            else Window.partitionBy(by.map(col): _*)
+    val v = col(valueCol)
+    val q1 = percentile(v, lit(0.25)).over(w)
+    val q3 = percentile(v, lit(0.75)).over(w)
+    val withFences = df
+      .withColumn("__lo", q1 - (q3 - q1) * lit(k))
+      .withColumn("__hi", q3 + (q3 - q1) * lit(k))
+    wrap(withFences.filter(v >= col("__lo") && v <= col("__hi"))
+      .drop("__lo", "__hi"))
+  }
+
   /** Exact quantile discretizer (engine ext): adds `out` ∈ [1, k] =
     * the row's ntile bucket of `valueCol` (ties broken by `tieCols`
     * so the assignment is deterministic and oracle-testable). With

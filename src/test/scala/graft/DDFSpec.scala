@@ -414,6 +414,22 @@ class DDFSpec extends SparkTestBase {
       .columns.toSet == Set("k", "x", "y"))
   }
 
+  test("zscore and iqrFilter: per-group window statistics") {
+    val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 10.0), ("b", 1000.0)).toDF("k", "v"))
+    val z = d.zscore("v", by = Seq("k")).toDF
+      .filter($"k" === "a").select($"v", $"zscore").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(z(1.0) + 1.0) < 1e-9) // mean 2, stddev 1
+    assert(math.abs(z(2.0)) < 1e-9)
+    assert(math.abs(z(3.0) - 1.0) < 1e-9)
+    // group a: symmetric, nothing trimmed; group b: quartiles of
+    // [10,10,1000]: q1=10 q3=505 iqr=495 -> hi fence 1247.5, all kept
+    assert(d.iqrFilter("v", by = Seq("k")).countRows() == 6)
+    // tighter k trims the 1000 outlier
+    assert(d.iqrFilter("v", by = Seq("k"), k = 0.5).countRows() == 5)
+  }
+
   test("ntileBucket: equal-size buckets, earlier buckets one larger") {
     val d = DDF(Seq(10, 20, 30, 40, 50, 60, 70).map(v => Tuple1(v))
       .toDF("v"))
