@@ -2024,7 +2024,35 @@ object SparkEntry {
              |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
              |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
              |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Semantic centroid filter (Similarity.centroidFilter, the
+    // SemDeDup-adjacent stratum trim): cosine to the per-label mean
+    // embedding, keep cos >= 0. The oracle rebuilds centroids via
+    // ordered list aggregation and scores with list_cosine_similarity
+    // over the same double-cast vectors; per-label counts + avg
+    // round(4) absorb the engines' summation-order noise.
+    Q("q104_centroid_filter", (s, dir) =>
+      graft.operators.Similarity.centroidFilter(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          minCosine = 0.0)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("centroid_cosine")), 4).as("avg_cos"))
+        .orderBy(col("label")),
+      Some("""WITH ix AS (SELECT vec_id, label, embedding,
+             |   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+             |p AS (SELECT vec_id, label, i,
+             |   CAST(embedding[i] AS DOUBLE) AS v FROM ix),
+             |c AS (SELECT label, i, avg(v) AS cv FROM p GROUP BY 1, 2),
+             |cv AS (SELECT label, list(cv ORDER BY i) AS cvec
+             |  FROM c GROUP BY label),
+             |s AS (SELECT e.vec_id, e.label,
+             |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |     cv.cvec) AS cos
+             |  FROM embeddings e JOIN cv ON e.label = cv.label)
+             |SELECT label, count(*) AS n_kept, round(avg(cos), 4) AS avg_cos
+             |FROM s WHERE cos >= 0.0 GROUP BY label ORDER BY label""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

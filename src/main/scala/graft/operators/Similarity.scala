@@ -165,4 +165,34 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+
+  /** Semantic centroid filter (the SemDeDup-adjacent stratum-outlier
+    * trim): score every row by cosine to its GROUP's centroid
+    * (element-wise mean embedding) and keep rows with
+    * `centroid_cosine >= minCosine` — drops mis-labeled / off-topic
+    * vectors from each stratum before training.
+    *
+    * Shape at 100 TB: centroids are built with ONE posexplode +
+    * partial-aggregated groupBy on (group, position) — the exchange
+    * carries (group, pos, partial-sum) rows, d per group per
+    * partition, never raw vectors — then collapsed to per-group
+    * arrays (strata are few: language/source/label) and BROADCAST;
+    * scoring is the native codegen'd cosine in one corpus pass. No
+    * per-row shuffle at any point. */
+  def centroidFilter(df: DataFrame, idCol: String, vecCol: String,
+                     groupCol: String, minCosine: Double): DataFrame = {
+    val parts = df.select(col(groupCol).as("__g"),
+      posexplode(col(vecCol)).as(Seq("__p", "__v")))
+    val cent = parts.groupBy(col("__g"), col("__p"))
+      .agg(avg(col("__v")).as("__c"))
+    val centArr = cent.groupBy(col("__g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__c")))),
+        s => s.getField("__c")).as("__cvec"))
+    df.join(broadcast(centArr), col(groupCol) === col("__g"))
+      .withColumn("centroid_cosine",
+        cosine(col(vecCol).cast("array<double>"), col("__cvec")))
+      .filter(col("centroid_cosine") >= minCosine)
+      .drop("__g", "__cvec")
+  }
 }

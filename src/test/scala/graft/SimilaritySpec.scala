@@ -86,4 +86,26 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall")
   }
+
+  test("centroidFilter: keeps on-centroid rows, drops the outlier") {
+    // group g: three near-identical vectors + one opposite-direction
+    // outlier; centroid points with the majority, so cosine >= 0
+    // keeps 3 and drops 1. Group h: single vector == its centroid.
+    val rows = Seq(
+      (1L, "g", Array(1.0f, 0.1f)), (2L, "g", Array(1.0f, 0.0f)),
+      (3L, "g", Array(0.9f, -0.1f)), (4L, "g", Array(-1.0f, 0.0f)),
+      (5L, "h", Array(0.0f, 1.0f)))
+    val df = spark.createDataFrame(rows).toDF("id", "grp", "vec")
+    val kept = Similarity.centroidFilter(df, "id", "vec", "grp",
+        minCosine = 0.0)
+      .select($"id", $"centroid_cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 3L, 5L))
+    assert(math.abs(kept(5L) - 1.0) < 1e-12) // own centroid exactly
+    // no shuffle of the corpus rows: the centroid side broadcasts
+    val plan = Similarity.centroidFilter(df, "id", "vec", "grp", 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid side not broadcast:\n$plan")
+  }
 }
