@@ -248,4 +248,58 @@ object Budget {
       .filter(col("__rn") <= maxPerGroup)
       .drop("__rn")
   }
+
+  /** Scale path for [[capPerGroup]] when single groups are huge (one
+    * domain = 10⁸ docs): the md5 ranking key is UNIFORM on [0, 2³²),
+    * so the cap boundary for an n-row group sits near hash value
+    * 2³²·max/n — an ANALYTIC cutoff, no sampling pass (the advantage
+    * over [[tokenBudgetSelectThreshold]]'s score cutoffs, which have
+    * no known distribution). Candidates = rows whose 32-bit hash
+    * prefix is under slack× that cutoff — a fully parallel filter —
+    * and the exact (md5, id) window then sorts ≈ slack·max rows per
+    * group, not the whole group. Candidates are an order-prefix of
+    * the full hash order (the first 8 hex chars dominate the string
+    * comparison), so coverage is provable, and it is CHECKED, not
+    * assumed: a group whose candidate count reaches min(max, n)
+    * contains the exact selection; under-covered groups (hash
+    * fluctuation beyond slack — vanishing for slack 1.5 at max ≥
+    * ~100) fall back to the full window. Result equality with
+    * capPerGroup is pinned in OperatorsSpec. */
+  def capPerGroupThreshold(df: DataFrame, groupCols: Seq[String],
+                           idCol: String, maxPerGroup: Int,
+                           slack: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "capPerGroupThreshold needs group columns")
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    require(slack > 1.0, s"slack must exceed 1, got $slack")
+    val withB = df.withColumn("__b",
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"))
+    // per-group counts + analytic cutoffs: one partial-aggregated
+    // pass; eagerly checkpointed (one row per group) so downstream
+    // broadcasts don't re-run it
+    val counts = withB.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cut", least(lit(4294967296L),
+        ceil(lit(4294967296.0) * maxPerGroup * slack / col("__n"))
+          .cast("long")))
+      .localCheckpoint(true)
+    val joined = withB.join(broadcast(counts), groupCols)
+    // small groups pass whole; big groups keep the hash-prefix head
+    val cand = joined
+      .filter(col("__n") <= maxPerGroup || col("__b") < col("__cut"))
+      .drop("__n", "__cut")
+    val candStats = cand.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val ok = candStats.join(counts, groupCols)
+      .filter(col("__cc") >= least(lit(maxPerGroup.toLong), col("__n")))
+      .select(groupCols.map(col): _*).localCheckpoint(true)
+    val okCand = cand.join(broadcast(ok), groupCols, "left_semi")
+    val fallback = withB.join(broadcast(ok), groupCols, "left_anti")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    okCand.unionByName(fallback)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn", "__b")
+  }
 }

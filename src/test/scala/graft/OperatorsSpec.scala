@@ -207,6 +207,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("capPerGroupThreshold == capPerGroup (incl. fallback regime)") {
+    val rows = (1L to 5000L).map(i =>
+      (i, if (i <= 4000) "mega" else if (i <= 4990) "mid" else "tiny"))
+    val df = rows.toDF("id", "g")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").collect().map(_.getLong(0)).toSet
+    for (cap <- Seq(1, 7, 100, 991, 6000)) {
+      val exact = ids(graft.operators.Budget.capPerGroup(
+        df, Seq("g"), "id", cap))
+      val thr = ids(graft.operators.Budget.capPerGroupThreshold(
+        df, Seq("g"), "id", cap))
+      assert(thr == exact, s"cap=$cap: missing=${exact -- thr} " +
+        s"extra=${thr -- exact}")
+    }
+    // slack barely above 1 forces the under-coverage fallback for
+    // small caps (hash fluctuation >> 0.1%) - result must still be exact
+    val exact1 = ids(graft.operators.Budget.capPerGroup(df, Seq("g"), "id", 3))
+    val thr1 = ids(graft.operators.Budget.capPerGroupThreshold(
+      df, Seq("g"), "id", 3, slack = 1.001))
+    assert(thr1 == exact1)
+  }
+
   test("profile: null/distinct/min/max census in one aggregation") {
     val df = Seq((Some(1L), Some("b")), (Some(1L), None),
       (Some(3L), Some("a")), (None, Some("a"))).toDF("x", "s")
