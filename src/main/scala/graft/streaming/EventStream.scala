@@ -74,15 +74,24 @@ object EventStream {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String = "ts", rightTs: String = "ts_r",
                    before: String = "1 hour", after: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
+    // the right key is RENAMED (not dropped after the join): on an
+    // outer join, same-name drop can resolve to the left instance and
+    // silently null the key on unmatched rows
     val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rkey")
+    // leftOuter/rightOuter are valid stream-stream modes: unmatched
+    // rows emit with nulls once the watermark proves no match can
+    // still arrive (Spark's outer-join state semantics); both sides'
+    // watermarks bound the buffered state either way.
     l.join(r,
-      l(key) === r(key) &&
+      l(key) === r("__rkey") &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"),
-      "inner")
-      .drop(r(key))
+      joinType)
+      .drop("__rkey")
   }
 
   /** stream–static enrichment join: each micro-batch joins against a

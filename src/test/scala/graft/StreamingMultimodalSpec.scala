@@ -104,6 +104,85 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(want.exceptAll(gotPairs).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join flushes unmatched rows") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // outer results only emit once the watermark PROVES no match can
+    // arrive; on finite input that needs the watermark pushed past
+    // the last real event, so the source gets sentinel rows (one per
+    // side's event_type filter) a year in the future, excluded from
+    // the comparison by user_id < 0.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory("graft_louter").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    Files.createDirectories(Paths.get(src))
+    Files.copy(new java.io.File(s"$dir/events.parquet").toPath,
+      Paths.get(s"$src/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(org.apache.spark.sql.functions.max($"ts")).head().getLong(0)
+    val farNs = maxNs + 365L * 24 * 3600 * 1000000000L
+
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("l_id")),
+      df.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("ts_r"), $"event_id".as("r_id")))
+    def drain(): Unit = {
+      val (sl, sr) = sides(EventStream.readStream(spark, src))
+      EventStream.runToParquet(
+        EventStream.intervalJoin(sl, sr, "user_id",
+          before = "30 minutes", after = "30 minutes",
+          joinType = "leftOuter"),
+        sink, chk)
+    }
+    // drain 1: real data only — watermark still trails it, so
+    // unmatched rows stay buffered. drain 2: a far-future sentinel
+    // per side raises the max seen event time (watermark updates
+    // AFTER a batch, so this drain doesn't flush yet). drain 3: a
+    // further sentinel runs one more batch UNDER the advanced
+    // watermark — state eviction emits every buffered outer row. The
+    // checkpoint carries join state and watermark across restarts.
+    def sentinel(name: String, ns: Long): Unit = {
+      // the file source needs a FILE matching the glob, not the
+      // directory a DataFrame write produces — write aside and copy
+      // the part file in
+      val scratch = s"$base/scratch_$name"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(-1L, ns, -1L, "click", 0.0, ""),
+            org.apache.spark.sql.Row(-2L, ns, -1L, "purchase", 0.0, ""))),
+          EventStream.rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    drain()
+    sentinel("events_z1.parquet", farNs)
+    drain()
+    sentinel("events_z2.parquet", farNs + 86400L * 1000000000L)
+    drain()
+    val got = spark.read.parquet(sink)
+      .filter($"user_id" >= 0).select($"l_id", $"r_id")
+
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val (bl, br) = sides(batch)
+    val want = bl.join(br,
+        bl("user_id") === br("user_id") &&
+          br("ts_r") >= bl("ts") - expr("INTERVAL 30 minutes") &&
+          br("ts_r") <= bl("ts") + expr("INTERVAL 30 minutes"),
+        "leftOuter")
+      .select(bl("l_id"), br("r_id"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    // outer rows really are present (unmatched clicks emit with nulls)
+    assert(got.filter($"r_id".isNull).count() ==
+      want.filter(br("r_id").isNull).count())
+    assert(got.filter($"r_id".isNull).count() > 0)
+  }
+
   test("session windows: stream equals batch (same definition)") {
     val stream = EventStream.readStream(spark, dir)
     val got = EventStream.runToMemory(
