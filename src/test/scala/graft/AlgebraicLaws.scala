@@ -128,6 +128,34 @@ object AlgebraicLaws extends Properties("graft.ddf") {
         got == math.pow(a, math.pow(b, c))
     }
 
+  property("hashSplit partitions for every fraction") =
+    Prop.forAll(smallList, Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)) {
+      (a, f) =>
+        // distinct ids: membership is a function of the value, so
+        // duplicates would land together and double-count one side
+        val xs = a.distinct
+        val (l, r) = toDDF(xs).hashSplit("v", f)
+        val ls = l.collect().map(_.getInt(0)).toSet
+        val rs = r.collect().map(_.getInt(0)).toSet
+        ls.intersect(rs).isEmpty && (ls ++ rs) == xs.toSet
+    }
+
+  property("ntileBucket sizes differ by at most one, order-monotone") =
+    Prop.forAll(Gen.listOfN(11, Gen.choose(0, 100)), Gen.choose(2, 5)) {
+      (a, k) =>
+        val rows = a.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        import spark.implicits._
+        val d = DDF(rows.toDF("id", "v"))
+          .ntileBucket("v", k, tieCols = Seq("id")).toDF
+          .collect().map(r => (r.getInt(1), r.getLong(0), r.getInt(2)))
+        val sizes = d.groupBy(_._3).view.mapValues(_.size).values.toList
+        val spread = sizes.max - sizes.min
+        // monotone: the (v, id) tie-broken order gives non-decreasing buckets
+        val monotone = d.sortBy(t => (t._1, t._2)).map(_._3)
+          .sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+        spread <= 1 && sizes.sum == a.size && monotone
+    }
+
   property("jaccardPairsExact matches the reference model") =
     Prop.forAll(corpus, Gen.oneOf(0.2, 0.4, 0.6)) { (docs, t) =>
       import scala.jdk.CollectionConverters._
