@@ -102,7 +102,11 @@ object PlanLint {
       // a sort-merge join against region/nation/supplier at sf means
       // the size estimation or the join order regressed
       "q99_tpch_q5_shape" -> ("BroadcastHashJoin",
-        "dimension tables no longer broadcast in the 6-table join"))
+        "dimension tables no longer broadcast in the 6-table join"),
+      // centroidFilter contract: per-group centroid arrays broadcast;
+      // losing the hint re-shuffles the whole embedding corpus
+      "q104_centroid_filter" -> ("BroadcastHashJoin",
+        "centroid side no longer broadcasts"))
 
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
