@@ -2052,7 +2052,33 @@ object SparkEntry {
              |     cv.cvec) AS cos
              |  FROM embeddings e JOIN cv ON e.label = cv.label)
              |SELECT label, count(*) AS n_kept, round(avg(cos), 4) AS avg_cos
-             |FROM s WHERE cos >= 0.0 GROUP BY label ORDER BY label""".stripMargin))
+             |FROM s WHERE cos >= 0.0 GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Sequence packing (Budget.packSequences): per-lang token-offset
+    // bins of 4096 — the training-batch layout step. Output is the
+    // per-bin census; the oracle replays the cumsum bin rule.
+    Q("q105_pack_sequences", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.packSequences(docs, "lang", "doc_id", "n_tok",
+          maxTokens = 4096L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          min(col("bin_offset")).as("first_offset"))
+        .orderBy(col("lang"), col("bin"))
+    },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |   len(${sqlTokens("text")}) AS n_tok FROM documents),
+              |c AS (SELECT doc_id, lang, n_tok,
+              |   coalesce(sum(n_tok) OVER (PARTITION BY lang
+              |     ORDER BY doc_id) - n_tok, 0) AS cum_before
+              |  FROM d)
+              |SELECT lang, CAST(cum_before // 4096 AS BIGINT) AS bin,
+              | count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+              | CAST(min(cum_before % 4096) AS BIGINT) AS first_offset
+              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -249,6 +249,33 @@ object Budget {
       .drop("__rn")
   }
 
+  /** Sequence packing for training batches (DRIVER-EXT): assign each
+    * document a bin id so every bin holds ≈ `maxTokens` tokens — the
+    * standard step that turns a filtered corpus into fixed-length
+    * training sequences with minimal padding. This is the cumsum
+    * ("contiguous fill") formulation: documents are laid out in
+    * deterministic (idCol) order per stratum and bin =
+    * floor(preceding-token-count / maxTokens). A document straddling
+    * a boundary belongs to the bin containing its FIRST token —
+    * combine with [[graft.functions.TextFunctions.chunkTokens]] when
+    * hard per-sequence caps are needed. (True greedy
+    * first-fit-decreasing is an inherently sequential recurrence —
+    * not a window function — and buys ~nothing at corpus scale, where
+    * bins ≫ documents; the cumsum rule is what large pipelines run.)
+    * One shuffle on the stratum; the window is the same shape as
+    * [[tokenBudgetSelect]]. Returns the input plus (bin, bin_offset)
+    * — bin_offset = the document's first-token offset within its
+    * bin. */
+  def packSequences(df: DataFrame, strataCol: String, idCol: String,
+                    tokenCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol).asc)
+    val cumBefore =
+      coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L))
+    df.withColumn("bin", floor(cumBefore / lit(maxTokens)))
+      .withColumn("bin_offset", cumBefore % lit(maxTokens))
+  }
+
   /** Scale path for [[capPerGroup]] when single groups are huge (one
     * domain = 10⁸ docs): the md5 ranking key is UNIFORM on [0, 2³²),
     * so the cap boundary for an n-row group sits near hash value

@@ -207,6 +207,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("packSequences: contiguous bins, offsets consistent, straddle rule") {
+    // tokens 10,20,30,40 with maxTokens 50 in id order:
+    // cum_before 0,10,30,60 -> bins 0,0,0,1; doc 3 straddles (30+30>50)
+    // but belongs to bin 0 (first token at offset 30)
+    val d = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "a", 40L), (5L, "b", 60L)).toDF("id", "g", "tok")
+    val got = graft.operators.Budget
+      .packSequences(d, "g", "id", "tok", maxTokens = 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 10L)))
+    assert(got(3L) == ((0L, 30L)))
+    assert(got(4L) == ((1L, 10L))) // cum_before 60 -> bin 1, offset 10
+    assert(got(5L) == ((0L, 0L))) // strata pack independently
+    // invariant: bin ids are contiguous from 0 per stratum
+    val bins = graft.operators.Budget
+      .packSequences(d, "g", "id", "tok", 50L)
+      .filter($"g" === "a").select($"bin").collect()
+      .map(_.getLong(0)).toSet
+    assert(bins == Set(0L, 1L))
+  }
+
   test("capPerGroupThreshold == capPerGroup (incl. fallback regime)") {
     val rows = (1L to 5000L).map(i =>
       (i, if (i <= 4000) "mega" else if (i <= 4990) "mid" else "tiny"))
