@@ -2078,7 +2078,24 @@ object SparkEntry {
               | count(*) AS n_docs,
               | CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
               | CAST(min(cum_before % 4096) AS BIGINT) AS first_offset
-              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact edit-distance join (Dedup.editDistancePairs, FastSS
+    // deletion-neighborhood candidates): customer names differ by one
+    // digit all over the key space, so the ≤1 pair set is dense. The
+    // oracle is the exhaustive levenshtein cross join — candidates
+    // are provably complete, so the sets must match exactly.
+    Q("q106_edit_distance", (s, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+          t(s, dir, "customer").filter(col("c_custkey") < 300),
+          "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey < 300 AND b.c_custkey < 300
+             | AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

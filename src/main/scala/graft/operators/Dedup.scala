@@ -543,4 +543,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
     materializeAndRelease(verified, sig)
   }
+
+  /** Exact edit-distance similarity join (record linkage / fuzzy-key
+    * dedup): every pair with levenshtein ≤ `maxDist`. Candidates come
+    * from FastSS deletion neighborhoods (Bocek et al. 2007, public):
+    * dist(a, b) ≤ k iff the ≤k-deletion neighborhoods of a and b
+    * intersect — an EXACT characterization, so the levenshtein verify
+    * only removes false positives, never recovers missed pairs.
+    *
+    * Shape at 100 TB: the neighborhood explode emits ~|s|^k variants
+    * per row (keep keys short — this is a KEY matcher, not a document
+    * matcher), bucket-grouped with the same collect + in-row pair
+    * expansion and `maxBucketSize` skew guard as the LSH siblings;
+    * raw strings rejoin by id only for the bounded candidate set. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (neighborhood size is |s|^k), got $maxDist")
+    val base = Partitioning.spread(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))
+        .filter(col("s").isNotNull)).cache()
+    // single-deletion neighborhood of one string (plus the string
+    // itself); empty strings guard the sequence() descending trap
+    def nb(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(length(s) === 0, array(s)).otherwise(array_distinct(concat(
+        array(s),
+        transform(sequence(lit(1), length(s)), i =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s) - i))))))
+    val hood =
+      if (maxDist == 1) nb(col("s"))
+      else array_distinct(flatten(transform(nb(col("s")), v => nb(v))))
+    val variants = base.select(col("id"), explode(hood).as("v"))
+    val cand = pairsFromBuckets(variants
+      .groupBy(col("v")).agg(array_distinct(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize)))
+    val verified = cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+    materializeAndRelease(verified, base)
+  }
 }

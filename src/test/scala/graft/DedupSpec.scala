@@ -297,6 +297,44 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.exact(weird, Seq("text"), "id").count() == 4)
   }
 
+  test("editDistancePairs: FastSS candidates are exact vs brute force") {
+    // substitution, deletion, insertion at dist 1; dist-2 pair caught
+    // only at maxDist=2; empty string pairs with single char (dist 1)
+    val d = Seq((1L, "cat"), (2L, "cut"), (3L, "ca"), (4L, "cart"),
+      (5L, "dog"), (6L, "dg"), (7L, ""), (8L, "x")).toDF("id", "s")
+    def brute(k: Int): Set[(Long, Long)] = {
+      val rows = d.collect().map(r => r.getLong(0) -> r.getString(1))
+      (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        if levenshteinRef(sa, sb) <= k
+      } yield (a, b)).toSet
+    }
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(d, "id", "s", maxDist = k)
+        .select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(k), s"k=$k: missing=${brute(k) -- got} " +
+        s"extra=${got -- brute(k)}")
+    }
+    // sanity on the fixture: known relations present at k=1
+    val k1 = Dedup.editDistancePairs(d, "id", "s", maxDist = 1)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1.contains((1L, 2L)) && k1.contains((1L, 3L)) &&
+      k1.contains((1L, 4L)) && k1.contains((5L, 6L)) &&
+      k1.contains((7L, 8L)))
+    assert(!k1.contains((2L, 3L)) || levenshteinRef("cut", "ca") <= 1)
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("hash-keyed exact dedup equals groupBy-min truth") {
     val truth = corpus.groupBy($"text")
       .agg(min($"doc_id").as("doc_id"))
