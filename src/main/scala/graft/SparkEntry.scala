@@ -2095,7 +2095,64 @@ object SparkEntry {
              |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
              |WHERE a.c_custkey < 300 AND b.c_custkey < 300
              | AND levenshtein(a.c_name, b.c_name) <= 1
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Flagship composition: the WHOLE training-data pipeline — quality
+    // gate → exact dedup → benchmark decontamination → per-domain cap
+    // → per-language token budget → sequence packing — oracled END TO
+    // END in one SQL chain (each CTE is the unit oracle of its stage:
+    // q43/q46/q78/q95/q74/q105). Every stage is deterministic, so
+    // the composition must match exactly, not just per-stage.
+    Q("q107_training_pipeline", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      val filtered = docs.filter(col("quality") >= 0.5)
+      val deduped = Dedup.exact(filtered, Seq("text"), "doc_id")
+      val evalSet = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+      val clean = Dedup.decontaminate(deduped, evalSet, "doc_id", "text",
+        shingleLen = 3, minOverlap = 2)
+      val capped = Budget.capPerGroup(clean, Seq("source"), "doc_id", 20)
+      val selected = Budget.tokenBudgetSelect(capped, "lang", "doc_id",
+        "quality", "n_tok", budget = 5000L)
+      Budget.packSequences(selected, "lang", "doc_id", "n_tok", 2048L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, source, lang, text,
+              |   ${sqlQuality("text")} AS quality,
+              |   len(${sqlTokens("text")}) AS n_tok FROM documents),
+              |f AS (SELECT * FROM q WHERE quality >= 0.5),
+              |dd AS (SELECT f.* FROM f JOIN (SELECT text, min(doc_id) AS k
+              |    FROM f GROUP BY text) m ON f.doc_id = m.k),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM dd WHERE len(${sqlTokens("text")}) >= 3),
+              |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2]))) AS tok
+              |  FROM documents WHERE doc_id % 97 = 0
+              |   AND len(${sqlTokens("text")}) >= 3),
+              |bad AS (SELECT s.doc_id FROM
+              |   (SELECT doc_id, unnest(sh) AS tok FROM sh) s
+              |  JOIN ev USING (tok) GROUP BY s.doc_id HAVING count(*) >= 2),
+              |cl AS (SELECT * FROM dd
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+              |cap AS (SELECT * FROM (SELECT cl.*, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              |   FROM cl) WHERE rn <= 20),
+              |sel AS (SELECT * FROM (SELECT cap.*, sum(n_tok) OVER (
+              |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+              |   FROM cap) WHERE cum <= 5000),
+              |pk AS (SELECT lang, doc_id, n_tok,
+              |   coalesce(sum(n_tok) OVER (PARTITION BY lang
+              |     ORDER BY doc_id) - n_tok, 0) AS cumb FROM sel)
+              |SELECT lang, CAST(cumb // 2048 AS BIGINT) AS bin,
+              | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+              |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
