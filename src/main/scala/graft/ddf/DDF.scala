@@ -484,6 +484,46 @@ class DDF(val df: DataFrame) {
   def ksTest(column: String, distribution: String = "norm"): Double =
     graft.operators.KolmogorovSmirnov.statistic(df, column, distribution)
 
+  // ===== pipeline-operator delegates ====================================
+  // Fluent faces of the graft.operators training-data surface, so a
+  // reference-style chained program reaches them without leaving DDF.
+  // Semantics and scale notes live on the delegated objects.
+
+  /** [[graft.operators.Dedup.exact]] — keep one row per key set */
+  def dedupExact(cols: Seq[String], idCol: String,
+                 keepCol: String = ""): DDF =
+    wrap(graft.operators.Dedup.exact(df, cols, idCol, keepCol))
+
+  /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
+    * an eval suite */
+  def decontaminate(evalSet: DDF, idCol: String, textCol: String,
+                    shingleLen: Int = 3, minOverlap: Int = 1): DDF =
+    wrap(graft.operators.Dedup.decontaminate(df, evalSet.df, idCol,
+      textCol, shingleLen = shingleLen, minOverlap = minOverlap))
+
+  /** [[graft.operators.Budget.capPerGroup]] — ≤ n rows per group */
+  def capPerGroup(groupCols: Seq[String], idCol: String,
+                  maxPerGroup: Int): DDF =
+    wrap(graft.operators.Budget.capPerGroup(df, groupCols, idCol,
+      maxPerGroup))
+
+  /** [[graft.operators.Budget.tokenBudgetSelect]] — per-stratum
+    * quality-ranked token budgets */
+  def tokenBudget(strataCol: String, idCol: String, scoreCol: String,
+                  tokenCol: String, budget: Long): DDF =
+    wrap(graft.operators.Budget.tokenBudgetSelect(df, strataCol, idCol,
+      scoreCol, tokenCol, budget))
+
+  /** [[graft.operators.Budget.packSequences]] — token-offset bins */
+  def packSequences(strataCol: String, idCol: String, tokenCol: String,
+                    maxTokens: Long): DDF =
+    wrap(graft.operators.Budget.packSequences(df, strataCol, idCol,
+      tokenCol, maxTokens))
+
+  /** [[graft.operators.Vocabulary.topKeywords]] — per-doc TF-IDF */
+  def topKeywords(idCol: String, textCol: String, k: Int = 5): DDF =
+    wrap(graft.operators.Vocabulary.topKeywords(df, idCol, textCol, k))
+
   // ===== actions / metadata =============================================
 
   def schema: StructType = df.schema

@@ -461,6 +461,36 @@ class DDFSpec extends SparkTestBase {
     }
   }
 
+  test("fluent pipeline delegates equal the direct operator calls") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Budget, Dedup}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("quality", TF.qualityScore($"text"))
+      .withColumn("n_tok", TF.tokenCount($"text"))
+    val evalSet = raw.filter($"doc_id" % 97 === 0)
+    val fluent = DDF(raw).filter("quality >= 0.5")
+      .dedupExact(Seq("text"), "doc_id")
+      .decontaminate(DDF(evalSet), "doc_id", "text", minOverlap = 2)
+      .capPerGroup(Seq("source"), "doc_id", 20)
+      .tokenBudget("lang", "doc_id", "quality", "n_tok", 5000L)
+      .packSequences("lang", "doc_id", "n_tok", 2048L)
+      .toDF.select($"doc_id", $"bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val direct = Budget.packSequences(
+        Budget.tokenBudgetSelect(
+          Budget.capPerGroup(
+            Dedup.decontaminate(
+              Dedup.exact(raw.filter($"quality" >= 0.5),
+                Seq("text"), "doc_id"),
+              evalSet, "doc_id", "text", minOverlap = 2),
+            Seq("source"), "doc_id", 20),
+          "lang", "doc_id", "quality", "n_tok", 5000L),
+        "lang", "doc_id", "n_tok", 2048L)
+      .select($"doc_id", $"bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(fluent == direct && fluent.nonEmpty)
+  }
+
   test("empty DataFrame no-ops cleanly through operators") {
     val empty = DDF(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
