@@ -2152,7 +2152,59 @@ object SparkEntry {
               |     ORDER BY doc_id) - n_tok, 0) AS cumb FROM sel)
               |SELECT lang, CAST(cumb // 2048 AS BIGINT) AS bin,
               | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-              |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // BM25 ranked retrieval (Search.bm25): top-k documents for a
+    // free-text query, Lucene idf variant, k1=1.2 b=0.75. Scores
+    // rounded to 6 decimals BEFORE ranking on both sides so the
+    // ordering is pinned (ties break on doc_id). 'dup' is the rare
+    // discriminating term (df≈5% of docs) — idf actually matters.
+    Q("q108_bm25_search", (s, dir) =>
+      graft.operators.Search.bm25(
+        t(s, dir, "documents"), "doc_id", "text", "dup spark vector", 10),
+      Some(s"""WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n,
+              |   avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+              |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+              |   unnest(toks) AS term FROM base),
+              |tf AS (SELECT doc_id, dl, term,
+              |   CAST(count(*) AS DOUBLE) AS tf FROM d
+              |  WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2, 3),
+              |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id,
+              |   ln(1 + (n - df + 0.5) / (df + 0.5))
+              |     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+              |  FROM tf JOIN dfq USING (term), stats)
+              |SELECT doc_id, round(sum(s), 6) AS score FROM sc
+              |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // Bloom-prefiltered decontamination (Dedup.decontaminateBloom,
+    // confirmExact=true): the scale path for an eval set too big to
+    // broadcast exactly. Exact confirmation makes the selection
+    // IDENTICAL to q78's — the oracle is q78's verbatim, so the gate
+    // itself proves the Bloom path changes cost, not answers.
+    Q("q109_decontaminate_bloom", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminateBloom(docs, evalSet, "doc_id", "text",
+          shingleLen = 3, minOverlap = 2)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM documents WHERE len(${sqlTokens("text")}) >= 3),
+              |ev AS (SELECT DISTINCT unnest(sh) AS tok FROM sh WHERE doc_id % 97 = 0),
+              |hits AS (SELECT s.doc_id, count(*) AS n
+              |  FROM (SELECT doc_id, unnest(sh) AS tok FROM sh) s
+              |  JOIN ev USING (tok) GROUP BY s.doc_id),
+              |bad AS (SELECT doc_id FROM hits WHERE n >= 2)
+              |SELECT lang, count(*) AS n_kept FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

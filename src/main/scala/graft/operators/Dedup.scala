@@ -462,6 +462,51 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]]'s scale path for an eval set too large to
+    * broadcast EXACTLY: the eval shingle set is compressed into a
+    * Bloom filter (~1.2 MB per million shingles at fpp 0.01 — a
+    * fixed-size bit array where the exact broadcast set would be GBs)
+    * and broadcast as a scan-side prefilter, so only BLOOM-POSITIVE
+    * corpus shingles ever reach the shuffle. With `confirmExact`
+    * (default) the survivors are confirmed against the real shingle
+    * set by a shuffle join — both sides now reduced to (near-)matching
+    * shingles only — and the result is IDENTICAL to [[decontaminate]]
+    * (same oracle). With `confirmExact = false` the filter's verdict
+    * is final: Bloom filters have no false negatives, so contaminated
+    * docs are still always dropped, and the fpp-rate false positives
+    * only ever over-remove (spec-pinned as a subset property) — the
+    * conservative failure mode for training data.
+    *
+    * The eval shingle set is counted once to size the filter, cached
+    * for the build (one `bloomFilter` aggregate) and, under
+    * `confirmExact`, reused as the confirming join side. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         evalTextCol: String = "text",
+                         shingleLen: Int = 3, minOverlap: Int = 1,
+                         fpp: Double = 0.01,
+                         confirmExact: Boolean = true): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val evalSh = evalSet.select(
+      explode(wordShingles(col(evalTextCol), shingleLen)).as("tok"))
+      .distinct().cache()
+    val bf = evalSh.stat.bloomFilter("tok",
+      math.max(evalSh.count(), 1L), fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) =>
+      s != null && bfB.value.mightContainString(s))
+    val corpusSh = corpus.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleLen)).as("tok"))
+      .filter(mightContain(col("tok")))
+    val hits = if (confirmExact) corpusSh.join(evalSh, Seq("tok"))
+               else corpusSh
+    val contaminated = hits
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs n-gram Jaccard join via prefix filtering
     * (AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07;
     * public algorithm). Shingles are globally ordered rarest-first

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** BM25 ranked retrieval over a text corpus (DRIVER-EXT, SURVEY.md
+  * §2.12 text analysis) — the lexical complement to the embedding
+  * similarity search in [[Similarity]]: given a free-text query,
+  * return the top-k documents by Okapi BM25 (Robertson/Sparck Jones;
+  * the Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf variant, which is
+  * non-negative for any df).
+  *
+  * Shape at 100 TB: the query's term set is a tiny literal, so the
+  * exploded token stream is FILTERED to query terms before the first
+  * aggregation — the (doc, term, tf) shuffle carries only documents
+  * containing at least one query term, keyed on (doc, term) with
+  * map-side combine. Corpus stats (N, avgdl) are one narrow scan
+  * reduced to a single row and broadcast via a literal-free cross
+  * join; per-term document frequencies are at most |query| rows and
+  * broadcast into the scoring join. The final top-k is a global
+  * `orderBy(...).limit(k)` → TakeOrderedAndProject (per-partition
+  * heaps + single k-row reduce, never a full sort). Scores are
+  * rounded to 6 decimals BEFORE ranking so the ordering itself is
+  * deterministic and oracle-replayable (ties break on the id).
+  *
+  * Tokenization is [[TextFunctions.tokens]] so tf/df agree with the
+  * vocabulary and token-budget operators.
+  */
+object Search {
+
+  /** Top-k `(id, score)` by BM25 for a free-text `query`.
+    * `k1` saturates term frequency; `b` scales length normalization
+    * (standard defaults 1.2 / 0.75). */
+  def bm25(df: DataFrame, idCol: String, textCol: String, query: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "query must contain at least one token")
+
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+
+    // one-row corpus stats, broadcast by the cross join below
+    val stats = base.agg(count(lit(1)).as("__n"),
+      avg(size(col("__toks")).cast("double")).as("__avgdl"))
+
+    // (doc, term, tf, dl) for QUERY terms only — the filter lands
+    // before the aggregation, so non-matching tokens never shuffle
+    val tf = base
+      .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(terms.toSeq: _*))
+      .groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+
+    // ≤ |terms| rows — broadcast side of the scoring join
+    val dfPerTerm = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+
+    val scored = tf
+      .join(broadcast(dfPerTerm), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0)
+          / (col("__tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("__s")), 6).as("score"))
+
+    scored
+      .select(col("__id").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -198,6 +198,39 @@ class DedupSpec extends SparkTestBase {
     assert(kept1.columns === corpus.columns)
   }
 
+  test("decontaminateBloom: confirmExact == exact; unconfirmed only over-removes") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "one two three four five"),
+      (4L, "totally unrelated words here now"),
+      (5L, "hi")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    for (mo <- Seq(1, 2)) {
+      val exact = ids(Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+        shingleLen = 3, minOverlap = mo))
+      // exact confirmation: the Bloom pass is a pure prefilter
+      val confirmed = ids(Dedup.decontaminateBloom(corpus, evalSet,
+        "doc_id", "text", shingleLen = 3, minOverlap = mo))
+      assert(confirmed == exact, s"minOverlap=$mo")
+      // no confirmation: no false negatives -> never KEEPS extra
+      // (false positives may only drop extra docs)
+      val unconfirmed = ids(Dedup.decontaminateBloom(corpus, evalSet,
+        "doc_id", "text", shingleLen = 3, minOverlap = mo,
+        confirmExact = false))
+      assert(unconfirmed.subsetOf(exact), s"minOverlap=$mo")
+    }
+    // a filter sized this small has ~zero fpp on 3 shingles: the
+    // unconfirmed path matches exactly here (sanity, not a guarantee)
+    assert(ids(Dedup.decontaminateBloom(corpus, evalSet, "doc_id", "text",
+      shingleLen = 3, minOverlap = 1, fpp = 0.001, confirmExact = false))
+      == Set(3L, 4L, 5L))
+  }
+
   test("jaccard blocked pairs respect the blocking column") {
     val d = Seq(
       (1L, "a b c d e", "blk1"), (2L, "a b c d e", "blk1"),

@@ -289,6 +289,27 @@ class OperatorsSpec extends SparkTestBase {
       plan.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$plan")
   }
 
+  test("bm25: scoring formula, ranking, absent non-matches, k cap") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c"))
+      .toDF("id", "text")
+    val got = graft.operators.Search.bm25(docs, "id", "text", "a b", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // N=4 avgdl=2.5; df(a)=df(b)=2 -> idf=ln(1+(4-2+0.5)/2.5)=ln 2.
+    // doc1 (tf_a=2 tf_b=1 dl=3) outranks doc3 (tf_b=3) outranks
+    // doc2 (tf_a=1 dl=2); doc4 matches nothing and must be ABSENT.
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > got(2)._2)
+    val norm1 = 1.2 * (0.25 + 0.75 * 3 / 2.5) // k1(1-b+b·dl/avgdl)
+    val exp1 = math.log(2) *
+      (2 * 2.2 / (2 + norm1) + 1 * 2.2 / (1 + norm1))
+    assert(got(0)._2 == BigDecimal(exp1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // k truncates after the deterministic ordering
+    val top2 = graft.operators.Search.bm25(docs, "id", "text", "a b", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(1L, 3L))
+  }
+
   test("topKeywords: tf-idf ranking with deterministic tie-break") {
     val docs = Seq((1L, "x x y z"), (2L, "x y y"), (3L, "z z z q"))
       .toDF("id", "text")
