@@ -2204,7 +2204,47 @@ object SparkEntry {
               |bad AS (SELECT doc_id FROM hits WHERE n >= 2)
               |SELECT lang, count(*) AS n_kept FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-              |GROUP BY lang ORDER BY lang""".stripMargin))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Batch BM25 (Search.bm25Batch): top-3 docs for EACH query of a
+    // query table in one job — tf/df computed once per (doc, term)/
+    // term, fanned out to queries by a broadcast term join, per-query
+    // window top-k. The literal query table is mirrored as a VALUES
+    // CTE; scores rounded before ranking (ties -> doc_id asc).
+    Q("q110_bm25_batch", (s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "dup spark"), (2L, "vector join table"),
+        (3L, "the fast key")).toDF("qid", "qtext")
+      graft.operators.Search.bm25Batch(
+          t(s, dir, "documents"), "doc_id", "text",
+          queries, "qid", "qtext", k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+      Some(s"""WITH q(qid, qtext) AS (VALUES (1, 'dup spark'),
+              |   (2, 'vector join table'), (3, 'the fast key')),
+              |qt AS (SELECT DISTINCT qid, unnest(${sqlTokens("qtext")}) AS term FROM q),
+              |base AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n,
+              |   avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+              |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+              |   unnest(toks) AS term FROM base),
+              |tf AS (SELECT doc_id, dl, term,
+              |   CAST(count(*) AS DOUBLE) AS tf FROM d
+              |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+              |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT qt.qid, tf.doc_id,
+              |   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+              |     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+              |     AS score
+              |  FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats
+              |  GROUP BY 1, 2),
+              |r AS (SELECT qid, doc_id, score, row_number() OVER (
+              |   PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+              |  FROM sc)
+              |SELECT qid, rank, doc_id, score FROM r WHERE rank <= 3
+              |ORDER BY qid, rank""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

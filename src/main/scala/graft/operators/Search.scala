@@ -76,4 +76,67 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batch retrieval: top-k BM25 documents PER QUERY of a query
+    * table — the shape a real retrieval pipeline runs (thousands of
+    * queries against one corpus in one job), not a per-query loop.
+    *
+    * Shape at 100 TB: the query table is retrieval-batch-sized
+    * (thousands of rows — minuscule next to the corpus), so its
+    * distinct term set broadcasts into a semi-join that prunes the
+    * exploded corpus token stream BEFORE the (doc, term, tf)
+    * aggregation, exactly like [[bm25]]'s literal filter. Term
+    * frequencies and document frequencies are computed ONCE per
+    * (doc, term) / term — not once per query — and fan out to
+    * queries via a broadcast join on the term; the per-(query, doc)
+    * score aggregation and the per-query top-k window both key on
+    * the query id, so group size is bounded by matching docs, and a
+    * hot term is one aggregation key, never a window partition.
+    * Queries with no matching documents are absent from the result.
+    */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, qtextCol: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queries.select(col(qidCol).as("__qid"),
+        explode(TextFunctions.tokens(col(qtextCol))).as("__term"))
+      .distinct()
+    val termSet = qterms.select(col("__term")).distinct()
+
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      avg(size(col("__toks")).cast("double")).as("__avgdl"))
+
+    val tf = base
+      .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .join(broadcast(termSet), Seq("__term"), "left_semi")
+      .groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfPerTerm = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+
+    val scored = tf
+      .join(broadcast(dfPerTerm), "__term")
+      .join(broadcast(qterms), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0)
+          / (col("__tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(round(sum(col("__s")), 6).as("score"))
+
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("__qid"))
+        .orderBy(col("score").desc, col("__id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("rank"),
+        col("__id").as(idCol), col("score"))
+  }
 }

@@ -64,7 +64,11 @@ object PlanLint {
       "document count crosses the already-aggregated tf rows"),
     "q93_domain_filter" -> ("broadcast non-equi anti join: the " +
       "blocklist side is broadcast-small by contract; the " +
-      "equality-or-dot-suffix match cannot be an equi join"))
+      "equality-or-dot-suffix match cannot be an equi join"),
+    "q108_bm25_search" -> ("scalar-broadcast pattern: the 1-row " +
+      "(N, avgdl) corpus stats cross the already-reduced tf rows"),
+    "q110_bm25_batch" -> ("scalar-broadcast pattern: the 1-row " +
+      "(N, avgdl) corpus stats cross the already-reduced tf rows"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -310,6 +310,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(top2 == Seq(1L, 3L))
   }
 
+  test("bm25Batch: each query's ranking equals the single-query path") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c"))
+      .toDF("id", "text")
+    val queries = Seq((10L, "a b"), (20L, "c"), (30L, "zzz"))
+      .toDF("qid", "qtext")
+    val batch = graft.operators.Search
+      .bm25Batch(docs, "id", "text", queries, "qid", "qtext", k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q ->
+        rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq }
+    def single(q: String) = graft.operators.Search
+      .bm25(docs, "id", "text", q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch(10L) == single("a b"))
+    assert(batch(20L) == single("c"))
+    // a query matching nothing is absent, not an empty/null group
+    assert(!batch.contains(30L))
+  }
+
   test("topKeywords: tf-idf ranking with deterministic tie-break") {
     val docs = Seq((1L, "x x y z"), (2L, "x y y"), (3L, "z z z q"))
       .toDF("id", "text")
