@@ -2244,7 +2244,31 @@ object SparkEntry {
               |   PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
               |  FROM sc)
               |SELECT qid, rank, doc_id, score FROM r WHERE rank <= 3
-              |ORDER BY qid, rank""".stripMargin))
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // Batch range join (RangeJoin.pointInInterval): customers whose
+    // balance falls in [s_acctbal, s_acctbal+500] per supplier — a
+    // pure inequality join, rewritten to a bucket equi-join (width =
+    // interval width, so each interval spans <= 2 buckets) instead of
+    // the nested-loop Catalyst would plan. Oracle states the interval
+    // semantics directly with BETWEEN.
+    Q("q111_range_join", (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_acctbal"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_acctbal").as("lo"), (col("s_acctbal") + 500).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(cust, "c_acctbal", sup, "lo", "hi", 500.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg(col("c_acctbal").cast("double")), 2).as("avg_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+      Some("""SELECT s_suppkey, count(*) AS n_cust,
+             | round(avg(CAST(c_acctbal AS DOUBLE)), 2) AS avg_bal
+             |FROM customer c JOIN supplier s
+             | ON c.c_acctbal BETWEEN s.s_acctbal AND s.s_acctbal + 500
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -330,6 +330,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(!batch.contains(30L))
   }
 
+  test("rangeJoin: equals the inequality join, width-invariant, equi-join plan") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 17.0), (4L, -3.0),
+      (5L, 100.0)).toDF("pid", "v")
+    val intervals = Seq((10L, 4.0, 9.0), (20L, 9.5, 10.0), (30L, -5.0, 20.0),
+      (40L, 50.0, 40.0) /* inverted: matches nothing */).toDF("iid", "lo", "hi")
+    val expected = points.crossJoin(intervals)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(0.7, 5.0, 1000.0)) {
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "v", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // no duplicate candidates survive: a point pairs with an
+      // interval only in the point's own bucket
+      assert(got.length == got.toSet.size, s"width=$w duplicated pairs")
+      assert(got.toSet == expected, s"width=$w")
+    }
+    // the rewrite must plan as an equi join, not a nested loop
+    val plan = graft.operators.RangeJoin
+      .pointInInterval(points, "v", intervals, "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
+  }
+
   test("topKeywords: tf-idf ranking with deterministic tie-break") {
     val docs = Seq((1L, "x x y z"), (2L, "x y y"), (3L, "z z z q"))
       .toDF("id", "text")
