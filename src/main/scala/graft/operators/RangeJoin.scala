@@ -35,10 +35,28 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `bucketWidth = 0` self-sizes from the interval-length
+    * distribution: the p75 length (one `approx_percentile` pass over
+    * the interval side — the SMALL side of a point-in-interval join)
+    * keeps the per-interval explode factor ≤ 2-3 for three quarters
+    * of intervals while the long tail pays proportionally more
+    * buckets, which is the right trade (long intervals match more
+    * points anyway). Degenerate all-zero-length distributions fall
+    * back to width 1. */
   def pointInInterval(points: DataFrame, pCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+                      bucketWidth: Double = 0.0): DataFrame = {
+    require(bucketWidth >= 0, s"bucketWidth must be >= 0, got $bucketWidth")
+    if (bucketWidth == 0.0) {
+      val row = intervals
+        .filter(col(loCol) <= col(hiCol))
+        .agg(percentile_approx(
+          (col(hiCol) - col(loCol)).cast("double"), lit(0.75), lit(10000)))
+        .head()
+      val p75 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      return pointInInterval(points, pCol, intervals, loCol, hiCol,
+        if (p75 > 0.0) p75 else 1.0)
+    }
     val w = lit(bucketWidth)
     val pb = points.withColumn("__bucket",
       floor(col(pCol).cast("double") / w))

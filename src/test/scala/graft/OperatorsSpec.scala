@@ -354,6 +354,19 @@ class OperatorsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
+    // width 0 self-sizes from the interval-length p75 — same result
+    val auto = graft.operators.RangeJoin
+      .pointInInterval(points, "v", intervals, "lo", "hi")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == expected)
+    // degenerate: all intervals zero-length (p75 = 0 -> width 1)
+    val zeroLen = Seq((1L, 5.0, 5.0), (2L, 7.0, 7.0)).toDF("iid", "lo", "hi")
+    val z = graft.operators.RangeJoin
+      .pointInInterval(points, "v", zeroLen, "lo", "hi")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(z == Set((1L, 1L)))
   }
 
   test("topKeywords: tf-idf ranking with deterministic tie-break") {
