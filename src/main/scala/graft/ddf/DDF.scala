@@ -524,6 +524,32 @@ class DDF(val df: DataFrame) {
   def topKeywords(idCol: String, textCol: String, k: Int = 5): DDF =
     wrap(graft.operators.Vocabulary.topKeywords(df, idCol, textCol, k))
 
+  /** [[graft.operators.Dedup.decontaminateBloom]] — Bloom-prefiltered
+    * decontamination for non-broadcastable eval sets */
+  def decontaminateBloom(evalSet: DDF, idCol: String, textCol: String,
+                         shingleLen: Int = 3, minOverlap: Int = 1,
+                         fpp: Double = 0.01): DDF =
+    wrap(graft.operators.Dedup.decontaminateBloom(df, evalSet.df, idCol,
+      textCol, shingleLen = shingleLen, minOverlap = minOverlap, fpp = fpp))
+
+  /** [[graft.operators.Search.bm25]] — top-k BM25 for one query */
+  def searchBm25(idCol: String, textCol: String, query: String,
+                 k: Int): DDF =
+    wrap(graft.operators.Search.bm25(df, idCol, textCol, query, k))
+
+  /** [[graft.operators.Search.bm25Batch]] — per-query top-k BM25 */
+  def searchBm25Batch(idCol: String, textCol: String, queries: DDF,
+                      qidCol: String, qtextCol: String, k: Int): DDF =
+    wrap(graft.operators.Search.bm25Batch(df, idCol, textCol,
+      queries.df, qidCol, qtextCol, k))
+
+  /** [[graft.operators.RangeJoin.pointInInterval]] — bucket-rewritten
+    * inequality join (this side = points) */
+  def rangeJoin(pCol: String, intervals: DDF, loCol: String,
+                hiCol: String, bucketWidth: Double = 0.0): DDF =
+    wrap(graft.operators.RangeJoin.pointInInterval(df, pCol,
+      intervals.df, loCol, hiCol, bucketWidth))
+
   // ===== actions / metadata =============================================
 
   def schema: StructType = df.schema

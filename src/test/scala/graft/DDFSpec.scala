@@ -491,6 +491,31 @@ class DDFSpec extends SparkTestBase {
     assert(fluent == direct && fluent.nonEmpty)
   }
 
+  test("retrieval/join delegates equal the direct operator calls") {
+    import graft.operators.{Dedup, RangeJoin, Search}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.filter($"doc_id" % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(DDF(docs).searchBm25("doc_id", "text", "dup spark", 5).toDF)
+      == rows(Search.bm25(docs, "doc_id", "text", "dup spark", 5)))
+    val qs = Seq((1L, "dup"), (2L, "vector")).toDF("qid", "qtext")
+    assert(rows(DDF(docs)
+        .searchBm25Batch("doc_id", "text", DDF(qs), "qid", "qtext", 3).toDF)
+      == rows(Search.bm25Batch(docs, "doc_id", "text", qs, "qid", "qtext", 3)))
+    assert(rows(DDF(docs)
+        .decontaminateBloom(DDF(evalSet), "doc_id", "text", minOverlap = 2)
+        .toDF)
+      == rows(Dedup.decontaminateBloom(docs, evalSet, "doc_id", "text",
+        minOverlap = 2)))
+    val pts = docs.select($"doc_id", $"n_chars")
+    val ivs = Seq((1L, 100L, 200L), (2L, 150L, 400L))
+      .toDF("iid", "lo", "hi")
+    assert(rows(DDF(pts).rangeJoin("n_chars", DDF(ivs), "lo", "hi").toDF)
+      == rows(RangeJoin.pointInInterval(pts, "n_chars", ivs, "lo", "hi")))
+  }
+
   test("empty DataFrame no-ops cleanly through operators") {
     val empty = DDF(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
