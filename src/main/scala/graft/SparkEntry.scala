@@ -2268,7 +2268,33 @@ object SparkEntry {
              | round(avg(CAST(c_acctbal AS DOUBLE)), 2) AS avg_bal
              |FROM customer c JOIN supplier s
              | ON c.c_acctbal BETWEEN s.s_acctbal AND s.s_acctbal + 500
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-group winsorization (DDF.winsorize): clip to the group's
+    // [p05, p95] band — same exact-percentile machinery as q103's
+    // fences but preserving row count. Census of the clipped column.
+    Q("q112_winsorize", (s, dir) =>
+      d(s, dir, "lineitem")
+        .winsorize("l_extendedprice", by = Seq("l_returnflag"),
+          pLo = 0.05, pHi = 0.95, out = "w")
+        .toDF
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("w")), 2).as("lo"),
+          round(max(col("w")), 2).as("hi"),
+          round(avg(col("w")), 2).as("avg_w"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH f AS (SELECT l_returnflag,
+             |   quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS plo,
+             |   quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS phi
+             | FROM lineitem GROUP BY 1),
+             |c AS (SELECT l.l_returnflag,
+             |   least(greatest(CAST(l_extendedprice AS DOUBLE), plo), phi) AS w
+             | FROM lineitem l JOIN f USING (l_returnflag))
+             |SELECT l_returnflag, count(*) AS n,
+             | round(min(w), 2) AS lo, round(max(w), 2) AS hi,
+             | round(avg(w), 2) AS avg_w
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -359,6 +359,27 @@ class DDF(val df: DataFrame) {
       .drop("__lo", "__hi"))
   }
 
+  /** Per-group winsorization (engine ext): CLIP `valueCol` to its
+    * group's [pLo, pHi] percentile band instead of dropping rows —
+    * the outlier treatment that preserves row count (loss clipping,
+    * feature capping). Same exact-window-percentile machinery as
+    * [[iqrFilter]] (linear interpolation ≡ DuckDB quantile_cont),
+    * one shuffle on the group key; empty `by` = whole-frame band
+    * through a single partition (interactive use only at scale). */
+  def winsorize(valueCol: String, by: Seq[String] = Nil,
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                out: String = ""): DDF = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val w = if (by.isEmpty) Window.partitionBy()
+            else Window.partitionBy(by.map(col): _*)
+    val v = col(valueCol)
+    val lo = percentile(v, lit(pLo)).over(w)
+    val hi = percentile(v, lit(pHi)).over(w)
+    wrap(df.withColumn(if (out.isEmpty) valueCol else out,
+      least(greatest(v, lo), hi)))
+  }
+
   /** Exact quantile discretizer (engine ext): adds `out` ∈ [1, k] =
     * the row's ntile bucket of `valueCol` (ties broken by `tieCols`
     * so the assignment is deterministic and oracle-testable). With

@@ -428,6 +428,19 @@ class DDFSpec extends SparkTestBase {
     assert(d.iqrFilter("v", by = Seq("k")).countRows() == 6)
     // tighter k trims the 1000 outlier
     assert(d.iqrFilter("v", by = Seq("k"), k = 0.5).countRows() == 5)
+    // winsorize CLIPS instead of dropping: row count intact, the
+    // group-b outlier lands on the p75 of [10,10,1000] = 505
+    val wz = d.winsorize("v", by = Seq("k"), pLo = 0.25, pHi = 0.75,
+      out = "w").toDF
+    assert(wz.count() == 6)
+    val bw = wz.filter($"k" === "b").select($"w")
+      .collect().map(_.getDouble(0)).sorted
+    assert(bw === Array(10.0, 10.0, 505.0))
+    // in-place default: the value column itself is replaced
+    val ip = d.winsorize("v", by = Seq("k"), pLo = 0.25, pHi = 0.75)
+      .toDF.filter($"k" === "b").select($"v")
+      .collect().map(_.getDouble(0)).max
+    assert(ip == 505.0)
   }
 
   test("ntileBucket: equal-size buckets, earlier buckets one larger") {
