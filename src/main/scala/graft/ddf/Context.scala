@@ -50,6 +50,16 @@ class DDFContext(val spark: SparkSession) {
       * re-export them as parquet/csv from the reference first. */
     def pickle(path: String): DDF = parquet(path)
 
+    /** Raw text source (engine ext): one row per line in a single
+      * string column `value` — the ingestion format of
+      * one-document-per-line corpora before any schema exists.
+      * Splits by file blocks like every file source; pair with
+      * `wholetext = true` for one row per FILE (small-file corpora —
+      * at scale prefer line-delimited or parquet, a 10 GB file
+      * becomes one row). */
+    def text(path: String, wholetext: Boolean = false): DDF =
+      DDF(spark.read.option("wholetext", wholetext).text(path))
+
     /** reference: functions/geo/read_shapefile.py — ESRI .shp
       * geometry plus optional .dbf attributes; see
       * [[graft.sources.Shapefile]]. Result feeds Geo.geoWithin. */

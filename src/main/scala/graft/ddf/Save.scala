@@ -54,6 +54,13 @@ class Save(df: DataFrame) {
           partitionBy: Seq[String] = Nil): Unit =
     w(mode, partitionBy).orc(path)
 
+  /** Raw text sink (engine ext, pairs with DDFContext.read.text):
+    * exactly one string column, one line per row. Same `partitionBy`
+    * layout as the other sinks. */
+  def text(path: String, mode: String = "overwrite",
+           partitionBy: Seq[String] = Nil): Unit =
+    w(mode, partitionBy).text(path)
+
   /** reference: bases/data_saver.py :: pickle — DOCUMENTED
     * DIVERGENCE: stored as parquet (see DDFContext.read.pickle). */
   def pickle(path: String, mode: String = "overwrite"): Unit =

@@ -86,6 +86,33 @@ class SourcesSpec extends SparkTestBase {
     assert(pruned.countRows() == 1)
   }
 
+  test("text round-trip: line rows, wholetext, partitioned layout") {
+    val p = tmp("text")
+    val lines = DDF(Seq("alpha beta", "gamma", "delta eps").toDF("value"))
+    lines.save.text(p)
+    val back = cc.read.text(p)
+    assert(back.toDF.as[String].collect().sorted ===
+      Array("alpha beta", "delta eps", "gamma"))
+    // wholetext = one row per FILE: rejoining its lines recovers a
+    // whole written file (order within a file is preserved)
+    val whole = cc.read.text(p, wholetext = true)
+      .toDF.as[String].collect()
+    assert(whole.flatMap(_.split("\n")).sorted ===
+      Array("alpha beta", "delta eps", "gamma"))
+    // text sink requires exactly one column; partitionBy splits it out
+    val p2 = tmp("text_part")
+    DDF(Seq(("a", "l1"), ("a", "l2"), ("b", "l3")).toDF("k", "value"))
+      .save.text(p2, partitionBy = Seq("k"))
+    val dirs = new java.io.File(p2).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("k=a", "k=b"))
+    // the partition column comes back as a read-side column
+    val back2 = cc.read.text(p2).toDF
+    assert(back2.columns.toSet == Set("value", "k"))
+    assert(back2.select("value").as[String].collect().sorted ===
+      Array("l1", "l2", "l3"))
+  }
+
   test("csv round-trip with header and schema") {
     val p = tmp("csv")
     sample.save.csv(p)
