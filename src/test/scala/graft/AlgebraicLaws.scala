@@ -169,4 +169,59 @@ object AlgebraicLaws extends Properties("graft.ddf") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got == refJaccardPairs(docs, 2, t)
     }
+
+  property("rangeJoin matches the brute-force inequality join") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.choose(-20, 20)),
+      Gen.listOfN(5, Gen.zip(Gen.choose(-20, 20), Gen.choose(0, 15))),
+      Gen.oneOf(0.0, 0.5, 3.0, 100.0)) { (ps, ivs, w) =>
+      import spark.implicits._
+      val points = ps.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toDouble) }.toDF("pid", "v")
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo.toDouble, (lo + len).toDouble) }
+        .toDF("iid", "lo", "hi")
+      val want = (for {
+        (v, pi) <- ps.zipWithIndex; ((lo, len), ii) <- ivs.zipWithIndex
+        if v >= lo && v <= lo + len
+      } yield (pi.toLong, ii.toLong)).toSet
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "v", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got.length == got.toSet.size && got.toSet == want
+    }
+
+  property("winsorize preserves count, stays in range, (0,1) is identity") =
+    Prop.forAll(Gen.listOfN(9, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.choose(-50, 50)))) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (k, v) => (k, v.toDouble) }.toDF("k", "v")
+      val wz = DDF(df).winsorize("v", by = Seq("k"), pLo = 0.1, pHi = 0.9,
+        out = "w").toDF.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val byK = rows.groupBy(_._1).view
+        .mapValues(g => (g.map(_._2).min.toDouble, g.map(_._2).max.toDouble))
+      val inRange = wz.forall { case (k, _, w) =>
+        val (mn, mx) = byK(k); w >= mn && w <= mx }
+      val ident = DDF(df).winsorize("v", by = Seq("k"), pLo = 0.0,
+          pHi = 1.0, out = "w").toDF.collect()
+        .forall(r => r.getDouble(1) == r.getDouble(2))
+      wz.length == rows.size && inRange && ident
+    }
+
+  property("bm25 is invariant to corpus row order") =
+    Prop.forAll(corpus) { docs =>
+      import scala.jdk.CollectionConverters._
+      def run(d: Seq[(Long, String)]) = {
+        val df = spark.createDataFrame(
+          d.map { case (i, s) => org.apache.spark.sql.Row(i, s) }.asJava,
+          new org.apache.spark.sql.types.StructType()
+            .add("id", org.apache.spark.sql.types.LongType)
+            .add("text", org.apache.spark.sql.types.StringType))
+        graft.operators.Search.bm25(df, "id", "text", "aa bb", k = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      run(docs) == run(docs.reverse)
+    }
 }
