@@ -93,11 +93,18 @@ object Search {
     * the query id, so group size is bounded by matching docs, and a
     * hot term is one aggregation key, never a window partition.
     * Queries with no matching documents are absent from the result.
+    * Set `broadcastQueries = false` for a query-log-sized batch too
+    * big to broadcast: the term fan-out then shuffles on the term key
+    * (the semi-join prefilter becomes a shuffle too), trading the
+    * broadcast for exchanges that scale with the batch.
     */
   def bm25Batch(df: DataFrame, idCol: String, textCol: String,
                 queries: DataFrame, qidCol: String, qtextCol: String,
-                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k: Int, k1: Double = 1.2, b: Double = 0.75,
+                broadcastQueries: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val bq: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
     val qterms = queries.select(col(qidCol).as("__qid"),
         explode(TextFunctions.tokens(col(qtextCol))).as("__term"))
       .distinct()
@@ -111,15 +118,15 @@ object Search {
     val tf = base
       .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
         explode(col("__toks")).as("__term"))
-      .join(broadcast(termSet), Seq("__term"), "left_semi")
+      .join(bq(termSet), Seq("__term"), "left_semi")
       .groupBy(col("__id"), col("__dl"), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
     val dfPerTerm = tf.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
 
     val scored = tf
-      .join(broadcast(dfPerTerm), "__term")
-      .join(broadcast(qterms), "__term")
+      .join(bq(dfPerTerm), "__term")
+      .join(bq(qterms), "__term")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log(lit(1.0) + (col("__n") - col("__df") + lit(0.5))

@@ -328,6 +328,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(batch(20L) == single("c"))
     // a query matching nothing is absent, not an empty/null group
     assert(!batch.contains(30L))
+    // the non-broadcast scale path returns the identical result
+    val shuffled = graft.operators.Search
+      .bm25Batch(docs, "id", "text", queries, "qid", "qtext", k = 4,
+        broadcastQueries = false)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q ->
+        rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq }
+    assert(shuffled == batch)
   }
 
   test("rangeJoin: equals the inequality join, width-invariant, equi-join plan") {
