@@ -380,6 +380,32 @@ class DDF(val df: DataFrame) {
       least(greatest(v, lo), hi)))
   }
 
+  /** [[winsorize]]'s mega-group scale path: the exact window
+    * percentile buffers each group inside one task, so a 10⁸-row
+    * group is a single-task sort. This variant aggregates per-group
+    * `approx_percentile` sketches (partial-aggregated map-side,
+    * bounded state) and broadcast-or-shuffle-joins the two band
+    * values back — no task ever holds a group. DOCUMENTED
+    * DIVERGENCE from [[winsorize]]: approx_percentile returns a real
+    * element within ±1/`accuracy` rank error, not the interpolated
+    * quantile, so band edges can differ from the exact path by one
+    * neighboring value. */
+  def winsorizeApprox(valueCol: String, by: Seq[String] = Nil,
+                      pLo: Double = 0.01, pHi: Double = 0.99,
+                      out: String = "", accuracy: Int = 10000): DDF = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = col(valueCol)
+    val bands = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+      .agg(percentile_approx(v, lit(pLo), lit(accuracy)).as("__wlo"),
+        percentile_approx(v, lit(pHi), lit(accuracy)).as("__whi"))
+    val joined = if (by.isEmpty) df.crossJoin(broadcast(bands))
+                 else df.join(bands, by)
+    wrap(joined.withColumn(if (out.isEmpty) valueCol else out,
+      least(greatest(v, col("__wlo")), col("__whi")))
+      .drop("__wlo", "__whi"))
+  }
+
   /** Exact quantile discretizer (engine ext): adds `out` ∈ [1, k] =
     * the row's ntile bucket of `valueCol` (ties broken by `tieCols`
     * so the assignment is deterministic and oracle-testable). With

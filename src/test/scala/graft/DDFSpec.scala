@@ -441,6 +441,16 @@ class DDFSpec extends SparkTestBase {
       .toDF.filter($"k" === "b").select($"v")
       .collect().map(_.getDouble(0)).max
     assert(ip == 505.0)
+    // approx scale path: same count, bands are REAL group elements
+    // (nearest-rank, not interpolated), so the b-outlier clips to an
+    // actual value of the group and a/b stay within group ranges
+    val ap = d.winsorizeApprox("v", by = Seq("k"), pLo = 0.25,
+      pHi = 0.75, out = "w").toDF
+    assert(ap.count() == 6)
+    val apB = ap.filter($"k" === "b").select($"w")
+      .collect().map(_.getDouble(0))
+    assert(apB.forall(w => w >= 10.0 && w <= 1000.0))
+    assert(apB.forall(w => Set(10.0, 1000.0).contains(w)))
   }
 
   test("ntileBucket: equal-size buckets, earlier buckets one larger") {
