@@ -2294,7 +2294,40 @@ object SparkEntry {
              |SELECT l_returnflag, count(*) AS n,
              | round(min(w), 2) AS lo, round(max(w), 2) AS hi,
              | round(avg(w), 2) AS avg_w
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Linear text-classifier scoring (Classifier.linearTextScore):
+    // fastText-shaped serving of a (token, weight) table — sigmoid of
+    // the mean token weight. The literal weights table is mirrored as
+    // a VALUES CTE; per-lang census of docs above the 0.5 cut plus
+    // the rounded mean score pins every document's value.
+    Q("q113_classifier_score", (s, dir) => {
+      import s.implicits._
+      val weights = Seq(("spark", 2.0), ("fast", 1.0), ("slow", -1.5),
+        ("dup", -3.0)).toDF("token", "weight")
+      graft.operators.Classifier.linearTextScore(
+          t(s, dir, "documents"), "doc_id", "text", weights, bias = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+          round(avg(col("score")), 6).as("avg_score"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH w(token, wt) AS (VALUES ('spark', 2.0), ('fast', 1.0),
+              |   ('slow', -1.5), ('dup', -3.0)),
+              |tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token
+              |  FROM documents),
+              |r AS (SELECT doc_id,
+              |   sum(coalesce(wt, 0)) / count(*) AS raw
+              |  FROM tok LEFT JOIN w USING (token) GROUP BY 1),
+              |s AS (SELECT d.lang,
+              |   1 / (1 + exp(-(coalesce(raw, 0) + 0.1))) AS score
+              |  FROM documents d LEFT JOIN r USING (doc_id))
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+              |   AS n_keep,
+              | round(avg(score), 6) AS avg_score
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

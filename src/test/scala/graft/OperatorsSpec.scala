@@ -378,6 +378,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(z == Set((1L, 1L)))
   }
 
+  test("linearTextScore: mean-weight sigmoid, OOV zero, empty-doc bias") {
+    val docs = Seq((1L, "good good bad"), (2L, "unknown words only"),
+      (3L, ""), (4L, "good")).toDF("id", "text")
+    val weights = Seq(("good", 2.0), ("bad", -4.0)).toDF("token", "weight")
+    val got = graft.operators.Classifier
+      .linearTextScore(docs, "id", "text", weights, bias = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(math.abs(got(1L) - sig((2 + 2 - 4) / 3.0 + 0.5)) < 1e-12)
+    assert(math.abs(got(2L) - sig(0.0 + 0.5)) < 1e-12) // all OOV
+    assert(math.abs(got(3L) - sig(0.5)) < 1e-12)       // no tokens
+    assert(math.abs(got(4L) - sig(2.0 + 0.5)) < 1e-12)
+    // every input row and column survives
+    assert(got.size == 4)
+  }
+
   test("topKeywords: tf-idf ranking with deterministic tie-break") {
     val docs = Seq((1L, "x x y z"), (2L, "x y y"), (3L, "z z z q"))
       .toDF("id", "text")
