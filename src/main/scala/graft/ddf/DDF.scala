@@ -597,6 +597,13 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.RangeJoin.pointInInterval(df, pCol,
       intervals.df, loCol, hiCol, bucketWidth))
 
+  /** [[graft.operators.Classifier.linearTextScore]] — fastText-shaped
+    * (token, weight) quality/domain scoring */
+  def classifyText(idCol: String, textCol: String, weights: DDF,
+                   bias: Double = 0.0, out: String = "score"): DDF =
+    wrap(graft.operators.Classifier.linearTextScore(df, idCol, textCol,
+      weights.df, bias, out))
+
   // ===== actions / metadata =============================================
 
   def schema: StructType = df.schema

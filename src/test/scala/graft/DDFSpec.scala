@@ -537,6 +537,10 @@ class DDFSpec extends SparkTestBase {
       .toDF("iid", "lo", "hi")
     assert(rows(DDF(pts).rangeJoin("n_chars", DDF(ivs), "lo", "hi").toDF)
       == rows(RangeJoin.pointInInterval(pts, "n_chars", ivs, "lo", "hi")))
+    val wts = Seq(("spark", 1.0), ("dup", -2.0)).toDF("token", "weight")
+    assert(rows(DDF(docs).classifyText("doc_id", "text", DDF(wts), 0.2).toDF)
+      == rows(graft.operators.Classifier
+        .linearTextScore(docs, "doc_id", "text", wts, 0.2)))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {
