@@ -91,6 +91,10 @@ object EventStream {
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"),
       joinType)
+      // on rightOuter/fullOuter the LEFT key is null on unmatched right
+      // rows — the only populated key is the renamed right one, so fold
+      // both into a single key column before dropping the alias
+      .withColumn(key, coalesce(l(key), col("__rkey")))
       .drop("__rkey")
   }
 

@@ -183,6 +183,40 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.filter($"r_id".isNull).count() > 0)
   }
 
+  test("interval join rightOuter keeps the key on unmatched right rows") {
+    // batch run of the same definition (withWatermark is a no-op on
+    // batch) — pins the key-coalesce: before the fix, unmatched right
+    // rows surfaced with a NULL key because only the renamed __rkey
+    // was populated and it was dropped
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val l = batch.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("l_id"))
+    val r = batch.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("ts_r"), $"event_id".as("r_id"))
+    val got = EventStream.intervalJoin(l, r, "user_id",
+      before = "30 minutes", after = "30 minutes", joinType = "rightOuter")
+    val unmatched = got.filter($"l_id".isNull)
+    assert(unmatched.count() > 0, "fixture has no unmatched purchases")
+    assert(unmatched.filter($"user_id".isNull).count() == 0,
+      "unmatched right rows lost their key")
+    // full equivalence against a hand-built rightOuter interval join
+    // (right key renamed to dodge self-join lineage ambiguity)
+    val r2 = r.withColumnRenamed("user_id", "u_r")
+    val want = l.join(r2,
+        l("user_id") === r2("u_r") &&
+          r2("ts_r") >= l("ts") - expr("INTERVAL 30 minutes") &&
+          r2("ts_r") <= l("ts") + expr("INTERVAL 30 minutes"),
+        "rightOuter")
+      .select(coalesce(l("user_id"), r2("u_r")).as("user_id"),
+        $"l_id", $"r_id")
+    val gotKeyed = got.select($"user_id", $"l_id", $"r_id")
+    assert(gotKeyed.count() == want.count())
+    assert(gotKeyed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(gotKeyed).count() == 0)
+  }
+
   test("session windows: stream equals batch (same definition)") {
     val stream = EventStream.readStream(spark, dir)
     val got = EventStream.runToMemory(
