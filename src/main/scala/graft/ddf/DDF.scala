@@ -325,59 +325,85 @@ class DDF(val df: DataFrame) {
     (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
   }
 
+  /** Join per-group `stats` (one row per `by` group) back onto this
+    * frame — the scale-safe exact replacement for a whole-group
+    * window: the stats are true partial aggregates (map-side
+    * combined), the data side never buffers a group in one task, and
+    * with `broadcastStats` the big side does not shuffle AT ALL.
+    * Null-safe key equality so a null group matches its stats row
+    * exactly like a window partition would. Stat columns arrive
+    * appended; caller consumes and drops them. */
+  private def joinGroupStats(stats: DataFrame, by: Seq[String],
+                             broadcastStats: Boolean): DataFrame = {
+    val renamed = by.foldLeft(stats)((d, k) => d.withColumnRenamed(k, s"__g_$k"))
+    val s = if (broadcastStats) broadcast(renamed) else renamed
+    if (by.isEmpty) df.crossJoin(s)
+    else df.join(s, by.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _))
+      .drop(by.map(k => s"__g_$k"): _*)
+  }
+
   /** Per-group z-score normalization (engine ext, the relational face
-    * of ml's StandardScaler): (x − mean)/stddev over the `by` groups
-    * via window aggregates — one shuffle on the group key, no join,
-    * no driver stats pass. Empty `by` = whole-frame stats through a
-    * single partition (interactive use only at scale). */
+    * of ml's StandardScaler): (x − mean)/stddev over the `by` groups.
+    * mean/stddev are partial aggregates, so the stats shrink to one
+    * row per group map-side and broadcast back (`broadcastStats`,
+    * default) — the big side never shuffles and no task buffers a
+    * group, unlike the window formulation. Set
+    * `broadcastStats = false` when `by` cardinality itself is huge:
+    * same exact answer via a shuffled equi-join. Empty `by` =
+    * whole-frame stats, one-row broadcast. */
   def zscore(valueCol: String, by: Seq[String] = Nil,
-             out: String = "zscore"): DDF = {
-    val w = if (by.isEmpty) Window.partitionBy()
-            else Window.partitionBy(by.map(col): _*)
-    wrap(df.withColumn(out,
-      (col(valueCol) - avg(col(valueCol)).over(w)) /
-        stddev_samp(col(valueCol)).over(w)))
+             out: String = "zscore",
+             broadcastStats: Boolean = true): DDF = {
+    val v = col(valueCol)
+    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+      .agg(avg(v).as("__zmean"), stddev_samp(v).as("__zstd"))
+    wrap(joinGroupStats(stats, by, broadcastStats)
+      .withColumn(out, (v - col("__zmean")) / col("__zstd"))
+      .drop("__zmean", "__zstd"))
   }
 
   /** Tukey-fence outlier filter (engine ext): keep rows inside
     * [q1 − k·IQR, q3 + k·IQR] of their group's `valueCol`
     * distribution — the standard robust trim before training-metric
-    * aggregation. Exact percentiles via window aggregates (same
-    * linear interpolation as DuckDB quantile_cont); one shuffle on
-    * the group key. */
+    * aggregation. Exact percentiles (same linear interpolation as
+    * DuckDB quantile_cont) as GROUPED aggregates joined back
+    * ([[joinGroupStats]]): the percentile buffer is bounded by
+    * distinct values per group (value→count map, merged map-side),
+    * not group row count, and the data side stays shuffle-free when
+    * the stats broadcast. */
   def iqrFilter(valueCol: String, by: Seq[String] = Nil,
-                k: Double = 1.5): DDF = {
-    val w = if (by.isEmpty) Window.partitionBy()
-            else Window.partitionBy(by.map(col): _*)
+                k: Double = 1.5, broadcastStats: Boolean = true): DDF = {
     val v = col(valueCol)
-    val q1 = percentile(v, lit(0.25)).over(w)
-    val q3 = percentile(v, lit(0.75)).over(w)
-    val withFences = df
-      .withColumn("__lo", q1 - (q3 - q1) * lit(k))
-      .withColumn("__hi", q3 + (q3 - q1) * lit(k))
-    wrap(withFences.filter(v >= col("__lo") && v <= col("__hi"))
-      .drop("__lo", "__hi"))
+    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    wrap(joinGroupStats(stats, by, broadcastStats)
+      .filter(v >= col("__q1") - iqr * lit(k) &&
+        v <= col("__q3") + iqr * lit(k))
+      .drop("__q1", "__q3"))
   }
 
   /** Per-group winsorization (engine ext): CLIP `valueCol` to its
     * group's [pLo, pHi] percentile band instead of dropping rows —
     * the outlier treatment that preserves row count (loss clipping,
-    * feature capping). Same exact-window-percentile machinery as
-    * [[iqrFilter]] (linear interpolation ≡ DuckDB quantile_cont),
-    * one shuffle on the group key; empty `by` = whole-frame band
-    * through a single partition (interactive use only at scale). */
+    * feature capping). Same exact grouped-percentile + stats-join
+    * machinery as [[iqrFilter]]; [[winsorizeApprox]] remains the
+    * sketch path for groups whose DISTINCT-value count alone breaks
+    * the exact percentile buffer. */
   def winsorize(valueCol: String, by: Seq[String] = Nil,
                 pLo: Double = 0.01, pHi: Double = 0.99,
-                out: String = ""): DDF = {
+                out: String = "", broadcastStats: Boolean = true): DDF = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    val w = if (by.isEmpty) Window.partitionBy()
-            else Window.partitionBy(by.map(col): _*)
     val v = col(valueCol)
-    val lo = percentile(v, lit(pLo)).over(w)
-    val hi = percentile(v, lit(pHi)).over(w)
-    wrap(df.withColumn(if (out.isEmpty) valueCol else out,
-      least(greatest(v, lo), hi)))
+    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+      .agg(percentile(v, lit(pLo)).as("__wlo"),
+        percentile(v, lit(pHi)).as("__whi"))
+    wrap(joinGroupStats(stats, by, broadcastStats)
+      .withColumn(if (out.isEmpty) valueCol else out,
+        least(greatest(v, col("__wlo")), col("__whi")))
+      .drop("__wlo", "__whi"))
   }
 
   /** [[winsorize]]'s mega-group scale path: the exact window

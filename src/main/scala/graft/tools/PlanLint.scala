@@ -110,7 +110,25 @@ object PlanLint {
       // centroidFilter contract: per-group centroid arrays broadcast;
       // losing the hint re-shuffles the whole embedding corpus
       "q104_centroid_filter" -> ("BroadcastHashJoin",
-        "centroid side no longer broadcasts"))
+        "centroid side no longer broadcasts"),
+      // grouped-stats contract (r6): zscore/iqrFilter/winsorize compute
+      // per-group stats as partial aggregates and BROADCAST them back —
+      // the data side must not shuffle
+      "q102_group_zscore" -> ("BroadcastHashJoin",
+        "zscore stats no longer broadcast"),
+      "q103_iqr_filter" -> ("BroadcastHashJoin",
+        "iqrFilter stats no longer broadcast"),
+      "q112_winsorize" -> ("BroadcastHashJoin",
+        "winsorize stats no longer broadcast"))
+
+    // negative checks: these queries must NOT contain the named node —
+    // the r6 grouped-stats rework removed their whole-group-buffering
+    // WindowExec; a Window reappearing means the scale-safe shape
+    // regressed
+    val mustNotContain: Map[String, (String, String)] = Map(
+      "q102_group_zscore" -> ("Window", "zscore regressed to a window"),
+      "q103_iqr_filter" -> ("Window", "iqrFilter regressed to a window"),
+      "q112_winsorize" -> ("Window", "winsorize regressed to a window"))
 
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -123,6 +141,12 @@ object PlanLint {
             if (!plan.contains(needle)) {
               bad += 1
               println(s"[plan-lint] FLAG  $name: $why (missing `$needle`)")
+            }
+          }
+          mustNotContain.get(name).foreach { case (needle, why) =>
+            if (plan.contains(needle)) {
+              bad += 1
+              println(s"[plan-lint] FLAG  $name: $why (found `$needle`)")
             }
           }
           val nExchanges = physical.collect {
