@@ -1886,6 +1886,31 @@ object SparkEntry {
              | round(max(l_extendedprice), 2) AS hi
              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Global exact ntile (DDF.ntileGlobal, r6): the empty-partitionBy
+    // discretizer path — 2-pass range-partitioned rank instead of a
+    // one-task total-sort window. The oracle runs DuckDB's GLOBAL
+    // ntile window over the same pinned total order, so the census
+    // proves the distributed rank reproduces the single-sort answer
+    // bucket for bucket.
+    Q("q114_ntile_global", (s, dir) =>
+      d(s, dir, "lineitem")
+        .ntileBucket("l_extendedprice", 8, out = "bucket",
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .toDF
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("bucket")),
+      Some("""WITH b AS (SELECT l_extendedprice,
+             |   ntile(8) OVER (
+             |     ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+             | FROM lineitem)
+             |SELECT bucket, count(*) AS n,
+             | round(min(l_extendedprice), 2) AS lo,
+             | round(max(l_extendedprice), 2) AS hi
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rolling-frame window aggregate (rows-between moving average) —
     // the remaining frame shape the window family (q29 rank / q30 lag
     // / q31 running) didn't cover.

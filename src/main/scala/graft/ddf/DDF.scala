@@ -1,6 +1,6 @@
 package graft.ddf
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -435,19 +435,63 @@ class DDF(val df: DataFrame) {
   /** Exact quantile discretizer (engine ext): adds `out` ∈ [1, k] =
     * the row's ntile bucket of `valueCol` (ties broken by `tieCols`
     * so the assignment is deterministic and oracle-testable). With
-    * `partitionBy` the sort is per-group and scale-safe; EMPTY
-    * `partitionBy` is a single total sort through one task — fine
-    * interactively, not in a 100 TB pipeline (use spark.ml's
-    * approxQuantile-based QuantileDiscretizer when ±ε edges are
-    * acceptable at that scale). */
+    * `partitionBy` the sort is per-group via a window — scale-safe
+    * when no single group dominates. EMPTY `partitionBy` takes the
+    * 2-pass range-partitioned rank instead ([[ntileGlobal]]): exact
+    * same assignment as a global `ntile(k)` window, but the total
+    * sort is spread across range partitions (the TeraSort shape Save
+    * .shards already uses) rather than funneled through one task. */
   def ntileBucket(valueCol: String, k: Int, out: String = "bucket",
                   partitionBy: Seq[String] = Nil,
                   tieCols: Seq[String] = Nil): DDF = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val base = if (partitionBy.isEmpty) Window.partitionBy()
-               else Window.partitionBy(partitionBy.map(col): _*)
-    val w = base.orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
-    wrap(df.withColumn(out, ntile(k).over(w)))
+    if (partitionBy.isEmpty) ntileGlobal(valueCol, k, out, tieCols)
+    else {
+      val w = Window.partitionBy(partitionBy.map(col): _*)
+        .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+      wrap(df.withColumn(out, ntile(k).over(w)))
+    }
+  }
+
+  /** Global exact ntile without the single-task total sort: range-
+    * partition on the sort key (parallel sort, disjoint key ranges in
+    * partition order), count rows per partition in one light job, and
+    * convert per-partition row numbers to global ranks with the
+    * driver-side offsets (bounded by the partition count) — then the
+    * closed-form SQL ntile bucket of each rank. The counts job and
+    * the output read the SAME shuffled RDD, so map outputs are reused
+    * (no resample between passes, nothing cached/pinned). Per-
+    * partition sequential numbering is genuine imperative logic, the
+    * one place mapPartitions beats any relational encoding. EAGER:
+    * the counting job runs at call time. Ties beyond `tieCols` fall
+    * to an arbitrary stable order, exactly like the window variant. */
+  def ntileGlobal(valueCol: String, k: Int, out: String = "bucket",
+                  tieCols: Seq[String] = Nil): DDF = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val spark = df.sparkSession
+    val sortCols = (col(valueCol) +: tieCols.map(col)).map(_.asc)
+    val sorted = df.drop(out).repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, IntegerType, nullable = false))
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.size.toLong)), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    // SQL ntile: the first n % k buckets carry one extra row
+    val small = n / k; val rem = n % k; val cut = rem * (small + 1)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row =>
+        r += 1
+        val b = if (r <= cut) (r - 1) / (small + 1) + 1
+                else rem + (r - 1 - cut) / small + 1
+        Row.fromSeq(row.toSeq :+ b.toInt)
+      }
+    }
+    wrap(spark.createDataFrame(ranked, schema))
   }
 
   /** k-fold assignment (engine ext, same hash family as

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
-                 else Seq(1, 4, 8)
+    // non-numeric args select sections (dedup/budget/ntile); numeric
+    // args override the replication scales. No sections = run all.
+    val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
+    def on(s: String): Boolean = sections.isEmpty || sections(s)
+    val scaleArgs = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
+    val scales = if (scaleArgs.nonEmpty) scaleArgs.toSeq else Seq(1, 4, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +33,7 @@ object ScaleSmoke {
         concat(col("text"), lit(s" replica$i")).as("text"))
     }.reduce(_ union _).cache()
 
-    scales.foreach { k =>
+    if (on("dedup")) scales.foreach { k =>
       val c = corpus(k)
       val n = c.count() // materialize cache outside timings
       def time(label: String)(f: => Long): Unit = {
@@ -60,6 +64,7 @@ object ScaleSmoke {
     // binds) without dragging text payloads or a k-way union plan
     // through every measurement.
     import graft.functions.{TextFunctions => TF}
+    if (on("budget")) {
     val narrowDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("quality", TF.qualityScore(col("text")))
       .withColumn("n_tok", TF.tokenCount(col("text")))
@@ -95,6 +100,51 @@ object ScaleSmoke {
       time("budgetThreshold")(graft.operators.Budget
         .tokenBudgetSelectThreshold(
           c, "lang", "doc_id", "quality", "n_tok", budget = 5000L).count())
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+    }
+
+    // ---- global ntile: the empty-partitionBy discretizer used to be
+    // ONE total-sort task (global window); ntileGlobal spreads the
+    // sort across range partitions plus a light counts job. Replicate
+    // lineitem's price column (replica index in the tie-break, so the
+    // total order stays unique) and time both shapes; histograms
+    // (count/min/max per bucket) are asserted identical in-run.
+    import org.apache.spark.sql.expressions.Window
+    val prices = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"),
+        col("l_linenumber"))
+    def priceCorpus(k: Int) = prices
+      .select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("__r"),
+        col("v"), col("l_orderkey"), col("l_linenumber"))
+      .cache()
+    if (on("ntile")) Seq(1, 4, 16).foreach { k =>
+      val c = priceCorpus(k)
+      val n = c.count()
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("b")).agg(count(lit(1)).as("n"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      def time(label: String)(f: => Map[Int, (Long, Double, Double)])
+          : Map[Int, (Long, Double, Double)] = {
+        val t0 = System.nanoTime()
+        val h = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-8d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  buckets=${h.size}")
+        h
+      }
+      val tie = Seq("l_orderkey", "l_linenumber", "__r")
+      val hWindow = time("ntileWindow") {
+        val w = Window.orderBy((col("v") +: tie.map(col)).map(_.asc): _*)
+        hist(c.withColumn("b", ntile(10).over(w)))
+      }
+      val hRange = time("ntileGlobal") {
+        hist(graft.ddf.DDF(c).ntileGlobal("v", 10, out = "b",
+          tieCols = tie).toDF)
+      }
+      require(hWindow == hRange, s"k=$k: bucket histograms diverged")
       c.unpersist()
       spark.catalog.clearCache()
     }

@@ -469,6 +469,28 @@ class DDFSpec extends SparkTestBase {
       ("b", 100) -> 1, ("b", 200) -> 2))
   }
 
+  test("ntileGlobal equals the global ntile window, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    // 2k rows, many duplicate values, unique tie-break id — the range
+    // path's global rank must reproduce the one-task window exactly
+    val base = (1 to 2000).map(i => (i.toLong, (i * 31) % 97))
+      .toDF("id", "v").repartition(7)
+    Seq(3, 8, 11).foreach { k =>
+      val got = DDF(base).ntileGlobal("v", k, out = "b",
+        tieCols = Seq("id")).toDF
+      val w = Window.orderBy($"v".asc, $"id".asc)
+      val want = base.withColumn("b", ntile(k).over(w))
+      assert(got.count() == 2000)
+      assert(got.exceptAll(want).count() == 0, s"k=$k diverged")
+      assert(want.exceptAll(got).count() == 0, s"k=$k diverged")
+    }
+    // n < k: every row its own bucket (SQL ntile degenerate case)
+    val tiny = DDF((1 to 3).map(i => (i.toLong, i)).toDF("id", "v"))
+      .ntileGlobal("v", 5, out = "b", tieCols = Seq("id")).toDF
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(tiny == Map(1 -> 1, 2 -> 2, 3 -> 3))
+  }
+
   test("pNN aggregates: exact linear-interpolation percentiles") {
     val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v"))
