@@ -339,6 +339,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(shuffled == batch)
   }
 
+  test("bm25Batch escape hatch: hint drives the plan, shuffle path real") {
+    // with the auto-broadcast threshold disabled, only an explicit
+    // hint can produce a broadcast join — so the two paths' plans
+    // expose exactly what broadcastQueries controls
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c"))
+      .toDF("id", "text")
+    val queries = Seq((10L, "a b"), (20L, "c")).toDF("qid", "qtext")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = graft.operators.Search
+        .bm25Batch(docs, "id", "text", queries, "qid", "qtext", k = 4)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"hinted path lost its broadcasts:\n$hinted")
+      val free = graft.operators.Search
+        .bm25Batch(docs, "id", "text", queries, "qid", "qtext", k = 4,
+          broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      // stats stay a 1-row broadcast cross (BroadcastNestedLoopJoin);
+      // every TERM join must shuffle — no hash broadcast anywhere
+      assert(!free.contains("BroadcastHashJoin"),
+        s"escape hatch still broadcasts a term join:\n$free")
+      assert(free.contains("SortMergeJoin") ||
+        free.contains("ShuffledHashJoin"),
+        s"escape hatch has no shuffled term join:\n$free")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rangeJoin: equals the inequality join, width-invariant, equi-join plan") {
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 17.0), (4L, -3.0),
       (5L, 100.0)).toDF("pid", "v")
