@@ -1114,7 +1114,8 @@ object SparkEntry {
       val res = EventStream.runToMemory(
         EventStream.windowedAgg(stream, width = "1 hour"),
         "q66_mem",
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
       res.select(col("w_start").cast("timestamp_ntz").as("w_start"),
           col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
         .orderBy(col("w_start"), col("event_type"))
@@ -1137,7 +1138,8 @@ object SparkEntry {
         EventStream.intervalJoin(l, r, "user_id",
           before = "30 minutes", after = "30 minutes"),
         "q72_mem",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8))
       res.select(col("l_id"), col("r_id")).orderBy(col("l_id"), col("r_id"))
     },
       Some("""SELECT a.event_id AS l_id, b.event_id AS r_id
@@ -1747,7 +1749,8 @@ object SparkEntry {
             sum(when(col("value") > col("type_avg"), 1L).otherwise(0L))
               .as("n_above")),
         "q90_mem",
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
       res.orderBy(col("event_type"))
     },
       Some("""WITH dim AS (SELECT event_type, avg(value) AS type_avg

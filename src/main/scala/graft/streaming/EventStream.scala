@@ -147,13 +147,29 @@ object EventStream {
   }
 
   /** run a streaming query to completion against static input via the
-    * memory sink; returns the materialized result table. */
+    * memory sink; returns the materialized result table.
+    *
+    * `statePartitions`: stateful operators allocate one state store
+    * instance per shuffle partition, FIXED at query start (and pinned
+    * into any checkpoint) — per-batch commit overhead scales with that
+    * count, not with data. A production stream sizes it to key
+    * cardinality; a bounded replay of a small window wants far fewer
+    * than a batch session's shuffle setting (measured in ProbeQ72:
+    * 32 stores ≈ 6 s floor, 8 ≈ 2.6 s, same rows). None = session
+    * setting. The conf is set only across query start and restored. */
   def runToMemory(df: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+                  mode: OutputMode = OutputMode.Complete(),
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 }
