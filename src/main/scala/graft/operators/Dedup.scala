@@ -596,18 +596,35 @@ object Dedup {
     * intersect — an EXACT characterization, so the levenshtein verify
     * only removes false positives, never recovers missed pairs.
     *
+    * The default is genuinely exact: `maxBucketSize = 0` means no
+    * bucket cap. Passing a positive cap is an EXPLICIT recall trade
+    * (the LSH siblings' skew guard — variants shared by more than
+    * `maxBucketSize` keys stop generating candidates); take it only
+    * when a skewed key corpus makes some deletion variant degenerate.
+    *
     * Shape at 100 TB: the neighborhood explode emits ~|s|^k variants
-    * per row (keep keys short — this is a KEY matcher, not a document
-    * matcher), bucket-grouped with the same collect + in-row pair
-    * expansion and `maxBucketSize` skew guard as the LSH siblings;
-    * raw strings rejoin by id only for the bounded candidate set. */
+    * per row — this is a KEY matcher, not a document matcher, and
+    * `maxLen` enforces that loudly IN-PLAN (`raise_error`, no extra
+    * pass) instead of letting one pathological document blow up the
+    * explode; bucket-grouped with the same collect + in-row pair
+    * expansion as the LSH siblings; raw strings rejoin by id only
+    * for the bounded candidate set. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 1,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 0,
+                        maxLen: Int = 64): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (neighborhood size is |s|^k), got $maxDist")
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    val guarded = when(length(col(strCol)) > maxLen,
+      raise_error(concat(
+        lit(s"editDistancePairs: value longer than maxLen=$maxLen " +
+          "chars (neighborhood size is ~|s|^maxDist; raise maxLen " +
+          "only for bounded key domains): "),
+        col(strCol).substr(lit(1), lit(64)))))
+      .otherwise(col(strCol))
     val base = Partitioning.spread(
-      df.select(col(idCol).as("id"), col(strCol).as("s"))
+      df.select(col(idCol).as("id"), guarded.as("s"))
         .filter(col("s").isNotNull)).cache()
     // single-deletion neighborhood of one string (plus the string
     // itself); empty strings guard the sequence() descending trap
@@ -621,9 +638,12 @@ object Dedup {
       if (maxDist == 1) nb(col("s"))
       else array_distinct(flatten(transform(nb(col("s")), v => nb(v))))
     val variants = base.select(col("id"), explode(hood).as("v"))
+    val bucketKeep = if (maxBucketSize > 0)
+      size(col("ids")).between(2, maxBucketSize)
+    else size(col("ids")) >= 2
     val cand = pairsFromBuckets(variants
       .groupBy(col("v")).agg(array_distinct(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize)))
+      .filter(bucketKeep))
     val verified = cand
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))

@@ -359,6 +359,32 @@ class DedupSpec extends SparkTestBase {
     assert(!k1.contains((2L, 3L)) || levenshteinRef("cut", "ca") <= 1)
   }
 
+  test("editDistancePairs: cap is an explicit trade, maxLen fails loud") {
+    // 40 distinct 2-char keys sharing the single-deletion variant "a"
+    // ("aX" minus X) — the uncapped DEFAULT must keep every pair of
+    // them that is truly within dist 1; an explicit small cap drops
+    // the shared bucket and with it those pairs (the documented
+    // recall trade, now opt-in instead of silent)
+    val hot = (0 until 40).map(i => (i.toLong, s"a${('A' + i).toChar}"))
+      .toDF("id", "s")
+    val full = Dedup.editDistancePairs(hot, "id", "s", maxDist = 1).count()
+    assert(full == 40L * 39 / 2) // aX ~ aY for all pairs (substitution)
+    val capped = Dedup.editDistancePairs(hot, "id", "s", maxDist = 1,
+      maxBucketSize = 10).count()
+    assert(capped < full, "cap did not change candidate generation")
+    // a pathological long value fails loudly in-plan, not by exploding
+    val doc = Seq((1L, "k" * 200), (2L, "key")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(doc, "id", "s").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxLen")), s"wrong failure: $e")
+    // and a raised maxLen admits the same value
+    assert(Dedup.editDistancePairs(doc, "id", "s", maxLen = 256)
+      .count() == 0)
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0 }
