@@ -77,7 +77,10 @@ object GroupedDDF {
     // means a sort per group — prefer approx_percentile at 100 TB
     // when ±1% is acceptable.
     case p if p.length > 1 && p.head == 'p' && p.tail.forall(_.isDigit) =>
-      percentile(col(c), lit(p.tail.toInt / 100.0))
+      val n = p.tail.toInt
+      require(n >= 0 && n <= 100 && (p.tail.length <= 2 || n == 100),
+        s"percentile agg must be p0..p100, got $fn")
+      percentile(col(c), lit(n / 100.0))
     case other            => sys.error(s"unknown agg function: $other")
   }
 }

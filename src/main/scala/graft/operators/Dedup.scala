@@ -500,10 +500,13 @@ object Dedup {
       .filter(mightContain(col("tok")))
     val hits = if (confirmExact) corpusSh.join(evalSh, Seq("tok"))
                else corpusSh
-    val contaminated = hits
+    // the contaminated id set is tiny — materialize it eagerly so the
+    // cached eval shingle set can be released instead of staying
+    // pinned in executor memory for the session
+    val contaminated = materializeAndRelease(hits
       .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") >= minOverlap)
-      .select(col(idCol))
+      .select(col(idCol)), evalSh)
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 

@@ -21,19 +21,26 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      val dist = if (exactDistinct) count_distinct(col(c))
-                 else approx_count_distinct(col(c))
+    // user column names are quoted on resolve and never interpolated
+    // into parsed SQL text; internal aliases key on the POSITION, so
+    // quotes/dots/spaces/hyphens in a name cannot break or inject
+    def in(c: String) = df.col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val dist = if (exactDistinct) count_distinct(in(c))
+                 else approx_count_distinct(in(c))
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        dist.as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(when(in(c).isNull, 1L).otherwise(0L)).as(s"__p${i}n"),
+        dist.as(s"__p${i}d"),
+        min(in(c)).cast("string").as(s"__p${i}lo"),
+        max(in(c)).cast("string").as(s"__p${i}hi"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', __null_$c, __dist_$c, __min_$c, __max_$c").mkString(", ")
-    wide.selectExpr(s"stack(${cols.size}, $stacked) AS " +
-      "(col_name, n_null, n_distinct, min_val, max_val)")
+    val rows = cols.zipWithIndex.map { case (c, i) => struct(
+      lit(c).as("col_name"),
+      col(s"__p${i}n").as("n_null"),
+      col(s"__p${i}d").as("n_distinct"),
+      col(s"__p${i}lo").as("min_val"),
+      col(s"__p${i}hi").as("max_val")) }
+    wide.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 }

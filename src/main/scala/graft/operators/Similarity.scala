@@ -156,15 +156,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** pairwise cosine above a floor between two (small) labeled sets —
-    * building block for retrieval evaluation. */
+  /** pairwise cosine above a floor between two labeled sets — the
+    * building block for retrieval EVALUATION, deliberately a
+    * cartesian: eval sets are thousands of rows, so |a|·|b| is
+    * bounded by contract and the smaller side is broadcast (never a
+    * shuffle). This is NOT the corpus-scale path — at corpus sizes
+    * use [[bruteForceTopK]] (broadcast queries + per-partition
+    * top-k), [[ivfTopK]] (pruned probe join) or
+    * [[graft.operators.Dedup.embeddingPairs]] (LSH-bucketed pair
+    * generation); an unbucketed all-pairs cosine over two large
+    * sides has no scale story by construction. */
   def cosineJoin(a: DataFrame, b: DataFrame, idCol: String,
-                 vecCol: String, minCosine: Double): DataFrame =
+                 vecCol: String, minCosine: Double): DataFrame = {
+    val bSel = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .crossJoin(b.select(col(idCol).as("id_b"), col(vecCol).as("vb")))
+      .crossJoin(broadcast(bSel))
       .select(col("id_a"), col("id_b"),
         cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
 
   /** Semantic centroid filter (the SemDeDup-adjacent stratum-outlier
     * trim): score every row by cosine to its GROUP's centroid

@@ -491,6 +491,17 @@ class DDFSpec extends SparkTestBase {
     assert(tiny == Map(1 -> 1, 2 -> 2, 3 -> 3))
   }
 
+  test("pNN aggregates reject out-of-range or zero-padded suffixes") {
+    val d = DDF(Seq(("a", 1.0)).toDF("k", "v"))
+    for (bad <- Seq("p150", "p007", "p101"))
+      withClue(bad) {
+        val e = intercept[IllegalArgumentException] {
+          d.groupBy(Seq("k")).agg(("x", bad, "v"))
+        }
+        assert(e.getMessage.contains("p0..p100"))
+      }
+  }
+
   test("pNN aggregates: exact linear-interpolation percentiles") {
     val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0))
       .toDF("k", "v"))

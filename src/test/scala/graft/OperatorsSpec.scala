@@ -265,6 +265,15 @@ class OperatorsSpec extends SparkTestBase {
       .profile(df, Seq("x", "s"), exactDistinct = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx == Map("x" -> 1L, "s" -> 1L))
+    // hostile column names (quotes, dots, spaces, hyphens, backtick)
+    // profile cleanly — nothing is interpolated into parsed SQL
+    val weird = Seq((1L, 2L, 3L, 4L, 5L))
+      .toDF("a.b", "a'b", "a b", "a-b", "a`b")
+    val wGot = graft.operators.Profile
+      .profile(weird, weird.columns.toSeq)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(wGot == Map("a.b" -> "1", "a'b" -> "2", "a b" -> "3",
+      "a-b" -> "4", "a`b" -> "5"))
   }
 
   test("domain filter: exact host, subdomain suffix, case, non-URLs") {

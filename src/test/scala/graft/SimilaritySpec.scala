@@ -108,4 +108,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"centroid side not broadcast:\n$plan")
   }
+
+  test("cosineJoin: eval cartesian broadcasts its right side") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val b = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.cosineJoin(a, b, "id", "vec", minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L)))
+    val plan = Similarity.cosineJoin(a, b, "id", "vec", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"right side not broadcast:\n$plan")
+  }
 }
