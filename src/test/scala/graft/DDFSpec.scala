@@ -414,6 +414,18 @@ class DDFSpec extends SparkTestBase {
       .columns.toSet == Set("k", "x", "y"))
   }
 
+  test("grouped stats with empty by: whole-frame one-row broadcast") {
+    val d = DDF(Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Tuple1(_)).toDF("v"))
+    val z = d.zscore("v").toDF.select($"v", $"zscore").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(z(3.0)) < 1e-9) // mean 3
+    assert(math.abs(z(5.0) - 2.0 / math.sqrt(2.5)) < 1e-9)
+    assert(d.iqrFilter("v").countRows() == 5)
+    val w = d.winsorize("v", pLo = 0.25, pHi = 0.75, out = "w").toDF
+      .select($"w").collect().map(_.getDouble(0)).sorted
+    assert(w === Array(2.0, 2.0, 3.0, 4.0, 4.0))
+  }
+
   test("zscore and iqrFilter: per-group window statistics") {
     val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("b", 10.0), ("b", 10.0), ("b", 1000.0)).toDF("k", "v"))
