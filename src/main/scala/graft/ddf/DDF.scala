@@ -384,6 +384,30 @@ class DDF(val df: DataFrame) {
       .drop("__q1", "__q3"))
   }
 
+  /** [[iqrFilter]]'s sketch path for groups whose DISTINCT-value
+    * count alone overwhelms the exact percentile's value→count
+    * buffer (continuous measurements at corpus scale): per-group
+    * `approx_percentile` quartiles (bounded KLL-style sketch state,
+    * partial-aggregated map-side) joined back like every grouped
+    * stat. DOCUMENTED DIVERGENCE mirroring [[winsorizeApprox]]:
+    * sketch quartiles are real group elements within ±1/`accuracy`
+    * rank error, not interpolated values, so the Tukey fences can
+    * shift by a neighboring element and admit/drop borderline rows
+    * the exact path would not. */
+  def iqrFilterApprox(valueCol: String, by: Seq[String] = Nil,
+                      k: Double = 1.5, broadcastStats: Boolean = true,
+                      accuracy: Int = 10000): DDF = {
+    val v = col(valueCol)
+    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+      .agg(percentile_approx(v, lit(0.25), lit(accuracy)).as("__q1"),
+        percentile_approx(v, lit(0.75), lit(accuracy)).as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    wrap(joinGroupStats(stats, by, broadcastStats)
+      .filter(v >= col("__q1") - iqr * lit(k) &&
+        v <= col("__q3") + iqr * lit(k))
+      .drop("__q1", "__q3"))
+  }
+
   /** Per-group winsorization (engine ext): CLIP `valueCol` to its
     * group's [pLo, pHi] percentile band instead of dropping rows —
     * the outlier treatment that preserves row count (loss clipping,

@@ -414,6 +414,21 @@ class DDFSpec extends SparkTestBase {
       .columns.toSet == Set("k", "x", "y"))
   }
 
+  test("iqrFilterApprox: sketch fences agree with exact on few values") {
+    // few distinct values per group -> the sketch is exact-rank, so
+    // nearest-element quartiles give the same keep/drop verdicts as
+    // the interpolated exact path on this fixture's clear outlier
+    val d = DDF(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.0),
+      ("b", 10.0), ("b", 10.0), ("b", 11.0), ("b", 9.0), ("b", 1000.0))
+      .toDF("k", "v"))
+    val exact = d.iqrFilter("v", by = Seq("k"), k = 1.5).toDF
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    val approx = d.iqrFilterApprox("v", by = Seq("k"), k = 1.5).toDF
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    assert(approx === exact)
+    assert(!approx.contains(("b", 1000.0)))
+  }
+
   test("grouped stats with empty by: whole-frame one-row broadcast") {
     val d = DDF(Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Tuple1(_)).toDF("v"))
     val z = d.zscore("v").toDF.select($"v", $"zscore").collect()
