@@ -746,6 +746,36 @@ object SparkEntry {
               |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental near-dup screen (Dedup.minhashPairsAgainst, r6):
+    // the planted copies play the NEW batch, the originals the
+    // historical corpus. Oracle = exhaustive cross jaccard between
+    // the two sides; at 64 hashes / 32 bands a pair at j >= 0.6
+    // misses all bands with p < 1e-6, so the candidate set is
+    // complete on this data (same recall argument as q47).
+    Q("q115_dedup_incremental", (s, dir) => {
+      val all = docsWithDups(s, dir)
+      Dedup.minhashPairsAgainst(
+          all.filter(col("doc_id") >= 10000),
+          all.filter(col("doc_id") < 10000),
+          "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3)
+              |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+              |  round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(n.sh, c.sh))), 6) AS jaccard
+              |FROM sh n, sh c
+              |WHERE n.doc_id >= 10000 AND c.doc_id < 10000
+              |  AND CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.6
+              |ORDER BY id_new, id_corpus""".stripMargin)),
+
     Q("q48_dedup_simhash", (s, dir) => {
       val pairs = Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text",
         maxDistance = 3)

@@ -43,6 +43,35 @@ class DedupSpec extends SparkTestBase {
     assert(ones.count() == 0)
   }
 
+  test("minhashPairsAgainst == brute-force cross jaccard, both paths") {
+    // new batch = the planted copies, corpus = the originals; truth =
+    // exhaustive cross jaccard on word 3-shingles
+    val newBatch = corpus.filter($"doc_id" >= 10000)
+    val hist = corpus.filter($"doc_id" < 10000)
+    import graft.functions.TextFunctions
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val truth = (for {
+      (nId, nSh) <- shingles(newBatch); (cId, cSh) <- shingles(hist)
+      j = (nSh & cSh).size.toDouble / (nSh | cSh).size
+      if j >= 0.6
+    } yield (nId, cId)).toSet
+    assert(truth.nonEmpty)
+    def run(bc: Boolean) = Dedup.minhashPairsAgainst(newBatch, hist,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+        broadcastNew = bc)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(bc = true)
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // the shuffled-new path (backfill-sized batch) answers identically
+    assert(run(bc = false) == truth)
+    // no corpus-internal or batch-internal pairs can appear
+    assert(got.forall { case (n, c) => n >= 10000 && c < 10000 })
+  }
+
   test("minhash dedup removes one side of each dup cluster") {
     val r = Dedup.minhashDedup(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6)

@@ -217,6 +217,27 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(want.exceptAll(gotKeyed).count() == 0)
   }
 
+  test("interval join fullOuter keeps the key on both unmatched sides") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val l = batch.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("l_id"))
+    val r = batch.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("ts_r"), $"event_id".as("r_id"))
+    val got = EventStream.intervalJoin(l, r, "user_id",
+      before = "30 minutes", after = "30 minutes", joinType = "fullOuter")
+    assert(got.filter($"l_id".isNull).count() > 0)
+    assert(got.filter($"r_id".isNull).count() > 0)
+    assert(got.filter($"user_id".isNull).count() == 0,
+      "an unmatched row lost its key")
+    // row accounting: matches + unmatched-left + unmatched-right
+    val matches = got.filter($"l_id".isNotNull && $"r_id".isNotNull).count()
+    assert(got.count() ==
+      matches + got.filter($"l_id".isNull).count() +
+        got.filter($"r_id".isNull).count())
+  }
+
   test("session windows: stream equals batch (same definition)") {
     val stream = EventStream.readStream(spark, dir)
     val got = EventStream.runToMemory(
