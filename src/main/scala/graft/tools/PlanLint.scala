@@ -120,6 +120,12 @@ object PlanLint {
         "iqrFilter stats no longer broadcast"),
       "q112_winsorize" -> ("BroadcastHashJoin",
         "winsorize stats no longer broadcast"))
+    // NOT pinnable here: q115's broadcast of the new-batch band rows
+    // (minhashPairsAgainst) happens inside materializeAndRelease's
+    // eager localCheckpoint, so the catalog query's final plan is a
+    // checkpoint scan — the broadcast-vs-shuffle contract is pinned
+    // by the DedupSpec both-paths equality instead (same situation as
+    // every minhashPairs-family query).
 
     // negative checks: these queries must NOT contain the named node —
     // the r6 grouped-stats rework removed their whole-group-buffering

@@ -119,6 +119,37 @@ object ScaleSmoke {
       .select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("__r"),
         col("v"), col("l_orderkey"), col("l_linenumber"))
       .cache()
+    // ---- incremental dedup: screening a small NEW batch against a
+    // growing corpus must cost ~the corpus banding (linear), never
+    // the corpus-internal pair volume minhashPairs on (corpus ∪
+    // batch) would also generate. Corpus replicas are near-dups of
+    // each other, so the full-corpus pair set grows ~k² while the
+    // batch's true matches grow ~k — the timing gap is the point.
+    if (on("incr")) {
+      val newBatch = base.limit(200)
+        .select((col("doc_id") + lit(90000000L)).as("doc_id"),
+          concat(col("text"), lit(" probe")).as("text")).cache()
+      newBatch.count()
+      Seq(1, 4, 8).foreach { k =>
+        val c = corpus(k)
+        val n = c.count()
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+        }
+        time("pairsAgainst")(graft.operators.Dedup.minhashPairsAgainst(
+          newBatch, c, "doc_id", "text", threshold = 0.8).count())
+        time("pairsFull")(graft.operators.Dedup.minhashPairs(
+          c.unionByName(newBatch), "doc_id", "text",
+          threshold = 0.8).count())
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+      newBatch.unpersist()
+    }
+
     if (on("ntile")) Seq(1, 4, 16).foreach { k =>
       val c = priceCorpus(k)
       val n = c.count()
