@@ -776,6 +776,26 @@ object SparkEntry {
               |    / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.6
               |ORDER BY id_new, id_corpus""".stripMargin)),
 
+    // Incremental EXACT dedup screen (Dedup.exactAgainst, r6): the
+    // copies batch screens against the originals corpus on the text
+    // key — verbatim copies (+20000 ids) drop, " zzz" near-dups
+    // survive (they need q115's minhash screen). Oracle is the
+    // null-safe anti join in SQL.
+    Q("q116_dedup_exact_incr", (s, dir) => {
+      val all = docsWithDups(s, dir)
+      Dedup.exactAgainst(
+          all.filter(col("doc_id") >= 10000),
+          all.filter(col("doc_id") < 10000),
+          Seq("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql)
+              |SELECT b.doc_id FROM u b
+              |WHERE b.doc_id >= 10000 AND NOT EXISTS (
+              |  SELECT 1 FROM u c WHERE c.doc_id < 10000
+              |    AND c.text IS NOT DISTINCT FROM b.text)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("q48_dedup_simhash", (s, dir) => {
       val pairs = Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text",
         maxDistance = 3)

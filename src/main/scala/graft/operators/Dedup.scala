@@ -51,6 +51,44 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "__h")
   }
 
+  /** Incremental exact-dedup screen: drop NEW-batch rows whose dedup
+    * key tuple already exists in the corpus — the exact sibling of
+    * [[minhashPairsAgainst]] for ingestion cadence (the batch dedups
+    * against history without re-deduplicating history).
+    *
+    * Shape at 100 TB: the batch's distinct keys (hash + raw tuple as
+    * the collision guard, same key discipline as [[exact]]) broadcast
+    * into ONE corpus scan via a semi join, which emits only the keys
+    * actually hit — a set bounded by the BATCH size; the batch then
+    * anti-joins that tiny hit set. The corpus is never shuffled and
+    * never scanned twice. `broadcastBatch = false` flips to a
+    * shuffled semi join for a backfill-sized "batch". */
+  def exactAgainst(newDf: DataFrame, corpus: DataFrame,
+                   cols: Seq[String],
+                   broadcastBatch: Boolean = true): DataFrame = {
+    val kNames = "__kh" +: cols.indices.map(i => s"__k$i")
+    def keyed(d: DataFrame) =
+      d.select(xxhash64(cols.map(d(_)): _*).as("__kh") +:
+        cols.zipWithIndex.map { case (c, i) => d(c).as(s"__k$i") }: _*)
+    // null-safe matching END TO END so a null key tuple collides with
+    // a null corpus key, exactly like exact()'s window grouping would
+    // (<=> is still a hash-join key, so both joins stay broadcastable)
+    val batchKeys = keyed(newDf).distinct()
+    val bk = if (broadcastBatch) broadcast(batchKeys) else batchKeys
+    val ck = keyed(corpus)
+    val hit = ck
+      .join(bk, kNames.map(n => ck(n) <=> bk(n)).reduce(_ && _),
+        "left_semi")
+      .distinct()
+    val withKeys = cols.zipWithIndex.foldLeft(
+      newDf.withColumn("__kh", xxhash64(cols.map(col): _*))) {
+      case (d, (c, i)) => d.withColumn(s"__k$i", col(c))
+    }
+    val cond = kNames.map(n => withKeys(n) <=> hit(n)).reduce(_ && _)
+    withKeys.join(broadcast(hit), cond, "left_anti")
+      .drop(kNames: _*)
+  }
+
   /** expand a bucket's collected id array into ordered unique pairs:
     * one hash aggregation + in-row expansion instead of a bucket
     * self-join (no join-row blowup on skewed buckets). Callers filter

@@ -119,7 +119,12 @@ object PlanLint {
       "q103_iqr_filter" -> ("BroadcastHashJoin",
         "iqrFilter stats no longer broadcast"),
       "q112_winsorize" -> ("BroadcastHashJoin",
-        "winsorize stats no longer broadcast"))
+        "winsorize stats no longer broadcast"),
+      // incremental exact screen (r6): both the corpus semi join and
+      // the batch anti join key on broadcast-small sides — the corpus
+      // must never shuffle against the batch
+      "q116_dedup_exact_incr" -> ("BroadcastHashJoin",
+        "batch key set no longer broadcasts"))
     // NOT pinnable here: q115's broadcast of the new-batch band rows
     // (minhashPairsAgainst) happens inside materializeAndRelease's
     // eager localCheckpoint, so the catalog query's final plan is a

@@ -43,6 +43,28 @@ class DedupSpec extends SparkTestBase {
     assert(ones.count() == 0)
   }
 
+  test("exactAgainst: batch rows with a corpus key are dropped, nulls group") {
+    val hist = Seq((1L, Some("a"), 1), (2L, Some("b"), 2),
+      (3L, None: Option[String], 3)).toDF("id", "k", "v")
+    val batch = Seq((10L, Some("a"), 9), (11L, Some("c"), 9),
+      (12L, None: Option[String], 9), (13L, Some("b"), 9))
+      .toDF("id", "k", "v")
+    def ids(bc: Boolean) = Dedup.exactAgainst(batch, hist, Seq("k"),
+        broadcastBatch = bc)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // "a"/"b" exist in history; the NULL key groups with history's
+    // null row (exact()'s grouping semantics); only "c" survives
+    assert(ids(bc = true) == Set(11L))
+    assert(ids(bc = false) == Set(11L))
+    // multi-column keys: (k, v) tuples — nothing collides now except
+    // nothing (batch v=9 differs), so all batch rows survive
+    assert(Dedup.exactAgainst(batch, hist, Seq("k", "v")).count() == 4)
+    // batch schema/content passes through untouched for survivors
+    val out = Dedup.exactAgainst(batch, hist, Seq("k"))
+    assert(out.columns.toSeq == Seq("id", "k", "v"))
+    assert(out.head().getLong(0) == 11L)
+  }
+
   test("minhashPairsAgainst == brute-force cross jaccard, both paths") {
     // new batch = the planted copies, corpus = the originals; truth =
     // exhaustive cross jaccard on word 3-shingles
