@@ -635,6 +635,19 @@ class DDF(val df: DataFrame) {
                  keepCol: String = ""): DDF =
     wrap(graft.operators.Dedup.exact(df, cols, idCol, keepCol))
 
+  /** [[graft.operators.Dedup.exactAgainst]] — this frame as the NEW
+    * batch, screened against `corpus` on `cols` (ingestion-cadence
+    * exact dedup; corpus never shuffles) */
+  def dedupExactAgainst(corpus: DDF, cols: Seq[String]): DDF =
+    wrap(graft.operators.Dedup.exactAgainst(df, corpus.df, cols))
+
+  /** [[graft.operators.Dedup.minhashPairsAgainst]] — near-dup match
+    * pairs of this frame (the NEW batch) against `corpus` */
+  def dedupPairsAgainst(corpus: DDF, idCol: String, textCol: String,
+                        threshold: Double = 0.8): DDF =
+    wrap(graft.operators.Dedup.minhashPairsAgainst(df, corpus.df,
+      idCol, textCol, threshold = threshold))
+
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */
   def decontaminate(evalSet: DDF, idCol: String, textCol: String,

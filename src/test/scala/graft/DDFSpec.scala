@@ -572,6 +572,18 @@ class DDFSpec extends SparkTestBase {
       .select($"doc_id", $"bin").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(fluent == direct && fluent.nonEmpty)
+    // incremental-screen delegates (r6) equal the operator calls
+    val batch = raw.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"), $"text")
+    val hist = raw.select($"doc_id", $"text")
+    assert(DDF(batch).dedupExactAgainst(DDF(hist), Seq("text"))
+      .toDF.collect().map(_.getLong(0)).toSet ==
+      Dedup.exactAgainst(batch, hist, Seq("text"))
+        .collect().map(_.getLong(0)).toSet)
+    assert(DDF(batch).dedupPairsAgainst(DDF(hist), "doc_id", "text",
+        threshold = 0.6).toDF.count() ==
+      Dedup.minhashPairsAgainst(batch, hist, "doc_id", "text",
+        threshold = 0.6).count())
   }
 
   test("retrieval/join delegates equal the direct operator calls") {
