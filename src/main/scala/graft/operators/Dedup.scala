@@ -162,6 +162,72 @@ object Dedup {
     materializeAndRelease(verified, sh)
   }
 
+  private def shingledFor(d: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int): DataFrame =
+    d.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def bandedFor(s: DataFrame, numHashes: Int, bands: Int,
+                        seed: Long): DataFrame =
+    s.select(col("id"),
+        explode(minhashBands(minhashSignature(col("sh"), numHashes, seed),
+          bands, numHashes / bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  /** Build the corpus's persistable LSH index for incremental
+    * screening: (band, bucket, ids) with the `maxBucketSize` skew cap
+    * already applied (singleton buckets KEPT — any bucket can match a
+    * future batch doc). Write this to parquet once and feed it to
+    * [[minhashPairsAgainstIndex]] at every ingestion cycle — banding
+    * a 100 TB corpus is paid once, not per batch. The batch side MUST
+    * use the same numHashes/bands/shingleLen/seed. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleLen: Int = 3, seed: Long = 42L,
+                   maxBucketSize: Int = 1000): DataFrame =
+    bandedFor(shingledFor(corpus, idCol, textCol, shingleLen),
+        numHashes, bands, seed)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(1, maxBucketSize))
+
+  /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from
+    * [[minhashIndex]], typically read back from parquet): per-batch
+    * cost is the batch's own banding, one broadcast join into the
+    * index, and jaccard verification against only candidate-matched
+    * corpus rows — the corpus is scanned once (verification) and
+    * never re-banded. */
+  def minhashPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
+                               corpusIndex: DataFrame,
+                               idCol: String, textCol: String,
+                               numHashes: Int = 64, bands: Int = 16,
+                               shingleLen: Int = 3,
+                               threshold: Double = 0.8,
+                               seed: Long = 42L,
+                               broadcastNew: Boolean = true): DataFrame = {
+    val newSh = Partitioning.spread(
+      shingledFor(newDf, idCol, textCol, shingleLen)).cache()
+    val newBands = bandedFor(newSh, numHashes, bands, seed)
+      .select(col("id").as("id_new"), col("band"), col("bucket"))
+    val cand = corpusIndex
+      .join(if (broadcastNew) broadcast(newBands) else newBands,
+        Seq("band", "bucket"))
+      .select(col("id_new"), explode(col("ids")).as("id_corpus"))
+      .distinct()
+    val verified = cand
+      .join(newSh.select(col("id").as("id_new"), col("sh").as("sh_new")),
+        Seq("id_new"))
+      .join(shingledFor(corpus, idCol, textCol, shingleLen)
+        .select(col("id").as("id_corpus"), col("sh").as("sh_cor")),
+        Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        jaccard(col("sh_new"), col("sh_cor")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, newSh)
+  }
+
   /** Incremental near-dup matching: (new, corpus) pairs by MinHash
     * LSH between a NEW batch and an EXISTING corpus, verified by
     * exact Jaccard — the continuous-ingestion face of
@@ -171,56 +237,27 @@ object Dedup {
     * two id namespaces are the caller's contract (a row present on
     * both sides with the same id matches itself at jaccard 1).
     *
-    * Shape at 100 TB: the corpus reduces to (band, bucket) → bounded
-    * id arrays (collect + the `maxBucketSize` skew guard; unlike
-    * minhashPairs, SINGLETON corpus buckets are kept — a new doc can
-    * match a bucket holding one corpus doc). The new batch's band
-    * rows are batch-sized × bands and broadcast into the bucket join
-    * (`broadcastNew = false` for a backfill-sized "batch": same
-    * answer via a shuffled join), so the corpus shuffles only for
-    * its own banding aggregation. Shingle verification touches
-    * corpus text again ONLY for candidate-matched ids (small side →
-    * hash-join fanned by AQE). Use the same numHashes/bands/seed as
-    * any persisted corpus banding. */
+    * Shape at 100 TB: the corpus reduces to the [[minhashIndex]]
+    * bucket table (SINGLETON buckets kept — a new doc can match a
+    * bucket holding one corpus doc; `maxBucketSize` skew cap
+    * retained); the batch's band rows are batch-sized × bands and
+    * broadcast into the bucket join (`broadcastNew = false` for a
+    * backfill-sized "batch": same answer via a shuffled join).
+    * Shingle verification touches corpus text ONLY for candidate-
+    * matched ids. This convenience form rebuilds the index per call —
+    * at ingestion cadence build [[minhashIndex]] once, persist it,
+    * and call [[minhashPairsAgainstIndex]]. */
   def minhashPairsAgainst(newDf: DataFrame, corpus: DataFrame,
                           idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleLen: Int = 3, threshold: Double = 0.8,
                           seed: Long = 42L, maxBucketSize: Int = 1000,
-                          broadcastNew: Boolean = true): DataFrame = {
-    val rows = numHashes / bands
-    def shingled(d: DataFrame) =
-      d.select(col(idCol).as("id"),
-          wordShingles(col(textCol), shingleLen).as("sh"))
-        .filter(size(col("sh")) > 0)
-    def banded(s: DataFrame) = s.select(col("id"),
-        explode(minhashBands(minhashSignature(col("sh"), numHashes, seed),
-          bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-    val newSh = Partitioning.spread(shingled(newDf)).cache()
-    val corSh = shingled(corpus)
-    val corpusBuckets = banded(corSh)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(1, maxBucketSize))
-    val newBands = banded(newSh)
-      .select(col("id").as("id_new"), col("band"), col("bucket"))
-    val cand = corpusBuckets
-      .join(if (broadcastNew) broadcast(newBands) else newBands,
-        Seq("band", "bucket"))
-      .select(col("id_new"), explode(col("ids")).as("id_corpus"))
-      .distinct()
-    val verified = cand
-      .join(newSh.select(col("id").as("id_new"), col("sh").as("sh_new")),
-        Seq("id_new"))
-      .join(corSh.select(col("id").as("id_corpus"),
-        col("sh").as("sh_cor")), Seq("id_corpus"))
-      .select(col("id_new"), col("id_corpus"),
-        jaccard(col("sh_new"), col("sh_cor")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    materializeAndRelease(verified, newSh)
-  }
+                          broadcastNew: Boolean = true): DataFrame =
+    minhashPairsAgainstIndex(newDf, corpus,
+      minhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen,
+        seed, maxBucketSize),
+      idCol, textCol, numHashes, bands, shingleLen, threshold, seed,
+      broadcastNew)
 
   /** full MinHash dedup: pairs → connected components (min-id label
     * propagation with pointer jumping) → keep one row per component.

@@ -94,6 +94,25 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (n, c) => n >= 10000 && c < 10000 })
   }
 
+  test("minhash index round-trips through parquet, same screen result") {
+    val newBatch = corpus.filter($"doc_id" >= 10000)
+    val hist = corpus.filter($"doc_id" < 10000)
+    val inline = Dedup.minhashPairsAgainst(newBatch, hist, "doc_id",
+        "text", numHashes = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // persist the index once, read it back, screen against it — the
+    // ingestion-cadence path must answer identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_index").toString
+    Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+      bands = 32).write.mode("overwrite").parquet(dir)
+    val fromDisk = Dedup.minhashPairsAgainstIndex(newBatch, hist,
+        spark.read.parquet(dir), "doc_id", "text", numHashes = 64,
+        bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == inline && inline.nonEmpty)
+  }
+
   test("minhash dedup removes one side of each dup cluster") {
     val r = Dedup.minhashDedup(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6)
