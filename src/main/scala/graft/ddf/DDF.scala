@@ -499,8 +499,13 @@ class DDF(val df: DataFrame) {
     val schema = StructType(sorted.schema.fields :+
       StructField(out, IntegerType, nullable = false))
     val rdd = sorted.rdd
-    val counts = rdd.mapPartitionsWithIndex((i, it) =>
-        Iterator((i, it.size.toLong)), preservesPartitioning = true)
+    // count with a Long accumulator: Iterator.size counts in an Int
+    // and would overflow past ~2.1B rows in one range partition — a
+    // reachable edge at the scale this method exists for
+    val counts = rdd.mapPartitionsWithIndex((i, it) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }, preservesPartitioning = true)
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last

@@ -78,8 +78,9 @@ object GroupedDDF {
     // when ±1% is acceptable.
     case p if p.length > 1 && p.head == 'p' && p.tail.forall(_.isDigit) =>
       val n = p.tail.toInt
-      require(n >= 0 && n <= 100 && (p.tail.length <= 2 || n == 100),
-        s"percentile agg must be p0..p100, got $fn")
+      require(n <= 100 && (p.tail.length <= 2 || n == 100) &&
+          (p.tail.length == 1 || p.tail.head != '0'),
+        s"percentile agg must be p0..p100 (no zero padding), got $fn")
       percentile(col(c), lit(n / 100.0))
     case other            => sys.error(s"unknown agg function: $other")
   }

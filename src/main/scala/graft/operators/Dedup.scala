@@ -84,8 +84,13 @@ object Dedup {
       newDf.withColumn("__kh", xxhash64(cols.map(col): _*))) {
       case (d, (c, i)) => d.withColumn(s"__k$i", col(c))
     }
-    val cond = kNames.map(n => withKeys(n) <=> hit(n)).reduce(_ && _)
-    withKeys.join(broadcast(hit), cond, "left_anti")
+    // hit is bounded by the batch's DISTINCT keys — broadcastable
+    // exactly when the batch side was; for a backfill-sized batch
+    // (broadcastBatch = false) the hit set can be backfill-sized too,
+    // so the anti join must follow the same shuffled-join escape hatch.
+    val h = if (broadcastBatch) broadcast(hit) else hit
+    val cond = kNames.map(n => withKeys(n) <=> h(n)).reduce(_ && _)
+    withKeys.join(h, cond, "left_anti")
       .drop(kNames: _*)
   }
 
@@ -176,29 +181,53 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
-  /** Build the corpus's persistable LSH index for incremental
-    * screening: (band, bucket, ids) with the `maxBucketSize` skew cap
-    * already applied (singleton buckets KEPT — any bucket can match a
-    * future batch doc). Write this to parquet once and feed it to
-    * [[minhashPairsAgainstIndex]] at every ingestion cycle — banding
-    * a 100 TB corpus is paid once, not per batch. The batch side MUST
-    * use the same numHashes/bands/shingleLen/seed. */
-  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 64, bands: Int = 16,
-                   shingleLen: Int = 3, seed: Long = 42L,
-                   maxBucketSize: Int = 1000): DataFrame =
+  /** Param columns stamped into every [[minhashIndex]] row. Constant
+    * per index, so parquet RLE stores them for free; they make the
+    * "batch MUST use the same params" contract enforceable after a
+    * round-trip through storage. */
+  private val IndexParamCols =
+    Seq("__numHashes", "__bands", "__shingleLen", "__seed")
+
+  private def rawIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, bands: Int, shingleLen: Int,
+                       seed: Long, maxBucketSize: Int): DataFrame =
     bandedFor(shingledFor(corpus, idCol, textCol, shingleLen),
         numHashes, bands, seed)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(1, maxBucketSize))
 
+  /** Build the corpus's persistable LSH index for incremental
+    * screening: (band, bucket, ids) with the `maxBucketSize` skew cap
+    * already applied (singleton buckets KEPT — any bucket can match a
+    * future batch doc). Write this to parquet once and feed it to
+    * [[minhashPairsAgainstIndex]] at every ingestion cycle — banding
+    * a 100 TB corpus is paid once, not per batch. The build params
+    * (numHashes/bands/shingleLen/seed) are embedded as constant
+    * columns and VALIDATED on use, so a batch screened with different
+    * params fails fast instead of silently losing recall. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleLen: Int = 3, seed: Long = 42L,
+                   maxBucketSize: Int = 1000): DataFrame =
+    rawIndex(corpus, idCol, textCol, numHashes, bands, shingleLen, seed,
+        maxBucketSize)
+      .withColumn("__numHashes", lit(numHashes))
+      .withColumn("__bands", lit(bands))
+      .withColumn("__shingleLen", lit(shingleLen))
+      .withColumn("__seed", lit(seed))
+
   /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from
     * [[minhashIndex]], typically read back from parquet): per-batch
     * cost is the batch's own banding, one broadcast join into the
     * index, and jaccard verification against only candidate-matched
     * corpus rows — the corpus is scanned once (verification) and
-    * never re-banded. */
+    * never re-banded. If the index carries [[minhashIndex]]'s embedded
+    * param columns, they are validated against the call's params (a
+    * one-row head read of the index — cheap on parquet) and a mismatch
+    * throws rather than silently reducing recall; a hand-built
+    * (band, bucket, ids) index without param columns is accepted on
+    * the caller's own contract. */
   def minhashPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
                                corpusIndex: DataFrame,
                                idCol: String, textCol: String,
@@ -207,6 +236,32 @@ object Dedup {
                                threshold: Double = 0.8,
                                seed: Long = 42L,
                                broadcastNew: Boolean = true): DataFrame = {
+    val idx =
+      if (IndexParamCols.forall(corpusIndex.columns.contains)) {
+        val head = corpusIndex
+          .select(IndexParamCols.map(col): _*).limit(1).collect()
+        head.foreach { r =>
+          val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+          val asked = (numHashes, bands, shingleLen, seed)
+          require(built == asked,
+            s"minhashPairsAgainstIndex: index was built with (numHashes, " +
+              s"bands, shingleLen, seed) = $built but the batch is being " +
+              s"screened with $asked — candidate recall would silently " +
+              "collapse. Rebuild the index or match the batch params.")
+        }
+        corpusIndex.drop(IndexParamCols: _*)
+      } else corpusIndex
+    screenAgainstIndex(newDf, corpus, idx, idCol, textCol, numHashes,
+      bands, shingleLen, threshold, seed, broadcastNew)
+  }
+
+  private def screenAgainstIndex(newDf: DataFrame, corpus: DataFrame,
+                                 corpusIndex: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numHashes: Int, bands: Int,
+                                 shingleLen: Int, threshold: Double,
+                                 seed: Long,
+                                 broadcastNew: Boolean): DataFrame = {
     val newSh = Partitioning.spread(
       shingledFor(newDf, idCol, textCol, shingleLen)).cache()
     val newBands = bandedFor(newSh, numHashes, bands, seed)
@@ -253,8 +308,10 @@ object Dedup {
                           shingleLen: Int = 3, threshold: Double = 0.8,
                           seed: Long = 42L, maxBucketSize: Int = 1000,
                           broadcastNew: Boolean = true): DataFrame =
-    minhashPairsAgainstIndex(newDf, corpus,
-      minhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen,
+    // the inline index is built with these very params, so skip the
+    // validation head read (it would trigger an extra banding job)
+    screenAgainstIndex(newDf, corpus,
+      rawIndex(corpus, idCol, textCol, numHashes, bands, shingleLen,
         seed, maxBucketSize),
       idCol, textCol, numHashes, bands, shingleLen, threshold, seed,
       broadcastNew)

@@ -156,7 +156,15 @@ object EventStream {
     * cardinality; a bounded replay of a small window wants far fewer
     * than a batch session's shuffle setting (measured in ProbeQ72:
     * 32 stores ≈ 6 s floor, 8 ≈ 2.6 s, same rows). None = session
-    * setting. The conf is set only across query start and restored. */
+    * setting. The conf is set only across query start and restored.
+    *
+    * NOT reentrant: the shuffle-partition conf is session-global, so
+    * a concurrent query started on the SAME SparkSession during the
+    * set/restore window would pick up the temporary value (and an
+    * overlapping call could restore the wrong previous value). Fine
+    * for the single-threaded bench/test harness this serves; for
+    * concurrent streaming starts, scope the setting with
+    * `spark.newSession()` instead. */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete(),
                   statePartitions: Option[Int] = None): DataFrame = {

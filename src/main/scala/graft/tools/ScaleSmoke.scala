@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // non-numeric args select sections (dedup/budget/ntile); numeric
-    // args override the replication scales. No sections = run all.
+    // non-numeric args select sections (dedup/budget/incr/exact/
+    // ntile); numeric args override the replication scales.
+    // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val scaleArgs = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
@@ -144,6 +145,43 @@ object ScaleSmoke {
         time("pairsFull")(graft.operators.Dedup.minhashPairs(
           c.unionByName(newBatch), "doc_id", "text",
           threshold = 0.8).count())
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+      newBatch.unpersist()
+    }
+
+    // ---- incremental exact screen: the broadcast path scans the
+    // corpus ONCE with no corpus shuffle (cost = one linear pass),
+    // while full exact dedup on (corpus ∪ batch) shuffles every
+    // corpus row. broadcastBatch=false is the backfill escape hatch:
+    // same answer via a shuffled semi join — measured here so the
+    // "corpus never shuffles, never scanned twice" claim is a number,
+    // not an assertion.
+    if (on("exact")) {
+      val newBatch = base.limit(200)
+        .select((col("doc_id") + lit(90000000L)).as("doc_id"),
+          when(col("doc_id") % 2 === 0,
+              concat(col("text"), lit(" replica0")))       // corpus hit
+            .otherwise(concat(col("text"), lit(" probe"))) // miss
+            .as("text"))
+        .cache()
+      newBatch.count()
+      Seq(1, 4, 8).foreach { k =>
+        val c = corpus(k)
+        val n = c.count()
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+        }
+        time("exactScreenBcast")(graft.operators.Dedup.exactAgainst(
+          newBatch, c, Seq("text")).count())
+        time("exactScreenShuf")(graft.operators.Dedup.exactAgainst(
+          newBatch, c, Seq("text"), broadcastBatch = false).count())
+        time("exactFull")(graft.operators.Dedup.exact(
+          c.unionByName(newBatch), Seq("text"), "doc_id").count())
         c.unpersist()
         spark.catalog.clearCache()
       }

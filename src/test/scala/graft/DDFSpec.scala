@@ -520,7 +520,7 @@ class DDFSpec extends SparkTestBase {
 
   test("pNN aggregates reject out-of-range or zero-padded suffixes") {
     val d = DDF(Seq(("a", 1.0)).toDF("k", "v"))
-    for (bad <- Seq("p150", "p007", "p101"))
+    for (bad <- Seq("p150", "p007", "p101", "p00", "p01"))
       withClue(bad) {
         val e = intercept[IllegalArgumentException] {
           d.groupBy(Seq("k")).agg(("x", bad, "v"))

@@ -113,6 +113,47 @@ class DedupSpec extends SparkTestBase {
     assert(fromDisk == inline && inline.nonEmpty)
   }
 
+  test("minhash index: param mismatch throws, legacy index accepted") {
+    val newBatch = corpus.filter($"doc_id" >= 10000)
+    val hist = corpus.filter($"doc_id" < 10000)
+    val idx = Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+      bands = 32)
+    // screening with different bands would silently lose recall —
+    // the embedded build params must fail the call fast instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(newBatch, hist, idx, "doc_id",
+        "text", numHashes = 64, bands = 16, threshold = 0.6)
+    }
+    assert(e.getMessage.contains("screened with"))
+    // a hand-built (band, bucket, ids) index without param columns
+    // still runs, on the caller's own contract
+    val legacy = idx.drop("__numHashes", "__bands", "__shingleLen", "__seed")
+    val got = Dedup.minhashPairsAgainstIndex(newBatch, hist, legacy,
+      "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+    assert(got.count() > 0)
+  }
+
+  test("exactAgainst escape hatch: broadcastBatch=false shuffles both joins") {
+    val hist = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val batch = Seq((10L, "a"), (11L, "c")).toDF("id", "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bc = Dedup.exactAgainst(batch, hist, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(bc.contains("BroadcastHashJoin"),
+        s"default path lost its broadcasts:\n$bc")
+      // backfill-sized batch: the hit set is batch-key-bounded too, so
+      // BOTH the semi and the anti join must follow the escape hatch
+      val shuf = Dedup.exactAgainst(batch, hist, Seq("k"),
+          broadcastBatch = false)
+        .queryExecution.executedPlan.toString
+      assert(!shuf.contains("BroadcastHashJoin"),
+        s"escape hatch still broadcasts a join:\n$shuf")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhash dedup removes one side of each dup cluster") {
     val r = Dedup.minhashDedup(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6)
