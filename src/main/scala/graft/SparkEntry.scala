@@ -77,6 +77,44 @@ object SparkEntry {
        |      / greatest(CAST(len(${sqlTokens(textExpr)}) AS DOUBLE), 1.0)) * 5.0, 1.0)
        | , 4)""".stripMargin
 
+  /** q115's oracle — exhaustive cross jaccard on word 3-shingles
+    * between the copies batch (doc_id >= 10000) and the originals
+    * corpus. Shared VERBATIM by q117, which must give the same answer
+    * through the persisted-index path (the q109-vs-q78 pattern: same
+    * oracle, different cost shape). */
+  private lazy val incrScreenOracleSql =
+    s"""WITH u AS ($docsWithDupsSql),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+       |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+       |  FROM u WHERE len(${sqlTokens("text")}) >= 3)
+       |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+       |  round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(n.sh, c.sh))), 6) AS jaccard
+       |FROM sh n, sh c
+       |WHERE n.doc_id >= 10000 AND c.doc_id < 10000
+       |  AND CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.6
+       |ORDER BY id_new, id_corpus""".stripMargin
+
+  /** Build q117's persisted corpus index once per (JVM, sfDir) and
+    * reuse the parquet across calls — the ingestion-cadence cost
+    * model: a bench cold pass pays build+write, the best-of pass
+    * shows the amortized per-batch screen. Process-scoped so a code
+    * change can never serve a stale on-disk index. */
+  private val mhIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mhIndexPath(s: SparkSession, dir: String): String =
+    mhIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_mh_index_q117").toString
+      Dedup.minhashIndex(
+          docsWithDups(s, dir).filter(col("doc_id") < 10000),
+          "doc_id", "text", numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -762,19 +800,26 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_new"), col("id_corpus"))
     },
-      Some(s"""WITH u AS ($docsWithDupsSql),
-              |sh AS (SELECT doc_id, list_distinct(list_transform(
-              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
-              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
-              |  FROM u WHERE len(${sqlTokens("text")}) >= 3)
-              |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
-              |  round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_concat(n.sh, c.sh))), 6) AS jaccard
-              |FROM sh n, sh c
-              |WHERE n.doc_id >= 10000 AND c.doc_id < 10000
-              |  AND CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.6
-              |ORDER BY id_new, id_corpus""".stripMargin)),
+      Some(incrScreenOracleSql)),
+
+    // The PRODUCTION form of q115: the corpus index is built and
+    // persisted to parquet ONCE (per JVM), then every screen call
+    // reads it back — banding the corpus is amortized across
+    // ingestion cycles instead of paid per batch. Same oracle as
+    // q115 verbatim: the answer must not depend on which path
+    // produced it, only the cost shape differs.
+    Q("q117_dedup_incr_indexed", (s, dir) => {
+      val all = docsWithDups(s, dir)
+      Dedup.minhashPairsAgainstIndex(
+          all.filter(col("doc_id") >= 10000),
+          all.filter(col("doc_id") < 10000),
+          s.read.parquet(mhIndexPath(s, dir)),
+          "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some(incrScreenOracleSql)),
 
     // Incremental EXACT dedup screen (Dedup.exactAgainst, r6): the
     // copies batch screens against the originals corpus on the text

@@ -125,12 +125,13 @@ object PlanLint {
       // must never shuffle against the batch
       "q116_dedup_exact_incr" -> ("BroadcastHashJoin",
         "batch key set no longer broadcasts"))
-    // NOT pinnable here: q115's broadcast of the new-batch band rows
-    // (minhashPairsAgainst) happens inside materializeAndRelease's
-    // eager localCheckpoint, so the catalog query's final plan is a
-    // checkpoint scan — the broadcast-vs-shuffle contract is pinned
-    // by the DedupSpec both-paths equality instead (same situation as
-    // every minhashPairs-family query).
+    // NOT pinnable here: q115's/q117's broadcast of the new-batch
+    // band rows (minhashPairsAgainst / minhashPairsAgainstIndex)
+    // happens inside materializeAndRelease's eager localCheckpoint,
+    // so the catalog query's final plan is a checkpoint scan — the
+    // broadcast-vs-shuffle contract is pinned by the DedupSpec
+    // both-paths equality instead (same situation as every
+    // minhashPairs-family query).
 
     // negative checks: these queries must NOT contain the named node —
     // the r6 grouped-stats rework removed their whole-group-buffering
