@@ -135,7 +135,16 @@ object EventStream {
     * up AFTER the last committed batch, never reprocessing source
     * files (pinned in StreamingMultimodalSpec). This is the durable
     * face of the streaming surface; the memory sink below is the
-    * test/interactive face. */
+    * test/interactive face.
+    *
+    * State-partition trap: a STATEFUL query (windowed/session aggs,
+    * dedupStream, intervalJoin) writes `spark.sql.shuffle.partitions`
+    * into the checkpoint at first start, and every restart reuses the
+    * checkpointed value, silently ignoring the session setting —
+    * resizing state partitions requires a NEW checkpoint (spec-pinned
+    * in StreamingMultimodalSpec "checkpoint pins state partitions").
+    * Size the conf for the steady-state key cardinality BEFORE the
+    * first production start. */
   def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
     val q = df.writeStream.format("parquet")
       .option("path", path)

@@ -167,7 +167,7 @@ object ScaleSmoke {
             .as("text"))
         .cache()
       newBatch.count()
-      Seq(1, 4, 8).foreach { k =>
+      scales.foreach { k =>
         val c = corpus(k)
         val n = c.count()
         def time(label: String)(f: => Long): Unit = {

@@ -280,6 +280,54 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).count() == 2 * n)
   }
 
+  test("checkpoint pins state partitions: restart ignores new setting") {
+    // THE state-partition sizing trap (runToMemory's statePartitions
+    // knob, EventStream.scala): a stateful query writes
+    // spark.sql.shuffle.partitions into the checkpoint's offset
+    // metadata at FIRST start; every restart from that checkpoint
+    // reuses the checkpointed value and silently IGNORES the session
+    // setting — resizing state partitions requires a new checkpoint.
+    // This spec pins that outcome so the documented contract tracks
+    // Spark's actual behavior.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_stream_sp").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    Files.createDirectories(Paths.get(src))
+    val rawFile = new java.io.File(s"$dir/events.parquet").toPath
+    def drain(): Unit = EventStream.runToParquet(
+      EventStream.dedupStream(
+        spark.readStream.schema(EventStream.rawSchema)
+          .parquet(s"$src/*.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        Seq("event_id")),
+      sink, chk)
+    def statePartitionDirs: Int = {
+      // one numeric dir per state partition (plus non-numeric
+      // bookkeeping entries like _metadata — excluded)
+      val d = new java.io.File(s"$chk/state/0")
+      if (d.exists)
+        d.listFiles.count(f => f.isDirectory && f.getName.forall(_.isDigit))
+      else -1
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      Files.copy(rawFile, Paths.get(s"$src/a.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      drain()
+      assert(statePartitionDirs == 4,
+        s"first start should create 4 state partitions, got $statePartitionDirs")
+      // restart with a DIFFERENT session setting and new input: the
+      // query runs fine but keeps the checkpointed 4 — no rescale
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      Files.copy(rawFile, Paths.get(s"$src/b.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      drain()
+      assert(statePartitionDirs == 4,
+        s"restart must keep the checkpointed state partitions, got $statePartitionDirs")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("stateful sessionize totals match batch aggregation") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val sessions = EventStream.sessionize(events).collect()
