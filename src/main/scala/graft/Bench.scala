@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * code regression from a noisy neighbor. Cold-vs-best spread plus the
   * recorded `/proc/loadavg` make contention visible inside the
   * artifact itself instead of requiring an out-of-band triage.
+  *
+  * Round-7 extension: the two CC-loop queries named in `median_of_3`
+  * run a THIRD pass and report the median of three in `queries_best`
+  * (instrumented rationale inline below; distribution in
+  * BENCH_NOTES.md r7). All other fields keep their meaning; the new
+  * key appends strictly after the existing ones.
   */
 object Bench {
   private def loadavg(): String =
@@ -54,10 +60,26 @@ object Bench {
       dt
     }
 
+    // The two CC-label-propagation queries (many small jobs +
+    // localCheckpoints) are the catalog's most scheduler/JIT-
+    // sensitive shapes and have swung 2-4x across rounds on identical
+    // bytecode. ProbeVariance (r7, 12 interleaved runs, quiet host)
+    // showed their job/task counts are DETERMINISTIC (31 jobs/745
+    // tasks and 23/249 every run) and steady-state wall spread is a
+    // tight 1.2x — the outlier is the first post-warmup run (2.3x,
+    // JIT-cold for these specific shapes; the generic q02 warmup
+    // doesn't touch them). min-of-2 keeps one foot in that cold
+    // window, so for THESE queries the gate runs a third pass and
+    // reports the MEDIAN of three in queries_best — one scheduler
+    // hiccup or cold pass can no longer pollute round comparisons.
+    val medianOf3 = Set("q62_dbscan", "q80_dedup_keep_best")
     val timings = SparkEntry.queries.map { case (name, fn) =>
       val cold = timeOne(fn)
       val rep = timeOne(fn)
-      name -> (cold, math.min(cold, rep))
+      val best =
+        if (medianOf3(name)) Seq(cold, rep, timeOne(fn)).sorted.apply(1)
+        else math.min(cold, rep)
+      name -> (cold, best)
     }
     val loadEnd = loadavg()
     def jmap(sel: ((Double, Double)) => Double): String =
@@ -71,7 +93,7 @@ object Bench {
     // after, so any prefix- or key-based parse of the old shape still
     // works and never silently changes metric
     val json =
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","median_of_3":[${medianOf3.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     // the stdout line can drown in sbt log noise — also write the JSON
     // to a file so the driver never depends on stdout scraping
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
