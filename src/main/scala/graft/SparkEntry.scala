@@ -115,6 +115,53 @@ object SparkEntry {
       p
     })
 
+  /** q118's oracle — exhaustive cross cosine between the planted
+    * scaled-copy batch (vec_id >= 10000; scaling preserves direction,
+    * so each copy matches its original at cosine 1) and the original
+    * corpus. Shared VERBATIM by q119's persisted-index path. Recall
+    * argument: identical-direction pairs collide in every hyperplane
+    * table; the synthetic 64-dim embeddings are near-orthogonal, so
+    * no natural cross pair reaches 0.95 (same construction as q51,
+    * which passes at both SFs). */
+  private lazy val embScreenOracleSql =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> x * 2) AS embedding
+      |  FROM embeddings WHERE vec_id < 50)
+      |SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+      | round(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+      |   CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM u n, u c
+      |WHERE n.vec_id >= 10000 AND c.vec_id < 10000
+      |  AND list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+      |   CAST(c.embedding AS DOUBLE[])) >= 0.95
+      |ORDER BY id_new, id_corpus""".stripMargin
+
+  /** the planted embedding batch: scaled copies of vec_id < 50 under
+    * shifted ids (mirrors the oracle's UNION branch) */
+  private def embBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+  }
+
+  /** q119's persisted embedding index, built once per (JVM, sfDir) —
+    * same amortization contract as q117's minhash index. */
+  private val embIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def embIndexPath(s: SparkSession, dir: String): String =
+    embIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_emb_index_q119").toString
+      Dedup.embeddingIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -928,6 +975,34 @@ object SparkEntry {
              |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |   CAST(b.embedding AS DOUBLE[])) >= 0.95
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Incremental embedding-cosine screen (Dedup.embeddingPairsAgainst,
+    // r7): the scaled copies play the NEW batch, the originals the
+    // corpus — the semantic sibling of q115, completing the
+    // incremental family (exact / jaccard / cosine).
+    Q("q118_dedup_embed_incr", (s, dir) => {
+      Dedup.embeddingPairsAgainst(embBatch(s, dir),
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+          threshold = 0.95)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some(embScreenOracleSql)),
+
+    // q118 through the PERSISTED index (embeddingIndex -> parquet ->
+    // embeddingPairsAgainstIndex), same oracle verbatim — the
+    // q117-style production-path proof for the embedding screen.
+    Q("q119_dedup_embed_indexed", (s, dir) => {
+      Dedup.embeddingPairsAgainstIndex(embBatch(s, dir),
+          t(s, dir, "embeddings"),
+          s.read.parquet(embIndexPath(s, dir)),
+          "vec_id", "embedding", dim = 64, threshold = 0.95)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some(embScreenOracleSql)),
 
     // ===== §2.9 ML text pipeline ========================================
 

@@ -653,6 +653,15 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Dedup.minhashPairsAgainst(df, corpus.df,
       idCol, textCol, threshold = threshold))
 
+  /** [[graft.operators.Dedup.embeddingPairsAgainst]] — semantic
+    * near-dup pairs of this frame (the NEW batch) against `corpus`
+    * by embedding cosine */
+  def dedupEmbeddingPairsAgainst(corpus: DDF, idCol: String,
+                                 vecCol: String, dim: Int,
+                                 threshold: Double = 0.95): DDF =
+    wrap(graft.operators.Dedup.embeddingPairsAgainst(df, corpus.df,
+      idCol, vecCol, dim, threshold = threshold))
+
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */
   def decontaminate(evalSet: DDF, idCol: String, textCol: String,

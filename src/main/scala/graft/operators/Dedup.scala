@@ -784,6 +784,138 @@ object Dedup {
     materializeAndRelease(verified, sig)
   }
 
+  /** Param columns stamped into every [[embeddingIndex]] row — same
+    * enforceable-contract discipline as [[minhashIndex]]'s. */
+  private val EmbIndexParamCols =
+    Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
+
+  private def embCodes(d: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, nTables: Int, bitsPerTable: Int,
+                       seed: Long): DataFrame =
+    Partitioning.spread(d.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("codes",
+        VectorFunctions.hyperplaneCodes(col("v"), nTables, bitsPerTable,
+          dim, seed))
+
+  private def rawEmbIndex(corpus: DataFrame, idCol: String,
+                          vecCol: String, dim: Int, nTables: Int,
+                          bitsPerTable: Int, seed: Long,
+                          maxBucketSize: Int): DataFrame =
+    embCodes(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed)
+      .select(col("id"), explode(col("codes")).as("code"))
+      .groupBy(col("code"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(1, maxBucketSize))
+
+  /** Persistable hyperplane-LSH index over the corpus's embedding
+    * column for incremental cosine screening: (code, ids) buckets
+    * (table id folded into the code's high bits), singletons KEPT,
+    * `maxBucketSize` skew cap applied — the embedding-space sibling
+    * of [[minhashIndex]]. Write once, screen every ingestion batch
+    * with [[embeddingPairsAgainstIndex]]; hashing a 100 TB corpus's
+    * vectors is paid once, not per batch. Build params embedded as
+    * constant columns and validated on use. */
+  def embeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nTables: Int = 8, bitsPerTable: Int = 16,
+                     seed: Long = 42L,
+                     maxBucketSize: Int = 10000): DataFrame =
+    rawEmbIndex(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed,
+        maxBucketSize)
+      .withColumn("__nTables", lit(nTables))
+      .withColumn("__bitsPerTable", lit(bitsPerTable))
+      .withColumn("__dim", lit(dim))
+      .withColumn("__seed", lit(seed))
+
+  /** [[embeddingPairsAgainst]] with a PREBUILT corpus index (from
+    * [[embeddingIndex]], typically read back from parquet): per-batch
+    * cost is the batch's own hashing, one broadcast join into the
+    * index, and exact-cosine verification against only the candidate-
+    * matched corpus vectors — the corpus is scanned once
+    * (verification) and never re-hashed. Embedded param columns are
+    * validated with a one-row head read; a mismatch throws rather
+    * than silently collapsing recall. */
+  def embeddingPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
+                                 corpusIndex: DataFrame,
+                                 idCol: String, vecCol: String, dim: Int,
+                                 threshold: Double = 0.95,
+                                 nTables: Int = 8, bitsPerTable: Int = 16,
+                                 seed: Long = 42L,
+                                 broadcastNew: Boolean = true): DataFrame = {
+    val idx =
+      if (EmbIndexParamCols.forall(corpusIndex.columns.contains)) {
+        val head = corpusIndex
+          .select(EmbIndexParamCols.map(col): _*).limit(1).collect()
+        head.foreach { r =>
+          val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+          val asked = (nTables, bitsPerTable, dim, seed)
+          require(built == asked,
+            s"embeddingPairsAgainstIndex: index was built with (nTables, " +
+              s"bitsPerTable, dim, seed) = $built but the batch is being " +
+              s"screened with $asked — candidate recall would silently " +
+              "collapse. Rebuild the index or match the batch params.")
+        }
+        corpusIndex.drop(EmbIndexParamCols: _*)
+      } else corpusIndex
+    embScreenAgainstIndex(newDf, corpus, idx, idCol, vecCol, dim,
+      threshold, nTables, bitsPerTable, seed, broadcastNew)
+  }
+
+  private def embScreenAgainstIndex(newDf: DataFrame, corpus: DataFrame,
+                                    corpusIndex: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    dim: Int, threshold: Double,
+                                    nTables: Int, bitsPerTable: Int,
+                                    seed: Long,
+                                    broadcastNew: Boolean): DataFrame = {
+    val newSig = embCodes(newDf, idCol, vecCol, dim, nTables,
+      bitsPerTable, seed).cache()
+    val newBands = newSig
+      .select(col("id").as("id_new"), explode(col("codes")).as("code"))
+    val cand = corpusIndex
+      .join(if (broadcastNew) broadcast(newBands) else newBands,
+        Seq("code"))
+      .select(col("id_new"), explode(col("ids")).as("id_corpus"))
+      .distinct()
+    val verified = cand
+      .join(newSig.select(col("id").as("id_new"), col("v").as("v_new")),
+        Seq("id_new"))
+      .join(corpus.select(col(idCol).as("id_corpus"),
+        col(vecCol).as("v_cor")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        VectorFunctions.cosine(col("v_new"), col("v_cor")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    materializeAndRelease(verified, newSig)
+  }
+
+  /** Incremental embedding-cosine screen: (new, corpus) candidate
+    * pairs by hyperplane LSH between a NEW batch and an EXISTING
+    * corpus, verified by exact cosine — the SemDeDup-style semantic
+    * sibling of [[minhashPairsAgainst]], completing the incremental
+    * family (exact key / shingle jaccard / embedding cosine). Returns
+    * (id_new, id_corpus, cosine >= threshold); id namespaces are the
+    * caller's contract.
+    *
+    * Shape at 100 TB: the corpus reduces to the [[embeddingIndex]]
+    * bucket table; the batch's (id, code) rows are batch-sized x
+    * nTables and broadcast into the bucket join (`broadcastNew =
+    * false` for backfills); exact-cosine verification touches corpus
+    * vectors ONLY for candidate-matched ids. This convenience form
+    * rebuilds the index per call — at ingestion cadence persist
+    * [[embeddingIndex]] and call [[embeddingPairsAgainstIndex]]. */
+  def embeddingPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            threshold: Double = 0.95,
+                            nTables: Int = 8, bitsPerTable: Int = 16,
+                            seed: Long = 42L, maxBucketSize: Int = 10000,
+                            broadcastNew: Boolean = true): DataFrame =
+    // inline index is built with these very params: skip the
+    // validation head read (it would trigger an extra hashing job)
+    embScreenAgainstIndex(newDf, corpus,
+      rawEmbIndex(corpus, idCol, vecCol, dim, nTables, bitsPerTable,
+        seed, maxBucketSize),
+      idCol, vecCol, dim, threshold, nTables, bitsPerTable, seed,
+      broadcastNew)
+
   /** Exact edit-distance similarity join (record linkage / fuzzy-key
     * dedup): every pair with levenshtein ≤ `maxDist`. Candidates come
     * from FastSS deletion neighborhoods (Bocek et al. 2007, public):

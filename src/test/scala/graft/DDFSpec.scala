@@ -584,6 +584,16 @@ class DDFSpec extends SparkTestBase {
         threshold = 0.6).toDF.count() ==
       Dedup.minhashPairsAgainst(batch, hist, "doc_id", "text",
         threshold = 0.6).count())
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val embBatch = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    assert(DDF(embBatch).dedupEmbeddingPairsAgainst(DDF(emb), "vec_id",
+        "embedding", dim = 64).toDF.count() ==
+      Dedup.embeddingPairsAgainst(embBatch, emb, "vec_id", "embedding",
+        dim = 64).count())
   }
 
   test("retrieval/join delegates equal the direct operator calls") {

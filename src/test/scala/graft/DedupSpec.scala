@@ -133,6 +133,68 @@ class DedupSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  /** embedding corpus + planted scaled copies (scaling preserves
+    * direction → cosine 1 with the original) — mirrors q118/q119 */
+  private lazy val embCorpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id", $"embedding").cache()
+  private lazy val embBatch = embCorpus.filter($"vec_id" < 20)
+    .select(($"vec_id" + 10000).as("vec_id"),
+      transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    .cache()
+
+  private def cosTruth(threshold: Double): Set[(Long, Long)] = {
+    def vecs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (for { (n, vn) <- vecs(embBatch); (c, vc) <- vecs(embCorpus)
+           if cos(vn, vc) >= threshold } yield (n, c)).toSet
+  }
+
+  test("embeddingPairsAgainst == brute-force cross cosine, both paths") {
+    val truth = cosTruth(0.95)
+    assert(truth.nonEmpty)
+    def run(bc: Boolean) = Dedup.embeddingPairsAgainst(embBatch,
+        embCorpus, "vec_id", "embedding", dim = 64, threshold = 0.95,
+        broadcastNew = bc)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(bc = true)
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(run(bc = false) == truth)
+    // no corpus-internal or batch-internal pairs can appear
+    assert(got.forall { case (n, c) => n >= 10000 && c < 10000 })
+  }
+
+  test("embedding index round-trips through parquet; param mismatch throws") {
+    val inline = Dedup.embeddingPairsAgainst(embBatch, embCorpus,
+        "vec_id", "embedding", dim = 64, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_emb_index").toString
+    Dedup.embeddingIndex(embCorpus, "vec_id", "embedding", dim = 64)
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val fromDisk = Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus,
+        idx, "vec_id", "embedding", dim = 64, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == inline && inline.nonEmpty)
+    // screening with different LSH params must fail fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus, idx,
+        "vec_id", "embedding", dim = 64, threshold = 0.95, nTables = 4)
+    }
+    assert(e.getMessage.contains("screened with"))
+    // a hand-built (code, ids) index runs on the caller's contract
+    val legacy = idx.drop("__nTables", "__bitsPerTable", "__dim", "__seed")
+    val got = Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus,
+      legacy, "vec_id", "embedding", dim = 64, threshold = 0.95)
+    assert(got.count() == inline.size)
+  }
+
   test("exactAgainst escape hatch: broadcastBatch=false shuffles both joins") {
     val hist = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
     val batch = Seq((10L, "a"), (11L, "c")).toDF("id", "k")
