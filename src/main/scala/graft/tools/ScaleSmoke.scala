@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // non-numeric args select sections (dedup/budget/incr/exact/
+    // non-numeric args select sections (dedup/budget/incr/exact/emb/
     // ntile); numeric args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
@@ -182,6 +182,45 @@ object ScaleSmoke {
           newBatch, c, Seq("text"), broadcastBatch = false).count())
         time("exactFull")(graft.operators.Dedup.exact(
           c.unionByName(newBatch), Seq("text"), "doc_id").count())
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+      newBatch.unpersist()
+    }
+
+    // ---- incremental embedding screen: replicas are SCALED copies
+    // (same direction, cosine 1 with their original), so the corpus's
+    // internal near-dup pair volume grows ~k² while the fixed batch's
+    // true matches grow ~k — the same construction as the text `incr`
+    // smoke, in embedding space.
+    if (on("emb")) {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      def embCorpus(k: Int) = (0 until k).map { i =>
+        embBase.select((col("vec_id") + lit(i.toLong * 1000000)).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0f) + lit(0.5f) * i)).as("embedding"))
+      }.reduce(_ unionByName _).cache()
+      val newBatch = embBase.limit(100)
+        .select((col("vec_id") + lit(90000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .cache()
+      newBatch.count()
+      scales.foreach { k =>
+        val c = embCorpus(k)
+        val n = c.count()
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+        }
+        time("embScreen")(graft.operators.Dedup.embeddingPairsAgainst(
+          newBatch, c, "vec_id", "embedding", dim = 64,
+          threshold = 0.95).count())
+        time("embPairsFull")(graft.operators.Dedup.embeddingPairs(
+          c.unionByName(newBatch), "vec_id", "embedding", dim = 64,
+          threshold = 0.95).count())
         c.unpersist()
         spark.catalog.clearCache()
       }
