@@ -224,4 +224,21 @@ object AlgebraicLaws extends Properties("graft.ddf") {
       }
       run(docs) == run(docs.reverse)
     }
+
+  property("exactAgainst drops exactly the corpus-present keys") =
+    Prop.forAll(smallList, smallList) { (b, c) =>
+      // reference model: keep every batch row (multiset!) whose key
+      // is absent from the corpus — the screen never dedups the batch
+      // internally, that is exact()'s job
+      val want = b.count(x => !c.contains(x))
+      toDDF(b).dedupExactAgainst(toDDF(c), Seq("v")).countRows() == want
+    }
+
+  property("exactAgainst is idempotent; empty corpus is neutral") =
+    Prop.forAll(smallList, smallList) { (b, c) =>
+      val bd = toDDF(b); val cd = toDDF(c)
+      val once = bd.dedupExactAgainst(cd, Seq("v"))
+      once.dedupExactAgainst(cd, Seq("v")).countRows() == once.countRows() &&
+      bd.dedupExactAgainst(toDDF(Nil), Seq("v")).countRows() == b.size
+    }
 }
