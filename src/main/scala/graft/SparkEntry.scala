@@ -162,6 +162,26 @@ object SparkEntry {
       p
     })
 
+  /** q120's index: built on HALF the corpus, then the other half is
+    * folded in with minhashIndexUpdate and the result persisted —
+    * the full production maintenance cycle (build → update → persist
+    * → screen), cached per (JVM, sfDir) like q117's. */
+  private val mhUpdIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mhUpdIndexPath(s: SparkSession, dir: String): String =
+    mhUpdIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_mh_index_q120").toString
+      val corpus = docsWithDups(s, dir).filter(col("doc_id") < 10000)
+      Dedup.minhashIndexUpdate(
+          Dedup.minhashIndex(corpus.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", numHashes = 64, bands = 32),
+          corpus.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -861,6 +881,24 @@ object SparkEntry {
           all.filter(col("doc_id") >= 10000),
           all.filter(col("doc_id") < 10000),
           s.read.parquet(mhIndexPath(s, dir)),
+          "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some(incrScreenOracleSql)),
+
+    // q115 through a MAINTAINED index: built on half the corpus,
+    // the other half folded in with minhashIndexUpdate (the batch-
+    // admission step of the ingestion loop), persisted, screened —
+    // same oracle verbatim for the third time. Update ≡ rebuild is
+    // additionally pinned bucket-for-bucket in DedupSpec.
+    Q("q120_dedup_incr_updated", (s, dir) => {
+      val all = docsWithDups(s, dir)
+      Dedup.minhashPairsAgainstIndex(
+          all.filter(col("doc_id") >= 10000),
+          all.filter(col("doc_id") < 10000),
+          s.read.parquet(mhUpdIndexPath(s, dir)),
           "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
         .select(col("id_new"), col("id_corpus"),
           round(col("jaccard"), 6).as("jaccard"))

@@ -188,24 +188,45 @@ object Dedup {
   private val IndexParamCols =
     Seq("__numHashes", "__bands", "__shingleLen", "__seed")
 
+  /** bucket rows → the index's (ids, n) shape: `n` is the TRUE member
+    * count; buckets over the skew cap keep their row but empty their
+    * id list (`slice(ids, 1, 0)` = [] of the right element type).
+    * Retaining dead buckets (instead of filtering them out) is what
+    * makes [[minhashIndexUpdate]] exactly equivalent to a rebuild: an
+    * update can tell "bucket was oversized" apart from "bucket was
+    * empty", so a capped bucket stays dead no matter how the counts
+    * accumulate. Screening explodes `ids`, so dead buckets contribute
+    * zero candidates at zero cost. */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets.select(
+      buckets.columns.filterNot(Set("ids")).map(col) :+
+        when(size(col("ids")) <= maxBucketSize, col("ids"))
+          .otherwise(slice(col("ids"), 1, 0)).as("ids") :+
+        size(col("ids")).cast("long").as("n"): _*)
+
   private def rawIndex(corpus: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, bands: Int, shingleLen: Int,
                        seed: Long, maxBucketSize: Int): DataFrame =
-    bandedFor(shingledFor(corpus, idCol, textCol, shingleLen),
-        numHashes, bands, seed)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(1, maxBucketSize))
+    capBuckets(
+      bandedFor(shingledFor(corpus, idCol, textCol, shingleLen),
+          numHashes, bands, seed)
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids")),
+      maxBucketSize)
 
   /** Build the corpus's persistable LSH index for incremental
-    * screening: (band, bucket, ids) with the `maxBucketSize` skew cap
-    * already applied (singleton buckets KEPT — any bucket can match a
-    * future batch doc). Write this to parquet once and feed it to
-    * [[minhashPairsAgainstIndex]] at every ingestion cycle — banding
-    * a 100 TB corpus is paid once, not per batch. The build params
-    * (numHashes/bands/shingleLen/seed) are embedded as constant
-    * columns and VALIDATED on use, so a batch screened with different
-    * params fails fast instead of silently losing recall. */
+    * screening: (band, bucket, ids, n) with the `maxBucketSize` skew
+    * cap already applied (singleton buckets KEPT — any bucket can
+    * match a future batch doc; oversized buckets keep their row with
+    * the true count `n` and an emptied id list, so
+    * [[minhashIndexUpdate]] can accumulate counts exactly). Write
+    * this to parquet once and feed it to [[minhashPairsAgainstIndex]]
+    * at every ingestion cycle — banding a 100 TB corpus is paid once,
+    * not per batch — then fold each admitted batch in with
+    * [[minhashIndexUpdate]]. The build params (numHashes/bands/
+    * shingleLen/seed) are embedded as constant columns and VALIDATED
+    * on use, so a batch screened with different params fails fast
+    * instead of silently losing recall. */
   def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, seed: Long = 42L,
@@ -228,6 +249,25 @@ object Dedup {
     * throws rather than silently reducing recall; a hand-built
     * (band, bucket, ids) index without param columns is accepted on
     * the caller's own contract. */
+  /** validate the index's embedded build params against the call's (a
+    * one-row head read) and strip the param columns; a param-less
+    * hand-built index passes through on the caller's contract. */
+  private def stripValidatedParams(index: DataFrame, what: String,
+                                   paramCols: Seq[String], paramDesc: String,
+                                   asked: (Int, Int, Int, Long)): DataFrame =
+    if (paramCols.forall(index.columns.contains)) {
+      val head = index.select(paramCols.map(col): _*).limit(1).collect()
+      head.foreach { r =>
+        val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+        require(built == asked,
+          s"$what: index was built with $paramDesc = $built but the " +
+            s"batch is being screened with $asked — candidate recall " +
+            "would silently collapse. Rebuild the index or match the " +
+            "batch params.")
+      }
+      index.drop(paramCols: _*)
+    } else index
+
   def minhashPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
                                corpusIndex: DataFrame,
                                idCol: String, textCol: String,
@@ -236,24 +276,72 @@ object Dedup {
                                threshold: Double = 0.8,
                                seed: Long = 42L,
                                broadcastNew: Boolean = true): DataFrame = {
-    val idx =
-      if (IndexParamCols.forall(corpusIndex.columns.contains)) {
-        val head = corpusIndex
-          .select(IndexParamCols.map(col): _*).limit(1).collect()
-        head.foreach { r =>
-          val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
-          val asked = (numHashes, bands, shingleLen, seed)
-          require(built == asked,
-            s"minhashPairsAgainstIndex: index was built with (numHashes, " +
-              s"bands, shingleLen, seed) = $built but the batch is being " +
-              s"screened with $asked — candidate recall would silently " +
-              "collapse. Rebuild the index or match the batch params.")
-        }
-        corpusIndex.drop(IndexParamCols: _*)
-      } else corpusIndex
+    val idx = stripValidatedParams(corpusIndex, "minhashPairsAgainstIndex",
+      IndexParamCols, "(numHashes, bands, shingleLen, seed)",
+      (numHashes, bands, shingleLen, seed))
     screenAgainstIndex(newDf, corpus, idx, idCol, textCol, numHashes,
       bands, shingleLen, threshold, seed, broadcastNew)
   }
+
+  /** Incrementally admit a screened batch into a persisted
+    * [[minhashIndex]] WITHOUT re-banding the corpus — the index-
+    * maintenance step that closes the ingestion loop (screen the
+    * batch with [[minhashPairsAgainstIndex]], keep the survivors,
+    * then fold exactly those rows into the index for the next cycle).
+    * EXACTLY equivalent to rebuilding over (corpus ∪ batch): the
+    * index keeps every bucket's true member count `n` (dead oversized
+    * buckets keep their row with an emptied id list), so merged
+    * counts accumulate correctly and a bucket crossing
+    * `maxBucketSize` dies precisely when a rebuild would kill it —
+    * spec-pinned bucket-for-bucket, including adversarial caps.
+    *
+    * Cost: band the BATCH, then one shuffle of (old index ∪ batch
+    * buckets) keyed on (band, bucket) — the index is orders of
+    * magnitude smaller than the corpus (ids only, text never read).
+    * At 100 TB, partition the persisted index by `band` so only
+    * touched partitions rewrite. Batch ids must be disjoint from
+    * corpus ids (the same id-namespace contract as the screens). */
+  def minhashIndexUpdate(index: DataFrame, newBatch: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleLen: Int = 3, seed: Long = 42L,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val old = stripValidatedParams(index, "minhashIndexUpdate",
+      IndexParamCols, "(numHashes, bands, shingleLen, seed)",
+      (numHashes, bands, shingleLen, seed))
+    require(old.columns.contains("n"),
+      "minhashIndexUpdate requires a graft-built index carrying the " +
+        "true bucket count column `n` (hand-built (band, bucket, ids) " +
+        "indexes cannot distinguish a dead oversized bucket from an " +
+        "absent one)")
+    val nb = bandedFor(shingledFor(newBatch, idCol, textCol, shingleLen),
+        numHashes, bands, seed)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("band"), col("bucket"), col("ids"),
+        size(col("ids")).cast("long").as("n"))
+    mergeIndex(old.select(col("band"), col("bucket"), col("ids"), col("n")),
+        nb, Seq("band", "bucket"), maxBucketSize)
+      .withColumn("__numHashes", lit(numHashes))
+      .withColumn("__bands", lit(bands))
+      .withColumn("__shingleLen", lit(shingleLen))
+      .withColumn("__seed", lit(seed))
+  }
+
+  /** union + re-aggregate two capped bucket tables on `keys`: member
+    * lists concatenate, TRUE counts add, and the cap re-applies on the
+    * summed count — so a bucket that a full rebuild would kill dies
+    * here too, no matter which side(s) its members came from. */
+  private def mergeIndex(old: DataFrame, add: DataFrame,
+                         keys: Seq[String], maxBucketSize: Int): DataFrame =
+    old.unionByName(add)
+      .groupBy(keys.map(col): _*)
+      .agg(flatten(collect_list(col("ids"))).as("ids"),
+        sum(col("n")).as("n"))
+      .select(keys.map(col) :+
+        when(col("n") <= maxBucketSize, col("ids"))
+          .otherwise(slice(col("ids"), 1, 0)).as("ids") :+
+        col("n"): _*)
 
   private def screenAgainstIndex(newDf: DataFrame, corpus: DataFrame,
                                  corpusIndex: DataFrame,
@@ -801,20 +889,23 @@ object Dedup {
                           vecCol: String, dim: Int, nTables: Int,
                           bitsPerTable: Int, seed: Long,
                           maxBucketSize: Int): DataFrame =
-    embCodes(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed)
-      .select(col("id"), explode(col("codes")).as("code"))
-      .groupBy(col("code"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(1, maxBucketSize))
+    capBuckets(
+      embCodes(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed)
+        .select(col("id"), explode(col("codes")).as("code"))
+        .groupBy(col("code"))
+        .agg(collect_list(col("id")).as("ids")),
+      maxBucketSize)
 
   /** Persistable hyperplane-LSH index over the corpus's embedding
-    * column for incremental cosine screening: (code, ids) buckets
+    * column for incremental cosine screening: (code, ids, n) buckets
     * (table id folded into the code's high bits), singletons KEPT,
-    * `maxBucketSize` skew cap applied — the embedding-space sibling
-    * of [[minhashIndex]]. Write once, screen every ingestion batch
-    * with [[embeddingPairsAgainstIndex]]; hashing a 100 TB corpus's
-    * vectors is paid once, not per batch. Build params embedded as
-    * constant columns and validated on use. */
+    * `maxBucketSize` skew cap applied with the same true-count/dead-
+    * bucket discipline as [[minhashIndex]] — the embedding-space
+    * sibling. Write once, screen every ingestion batch with
+    * [[embeddingPairsAgainstIndex]], fold admitted batches in with
+    * [[embeddingIndexUpdate]]; hashing a 100 TB corpus's vectors is
+    * paid once, not per batch. Build params embedded as constant
+    * columns and validated on use. */
   def embeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nTables: Int = 8, bitsPerTable: Int = 16,
                      seed: Long = 42L,
@@ -841,23 +932,41 @@ object Dedup {
                                  nTables: Int = 8, bitsPerTable: Int = 16,
                                  seed: Long = 42L,
                                  broadcastNew: Boolean = true): DataFrame = {
-    val idx =
-      if (EmbIndexParamCols.forall(corpusIndex.columns.contains)) {
-        val head = corpusIndex
-          .select(EmbIndexParamCols.map(col): _*).limit(1).collect()
-        head.foreach { r =>
-          val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
-          val asked = (nTables, bitsPerTable, dim, seed)
-          require(built == asked,
-            s"embeddingPairsAgainstIndex: index was built with (nTables, " +
-              s"bitsPerTable, dim, seed) = $built but the batch is being " +
-              s"screened with $asked — candidate recall would silently " +
-              "collapse. Rebuild the index or match the batch params.")
-        }
-        corpusIndex.drop(EmbIndexParamCols: _*)
-      } else corpusIndex
+    val idx = stripValidatedParams(corpusIndex,
+      "embeddingPairsAgainstIndex", EmbIndexParamCols,
+      "(nTables, bitsPerTable, dim, seed)",
+      (nTables, bitsPerTable, dim, seed))
     embScreenAgainstIndex(newDf, corpus, idx, idCol, vecCol, dim,
       threshold, nTables, bitsPerTable, seed, broadcastNew)
+  }
+
+  /** [[minhashIndexUpdate]]'s embedding sibling: fold a screened
+    * batch into a persisted [[embeddingIndex]] without re-hashing the
+    * corpus — exactly equivalent to a rebuild over (corpus ∪ batch),
+    * same true-count/dead-bucket discipline, spec-pinned. */
+  def embeddingIndexUpdate(index: DataFrame, newBatch: DataFrame,
+                           idCol: String, vecCol: String, dim: Int,
+                           nTables: Int = 8, bitsPerTable: Int = 16,
+                           seed: Long = 42L,
+                           maxBucketSize: Int = 10000): DataFrame = {
+    val old = stripValidatedParams(index, "embeddingIndexUpdate",
+      EmbIndexParamCols, "(nTables, bitsPerTable, dim, seed)",
+      (nTables, bitsPerTable, dim, seed))
+    require(old.columns.contains("n"),
+      "embeddingIndexUpdate requires a graft-built index carrying the " +
+        "true bucket count column `n`")
+    val nb = embCodes(newBatch, idCol, vecCol, dim, nTables, bitsPerTable,
+        seed)
+      .select(col("id"), explode(col("codes")).as("code"))
+      .groupBy(col("code"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("code"), col("ids"), size(col("ids")).cast("long").as("n"))
+    mergeIndex(old.select(col("code"), col("ids"), col("n")), nb,
+        Seq("code"), maxBucketSize)
+      .withColumn("__nTables", lit(nTables))
+      .withColumn("__bitsPerTable", lit(bitsPerTable))
+      .withColumn("__dim", lit(dim))
+      .withColumn("__seed", lit(seed))
   }
 
   private def embScreenAgainstIndex(newDf: DataFrame, corpus: DataFrame,

@@ -195,6 +195,56 @@ class DedupSpec extends SparkTestBase {
     assert(got.count() == inline.size)
   }
 
+  test("minhashIndexUpdate == rebuild, bucket for bucket, incl. dead buckets") {
+    val c1 = corpus.filter($"doc_id" % 2 === 0)
+    val c2 = corpus.filter($"doc_id" % 2 =!= 0)
+    val params = Seq("__numHashes", "__bands", "__shingleLen", "__seed")
+    def key(df: org.apache.spark.sql.DataFrame) = df.drop(params: _*)
+      .collect()
+      .map(r => ((r.get(0), r.get(1)),
+        (r.getSeq[Long](2).sorted, r.getLong(3)))).toMap
+    // cap=2 forces oversized (dead) buckets: the planted dup pairs
+    // plus any natural collision exceed it, so the update must keep
+    // those buckets dead exactly where a rebuild would
+    for (cap <- Seq(1000, 2)) {
+      val rebuilt = key(Dedup.minhashIndex(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, maxBucketSize = cap))
+      val updated = key(Dedup.minhashIndexUpdate(
+        Dedup.minhashIndex(c1, "doc_id", "text", numHashes = 64,
+          bands = 32, maxBucketSize = cap),
+        c2, "doc_id", "text", numHashes = 64, bands = 32,
+        maxBucketSize = cap))
+      assert(updated == rebuilt, s"cap=$cap: update diverged from rebuild")
+      if (cap == 2) // the adversarial cap really did kill buckets
+        assert(rebuilt.values.exists { case (ids, n) => ids.isEmpty && n > 2 })
+    }
+    // param mismatch on update fails fast too
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexUpdate(
+        Dedup.minhashIndex(c1, "doc_id", "text", numHashes = 64, bands = 32),
+        c2, "doc_id", "text", numHashes = 64, bands = 16)
+    }
+    assert(e.getMessage.contains("screened with"))
+  }
+
+  test("embeddingIndexUpdate == rebuild, bucket for bucket") {
+    val c1 = embCorpus.filter($"vec_id" % 2 === 0)
+    val c2 = embCorpus.filter($"vec_id" % 2 =!= 0)
+    val params = Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
+    def key(df: org.apache.spark.sql.DataFrame) = df.drop(params: _*)
+      .collect()
+      .map(r => (r.get(0), (r.getSeq[Long](1).sorted, r.getLong(2)))).toMap
+    for (cap <- Seq(10000, 2)) {
+      val rebuilt = key(Dedup.embeddingIndex(embCorpus, "vec_id",
+        "embedding", dim = 64, maxBucketSize = cap))
+      val updated = key(Dedup.embeddingIndexUpdate(
+        Dedup.embeddingIndex(c1, "vec_id", "embedding", dim = 64,
+          maxBucketSize = cap),
+        c2, "vec_id", "embedding", dim = 64, maxBucketSize = cap))
+      assert(updated == rebuilt, s"cap=$cap: update diverged from rebuild")
+    }
+  }
+
   test("exactAgainst escape hatch: broadcastBatch=false shuffles both joins") {
     val hist = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
     val batch = Seq((10L, "a"), (11L, "c")).toDF("id", "k")
