@@ -13,7 +13,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
-    // ntile); numeric args override the replication scales.
+    // upd/ntile); numeric args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
@@ -182,6 +182,40 @@ object ScaleSmoke {
           newBatch, c, Seq("text"), broadcastBatch = false).count())
         time("exactFull")(graft.operators.Dedup.exact(
           c.unionByName(newBatch), Seq("text"), "doc_id").count())
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+      newBatch.unpersist()
+    }
+
+    // ---- index maintenance: folding a fixed batch into a PERSISTED
+    // index (read back from parquet, the production shape) must cost
+    // ~the batch banding plus one shuffle of the small index table,
+    // while a rebuild re-bands the whole corpus — the gap is the
+    // point of minhashIndexUpdate.
+    if (on("upd")) {
+      val newBatch = base.limit(200)
+        .select((col("doc_id") + lit(90000000L)).as("doc_id"),
+          concat(col("text"), lit(" probe")).as("text")).cache()
+      newBatch.count()
+      scales.foreach { k =>
+        val c = corpus(k)
+        val n = c.count()
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_smoke_idx").toString
+        graft.operators.Dedup.minhashIndex(c, "doc_id", "text")
+          .write.mode("overwrite").parquet(dir)
+        val persisted = spark.read.parquet(dir)
+        time("indexUpdate")(graft.operators.Dedup.minhashIndexUpdate(
+          persisted, newBatch, "doc_id", "text").count())
+        time("indexRebuild")(graft.operators.Dedup.minhashIndex(
+          c.unionByName(newBatch), "doc_id", "text").count())
         c.unpersist()
         spark.catalog.clearCache()
       }
