@@ -1969,6 +1969,32 @@ object SparkEntry {
              |FROM events e JOIN dim d USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stream–static exact screen (EventStream.screenAgainst, r7): a
+    // REAL streaming query whose every micro-batch anti-joins a static
+    // "already ingested" key set — the streaming face of q116. The
+    // oracle is the batch null-safe NOT EXISTS over the same inputs.
+    Q("q121_stream_screen", (s, dir) => {
+      val seen = events(s, dir).filter(col("event_id") % 3 === 0)
+        .select(col("event_id"))
+      val stream = EventStream.readStream(s, dir)
+      val res = EventStream.runToMemory(
+        EventStream.screenAgainst(stream, seen, Seq("event_id"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")),
+        "q121_mem",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
+      res.select(col("event_type"), col("n"),
+          round(col("sv"), 2).as("sv"))
+        .orderBy(col("event_type"))
+    },
+      Some("""SELECT e.event_type, count(*) AS n,
+             | round(sum(e.value), 2) AS sv
+             |FROM events e
+             |WHERE NOT EXISTS (SELECT 1 FROM events s
+             |  WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed
     // schema, no distinct pre-pass); the oracle is the classic

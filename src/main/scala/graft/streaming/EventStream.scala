@@ -108,6 +108,24 @@ object EventStream {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "inner")
 
+  /** stream–static exact screen: drop stream rows whose key tuple
+    * already exists in a STATIC corpus — the streaming face of
+    * `Dedup.exactAgainst` for continuous ingestion. Each micro-batch
+    * anti-joins the broadcast corpus key set; STATELESS (nothing
+    * buffers between batches — dedup WITHIN the stream is
+    * [[dedupStream]]'s job, and the two compose: screen against
+    * history, then dropDuplicatesWithinWatermark against yourself).
+    * Null-safe on the key tuple like its batch sibling. At scale the
+    * corpus key set must stay broadcast-sized — distinct keys, not
+    * rows; for larger histories screen against a key digest the same
+    * way decontaminateBloom prefilters. */
+  def screenAgainst(stream: DataFrame, corpus: DataFrame,
+                    cols: Seq[String]): DataFrame = {
+    val keys = corpus.select(cols.map(corpus(_)): _*).distinct()
+    val cond = cols.map(c => stream(c) <=> keys(c)).reduce(_ && _)
+    stream.join(broadcast(keys), cond, "left_anti")
+  }
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

@@ -74,6 +74,33 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
   }
 
+  test("stream-static screen equals the batch anti join, null-safe") {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.screenAgainst(stream, seen, Seq("event_id"))
+        .groupBy($"event_type").agg(count(lit(1)).as("n")),
+      "screen_stream", OutputMode.Complete())
+    val want = batch.join(seen, Seq("event_id"), "left_anti")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    // null-safety: a null stream key collides with a null corpus key
+    val s2 = Seq((Some(1L), "a"), (None: Option[Long], "b"), (Some(2L), "c"))
+      .toDF("k", "v")
+    val c2 = Seq(Some(1L), None: Option[Long]).toDF("k")
+    assert(EventStream.screenAgainst(s2, c2, Seq("k"))
+      .collect().map(_.getString(1)).toSeq == Seq("c"))
+    // the corpus key set broadcasts; the anti join is stateless, so
+    // nothing shuffles on the stream path
+    val plan = EventStream.screenAgainst(batch, seen, Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus keys not broadcast:\n$plan")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val l = df.filter($"event_type" === "click")
