@@ -126,6 +126,29 @@ object EventStream {
     stream.join(broadcast(keys), cond, "left_anti")
   }
 
+  /** [[screenAgainst]]'s digest variant for histories whose exact key
+    * set is too large to broadcast: the corpus keys collapse into a
+    * Bloom filter (~1.2 MB per million keys at fpp 0.01, the
+    * decontaminateBloom sizing) built ONCE at stream-definition time,
+    * and each micro-batch keeps only Bloom-NEGATIVE (definitely-new)
+    * rows. False positives over-remove at ~`fpp` and nothing is ever
+    * under-removed — the right direction for a dedup screen, where a
+    * dropped fresh row costs one document but a kept duplicate costs
+    * training quality. Null keys are conservatively treated as seen.
+    * The filter is a narrow codegen'd predicate: no join, no state,
+    * no shuffle on the stream path. */
+  def screenAgainstBloom(stream: DataFrame, corpus: DataFrame,
+                         keyCol: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val keys = corpus.select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val bf = keys.stat.bloomFilter("__k", math.max(keys.count(), 1L), fpp)
+    val bfB = stream.sparkSession.sparkContext.broadcast(bf)
+    val seen = udf((s: String) =>
+      s == null || bfB.value.mightContainString(s))
+    stream.filter(!seen(col(keyCol).cast("string")))
+  }
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

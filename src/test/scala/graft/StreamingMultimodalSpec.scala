@@ -101,6 +101,27 @@ class StreamingMultimodalSpec extends SparkTestBase {
       s"corpus keys not broadcast:\n$plan")
   }
 
+  test("bloom screen: never under-removes, subset of the exact screen") {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
+    val stream = EventStream.readStream(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.screenAgainstBloom(stream, seen, "event_id")
+        .select($"event_id"),
+      "bloom_stream", OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    val exact = batch.join(seen, Seq("event_id"), "left_anti")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    // over-removal only: every survivor is genuinely unseen, and the
+    // survivor set can only shrink relative to the exact screen
+    assert(got.subsetOf(exact))
+    assert(got.intersect(
+      seen.collect().map(_.getLong(0)).toSet).isEmpty)
+    // at fpp=0.01 on this cardinality the loss stays a sliver
+    assert(got.size >= (exact.size * 0.9).toInt, s"${got.size}/${exact.size}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val l = df.filter($"event_type" === "click")
