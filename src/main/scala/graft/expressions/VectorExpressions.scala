@@ -183,7 +183,9 @@ object VectorExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private val as: Array[Long] = coeffs.map(_._1).toArray
     private val bs: Array[Long] = coeffs.map(_._2).toArray
-    private val domain = 1L << 31
+    // base-hash domain == modulus: (a*h+b) mod prime is then a true
+    // permutation of [0, prime) for a != 0 (see TextFunctions scaladoc)
+    private val domain = prime
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val k = as.length

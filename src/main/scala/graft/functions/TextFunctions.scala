@@ -169,12 +169,24 @@ object TextFunctions {
 
   /** k independent MinHash values over a shingle array.
     * h_i(S) = min over s∈S of ((a_i * h(s) + b_i) mod p) with the
-    * classic 2-universal family; h(s) and the coefficients live in the
-    * 31-bit domain so a*h+b < 2^62 — exact under ANSI mode, never
-    * overflows. All inside codegen (transform + array_min), no UDF,
-    * no shuffle. */
-  val MersennePrime: Long = (1L << 61) - 1
-  private val HashDomain: Long = 1L << 31
+    * classic affine family over the prime field Z_p, p = 2^31 - 1:
+    * base hash, coefficients, AND the modulus all live in the same
+    * 31-bit field, so each x -> (a*x + b) mod p with a != 0 is a TRUE
+    * permutation of [0, p), and a*h+b < 2^62 — exact under ANSI mode,
+    * never overflows. All inside codegen (transform + array_min), no
+    * UDF, no shuffle.
+    *
+    * The modulus MUST equal the base-hash domain: an earlier revision
+    * paired 31-bit base hashes with a 2^61-1 modulus, and because
+    * a*h+b < 2^62 < 2p' the "permutation" wrapped at most twice and
+    * was nearly monotone in h — every hash function picked the same
+    * globally-minimal shingle, collapsing the estimator (observed
+    * 3/64 agreement at true jaccard 0.75) and silently destroying LSH
+    * recall whenever a near-dup's extra shingles contained a small
+    * base hash. Pinned in TextFunctionsSpec ("minhash agreement
+    * tracks true jaccard"). */
+  val MersennePrime: Long = (1L << 31) - 1
+  private val HashDomain: Long = MersennePrime
 
   def hashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)

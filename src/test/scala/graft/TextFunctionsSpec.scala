@@ -177,6 +177,22 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("minhash agreement tracks true jaccard") {
+    // superset doc whose EXTRA shingles include small base hashes —
+    // the case that collapsed the pre-fix mixed-width hash family
+    // (31-bit base hashes under a 2^61-1 modulus are nearly monotone,
+    // so every hash function picked the same global-min shingle:
+    // 3/64 agreement at true jaccard 0.75)
+    val c0 = (1 to 20).map(k => s"w$k").mkString(" ")
+    val sup = c0 + " " + (21 to 26).map(k => s"w$k").mkString(" ")
+    val sigs = Seq(c0, sup).toDF("text")
+      .select(TF.minhashSignature(TF.wordShingles($"text", 3), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    // true jaccard = 18/24 = 0.75; E[agree] = 48, sd ~ 3.5
+    assert(agree >= 34 && agree <= 62, s"agreement $agree/64 is not ~0.75")
+  }
+
   test("hammingDistance and simhashChunks") {
     val d = Seq((0L, -1L), (5L, 4L)).toDF("a", "b")
     val got = d.select(TF.hammingDistance($"a", $"b")).collect()
