@@ -1995,6 +1995,72 @@ object SparkEntry {
              |  WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The full ADMISSION LOOP (Admission.admitBatch, r7) run TWICE
+    // against durable temp state: cycle 1 ingests reversed-text
+    // fresh docs; cycle 2 throws near-dups of cycle 1's ADMISSIONS
+    // (drop only if the index fold happened), exact-text copies of
+    // the corpus (near screen), and id replays (id screen) at it.
+    // Fresh temp dirs per invocation so reruns are deterministic.
+    // The result is the final corpus id set; the oracle replays both
+    // cycles sequentially with exact shingle jaccard.
+    Q("q122_admission_loop", (s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q122")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(indexDir)
+      val rev = concat_ws(" ", reverse(TF.tokens(col("text"))))
+      val b1 = base.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 30000).as("doc_id"), rev.as("text"))
+      val b2 = b1.filter(col("doc_id") < 30050)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+        .union(base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .union(base.filter(col("doc_id") < 30))
+      graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+        dedupWithinBatch = false, batchId = 1L)
+      graft.streaming.Admission.admitBatch(b2, corpusDir, indexDir,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+        dedupWithinBatch = false, batchId = 2L)
+      s.read.parquet(corpusDir).select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+              |b1 AS (SELECT doc_id + 30000 AS doc_id,
+              |    array_to_string(list_reverse(${sqlTokens("text")}), ' ') AS text
+              |  FROM base WHERE doc_id < 200),
+              |b2 AS (SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+              |    FROM b1 WHERE doc_id < 30050
+              |  UNION ALL SELECT doc_id + 20000, text FROM base WHERE doc_id < 100
+              |  UNION ALL SELECT doc_id, text FROM base WHERE doc_id < 30),
+              |u AS (SELECT doc_id, text FROM base UNION
+              |  SELECT doc_id, text FROM b1 UNION SELECT doc_id, text FROM b2),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3),
+              |m1 AS (SELECT DISTINCT n.doc_id FROM b1 n, base c, sh sn, sh sc
+              |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
+              |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6),
+              |c1 AS (SELECT doc_id FROM base UNION ALL
+              |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM m1)),
+              |b2f AS (SELECT doc_id, text FROM b2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+              |m2 AS (SELECT DISTINCT n.doc_id FROM b2f n, c1 c, sh sn, sh sc
+              |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
+              |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6)
+              |SELECT doc_id FROM c1
+              |UNION ALL SELECT doc_id FROM b2f
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed
     // schema, no distinct pre-pass); the oracle is the classic

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+import graft.operators.Dedup
+
+/** The streaming ADMISSION LOOP — the production shape that the
+  * incremental-screen family (Dedup.exactAgainst /
+  * minhashPairsAgainstIndex / minhashIndexUpdate) exists to serve,
+  * closed end to end: each arriving batch of documents is screened
+  * against the persisted corpus, the survivors are appended to the
+  * corpus, and the persisted MinHash index is folded forward so the
+  * NEXT batch screens against them too — the corpus is never
+  * re-banded, ever (cost measured flat in BENCH_NOTES §index-
+  * maintenance while rebuild cost rides corpus size).
+  *
+  * Reference scope: the reference library has no streaming surface at
+  * all (SURVEY §2 row "Streams"); this is a DRIVER-EXT capability a
+  * training-data pipeline needs at 100 TB, built on Structured
+  * Streaming's foreachBatch + the batch screen operators.
+  *
+  * Per batch, in order:
+  *   1. one row per id within the batch, then the EXACT ID screen
+  *      against the corpus ([[Dedup.exactAgainst]]). This is also
+  *      what makes a foreachBatch REPLAY a no-op: foreachBatch is
+  *      at-least-once, and rows already appended by a half-finished
+  *      run carry ids the corpus now contains, so they drop here.
+  *   2. near-dup screen against the PERSISTED index
+  *      ([[Dedup.minhashPairsAgainstIndex]] — batch-bounded banding,
+  *      one corpus scan for jaccard verification).
+  *   3. optional within-batch near-dedup among the survivors
+  *      ([[Dedup.minhashDedup]], batch-bounded). Corpus-screen FIRST:
+  *      if batch doc B's only near-dup partner A was itself dropped
+  *      by the corpus screen, B is still admitted — within-first
+  *      would have dropped B in favor of A and then lost A too.
+  *   4. append the admitted rows to the corpus, then fold them into
+  *      the index ([[Dedup.minhashIndexUpdate]]) via a staged
+  *      write-and-swap (parquet has no transactional overwrite).
+  *
+  * Crash-safety contract (single writer assumed): the admitted set is
+  * localCheckpoint-ed BEFORE either write, so step 4's two writes
+  * never recompute against files they are mutating. A crash BETWEEN
+  * the corpus append and the index swap leaves rows the index does
+  * not cover: replaying the batch is safe (step 1 drops the appended
+  * rows — no duplicates, ever) but those rows stay invisible to
+  * FUTURE near-dup screens until an index rebuild
+  * ([[Dedup.minhashIndex]], cost measured in BENCH_NOTES). At real
+  * deployment scale the two writes belong in one transactional-table
+  * commit (Iceberg/Delta); with raw parquet the append-then-swap
+  * order above is the one whose failure mode degrades recall rather
+  * than corrupting the corpus.
+  *
+  * At 100 TB: the batch (not the corpus) bounds every screening
+  * shuffle; the index rewrite is the only corpus-proportional write
+  * and is ids-only — partition the persisted index by `band` so an
+  * update rewrites only touched partitions. */
+object Admission {
+
+  /** per-batch admission telemetry: rows in the arriving batch, rows
+    * surviving the exact id screen, rows admitted after all screens
+    * (== rows appended to the corpus and folded into the index). */
+  case class AdmitStats(batchId: Long, batchRows: Long, afterIdScreen: Long,
+                        admitted: Long)
+
+  /** One admission cycle against the durable state at
+    * (`corpusPath`, `indexPath`). `indexPath` must hold a
+    * [[Dedup.minhashIndex]]-built index; its embedded build params
+    * are validated against this call's (mismatch throws rather than
+    * silently losing recall). Callable directly at batch cadence or
+    * per micro-batch via [[admitStream]]. */
+  def admitBatch(batch: DataFrame, corpusPath: String, indexPath: String,
+                 idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleLen: Int = 3, seed: Long = 42L,
+                 maxBucketSize: Int = 1000, threshold: Double = 0.8,
+                 dedupWithinBatch: Boolean = true,
+                 batchId: Long = -1L): AdmitStats = {
+    val spark = batch.sparkSession
+    val corpus = spark.read.parquet(corpusPath)
+    val index = spark.read.parquet(indexPath)
+    val batchRows = batch.count()
+    val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
+      Seq(idCol)).cache()
+    val nFresh = fresh.count()
+    val matched = Dedup.minhashPairsAgainstIndex(fresh, corpus, index,
+        idCol, textCol, numHashes = numHashes, bands = bands,
+        shingleLen = shingleLen, threshold = threshold, seed = seed)
+      .select(col("id_new").as(idCol)).distinct()
+    val screened = fresh.join(matched, Seq(idCol), "left_anti")
+    val surviving =
+      if (dedupWithinBatch)
+        Dedup.minhashDedup(screened, idCol, textCol,
+          numHashes = numHashes, bands = bands, shingleLen = shingleLen,
+          threshold = threshold)
+      else screened
+    // eager lineage cut: the writes below mutate this plan's inputs,
+    // so the admitted set must be physically settled first
+    val admitted = surviving.localCheckpoint()
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0) {
+      admitted.write.mode("append").parquet(corpusPath)
+      swapWrite(
+        Dedup.minhashIndexUpdate(index, admitted, idCol, textCol,
+          numHashes = numHashes, bands = bands, shingleLen = shingleLen,
+          seed = seed, maxBucketSize = maxBucketSize),
+        indexPath)
+    }
+    fresh.unpersist()
+    AdmitStats(batchId, batchRows, nFresh, nAdmitted)
+  }
+
+  /** Continuous admission: drains `stream` (Trigger.AvailableNow) and
+    * runs [[admitBatch]] on every micro-batch through foreachBatch.
+    * The checkpoint makes a restart resume AFTER the last committed
+    * batch; a batch that half-finished before a crash replays and
+    * step 1's id screen makes the replay a no-op (spec-pinned).
+    * Returns the per-batch stats in batch order (driver-side; the
+    * foreachBatch body runs on the driver). */
+  def admitStream(stream: DataFrame, corpusPath: String, indexPath: String,
+                  checkpoint: String, idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 16,
+                  shingleLen: Int = 3, seed: Long = 42L,
+                  maxBucketSize: Int = 1000, threshold: Double = 0.8,
+                  dedupWithinBatch: Boolean = true): Seq[AdmitStats] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[AdmitStats]
+    val perBatch: (Dataset[Row], Long) => Unit = (b, id) => {
+      acc += admitBatch(b.toDF(), corpusPath, indexPath, idCol, textCol,
+        numHashes, bands, shingleLen, seed, maxBucketSize, threshold,
+        dedupWithinBatch, batchId = id)
+      ()
+    }
+    val q = stream.writeStream.foreachBatch(perBatch)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    acc.toSeq
+  }
+
+  /** Overwrite `dest` via staging + rename — parquet's substitute for
+    * a transactional overwrite, since Spark refuses (correctly) to
+    * overwrite a path its own plan is reading. Crash windows: before
+    * the first rename, `dest` is untouched; between the two renames,
+    * `dest` is briefly absent and the previous index survives at
+    * `dest__old` for manual restore. Single writer assumed. */
+  private def swapWrite(df: DataFrame, dest: String): Unit = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new Path(dest + "__staging")
+    val old = new Path(dest + "__old")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(old, true)
+    if (fs.exists(destPath) && !fs.rename(destPath, old))
+      throw new IllegalStateException(
+        s"swapWrite: could not move previous $dest aside")
+    if (!fs.rename(staging, destPath))
+      throw new IllegalStateException(
+        s"swapWrite: could not move staging into place at $dest " +
+          s"(previous index preserved at $old)")
+    fs.delete(old, true)
+  }
+}

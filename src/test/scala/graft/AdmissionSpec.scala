@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.Admission
+
+class AdmissionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // every corpus doc gets its own token namespace -> no cross near-dups
+  private def freshText(tag: String) =
+    s"${tag}a ${tag}b ${tag}c ${tag}d ${tag}e ${tag}f ${tag}g ${tag}h"
+
+  private def corpusDf: DataFrame =
+    (0L until 40L).map(i => (i, freshText(s"c$i"))).toDF("doc_id", "text")
+
+  /** fresh (corpusDir, indexDir) seeded with corpusDf + its index */
+  private def setup(): (String, String) = {
+    val corpusDir = Files.createTempDirectory("graft_adm_c").toString
+    val indexDir = Files.createTempDirectory("graft_adm_i").toString + "/idx"
+    corpusDf.write.mode("overwrite").parquet(corpusDir)
+    Dedup.minhashIndex(corpusDf, "doc_id", "text",
+        numHashes = 64, bands = 32)
+      .write.mode("overwrite").parquet(indexDir)
+    (corpusDir, indexDir)
+  }
+
+  private def admit(b: DataFrame, c: String, i: String,
+                    within: Boolean = true, batchId: Long = -1L) =
+    Admission.admitBatch(b, c, i, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6,
+      dedupWithinBatch = within, batchId = batchId)
+
+  private def corpusIds(c: String): Seq[Long] =
+    spark.read.parquet(c).select($"doc_id").as[Long].collect().sorted.toSeq
+
+  test("two admission cycles: screens, appends, and index fold") {
+    val (c, i) = setup()
+    val batch1 = Seq(
+      100L -> freshText("n100"), // fresh -> admitted
+      101L -> freshText("n101"), // fresh -> admitted
+      102L -> freshText("c0"), // exact-text copy of doc 0 -> near screen
+      0L -> freshText("c0"), // id replay of doc 0 -> id screen
+      103L -> freshText("twin"), // within-batch verbatim twins:
+      104L -> freshText("twin") //   min id 103 admitted, 104 dropped
+    ).toDF("doc_id", "text")
+    val s1 = admit(batch1, c, i, batchId = 1L)
+    assert(s1 == Admission.AdmitStats(1L, 6L, 5L, 3L))
+    assert(corpusIds(c) == ((0L until 40L) ++ Seq(100L, 101L, 103L)))
+
+    // batch 2's near-dup of a batch-1 ADMISSION only drops if the
+    // index fold actually happened
+    val batch2 = Seq(
+      200L -> (freshText("n100") + " k"), // near-dup of admitted 100
+      201L -> freshText("n201") // fresh -> admitted
+    ).toDF("doc_id", "text")
+    val s2 = admit(batch2, c, i, batchId = 2L)
+    assert(s2 == Admission.AdmitStats(2L, 2L, 2L, 1L))
+    assert(corpusIds(c) == ((0L until 40L) ++ Seq(100L, 101L, 103L, 201L)))
+
+    // the folded index still carries its validated build params
+    assert(Seq("__numHashes", "__bands", "__shingleLen", "__seed")
+      .forall(spark.read.parquet(i).columns.contains))
+  }
+
+  test("replaying an already-admitted batch is a no-op") {
+    val (c, i) = setup()
+    val batch = Seq(100L -> freshText("n100")).toDF("doc_id", "text")
+    assert(admit(batch, c, i).admitted == 1L)
+    val before = corpusIds(c)
+    val replay = admit(batch, c, i)
+    assert(replay.afterIdScreen == 0L && replay.admitted == 0L)
+    assert(corpusIds(c) == before)
+  }
+
+  test("corpus screen runs BEFORE within-batch dedup") {
+    // chain c0 -- A -- B with jaccard(A,c0)=0.75, jaccard(B,A)=0.75,
+    // jaccard(B,c0)=0.5625 < 0.6: A drops against the corpus, so B's
+    // only within-batch partner is gone and B must be admitted.
+    // Within-batch-first would keep min-id A, drop B, then lose A
+    // against the corpus — admitting nothing.
+    val c0 = (1 to 20).map(k => s"w$k").mkString(" ")
+    val a = c0 + " " + (21 to 26).map(k => s"w$k").mkString(" ")
+    val b = a + " " + (27 to 34).map(k => s"w$k").mkString(" ")
+    val corpusDir = Files.createTempDirectory("graft_adm_c2").toString
+    val indexDir = Files.createTempDirectory("graft_adm_i2").toString + "/idx"
+    val corpus = Seq(0L -> c0).toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    Dedup.minhashIndex(corpus, "doc_id", "text", numHashes = 64, bands = 32)
+      .write.mode("overwrite").parquet(indexDir)
+    val stats = admit(Seq(100L -> a, 101L -> b).toDF("doc_id", "text"),
+      corpusDir, indexDir)
+    assert(stats.admitted == 1L)
+    assert(corpusIds(corpusDir) == Seq(0L, 101L))
+  }
+
+  test("index built with different params fails fast") {
+    val (c, i) = setup()
+    val batch = Seq(100L -> freshText("n100")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Admission.admitBatch(batch, c, i, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6)
+    }
+    assert(e.getMessage.contains("recall"))
+  }
+
+  test("streaming face: foreachBatch loop + checkpoint restart") {
+    val (c, i) = setup()
+    val base = Files.createTempDirectory("graft_adm_s").toString
+    val streamDir = s"$base/in"
+    val checkpoint = s"$base/ckpt"
+    Seq(100L -> freshText("n100"), 102L -> freshText("c0"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(streamDir)
+    val stats = Admission.admitStream(stream, c, i, checkpoint,
+      "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+    assert(stats.map(_.admitted).sum == 1L)
+    assert(corpusIds(c) == ((0L until 40L) :+ 100L))
+    // restart on the same checkpoint: nothing new to process, and the
+    // already-ingested file is never replayed into the corpus
+    val stats2 = Admission.admitStream(stream, c, i, checkpoint,
+      "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+    assert(stats2.map(_.admitted).sum == 0L)
+    assert(corpusIds(c) == ((0L until 40L) :+ 100L))
+  }
+}
