@@ -13,7 +13,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
-    // upd/ntile); numeric args override the replication scales.
+    // upd/adm/ntile); numeric args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
@@ -220,6 +220,47 @@ object ScaleSmoke {
         spark.catalog.clearCache()
       }
       newBatch.unpersist()
+    }
+
+    // ---- full admission cycle (Admission.admitBatch) against
+    // PERSISTED corpus+index state: a fixed 200-doc batch (half
+    // near-dups of corpus docs -> screened, half token-reversed ->
+    // genuinely fresh, admitted) at growing corpus scale. Screens and
+    // within-batch dedup are batch-bounded; the one corpus-
+    // proportional piece is the ids-only index swap rewrite — the
+    // growth this section makes visible (and the reason the scaladoc
+    // says to partition the persisted index by band at 100 TB).
+    // admitReplay re-runs the SAME batch: the id screen must make it
+    // a no-op, at batch-bounded cost.
+    if (on("adm")) scales.foreach { k =>
+      val c = corpus(k)
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_adm")
+      val corpusDir = dir.resolve("corpus").toString
+      val indexDir = dir.resolve("index").toString
+      c.write.mode("overwrite").parquet(corpusDir)
+      graft.operators.Dedup.minhashIndex(c, "doc_id", "text")
+        .write.mode("overwrite").parquet(indexDir)
+      val batch = base.limit(200).select(
+        (col("doc_id") + lit(90000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" probe"))) // near-dup of replicas
+          .otherwise(concat_ws(" ", // token-reversed: genuinely fresh
+            reverse(graft.functions.TextFunctions.tokens(col("text")))))
+          .as("text")).cache()
+      batch.count()
+      time("admitCycle")(graft.streaming.Admission.admitBatch(
+        batch, corpusDir, indexDir, "doc_id", "text").admitted)
+      time("admitReplay")(graft.streaming.Admission.admitBatch(
+        batch, corpusDir, indexDir, "doc_id", "text").admitted)
+      batch.unpersist(); c.unpersist()
+      spark.catalog.clearCache()
     }
 
     // ---- incremental embedding screen: replicas are SCALED copies

@@ -24,6 +24,31 @@ class DedupSpec extends SparkTestBase {
     assert(r.filter($"doc_id" >= 20000).count() == 0)
   }
 
+  test("minhash recall on random superset pairs (hash-family regression)") {
+    // 30 independent (base, base+6-random-tokens) pairs, true shingle
+    // jaccard exactly 18/24 = 0.75. The pre-fix mixed-width hash
+    // family found such a pair only when the union's globally-minimal
+    // base hash fell in the SHARED shingles (P = 0.75 per pair, so
+    // P(all 30 found) ~ 2e-4); the fixed prime-field family misses a
+    // j=0.75 pair with P ~ 3e-12 at 32 bands x 2 rows. Random tokens
+    // (not planted suffixes) are the point: recall must not depend on
+    // where the extra shingles hash.
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 30).map { i =>
+      val ws = Seq.fill(26)("w" + rnd.nextLong().toHexString).distinct
+      assert(ws.size == 26)
+      (i, ws.take(20).mkString(" "), ws.mkString(" "))
+    }
+    val df = docs.flatMap { case (i, base, sup) =>
+      Seq((2L * i, base), (2L * i + 1, sup)) }.toDF("id", "text")
+    val found = Dedup.minhashPairs(df, "id", "text",
+        numHashes = 64, bands = 32, threshold = 0.6)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(expected.subsetOf(found), s"missed: ${expected -- found}")
+  }
+
   test("minhash pairs: full recall on planted dups, no false positives") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6).cache()
