@@ -82,6 +82,73 @@ object SparkEntry {
     * corpus. Shared VERBATIM by q117, which must give the same answer
     * through the persisted-index path (the q109-vs-q78 pattern: same
     * oracle, different cost shape). */
+  /** shared q122/q123 fixture: (corpus, batch1, batch2). b1 =
+    * token-reversed fresh docs (+30000); b2 = near-dups of b1's rows
+    * (+40000, " zzz"), exact-text corpus copies (+20000), and id
+    * replays (<30 verbatim). */
+  private def admissionFixture(s: SparkSession, dir: String) = {
+    val base = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000).select(col("doc_id"), col("text"))
+    val rev = concat_ws(" ", reverse(TF.tokens(col("text"))))
+    val b1 = base.filter(col("doc_id") < 200)
+      .select((col("doc_id") + 30000).as("doc_id"), rev.as("text"))
+    val b2 = b1.filter(col("doc_id") < 30050)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      .union(base.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .union(base.filter(col("doc_id") < 30))
+    (base, b1, b2)
+  }
+
+  /** fresh durable admission state (corpus parquet + persisted
+    * minhash index) in a new temp dir — per INVOCATION, so bench
+    * passes and verify reruns are deterministic. */
+  private def admissionState(base: DataFrame, tag: String) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_adm_$tag")
+    val corpusDir = tmp.resolve("corpus").toString
+    val indexDir = tmp.resolve("index").toString
+    base.write.mode("overwrite").parquet(corpusDir)
+    Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64, bands = 32)
+      .write.mode("overwrite").parquet(indexDir)
+    (corpusDir, indexDir, tmp)
+  }
+
+  /** sequential SQL replay of both admission cycles with exact
+    * shingle jaccard — shared verbatim by q122 (batch path) and q123
+    * (streaming path). */
+  private lazy val admissionOracleSql =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+       |b1 AS (SELECT doc_id + 30000 AS doc_id,
+       |    array_to_string(list_reverse(${sqlTokens("text")}), ' ') AS text
+       |  FROM base WHERE doc_id < 200),
+       |b2 AS (SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+       |    FROM b1 WHERE doc_id < 30050
+       |  UNION ALL SELECT doc_id + 20000, text FROM base WHERE doc_id < 100
+       |  UNION ALL SELECT doc_id, text FROM base WHERE doc_id < 30),
+       |u AS (SELECT doc_id, text FROM base UNION
+       |  SELECT doc_id, text FROM b1 UNION SELECT doc_id, text FROM b2),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+       |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+       |  FROM u WHERE len(${sqlTokens("text")}) >= 3),
+       |m1 AS (SELECT DISTINCT n.doc_id FROM b1 n, base c, sh sn, sh sc
+       |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
+       |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6),
+       |c1 AS (SELECT doc_id FROM base UNION ALL
+       |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM m1)),
+       |b2f AS (SELECT doc_id, text FROM b2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+       |m2 AS (SELECT DISTINCT n.doc_id FROM b2f n, c1 c, sh sn, sh sc
+       |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
+       |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6)
+       |SELECT doc_id FROM c1
+       |UNION ALL SELECT doc_id FROM b2f
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
+       |ORDER BY doc_id""".stripMargin
+
   private lazy val incrScreenOracleSql =
     s"""WITH u AS ($docsWithDupsSql),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -2004,23 +2071,8 @@ object SparkEntry {
     // The result is the final corpus id set; the oracle replays both
     // cycles sequentially with exact shingle jaccard.
     Q("q122_admission_loop", (s, dir) => {
-      val base = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000).select(col("doc_id"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q122")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
-      Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64, bands = 32)
-        .write.mode("overwrite").parquet(indexDir)
-      val rev = concat_ws(" ", reverse(TF.tokens(col("text"))))
-      val b1 = base.filter(col("doc_id") < 200)
-        .select((col("doc_id") + 30000).as("doc_id"), rev.as("text"))
-      val b2 = b1.filter(col("doc_id") < 30050)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          concat(col("text"), lit(" zzz")).as("text"))
-        .union(base.filter(col("doc_id") < 100)
-          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-        .union(base.filter(col("doc_id") < 30))
+      val (base, b1, b2) = admissionFixture(s, dir)
+      val (corpusDir, indexDir, _) = admissionState(base, "q122")
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
         dedupWithinBatch = false, batchId = 1L)
@@ -2030,36 +2082,37 @@ object SparkEntry {
       s.read.parquet(corpusDir).select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
-      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-              |b1 AS (SELECT doc_id + 30000 AS doc_id,
-              |    array_to_string(list_reverse(${sqlTokens("text")}), ' ') AS text
-              |  FROM base WHERE doc_id < 200),
-              |b2 AS (SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
-              |    FROM b1 WHERE doc_id < 30050
-              |  UNION ALL SELECT doc_id + 20000, text FROM base WHERE doc_id < 100
-              |  UNION ALL SELECT doc_id, text FROM base WHERE doc_id < 30),
-              |u AS (SELECT doc_id, text FROM base UNION
-              |  SELECT doc_id, text FROM b1 UNION SELECT doc_id, text FROM b2),
-              |sh AS (SELECT doc_id, list_distinct(list_transform(
-              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
-              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
-              |  FROM u WHERE len(${sqlTokens("text")}) >= 3),
-              |m1 AS (SELECT DISTINCT n.doc_id FROM b1 n, base c, sh sn, sh sc
-              |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
-              |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
-              |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6),
-              |c1 AS (SELECT doc_id FROM base UNION ALL
-              |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM m1)),
-              |b2f AS (SELECT doc_id, text FROM b2
-              |  WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
-              |m2 AS (SELECT DISTINCT n.doc_id FROM b2f n, c1 c, sh sn, sh sc
-              |  WHERE sn.doc_id = n.doc_id AND sc.doc_id = c.doc_id
-              |    AND CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
-              |      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.6)
-              |SELECT doc_id FROM c1
-              |UNION ALL SELECT doc_id FROM b2f
-              |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
-              |ORDER BY doc_id""".stripMargin)),
+      Some(admissionOracleSql)),
+
+    // The STREAMING face of the same loop (Admission.admitStream, r7):
+    // the two batches become two parquet files whose mtimes force the
+    // micro-batch order under maxFilesPerTrigger=1, and foreachBatch
+    // + checkpoint drive the identical screen→append→fold cycles —
+    // gated against q122's oracle VERBATIM (the q109-vs-q78 pattern:
+    // same answer through the production streaming path).
+    Q("q123_admission_stream", (s, dir) => {
+      val (base, b1, b2) = admissionFixture(s, dir)
+      val (corpusDir, indexDir, tmp) = admissionState(base, "q123")
+      val inDir = tmp.resolve("in").toString
+      def parts = new java.io.File(inDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSet
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      val firstFiles = parts
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      val t0 = 1700000000000L // fixed mtimes: file order is data, not clock
+      firstFiles.foreach(f => f.setLastModified(t0))
+      (parts -- firstFiles).foreach(f => f.setLastModified(t0 + 600000L))
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      graft.streaming.Admission.admitStream(stream, corpusDir, indexDir,
+        tmp.resolve("ckpt").toString, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.6,
+        dedupWithinBatch = false)
+      s.read.parquet(corpusDir).select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some(admissionOracleSql)),
+
 
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed
