@@ -2113,6 +2113,69 @@ object SparkEntry {
     },
       Some(admissionOracleSql)),
 
+    // The EMBEDDING sibling of the admission loop (r7,
+    // Admission.admitBatchEmbedding): same two-cycle proof in
+    // cosine space — cycle 1 ingests NEGATED vectors (cosine -1 with
+    // their originals, genuinely fresh); cycle 2 throws scaled copies
+    // of cycle 1's admissions (cosine 1 — drop proves the embedding
+    // index fold), scaled copies of corpus vectors (near screen), and
+    // id replays (id screen). Oracle replays both cycles with exact
+    // cosine.
+    Q("q124_admission_embed", (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 2000).select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q124")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64)
+        .write.mode("overwrite").parquet(indexDir)
+      val b1 = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val b2 = b1.filter(col("vec_id") < 30050)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .union(base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+        .union(base.filter(col("vec_id") < 30))
+      graft.streaming.Admission.admitBatchEmbedding(b1, corpusDir,
+        indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
+        dedupWithinBatch = false, batchId = 1L)
+      graft.streaming.Admission.admitBatchEmbedding(b2, corpusDir,
+        indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
+        dedupWithinBatch = false, batchId = 2L)
+      s.read.parquet(corpusDir).select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+             |b1 AS (SELECT vec_id + 30000 AS vec_id,
+             |    list_transform(embedding, x -> -x) AS embedding
+             |  FROM base WHERE vec_id < 100),
+             |b2 AS (SELECT vec_id + 10000 AS vec_id,
+             |    list_transform(embedding, x -> x * 2) AS embedding
+             |    FROM b1 WHERE vec_id < 30050
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(embedding, x -> x * 3) FROM base WHERE vec_id < 50
+             |  UNION ALL SELECT vec_id, embedding FROM base WHERE vec_id < 30),
+             |m1 AS (SELECT DISTINCT n.vec_id FROM b1 n, base c
+             |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+             |    CAST(c.embedding AS DOUBLE[])) >= 0.95),
+             |c1 AS (SELECT vec_id FROM base UNION ALL
+             |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
+             |cv AS (SELECT vec_id, embedding FROM base UNION ALL
+             |  SELECT vec_id, embedding FROM b1
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
+             |b2f AS (SELECT vec_id, embedding FROM b2
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM c1)),
+             |m2 AS (SELECT DISTINCT n.vec_id FROM b2f n, cv c
+             |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+             |    CAST(c.embedding AS DOUBLE[])) >= 0.95)
+             |SELECT vec_id FROM c1
+             |UNION ALL SELECT vec_id FROM b2f
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
+             |ORDER BY vec_id""".stripMargin)),
 
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed

@@ -55,7 +55,13 @@ import graft.operators.Dedup
   * At 100 TB: the batch (not the corpus) bounds every screening
   * shuffle; the index rewrite is the only corpus-proportional write
   * and is ids-only — partition the persisted index by `band` so an
-  * update rewrites only touched partitions. */
+  * update rewrites only touched partitions.
+  *
+  * [[admitBatchEmbedding]] / [[admitStreamEmbedding]] are the
+  * embedding-space siblings: identical skeleton and contracts, with
+  * the SemDeDup-style cosine screen over a persisted
+  * [[Dedup.embeddingIndex]] and [[Dedup.embeddingIndexUpdate]] as the
+  * fold. */
 object Admission {
 
   /** per-batch admission telemetry: rows in the arriving batch, rows
@@ -63,6 +69,41 @@ object Admission {
     * (== rows appended to the corpus and folded into the index). */
   case class AdmitStats(batchId: Long, batchRows: Long, afterIdScreen: Long,
                         admitted: Long)
+
+  /** The shared cycle skeleton: id screen → near screen → optional
+    * within-batch dedup → localCheckpoint → corpus append + staged
+    * index swap. `screen` returns the matched-id column for the near
+    * screen; `within` dedups the surviving batch against itself;
+    * `fold` merges the admitted rows into the index. */
+  private def admitCore(batch: DataFrame, corpusPath: String,
+                        indexPath: String, idCol: String, batchId: Long,
+                        within: Boolean,
+                        screen: (DataFrame, DataFrame, DataFrame) => DataFrame,
+                        dedupWithin: DataFrame => DataFrame,
+                        fold: (DataFrame, DataFrame) => DataFrame)
+  : AdmitStats = {
+    val spark = batch.sparkSession
+    val corpus = spark.read.parquet(corpusPath)
+    val index = spark.read.parquet(indexPath)
+    val batchRows = batch.count()
+    val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
+      Seq(idCol)).cache()
+    val nFresh = fresh.count()
+    val matched = screen(fresh, corpus, index)
+      .select(col("id_new").as(idCol)).distinct()
+    val screened = fresh.join(matched, Seq(idCol), "left_anti")
+    val surviving = if (within) dedupWithin(screened) else screened
+    // eager lineage cut: the writes below mutate this plan's inputs,
+    // so the admitted set must be physically settled first
+    val admitted = surviving.localCheckpoint()
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0) {
+      admitted.write.mode("append").parquet(corpusPath)
+      swapWrite(fold(index, admitted), indexPath)
+    }
+    fresh.unpersist()
+    AdmitStats(batchId, batchRows, nFresh, nAdmitted)
+  }
 
   /** One admission cycle against the durable state at
     * (`corpusPath`, `indexPath`). `indexPath` must hold a
@@ -76,40 +117,56 @@ object Admission {
                  shingleLen: Int = 3, seed: Long = 42L,
                  maxBucketSize: Int = 1000, threshold: Double = 0.8,
                  dedupWithinBatch: Boolean = true,
-                 batchId: Long = -1L): AdmitStats = {
-    val spark = batch.sparkSession
-    val corpus = spark.read.parquet(corpusPath)
-    val index = spark.read.parquet(indexPath)
-    val batchRows = batch.count()
-    val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
-      Seq(idCol)).cache()
-    val nFresh = fresh.count()
-    val matched = Dedup.minhashPairsAgainstIndex(fresh, corpus, index,
-        idCol, textCol, numHashes = numHashes, bands = bands,
-        shingleLen = shingleLen, threshold = threshold, seed = seed)
-      .select(col("id_new").as(idCol)).distinct()
-    val screened = fresh.join(matched, Seq(idCol), "left_anti")
-    val surviving =
-      if (dedupWithinBatch)
+                 batchId: Long = -1L): AdmitStats =
+    admitCore(batch, corpusPath, indexPath, idCol, batchId,
+      dedupWithinBatch,
+      screen = (fresh, corpus, index) =>
+        Dedup.minhashPairsAgainstIndex(fresh, corpus, index,
+          idCol, textCol, numHashes = numHashes, bands = bands,
+          shingleLen = shingleLen, threshold = threshold, seed = seed),
+      dedupWithin = screened =>
         Dedup.minhashDedup(screened, idCol, textCol,
           numHashes = numHashes, bands = bands, shingleLen = shingleLen,
-          threshold = threshold)
-      else screened
-    // eager lineage cut: the writes below mutate this plan's inputs,
-    // so the admitted set must be physically settled first
-    val admitted = surviving.localCheckpoint()
-    val nAdmitted = admitted.count()
-    if (nAdmitted > 0) {
-      admitted.write.mode("append").parquet(corpusPath)
-      swapWrite(
+          threshold = threshold),
+      fold = (index, admitted) =>
         Dedup.minhashIndexUpdate(index, admitted, idCol, textCol,
           numHashes = numHashes, bands = bands, shingleLen = shingleLen,
-          seed = seed, maxBucketSize = maxBucketSize),
-        indexPath)
-    }
-    fresh.unpersist()
-    AdmitStats(batchId, batchRows, nFresh, nAdmitted)
-  }
+          seed = seed, maxBucketSize = maxBucketSize))
+
+  /** [[admitBatch]]'s embedding sibling: same skeleton, with the
+    * semantic screen ([[Dedup.embeddingPairsAgainstIndex]] over a
+    * persisted [[Dedup.embeddingIndex]]), within-batch near-dedup via
+    * embedding pairs + connected components (min-id representative),
+    * and [[Dedup.embeddingIndexUpdate]] as the fold. */
+  def admitBatchEmbedding(batch: DataFrame, corpusPath: String,
+                          indexPath: String, idCol: String, vecCol: String,
+                          dim: Int, nTables: Int = 8,
+                          bitsPerTable: Int = 16, seed: Long = 42L,
+                          maxBucketSize: Int = 10000,
+                          threshold: Double = 0.95,
+                          dedupWithinBatch: Boolean = true,
+                          batchId: Long = -1L): AdmitStats =
+    admitCore(batch, corpusPath, indexPath, idCol, batchId,
+      dedupWithinBatch,
+      screen = (fresh, corpus, index) =>
+        Dedup.embeddingPairsAgainstIndex(fresh, corpus, index,
+          idCol, vecCol, dim, threshold = threshold, nTables = nTables,
+          bitsPerTable = bitsPerTable, seed = seed),
+      dedupWithin = screened => {
+        val pairs = Dedup.embeddingPairs(screened, idCol, vecCol, dim,
+            threshold = threshold, nTables = nTables,
+            bitsPerTable = bitsPerTable, seed = seed,
+            maxBucketSize = maxBucketSize)
+          .select(col("id_a"), col("id_b"))
+        val drop = Dedup.connectedComponentMinLabel(pairs)
+          .filter(col("id") =!= col("rep"))
+          .withColumnRenamed("id", idCol).select(col(idCol))
+        screened.join(drop, Seq(idCol), "left_anti")
+      },
+      fold = (index, admitted) =>
+        Dedup.embeddingIndexUpdate(index, admitted, idCol, vecCol, dim,
+          nTables = nTables, bitsPerTable = bitsPerTable, seed = seed,
+          maxBucketSize = maxBucketSize))
 
   /** Continuous admission: drains `stream` (Trigger.AvailableNow) and
     * runs [[admitBatch]] on every micro-batch through foreachBatch.
@@ -123,15 +180,35 @@ object Admission {
                   numHashes: Int = 64, bands: Int = 16,
                   shingleLen: Int = 3, seed: Long = 42L,
                   maxBucketSize: Int = 1000, threshold: Double = 0.8,
-                  dedupWithinBatch: Boolean = true): Seq[AdmitStats] = {
-    val acc = scala.collection.mutable.ArrayBuffer.empty[AdmitStats]
-    val perBatch: (Dataset[Row], Long) => Unit = (b, id) => {
-      acc += admitBatch(b.toDF(), corpusPath, indexPath, idCol, textCol,
+                  dedupWithinBatch: Boolean = true): Seq[AdmitStats] =
+    streamCore(stream, checkpoint, (b, id) =>
+      admitBatch(b, corpusPath, indexPath, idCol, textCol,
         numHashes, bands, shingleLen, seed, maxBucketSize, threshold,
-        dedupWithinBatch, batchId = id)
+        dedupWithinBatch, batchId = id))
+
+  /** [[admitStream]]'s embedding sibling. */
+  def admitStreamEmbedding(stream: DataFrame, corpusPath: String,
+                           indexPath: String, checkpoint: String,
+                           idCol: String, vecCol: String, dim: Int,
+                           nTables: Int = 8, bitsPerTable: Int = 16,
+                           seed: Long = 42L, maxBucketSize: Int = 10000,
+                           threshold: Double = 0.95,
+                           dedupWithinBatch: Boolean = true)
+  : Seq[AdmitStats] =
+    streamCore(stream, checkpoint, (b, id) =>
+      admitBatchEmbedding(b, corpusPath, indexPath, idCol, vecCol, dim,
+        nTables, bitsPerTable, seed, maxBucketSize, threshold,
+        dedupWithinBatch, batchId = id))
+
+  private def streamCore(stream: DataFrame, checkpoint: String,
+                         perBatch: (DataFrame, Long) => AdmitStats)
+  : Seq[AdmitStats] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[AdmitStats]
+    val fn: (Dataset[Row], Long) => Unit = (b, id) => {
+      acc += perBatch(b.toDF(), id)
       ()
     }
-    val q = stream.writeStream.foreachBatch(perBatch)
+    val q = stream.writeStream.foreachBatch(fn)
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

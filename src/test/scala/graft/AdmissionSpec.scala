@@ -108,6 +108,39 @@ class AdmissionSpec extends SparkTestBase {
     assert(e.getMessage.contains("recall"))
   }
 
+  test("embedding admission loop: screens, appends, and index fold") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpusVecs = (0L until 20L).map(i => (i, vec()))
+    val corpusDir = Files.createTempDirectory("graft_adm_e_c").toString
+    val indexDir = Files.createTempDirectory("graft_adm_e_i").toString + "/idx"
+    val corpus = corpusVecs.toDF("vec_id", "v")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    Dedup.embeddingIndex(corpus, "vec_id", "v", dim = 8)
+      .write.mode("overwrite").parquet(indexDir)
+    def adm(b: DataFrame, batchId: Long) = Admission.admitBatchEmbedding(
+      b, corpusDir, indexDir, "vec_id", "v", dim = 8, batchId = batchId)
+    val fresh100 = vec(); val fresh102 = vec()
+    val b1 = Seq(
+      100L -> fresh100, // fresh -> admitted
+      101L -> corpusVecs(0)._2.map(_ * 2f), // cosine 1 with vec 0 -> near
+      0L -> corpusVecs(0)._2, // id replay -> id screen
+      102L -> fresh102, // within-batch twins: 102 admitted,
+      103L -> fresh102.clone() //   103 dropped
+    ).toDF("vec_id", "v")
+    assert(adm(b1, 1L) == Admission.AdmitStats(1L, 5L, 4L, 2L))
+    // a scaled copy of a batch-1 ADMISSION drops only if the index
+    // fold happened
+    val b2 = Seq(200L -> fresh100.map(_ * 3f), 201L -> vec())
+      .toDF("vec_id", "v")
+    assert(adm(b2, 2L) == Admission.AdmitStats(2L, 2L, 2L, 1L))
+    val ids = spark.read.parquet(corpusDir)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 20L) ++ Seq(100L, 102L, 201L)))
+    assert(Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
+      .forall(spark.read.parquet(indexDir).columns.contains))
+  }
+
   test("streaming face: foreachBatch loop + checkpoint restart") {
     val (c, i) = setup()
     val base = Files.createTempDirectory("graft_adm_s").toString
