@@ -216,6 +216,23 @@ object Admission {
     acc.toSeq
   }
 
+  /** Compact the corpus after many per-batch appends — the classic
+    * small-files ingestion pathology (every admission cycle appends
+    * its own files; a year of hourly batches is ~10k tiny files whose
+    * listing/open overhead eventually dominates scans). Rewrites the
+    * corpus into `partitions` files via the same staged swap the
+    * index writes use; row-preserving (returns the row count of the
+    * compacted corpus); run it between admission cycles under the
+    * same single-writer contract. At 100 TB compact incrementally —
+    * per date/prefix partition — rather than rewriting the world. */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession,
+                    corpusPath: String, partitions: Int): Long = {
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+    swapWrite(spark.read.parquet(corpusPath).repartition(partitions),
+      corpusPath)
+    spark.read.parquet(corpusPath).count()
+  }
+
   /** Overwrite `dest` via staging + rename — parquet's substitute for
     * a transactional overwrite, since Spark refuses (correctly) to
     * overwrite a path its own plan is reading. Crash windows: before

@@ -108,6 +108,20 @@ class AdmissionSpec extends SparkTestBase {
     assert(e.getMessage.contains("recall"))
   }
 
+  test("compactCorpus collapses per-batch append files, row-preserving") {
+    val (c, i) = setup()
+    admit(Seq(100L -> freshText("n100")).toDF("doc_id", "text"), c, i)
+    admit(Seq(101L -> freshText("n101")).toDF("doc_id", "text"), c, i)
+    val before = corpusIds(c)
+    def partFiles = new java.io.File(c).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles > 2) // initial write + two appends
+    val n = Admission.compactCorpus(spark, c, 2)
+    assert(n == before.size)
+    assert(partFiles <= 2)
+    assert(corpusIds(c) == before)
+  }
+
   test("embedding admission loop: screens, appends, and index fold") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
