@@ -149,6 +149,31 @@ object SparkEntry {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
        |ORDER BY doc_id""".stripMargin
 
+  /** q125/q126 fixture: deterministic functional graph u -> 7u mod
+    * 200 over the events user domain (cycles + trees, multi-hop
+    * chains). */
+  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("user_id") >= 0 && col("user_id") < 200)
+      .select(col("user_id").as("id_a"),
+        (col("user_id") * 7 % 200).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+
+  /** recursive-CTE reachability closure → min reachable id per node */
+  private lazy val ccOracleSql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT user_id AS a, (user_id * 7) % 200 AS b
+      |  FROM events
+      |  WHERE user_id >= 0 AND user_id < 200
+      |    AND user_id != (user_id * 7) % 200),
+      |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |reach AS (
+      |  SELECT DISTINCT a AS id, a AS r FROM e
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+      |SELECT id, min(r) AS rep FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin
+
   private lazy val incrScreenOracleSql =
     s"""WITH u AS ($docsWithDupsSql),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -2176,6 +2201,29 @@ object SparkEntry {
              |UNION ALL SELECT vec_id FROM b2f
              |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
              |ORDER BY vec_id""".stripMargin)),
+
+    // Connected components (Dedup.connectedComponentMinLabel — the
+    // machinery under every near-dup cluster merge), gated directly
+    // for the first time: a deterministic functional graph over the
+    // events user domain (u -> 7u mod 200), min-id component labels.
+    // This small integral-id graph takes the DRIVER union-find path;
+    // the oracle is a recursive-CTE reachability closure.
+    Q("q125_connected_components", (s, dir) => {
+      Dedup.connectedComponentMinLabel(ccEdges(s, dir))
+        .orderBy(col("id"))
+    },
+      Some(ccOracleSql)),
+
+    // The same graph forced down the DISTRIBUTED min-label +
+    // pointer-jumping loop (driverThreshold = 0) against the same
+    // oracle verbatim — both CC execution paths now oracle-proven
+    // equal, not just spec-pinned.
+    Q("q126_connected_components_dist", (s, dir) => {
+      Dedup.connectedComponentMinLabel(ccEdges(s, dir),
+          driverThreshold = 0L)
+        .orderBy(col("id"))
+    },
+      Some(ccOracleSql)),
 
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed
