@@ -2100,10 +2100,10 @@ object SparkEntry {
       val (corpusDir, indexDir, _) = admissionState(base, "q122")
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
-        dedupWithinBatch = false, batchId = 1L)
+        dedupWithinBatch = false, batchId = 1L, collectStats = false)
       graft.streaming.Admission.admitBatch(b2, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
-        dedupWithinBatch = false, batchId = 2L)
+        dedupWithinBatch = false, batchId = 2L, collectStats = false)
       s.read.parquet(corpusDir).select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
@@ -2167,10 +2167,10 @@ object SparkEntry {
         .union(base.filter(col("vec_id") < 30))
       graft.streaming.Admission.admitBatchEmbedding(b1, corpusDir,
         indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
-        dedupWithinBatch = false, batchId = 1L)
+        dedupWithinBatch = false, batchId = 1L, collectStats = false)
       graft.streaming.Admission.admitBatchEmbedding(b2, corpusDir,
         indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
-        dedupWithinBatch = false, batchId = 2L)
+        dedupWithinBatch = false, batchId = 2L, collectStats = false)
       s.read.parquet(corpusDir).select(col("vec_id"))
         .orderBy(col("vec_id"))
     },

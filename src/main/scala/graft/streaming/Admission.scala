@@ -66,7 +66,10 @@ object Admission {
 
   /** per-batch admission telemetry: rows in the arriving batch, rows
     * surviving the exact id screen, rows admitted after all screens
-    * (== rows appended to the corpus and folded into the index). */
+    * (== rows appended to the corpus and folded into the index).
+    * `batchRows`/`afterIdScreen` are -1 when the cycle ran with
+    * `collectStats = false` (each costs one extra Spark job; the
+    * admitted count is always real — it gates the writes). */
   case class AdmitStats(batchId: Long, batchRows: Long, afterIdScreen: Long,
                         admitted: Long)
 
@@ -77,7 +80,7 @@ object Admission {
     * `fold` merges the admitted rows into the index. */
   private def admitCore(batch: DataFrame, corpusPath: String,
                         indexPath: String, idCol: String, batchId: Long,
-                        within: Boolean,
+                        within: Boolean, collectStats: Boolean,
                         screen: (DataFrame, DataFrame, DataFrame) => DataFrame,
                         dedupWithin: DataFrame => DataFrame,
                         fold: (DataFrame, DataFrame) => DataFrame)
@@ -85,10 +88,10 @@ object Admission {
     val spark = batch.sparkSession
     val corpus = spark.read.parquet(corpusPath)
     val index = spark.read.parquet(indexPath)
-    val batchRows = batch.count()
+    val batchRows = if (collectStats) batch.count() else -1L
     val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
       Seq(idCol)).cache()
-    val nFresh = fresh.count()
+    val nFresh = if (collectStats) fresh.count() else -1L
     val matched = screen(fresh, corpus, index)
       .select(col("id_new").as(idCol)).distinct()
     val screened = fresh.join(matched, Seq(idCol), "left_anti")
@@ -117,9 +120,10 @@ object Admission {
                  shingleLen: Int = 3, seed: Long = 42L,
                  maxBucketSize: Int = 1000, threshold: Double = 0.8,
                  dedupWithinBatch: Boolean = true,
-                 batchId: Long = -1L): AdmitStats =
+                 batchId: Long = -1L,
+                 collectStats: Boolean = true): AdmitStats =
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
-      dedupWithinBatch,
+      dedupWithinBatch, collectStats,
       screen = (fresh, corpus, index) =>
         Dedup.minhashPairsAgainstIndex(fresh, corpus, index,
           idCol, textCol, numHashes = numHashes, bands = bands,
@@ -145,9 +149,10 @@ object Admission {
                           maxBucketSize: Int = 10000,
                           threshold: Double = 0.95,
                           dedupWithinBatch: Boolean = true,
-                          batchId: Long = -1L): AdmitStats =
+                          batchId: Long = -1L,
+                          collectStats: Boolean = true): AdmitStats =
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
-      dedupWithinBatch,
+      dedupWithinBatch, collectStats,
       screen = (fresh, corpus, index) =>
         Dedup.embeddingPairsAgainstIndex(fresh, corpus, index,
           idCol, vecCol, dim, threshold = threshold, nTables = nTables,

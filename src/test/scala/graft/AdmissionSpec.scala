@@ -108,6 +108,17 @@ class AdmissionSpec extends SparkTestBase {
     assert(e.getMessage.contains("recall"))
   }
 
+  test("collectStats=false skips telemetry counts but admits identically") {
+    val (c, i) = setup()
+    val batch = Seq(100L -> freshText("n100"), 0L -> freshText("c0"))
+      .toDF("doc_id", "text")
+    val s = Admission.admitBatch(batch, c, i, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6, collectStats = false)
+    assert(s.batchRows == -1L && s.afterIdScreen == -1L)
+    assert(s.admitted == 1L)
+    assert(corpusIds(c) == ((0L until 40L) :+ 100L))
+  }
+
   test("compactCorpus collapses per-batch append files, row-preserving") {
     val (c, i) = setup()
     admit(Seq(100L -> freshText("n100")).toDF("doc_id", "text"), c, i)
