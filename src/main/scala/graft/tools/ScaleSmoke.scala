@@ -13,7 +13,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
-    // upd/adm/ntile); numeric args override the replication scales.
+    // upd/adm/cc/ntile); numeric args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
@@ -260,6 +260,30 @@ object ScaleSmoke {
       time("admitReplay")(graft.streaming.Admission.admitBatch(
         batch, corpusDir, indexDir, "doc_id", "text").admitted)
       batch.unpersist(); c.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- connected components: the adaptive driver/distributed
+    // cutover claim measured. Chain graphs (worst-case diameter for
+    // label propagation) at growing edge counts, driver union-find vs
+    // the forced distributed pointer-jumping loop. The driver path
+    // exists because per-round job overhead dominates on small
+    // graphs; the distributed loop exists because the driver path
+    // can't hold 100 TB-scale edge lists.
+    if (on("cc")) Seq(10000, 100000, 1000000).foreach { nEdges =>
+      import spark.implicits._
+      val chain = spark.range(nEdges)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=1  n=$nEdges%-7d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("ccDriver")(graft.operators.Dedup
+        .connectedComponentMinLabel(chain).count())
+      time("ccDistributed")(graft.operators.Dedup
+        .connectedComponentMinLabel(chain, driverThreshold = 0L).count())
       spark.catalog.clearCache()
     }
 
