@@ -82,6 +82,18 @@ object GroupedDDF {
           (p.tail.length == 1 || p.tail.head != '0'),
         s"percentile agg must be p0..p100 (no zero padding), got $fn")
       percentile(col(c), lit(n / 100.0))
+    // approx percentile "ap25"/"ap99": the scale path the exact pNN
+    // doc points at — one-pass mergeable sketch (no per-group sort),
+    // rank error bounded by 1/accuracy. Deterministic given the data,
+    // but sketch-defined rather than interpolated, so spec-pinned
+    // against the exact pNN instead of the SQL oracle.
+    case p if p.length > 2 && p.startsWith("ap") &&
+        p.drop(2).forall(_.isDigit) =>
+      val n = p.drop(2).toInt
+      require(n <= 100 && (p.drop(2).length <= 2 || n == 100) &&
+          (p.drop(2).length == 1 || p.drop(2).head != '0'),
+        s"approx percentile agg must be ap0..ap100 (no zero padding), got $fn")
+      percentile_approx(col(c), lit(n / 100.0), lit(10000))
     case other            => sys.error(s"unknown agg function: $other")
   }
 }

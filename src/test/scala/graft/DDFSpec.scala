@@ -544,6 +544,28 @@ class DDFSpec extends SparkTestBase {
     }
   }
 
+  test("apNN aggregates: sketch percentiles track the exact pNN") {
+    // at accuracy 10000 on small groups the sketch returns an exact
+    // member of the group (approx_percentile picks a real value, so
+    // it brackets the interpolated pNN within one element)
+    val li = DDF(spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_returnflag".as("k"), $"l_quantity".as("v")))
+    val r = li.groupBy(Seq("k")).agg(
+      ("ap", "ap50", "v"), ("ex", "p50", "v"),
+      ("lo", "p25", "v"), ("hi", "p75", "v"))
+      .toDF.collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (ap, lo, hi) = (x.getDouble(1), x.getDouble(3), x.getDouble(4))
+      assert(ap >= lo && ap <= hi,
+        s"ap50 $ap outside the exact p25..p75 band [$lo, $hi]")
+    }
+    intercept[RuntimeException] {
+      graft.ddf.GroupedDDF.aggExpr("ap05", "v")
+    }
+  }
+
   test("fluent pipeline delegates equal the direct operator calls") {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{Budget, Dedup}
