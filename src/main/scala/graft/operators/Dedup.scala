@@ -844,8 +844,15 @@ object Dedup {
     * ANY table's full code, so recall at cosine c is
     * 1 - (1 - p^bits)^tables with p = 1 - acos(c)/π; positively
     * scaled duplicates (c = 1) collide in EVERY table, exactly.
-    * Candidates come from the same bucket-grouped expansion as
-    * minhashPairs — never an all-pairs join. */
+    * Concretely at the defaults (8 tables x 16 bits): ~80% recall for
+    * a pair at EXACTLY cosine 0.95, ~99.5% at 0.99, 1 at 1.0 —
+    * candidate recall rises steeply above the threshold, so the pairs
+    * the screen is FOR (true duplicates) are near-certain while
+    * boundary pairs are probabilistic (randomized pin in DedupSpec).
+    * Raise `nTables` (linear cost) for higher boundary recall, e.g.
+    * 16 tables → ~96% at 0.95. Candidates come from the same
+    * bucket-grouped expansion as minhashPairs — never an all-pairs
+    * join. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
                      nTables: Int = 8, bitsPerTable: Int = 16,

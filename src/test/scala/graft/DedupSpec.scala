@@ -49,6 +49,39 @@ class DedupSpec extends SparkTestBase {
     assert(expected.subsetOf(found), s"missed: ${expected -- found}")
   }
 
+  test("embedding LSH recall on randomized near-boundary pairs") {
+    // 60 (u, 0.990*u + noise) pairs at cosine ~0.99 — NOT exact
+    // scaled copies (those collide in every table by construction and
+    // prove nothing about probabilistic recall). Per the documented
+    // curve, recall at 0.99 with 8x16 defaults is ~99.5%/pair, so 60
+    // fixed-seed pairs allow a couple of misses but not many.
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    def unit() = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val alpha = math.toRadians(8.1) // cos ~ 0.990
+    val docs = (0 until 60).flatMap { i =>
+      val u = unit()
+      val w0 = unit()
+      val d = u.zip(w0).map { case (a, b) => a * b }.sum
+      val w = w0.zip(u).map { case (b, a) => b - d * a } // u-orthogonal
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      val v = u.zip(w).map { case (a, b) =>
+        (math.cos(alpha) * a + math.sin(alpha) * b / wn).toFloat }
+      Seq((2L * i, u), (2L * i + 1, v))
+    }.toDF("id", "v")
+    val found = Dedup.embeddingPairs(docs, "id", "v", dim,
+        threshold = 0.95)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 60).map(i => (2L * i, 2L * i + 1)).toSet
+    val recall = planted.intersect(found).size
+    assert(recall >= 54, s"recall $recall/60 below the documented curve")
+  }
+
   test("minhash pairs: full recall on planted dups, no false positives") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6).cache()
