@@ -124,7 +124,15 @@ object Dedup {
 
   /** candidate near-dup pairs by MinHash LSH, verified by exact
     * Jaccard on word `shingleLen`-grams. Returns (id_a, id_b, jaccard)
-    * with id_a < id_b and jaccard >= threshold. */
+    * with id_a < id_b and jaccard >= threshold.
+    *
+    * Match `bands` to `threshold`: candidate recall at jaccard j is
+    * 1 - (1 - j^(numHashes/bands))^bands, an S-curve centered near
+    * (1/bands)^(bands/numHashes). The 64/16 defaults (4 rows/band)
+    * fit threshold 0.8 (recall 0.9998 there, ~0.89 at 0.6); for a
+    * 0.6 threshold use bands = 32 (2 rows/band — recall 1-6e-7 at
+    * 0.6), as the catalog's screen queries do. Verification is exact,
+    * so a too-coarse banding only loses recall, never precision. */
   /** `maxBucketSize`: band buckets larger than this are skipped during
     * candidate generation. Oversized buckets arise from high-frequency
     * shingles dominating a band's minima and contribute m^2 mostly-
