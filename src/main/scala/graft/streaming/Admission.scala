@@ -185,11 +185,12 @@ object Admission {
                   numHashes: Int = 64, bands: Int = 16,
                   shingleLen: Int = 3, seed: Long = 42L,
                   maxBucketSize: Int = 1000, threshold: Double = 0.8,
-                  dedupWithinBatch: Boolean = true): Seq[AdmitStats] =
+                  dedupWithinBatch: Boolean = true,
+                  collectStats: Boolean = true): Seq[AdmitStats] =
     streamCore(stream, checkpoint, (b, id) =>
       admitBatch(b, corpusPath, indexPath, idCol, textCol,
         numHashes, bands, shingleLen, seed, maxBucketSize, threshold,
-        dedupWithinBatch, batchId = id))
+        dedupWithinBatch, batchId = id, collectStats = collectStats))
 
   /** [[admitStream]]'s embedding sibling. */
   def admitStreamEmbedding(stream: DataFrame, corpusPath: String,
@@ -198,12 +199,13 @@ object Admission {
                            nTables: Int = 8, bitsPerTable: Int = 16,
                            seed: Long = 42L, maxBucketSize: Int = 10000,
                            threshold: Double = 0.95,
-                           dedupWithinBatch: Boolean = true)
+                           dedupWithinBatch: Boolean = true,
+                           collectStats: Boolean = true)
   : Seq[AdmitStats] =
     streamCore(stream, checkpoint, (b, id) =>
       admitBatchEmbedding(b, corpusPath, indexPath, idCol, vecCol, dim,
         nTables, bitsPerTable, seed, maxBucketSize, threshold,
-        dedupWithinBatch, batchId = id))
+        dedupWithinBatch, batchId = id, collectStats = collectStats))
 
   private def streamCore(stream: DataFrame, checkpoint: String,
                          perBatch: (DataFrame, Long) => AdmitStats)
