@@ -662,6 +662,31 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Dedup.embeddingPairsAgainst(df, corpus.df,
       idCol, vecCol, dim, threshold = threshold))
 
+  /** [[graft.streaming.Admission.admitBatch]] — run one full
+    * admission cycle with this frame as the arriving batch: id screen
+    * → near-dup screen against the persisted index at `indexPath` →
+    * within-batch dedup → append survivors to the corpus at
+    * `corpusPath` + fold them into the index. Returns the cycle's
+    * [[graft.streaming.Admission.AdmitStats]] (an action, not a lazy
+    * frame — the cycle WRITES). */
+  def admitInto(corpusPath: String, indexPath: String, idCol: String,
+                textCol: String, threshold: Double = 0.8,
+                numHashes: Int = 64, bands: Int = 16)
+  : graft.streaming.Admission.AdmitStats =
+    graft.streaming.Admission.admitBatch(df, corpusPath, indexPath,
+      idCol, textCol, numHashes = numHashes, bands = bands,
+      threshold = threshold)
+
+  /** [[graft.streaming.Admission.admitBatchEmbedding]] — the
+    * embedding-space admission cycle, same contract as
+    * [[admitInto]]. */
+  def admitIntoEmbedding(corpusPath: String, indexPath: String,
+                         idCol: String, vecCol: String, dim: Int,
+                         threshold: Double = 0.95)
+  : graft.streaming.Admission.AdmitStats =
+    graft.streaming.Admission.admitBatchEmbedding(df, corpusPath,
+      indexPath, idCol, vecCol, dim, threshold = threshold)
+
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */
   def decontaminate(evalSet: DDF, idCol: String, textCol: String,

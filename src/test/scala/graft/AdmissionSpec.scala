@@ -108,6 +108,16 @@ class AdmissionSpec extends SparkTestBase {
     assert(e.getMessage.contains("recall"))
   }
 
+  test("fluent DDF.admitInto delegates to the admission cycle") {
+    val (c, i) = setup()
+    val s = graft.ddf.DDF(
+      Seq(100L -> freshText("n100"), 102L -> freshText("c0"))
+        .toDF("doc_id", "text"))
+      .admitInto(c, i, "doc_id", "text", threshold = 0.6, bands = 32)
+    assert(s.admitted == 1L)
+    assert(corpusIds(c) == ((0L until 40L) :+ 100L))
+  }
+
   test("collectStats=false skips telemetry counts but admits identically") {
     val (c, i) = setup()
     val batch = Seq(100L -> freshText("n100"), 0L -> freshText("c0"))
