@@ -53,9 +53,25 @@ import graft.operators.Dedup
   * than corrupting the corpus.
   *
   * At 100 TB: the batch (not the corpus) bounds every screening
-  * shuffle; the index rewrite is the only corpus-proportional write
+  * SHUFFLE; the index rewrite is the only corpus-proportional write
   * and is ids-only — partition the persisted index by `band` so an
   * update rewrites only touched partitions.
+  *
+  * Cost model at scale — what IS corpus-proportional: each cycle
+  * READS the corpus twice (the id-screen semi join and the near-dup
+  * jaccard/cosine verification join; neither shuffles it, both scan
+  * it). At gate scale that is noise (ScaleSmoke `adm` measures flat
+  * cycles); at 100 TB it is the dominant term, and the mitigations
+  * are storage-layout ones: bucket the corpus by `idCol` so both
+  * joins prune to matching buckets, or keep a distilled ids-only
+  * keys table beside the index and screen ids against that instead
+  * of the corpus. The keys-table variant is deliberately NOT built
+  * in: screening ids against the corpus itself is what makes a
+  * replayed half-finished batch exactly idempotent, and a separate
+  * keys artifact re-opens that window (keys-before-corpus crash =
+  * lost doc; corpus-before-keys crash = duplicate on replay). Choose
+  * it only on a transactional table format where corpus + keys +
+  * index commit atomically.
   *
   * [[admitBatchEmbedding]] / [[admitStreamEmbedding]] are the
   * embedding-space siblings: identical skeleton and contracts, with
