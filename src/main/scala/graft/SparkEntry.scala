@@ -2225,6 +2225,16 @@ object SparkEntry {
     },
       Some(ccOracleSql)),
 
+    // Cluster-size audit over the same graph (Dedup.clusterSizes —
+    // the dedup report: how big are the duplicate clusters?); the
+    // oracle aggregates the reachability closure.
+    Q("q127_cc_cluster_sizes", (s, dir) => {
+      Dedup.clusterSizes(ccEdges(s, dir)).orderBy(col("rep"))
+    },
+      Some(s"""WITH cc AS ($ccOracleSql)
+              |SELECT rep, CAST(count(*) AS BIGINT) AS size
+              |FROM cc GROUP BY rep ORDER BY rep""".stripMargin)),
+
     // Wide-format pivot (GroupedDDF.pivot, pairs with q68 melt).
     // Values supplied explicitly (the scale-correct form: fixed
     // schema, no distinct pre-pass); the oracle is the classic

@@ -444,6 +444,15 @@ object Dedup {
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Near-dup cluster audit: component representative → member count
+    * over an undirected pair list — the standard dedup report (how
+    * big are the duplicate clusters this corpus carries?). Only nodes
+    * appearing in `pairs` are counted (singletons have no edges); one
+    * aggregation over [[connectedComponentMinLabel]]'s labeling. */
+  def clusterSizes(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentMinLabel(pairs, maxIter)
+      .groupBy(col("rep")).agg(count(lit(1)).as("size"))
+
   /** min-label propagation over an undirected edge list (id_a, id_b):
     * returns (id, rep) where rep = min id in the component.
     *
