@@ -341,6 +341,14 @@ class DedupSpec extends SparkTestBase {
     assert(zero.count() == 30)
   }
 
+  test("clusterSizes: component representative -> member count") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val sizes = Dedup.clusterSizes(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 4L, 10L -> 2L))
+  }
+
   test("connected components: min-label propagation on a path graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
