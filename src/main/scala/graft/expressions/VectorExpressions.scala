@@ -168,8 +168,10 @@ object VectorExpressions {
   }
 
   /** k MinHash values over an array<string> of shingles: one pass per
-    * row; h(s) = xxhash64(s) mod 2^31 (identical to the column-math
-    * formulation in TextFunctions), sig_i = min (a_i*h + b_i) mod p. */
+    * row; h(s) = xxhash64(s) mod p with p = 2^31 − 1 (identical to the
+    * column-math formulation in TextFunctions — domain == modulus, so
+    * each (a_i*h + b_i) mod p is a true permutation of Z_p),
+    * sig_i = min (a_i*h + b_i) mod p. */
   /** An empty shingle array yields the sentinel signature
     * (Long.MaxValue in every slot — no real minimum observed), NOT
     * null: the expression's nullability stays child-derived, so

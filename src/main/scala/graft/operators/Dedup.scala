@@ -189,12 +189,28 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
-  /** Param columns stamped into every [[minhashIndex]] row. Constant
-    * per index, so parquet RLE stores them for free; they make the
-    * "batch MUST use the same params" contract enforceable after a
-    * round-trip through storage. */
-  private val IndexParamCols =
-    Seq("__numHashes", "__bands", "__shingleLen", "__seed")
+  /** Index FORMAT version, stamped as `__fmt` alongside the build
+    * params. Bumped whenever the hash family or bucket layout changes
+    * incompatibly — the build params alone cannot capture that: after
+    * the r7 minhash hash-family fix (d0911a9, mixed-width modulus →
+    * true Z_p permutations) an index persisted by the old library has
+    * identical (numHashes, bands, shingleLen, seed) yet shares ~zero
+    * buckets with a batch banded by the new one, so a screen would
+    * silently return no candidates. v1 = the pre-fix family
+    * (retroactive; never stamped), v2 = the Z_p family. An index with
+    * a different (or missing) `__fmt` fails fast with a rebuild
+    * message instead. */
+  private[graft] val MinhashIndexFormat = 2
+  /** [[MinhashIndexFormat]]'s embedding sibling: versions the
+    * hyperplane-code layout (table id in the code's high bits, Gaussian
+    * planes drawn from the seeded generator). v1 = the r7 layout. */
+  private[graft] val EmbeddingIndexFormat = 1
+
+  // Param columns (__fmt, __numHashes, __bands, __shingleLen, __seed,
+  // __maxBucketSize) are stamped into every minhashIndex row: constant
+  // per index, so parquet RLE stores them for free, and they make the
+  // "batch MUST use the same params" contract enforceable after a
+  // round-trip through storage (validateIndexParams).
 
   /** bucket rows → the index's (ids, n) shape: `n` is the TRUE member
     * count; buckets over the skew cap keep their row but empty their
@@ -239,42 +255,102 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    shingleLen: Int = 3, seed: Long = 42L,
                    maxBucketSize: Int = 1000): DataFrame =
-    rawIndex(corpus, idCol, textCol, numHashes, bands, shingleLen, seed,
-        maxBucketSize)
+    stampMinhashParams(
+      rawIndex(corpus, idCol, textCol, numHashes, bands, shingleLen, seed,
+        maxBucketSize),
+      numHashes, bands, shingleLen, seed, maxBucketSize)
+
+  private def stampMinhashParams(index: DataFrame, numHashes: Int,
+                                 bands: Int, shingleLen: Int, seed: Long,
+                                 maxBucketSize: Int): DataFrame =
+    index
+      .withColumn("__fmt", lit(MinhashIndexFormat))
       .withColumn("__numHashes", lit(numHashes))
       .withColumn("__bands", lit(bands))
       .withColumn("__shingleLen", lit(shingleLen))
       .withColumn("__seed", lit(seed))
+      .withColumn("__maxBucketSize", lit(maxBucketSize))
 
   /** [[minhashPairsAgainst]] with a PREBUILT corpus index (from
     * [[minhashIndex]], typically read back from parquet): per-batch
     * cost is the batch's own banding, one broadcast join into the
     * index, and jaccard verification against only candidate-matched
     * corpus rows — the corpus is scanned once (verification) and
-    * never re-banded. If the index carries [[minhashIndex]]'s embedded
-    * param columns, they are validated against the call's params (a
-    * one-row head read of the index — cheap on parquet) and a mismatch
-    * throws rather than silently reducing recall; a hand-built
-    * (band, bucket, ids) index without param columns is accepted on
-    * the caller's own contract. */
-  /** validate the index's embedded build params against the call's (a
-    * one-row head read) and strip the param columns; a param-less
-    * hand-built index passes through on the caller's contract. */
-  private def stripValidatedParams(index: DataFrame, what: String,
-                                   paramCols: Seq[String], paramDesc: String,
-                                   asked: (Int, Int, Int, Long)): DataFrame =
-    if (paramCols.forall(index.columns.contains)) {
-      val head = index.select(paramCols.map(col): _*).limit(1).collect()
-      head.foreach { r =>
-        val built = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
-        require(built == asked,
-          s"$what: index was built with $paramDesc = $built but the " +
-            s"batch is being screened with $asked — candidate recall " +
-            "would silently collapse. Rebuild the index or match the " +
-            "batch params.")
+    * never re-banded. The index's embedded `__fmt` format version and
+    * build params are validated against this library and this call's
+    * params, and a mismatch (or an index carrying no param columns at
+    * all) throws rather than silently reducing recall; pass
+    * `acceptUnvalidated = true` to run a hand-built
+    * (band, bucket, ids) index on your own contract. */
+  /** Validate an index's embedded `__`-prefixed param columns and
+    * strip them. Enforced, in order:
+    *  - an index with NO param columns is rejected unless the caller
+    *    explicitly opts in (`acceptUnvalidated`) — a param-less index
+    *    is indistinguishable from one persisted by a pre-versioning
+    *    library whose hash family this one no longer matches, and the
+    *    failure mode is a silent ~zero-candidate screen;
+    *  - EVERY distinct param tuple in the index is checked (one
+    *    column-pruned scan of constant RLE columns + a partial-agg
+    *    distinct — cheap at any scale), so an index accidentally
+    *    assembled by unioning differently-parameterized builds fails
+    *    instead of screening with mixed-recall buckets;
+    *  - each param in `asked` must be present and equal; params the
+    *    call does not ask about (the skew cap at screen time, or
+    *    params added by a future format) only need to be constant.
+    * An EMPTY index (zero rows) passes vacuously: there is nothing to
+    * validate and every screen over it returns zero candidates. */
+  private def validateIndexParams(index: DataFrame, what: String,
+                                  asked: Seq[(String, Any)],
+                                  acceptUnvalidated: Boolean): DataFrame = {
+    val paramCols = index.columns.filter(_.startsWith("__")).toSeq
+    if (paramCols.isEmpty) {
+      require(acceptUnvalidated,
+        s"$what: index carries no embedded __param columns, so its " +
+          "hash family and build params cannot be validated — if it " +
+          "was persisted by an older graft version, a screen against " +
+          "it would silently return ~zero candidates. Rebuild it with " +
+          "the current library, or pass acceptUnvalidated = true to " +
+          "run a hand-built index on your own contract.")
+      index
+    } else {
+      val tuples = index.select(paramCols.map(col): _*).distinct()
+        .limit(3).collect()
+      require(tuples.length <= 1,
+        s"$what: index carries ${tuples.length}+ distinct build-param " +
+          s"tuples ${tuples.map(_.toString).mkString(", ")} over " +
+          s"(${paramCols.mkString(", ")}) — it was assembled from " +
+          "differently-parameterized builds (a union of indexes?) and " +
+          "would screen with mixed-recall buckets. Rebuild from one " +
+          "parameter set.")
+      tuples.headOption.foreach { r =>
+        val built = paramCols.zipWithIndex
+          .map { case (c, i) => c -> r.get(i) }.toMap
+        asked.foreach { case (k, v) =>
+          require(built.contains(k),
+            s"$what: index lacks the $k param column — it was " +
+              "persisted by an older graft version whose index format " +
+              "this library no longer reads compatibly. Rebuild the " +
+              "index (or pass acceptUnvalidated = true after dropping " +
+              "the __param columns, on your own contract).")
+          require(built(k) == v,
+            s"$what: index was built with $k = ${built(k)} but the " +
+              s"batch is being screened with $k = $v — candidate " +
+              "recall would silently collapse. Rebuild the index or " +
+              "match the batch params.")
+        }
       }
       index.drop(paramCols: _*)
-    } else index
+    }
+  }
+
+  /** the asked-param list shared by the minhash screen and update:
+    * format version first (clearest failure), then the band-family
+    * params. The skew cap is asked only by the update (the screen has
+    * no cap parameter — any constant cap is valid to screen). */
+  private def minhashAsked(numHashes: Int, bands: Int, shingleLen: Int,
+                           seed: Long): Seq[(String, Any)] =
+    Seq("__fmt" -> MinhashIndexFormat, "__numHashes" -> numHashes,
+      "__bands" -> bands, "__shingleLen" -> shingleLen, "__seed" -> seed)
 
   def minhashPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
                                corpusIndex: DataFrame,
@@ -283,10 +359,10 @@ object Dedup {
                                shingleLen: Int = 3,
                                threshold: Double = 0.8,
                                seed: Long = 42L,
-                               broadcastNew: Boolean = true): DataFrame = {
-    val idx = stripValidatedParams(corpusIndex, "minhashPairsAgainstIndex",
-      IndexParamCols, "(numHashes, bands, shingleLen, seed)",
-      (numHashes, bands, shingleLen, seed))
+                               broadcastNew: Boolean = true,
+                               acceptUnvalidated: Boolean = false): DataFrame = {
+    val idx = validateIndexParams(corpusIndex, "minhashPairsAgainstIndex",
+      minhashAsked(numHashes, bands, shingleLen, seed), acceptUnvalidated)
     screenAgainstIndex(newDf, corpus, idx, idCol, textCol, numHashes,
       bands, shingleLen, threshold, seed, broadcastNew)
   }
@@ -313,10 +389,18 @@ object Dedup {
                          idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
                          shingleLen: Int = 3, seed: Long = 42L,
-                         maxBucketSize: Int = 1000): DataFrame = {
-    val old = stripValidatedParams(index, "minhashIndexUpdate",
-      IndexParamCols, "(numHashes, bands, shingleLen, seed)",
-      (numHashes, bands, shingleLen, seed))
+                         maxBucketSize: Int = 1000,
+                         acceptUnvalidated: Boolean = false): DataFrame = {
+    // the update ALSO asks the skew cap: mergeIndex re-applies the
+    // caller's cap to every merged bucket, so updating with a cap
+    // different from the build's silently diverges from a rebuild (a
+    // larger cap cannot revive already-dead buckets; a smaller one
+    // re-kills live ones) — the "exactly equivalent to rebuild"
+    // contract only holds cap-for-cap, so a mismatch throws.
+    val old = validateIndexParams(index, "minhashIndexUpdate",
+      minhashAsked(numHashes, bands, shingleLen, seed) :+
+        ("__maxBucketSize" -> maxBucketSize),
+      acceptUnvalidated)
     require(old.columns.contains("n"),
       "minhashIndexUpdate requires a graft-built index carrying the " +
         "true bucket count column `n` (hand-built (band, bucket, ids) " +
@@ -328,12 +412,10 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .select(col("band"), col("bucket"), col("ids"),
         size(col("ids")).cast("long").as("n"))
-    mergeIndex(old.select(col("band"), col("bucket"), col("ids"), col("n")),
-        nb, Seq("band", "bucket"), maxBucketSize)
-      .withColumn("__numHashes", lit(numHashes))
-      .withColumn("__bands", lit(bands))
-      .withColumn("__shingleLen", lit(shingleLen))
-      .withColumn("__seed", lit(seed))
+    stampMinhashParams(
+      mergeIndex(old.select(col("band"), col("bucket"), col("ids"), col("n")),
+        nb, Seq("band", "bucket"), maxBucketSize),
+      numHashes, bands, shingleLen, seed, maxBucketSize)
   }
 
   /** union + re-aggregate two capped bucket tables on `keys`: member
@@ -896,10 +978,26 @@ object Dedup {
     materializeAndRelease(verified, sig)
   }
 
-  /** Param columns stamped into every [[embeddingIndex]] row — same
-    * enforceable-contract discipline as [[minhashIndex]]'s. */
-  private val EmbIndexParamCols =
-    Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
+  // Every embeddingIndex row is stamped with (__fmt, __nTables,
+  // __bitsPerTable, __dim, __seed, __maxBucketSize) — same
+  // enforceable-contract discipline as minhashIndex's.
+
+  /** [[minhashAsked]]'s embedding sibling. */
+  private def embAsked(nTables: Int, bitsPerTable: Int, dim: Int,
+                       seed: Long): Seq[(String, Any)] =
+    Seq("__fmt" -> EmbeddingIndexFormat, "__nTables" -> nTables,
+      "__bitsPerTable" -> bitsPerTable, "__dim" -> dim, "__seed" -> seed)
+
+  private def stampEmbParams(index: DataFrame, nTables: Int,
+                             bitsPerTable: Int, dim: Int, seed: Long,
+                             maxBucketSize: Int): DataFrame =
+    index
+      .withColumn("__fmt", lit(EmbeddingIndexFormat))
+      .withColumn("__nTables", lit(nTables))
+      .withColumn("__bitsPerTable", lit(bitsPerTable))
+      .withColumn("__dim", lit(dim))
+      .withColumn("__seed", lit(seed))
+      .withColumn("__maxBucketSize", lit(maxBucketSize))
 
   private def embCodes(d: DataFrame, idCol: String, vecCol: String,
                        dim: Int, nTables: Int, bitsPerTable: Int,
@@ -934,32 +1032,32 @@ object Dedup {
                      dim: Int, nTables: Int = 8, bitsPerTable: Int = 16,
                      seed: Long = 42L,
                      maxBucketSize: Int = 10000): DataFrame =
-    rawEmbIndex(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed,
-        maxBucketSize)
-      .withColumn("__nTables", lit(nTables))
-      .withColumn("__bitsPerTable", lit(bitsPerTable))
-      .withColumn("__dim", lit(dim))
-      .withColumn("__seed", lit(seed))
+    stampEmbParams(
+      rawEmbIndex(corpus, idCol, vecCol, dim, nTables, bitsPerTable, seed,
+        maxBucketSize),
+      nTables, bitsPerTable, dim, seed, maxBucketSize)
 
   /** [[embeddingPairsAgainst]] with a PREBUILT corpus index (from
     * [[embeddingIndex]], typically read back from parquet): per-batch
     * cost is the batch's own hashing, one broadcast join into the
     * index, and exact-cosine verification against only the candidate-
     * matched corpus vectors — the corpus is scanned once
-    * (verification) and never re-hashed. Embedded param columns are
-    * validated with a one-row head read; a mismatch throws rather
-    * than silently collapsing recall. */
+    * (verification) and never re-hashed. The embedded `__fmt` format
+    * version and build params are validated (all distinct tuples —
+    * see [[validateIndexParams]]); a mismatch or a param-less index
+    * throws rather than silently collapsing recall, with
+    * `acceptUnvalidated = true` as the hand-built escape hatch. */
   def embeddingPairsAgainstIndex(newDf: DataFrame, corpus: DataFrame,
                                  corpusIndex: DataFrame,
                                  idCol: String, vecCol: String, dim: Int,
                                  threshold: Double = 0.95,
                                  nTables: Int = 8, bitsPerTable: Int = 16,
                                  seed: Long = 42L,
-                                 broadcastNew: Boolean = true): DataFrame = {
-    val idx = stripValidatedParams(corpusIndex,
-      "embeddingPairsAgainstIndex", EmbIndexParamCols,
-      "(nTables, bitsPerTable, dim, seed)",
-      (nTables, bitsPerTable, dim, seed))
+                                 broadcastNew: Boolean = true,
+                                 acceptUnvalidated: Boolean = false): DataFrame = {
+    val idx = validateIndexParams(corpusIndex,
+      "embeddingPairsAgainstIndex",
+      embAsked(nTables, bitsPerTable, dim, seed), acceptUnvalidated)
     embScreenAgainstIndex(newDf, corpus, idx, idCol, vecCol, dim,
       threshold, nTables, bitsPerTable, seed, broadcastNew)
   }
@@ -972,10 +1070,14 @@ object Dedup {
                            idCol: String, vecCol: String, dim: Int,
                            nTables: Int = 8, bitsPerTable: Int = 16,
                            seed: Long = 42L,
-                           maxBucketSize: Int = 10000): DataFrame = {
-    val old = stripValidatedParams(index, "embeddingIndexUpdate",
-      EmbIndexParamCols, "(nTables, bitsPerTable, dim, seed)",
-      (nTables, bitsPerTable, dim, seed))
+                           maxBucketSize: Int = 10000,
+                           acceptUnvalidated: Boolean = false): DataFrame = {
+    // cap asked for the same reason as minhashIndexUpdate: the
+    // update≡rebuild contract only holds cap-for-cap
+    val old = validateIndexParams(index, "embeddingIndexUpdate",
+      embAsked(nTables, bitsPerTable, dim, seed) :+
+        ("__maxBucketSize" -> maxBucketSize),
+      acceptUnvalidated)
     require(old.columns.contains("n"),
       "embeddingIndexUpdate requires a graft-built index carrying the " +
         "true bucket count column `n`")
@@ -985,12 +1087,10 @@ object Dedup {
       .groupBy(col("code"))
       .agg(collect_list(col("id")).as("ids"))
       .select(col("code"), col("ids"), size(col("ids")).cast("long").as("n"))
-    mergeIndex(old.select(col("code"), col("ids"), col("n")), nb,
-        Seq("code"), maxBucketSize)
-      .withColumn("__nTables", lit(nTables))
-      .withColumn("__bitsPerTable", lit(bitsPerTable))
-      .withColumn("__dim", lit(dim))
-      .withColumn("__seed", lit(seed))
+    stampEmbParams(
+      mergeIndex(old.select(col("code"), col("ids"), col("n")), nb,
+        Seq("code"), maxBucketSize),
+      nTables, bitsPerTable, dim, seed, maxBucketSize)
   }
 
   private def embScreenAgainstIndex(newDf: DataFrame, corpus: DataFrame,

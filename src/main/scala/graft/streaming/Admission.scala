@@ -223,6 +223,13 @@ object Admission {
         nTables, bitsPerTable, seed, maxBucketSize, threshold,
         dedupWithinBatch, batchId = id, collectStats = collectStats))
 
+  /** foreachBatch driver loop shared by the two admitStream faces.
+    * The per-batch stats accumulate in a DRIVER-side buffer, which is
+    * correct only under the AvailableNow drain-and-stop trigger used
+    * here (bounded batches, then the query terminates and the buffer
+    * is returned). A truly continuous trigger would grow the buffer
+    * without bound — for that regime, write stats to a sink inside
+    * `perBatch` and drop the return value. */
   private def streamCore(stream: DataFrame, checkpoint: String,
                          perBatch: (DataFrame, Long) => AdmitStats)
   : Seq[AdmitStats] = {

@@ -58,8 +58,12 @@ object ProbeVariance {
       val w0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(q)(spark, sfDir).count()
       val wall = (System.nanoTime() - w0) / 1e9
-      // listener events drain asynchronously; settle before reading
-      Thread.sleep(500)
+      // listener events drain asynchronously; block until the bus is
+      // empty (a fixed sleep can attribute a stage to the wrong run
+      // on a loaded host — the exact misdiagnosis this tool exists
+      // to rule out)
+      org.apache.spark.GraftSparkAccess
+        .drainListenerBus(spark.sparkContext, 10000L)
       println(f"[probe-var] run=$i%-3d $q%-22s wall=$wall%6.2f s  " +
         f"jobs=${jobs.get - j0}%-4d tasks=${tasks.get - t0}%-6d " +
         f"exec=${(execRunMs - e0) / 1e3}%7.2f s  gc=${gcMs - g0}%5d ms  " +

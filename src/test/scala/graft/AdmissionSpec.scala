@@ -63,7 +63,8 @@ class AdmissionSpec extends SparkTestBase {
     assert(corpusIds(c) == ((0L until 40L) ++ Seq(100L, 101L, 103L, 201L)))
 
     // the folded index still carries its validated build params
-    assert(Seq("__numHashes", "__bands", "__shingleLen", "__seed")
+    assert(Seq("__fmt", "__numHashes", "__bands", "__shingleLen",
+        "__seed", "__maxBucketSize")
       .forall(spark.read.parquet(i).columns.contains))
   }
 
@@ -172,7 +173,8 @@ class AdmissionSpec extends SparkTestBase {
     val ids = spark.read.parquet(corpusDir)
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(ids == ((0L until 20L) ++ Seq(100L, 102L, 201L)))
-    assert(Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
+    assert(Seq("__fmt", "__nTables", "__bitsPerTable", "__dim", "__seed",
+        "__maxBucketSize")
       .forall(spark.read.parquet(indexDir).columns.contains))
   }
 

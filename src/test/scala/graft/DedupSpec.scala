@@ -171,7 +171,7 @@ class DedupSpec extends SparkTestBase {
     assert(fromDisk == inline && inline.nonEmpty)
   }
 
-  test("minhash index: param mismatch throws, legacy index accepted") {
+  test("minhash index: param mismatch throws, legacy index gated") {
     val newBatch = corpus.filter($"doc_id" >= 10000)
     val hist = corpus.filter($"doc_id" < 10000)
     val idx = Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
@@ -183,12 +183,66 @@ class DedupSpec extends SparkTestBase {
         "text", numHashes = 64, bands = 16, threshold = 0.6)
     }
     assert(e.getMessage.contains("screened with"))
-    // a hand-built (band, bucket, ids) index without param columns
-    // still runs, on the caller's own contract
-    val legacy = idx.drop("__numHashes", "__bands", "__shingleLen", "__seed")
+    // a param-less index is REJECTED by default (it could be a
+    // pre-versioning persist whose hash family no longer matches —
+    // the silent-zero-candidates trap)...
+    val legacy = idx.drop(idx.columns.filter(_.startsWith("__")): _*)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(newBatch, hist, legacy,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+    }
+    assert(e2.getMessage.contains("acceptUnvalidated"))
+    // ...and runs only on the explicit hand-built opt-in
     val got = Dedup.minhashPairsAgainstIndex(newBatch, hist, legacy,
-      "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6)
+      "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+      acceptUnvalidated = true)
     assert(got.count() > 0)
+  }
+
+  test("minhash index: stale format and mixed-param unions fail fast") {
+    val newBatch = corpus.filter($"doc_id" >= 10000)
+    val hist = corpus.filter($"doc_id" < 10000)
+    val idx = Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+      bands = 32)
+    // an index persisted by an older library (param columns but a
+    // missing/different __fmt — e.g. the pre-d0911a9 hash family with
+    // identical build params) must fail with a rebuild message, not
+    // screen into ~zero shared buckets
+    val stale = idx.drop("__fmt")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(newBatch, hist, stale, "doc_id",
+        "text", numHashes = 64, bands = 32, threshold = 0.6)
+    }
+    assert(e.getMessage.contains("__fmt") &&
+      e.getMessage.contains("older graft version"))
+    val wrongFmt = idx.withColumn("__fmt", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(newBatch, hist, wrongFmt, "doc_id",
+        "text", numHashes = 64, bands = 32, threshold = 0.6)
+    }
+    assert(e1.getMessage.contains("__fmt"))
+    // a union of differently-parameterized builds breaks the
+    // constant-param invariant — every distinct tuple is validated,
+    // so the limit(1)-style single-row sample cannot be fooled
+    val mixed = idx.unionByName(
+      Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+        bands = 32, seed = 43L))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(newBatch, hist, mixed, "doc_id",
+        "text", numHashes = 64, bands = 32, threshold = 0.6)
+    }
+    assert(e2.getMessage.contains("distinct build-param"))
+    // cap mismatch on UPDATE throws (merge re-applies the caller's
+    // cap, so update≡rebuild only holds cap-for-cap); the screen,
+    // which has no cap parameter, accepts any constant cap
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexUpdate(
+        Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+          bands = 32, maxBucketSize = 500),
+        newBatch, "doc_id", "text", numHashes = 64, bands = 32,
+        maxBucketSize = 1000)
+    }
+    assert(e3.getMessage.contains("__maxBucketSize"))
   }
 
   /** embedding corpus + planted scaled copies (scaling preserves
@@ -246,18 +300,24 @@ class DedupSpec extends SparkTestBase {
         "vec_id", "embedding", dim = 64, threshold = 0.95, nTables = 4)
     }
     assert(e.getMessage.contains("screened with"))
-    // a hand-built (code, ids) index runs on the caller's contract
-    val legacy = idx.drop("__nTables", "__bitsPerTable", "__dim", "__seed")
+    // a hand-built (code, ids) index is gated behind the explicit
+    // opt-in (param-less = possibly a stale-format persist)
+    val legacy = idx.drop(idx.columns.filter(_.startsWith("__")): _*)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus, legacy,
+        "vec_id", "embedding", dim = 64, threshold = 0.95)
+    }
     val got = Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus,
-      legacy, "vec_id", "embedding", dim = 64, threshold = 0.95)
+      legacy, "vec_id", "embedding", dim = 64, threshold = 0.95,
+      acceptUnvalidated = true)
     assert(got.count() == inline.size)
   }
 
   test("minhashIndexUpdate == rebuild, bucket for bucket, incl. dead buckets") {
     val c1 = corpus.filter($"doc_id" % 2 === 0)
     val c2 = corpus.filter($"doc_id" % 2 =!= 0)
-    val params = Seq("__numHashes", "__bands", "__shingleLen", "__seed")
-    def key(df: org.apache.spark.sql.DataFrame) = df.drop(params: _*)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .drop(df.columns.filter(_.startsWith("__")): _*)
       .collect()
       .map(r => ((r.get(0), r.get(1)),
         (r.getSeq[Long](2).sorted, r.getLong(3)))).toMap
@@ -288,8 +348,8 @@ class DedupSpec extends SparkTestBase {
   test("embeddingIndexUpdate == rebuild, bucket for bucket") {
     val c1 = embCorpus.filter($"vec_id" % 2 === 0)
     val c2 = embCorpus.filter($"vec_id" % 2 =!= 0)
-    val params = Seq("__nTables", "__bitsPerTable", "__dim", "__seed")
-    def key(df: org.apache.spark.sql.DataFrame) = df.drop(params: _*)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .drop(df.columns.filter(_.startsWith("__")): _*)
       .collect()
       .map(r => (r.get(0), (r.getSeq[Long](1).sorted, r.getLong(2)))).toMap
     for (cap <- Seq(10000, 2)) {
@@ -413,6 +473,57 @@ class DedupSpec extends SparkTestBase {
     val capped = Dedup.simhashPairs(same, "doc_id", "text",
       maxDistance = 3, maxBucketSize = 5)
     assert(capped.count() == 0)
+  }
+
+  test("simhash randomized recall: banded search == brute force " +
+    "(hash-family regression)") {
+    // The minhash lesson (d0911a9) applied to the one sketch family
+    // previously proven only on planted fixtures: RANDOM token sets
+    // with a controlled perturbation, so nothing about where tokens
+    // hash is baked into the expectation. 60 bases of 100 random
+    // tokens; each perturbed copy replaces 1..8 random tokens, which
+    // lands fingerprint Hamming distances on BOTH sides of the
+    // maxDistance=3 cutoff (asserted below) — the pigeonhole banding
+    // (chunks = maxDistance+1) guarantees 100% candidate recall at
+    // dist <= 3 and exact verification kills the rest, so banded
+    // search must equal the brute-force fingerprint scan EXACTLY.
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 60).flatMap { i =>
+      val toks = Array.fill(100)("t" + rnd.nextLong().toHexString)
+      val pert = toks.clone()
+      val r = 1 + rnd.nextInt(8)
+      (0 until r).foreach { _ =>
+        pert(rnd.nextInt(100)) = "p" + rnd.nextLong().toHexString }
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, pert.mkString(" ")))
+    }
+    val df = docs.toDF("id", "text").cache()
+    // ground truth: exact Hamming over ALL fingerprint pairs
+    val fp = df.select($"id",
+        graft.functions.TextFunctions.simhash($"text").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val truth = (for { (i, si) <- fp; (j, sj) <- fp
+                       if i < j && ham(si, sj) <= 3 } yield (i, j)).toSet
+    // the perturbation spread must straddle the cutoff, or the
+    // equality below pins nothing on one side
+    val planted = (0 until 60).map(i => (2L * i, 2L * i + 1)).toSet
+    assert((planted & truth).size >= 10, "too few pairs under the cutoff")
+    assert((planted -- truth).size >= 10, "too few pairs over the cutoff")
+    // a degenerate fingerprint (biased/constant bits — the simhash
+    // analogue of the minhash monotone-permutation bug) would pull
+    // unrelated-pair distances far off the binomial mean of 32
+    // (std 4; the mean of ~1700 independent-ish pairs is tight)
+    val unrel = for { (i, si) <- fp; (j, sj) <- fp
+                      if i < j && (i / 2) != (j / 2) } yield ham(si, sj)
+    val mean = unrel.map(_.toDouble).sum / unrel.size
+    assert(mean > 28 && mean < 36, s"unrelated-pair mean distance $mean " +
+      "is far from the unbiased-binomial 32 — degenerate fingerprint?")
+    assert(unrel.min >= 8, "two unrelated 100-token docs nearly collide")
+    val found = Dedup.simhashPairs(df, "id", "text", maxDistance = 3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"missing=${truth -- found} extra=${found -- truth}")
   }
 
   test("global span dedup cuts later occurrences, keeps first") {
