@@ -216,6 +216,56 @@ object ScaleSmoke {
           persisted, newBatch, "doc_id", "text").count())
         time("indexRebuild")(graft.operators.Dedup.minhashIndex(
           c.unionByName(newBatch), "doc_id", "text").count())
+
+        // durable-write comparison: the full swap rewrites the WHOLE
+        // index every cycle (corpus-proportional); the partitioned
+        // in-place update rewrites only dirty layout partitions
+        // (batch-bucket-bounded). Trickle batch (10 docs, <=160
+        // bucket keys over 512 parts) shows the bounded regime; the
+        // 200-doc batch (3200 keys) honestly saturates all parts.
+        // per-partition (file-name fingerprint, bytes): a rewrite
+        // always produces fresh file names, so the fingerprint — not
+        // the byte total, which can coincide — detects rewritten dirs
+        def allBytes(d: String): Map[String, (String, Long)] =
+          new java.io.File(d).listFiles()
+            .filter(_.getName.startsWith("part="))
+            .map(p => p.getName -> (
+              p.listFiles().map(_.getName).sorted.mkString(","),
+              p.listFiles().map(_.length).sum))
+            .toMap
+        val swapDir = java.nio.file.Files
+          .createTempDirectory("graft_smoke_idx_swap").toString
+        time("updSwapDurable") {
+          graft.operators.Dedup.minhashIndexUpdate(
+              persisted, newBatch, "doc_id", "text")
+            .write.mode("overwrite").parquet(swapDir)
+          spark.read.parquet(swapDir).count()
+        }
+        val pdir = java.nio.file.Files
+          .createTempDirectory("graft_smoke_idx_part").toString
+        graft.operators.Dedup.indexWritePartitioned(
+          graft.operators.Dedup.minhashIndex(c, "doc_id", "text"),
+          pdir, numParts = 512)
+        for ((label, m, off) <- Seq(("updPartial10", 10, 80000000L),
+                                    ("updPartial200", 200, 90000000L))) {
+          val b = base.limit(m)
+            .select((col("doc_id") + lit(off)).as("doc_id"),
+              concat(col("text"), lit(" probe")).as("text"))
+          val before = allBytes(pdir)
+          var st: graft.operators.Dedup.PartialUpdateStats = null
+          time(label) {
+            st = graft.operators.Dedup.minhashIndexUpdatePartitioned(
+              spark, pdir, b, "doc_id", "text", numParts = 512)
+            st.dirtyPartitions.toLong
+          }
+          val after = allBytes(pdir)
+          val rewritten = after.filter { case (p, fp) =>
+            !before.get(p).contains(fp) }.values.map(_._2).sum
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"dirty=${st.dirtyPartitions}/${st.totalPartitions} " +
+            f"rewrittenMB=${rewritten / 1e6}%6.2f " +
+            f"indexMB=${after.values.map(_._2).sum / 1e6}%6.2f")
+        }
         c.unpersist()
         spark.catalog.clearCache()
       }

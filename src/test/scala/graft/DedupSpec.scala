@@ -345,6 +345,99 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("screened with"))
   }
 
+  test("partitioned index update rewrites only dirty partitions, == rebuild") {
+    // build on the corpus minus a 3-doc batch, persist PARTITIONED,
+    // fold the batch in IN PLACE: the result read back from disk must
+    // equal a full rebuild bucket-for-bucket, the untouched layout
+    // partitions' files must be byte-identical (same names — never
+    // rewritten), and the dirty set must be batch-bounded (3 docs x
+    // 32 bands = <=96 bucket keys over 256 partitions, not all 256).
+    val batch = corpus.filter($"doc_id".isin(3L, 7L, 11L))
+    val hist = corpus.filter(!$"doc_id".isin(3L, 7L, 11L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_index_part").toString
+    Dedup.indexWritePartitioned(
+      Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+        bands = 32),
+      dir, numParts = 256)
+    def files(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => s"${f.getName}:${f.length}").toSet)
+        .toMap
+    }
+    val before = files()
+    val stats = Dedup.minhashIndexUpdatePartitioned(spark, dir, batch,
+      "doc_id", "text", numHashes = 64, bands = 32, numParts = 256)
+    assert(stats.totalPartitions == 256)
+    assert(stats.dirtyPartitions > 0 && stats.dirtyPartitions <= 96,
+      s"dirty=${stats.dirtyPartitions} is not batch-bounded")
+    val after = files()
+    val dirtyDirs = after.keySet.filter(p =>
+      before.get(p) != after.get(p))
+    assert(dirtyDirs.size <= stats.dirtyPartitions)
+    // clean partitions: identical file names and sizes — untouched
+    val clean = before.keySet -- dirtyDirs
+    assert(clean.nonEmpty && clean.forall(p => before(p) == after(p)))
+    // equivalence: on-disk result == full rebuild, bucket for bucket
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .drop("part")
+      .drop(df.columns.filter(_.startsWith("__")): _*)
+      .collect()
+      .map(r => ((r.get(0), r.get(1)),
+        (r.getSeq[Long](2).sorted, r.getLong(3)))).toMap
+    val rebuilt = key(Dedup.minhashIndex(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32))
+    assert(key(spark.read.parquet(dir)) == rebuilt)
+    // layout-param mismatch fails fast like every other param
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexUpdatePartitioned(spark, dir, batch,
+        "doc_id", "text", numHashes = 64, bands = 32, numParts = 64)
+    }
+    assert(e.getMessage.contains("__numParts"))
+    // an unpartitioned persist is told to use the right path
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_mh_index_plain").toString
+    Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 64,
+      bands = 32).write.mode("overwrite").parquet(plain)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexUpdatePartitioned(spark, plain, batch,
+        "doc_id", "text", numHashes = 64, bands = 32)
+    }
+    assert(e2.getMessage.contains("not partitioned"))
+  }
+
+  test("partitioned embedding index update == rebuild from disk") {
+    val batch = embCorpus.filter($"vec_id" < 10)
+    val hist = embCorpus.filter($"vec_id" >= 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_emb_index_part").toString
+    Dedup.indexWritePartitioned(
+      Dedup.embeddingIndex(hist, "vec_id", "embedding", dim = 64),
+      dir, numParts = 128)
+    val stats = Dedup.embeddingIndexUpdatePartitioned(spark, dir, batch,
+      "vec_id", "embedding", dim = 64, numParts = 128)
+    // 10 vectors x 8 tables = <=80 codes over 128 partitions
+    assert(stats.dirtyPartitions > 0 && stats.dirtyPartitions <= 80)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .drop("part")
+      .drop(df.columns.filter(_.startsWith("__")): _*)
+      .collect()
+      .map(r => (r.get(0), (r.getSeq[Long](1).sorted, r.getLong(2)))).toMap
+    val rebuilt = key(Dedup.embeddingIndex(embCorpus, "vec_id",
+      "embedding", dim = 64))
+    assert(key(spark.read.parquet(dir)) == rebuilt)
+    // and the screen accepts the partitioned read-back unchanged
+    val truth = cosTruth(0.95)
+    val got = Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus,
+        spark.read.parquet(dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.95)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+  }
+
   test("embeddingIndexUpdate == rebuild, bucket for bucket") {
     val c1 = embCorpus.filter($"vec_id" % 2 === 0)
     val c2 = embCorpus.filter($"vec_id" % 2 =!= 0)
