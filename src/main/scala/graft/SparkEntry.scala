@@ -189,6 +189,18 @@ object SparkEntry {
        |    / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.6
        |ORDER BY id_new, id_corpus""".stripMargin
 
+  /** q121's oracle — the batch null-safe NOT EXISTS over the same
+    * inputs as the streaming exact screen. Shared VERBATIM by q128
+    * (the Bloom-digest screen in exact-confirm mode): the digest
+    * decides which rows pay the join probe, never the answer. */
+  private lazy val streamScreenOracleSql =
+    """SELECT e.event_type, count(*) AS n,
+      | round(sum(e.value), 2) AS sv
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM events s
+      |  WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Build q117's persisted corpus index once per (JVM, sfDir) and
     * reuse the parquet across calls — the ingestion-cadence cost
     * model: a bench cold pass pays build+write, the best-of pass
@@ -2080,12 +2092,32 @@ object SparkEntry {
           round(col("sv"), 2).as("sv"))
         .orderBy(col("event_type"))
     },
-      Some("""SELECT e.event_type, count(*) AS n,
-             | round(sum(e.value), 2) AS sv
-             |FROM events e
-             |WHERE NOT EXISTS (SELECT 1 FROM events s
-             |  WHERE s.event_id % 3 = 0 AND s.event_id = e.event_id)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(streamScreenOracleSql)),
+
+    // The Bloom-digest stream screen in its EXACT-CONFIRM mode
+    // (EventStream.screenAgainstBloomExact, r8): Bloom-negative rows
+    // skip the anti join entirely; only the positive sliver pays the
+    // exact confirm — the q109 decontaminateBloom pattern on the
+    // stream path. Same oracle as q121 VERBATIM: the digest decides
+    // which rows pay the join probe, never the answer. The probe is
+    // the native might_contain expression (plan-pinned in the spec,
+    // no closure UDF on the stream path).
+    Q("q128_stream_screen_bloom", (s, dir) => {
+      val seen = events(s, dir).filter(col("event_id") % 3 === 0)
+        .select(col("event_id"))
+      val stream = EventStream.readStream(s, dir)
+      val res = EventStream.runToMemory(
+        EventStream.screenAgainstBloomExact(stream, seen, "event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")),
+        "q128_mem",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
+      res.select(col("event_type"), col("n"),
+          round(col("sv"), 2).as("sv"))
+        .orderBy(col("event_type"))
+    },
+      Some(streamScreenOracleSql)),
 
     // The full ADMISSION LOOP (Admission.admitBatch, r7) run TWICE
     // against durable temp state: cycle 1 ingests reversed-text

@@ -131,22 +131,76 @@ object EventStream {
     * Bloom filter (~1.2 MB per million keys at fpp 0.01, the
     * decontaminateBloom sizing) built ONCE at stream-definition time,
     * and each micro-batch keeps only Bloom-NEGATIVE (definitely-new)
-    * rows. False positives over-remove at ~`fpp` and nothing is ever
-    * under-removed — the right direction for a dedup screen, where a
-    * dropped fresh row costs one document but a kept duplicate costs
-    * training quality. Null keys are conservatively treated as seen.
-    * The filter is a narrow codegen'd predicate: no join, no state,
-    * no shuffle on the stream path. */
+    * rows. False positives over-remove at ~`fpp` (plus a negligible
+    * xxhash64-collision term — the filter stores 64-bit key hashes)
+    * and nothing is ever under-removed — the right direction for a
+    * dedup screen, where a dropped fresh row costs one document but a
+    * kept duplicate costs training quality. Null keys are
+    * conservatively treated as seen.
+    *
+    * The probe is Spark's native `might_contain`
+    * (BloomFilterMightContain — the runtime-filter expression, with
+    * codegen): the stream-path predicate stays inside whole-stage
+    * codegen and filters around it still push down, where a Scala
+    * closure UDF would be a per-row black box (plan-pinned in the
+    * spec). No join, no state, no shuffle on the stream path. */
   def screenAgainstBloom(stream: DataFrame, corpus: DataFrame,
                          keyCol: String, fpp: Double = 0.01): DataFrame = {
+    val pred = bloomSeenPredicate(corpus, keyCol, fpp)
+    stream.filter(col(keyCol).isNotNull && !pred)
+  }
+
+  /** build the corpus-key Bloom digest once (driver-side aggregation
+    * job at stream-definition time) and return the native
+    * `might_contain` probe over `keyCol`. The filter holds
+    * xxhash64(key) LONGS: BloomFilterMightContain probes with
+    * mightContainLong, so build and probe must hash identically
+    * (build-side stat.bloomFilter on a long column putLongs). */
+  private def bloomSeenPredicate(corpus: DataFrame, keyCol: String,
+                                 fpp: Double)
+  : org.apache.spark.sql.Column = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val keys = corpus.select(col(keyCol).cast("string").as("__k"))
       .filter(col("__k").isNotNull).distinct()
-    val bf = keys.stat.bloomFilter("__k", math.max(keys.count(), 1L), fpp)
-    val bfB = stream.sparkSession.sparkContext.broadcast(bf)
-    val seen = udf((s: String) =>
-      s == null || bfB.value.mightContainString(s))
-    stream.filter(!seen(col(keyCol).cast("string")))
+    val bf = keys.stat.bloomFilter(xxhash64(col("__k")),
+      math.max(keys.count(), 1L), fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bf.writeTo(b)
+      b.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bytes, BinaryType),
+        expression(xxhash64(col(keyCol).cast("string")))))
+  }
+
+  /** [[screenAgainstBloom]] with an EXACT confirm: Bloom-NEGATIVE
+    * rows (definitely new — the overwhelming majority of a fresh
+    * stream) pass with no join at all; only the Bloom-POSITIVE
+    * sliver (every true duplicate plus ~`fpp` of the fresh rows) and
+    * null-keyed rows go through [[screenAgainst]]'s exact anti join.
+    * Row-for-row EQUAL to the exact screen — the Bloom digest only
+    * decides which rows pay the join probe, never the answer (the
+    * q109 decontaminateBloom confirm pattern on the stream path;
+    * oracle-gated against the exact screen's SQL).
+    *
+    * Honest trade at scale: the confirm branch still broadcasts the
+    * exact key set, so this form does NOT lift [[screenAgainst]]'s
+    * broadcast-sized-corpus bound — the pure digest form (its
+    * documented over-removal mode) is what screens against histories
+    * too large for exact keys. What the confirm form buys is
+    * exactness with the join probe work reduced to the positive
+    * sliver. */
+  def screenAgainstBloomExact(stream: DataFrame, corpus: DataFrame,
+                              keyCol: String,
+                              fpp: Double = 0.01): DataFrame = {
+    val pred = bloomSeenPredicate(corpus, keyCol, fpp)
+    val definitelyNew = col(keyCol).isNotNull && !pred
+    stream.filter(definitelyNew).unionByName(
+      screenAgainst(stream.filter(!definitelyNew), corpus, Seq(keyCol)))
   }
 
   case class Session(userId: Long, nEvents: Long, total: Double)

@@ -102,6 +102,10 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("bloom screen: never under-removes, subset of the exact screen") {
+    // events.parquet is TIMESTAMP(NANOS); set the reader conf HERE so
+    // the test also passes in isolation (-z), not only after an
+    // earlier test's readStream happened to set it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
@@ -120,6 +124,21 @@ class StreamingMultimodalSpec extends SparkTestBase {
       seen.collect().map(_.getLong(0)).toSet).isEmpty)
     // at fpp=0.01 on this cardinality the loss stays a sliver
     assert(got.size >= (exact.size * 0.9).toInt, s"${got.size}/${exact.size}")
+    // plan pin: the probe is the NATIVE might_contain expression
+    // (codegen'd, pushdown-transparent), not a Scala closure UDF
+    val plan = EventStream.screenAgainstBloom(
+        batch, seen, "event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"closure UDF on the stream path:\n$plan")
+    // exact-confirm mode: Bloom decides which rows pay the join
+    // probe, never the answer — row-for-row equal to the exact screen
+    val confirmed = EventStream.runToMemory(
+      EventStream.screenAgainstBloomExact(stream, seen, "event_id")
+        .select($"event_id"),
+      "bloom_exact_stream", OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    assert(confirmed == exact)
   }
 
   test("stream-stream interval join equals the batch interval join") {
