@@ -65,7 +65,32 @@ object Dedup {
     * shuffled semi join for a backfill-sized "batch". */
   def exactAgainst(newDf: DataFrame, corpus: DataFrame,
                    cols: Seq[String],
-                   broadcastBatch: Boolean = true): DataFrame = {
+                   broadcastBatch: Boolean = true,
+                   hashKeys: Boolean = true): DataFrame =
+    if (hashKeys)
+      exactAgainstHashed(newDf, corpus, cols, broadcastBatch)
+    else {
+      // direct-key mode: plain equi-joins on the key columns
+      // themselves, so the join distribution IS the raw key — a
+      // corpus BUCKETED on the key joins with zero corpus-side
+      // exchange and an IN-list probe prunes buckets (measured in
+      // ScaleSmoke `bkt`). The right mode for narrow non-null keys
+      // (the admission id screen: one long); the hashed default
+      // remains right for wide text keys (8-byte shuffle rows) and
+      // when null key tuples must collide (plain SQL equality never
+      // matches null — a null-keyed batch row always survives here).
+      val batchKeys = newDf.select(cols.map(newDf(_)): _*).distinct()
+      val bk = if (broadcastBatch) broadcast(batchKeys) else batchKeys
+      val hit = corpus.select(cols.map(corpus(_)): _*)
+        .join(bk, cols, "left_semi").distinct()
+      // hit is batch-key-bounded, exactly like the hashed path
+      val h = if (broadcastBatch) broadcast(hit) else hit
+      newDf.join(h, cols, "left_anti")
+    }
+
+  private def exactAgainstHashed(newDf: DataFrame, corpus: DataFrame,
+                                 cols: Seq[String],
+                                 broadcastBatch: Boolean): DataFrame = {
     val kNames = "__kh" +: cols.indices.map(i => s"__k$i")
     def keyed(d: DataFrame) =
       d.select(xxhash64(cols.map(d(_)): _*).as("__kh") +:

@@ -62,10 +62,13 @@ import graft.operators.Dedup
   * jaccard/cosine verification join; neither shuffles it, both scan
   * it). At gate scale that is noise (ScaleSmoke `adm` measures flat
   * cycles); at 100 TB it is the dominant term, and the mitigations
-  * are storage-layout ones: bucket the corpus by `idCol` so both
-  * joins prune to matching buckets, or keep a distilled ids-only
-  * keys table beside the index and screen ids against that instead
-  * of the corpus. The keys-table variant is deliberately NOT built
+  * are storage-layout ones: bucket the corpus by `idCol` — the id
+  * screen joins on the raw id (hashKeys = false), so a bucketed
+  * corpus joins with ZERO corpus-side exchange and an IN-list id
+  * probe prunes buckets (both measured: ScaleSmoke `bkt`,
+  * SelectedBucketsCount 17/64 for a 20-id probe, corpus never
+  * shuffled) — or keep a distilled ids-only keys table beside the
+  * index and screen ids against that instead of the corpus. The keys-table variant is deliberately NOT built
   * in: screening ids against the corpus itself is what makes a
   * replayed half-finished batch exactly idempotent, and a separate
   * keys artifact re-opens that window (keys-before-corpus crash =
@@ -105,8 +108,13 @@ object Admission {
     val corpus = spark.read.parquet(corpusPath)
     val index = spark.read.parquet(indexPath)
     val batchRows = if (collectStats) batch.count() else -1L
+    // direct-key id screen (hashKeys = false): the join key is the id
+    // column itself, so a corpus BUCKETED by idCol — the cost-model
+    // mitigation for the per-cycle corpus scans — joins with zero
+    // corpus-side exchange (ScaleSmoke `bkt`). Ids are non-null by
+    // the id-namespace contract; a null id would bypass this screen.
     val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
-      Seq(idCol)).cache()
+      Seq(idCol), hashKeys = false).cache()
     val nFresh = if (collectStats) fresh.count() else -1L
     val matched = screen(fresh, corpus, index)
       .select(col("id_new").as(idCol)).distinct()

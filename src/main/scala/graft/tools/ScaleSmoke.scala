@@ -24,6 +24,11 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the bkt section persists a bucketed TABLE (bucket metadata
+      // lives in the catalog, not parquet); keep the warehouse out of
+      // the repo tree
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft_smoke_warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -310,6 +315,96 @@ object ScaleSmoke {
       time("admitReplay")(graft.streaming.Admission.admitBatch(
         batch, corpusDir, indexDir, "doc_id", "text").admitted)
       batch.unpersist(); c.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- bucketed-corpus id screen: the admission cost model names
+    // the two per-cycle corpus SCANS as the dominant 100 TB term and
+    // proposes bucketing the corpus by idCol. Measured here both
+    // ways: (1) the id probe against a corpus bucketed on doc_id
+    // prunes buckets (SelectedBucketsCount in the scan) when the
+    // batch's ids arrive as an IN list; (2) the shuffled id-screen
+    // anti join (the backfill path, broadcastBatch = false) elides
+    // the corpus-side exchange entirely — only the batch shuffles.
+    if (on("bkt")) {
+      val k = scales.max
+      val c = corpus(k)
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      val plainDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_bkt_plain").toString
+      c.write.mode("overwrite").parquet(plainDir)
+      val plain = spark.read.parquet(plainDir)
+      val nBuckets = 64
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_corpus_bkt")
+      c.write.mode("overwrite").bucketBy(nBuckets, "doc_id")
+        .sortBy("doc_id").saveAsTable("graft_smoke_corpus_bkt")
+      val bkt = spark.table("graft_smoke_corpus_bkt")
+      // a 20-id probe batch, half corpus hits / half fresh — the
+      // admission id screen's shape
+      val hit = c.select(col("doc_id")).limit(10)
+        .collect().map(_.getLong(0))
+      val ids = hit ++ hit.map(_ + 777777777L)
+      // (1) bucket pruning on the IN-list probe. autoBucketedScan
+      // must be OFF: with it on (the default) the planner un-buckets
+      // scans that need no distribution — better parallelism for full
+      // scans, but it silently discards pruning for point probes.
+      // The 100 TB id-screen deployment flips this conf (or uses a
+      // format whose pruning is planner-independent).
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = bkt.filter(col("doc_id").isin(ids.map(Long.box): _*))
+      val scan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: [^,\n]*".r.findFirstIn(scan)
+        .getOrElse("SelectedBucketsCount: ABSENT (pruning lost)")
+      println(s"[scale-smoke] k=$k n=$n idProbeBucketed   $sel")
+      time("idProbeBucketed")(probe.count())
+      time("idProbePlain")(
+        plain.filter(col("doc_id").isin(ids.map(Long.box): _*)).count())
+      // (2) shuffled id-screen: the bucketed corpus joins WITHOUT a
+      // corpus-side exchange (only the batch shuffles, to nBuckets).
+      // The metric is "did any shuffle ingest a file scan", not a
+      // raw exchange count — both plans have the same number of
+      // exchanges, the bucketed one just never moves the corpus.
+      val batchDf = spark.createDataset(ids.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+        .withColumn("text", lit("probe"))
+      // textual subtree walk (one node per line, indentation = depth)
+      // because AQE hides the inner plan from SparkPlan.collect
+      def corpusShuffled(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val lines = df.queryExecution.executedPlan.toString.split("\n")
+        def indent(l: String): Int =
+          l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+        lines.zipWithIndex.exists { case (l, i) =>
+          l.contains("Exchange hashpartitioning") && {
+            val d = indent(l)
+            lines.drop(i + 1).takeWhile(x => indent(x) > d)
+              .exists(_.contains("FileScan"))
+          }
+        }
+      }
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sPlain = graft.operators.Dedup.exactAgainst(batchDf, plain,
+          Seq("doc_id"), broadcastBatch = false, hashKeys = false)
+        val sBkt = graft.operators.Dedup.exactAgainst(batchDf, bkt,
+          Seq("doc_id"), broadcastBatch = false, hashKeys = false)
+        println(s"[scale-smoke] k=$k n=$n idScreenCorpusShuffled  " +
+          s"plain=${corpusShuffled(sPlain)} bucketed=${corpusShuffled(sBkt)}")
+        time("idScreenShufPlain")(sPlain.count())
+        time("idScreenShufBkt")(sBkt.count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      }
+      c.unpersist()
       spark.catalog.clearCache()
     }
 
