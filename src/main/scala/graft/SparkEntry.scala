@@ -2141,6 +2141,34 @@ object SparkEntry {
     },
       Some(admissionOracleSql)),
 
+    // q122 with the index persisted PARTITIONED (r8,
+    // Dedup.indexWritePartitioned): admitBatch detects the layout and
+    // folds each cycle IN PLACE, rewriting only the layout partitions
+    // the batch touches — the last corpus-proportional write in the
+    // loop made batch-bounded. Same oracle VERBATIM, the fifth
+    // same-oracle/different-path proof of the admission family: the
+    // storage layout decides the write cost, never the answer.
+    Q("q129_admission_partitioned", (s, dir) => {
+      val (base, b1, b2) = admissionFixture(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q129")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      Dedup.indexWritePartitioned(
+        Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64,
+          bands = 32),
+        indexDir, numParts = 128)
+      graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+        dedupWithinBatch = false, batchId = 1L, collectStats = false)
+      graft.streaming.Admission.admitBatch(b2, corpusDir, indexDir,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
+        dedupWithinBatch = false, batchId = 2L, collectStats = false)
+      s.read.parquet(corpusDir).select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some(admissionOracleSql)),
+
     // The STREAMING face of the same loop (Admission.admitStream, r7):
     // the two batches become two parquet files whose mtimes force the
     // micro-batch order under maxFilesPerTrigger=1, and foreachBatch

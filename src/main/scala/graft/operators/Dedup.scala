@@ -546,24 +546,40 @@ object Dedup {
     require(index.columns.contains("part"),
       s"$what: index at $path is not partitioned — persist it with " +
         "indexWritePartitioned (or use the full-swap update)")
+    // numParts = 0 means "the index's own layout": read the embedded
+    // __numParts (one head row of a constant RLE column) — admission
+    // callers shouldn't have to know a layout param the index carries
+    val np =
+      if (numParts != 0) numParts
+      else {
+        require(index.columns.contains("__numParts"),
+          s"$what: index at $path lacks __numParts; pass numParts " +
+            "explicitly or rebuild with indexWritePartitioned")
+        val head = index.select(col("__numParts")).limit(1).collect()
+        require(head.nonEmpty,
+          s"$what: index at $path has zero rows, so its layout cannot " +
+            "be read back — pass numParts explicitly (it must match " +
+            "the value the index was created with)")
+        head(0).getInt(0)
+      }
     val old = validateIndexParams(index, what,
-      asked :+ ("__numParts" -> numParts), acceptUnvalidated)
+      asked :+ ("__numParts" -> np), acceptUnvalidated)
     require(old.columns.contains("n"),
       s"$what requires a graft-built index carrying the true bucket " +
         "count column `n`")
-    val nb = batchBuckets.withColumn("part", partOf(keys, numParts))
+    val nb = batchBuckets.withColumn("part", partOf(keys, np))
       .localCheckpoint() // one banding job serves dirty-scan and merge
     val dirty = nb.select(col("part")).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (dirty.isEmpty) return PartialUpdateStats(0, numParts) // empty batch
+    if (dirty.isEmpty) return PartialUpdateStats(0, np) // empty batch
     val cols = keys.map(col) :+ col("ids") :+ col("n")
     val merged = restamp(
         mergeIndex(
           old.filter(col("part").isin(dirty.map(Int.box): _*))
             .select(cols: _*),
           nb.select(cols: _*), keys, maxBucketSize))
-      .withColumn("__numParts", lit(numParts))
-      .withColumn("part", partOf(keys, numParts))
+      .withColumn("__numParts", lit(np))
+      .withColumn("part", partOf(keys, np))
       .repartition(col("part"))
       .localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -576,7 +592,7 @@ object Dedup {
       case None =>
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    PartialUpdateStats(dirty.length, numParts)
+    PartialUpdateStats(dirty.length, np)
   }
 
   /** [[minhashIndexUpdate]] against a partitioned on-disk index
@@ -586,14 +602,16 @@ object Dedup {
     * to the full-swap update (spec-pinned), at a write cost bounded
     * by the batch's bucket count instead of the corpus (sizing math
     * and the crash contract on [[indexWritePartitioned]] /
-    * [[partitionedUpdateCore]]). */
+    * [[partitionedUpdateCore]]). `numParts = 0` (the default) reads
+    * the layout from the index's embedded `__numParts`; a nonzero
+    * value additionally asserts the layout and throws on mismatch. */
   def minhashIndexUpdatePartitioned(spark: org.apache.spark.sql.SparkSession,
                                     path: String, newBatch: DataFrame,
                                     idCol: String, textCol: String,
                                     numHashes: Int = 64, bands: Int = 16,
                                     shingleLen: Int = 3, seed: Long = 42L,
                                     maxBucketSize: Int = 1000,
-                                    numParts: Int = 256,
+                                    numParts: Int = 0,
                                     acceptUnvalidated: Boolean = false)
   : PartialUpdateStats = {
     val nb = bandedFor(shingledFor(newBatch, idCol, textCol, shingleLen),
@@ -617,7 +635,7 @@ object Dedup {
       path: String, newBatch: DataFrame,
       idCol: String, vecCol: String, dim: Int,
       nTables: Int = 8, bitsPerTable: Int = 16, seed: Long = 42L,
-      maxBucketSize: Int = 10000, numParts: Int = 256,
+      maxBucketSize: Int = 10000, numParts: Int = 0,
       acceptUnvalidated: Boolean = false): PartialUpdateStats = {
     val nb = embCodes(newBatch, idCol, vecCol, dim, nTables, bitsPerTable,
         seed)

@@ -54,8 +54,12 @@ import graft.operators.Dedup
   *
   * At 100 TB: the batch (not the corpus) bounds every screening
   * SHUFFLE; the index rewrite is the only corpus-proportional write
-  * and is ids-only — partition the persisted index by `band` so an
-  * update rewrites only touched partitions.
+  * and is ids-only — and if the index was persisted with
+  * [[Dedup.indexWritePartitioned]], the cycle detects the layout and
+  * folds IN PLACE ([[Dedup.minhashIndexUpdatePartitioned]]), writing
+  * only the layout partitions the batch touches: the last
+  * corpus-proportional WRITE becomes batch-bounded too (measured in
+  * ScaleSmoke `upd`; crash contract on [[admitCore]]).
   *
   * Cost model at scale — what IS corpus-proportional: each cycle
   * READS the corpus twice (the id-screen semi join and the near-dup
@@ -93,16 +97,33 @@ object Admission {
                         admitted: Long)
 
   /** The shared cycle skeleton: id screen → near screen → optional
-    * within-batch dedup → localCheckpoint → corpus append + staged
-    * index swap. `screen` returns the matched-id column for the near
+    * within-batch dedup → localCheckpoint → corpus append + index
+    * fold. `screen` returns the matched-id column for the near
     * screen; `within` dedups the surviving batch against itself;
-    * `fold` merges the admitted rows into the index. */
+    * `fold` merges the admitted rows into the index (full-swap
+    * durable write); `foldInPlace` is the partitioned alternative,
+    * used automatically when `indexPath` holds an
+    * [[Dedup.indexWritePartitioned]] layout (detected by its `part`
+    * column) — only the layout partitions the batch touches are
+    * rewritten, so the per-cycle index write is batch-bounded instead
+    * of corpus-proportional.
+    *
+    * Crash contract of the in-place fold (vs the swap's atomic
+    * rename): dynamic partition overwrite commits per partition, so a
+    * crash mid-fold leaves SOME partitions with the batch folded in
+    * and others without. The corpus append happened FIRST, so every
+    * id such a partition references exists — the damage is bounded to
+    * recall (batch docs invisible to SOME future band/code probes
+    * until an index rebuild), the same degrade-recall-never-corrupt
+    * class as the swap's append-then-crash window; a replay is still
+    * a no-op (the id screen) and does NOT repair the partial fold. */
   private def admitCore(batch: DataFrame, corpusPath: String,
                         indexPath: String, idCol: String, batchId: Long,
                         within: Boolean, collectStats: Boolean,
                         screen: (DataFrame, DataFrame, DataFrame) => DataFrame,
                         dedupWithin: DataFrame => DataFrame,
-                        fold: (DataFrame, DataFrame) => DataFrame)
+                        fold: (DataFrame, DataFrame) => DataFrame,
+                        foldInPlace: (String, DataFrame) => Unit)
   : AdmitStats = {
     val spark = batch.sparkSession
     val corpus = spark.read.parquet(corpusPath)
@@ -126,7 +147,8 @@ object Admission {
     val nAdmitted = admitted.count()
     if (nAdmitted > 0) {
       admitted.write.mode("append").parquet(corpusPath)
-      swapWrite(fold(index, admitted), indexPath)
+      if (index.columns.contains("part")) foldInPlace(indexPath, admitted)
+      else swapWrite(fold(index, admitted), indexPath)
     }
     fresh.unpersist()
     AdmitStats(batchId, batchRows, nFresh, nAdmitted)
@@ -134,8 +156,11 @@ object Admission {
 
   /** One admission cycle against the durable state at
     * (`corpusPath`, `indexPath`). `indexPath` must hold a
-    * [[Dedup.minhashIndex]]-built index; its embedded build params
-    * are validated against this call's (mismatch throws rather than
+    * [[Dedup.minhashIndex]]-built index — either swap-written whole
+    * or persisted partitioned via [[Dedup.indexWritePartitioned]]
+    * (auto-detected; the fold then rewrites only dirty layout
+    * partitions); its embedded format version and build params are
+    * validated against this call's (mismatch throws rather than
     * silently losing recall). Callable directly at batch cadence or
     * per micro-batch via [[admitStream]]. */
   def admitBatch(batch: DataFrame, corpusPath: String, indexPath: String,
@@ -159,7 +184,12 @@ object Admission {
       fold = (index, admitted) =>
         Dedup.minhashIndexUpdate(index, admitted, idCol, textCol,
           numHashes = numHashes, bands = bands, shingleLen = shingleLen,
-          seed = seed, maxBucketSize = maxBucketSize))
+          seed = seed, maxBucketSize = maxBucketSize),
+      foldInPlace = (path, admitted) =>
+        Dedup.minhashIndexUpdatePartitioned(admitted.sparkSession, path,
+          admitted, idCol, textCol, numHashes = numHashes, bands = bands,
+          shingleLen = shingleLen, seed = seed,
+          maxBucketSize = maxBucketSize))
 
   /** [[admitBatch]]'s embedding sibling: same skeleton, with the
     * semantic screen ([[Dedup.embeddingPairsAgainstIndex]] over a
@@ -195,6 +225,11 @@ object Admission {
       fold = (index, admitted) =>
         Dedup.embeddingIndexUpdate(index, admitted, idCol, vecCol, dim,
           nTables = nTables, bitsPerTable = bitsPerTable, seed = seed,
+          maxBucketSize = maxBucketSize),
+      foldInPlace = (path, admitted) =>
+        Dedup.embeddingIndexUpdatePartitioned(admitted.sparkSession, path,
+          admitted, idCol, vecCol, dim, nTables = nTables,
+          bitsPerTable = bitsPerTable, seed = seed,
           maxBucketSize = maxBucketSize))
 
   /** Continuous admission: drains `stream` (Trigger.AvailableNow) and

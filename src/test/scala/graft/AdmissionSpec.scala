@@ -68,6 +68,48 @@ class AdmissionSpec extends SparkTestBase {
       .forall(spark.read.parquet(i).columns.contains))
   }
 
+  test("partitioned index: same admissions, in-place fold == swap fold") {
+    // run the EXACT two-cycle scenario above against a PARTITIONED
+    // index persist: admitCore must detect the layout, fold each
+    // cycle in place, and land the identical corpus, stats, and
+    // bucket table (read back from disk, compared bucket-for-bucket
+    // against the swap-path index)
+    val (cSwap, iSwap) = setup()
+    val corpusDir = Files.createTempDirectory("graft_adm_cp").toString
+    val indexDir = Files.createTempDirectory("graft_adm_ip").toString + "/idx"
+    corpusDf.write.mode("overwrite").parquet(corpusDir)
+    Dedup.indexWritePartitioned(
+      Dedup.minhashIndex(corpusDf, "doc_id", "text",
+        numHashes = 64, bands = 32),
+      indexDir, numParts = 64)
+    val batch1 = Seq(
+      100L -> freshText("n100"), 101L -> freshText("n101"),
+      102L -> freshText("c0"), 0L -> freshText("c0"),
+      103L -> freshText("twin"), 104L -> freshText("twin")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      200L -> (freshText("n100") + " k"), 201L -> freshText("n201")
+    ).toDF("doc_id", "text")
+    for ((c, i) <- Seq((cSwap, iSwap), (corpusDir, indexDir))) {
+      assert(admit(batch1, c, i, batchId = 1L)
+        == Admission.AdmitStats(1L, 6L, 5L, 3L))
+      assert(admit(batch2, c, i, batchId = 2L)
+        == Admission.AdmitStats(2L, 2L, 2L, 1L))
+      assert(corpusIds(c) == ((0L until 40L) ++ Seq(100L, 101L, 103L, 201L)))
+    }
+    def buckets(path: String) = {
+      val df = spark.read.parquet(path)
+      df.drop("part")
+        .drop(df.columns.filter(_.startsWith("__")): _*)
+        .collect()
+        .map(r => ((r.get(0), r.get(1)),
+          (r.getSeq[Long](2).sorted, r.getLong(3)))).toMap
+    }
+    assert(buckets(indexDir) == buckets(iSwap))
+    // and the in-place path really kept the partitioned layout
+    assert(spark.read.parquet(indexDir).columns.contains("part"))
+  }
+
   test("replaying an already-admitted batch is a no-op") {
     val (c, i) = setup()
     val batch = Seq(100L -> freshText("n100")).toDF("doc_id", "text")
