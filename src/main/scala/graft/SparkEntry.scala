@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
+import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -2889,7 +2889,40 @@ object SparkEntry {
               | CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
               |   AS n_keep,
               | round(avg(score), 6) AS avg_score
-              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE subword tokenizer, trainer side (operators/Bpe.train, r8):
+    // learn a merge table from the documents corpus. The trainer is
+    // an iterative argmax loop (each merge depends on the table state
+    // after all previous merges) — not ANSI-SQL-expressible, so
+    // rows-only here; the real gate is BpeSpec's randomized equality
+    // against a clean-room single-machine reimplementation, plus the
+    // deterministic tie-break (freq desc, left asc, right asc) making
+    // the sequence partition-independent (also spec-pinned). 60
+    // merges at minFreq=2 converges well inside the synthetic vocab.
+    Q("q130_bpe_train", (s, dir) => {
+      Bpe.train(t(s, dir, "documents"), "text", numMerges = 60,
+          minFreq = 2L)
+        .orderBy(col("rank"))
+    },
+      None), // iterative trainer; clean-room equality pinned in BpeSpec
+
+    // Encoder side (Bpe.encode / Bpe.tokenCount, r8): token counts in
+    // LEARNED units over the same corpus the merges came from — the
+    // budgeting signal sequence packing / token budgets would consume.
+    // Rank-greedy encode == replay-in-rank-order is spec-pinned; the
+    // aggregate here keeps the gate row set small and stable.
+    Q("q131_bpe_encode", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 60, minFreq = 2L)
+      Bpe.tokenCount(docs, "text", merges)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_count").cast("long")).as("bpe_tokens"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("ws_tokens"))
+        .orderBy(col("lang"))
+    },
+      None) // encoder of an iteratively-trained table; pinned in BpeSpec
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -717,6 +717,24 @@ class DDF(val df: DataFrame) {
   def topKeywords(idCol: String, textCol: String, k: Int = 5): DDF =
     wrap(graft.operators.Vocabulary.topKeywords(df, idCol, textCol, k))
 
+  /** [[graft.operators.Bpe.train]] — learn a BPE merge table from
+    * `textCol` over this frame */
+  def bpeTrain(textCol: String, numMerges: Int, minFreq: Long = 2L): DDF =
+    wrap(graft.operators.Bpe.train(df, textCol, numMerges,
+      minFreq = minFreq))
+
+  /** [[graft.operators.Bpe.encode]] — subword-tokenize `textCol` with
+    * a trained merge table */
+  def bpeEncode(textCol: String, merges: DDF,
+                outCol: String = "bpe_tokens"): DDF =
+    wrap(graft.operators.Bpe.encode(df, textCol, merges.df, outCol))
+
+  /** [[graft.operators.Bpe.tokenCount]] — learned-unit token count
+    * per row (the budgeting signal) */
+  def bpeTokenCount(textCol: String, merges: DDF,
+                    outCol: String = "bpe_count"): DDF =
+    wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol))
+
   /** [[graft.operators.Dedup.decontaminateBloom]] — Bloom-prefiltered
     * decontamination for non-broadcastable eval sets */
   def decontaminateBloom(evalSet: DDF, idCol: String, textCol: String,

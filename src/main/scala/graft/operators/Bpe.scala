@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding subword tokenizer: distributed trainer +
+  * encoder (DRIVER-EXT, SURVEY.md §2.12 text analysis). The engine's
+  * token accounting so far is heuristic ([[TextFunctions.tokenCount]]
+  * / `bpeishTokenCount`); this learns a REAL merge table from the
+  * corpus (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units") so budgets, packing, and per-doc costs
+  * can be measured in the same units a trained model will see.
+  *
+  * Shape at 100 TB — the reason BPE trains fine on Spark: the corpus
+  * is touched EXACTLY ONCE, by the word-count aggregation (explode →
+  * partial-agg groupBy, the [[Vocabulary]] shuffle shape). Every one
+  * of the `numMerges` iterations after that rides the DISTINCT-WORD
+  * table (natural-language corpora: ~1e7–1e8 rows regardless of
+  * corpus size — Heaps' law, not corpus-linear), and that table only
+  * SHRINKS as fully-merged words retire from the working set. Per
+  * iteration: one pair-count aggregation (explode adjacent pairs →
+  * partial-agg groupBy → 1-row argmax to the driver) and one narrow
+  * map applying the merge — no shuffle of anything corpus-sized,
+  * no driver state beyond the merge list itself. Lineage is cut
+  * every `checkpointEvery` merges (localCheckpoint), so plan depth
+  * is bounded and a 50k-merge vocabulary is 50k SMALL jobs, not one
+  * 50k-deep plan.
+  *
+  * Determinism (what makes a rows-only gate meaningful): the argmax
+  * tie-breaks on (freq desc, left asc, right asc), so the merge
+  * sequence is a pure function of the corpus — independent of
+  * partitioning, parallelism, and run order (spec-pinned by training
+  * on repartitioned copies).
+  *
+  * Why the encoder is a UDF (the engine's stated preference is
+  * Column math / native expressions): encoding is the rank-greedy
+  * merge loop — a data-dependent fixpoint per word — which Column
+  * algebra cannot express and a native Expression would re-implement
+  * as the same JVM loop without the broadcast rank map's per-task
+  * word cache (natural text repeats words; the cache makes the
+  * common case a hash lookup). Same exemption class as the other
+  * iterative kernels (SURVEY §5).
+  */
+object Bpe {
+
+  /** end-of-word marker appended to every word's symbol sequence
+    * before training/encoding (standard BPE: lets merges distinguish
+    * word-final units, e.g. "est&lt;/w&gt;" vs mid-word "est"). */
+  val EndOfWord = "</w>"
+
+  /** Learn `numMerges` BPE merges from `textCol` over the corpus.
+    * Words are [[TextFunctions.tokens]] (lowercased whitespace
+    * tokens) so learned units agree with every other token metric in
+    * the engine. Returns (rank int, left string, right string,
+    * freq long) ordered by rank — `freq` is the corpus-wide count of
+    * the merged pair at the moment it won. Stops early when no
+    * remaining pair reaches `minFreq` (so ranks are dense but the
+    * result may be shorter than `numMerges`).
+    *
+    * Driver cutover (the CC/PageRank precedent): after the one
+    * corpus-proportional word-count aggregation, if the DISTINCT-WORD
+    * table is at most `driverCutover` rows it is collected and the
+    * merge loop runs on the driver with incremental pair-count
+    * maintenance (Sennrich's reference algorithm) — `numMerges`
+    * iterations then cost zero Spark jobs instead of `2*numMerges`
+    * tiny ones, which dominate wall time at any corpus size (the
+    * iteration input is vocabulary-sized, never corpus-sized). Above
+    * the cutover the distributed loop runs unchanged. Both paths
+    * share the tie-break (freq desc, then left, then right in UTF-8
+    * binary order — Spark's native string ordering) so the merge
+    * sequence is identical; spec-pinned by forcing each path against
+    * the clean-room naive trainer. 2^20 words ≈ tens of MB collected
+    * — the same bound class as the CC driver cutover. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minFreq: Long = 2L, checkpointEvery: Int = 10,
+            driverCutover: Long = 1L << 20): DataFrame = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(driverCutover >= 0L,
+      s"driverCutover must be >= 0, got $driverCutover")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // the single corpus-proportional step: corpus-wide word counts
+    // (partial aggregation bounds the exchange to distinct words per
+    // map partition). Words that are one symbol long after the
+    // end-of-word marker (i.e. empty — impossible via tokens(), but
+    // cheap to guard) can never contribute a pair and are dropped;
+    // the same filter retires fully-merged words after each round.
+    var words: Dataset[(Seq[String], Long)] = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (toSymbols(w), f) }
+      .filter((t: (Seq[String], Long)) => t._1.length >= 2)
+      .localCheckpoint() // materialize once; corpus lineage ends here
+
+    if (words.count() <= driverCutover) {
+      val local = words.collect()
+      words.unpersist()
+      val merges = trainLocal(local, numMerges, minFreq)
+      return merges.zipWithIndex
+        .map { case ((l, r, f), i) => (i, l, r, f) }
+        .toSeq.toDF("rank", "left", "right", "freq")
+    }
+
+    var lastCheckpoint = words
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      // pair-count argmax: explode adjacent symbol pairs weighted by
+      // word freq, partial-agg, 1 row to the driver. All Column-math,
+      // whole-stage codegen'd.
+      val top = words.toDF("syms", "freq")
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((l, r, f))
+        val next = words
+          .map { case (syms, freq) => (mergePair(syms, l, r), freq) }
+          .filter((t: (Seq[String], Long)) => t._1.length >= 2)
+        if (merges.length % checkpointEvery == 0) {
+          val cp = next.localCheckpoint()
+          lastCheckpoint.unpersist()
+          lastCheckpoint = cp
+          words = cp
+        } else words = next
+      }
+    }
+    lastCheckpoint.unpersist()
+    merges.zipWithIndex
+      .map { case ((l, r, f), i) => (i, l, r, f) }
+      .toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** driver-side merge loop for a collected distinct-word table.
+    * Incremental pair-count maintenance: only words CONTAINING the
+    * winning pair are touched per iteration (their old adjacent-pair
+    * contributions retracted, the merge applied, new contributions
+    * added), so iteration cost tracks the pair's support, not the
+    * vocabulary. `where` is a stale-tolerant inverted index pair →
+    * word ids (membership re-checked on use — a later merge may have
+    * destroyed the pair in that word). Same argmax and tie-break as
+    * the distributed loop (freq desc, left/right UTF-8-binary asc). */
+  private def trainLocal(input: Array[(Seq[String], Long)], numMerges: Int,
+                         minFreq: Long): Seq[(String, String, Long)] = {
+    val syms = input.map(_._1.toArray)
+    val freqs = input.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def contribute(i: Int, sign: Long): Unit = {
+      val s = syms(i); val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L)
+          where.getOrElseUpdate(
+            p, scala.collection.mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { contribute(i, 1L); i += 1 }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      var bf = 0L; var bl: String = null; var br: String = null
+      counts.foreach { case ((l, r), f) =>
+        if (f > bf ||
+            (f == bf && bf > 0L &&
+              (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br)))))
+          { bf = f; bl = l; br = r }
+      }
+      if (bf < minFreq) done = true
+      else {
+        merges += ((bl, br, bf))
+        where.remove((bl, br)).foreach(_.foreach { w =>
+          val s = syms(w)
+          var has = false; var j = 0
+          while (!has && j + 1 < s.length) {
+            if (s(j) == bl && s(j + 1) == br) has = true
+            j += 1
+          }
+          if (has) {
+            contribute(w, -1L)
+            val merged = mergePair(s.toSeq, bl, br)
+            syms(w) = if (merged.length >= 2) merged.toArray
+                      else Array.empty[String]
+            if (syms(w).nonEmpty) contribute(w, 1L)
+          }
+        })
+      }
+    }
+    merges.toSeq
+  }
+
+  /** a < b in UTF-8 unsigned-byte order — Spark's native string sort
+    * order, so the local argmax tie-break matches `orderBy(asc)` in
+    * the distributed loop (UTF-16 `String.compareTo` diverges for
+    * supplementary-plane code points). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** seed symbols for a word: one per Unicode CODE POINT (a
+    * char-level split would shear surrogate pairs — emoji and
+    * supplementary-plane CJK would train/encode as broken halves),
+    * plus the end-of-word marker. */
+  private def toSymbols(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toSeq
+  }
+
+  /** one left-to-right merge pass: every non-overlapping occurrence
+    * of (l, r) becomes l+r (overlaps resolve leftmost-first — the
+    * standard convention, and the one the encoder mirrors). */
+  private def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Encode `textCol` with a trained merge table: adds `outCol` as
+    * array&lt;string&gt; of subword tokens (word-final tokens carry
+    * the [[EndOfWord]] marker). The merge table is collected and
+    * broadcast as a rank map (it is vocabulary-sized — broadcast
+    * material by construction); each task additionally memoizes
+    * word → tokens, so repeated words (natural text: most of them)
+    * cost a hash lookup, not a merge loop. Rank-greedy encoding
+    * (repeatedly merge the lowest-rank adjacent pair) is equivalent
+    * to replaying merges in rank order — pinned in BpeSpec against
+    * the naive replay. */
+  def encode(df: DataFrame, textCol: String, merges: DataFrame,
+             outCol: String = "bpe_tokens"): DataFrame = {
+    val ranked = merges.select(col("rank"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(ranked)
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val ranks = bc.value
+        text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty)
+          .flatMap { w =>
+            var hit = cache.get(w)
+            if (hit == null) {
+              hit = encodeWord(w, ranks)
+              cache.put(w, hit)
+            }
+            hit
+          }.toSeq
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  /** [[encode]] reduced to the budgeting signal: token count per row
+    * (null text → null, matching tokenCount's null behavior). */
+  def tokenCount(df: DataFrame, textCol: String, merges: DataFrame,
+                 outCol: String = "bpe_count"): DataFrame = {
+    val enc = encode(df, textCol, merges, "__bpe_toks")
+    enc.withColumn(outCol, size(col("__bpe_toks"))).drop("__bpe_toks")
+  }
+
+  /** rank-greedy fixpoint for one word (already lowercased,
+    * whitespace-free): merge the lowest-rank adjacent pair until no
+    * adjacent pair is in the table. */
+  private def encodeWord(w: String,
+                         ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = toSymbols(w)
+    var continue = syms.length >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else syms = mergePair(syms, bl, br)
+    }
+    syms
+  }
+}

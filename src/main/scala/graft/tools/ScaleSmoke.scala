@@ -500,6 +500,40 @@ object ScaleSmoke {
       c.unpersist()
       spark.catalog.clearCache()
     }
+
+    // ---- BPE trainer: the scaladoc's scale claims, measured. The
+    // corpus replicates k× but the DISTINCT-WORD table stays ~flat
+    // (replicas add one `replicaI` token each — Heaps'-law shape), so
+    // (a) the distributed loop's per-merge cost must be flat in k
+    // (its input is the word table, never the corpus) and (b) the
+    // driver-cutover path must collapse the loop to ~the one
+    // word-count pass. Merge sequences from both paths are asserted
+    // identical in-run (the UTF-8 tie-break equality, at data scale).
+    if (on("bpe")) scales.foreach { k =>
+      val c = corpus(k)
+      val n = c.count()
+      def timeMerges(label: String)(f: => Seq[(Int, String, String, Long)])
+          : Seq[(Int, String, String, Long)] = {
+        val t0 = System.nanoTime()
+        val m = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  merges=${m.size}")
+        m
+      }
+      def collectMerges(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      val mDist = timeMerges("bpeTrainDist") {
+        collectMerges(graft.operators.Bpe.train(c, "text", 40,
+          driverCutover = 0L))
+      }
+      val mLocal = timeMerges("bpeTrainLocal") {
+        collectMerges(graft.operators.Bpe.train(c, "text", 40))
+      }
+      require(mDist == mLocal, s"k=$k: train paths diverged")
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

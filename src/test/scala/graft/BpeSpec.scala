@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/encoder pins. The load-bearing tests are the
+  * RANDOMIZED equalities against `Naive` — an independent plain-Scala
+  * reimplementation written from the algorithm statement (Sennrich
+  * 2016), sharing no code with the distributed path — per the
+  * repo-wide lesson that planted fixtures can mask a degenerate
+  * estimator for rounds (the r7 minhash fix). */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** clean-room single-machine BPE: word counts → iterate (count
+    * adjacent pairs weighted by word freq, argmax with freq desc /
+    * left asc / right asc tie-break, merge leftmost-first). */
+  private object Naive {
+    def wordCounts(texts: Seq[String]): Map[String, Long] =
+      texts.flatMap(t => t.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+
+    def symbols(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (out += Bpe.EndOfWord).result()
+    }
+
+    def mergeOne(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    def train(texts: Seq[String], numMerges: Int,
+              minFreq: Long): Seq[(Int, String, String, Long)] = {
+      var tbl = wordCounts(texts).toSeq
+        .map { case (w, f) => (symbols(w), f) }
+        .filter(_._1.length >= 2)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- tbl; i <- 0 until syms.length - 1)
+          counts(syms(i) -> syms(i + 1)) =
+            counts.getOrElse(syms(i) -> syms(i + 1), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+          if (f < minFreq) done = true
+          else {
+            merges += ((rank, l, r, f))
+            rank += 1
+            tbl = tbl.map { case (s, fr) => (mergeOne(s, l, r), fr) }
+              .filter(_._1.length >= 2)
+          }
+        }
+      }
+      merges.result()
+    }
+
+    /** encode by replaying merges IN RANK ORDER — the semantic
+      * definition the production rank-greedy loop must equal. */
+    def encode(text: String,
+               merges: Seq[(Int, String, String, Long)]): Seq[String] =
+      text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).toSeq.flatMap { w =>
+          var syms = symbols(w)
+          for ((_, l, r, _) <- merges.sortBy(_._1))
+            syms = mergeOne(syms, l, r)
+          syms
+        }
+  }
+
+  private def trained(df: org.apache.spark.sql.DataFrame, n: Int,
+                      minFreq: Long = 2L) =
+    Bpe.train(df, "text", n, minFreq = minFreq)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  test("hand-computed micro corpus") {
+    // "ab ab ab": one word, freq 3, syms (a, b, </w>). Pairs (a,b)=3
+    // and (b,</w>)=3 tie on freq; left-asc breaks to (a,b). Then
+    // (ab,</w>)=3 merges and the word retires at one symbol.
+    val df = Seq("ab ab", "ab").toDF("text")
+    assert(trained(df, 10) ==
+      Seq((0, "a", "b", 3L), (1, "ab", "</w>", 3L)))
+  }
+
+  test("randomized: BOTH train paths == clean-room naive train") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val lexicon = Seq.fill(30)(
+        (1 + rnd.nextInt(6)).times(() => ('a' + rnd.nextInt(4)).toChar)
+          .mkString).distinct
+      val texts = Seq.fill(60)(
+        Seq.fill(5 + rnd.nextInt(15))(lexicon(rnd.nextInt(lexicon.size)))
+          .mkString(" "))
+      val expected = Naive.train(texts, 25, minFreq = 2L)
+      // repartition(7): the argmax tie-break must make the merge
+      // sequence independent of physical layout. driverCutover = 0
+      // forces the distributed loop; the default takes the collected
+      // local path — both must equal the naive reference exactly.
+      val df = texts.toDF("text").repartition(7)
+      val dist = Bpe.train(df, "text", 25, minFreq = 2L,
+          driverCutover = 0L)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      assert(dist == expected, s"trial $trial (distributed)")
+      assert(trained(df, 25) == expected, s"trial $trial (local)")
+    }
+  }
+
+  private implicit class Times(n: Int) {
+    def times[A](f: () => A): Seq[A] = Seq.fill(n)(f())
+  }
+
+  test("randomized: rank-greedy encode == replay-in-rank-order encode") {
+    val rnd = new scala.util.Random(13)
+    val lexicon = Seq.fill(40)(
+      (1 + rnd.nextInt(7)).times(() => ('a' + rnd.nextInt(5)).toChar)
+        .mkString).distinct
+    val texts = Seq.fill(50)(
+      Seq.fill(4 + rnd.nextInt(12))(lexicon(rnd.nextInt(lexicon.size)))
+        .mkString(" "))
+    val train = texts.toDF("text")
+    val merges = Bpe.train(train, "text", 30)
+    val mergesLocal = merges.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // encode UNSEEN text too: new words exercise partial merges
+    val fresh = Seq.fill(10)(
+      Seq.fill(6)((1 + rnd.nextInt(8)).times(() =>
+        ('a' + rnd.nextInt(5)).toChar).mkString).mkString(" "))
+    val all = (texts.take(10) ++ fresh).zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("id", "text")
+    val got = Bpe.encode(all, "text", merges)
+      .select($"id", $"bpe_tokens").as[(Int, Seq[String])]
+      .collect().toMap
+    for ((t, i) <- (texts.take(10) ++ fresh).zipWithIndex)
+      assert(got(i) == Naive.encode(t, mergesLocal), s"doc $i")
+  }
+
+  test("encode round-trips the text and counts match") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val merges = Bpe.train(docs, "text", 40)
+    val enc = Bpe.encode(docs, "text", merges)
+      .select($"doc_id", $"text", $"bpe_tokens")
+      .as[(Long, String, Seq[String])].collect()
+    for ((_, text, toks) <- enc) {
+      val rebuilt = toks.mkString("").replace(Bpe.EndOfWord, " ").trim
+      val norm = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == norm)
+      // every word contributes at least one token, at most its length+1
+      assert(toks.count(_.endsWith(Bpe.EndOfWord)) ==
+        norm.split(" ").count(_.nonEmpty))
+    }
+    val counted = Bpe.tokenCount(docs, "text", merges)
+      .select($"doc_id", $"bpe_count").as[(Long, Int)].collect().toMap
+    for ((id, _, toks) <- enc) assert(counted(id) == toks.size)
+  }
+
+  test("minFreq stops early; numMerges=0 and empty corpus are empty") {
+    // all words distinct singletons → every pair freq 1 → minFreq=2
+    // learns nothing
+    val singletons = Seq("abc", "def", "ghi").toDF("text")
+    assert(trained(singletons, 10, minFreq = 2L).isEmpty)
+    // minFreq=1 learns from them fine
+    assert(trained(singletons, 10, minFreq = 1L).nonEmpty)
+    assert(trained(Seq("ab ab").toDF("text"), 0).isEmpty)
+    assert(trained(Seq.empty[String].toDF("text"), 5).isEmpty)
+    assert(trained(Seq("", "   ").toDF("text"), 5).isEmpty)
+  }
+
+  test("unicode: surrogate pairs are single symbols") {
+    // U+1F600 is a surrogate pair in UTF-16; a char-level split would
+    // produce broken halves that can never re-merge into valid text
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq(s"$emoji$emoji a", s"$emoji$emoji a").toDF("text")
+    val merges = Bpe.train(df, "text", 5, minFreq = 2L)
+    // no learned unit is a LONE surrogate half (the char-split bug)
+    val units = merges.select($"left", $"right").as[(String, String)]
+      .collect().flatMap(p => Seq(p._1, p._2))
+    assert(units.forall(u => !(u.length == 1 && u.charAt(0).isSurrogate)))
+    val enc = Bpe.encode(df.limit(1), "text", merges)
+      .select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc.mkString("").replace(Bpe.EndOfWord, " ").trim
+      == s"$emoji$emoji a")
+    // the emoji survived as a unit somewhere in the token stream
+    assert(enc.exists(_.contains(emoji)))
+  }
+
+  test("fluent DDF delegates match the operator surface") {
+    import graft.ddf.DDF
+    val docs = Seq("ab ab ba", "ab ba ba").toDF("text")
+    val viaOp = Bpe.train(docs, "text", 5)
+    val d = DDF(docs)
+    val viaDdf = d.bpeTrain("text", 5)
+    assert(viaDdf.toDF.collect().toSeq == viaOp.collect().toSeq)
+    val enc = d.bpeEncode("text", viaDdf).toDF
+      .select($"bpe_tokens").as[Seq[String]].collect()
+    val cnt = d.bpeTokenCount("text", viaDdf).toDF
+      .select($"bpe_count").as[Int].collect()
+    assert(enc.map(_.size).toSeq == cnt.toSeq)
+  }
+
+  test("null and empty text encode to null and empty") {
+    val merges = Bpe.train(Seq("ab ab").toDF("text"), "text", 5)
+    val df = Seq((1, "ab"), (2, ""), (3, null)).toDF("id", "text")
+    val out = Bpe.encode(df, "text", merges)
+      .select($"id", $"bpe_tokens").as[(Int, Seq[String])]
+      .collect().toMap
+    assert(out(1) == Seq("ab</w>"))
+    assert(out(2) == Seq.empty)
+    assert(out(3) == null)
+  }
+}
