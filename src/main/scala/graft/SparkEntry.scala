@@ -24,19 +24,18 @@ object SparkEntry {
   // ---- helpers ----------------------------------------------------------
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is nanosecond parquet, which Spark's vectorized reader
-      // rejects; read it as epoch-nanos long and convert explicitly.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events goes through the layout-adaptive loader (EventStream) —
+    // the generator has shipped both nanos and micros ts over time
+    require(name != "events", "load events via events()/EventStream")
     s.read.parquet(s"$dir/$name.parquet")
   }
   private def d(s: SparkSession, dir: String, name: String): DDF =
     DDF(t(s, dir, name))
 
-  /** events with ts converted nanos → microsecond timestamp_ntz (UTC) */
+  /** events with ts normalized to microsecond timestamp_ntz (UTC),
+    * whatever physical layout the parquet carries */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts",
-      expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    EventStream.eventsBatchNtz(s, dir)
 
   /** documents plus synthetic near-duplicates: docs 0..49 re-appear as
     * doc_id+10000 with one token appended (high but <1.0 jaccard), and
@@ -1487,19 +1486,18 @@ object SparkEntry {
     // ===== §2.3-ext as-of join ==========================================
 
     // enrich every event with its user's most recent signup at-or-
-    // before the event; time axis is raw epoch-nanos (exact ordering,
-    // no timestamp truncation). Oracle is DuckDB's native ASOF JOIN.
+    // before the event; time axis is epoch-micros long (exact integer
+    // ordering — int64-with-nulls degrades to float64 in the compare,
+    // and micros stay inside float64's exact range where nanos would
+    // not). Oracle is DuckDB's native ASOF JOIN.
     Q("q67_asof_join", (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = EventStream.eventsRawMicros(s, dir)
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("value"))
       AsOfJoin.backward(ev, signups, Seq("user_id"), "ts", "ts",
           payload = Seq("ts", "value"))
         .select(col("event_id"), col("user_id"),
-          // microseconds: epoch-nanos as int64-with-nulls degrades to
-          // float64 in the compare and ns magnitudes exceed float64's
-          // exact-integer range; us values stay exact
-          expr("asof_ts div 1000").as("signup_ts"),
+          col("asof_ts").as("signup_ts"),
           col("asof_value").as("signup_value"))
         .orderBy(col("event_id"))
     },
@@ -2533,13 +2531,13 @@ object SparkEntry {
     // each event picks the EARLIEST signup at-or-after it. DuckDB's
     // ASOF JOIN takes the reversed inequality directly.
     Q("q101_asof_forward", (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = EventStream.eventsRawMicros(s, dir)
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("value"))
       AsOfJoin.forward(ev, signups, Seq("user_id"), "ts", "ts",
           payload = Seq("ts", "value"))
         .select(col("event_id"), col("user_id"),
-          expr("asof_ts div 1000").as("next_signup_ts"),
+          col("asof_ts").as("next_signup_ts"),
           col("asof_value").as("next_signup_value"))
         .orderBy(col("event_id"))
     },

@@ -15,21 +15,130 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events parquet schema with ts as epoch-nanos long (the files are
-    * TIMESTAMP(NANOS) which Spark's reader only admits as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Physical layout of the `ts` column in an events parquet file.
+    * The upstream generator has shipped BOTH `TIMESTAMP(NANOS)` and
+    * `timestamp[us]` over time, so every ingestion path probes the
+    * footer and branches instead of hard-coding a layout — a parquet
+    * producer change must never silently corrupt event times again
+    * (pinned across all three layouts in EventsLoaderSpec). */
+  sealed trait TsLayout
+  object TsLayout {
+    /** TIMESTAMP(NANOS): Spark's reader only admits it as epoch-nanos
+      * long via `spark.sql.legacy.parquet.nanosAsLong`. */
+    case object NanosLong extends TsLayout
+    /** timestamp micros/millis, isAdjustedToUTC=false → TIMESTAMP_NTZ */
+    case object MicrosNtz extends TsLayout
+    /** timestamp micros/millis, isAdjustedToUTC=true → TIMESTAMP */
+    case object MicrosTz extends TsLayout
+  }
 
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Inspect the parquet footer (schema-only job, no data read) and
+    * classify the `ts` layout. Sets the nanos legacy conf first so a
+    * NANOS footer resolves to long instead of throwing; the conf is a
+    * no-op for micros/millis files. */
+  def probeTsLayout(spark: SparkSession, pathOrGlob: String): TsLayout = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(pathOrGlob).schema("ts").dataType match {
+      case LongType         => TsLayout.NanosLong
+      case TimestampNTZType => TsLayout.MicrosNtz
+      case TimestampType    => TsLayout.MicrosTz
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported parquet type $other at $pathOrGlob")
+    }
+  }
+
+  /** events schema as the parquet reader surfaces it for `layout` —
+    * the streaming file source requires a user-supplied schema, so it
+    * must match the probed physical layout, not an assumed one. */
+  def rawSchema(layout: TsLayout): StructType = {
+    val tsType = layout match {
+      case TsLayout.NanosLong => LongType
+      case TsLayout.MicrosNtz => TimestampNTZType
+      case TsLayout.MicrosTz  => TimestampType
+    }
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** normalize `ts` to TimestampType (absolute instant; the engine
+    * runs with session timeZone UTC so NTZ wall-clock maps 1:1). */
+  private def tsToTimestamp(df: DataFrame, layout: TsLayout): DataFrame =
+    layout match {
+      case TsLayout.NanosLong =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TsLayout.MicrosNtz =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TsLayout.MicrosTz => df
+    }
+
+  private def eventsPath(pathOrDir: String): String =
+    if (pathOrDir.endsWith(".parquet")) pathOrDir
+    else s"$pathOrDir/events.parquet"
+
+  /** THE batch events loader: layout-adaptive read with `ts` as
+    * TimestampType. `pathOrDir` may be a directory containing
+    * events.parquet, or a direct file/glob path. */
+  def eventsBatch(spark: SparkSession, pathOrDir: String): DataFrame = {
+    val p = eventsPath(pathOrDir)
+    tsToTimestamp(spark.read.parquet(p), probeTsLayout(spark, p))
+  }
+
+  /** [[eventsBatch]] with `ts` as TIMESTAMP_NTZ — the catalog-query
+    * shape (matches the DuckDB oracle's naive-timestamp reading). */
+  def eventsBatchNtz(spark: SparkSession, pathOrDir: String): DataFrame =
+    eventsBatch(spark, pathOrDir)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+
+  /** [[eventsBatch]] with `ts` as epoch-MICROS long — the exact-
+    * integer time axis for as-of joins (nanos magnitudes would exceed
+    * float64's exact range in the oracle compare; micros stay exact). */
+  def eventsRawMicros(spark: SparkSession, pathOrDir: String): DataFrame = {
+    val p = eventsPath(pathOrDir)
+    val df = spark.read.parquet(p)
+    probeTsLayout(spark, p) match {
+      case TsLayout.NanosLong =>
+        df.withColumn("ts", expr("ts div 1000"))
+      case TsLayout.MicrosNtz =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      case TsLayout.MicrosTz =>
+        df.withColumn("ts", unix_micros(col("ts")))
+    }
+  }
+
+  /** Render a DataFrame whose `ts` is epoch-micros LongType into the
+    * physical shape of `layout`, for writing test fixtures/sentinels
+    * that match an existing directory's layout. NanosLong fixtures
+    * come out as plain int64 columns — Spark cannot author the
+    * TIMESTAMP(NANOS) annotation, but under the legacy conf an
+    * annotated-nanos file reads back as the same LongType the plain
+    * column does, so the loader branch exercised is identical. */
+  def renderTs(tsMicros: DataFrame, layout: TsLayout): DataFrame =
+    layout match {
+      case TsLayout.NanosLong =>
+        tsMicros.withColumn("ts", col("ts") * lit(1000L))
+      case TsLayout.MicrosNtz =>
+        tsMicros.withColumn("ts",
+          timestamp_micros(col("ts")).cast(TimestampNTZType))
+      case TsLayout.MicrosTz =>
+        tsMicros.withColumn("ts", timestamp_micros(col("ts")))
+    }
+
+  /** streaming events source over an explicit glob: probe the layout
+    * from whatever files currently match, declare the matching
+    * schema, normalize `ts` to TimestampType. Files appended later
+    * must keep the probed layout (one schema per streaming query). */
+  def readStreamGlob(spark: SparkSession, glob: String): DataFrame = {
+    val layout = probeTsLayout(spark, glob)
+    tsToTimestamp(
+      spark.readStream.schema(rawSchema(layout)).parquet(glob), layout)
+  }
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
     // glob, not bare file: the streaming file source requires a
     // directory/glob basePath to monitor
-    spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+    readStreamGlob(spark, s"$dir/events*.parquet")
 
   /** tumbling (slide == width) or sliding window counts with an
     * event-time watermark bounding state. */

@@ -18,13 +18,13 @@ object ProbeStream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = Files.createTempDirectory("graft_probe_louter").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
     Files.createDirectories(Paths.get(src))
     Files.copy(new java.io.File(s"$dir/events.parquet").toPath,
       Paths.get(s"$src/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+    val srcLayout = EventStream.probeTsLayout(spark, s"$src/events_a.parquet")
+    val maxUs = EventStream.eventsRawMicros(spark, dir)
       .agg(max(col("ts"))).head().getLong(0)
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.filter(col("event_type") === "click")
@@ -51,13 +51,14 @@ object ProbeStream {
       val n = spark.read.parquet(sink).count()
       println(s"[probe] $tag sink=$n")
     }
-    def sentinel(name: String, ns: Long): Unit = {
+    def sentinel(name: String, us: Long): Unit = {
       val scratch = s"$base/scratch_$name"
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(
-            Row(-1L, ns, -1L, "click", 0.0, ""),
-            Row(-2L, ns, -1L, "purchase", 0.0, ""))),
-          EventStream.rawSchema)
+      import spark.implicits._
+      EventStream.renderTs(
+          Seq((-1L, us, -1L, "click", 0.0, ""),
+            (-2L, us, -1L, "purchase", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          srcLayout)
         .coalesce(1).write.mode("overwrite").parquet(scratch)
       val part = new java.io.File(scratch).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -65,9 +66,9 @@ object ProbeStream {
         StandardCopyOption.REPLACE_EXISTING)
     }
     drain("d1")
-    sentinel("events_z1.parquet", maxNs + 365L * 24 * 3600 * 1000000000L)
+    sentinel("events_z1.parquet", maxUs + 365L * 24 * 3600 * 1000000L)
     drain("d2")
-    sentinel("events_z2.parquet", maxNs + 366L * 24 * 3600 * 1000000000L)
+    sentinel("events_z2.parquet", maxUs + 366L * 24 * 3600 * 1000000L)
     drain("d3")
     spark.stop()
   }

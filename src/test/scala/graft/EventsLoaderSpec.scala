@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.TsLayout
+
+/** The events `ts` layout has changed under the repo once
+  * (TIMESTAMP(NANOS) → timestamp[us]); this spec pins the loader's
+  * output IDENTICAL across every layout the generator could ship, so
+  * the next change is absorbed instead of erring 15 queries.
+  *
+  * The NanosLong fixture is written as a plain int64 column — Spark
+  * cannot author the TIMESTAMP(NANOS) annotation, but under
+  * `spark.sql.legacy.parquet.nanosAsLong` an annotated-nanos file
+  * surfaces as the SAME LongType a plain column does, so the loader
+  * branch exercised is identical to the real thing. */
+class EventsLoaderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val layouts =
+    Seq(TsLayout.NanosLong, TsLayout.MicrosNtz, TsLayout.MicrosTz)
+
+  /** tiny events table, ts as epoch-micros long */
+  private def microsDf = Seq(
+    (1L, 1700000000000000L, 10L, "click", 1.5, "{}"),
+    (2L, 1700000000500000L, 10L, "purchase", 2.5, "{}"),
+    (3L, 1700003600000000L, 11L, "click", 3.5, "{}"),
+    (4L, 1700007200250000L, 12L, "signup", 0.0, "{}"))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** one temp dir per layout, each holding events.parquet in that
+    * physical shape */
+  private lazy val dirs: Map[TsLayout, String] = layouts.map { l =>
+    val d = Files.createTempDirectory(s"graft_evt_$l").toString
+    // a single FILE named events.parquet, the real testdata's shape
+    // (write aside, copy the part file in)
+    EventStream.renderTs(microsDf, l)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/scratch")
+    val part = new java.io.File(s"$d/scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    l -> d
+  }.toMap
+
+  test("probeTsLayout classifies each written layout correctly") {
+    assert(EventStream.probeTsLayout(spark, s"${dirs(TsLayout.NanosLong)}/events.parquet")
+      == TsLayout.NanosLong)
+    assert(EventStream.probeTsLayout(spark, s"${dirs(TsLayout.MicrosNtz)}/events.parquet")
+      == TsLayout.MicrosNtz)
+    assert(EventStream.probeTsLayout(spark, s"${dirs(TsLayout.MicrosTz)}/events.parquet")
+      == TsLayout.MicrosTz)
+    // the REAL testdata is classified, whatever shape it currently has
+    val real = EventStream.probeTsLayout(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    assert(layouts.contains(real))
+  }
+
+  test("eventsBatch: identical rows and TimestampType ts on every layout") {
+    val got = layouts.map(l =>
+      l -> EventStream.eventsBatch(spark, dirs(l)))
+    got.foreach { case (l, df) =>
+      assert(df.schema("ts").dataType == TimestampType, s"$l")
+    }
+    val collected = got.map { case (l, df) =>
+      l -> df.orderBy($"event_id")
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value", $"props")
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = microsDf.orderBy($"event_id")
+      .select($"event_id", $"ts".as("us"), $"user_id", $"event_type",
+        $"value", $"props")
+      .collect().map(_.toSeq).toSeq
+    collected.foreach { case (l, rows) => assert(rows == want, s"$l") }
+  }
+
+  test("eventsBatchNtz and eventsRawMicros agree across layouts") {
+    layouts.foreach { l =>
+      val ntz = EventStream.eventsBatchNtz(spark, dirs(l))
+      assert(ntz.schema("ts").dataType == TimestampNTZType, s"$l")
+      val raw = EventStream.eventsRawMicros(spark, dirs(l))
+      assert(raw.schema("ts").dataType == LongType, s"$l")
+      val us = raw.orderBy($"event_id").select($"ts")
+        .collect().map(_.getLong(0)).toSeq
+      assert(us == microsDf.orderBy($"event_id").select($"ts")
+        .collect().map(_.getLong(0)).toSeq, s"$l")
+    }
+  }
+
+  test("readStream drains the same normalized rows on every layout") {
+    val results = layouts.map { l =>
+      val got = EventStream.runToMemory(
+        EventStream.readStream(spark, dirs(l))
+          .select($"event_id", unix_micros($"ts").as("us")),
+        s"evt_loader_$l".replaceAll("[^A-Za-z0-9_]", "_"),
+        OutputMode.Append())
+      l -> got.orderBy($"event_id").collect().map(_.toSeq).toSeq
+    }
+    val want = microsDf.orderBy($"event_id")
+      .select($"event_id", $"ts").collect().map(_.toSeq).toSeq
+    results.foreach { case (l, rows) => assert(rows == want, s"$l") }
+  }
+}

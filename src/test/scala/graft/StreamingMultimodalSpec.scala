@@ -16,9 +16,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
       EventStream.windowedAgg(stream, width = "1 hour"),
       "win_counts", OutputMode.Complete())
 
-    val batch = spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val want = batch.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
       .select($"w.start".as("w_start"), $"event_type", $"n", $"sv")
@@ -34,7 +32,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
       EventStream.windowedAgg(stream, width = "2 hours",
         slide = Some("1 hour")),
       "win_sliding", OutputMode.Complete())
-    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val total = EventStream.eventsBatch(spark, dir).count()
     // width/slide = 2 -> every event counted in exactly 2 windows
     assert(got.agg(sum($"n")).head().getLong(0) == 2 * total)
   }
@@ -44,15 +42,14 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val got = EventStream.runToMemory(
       EventStream.dedupStream(stream, Seq("user_id", "event_type")),
       "dedup_stream", OutputMode.Append())
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = EventStream.eventsBatch(spark, dir)
       .select($"user_id", $"event_type").distinct().count()
     assert(got.count() == want)
     assert(got.select($"user_id", $"event_type").distinct().count() == want)
   }
 
   test("stream-static enrichment join equals the batch join") {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val dim = batch.groupBy($"event_type")
       .agg(avg($"value").as("type_avg"))
     val stream = EventStream.readStream(spark, dir)
@@ -75,8 +72,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("stream-static screen equals the batch anti join, null-safe") {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
     val stream = EventStream.readStream(spark, dir)
     val got = EventStream.runToMemory(
@@ -102,12 +98,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("bloom screen: never under-removes, subset of the exact screen") {
-    // events.parquet is TIMESTAMP(NANOS); set the reader conf HERE so
-    // the test also passes in isolation (-z), not only after an
-    // earlier test's readStream happened to set it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
     val stream = EventStream.readStream(spark, dir)
     val got = EventStream.runToMemory(
@@ -157,8 +148,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
         before = "30 minutes", after = "30 minutes"),
       "interval_join", OutputMode.Append())
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val (bl, br) = sides(batch)
     val want = bl.join(br,
       bl("user_id") === br("user_id") &&
@@ -178,15 +168,15 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // the last real event, so the source gets sentinel rows (one per
     // side's event_type filter) a year in the future, excluded from
     // the comparison by user_id < 0.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = Files.createTempDirectory("graft_louter").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
     Files.createDirectories(Paths.get(src))
     Files.copy(new java.io.File(s"$dir/events.parquet").toPath,
       Paths.get(s"$src/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+    val srcLayout = EventStream.probeTsLayout(spark, s"$src/events_a.parquet")
+    val maxUs = EventStream.eventsRawMicros(spark, dir)
       .agg(org.apache.spark.sql.functions.max($"ts")).head().getLong(0)
-    val farNs = maxNs + 365L * 24 * 3600 * 1000000000L
+    val farUs = maxUs + 365L * 24 * 3600 * 1000000L
 
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.filter($"event_type" === "click")
@@ -208,16 +198,19 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // further sentinel runs one more batch UNDER the advanced
     // watermark — state eviction emits every buffered outer row. The
     // checkpoint carries join state and watermark across restarts.
-    def sentinel(name: String, ns: Long): Unit = {
+    def sentinel(name: String, us: Long): Unit = {
       // the file source needs a FILE matching the glob, not the
       // directory a DataFrame write produces — write aside and copy
-      // the part file in
+      // the part file in. Rendered in the SAME ts layout as the real
+      // source file: one streaming query, one schema.
       val scratch = s"$base/scratch_$name"
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(
-            org.apache.spark.sql.Row(-1L, ns, -1L, "click", 0.0, ""),
-            org.apache.spark.sql.Row(-2L, ns, -1L, "purchase", 0.0, ""))),
-          EventStream.rawSchema)
+      EventStream.renderTs(
+          Seq((-1L, us, -1L, "click", 0.0, ""),
+            (-2L, us, -1L, "purchase", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          srcLayout)
+        .select($"event_id", $"ts", $"user_id", $"event_type",
+          $"value", $"props")
         .coalesce(1).write.mode("overwrite").parquet(scratch)
       val part = new java.io.File(scratch).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -225,15 +218,14 @@ class StreamingMultimodalSpec extends SparkTestBase {
         StandardCopyOption.REPLACE_EXISTING)
     }
     drain()
-    sentinel("events_z1.parquet", farNs)
+    sentinel("events_z1.parquet", farUs)
     drain()
-    sentinel("events_z2.parquet", farNs + 86400L * 1000000000L)
+    sentinel("events_z2.parquet", farUs + 86400L * 1000000L)
     drain()
     val got = spark.read.parquet(sink)
       .filter($"user_id" >= 0).select($"l_id", $"r_id")
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val (bl, br) = sides(batch)
     val want = bl.join(br,
         bl("user_id") === br("user_id") &&
@@ -255,9 +247,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
     // batch) — pins the key-coalesce: before the fix, unmatched right
     // rows surfaced with a NULL key because only the renamed __rkey
     // was populated and it was dropped
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val l = batch.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id".as("l_id"))
     val r = batch.filter($"event_type" === "purchase")
@@ -285,9 +275,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("interval join fullOuter keeps the key on both unmatched sides") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val l = batch.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id".as("l_id"))
     val r = batch.filter($"event_type" === "purchase")
@@ -310,8 +298,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val got = EventStream.runToMemory(
       EventStream.sessionWindowAgg(stream, "user_id", "30 minutes"),
       "session_win", OutputMode.Complete())
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.eventsBatch(spark, dir)
     val want = EventStream.sessionWindowAgg(batch, "user_id", "30 minutes")
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0)
@@ -324,11 +311,10 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
     Files.createDirectories(Paths.get(src))
     val rawFile = new java.io.File(s"$dir/events.parquet").toPath
-    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    val n = EventStream.eventsBatch(spark, dir).count()
 
     def drain(): Unit = EventStream.runToParquet(
-      spark.readStream.schema(EventStream.rawSchema)
-        .parquet(s"$src/*.parquet")
+      EventStream.readStreamGlob(spark, s"$src/*.parquet")
         .select($"event_id", $"user_id", $"value"),
       sink, chk)
 
@@ -363,9 +349,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val rawFile = new java.io.File(s"$dir/events.parquet").toPath
     def drain(): Unit = EventStream.runToParquet(
       EventStream.dedupStream(
-        spark.readStream.schema(EventStream.rawSchema)
-          .parquet(s"$src/*.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        EventStream.readStreamGlob(spark, s"$src/*.parquet"),
         Seq("event_id")),
       sink, chk)
     def statePartitionDirs: Int = {
@@ -396,7 +380,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("stateful sessionize totals match batch aggregation") {
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = EventStream.eventsBatch(spark, dir)
     val sessions = EventStream.sessionize(events).collect()
       .map(s => s.userId -> ((s.nEvents, s.total))).toMap
     val want = events.groupBy($"user_id")
