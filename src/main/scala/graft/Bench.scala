@@ -24,8 +24,34 @@ import org.apache.spark.sql.SparkSession
   * (instrumented rationale inline below; distribution in
   * BENCH_NOTES.md r7). All other fields keep their meaning; the new
   * key appends strictly after the existing ones.
+  *
+  * Round-9 extension (the BASELINE.md failure contract, violated in
+  * r8): a query whose ANY pass throws records -1 in `queries` AND
+  * `queries_best`, its name joins the appended `failed` list, and
+  * BOTH totals become -1 — a red query can no longer masquerade as a
+  * fast pass, and a red round can no longer post a headline total.
   */
 object Bench {
+  /** Time one query; a FAILED query returns -1.0, never its
+    * time-to-fail (BASELINE.md's contract: failed queries score −1
+    * and must be unmissably red — r8 recorded time-to-fail and 15
+    * broken queries masqueraded as ~0.05 s speedups). Pinned in
+    * BenchContractSpec. */
+  def timeOne(spark: SparkSession, sfDir: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+  : Double = {
+    val t0 = System.nanoTime()
+    val ok =
+      try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // operators cache intermediates (LSH payloads, grid cells);
+    // drop them so 77 queries don't accumulate heap pressure and
+    // each pass measures from parquet, not from a leftover cache
+    spark.catalog.clearCache()
+    if (ok) dt else -1.0
+  }
+
   private def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -39,6 +65,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,16 +76,8 @@ object Bench {
     catch { case _: Throwable => }
     spark.catalog.clearCache()
 
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators cache intermediates (LSH payloads, grid cells);
-      // drop them so 77 queries don't accumulate heap pressure and
-      // each pass measures from parquet, not from a leftover cache
-      spark.catalog.clearCache()
-      dt
-    }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      Bench.timeOne(spark, sfDir, fn)
 
     // The two CC-label-propagation queries (many small jobs +
     // localCheckpoints) are the catalog's most scheduler/JIT-
@@ -76,24 +95,34 @@ object Bench {
     val timings = SparkEntry.queries.map { case (name, fn) =>
       val cold = timeOne(fn)
       val rep = timeOne(fn)
+      // ANY failed pass makes the query red: -1 in both fields, never
+      // a min/median that could launder a failure into a timing
+      val passes =
+        if (medianOf3(name)) Seq(cold, rep, timeOne(fn)) else Seq(cold, rep)
       val best =
-        if (medianOf3(name)) Seq(cold, rep, timeOne(fn)).sorted.apply(1)
-        else math.min(cold, rep)
-      name -> (cold, best)
+        if (passes.exists(_ < 0)) -1.0
+        else if (medianOf3(name)) passes.sorted.apply(1)
+        else passes.min
+      name -> (if (cold < 0 || best < 0) -1.0 else cold, best)
     }
     val loadEnd = loadavg()
+    val failed = timings.collect { case (k, (_, b)) if b < 0 => k }.toSeq.sorted
     def jmap(sel: ((Double, Double)) => Double): String =
       timings.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
-    val totalBest = timings.values.map(_._2).sum
-    val totalCold = timings.values.map(_._1).sum
+    // totals poison on any failure (BASELINE.md): a red query must be
+    // impossible to miss in the artifact's headline number
+    val totalBest =
+      if (failed.nonEmpty) -1.0 else timings.values.map(_._2).sum
+    val totalCold =
+      if (failed.nonEmpty) -1.0 else timings.values.map(_._1).sum
     // the driver-documented fields (metric/value/unit/queries/sf) keep
     // their original order, original SINGLE-COLD-PASS meaning, and come
     // first; protocol extensions (best-of-two, loadavg) append strictly
     // after, so any prefix- or key-based parse of the old shape still
     // works and never silently changes metric
     val json =
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","median_of_3":[${medianOf3.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","median_of_3":[${medianOf3.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     // the stdout line can drown in sbt log noise — also write the JSON
     // to a file so the driver never depends on stdout scraping
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
