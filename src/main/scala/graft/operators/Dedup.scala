@@ -324,6 +324,38 @@ object Dedup {
     *    params added by a future format) only need to be constant.
     * An EMPTY index (zero rows) passes vacuously: there is nothing to
     * validate and every screen over it returns zero candidates. */
+  /** Session-scoped memo of SUCCESSFUL validations, keyed on (the
+    * index's input files, the asked param list). Only BARE file scans
+    * are cacheable — any transformation over the scan (a test's
+    * `withColumn("__seed", …)`, a union, a filter) gets None and
+    * always re-validates, so a mutated plan can never ride a cached
+    * pass. A rewritten index produces new part-file names (parquet
+    * writers never reuse names), so the key misses and the rewrite
+    * re-validates. Bounded; failures are never cached (they throw).
+    * This amortizes the per-call distinct-scan the r8 every-tuple
+    * validation added: an admission loop re-reading the same
+    * persisted index pays one validation job per (files, params), not
+    * one per update/screen call. */
+  private val validatedIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Seq[String], Seq[(String, String)])]()
+
+  /** input-file key when (and only when) the plan is a bare scan,
+    * possibly under subquery aliases */
+  private def bareScanFiles(index: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case other => other
+    }
+    strip(index.queryExecution.analyzed) match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val files = index.inputFiles
+        if (files.nonEmpty) Some(files.sorted.toSeq) else None
+      case _ => None
+    }
+  }
+
   private def validateIndexParams(index: DataFrame, what: String,
                                   asked: Seq[(String, Any)],
                                   acceptUnvalidated: Boolean): DataFrame = {
@@ -338,6 +370,10 @@ object Dedup {
           "run a hand-built index on your own contract.")
       index
     } else {
+      val cacheKey = bareScanFiles(index)
+        .map(fs => (fs, asked.map { case (k, v) => k -> String.valueOf(v) }))
+      if (cacheKey.exists(validatedIndexes.contains))
+        return index.drop(paramCols: _*)
       val tuples = index.select(paramCols.map(col): _*).distinct()
         .limit(3).collect()
       require(tuples.length <= 1,
@@ -363,6 +399,9 @@ object Dedup {
               "recall would silently collapse. Rebuild the index or " +
               "match the batch params.")
         }
+      }
+      cacheKey.foreach { k =>
+        if (validatedIndexes.size < 4096) validatedIndexes.add(k)
       }
       index.drop(paramCols: _*)
     }
