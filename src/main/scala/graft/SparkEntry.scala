@@ -2920,7 +2920,38 @@ object SparkEntry {
           sum(TF.tokenCount(col("text")).cast("long")).as("ws_tokens"))
         .orderBy(col("lang"))
     },
-      None) // encoder of an iteratively-trained table; pinned in BpeSpec
+      None), // encoder of an iteratively-trained table; pinned in BpeSpec
+
+    // The SQL-expressible fragment of BPE training (Bpe.seedPairCounts
+    // — the one corpus pass + the aggregation whose argmax is the
+    // first merge), under the full oracle. train() rides the SAME
+    // seedWords/pairCounts code by construction, so this gates the
+    // trainer's corpus-pass semantics; only the iterative tail stays
+    // spec-pinned (BpeSpec clean-room equality). Top-20 by
+    // (f desc, l, r) — pairs are unique, so the cut is total-ordered
+    // and deterministic.
+    Q("q132_bpe_seed_pairs", (s, dir) =>
+      Bpe.seedPairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(20)
+        .select(col("l"), col("r"), col("f")),
+      Some(s"""WITH wc AS (
+              |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+              |  FROM (SELECT unnest(${sqlTokens("text")}) AS word
+              |        FROM documents)
+              |  GROUP BY word
+              |), syms AS (
+              |  SELECT list_append(regexp_extract_all(word, '.'), '</w>') AS s,
+              |         freq
+              |  FROM wc
+              |), idx AS (
+              |  SELECT s, freq,
+              |         unnest(generate_series(1, len(s) - 1)) AS i
+              |  FROM syms WHERE len(s) >= 2
+              |)
+              |SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS f
+              |FROM idx GROUP BY 1, 2
+              |ORDER BY f DESC, l, r LIMIT 20""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -84,19 +84,9 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // the single corpus-proportional step: corpus-wide word counts
-    // (partial aggregation bounds the exchange to distinct words per
-    // map partition). Words that are one symbol long after the
-    // end-of-word marker (i.e. empty — impossible via tokens(), but
-    // cheap to guard) can never contribute a pair and are dropped;
-    // the same filter retires fully-merged words after each round.
-    var words: Dataset[(Seq[String], Long)] = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-      .map { case (w, f) => (toSymbols(w), f) }
-      .filter((t: (Seq[String], Long)) => t._1.length >= 2)
-      .localCheckpoint() // materialize once; corpus lineage ends here
+    var words: Dataset[(Seq[String], Long)] =
+      seedWords(df, textCol)
+        .localCheckpoint() // materialize once; corpus lineage ends here
 
     if (words.count() <= driverCutover) {
       val local = words.collect()
@@ -114,13 +104,7 @@ object Bpe {
       // pair-count argmax: explode adjacent symbol pairs weighted by
       // word freq, partial-agg, 1 row to the driver. All Column-math,
       // whole-stage codegen'd.
-      val top = words.toDF("syms", "freq")
-        .select(col("freq"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("f"))
+      val top = pairCounts(words)
         .orderBy(col("f").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
@@ -144,6 +128,47 @@ object Bpe {
       .map { case ((l, r, f), i) => (i, l, r, f) }
       .toSeq.toDF("rank", "left", "right", "freq")
   }
+
+  /** the single corpus-proportional step, shared by [[train]] and
+    * [[seedPairCounts]]: corpus-wide word counts (partial aggregation
+    * bounds the exchange to distinct words per map partition), then
+    * symbol sequences. Words that are one symbol long after the
+    * end-of-word marker (i.e. empty — impossible via tokens(), but
+    * cheap to guard) can never contribute a pair and are dropped;
+    * train()'s loop re-applies the same filter to retire fully-merged
+    * words after each round. */
+  private def seedWords(df: DataFrame, textCol: String)
+  : Dataset[(Seq[String], Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (toSymbols(w), f) }
+      .filter((t: (Seq[String], Long)) => t._1.length >= 2)
+  }
+
+  /** frequency-weighted adjacent-pair counts of a symbol table —
+    * the aggregation each [[train]] iteration argmaxes over. */
+  private def pairCounts(words: Dataset[(Seq[String], Long)]): DataFrame =
+    words.toDF("syms", "freq")
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("f"))
+
+  /** The SQL-expressible fragment of [[train]], exposed for the
+    * oracle gate (q132): pair counts over the SEED symbol table —
+    * exactly the aggregation whose (f desc, l asc, r asc) argmax is
+    * train()'s FIRST merge, by construction (both ride [[seedWords]]
+    * + [[pairCounts]]). The iterative tail stays spec-pinned
+    * (BpeSpec's clean-room equality); this puts the corpus-pass and
+    * first-argmax semantics under the same DuckDB discipline as
+    * every other aggregation family. */
+  def seedPairCounts(df: DataFrame, textCol: String): DataFrame =
+    pairCounts(seedWords(df, textCol))
 
   /** driver-side merge loop for a collected distinct-word table.
     * Incremental pair-count maintenance: only words CONTAINING the
@@ -274,6 +299,12 @@ object Bpe {
       .collect()
       .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
     val bc = df.sparkSession.sparkContext.broadcast(ranked)
+    // per-task word memo, SIZE-CAPPED: natural text obeys Heaps' law
+    // (a task's distinct words plateau far below the cap), but an
+    // adversarial corpus of never-repeating words must not grow the
+    // map without bound — once full, new words still encode, they
+    // just stop memoizing. 2^17 entries ≈ tens of MB worst case.
+    val memoCap = 1 << 17
     val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val enc = udf { (text: String) =>
       if (text == null) null
@@ -285,7 +316,7 @@ object Bpe {
             var hit = cache.get(w)
             if (hit == null) {
               hit = encodeWord(w, ranks)
-              cache.put(w, hit)
+              if (cache.size < memoCap) cache.put(w, hit)
             }
             hit
           }.toSeq

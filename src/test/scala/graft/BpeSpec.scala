@@ -218,6 +218,22 @@ class BpeSpec extends SparkTestBase {
     assert(enc.map(_.size).toSeq == cnt.toSeq)
   }
 
+  test("seedPairCounts argmax IS train's first merge (q132's claim)") {
+    val rng = new scala.util.Random(4177)
+    val words = Vector("ab", "abc", "bcd", "aa", "ba", "cab", "dab")
+    val docs = (0 until 40)
+      .map(_ => (0 until (1 + rng.nextInt(8)))
+        .map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      .toDF("text")
+    val top = Bpe.seedPairCounts(docs, "text")
+      .orderBy($"f".desc, $"l".asc, $"r".asc).limit(1)
+      .collect().head
+    val first = Bpe.train(docs, "text", numMerges = 1, minFreq = 1L)
+      .collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2))
+      == (first.getString(1), first.getString(2), first.getLong(3)))
+  }
+
   test("null and empty text encode to null and empty") {
     val merges = Bpe.train(Seq("ab ab").toDF("text"), "text", 5)
     val df = Seq((1, "ab"), (2, ""), (3, null)).toDF("id", "text")
