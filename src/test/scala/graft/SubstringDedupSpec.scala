@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SubstringDedup
+
+/** Pins SubstringDedup (Lee et al. ExactSubstr re-expressed in
+  * Spark) against a clean-room naive reference: brute-force global
+  * k-gram occurrence lists + interval merge, on planted and
+  * randomized corpora, in both key modes and both keep policies. */
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naiveTokens(t: String): Vector[String] =
+    t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+
+  /** reference: spans as (id -> sorted maximal [s, e] 1-based) */
+  private def naiveSpans(docs: Seq[(Long, String)], k: Int,
+                         keepFirst: Boolean): Map[Long, Seq[(Long, Long)]] = {
+    val occ = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Long, Int)]]
+    docs.foreach { case (id, text) =>
+      val t = naiveTokens(text)
+      (0 to t.length - k).foreach { i =>
+        val g = t.slice(i, i + k).mkString(" ")
+        occ(g) = occ.getOrElse(g, Vector.empty) :+ ((id, i + 1))
+      }
+    }
+    val covered = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.SortedSet[Int]]
+    occ.values.filter(_.length > 1).foreach { os =>
+      val winner = os.minBy(identity)
+      os.foreach { case (id, s) =>
+        if (!(keepFirst && (id, s) == winner))
+          covered.getOrElseUpdate(
+            id, scala.collection.mutable.SortedSet.empty[Int]) += s
+      }
+    }
+    covered.map { case (id, starts) =>
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      starts.foreach { s =>
+        val e = s + k - 1
+        if (spans.nonEmpty && s <= spans.last._2 + 1)
+          spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e))
+        else spans += ((s.toLong, e.toLong))
+      }
+      id -> spans.toSeq
+    }.toMap
+  }
+
+  private def gotSpans(docs: Seq[(Long, String)], k: Int,
+                       keepFirst: Boolean, hashKeys: Boolean)
+  : Map[Long, Seq[(Long, Long)]] =
+    SubstringDedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, keepFirst, hashKeys)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r._2, r._3)).sortBy(identity).toSeq }
+
+  test("planted cross-doc duplicate passage: both sides flagged, spans maximal") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "nothing duplicated here at all"))
+    val spans = gotSpans(docs, k = 4, keepFirst = false, hashKeys = true)
+    // 9 shared tokens starting at token 3 (doc 1) and 4 (doc 2)
+    assert(spans(1L) == Seq((3L, 11L)))
+    assert(spans(2L) == Seq((4L, 12L)))
+    assert(!spans.contains(3L))
+    // keepFirst exempts doc 1's copy (global first occurrence)
+    val kf = gotSpans(docs, k = 4, keepFirst = true, hashKeys = true)
+    assert(!kf.contains(1L) && kf(2L) == Seq((4L, 12L)))
+  }
+
+  test("within-doc repetition is found and removal empties a pure repeat") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "clean text with no repeats"))
+    val spans = gotSpans(docs, k = 3, keepFirst = false, hashKeys = true)
+    assert(spans(1L) == Seq((1L, 6L)))
+    val out = SubstringDedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, keepFirst = false)
+      .select($"doc_id", $"text_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "")
+    assert(out(2L) == "clean text with no repeats")
+  }
+
+  test("randomized: spans equal the naive reference in all four modes") {
+    val rng = new scala.util.Random(133)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (round <- 1 to 5) {
+      val docs = (1L to 12L).map { id =>
+        id -> (1 to (5 + rng.nextInt(25)))
+          .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+      }
+      for (keepFirst <- Seq(false, true); hashKeys <- Seq(false, true)) {
+        val want = naiveSpans(docs, 4, keepFirst)
+        val got = gotSpans(docs, 4, keepFirst, hashKeys)
+        assert(got == want,
+          s"round $round keepFirst=$keepFirst hashKeys=$hashKeys")
+      }
+    }
+  }
+
+  test("removal equals naive token filtering; short docs pass through") {
+    val rng = new scala.util.Random(134)
+    val vocab = Vector("x", "y", "z", "w")
+    val docs = (1L to 10L).map { id =>
+      id -> (1 to (2 + rng.nextInt(20)))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val k = 3
+    val want = {
+      val spans = naiveSpans(docs, k, keepFirst = true)
+      docs.map { case (id, text) =>
+        val t = naiveTokens(text)
+        val cov = spans.getOrElse(id, Seq.empty)
+        id -> t.zipWithIndex.collect {
+          case (tok, i) if !cov.exists(sp => i + 1 >= sp._1 && i + 1 <= sp._2)
+          => tok
+        }.mkString(" ")
+      }.toMap
+    }
+    val got = SubstringDedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .select($"doc_id", $"text_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
+  test("no shuffle carries gram text in hash mode (scale shape)") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i"))
+      .toDF("doc_id", "text")
+    val plan = SubstringDedup.duplicateSpans(docs, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    // the anchor column must be hashed BEFORE the first exchange:
+    // xxhash64 appears below every Exchange in the plan text
+    val firstExchange = plan.indexOf("Exchange")
+    val hashSite = plan.indexOf("xxhash64")
+    assert(firstExchange >= 0 && hashSite > firstExchange,
+      s"xxhash64 should sit under the exchanges (map side):\n$plan")
+  }
+}
