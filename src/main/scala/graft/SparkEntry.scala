@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, Zip}
+import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, SubstringDedup, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -2951,7 +2951,88 @@ object SparkEntry {
               |)
               |SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS f
               |FROM idx GROUP BY 1, 2
-              |ORDER BY f DESC, l, r LIMIT 20""".stripMargin))
+              |ORDER BY f DESC, l, r LIMIT 20""".stripMargin)),
+
+    // ===== §2.12-ext exact substring dedup (Lee et al. 2022) ============
+
+    // Maximal duplicated-substring spans (SubstringDedup
+    // .duplicateSpans): every ≥8-token run appearing twice anywhere in
+    // the corpus, both copies flagged, overlapping anchors merged. The
+    // docsWithDups fixture plants both cross-doc verbatim copies and
+    // long shared prefixes. The gate runs hashKeys = false so DuckDB
+    // can replay the key exactly (the hash scale path is pinned equal
+    // on randomized corpora in SubstringDedupSpec).
+    Q("q133_substring_spans", (s, dir) =>
+      SubstringDedup.duplicateSpans(docsWithDups(s, dir), "doc_id",
+          "text", k = 8, keepFirst = false, hashKeys = false)
+        .orderBy(col("doc_id"), col("s")),
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM u),
+              |gr AS (SELECT doc_id, t,
+              |    unnest(generate_series(1, len(t) - 7)) AS s
+              |  FROM tk WHERE len(t) >= 8),
+              |g2 AS (SELECT doc_id, s,
+              |    array_to_string(t[s : s + 7], ' ') AS g FROM gr),
+              |d AS (SELECT g FROM g2 GROUP BY g HAVING count(*) > 1),
+              |cov AS (SELECT g2.doc_id, g2.s FROM g2 JOIN d USING (g)),
+              |m AS (SELECT doc_id, s,
+              |    CASE WHEN s > coalesce(max(s + 7) OVER (
+              |        PARTITION BY doc_id ORDER BY s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      -100) + 1 THEN 1 ELSE 0 END AS ni
+              |  FROM cov),
+              |i AS (SELECT doc_id, s,
+              |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |  FROM m)
+              |SELECT doc_id, CAST(min(s) AS BIGINT) AS s,
+              |  CAST(max(s) + 7 AS BIGINT) AS e
+              |FROM i GROUP BY doc_id, isl ORDER BY doc_id, s""".stripMargin)),
+
+    // The removal face (keep-first policy): all-but-one copy of every
+    // duplicated ≥8-token run is cut, survivors re-join with single
+    // spaces. The oracle replays winner selection (row_number over
+    // (doc_id, s) per gram), island merge, and positional token
+    // filtering.
+    Q("q134_substring_removed", (s, dir) =>
+      SubstringDedup.removeDuplicateSpans(docsWithDups(s, dir), "doc_id",
+          "text", k = 8, keepFirst = true, hashKeys = false)
+        .select(col("doc_id"), col("text_dedup"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM u),
+              |gr AS (SELECT doc_id, t,
+              |    unnest(generate_series(1, len(t) - 7)) AS s
+              |  FROM tk WHERE len(t) >= 8),
+              |g2 AS (SELECT doc_id, s,
+              |    array_to_string(t[s : s + 7], ' ') AS g FROM gr),
+              |r AS (SELECT doc_id, s,
+              |    count(*) OVER (PARTITION BY g) AS n,
+              |    row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+              |  FROM g2),
+              |cov AS (SELECT doc_id, s FROM r WHERE n > 1 AND rn > 1),
+              |m AS (SELECT doc_id, s,
+              |    CASE WHEN s > coalesce(max(s + 7) OVER (
+              |        PARTITION BY doc_id ORDER BY s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      -100) + 1 THEN 1 ELSE 0 END AS ni
+              |  FROM cov),
+              |i AS (SELECT doc_id, s,
+              |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |  FROM m),
+              |sp AS (SELECT doc_id, min(s) AS s, max(s) + 7 AS e
+              |  FROM i GROUP BY doc_id, isl),
+              |pos AS (SELECT doc_id, unnest(generate_series(s, e)) AS p
+              |  FROM sp),
+              |tok AS (SELECT doc_id, unnest(t) AS w,
+              |    unnest(generate_series(1, len(t))) AS i FROM tk),
+              |kept AS (SELECT tok.doc_id, tok.w, tok.i FROM tok
+              |  LEFT JOIN pos ON tok.doc_id = pos.doc_id AND tok.i = pos.p
+              |  WHERE pos.p IS NULL)
+              |SELECT u.doc_id,
+              |  coalesce(string_agg(kept.w, ' ' ORDER BY kept.i), '')
+              |    AS text_dedup
+              |FROM u LEFT JOIN kept ON u.doc_id = kept.doc_id
+              |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
