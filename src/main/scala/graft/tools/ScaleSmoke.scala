@@ -501,6 +501,40 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // ---- SubstringDedup: the scaladoc's scale shape, measured. The
+    // replicated corpus duplicates every document body across
+    // replicas (only the one-token `replicaI` suffix differs), so
+    // duplicated-substring coverage approaches ALL tokens as k grows
+    // — the worst-case load for the anchor pipeline. Claims checked:
+    // (a) hash mode ≡ exact-key mode span-for-span (collision-free at
+    // this scale, asserted in-run at every k); (b) wall time tracks
+    // the anchor count (corpus-linear map work + slim-shuffle agg),
+    // not the duplicate multiplicity.
+    if (on("sub")) scales.foreach { k =>
+      val c = corpus(k)
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      val hashSpans = graft.operators.SubstringDedup
+        .duplicateSpans(c, "doc_id", "text", k = 8)
+      time("subSpansHash")(hashSpans.count())
+      val exactSpans = graft.operators.SubstringDedup
+        .duplicateSpans(c, "doc_id", "text", k = 8, hashKeys = false)
+      time("subSpansExact")(exactSpans.count())
+      require(hashSpans.exceptAll(exactSpans).isEmpty &&
+        exactSpans.exceptAll(hashSpans).isEmpty,
+        s"k=$k: hash-key spans diverge from exact-key spans")
+      time("subRemoveKeep1")(graft.operators.SubstringDedup
+        .removeDuplicateSpans(c, "doc_id", "text", k = 8)
+        .filter(col("text_dedup") =!= "").count())
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- BPE trainer: the scaladoc's scale claims, measured. The
     // corpus replicates k× but the DISTINCT-WORD table stays ~flat
     // (replicas add one `replicaI` token each — Heaps'-law shape), so
