@@ -3032,7 +3032,43 @@ object SparkEntry {
               |  coalesce(string_agg(kept.w, ' ' ORDER BY kept.i), '')
               |    AS text_dedup
               |FROM u LEFT JOIN kept ON u.doc_id = kept.doc_id
-              |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin))
+              |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
+
+    // ===== §2.12-ext unicode normalization ==============================
+
+    // NFC-normalize-then-dedup (TextFunctions.normalizeUnicode, a
+    // native codegen'd java.text.Normalizer expression — Spark has no
+    // normalization function): composed ("café", U+00E9) and
+    // decomposed ("cafe" + U+0301) encodings of the same glyphs must
+    // dedup together. Docs 0..49 re-appear twice with the two
+    // encodings of the same suffix (+30000 NFC, +40000 NFD); after
+    // normalization each pair collapses to the +30000 copy. Oracle
+    // replays with DuckDB's nfc_normalize.
+    Q("q135_unicode_nfc_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs
+        .union(docs.filter(col("doc_id") < 50)
+          .select(col("doc_id") + 30000, // composed U+00E9, U+00F1
+            concat(col("text"), lit(" caf\u00e9 nfc\u00f1"))))
+        .union(docs.filter(col("doc_id") < 50)
+          .select(col("doc_id") + 40000, // decomposed +U+0301, +U+0303
+            concat(col("text"), lit(" cafe\u0301 nfcn\u0303"))))
+      Dedup.exact(
+          all.withColumn("text", TF.normalizeUnicode(col("text"))),
+          Seq("text"), "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 30000 AS doc_id,
+             |    text || ' caf' || chr(233) || ' nfc' || chr(241) AS text
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL SELECT doc_id + 40000 AS doc_id,
+             |    text || ' cafe' || chr(769) || ' nfcn' || chr(771) AS text
+             |  FROM documents WHERE doc_id < 50),
+             |n AS (SELECT doc_id, nfc_normalize(text) AS t FROM u)
+             |SELECT min(doc_id) AS doc_id FROM n GROUP BY t
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -106,4 +106,38 @@ object TextExpressions {
 
   def jaccardSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Unicode normalization (java.text.Normalizer) as a native
+    * codegen'd expression — Spark ships no normalization function, and
+    * a training pipeline that dedups on text MUST normalize first or
+    * composed/decomposed encodings of the same glyphs ("café" NFC vs
+    * NFD) count as distinct documents. Forms: NFC/NFD/NFKC/NFKD.
+    * Fast path: `isNormalized` (one scan, overwhelmingly true for
+    * ASCII/already-NFC corpora) returns the input UTF8String
+    * untouched — no String round-trip on the common case. */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    private val nf = java.text.Normalizer.Form.valueOf(form.toUpperCase(
+      java.util.Locale.ROOT))
+    override def dataType: DataType = StringType
+    def compute(v: UTF8String): Any = {
+      val s = v.toString
+      if (java.text.Normalizer.isNormalized(s, nf)) v
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ref = ctx.addReferenceObj("unicodeNorm", this,
+        classOf[UnicodeNormalize].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  def unicodeNormalize(text: Column, form: String): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
 }

@@ -291,6 +291,11 @@ object TextFunctions {
 
   /** redact PII to `<EMAIL>`/`<SSN>`/`<IPV4>` placeholders — one
     * codegen'd regexp_replace chain, shuffle-free, linear per row */
+  /** Unicode-normalize text (default NFC) — the pre-dedup
+    * canonicalization step; see TextExpressions.UnicodeNormalize. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.expressions.TextExpressions.unicodeNormalize(text, form)
+
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
       regexp_replace(c, pat, s"<${name.toUpperCase}>")

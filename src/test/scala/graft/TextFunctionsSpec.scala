@@ -253,6 +253,38 @@ class TextFunctionsSpec extends SparkTestBase {
       Seq("doc_id", "url", "q"))
   }
 
+  test("normalizeUnicode: forms, identity fast path, null, codegen") {
+    import graft.functions.{TextFunctions => TF}
+    val composed = "caf\u00e9 nfc\u00f1"          // U+00E9, U+00F1
+    val decomposed = "cafe\u0301 nfcn\u0303"      // e+U+0301, n+U+0303
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val nfc = d.select($"id", TF.normalizeUnicode($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both encodings collapse to the composed form under NFC
+    assert(nfc(1L) == composed && nfc(2L) == composed)
+    assert(nfc(3L) == "plain ascii")
+    assert(nfc(4L) == null)
+    // NFD goes the other way; NFKC folds compatibility chars (ﬁ → fi)
+    val nfd = d.filter($"id" === 1)
+      .select(TF.normalizeUnicode($"t", "NFD")).head().getString(0)
+    assert(nfd == decomposed)
+    val nfkc = Seq("\ufb01le").toDF("t")
+      .select(TF.normalizeUnicode($"t", "NFKC")).head().getString(0)
+    assert(nfkc == "file")
+    // idempotent, and equal whole-stage-codegen vs interpreted
+    val twice = d.filter($"id" === 2).select(
+      TF.normalizeUnicode(TF.normalizeUnicode($"t"))).head().getString(0)
+    assert(twice == composed)
+    // plan pin over a codegen-able source (a local Seq collapses to
+    // LocalTableScan and bypasses codegen entirely)
+    val plan = spark.range(4)
+      .select(TF.normalizeUnicode(concat(lit("caf\u00e9 "), $"id")).as("n"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix is executedPlan.toString's WholeStageCodegen marker
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
   test("vocabulary: counts, doc_freq, minCount, ordering") {
     import graft.operators.Vocabulary
     val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c c C")).toDF("id", "txt")
