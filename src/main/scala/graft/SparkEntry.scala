@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Geo, KolmogorovSmirnov, PageRank, Similarity, SubstringDedup, Zip}
+import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Frequent, Geo, KolmogorovSmirnov, PageRank, Similarity, SubstringDedup, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -3068,7 +3068,32 @@ object SparkEntry {
              |  FROM documents WHERE doc_id < 50),
              |n AS (SELECT doc_id, nfc_normalize(text) AS t FROM u)
              |SELECT min(doc_id) AS doc_id FROM n GROUP BY t
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ===== §2.12-ext exact heavy hitters (Misra–Gries two-pass) =========
+
+    // Tokens exceeding 0.5% of the corpus token stream
+    // (Frequent.heavyHitters): pass 1 is shuffle-free per-partition
+    // Misra–Gries summaries (candidate SUPERSET by the averaging
+    // argument), pass 2 exact-counts only the candidates — the exact
+    // answer q38's full groupBy gives, without shuffling an
+    // open-domain distinct-token table. Exactness is what makes this
+    // full SQL oracle possible; partition-independence is spec-pinned.
+    Q("q136_heavy_hitters", (s, dir) =>
+      Frequent.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(TF.tokens(col("text"))).as("token")),
+          "token", minShare = 0.005)
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token")),
+      Some(s"""WITH tok AS (
+              |  SELECT unnest(${sqlTokens("text")}) AS token
+              |  FROM documents),
+              |tot AS (SELECT count(*) AS n FROM tok)
+              |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              |FROM tok, tot GROUP BY token, tot.n
+              |HAVING count(*) > tot.n * 0.005
+              |ORDER BY cnt DESC, token""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

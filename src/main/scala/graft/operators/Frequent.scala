@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact heavy hitters at open-domain cardinality — the scale path
+  * for `DDF.freqItems` (q38), whose one-exchange groupBy is right as
+  * long as the DISTINCT-item table fits a shuffle comfortably. Over
+  * an open token/URL/host domain at 100 TB it does not, and this is
+  * the classical two-pass answer (Misra–Gries 1982 summaries +
+  * exact confirm):
+  *
+  *  - pass 1, shuffle-free: each partition keeps a k-counter
+  *    Misra–Gries summary (k = ⌈1/minShare⌉, amortized O(1) per
+  *    row). Averaging argument: an item with global count
+  *    > n·minShare has count_p > n_p·minShare in at least one
+  *    partition, and per-partition MG retains every such item — so
+  *    the union of partition summaries is a SUPERSET of the true
+  *    heavy hitters. Driver state is ≤ numPartitions · k entries
+  *    (bounded and enforced), row counts ride the same pass.
+  *  - pass 2: broadcast the candidate set back as a semi join and
+  *    count EXACTLY those items (combiners bound the exchange to
+  *    ≤ partitions · |candidates| rows), keep count > n·minShare.
+  *
+  * The answer is EXACT and partition-independent — the candidate
+  * superset varies with layout, the final filter by exact counts
+  * does not (spec-pinned under repartitioning) — which is what makes
+  * the full SQL oracle (q136) possible where a sketch-only answer
+  * would be rows-only. Nulls are not items and are ignored.
+  */
+object Frequent {
+
+  /** items of `colName` whose frequency strictly exceeds
+    * `minShare` of the non-null rows; returns (colName, cnt) with
+    * the column's original type. */
+  def heavyHitters(df: DataFrame, colName: String,
+                   minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0,1), got $minShare")
+    val k = math.ceil(1.0 / minShare).toInt
+    require(k <= 100000,
+      s"minShare = $minShare needs $k counters per partition — below " +
+        "the useful heavy-hitter regime (driver state is partitions * k); " +
+        "use the exact groupBy (DDF.freqItems) for fine thresholds")
+    val spark = df.sparkSession
+    val colType = df.schema(colName).dataType
+
+    // pass 1: per-partition (rowCount, MG summary); no exchange
+    val summaries = df.select(col(colName)).rdd
+      .mapPartitions { it =>
+        val counters = new java.util.HashMap[Any, Long](k * 2)
+        var n = 0L
+        it.foreach { row =>
+          val v = row.get(0)
+          if (v != null) {
+            n += 1L
+            if (counters.containsKey(v))
+              counters.put(v, counters.get(v) + 1L)
+            else if (counters.size < k) counters.put(v, 1L)
+            else {
+              // decrement-all: each such event cancels k+1 distinct
+              // rows, so events ≤ n/(k+1) and total work stays O(n)
+              val dead = new java.util.ArrayList[Any]()
+              val eit = counters.entrySet().iterator()
+              while (eit.hasNext) {
+                val e = eit.next()
+                if (e.getValue == 1L) dead.add(e.getKey)
+                else e.setValue(e.getValue - 1L)
+              }
+              dead.forEach(counters.remove(_))
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        Iterator.single((n, counters.keySet().asScala.toArray))
+      }.collect()
+
+    val n = summaries.map(_._1).sum
+    val candidates = summaries.iterator.flatMap(_._2).toSet.toArray
+    if (candidates.isEmpty || n == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField(colName, colType),
+          StructField("cnt", LongType, nullable = false))))
+
+    // pass 2: exact counts of the candidate superset only
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candidates.toIndexedSeq.map(Row(_)), 1),
+      StructType(Seq(StructField("__cand", colType))))
+    df.select(col(colName))
+      .join(broadcast(candDf), col(colName) === col("__cand"), "left_semi")
+      .groupBy(col(colName))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n) * lit(minShare))
+  }
+}
