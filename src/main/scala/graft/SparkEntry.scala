@@ -218,6 +218,21 @@ object SparkEntry {
       p
     })
 
+  /** q137's persisted corpus gram index (exact keys so the oracle can
+    * replay), cached per (JVM, sfDir) like q117's minhash index. */
+  private val gramIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def gramIndexPath(s: SparkSession, dir: String): String =
+    gramIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_gram_index_q137").toString
+      SubstringDedup.gramIndex(
+          docsWithDups(s, dir).filter(col("doc_id") < 10000),
+          "doc_id", "text", k = 8, hashKeys = false)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** q118's oracle — exhaustive cross cosine between the planted
     * scaled-copy batch (vec_id >= 10000; scaling preserves direction,
     * so each copy matches its original at cosine 1) and the original
@@ -3093,7 +3108,43 @@ object SparkEntry {
               |SELECT token, CAST(count(*) AS BIGINT) AS cnt
               |FROM tok, tot GROUP BY token, tot.n
               |HAVING count(*) > tot.n * 0.005
-              |ORDER BY cnt DESC, token""".stripMargin))
+              |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // Incremental substring screen (SubstringDedup.duplicateSpansAgainst
+    // over a persisted gramIndex): spans of the +10000/+20000 batch
+    // already present in the <10000 corpus — the verbatim +20000
+    // copies cover fully, the " zzz" near-dups cover their shared
+    // prefix. Per-batch cost is batch banding + one semi join against
+    // the distinct-gram index; the corpus is never rescanned. Exact
+    // keys so DuckDB replays the gram set verbatim.
+    Q("q137_substring_screen_indexed", (s, dir) =>
+      SubstringDedup.duplicateSpansAgainst(
+          docsWithDups(s, dir).filter(col("doc_id") >= 10000),
+          s.read.parquet(gramIndexPath(s, dir)),
+          "doc_id", "text", k = 8, hashKeys = false)
+        .orderBy(col("doc_id"), col("s")),
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM u),
+              |gr AS (SELECT doc_id, t,
+              |    unnest(generate_series(1, len(t) - 7)) AS s
+              |  FROM tk WHERE len(t) >= 8),
+              |g2 AS (SELECT doc_id, s,
+              |    array_to_string(t[s : s + 7], ' ') AS g FROM gr),
+              |cidx AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 10000),
+              |cov AS (SELECT g2.doc_id, g2.s FROM g2
+              |  JOIN cidx USING (g) WHERE g2.doc_id >= 10000),
+              |m AS (SELECT doc_id, s,
+              |    CASE WHEN s > coalesce(max(s + 7) OVER (
+              |        PARTITION BY doc_id ORDER BY s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      -100) + 1 THEN 1 ELSE 0 END AS ni
+              |  FROM cov),
+              |i AS (SELECT doc_id, s,
+              |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |  FROM m)
+              |SELECT doc_id, CAST(min(s) AS BIGINT) AS s,
+              |  CAST(max(s) + 7 AS BIGINT) AS e
+              |FROM i GROUP BY doc_id, isl ORDER BY doc_id, s""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -356,7 +356,7 @@ object Dedup {
     }
   }
 
-  private def validateIndexParams(index: DataFrame, what: String,
+  private[operators] def validateIndexParams(index: DataFrame, what: String,
                                   asked: Seq[(String, Any)],
                                   acceptUnvalidated: Boolean): DataFrame = {
     val paramCols = index.columns.filter(_.startsWith("__")).toSeq

@@ -103,6 +103,76 @@ object SubstringDedup {
     mergeSpans(covered.select(col(idCol), col("s")), idCol, k)
   }
 
+  // ---- incremental screen: persisted gram index -----------------------
+
+  /** Gram-index FORMAT version, stamped as `__fmt` (the
+    * [[Dedup.minhashIndex]] versioning discipline — a stale or
+    * foreign index must throw, not silently screen with ~zero
+    * recall). Bump on any change to tokens()/gram hashing. */
+  val GramIndexFormat: Int = 1
+
+  private def gramAsked(k: Int, hashKeys: Boolean): Seq[(String, Any)] =
+    Seq("__fmt" -> GramIndexFormat, "__k" -> k, "__hashKeys" -> hashKeys)
+
+  private def stampGramParams(idx: DataFrame, k: Int,
+                              hashKeys: Boolean): DataFrame =
+    idx.withColumn("__fmt", lit(GramIndexFormat))
+      .withColumn("__k", lit(k))
+      .withColumn("__hashKeys", lit(hashKeys))
+
+  /** Persistable DISTINCT-gram index of a corpus — the suffix-array
+    * replacement for incremental substring screening: one column of
+    * distinct k-gram keys (8-byte hashes by default), built with one
+    * partial-agg distinct, ids and text never stored. Build params
+    * ride embedded `__` columns and are validated on every use
+    * (Dedup's format-versioning machinery, session-memoized). At
+    * scale, persist partitioned/bucketed by the gram key so the
+    * screen join co-locates. */
+  def gramIndex(corpus: DataFrame, idCol: String, textCol: String,
+                k: Int, hashKeys: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    stampGramParams(
+      grams(corpus, idCol, textCol, k, hashKeys).select(col("g")).distinct(),
+      k, hashKeys)
+  }
+
+  /** Fold a new batch's grams into a persisted [[gramIndex]] WITHOUT
+    * re-reading the corpus. Update ≡ rebuild EXACTLY (distinct-union
+    * is the whole merge — no counts, no caps), spec-pinned. */
+  def gramIndexUpdate(index: DataFrame, newBatch: DataFrame,
+                      idCol: String, textCol: String, k: Int,
+                      hashKeys: Boolean = true,
+                      acceptUnvalidated: Boolean = false): DataFrame = {
+    val old = Dedup.validateIndexParams(index, "gramIndexUpdate",
+      gramAsked(k, hashKeys), acceptUnvalidated)
+    stampGramParams(
+      old.select(col("g"))
+        .unionByName(
+          grams(newBatch, idCol, textCol, k, hashKeys).select(col("g")))
+        .distinct(),
+      k, hashKeys)
+  }
+
+  /** [[duplicateSpans]] against a persisted corpus [[gramIndex]]:
+    * maximal spans of the BATCH whose every k-window already exists
+    * in the corpus — the substring face of the incremental screen
+    * family (exact/jaccard/cosine/…), closing the admission loop for
+    * span-level contamination. Per-batch cost: band the batch's own
+    * grams and semi-join the index on the gram key; the corpus is
+    * never rescanned, the span merge windows only batch anchors.
+    * `k`/`hashKeys` must match the build (validated; mismatch
+    * throws rather than silently collapsing recall). */
+  def duplicateSpansAgainst(newBatch: DataFrame, corpusIndex: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            hashKeys: Boolean = true,
+                            acceptUnvalidated: Boolean = false): DataFrame = {
+    val idx = Dedup.validateIndexParams(corpusIndex, "duplicateSpansAgainst",
+      gramAsked(k, hashKeys), acceptUnvalidated)
+    val covered = grams(newBatch, idCol, textCol, k, hashKeys)
+      .join(idx.select(col("g")), Seq("g"), "left_semi")
+    mergeSpans(covered.select(col(idCol), col("s")), idCol, k)
+  }
+
   /** [[duplicateSpans]] applied: drop every token inside a covered
     * span and re-join the survivors with spaces as `outCol`
     * (documents with nothing duplicated pass through with normalized

@@ -132,6 +132,83 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("gram-index screen: batch spans vs corpus equal the naive set view") {
+    val rng = new scala.util.Random(138)
+    val vocab = Vector("p", "q", "r", "s")
+    val corpus = (1L to 8L).map { id =>
+      id -> (1 to (6 + rng.nextInt(20)))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val batch = (100L to 106L).map { id =>
+      id -> (1 to (6 + rng.nextInt(20)))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val k = 4
+    // naive: batch anchors whose gram exists anywhere in the corpus
+    val corpusGrams = corpus.flatMap { case (_, t) =>
+      val w = naiveTokens(t)
+      (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+    }.toSet
+    val want = batch.flatMap { case (id, t) =>
+      val w = naiveTokens(t)
+      val starts = (0 to w.length - k)
+        .filter(i => corpusGrams(w.slice(i, i + k).mkString(" ")))
+        .map(_ + 1)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      starts.foreach { s =>
+        val e = s + k - 1
+        if (spans.nonEmpty && s <= spans.last._2 + 1)
+          spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e))
+        else spans += ((s.toLong, e.toLong))
+      }
+      spans.map { case (s, e) => (id, s, e) }
+    }.toSet
+    for (hashKeys <- Seq(true, false)) {
+      val idx = SubstringDedup.gramIndex(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k, hashKeys)
+      val got = SubstringDedup.duplicateSpansAgainst(
+          batch.toDF("doc_id", "text"), idx, "doc_id", "text", k, hashKeys)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"hashKeys=$hashKeys")
+    }
+  }
+
+  test("gram index: update == rebuild; params validated; parquet round-trip") {
+    val a = Seq((1L, "w x y z w x"), (2L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((3L, "z w x y"), (4L, "fresh words only here")).toDF("doc_id", "text")
+    val k = 3
+    val updated = SubstringDedup.gramIndexUpdate(
+      SubstringDedup.gramIndex(a, "doc_id", "text", k), b, "doc_id", "text", k)
+    val rebuilt = SubstringDedup.gramIndex(
+      a.unionByName(b), "doc_id", "text", k)
+    assert(updated.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(updated).isEmpty)
+    // parquet round-trip screens identically (and rides the bare-scan
+    // validation memo)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram_idx").toString
+    updated.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val batch = Seq((9L, "y z w x tail")).toDF("doc_id", "text")
+    val got = SubstringDedup.duplicateSpansAgainst(
+        batch, fromDisk, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((9L, 1L, 4L)))
+    // wrong k throws (recall would silently collapse)
+    val ek = intercept[IllegalArgumentException] {
+      SubstringDedup.duplicateSpansAgainst(batch, fromDisk,
+        "doc_id", "text", k + 1)
+    }
+    assert(ek.getMessage.contains("__k"))
+    // a param-less index is rejected unless the caller opts in
+    val bare = fromDisk.drop("__fmt", "__k", "__hashKeys")
+    val ep = intercept[IllegalArgumentException] {
+      SubstringDedup.duplicateSpansAgainst(batch, bare, "doc_id", "text", k)
+    }
+    assert(ep.getMessage.contains("acceptUnvalidated"))
+    assert(SubstringDedup.duplicateSpansAgainst(batch, bare,
+      "doc_id", "text", k, acceptUnvalidated = true).count() == 1)
+  }
+
   test("no shuffle carries gram text in hash mode (scale shape)") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i"))
       .toDF("doc_id", "text")
