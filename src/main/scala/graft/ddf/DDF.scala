@@ -735,6 +735,40 @@ class DDF(val df: DataFrame) {
                     outCol: String = "bpe_count"): DDF =
     wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol))
 
+  /** [[graft.operators.SubstringDedup.duplicateSpans]] — maximal
+    * duplicated ≥k-token spans (Lee et al. ExactSubstr) */
+  def substringSpans(idCol: String, textCol: String, k: Int,
+                     keepFirst: Boolean = false): DDF =
+    wrap(graft.operators.SubstringDedup.duplicateSpans(df, idCol,
+      textCol, k, keepFirst))
+
+  /** [[graft.operators.SubstringDedup.removeDuplicateSpans]] — cut
+    * all-but-one copy of every duplicated ≥k-token run */
+  def substringDedup(idCol: String, textCol: String, k: Int,
+                     outCol: String = "text_dedup"): DDF =
+    wrap(graft.operators.SubstringDedup.removeDuplicateSpans(df, idCol,
+      textCol, k, outCol = outCol))
+
+  /** [[graft.operators.SubstringDedup.duplicateSpansAgainst]] — batch
+    * spans already present in a persisted corpus gram index */
+  def substringSpansAgainst(corpusIndex: DDF, idCol: String,
+                            textCol: String, k: Int,
+                            hashKeys: Boolean = true): DDF =
+    wrap(graft.operators.SubstringDedup.duplicateSpansAgainst(df,
+      corpusIndex.df, idCol, textCol, k, hashKeys))
+
+  /** [[graft.operators.Frequent.heavyHitters]] — exact heavy hitters
+    * via the Misra–Gries two-pass (open-domain scale path) */
+  def heavyHitters(colName: String, minShare: Double): DDF =
+    wrap(graft.operators.Frequent.heavyHitters(df, colName, minShare))
+
+  /** [[graft.functions.TextFunctions.normalizeUnicode]] — in-place
+    * Unicode normalization of a string column (default NFC) */
+  def normalizeUnicode(colName: String, form: String = "NFC"): DDF =
+    wrap(df.withColumn(colName,
+      graft.functions.TextFunctions.normalizeUnicode(
+        org.apache.spark.sql.functions.col(colName), form)))
+
   /** [[graft.operators.Dedup.decontaminateBloom]] — Bloom-prefiltered
     * decontamination for non-broadcastable eval sets */
   def decontaminateBloom(evalSet: DDF, idCol: String, textCol: String,

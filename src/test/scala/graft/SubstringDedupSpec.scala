@@ -209,6 +209,33 @@ class SubstringDedupSpec extends SparkTestBase {
       "doc_id", "text", k, acceptUnvalidated = true).count() == 1)
   }
 
+  test("fluent DDF delegates match the operator surface") {
+    import graft.ddf.DDF
+    import graft.operators.Frequent
+    val docs = Seq((1L, "a b c d a b c d"), (2L, "a b c d x y z w"))
+      .toDF("doc_id", "text")
+    val d = DDF(docs)
+    assert(d.substringSpans("doc_id", "text", 4).toDF.collect().toSet ==
+      SubstringDedup.duplicateSpans(docs, "doc_id", "text", 4)
+        .collect().toSet)
+    assert(d.substringDedup("doc_id", "text", 4).toDF
+      .select($"doc_id", $"text_dedup").collect().toSet ==
+      SubstringDedup.removeDuplicateSpans(docs, "doc_id", "text", 4)
+        .select($"doc_id", $"text_dedup").collect().toSet)
+    val idx = DDF(SubstringDedup.gramIndex(docs, "doc_id", "text", 4))
+    val batch = Seq((9L, "a b c d tail")).toDF("doc_id", "text")
+    assert(DDF(batch).substringSpansAgainst(idx, "doc_id", "text", 4)
+      .toDF.collect().toSet ==
+      SubstringDedup.duplicateSpansAgainst(batch, idx.toDF,
+        "doc_id", "text", 4).collect().toSet)
+    val hh = Seq("h", "h", "h", "t1", "t2").toDF("v")
+    assert(DDF(hh).heavyHitters("v", 0.5).toDF.collect().toSet ==
+      Frequent.heavyHitters(hh, "v", 0.5).collect().toSet)
+    val un = Seq((1L, "cafe\u0301")).toDF("id", "t") // decomposed
+    assert(DDF(un).normalizeUnicode("t").toDF
+      .select($"t").head().getString(0) == "caf\u00e9") // NFC-composed
+  }
+
   test("no shuffle carries gram text in hash mode (scale shape)") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i"))
       .toDF("doc_id", "text")
