@@ -3144,7 +3144,97 @@ object SparkEntry {
               |  FROM m)
               |SELECT doc_id, CAST(min(s) AS BIGINT) AS s,
               |  CAST(max(s) + 7 AS BIGINT) AS e
-              |FROM i GROUP BY doc_id, isl ORDER BY doc_id, s""".stripMargin))
+              |FROM i GROUP BY doc_id, isl ORDER BY doc_id, s""".stripMargin)),
+
+    // The admission loop's SUBSTRING sibling
+    // (Admission.admitBatchSubstring over a persisted gramIndex):
+    // q122's two-cycle fixture under the Lee et al. coverage
+    // criterion — cycle 1's reversed-token batch defeats gram
+    // matching (admitted), cycle 2 throws ' zzz'-suffixed copies of
+    // cycle-1 ADMISSIONS (>50% covered via the FOLDED index →
+    // rejected, the fold proof), verbatim base copies (rejected), and
+    // id replays (id screen). The oracle replays both cycles'
+    // coverage arithmetic — gram sets, island merge, span-length sums
+    // — sequentially in SQL.
+    Q("q138_admission_substring", (s, dir) => {
+      val (base, b1, b2) = admissionFixture(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q138")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      SubstringDedup.gramIndex(base, "doc_id", "text", k = 8,
+          hashKeys = false)
+        .write.mode("overwrite").parquet(indexDir)
+      graft.streaming.Admission.admitBatchSubstring(b1, corpusDir,
+        indexDir, "doc_id", "text", k = 8, maxDupCoverage = 0.5,
+        hashKeys = false, batchId = 1L, collectStats = false)
+      graft.streaming.Admission.admitBatchSubstring(b2, corpusDir,
+        indexDir, "doc_id", "text", k = 8, maxDupCoverage = 0.5,
+        hashKeys = false, batchId = 2L, collectStats = false)
+      s.read.parquet(corpusDir).select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+              |b1 AS (SELECT doc_id + 30000 AS doc_id,
+              |    array_to_string(list_reverse(${sqlTokens("text")}), ' ') AS text
+              |  FROM base WHERE doc_id < 200),
+              |b2 AS (SELECT doc_id + 10000 AS doc_id, text || ' zzz' AS text
+              |    FROM b1 WHERE doc_id < 30050
+              |  UNION ALL SELECT doc_id + 20000, text FROM base WHERE doc_id < 100
+              |  UNION ALL SELECT doc_id, text FROM base WHERE doc_id < 30),
+              |u AS (SELECT doc_id, text FROM base UNION
+              |  SELECT doc_id, text FROM b1 UNION SELECT doc_id, text FROM b2),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM u),
+              |nt AS (SELECT doc_id, len(t) AS n FROM tk),
+              |g AS (SELECT doc_id, s, array_to_string(t[s : s + 7], ' ') AS gr
+              |  FROM (SELECT doc_id, t,
+              |      unnest(generate_series(1, len(t) - 7)) AS s
+              |    FROM tk WHERE len(t) >= 8)),
+              |cg1 AS (SELECT DISTINCT gr FROM g
+              |  WHERE doc_id IN (SELECT doc_id FROM base)),
+              |cov1 AS (SELECT doc_id, sum(e - s + 1) AS cov FROM (
+              |    SELECT doc_id, min(s) AS s, max(s) + 7 AS e FROM (
+              |      SELECT doc_id, s,
+              |        sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |      FROM (SELECT doc_id, s,
+              |          CASE WHEN s > coalesce(max(s + 7) OVER (
+              |              PARTITION BY doc_id ORDER BY s
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |            -100) + 1 THEN 1 ELSE 0 END AS ni
+              |        FROM g
+              |        WHERE doc_id IN (SELECT doc_id FROM b1)
+              |          AND gr IN (SELECT gr FROM cg1)))
+              |    GROUP BY doc_id, isl)
+              |  GROUP BY doc_id),
+              |m1 AS (SELECT cov1.doc_id FROM cov1 JOIN nt USING (doc_id)
+              |  WHERE cov > 0.5 * n),
+              |c1 AS (SELECT doc_id FROM base UNION ALL
+              |  SELECT doc_id FROM b1
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM m1)),
+              |cg2 AS (SELECT DISTINCT gr FROM g
+              |  WHERE doc_id IN (SELECT doc_id FROM c1)),
+              |b2f AS (SELECT DISTINCT doc_id FROM b2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+              |cov2 AS (SELECT doc_id, sum(e - s + 1) AS cov FROM (
+              |    SELECT doc_id, min(s) AS s, max(s) + 7 AS e FROM (
+              |      SELECT doc_id, s,
+              |        sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |      FROM (SELECT doc_id, s,
+              |          CASE WHEN s > coalesce(max(s + 7) OVER (
+              |              PARTITION BY doc_id ORDER BY s
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |            -100) + 1 THEN 1 ELSE 0 END AS ni
+              |        FROM g
+              |        WHERE doc_id IN (SELECT doc_id FROM b2f)
+              |          AND gr IN (SELECT gr FROM cg2)))
+              |    GROUP BY doc_id, isl)
+              |  GROUP BY doc_id),
+              |m2 AS (SELECT cov2.doc_id FROM cov2 JOIN nt USING (doc_id)
+              |  WHERE cov > 0.5 * n)
+              |SELECT doc_id FROM c1
+              |UNION ALL SELECT doc_id FROM b2f
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -232,6 +232,60 @@ object Admission {
           bitsPerTable = bitsPerTable, seed = seed,
           maxBucketSize = maxBucketSize))
 
+  /** [[admitBatch]]'s substring sibling: the near screen is
+    * SPAN-COVERAGE against a persisted
+    * [[graft.operators.SubstringDedup.gramIndex]] — a batch doc is
+    * rejected when more than `maxDupCoverage` of its tokens lie
+    * inside runs (≥ `k` tokens) already present in the corpus, the
+    * Lee et al. contamination criterion at admission time. Docs
+    * shorter than `k` tokens produce no anchors and always pass this
+    * screen (the exact id screen still applies). The fold is
+    * [[graft.operators.SubstringDedup.gramIndexUpdate]] — a distinct
+    * union, so update ≡ rebuild exactly and the crash contract is
+    * the swap path's. Optional within-batch stage applies the same
+    * coverage rule symmetrically with the keep-first exemption (one
+    * copy of a duplicated run survives its own batch). */
+  def admitBatchSubstring(batch: DataFrame, corpusPath: String,
+                          indexPath: String, idCol: String, textCol: String,
+                          k: Int, maxDupCoverage: Double = 0.5,
+                          hashKeys: Boolean = true,
+                          dedupWithinBatch: Boolean = false,
+                          batchId: Long = -1L,
+                          collectStats: Boolean = true): AdmitStats = {
+    require(maxDupCoverage >= 0.0 && maxDupCoverage < 1.0,
+      s"maxDupCoverage must be in [0,1), got $maxDupCoverage")
+    import graft.operators.SubstringDedup
+    import graft.functions.{TextFunctions => TF}
+    def overCovered(docs: DataFrame, spans: DataFrame): DataFrame = {
+      val cov = spans.groupBy(col(idCol))
+        .agg(sum(col("e") - col("s") + 1).as("__cov"))
+      docs.select(col(idCol),
+          size(TF.tokens(col(textCol))).cast("long").as("__n"))
+        .join(cov, Seq(idCol))
+        .filter(col("__cov") > col("__n") * maxDupCoverage)
+        .select(col(idCol))
+    }
+    admitCore(batch, corpusPath, indexPath, idCol, batchId,
+      dedupWithinBatch, collectStats,
+      screen = (fresh, _, index) =>
+        overCovered(fresh,
+          SubstringDedup.duplicateSpansAgainst(fresh, index, idCol,
+            textCol, k, hashKeys))
+          .select(col(idCol).as("id_new")),
+      dedupWithin = screened =>
+        screened.join(
+          overCovered(screened,
+            SubstringDedup.duplicateSpans(screened, idCol, textCol, k,
+              keepFirst = true, hashKeys = hashKeys)),
+          Seq(idCol), "left_anti"),
+      fold = (index, admitted) =>
+        SubstringDedup.gramIndexUpdate(index, admitted, idCol, textCol,
+          k, hashKeys),
+      foldInPlace = (_, _) => throw new IllegalStateException(
+        "gram indexes have no partitioned layout; a `part` column " +
+          "here means indexPath holds a different index family"))
+  }
+
   /** Continuous admission: drains `stream` (Trigger.AvailableNow) and
     * runs [[admitBatch]] on every micro-batch through foreachBatch.
     * The checkpoint makes a restart resume AFTER the last committed

@@ -220,6 +220,52 @@ class AdmissionSpec extends SparkTestBase {
       .forall(spark.read.parquet(indexDir).columns.contains))
   }
 
+  test("substring admission loop: coverage screen, fold, id replay") {
+    import graft.operators.SubstringDedup
+    val corpusDir = Files.createTempDirectory("graft_adm_sc").toString
+    val indexDir = Files.createTempDirectory("graft_adm_si").toString + "/idx"
+    corpusDf.write.mode("overwrite").parquet(corpusDir)
+    SubstringDedup.gramIndex(corpusDf, "doc_id", "text", k = 4)
+      .write.mode("overwrite").parquet(indexDir)
+    def admitSub(b: DataFrame, within: Boolean = false, id: Long = -1L) =
+      Admission.admitBatchSubstring(b, corpusDir, indexDir,
+        "doc_id", "text", k = 4, maxDupCoverage = 0.5,
+        dedupWithinBatch = within, batchId = id)
+    // cycle 1: one fresh doc, one doc that is 8 corpus tokens + a
+    // 2-token tail (coverage 8/10 > 0.5 -> rejected), one doc with a
+    // 4-token corpus run inside 12 tokens (4/12 < 0.5 -> admitted)
+    val b1 = Seq(
+      100L -> freshText("n100"),
+      101L -> (freshText("c3") + " tail0 tail1"),
+      102L -> ("c5a c5b c5c c5d x0 x1 x2 x3 x4 x5 x6 x7"))
+      .toDF("doc_id", "text")
+    val s1 = admitSub(b1, id = 1L)
+    assert(s1.admitted == 2L)
+    assert(corpusIds(corpusDir) == ((0L until 40L) ++ Seq(100L, 102L)))
+    // cycle 2: near-copy of cycle-1 ADMISSION 100 (fold proof), and
+    // an id replay of 102 (id-screen no-op)
+    val b2 = Seq(
+      200L -> (freshText("n100") + " zz"),
+      102L -> "anything at all here")
+      .toDF("doc_id", "text")
+    val s2 = admitSub(b2, id = 2L)
+    assert(s2.afterIdScreen == 1L, "id replay must drop before screening")
+    assert(s2.admitted == 0L, "coverage vs folded index must reject 200")
+    assert(corpusIds(corpusDir) == ((0L until 40L) ++ Seq(100L, 102L)))
+    // within-batch stage: two copies of one long run in a fresh batch
+    // -> keep-first admits exactly one
+    val b3 = Seq(
+      300L -> freshText("w1"),
+      301L -> freshText("w1"))
+      .toDF("doc_id", "text")
+    val s3 = admitSub(b3, within = true, id = 3L)
+    assert(s3.admitted == 1L)
+    // short docs (< k tokens) cannot be coverage-rejected
+    val s4 = admitSub(Seq(400L -> "c0a c0b c0c").toDF("doc_id", "text"),
+      id = 4L)
+    assert(s4.admitted == 1L)
+  }
+
   test("streaming face: foreachBatch loop + checkpoint restart") {
     val (c, i) = setup()
     val base = Files.createTempDirectory("graft_adm_s").toString
