@@ -3234,7 +3234,56 @@ object SparkEntry {
               |SELECT doc_id FROM c1
               |UNION ALL SELECT doc_id FROM b2f
               |  WHERE doc_id NOT IN (SELECT doc_id FROM m2)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The SCRUB face of the incremental substring screen
+    // (SubstringDedup.removeDuplicateSpansAgainst): corpus-known runs
+    // are CUT out of the batch instead of rejecting whole docs — the
+    // +20000 verbatim copies scrub to '', the ' zzz' near-dups keep
+    // only their fresh tail. Same q137 index, oracle extends q137's
+    // span replay with positional token filtering.
+    Q("q139_substring_scrub_indexed", (s, dir) =>
+      SubstringDedup.removeDuplicateSpansAgainst(
+          docsWithDups(s, dir).filter(col("doc_id") >= 10000),
+          s.read.parquet(gramIndexPath(s, dir)),
+          "doc_id", "text", k = 8, hashKeys = false)
+        .select(col("doc_id"), col("text_dedup"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM u),
+              |gr AS (SELECT doc_id, t,
+              |    unnest(generate_series(1, len(t) - 7)) AS s
+              |  FROM tk WHERE len(t) >= 8),
+              |g2 AS (SELECT doc_id, s,
+              |    array_to_string(t[s : s + 7], ' ') AS g FROM gr),
+              |cidx AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 10000),
+              |cov AS (SELECT g2.doc_id, g2.s FROM g2
+              |  JOIN cidx USING (g) WHERE g2.doc_id >= 10000),
+              |m AS (SELECT doc_id, s,
+              |    CASE WHEN s > coalesce(max(s + 7) OVER (
+              |        PARTITION BY doc_id ORDER BY s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      -100) + 1 THEN 1 ELSE 0 END AS ni
+              |  FROM cov),
+              |i AS (SELECT doc_id, s,
+              |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+              |  FROM m),
+              |sp AS (SELECT doc_id, min(s) AS s, max(s) + 7 AS e
+              |  FROM i GROUP BY doc_id, isl),
+              |pos AS (SELECT doc_id, unnest(generate_series(s, e)) AS p
+              |  FROM sp),
+              |b AS (SELECT doc_id FROM u WHERE doc_id >= 10000),
+              |tok AS (SELECT doc_id, unnest(t) AS w,
+              |    unnest(generate_series(1, len(t))) AS i
+              |  FROM tk WHERE doc_id >= 10000),
+              |kept AS (SELECT tok.doc_id, tok.w, tok.i FROM tok
+              |  LEFT JOIN pos ON tok.doc_id = pos.doc_id AND tok.i = pos.p
+              |  WHERE pos.p IS NULL)
+              |SELECT b.doc_id,
+              |  coalesce(string_agg(kept.w, ' ' ORDER BY kept.i), '')
+              |    AS text_dedup
+              |FROM b LEFT JOIN kept ON b.doc_id = kept.doc_id
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

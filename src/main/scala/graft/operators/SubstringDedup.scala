@@ -173,19 +173,13 @@ object SubstringDedup {
     mergeSpans(covered.select(col(idCol), col("s")), idCol, k)
   }
 
-  /** [[duplicateSpans]] applied: drop every token inside a covered
-    * span and re-join the survivors with spaces as `outCol`
-    * (documents with nothing duplicated pass through with normalized
-    * whitespace; a fully-duplicated document becomes ''). Defaults to
-    * the keep-first policy so exactly the redundant copies vanish. */
-  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int, keepFirst: Boolean = true,
-                           hashKeys: Boolean = true,
-                           outCol: String = "text_dedup"): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k, keepFirst, hashKeys)
-      .groupBy(col(idCol))
+  /** cut the tokens covered by `spans` out of `docs` and re-join the
+    * survivors with spaces (shared by both removal faces) */
+  private def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                       textCol: String, outCol: String): DataFrame = {
+    val byDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
+    docs.join(byDoc, Seq(idCol), "left")
       .withColumn("__spans",
         coalesce(col("__spans"), array().cast("array<struct<s:long,e:long>>")))
       .withColumn(outCol, concat_ws(" ",
@@ -194,4 +188,35 @@ object SubstringDedup {
             sp => (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
       .drop("__spans")
   }
+
+  /** [[duplicateSpans]] applied: drop every token inside a covered
+    * span and re-join the survivors with spaces as `outCol`
+    * (documents with nothing duplicated pass through with normalized
+    * whitespace; a fully-duplicated document becomes ''). Defaults to
+    * the keep-first policy so exactly the redundant copies vanish. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, keepFirst: Boolean = true,
+                           hashKeys: Boolean = true,
+                           outCol: String = "text_dedup"): DataFrame =
+    cutSpans(docs,
+      duplicateSpans(docs, idCol, textCol, k, keepFirst, hashKeys),
+      idCol, textCol, outCol)
+
+  /** [[duplicateSpansAgainst]] applied: SCRUB corpus-known runs out
+    * of a batch instead of rejecting whole documents — every ≥k-token
+    * run already present in the corpus index is cut and the
+    * survivors re-join with spaces. The middle ground between
+    * admitting contaminated text verbatim and the admission loop's
+    * whole-doc coverage rejection; same per-batch cost shape as the
+    * screen (batch-side banding + one semi join, corpus never
+    * rescanned). */
+  def removeDuplicateSpansAgainst(newBatch: DataFrame, corpusIndex: DataFrame,
+                                  idCol: String, textCol: String, k: Int,
+                                  hashKeys: Boolean = true,
+                                  acceptUnvalidated: Boolean = false,
+                                  outCol: String = "text_dedup"): DataFrame =
+    cutSpans(newBatch,
+      duplicateSpansAgainst(newBatch, corpusIndex, idCol, textCol, k,
+        hashKeys, acceptUnvalidated),
+      idCol, textCol, outCol)
 }

@@ -305,6 +305,21 @@ object Admission {
         numHashes, bands, shingleLen, seed, maxBucketSize, threshold,
         dedupWithinBatch, batchId = id, collectStats = collectStats))
 
+  /** [[admitStream]]'s substring sibling: [[admitBatchSubstring]] per
+    * micro-batch through foreachBatch + checkpoint, same replay
+    * contract (the id screen makes an at-least-once replay a no-op). */
+  def admitStreamSubstring(stream: DataFrame, corpusPath: String,
+                           indexPath: String, checkpoint: String,
+                           idCol: String, textCol: String, k: Int,
+                           maxDupCoverage: Double = 0.5,
+                           hashKeys: Boolean = true,
+                           dedupWithinBatch: Boolean = false,
+                           collectStats: Boolean = true): Seq[AdmitStats] =
+    streamCore(stream, checkpoint, (b, id) =>
+      admitBatchSubstring(b, corpusPath, indexPath, idCol, textCol, k,
+        maxDupCoverage, hashKeys, dedupWithinBatch, batchId = id,
+        collectStats = collectStats))
+
   /** [[admitStream]]'s embedding sibling. */
   def admitStreamEmbedding(stream: DataFrame, corpusPath: String,
                            indexPath: String, checkpoint: String,

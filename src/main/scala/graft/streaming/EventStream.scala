@@ -24,22 +24,47 @@ object EventStream {
   sealed trait TsLayout
   object TsLayout {
     /** TIMESTAMP(NANOS): Spark's reader only admits it as epoch-nanos
-      * long via `spark.sql.legacy.parquet.nanosAsLong`. */
+      * long via `spark.sql.legacy.parquet.nanosAsLong`. Also the
+      * classification of a PLAIN int64 column whose magnitude says
+      * nanoseconds. */
     case object NanosLong extends TsLayout
+    /** plain int64 epoch-MICROS (no timestamp annotation) */
+    case object MicrosLong extends TsLayout
+    /** plain int64 epoch-MILLIS (no timestamp annotation) */
+    case object MillisLong extends TsLayout
+    /** plain int64 epoch-SECONDS (no timestamp annotation) */
+    case object SecondsLong extends TsLayout
     /** timestamp micros/millis, isAdjustedToUTC=false → TIMESTAMP_NTZ */
     case object MicrosNtz extends TsLayout
     /** timestamp micros/millis, isAdjustedToUTC=true → TIMESTAMP */
     case object MicrosTz extends TsLayout
   }
 
-  /** Inspect the parquet footer (schema-only job, no data read) and
-    * classify the `ts` layout. Sets the nanos legacy conf first so a
-    * NANOS footer resolves to long instead of throwing; the conf is a
-    * no-op for micros/millis files. */
+  /** Inspect the parquet footer (schema-only) and classify the `ts`
+    * layout. Sets the nanos legacy conf first so a NANOS footer
+    * resolves to long instead of throwing; the conf is a no-op for
+    * micros/millis files. A LongType `ts` is UNIT-SNIFFED by
+    * magnitude (one column-pruned max(abs) scan): epoch seconds,
+    * millis, micros, and nanos live four orders of magnitude apart
+    * (1.7e9 / 1.7e12 / 1.7e15 / 1.7e18 today; the bands stay
+    * disjoint for centuries), so a producer switching a plain int64
+    * column between units — the exact class of silent change that
+    * broke round 8 — re-classifies instead of corrupting every
+    * window by 1000×. All six layouts are pinned output-identical in
+    * EventsLoaderSpec. */
   def probeTsLayout(spark: SparkSession, pathOrGlob: String): TsLayout = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(pathOrGlob).schema("ts").dataType match {
-      case LongType         => TsLayout.NanosLong
+    val df = spark.read.parquet(pathOrGlob)
+    df.schema("ts").dataType match {
+      case LongType =>
+        val m = df.select(max(abs(col("ts")))).head()
+        if (m.isNullAt(0)) TsLayout.NanosLong // empty file: any unit works
+        else m.getLong(0) match {
+          case v if v >= 100000000000000000L => TsLayout.NanosLong  // >=1e17
+          case v if v >= 100000000000000L    => TsLayout.MicrosLong // >=1e14
+          case v if v >= 100000000000L       => TsLayout.MillisLong // >=1e11
+          case _                             => TsLayout.SecondsLong
+        }
       case TimestampNTZType => TsLayout.MicrosNtz
       case TimestampType    => TsLayout.MicrosTz
       case other => throw new IllegalArgumentException(
@@ -52,7 +77,8 @@ object EventStream {
     * must match the probed physical layout, not an assumed one. */
   def rawSchema(layout: TsLayout): StructType = {
     val tsType = layout match {
-      case TsLayout.NanosLong => LongType
+      case TsLayout.NanosLong | TsLayout.MicrosLong |
+           TsLayout.MillisLong | TsLayout.SecondsLong => LongType
       case TsLayout.MicrosNtz => TimestampNTZType
       case TsLayout.MicrosTz  => TimestampType
     }
@@ -68,6 +94,12 @@ object EventStream {
     layout match {
       case TsLayout.NanosLong =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TsLayout.MicrosLong =>
+        df.withColumn("ts", expr("timestamp_micros(ts)"))
+      case TsLayout.MillisLong =>
+        df.withColumn("ts", expr("timestamp_millis(ts)"))
+      case TsLayout.SecondsLong =>
+        df.withColumn("ts", expr("timestamp_seconds(ts)"))
       case TsLayout.MicrosNtz =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TsLayout.MicrosTz => df
@@ -100,6 +132,11 @@ object EventStream {
     probeTsLayout(spark, p) match {
       case TsLayout.NanosLong =>
         df.withColumn("ts", expr("ts div 1000"))
+      case TsLayout.MicrosLong => df
+      case TsLayout.MillisLong =>
+        df.withColumn("ts", col("ts") * lit(1000L))
+      case TsLayout.SecondsLong =>
+        df.withColumn("ts", col("ts") * lit(1000000L))
       case TsLayout.MicrosNtz =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
       case TsLayout.MicrosTz =>
@@ -118,6 +155,11 @@ object EventStream {
     layout match {
       case TsLayout.NanosLong =>
         tsMicros.withColumn("ts", col("ts") * lit(1000L))
+      case TsLayout.MicrosLong => tsMicros
+      case TsLayout.MillisLong =>
+        tsMicros.withColumn("ts", expr("ts div 1000"))
+      case TsLayout.SecondsLong =>
+        tsMicros.withColumn("ts", expr("ts div 1000000"))
       case TsLayout.MicrosNtz =>
         tsMicros.withColumn("ts",
           timestamp_micros(col("ts")).cast(TimestampNTZType))

@@ -266,6 +266,28 @@ class AdmissionSpec extends SparkTestBase {
     assert(s4.admitted == 1L)
   }
 
+  test("substring streaming face drives the same coverage cycles") {
+    import graft.operators.SubstringDedup
+    val corpusDir = Files.createTempDirectory("graft_adm_ssc").toString
+    val indexDir = Files.createTempDirectory("graft_adm_ssi").toString + "/idx"
+    val inDir = Files.createTempDirectory("graft_adm_ssin").toString
+    val chk = Files.createTempDirectory("graft_adm_sschk").toString
+    corpusDf.write.mode("overwrite").parquet(corpusDir)
+    SubstringDedup.gramIndex(corpusDf, "doc_id", "text", k = 4)
+      .write.mode("overwrite").parquet(indexDir)
+    Seq(500L -> freshText("s500"),                      // fresh -> admitted
+        501L -> (freshText("c7") + " t0 t1"))           // 8/10 covered -> out
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stats = Admission.admitStreamSubstring(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$inDir/*.parquet"),
+      corpusDir, indexDir, chk, "doc_id", "text", k = 4,
+      maxDupCoverage = 0.5)
+    assert(stats.map(_.admitted).sum == 1L)
+    assert(corpusIds(corpusDir) == ((0L until 40L) ++ Seq(500L)))
+  }
+
   test("streaming face: foreachBatch loop + checkpoint restart") {
     val (c, i) = setup()
     val base = Files.createTempDirectory("graft_adm_s").toString

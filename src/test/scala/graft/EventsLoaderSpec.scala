@@ -91,6 +91,36 @@ class EventsLoaderSpec extends SparkTestBase {
     }
   }
 
+  test("plain int64 ts is unit-sniffed by magnitude (the r8 failure class)") {
+    // whole-second instants so every unit renders losslessly
+    val secsDf = Seq(
+      (1L, 1700000000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000123000000L, 10L, "purchase", 2.5, "{}"),
+      (3L, 1700003600000000L, 11L, "click", 3.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val longLayouts = Seq(TsLayout.NanosLong, TsLayout.MicrosLong,
+      TsLayout.MillisLong, TsLayout.SecondsLong)
+    val got = longLayouts.map { l =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_evt_unit_$l").toString
+      EventStream.renderTs(secsDf, l)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/scratch")
+      val part = new java.io.File(s"$d/scratch").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      // the probe re-derives the unit from magnitude alone
+      assert(EventStream.probeTsLayout(spark, s"$d/events.parquet") == l)
+      l -> EventStream.eventsBatch(spark, d)
+        .orderBy($"event_id")
+        .select($"event_id", unix_micros($"ts").as("us"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = secsDf.orderBy($"event_id")
+      .select($"event_id", $"ts").collect().map(_.toSeq).toSeq
+    got.foreach { case (l, rows) => assert(rows == want, s"$l") }
+  }
+
   test("readStream drains the same normalized rows on every layout") {
     val results = layouts.map { l =>
       val got = EventStream.runToMemory(

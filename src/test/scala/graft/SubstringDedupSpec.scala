@@ -173,6 +173,24 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("scrub face: corpus-known runs cut, fresh tails survive") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val idx = SubstringDedup.gramIndex(corpus, "doc_id", "text", 4)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),      // full copy -> ''
+      (11L, "alpha beta gamma delta fresh0 fresh1"),      // prefix run cut
+      (12L, "all new material with nothing shared here")) // untouched
+      .toDF("doc_id", "text")
+    val got = SubstringDedup.removeDuplicateSpansAgainst(
+        batch, idx, "doc_id", "text", 4)
+      .select($"doc_id", $"text_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "")
+    assert(got(11L) == "fresh0 fresh1")
+    assert(got(12L) == "all new material with nothing shared here")
+  }
+
   test("gram index: update == rebuild; params validated; parquet round-trip") {
     val a = Seq((1L, "w x y z w x"), (2L, "x y z w")).toDF("doc_id", "text")
     val b = Seq((3L, "z w x y"), (4L, "fresh words only here")).toDF("doc_id", "text")
