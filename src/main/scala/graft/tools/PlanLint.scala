@@ -124,7 +124,12 @@ object PlanLint {
       // the batch anti join key on broadcast-small sides — the corpus
       // must never shuffle against the batch
       "q116_dedup_exact_incr" -> ("BroadcastHashJoin",
-        "batch key set no longer broadcasts"))
+        "batch key set no longer broadcasts"),
+      // heavy hitters (r9): pass 2's exact confirm semi-joins the
+      // driver-bounded candidate set as a BROADCAST build side — a
+      // shuffle here would defeat the whole two-pass design
+      "q136_heavy_hitters" -> ("BroadcastHashJoin",
+        "heavy-hitter candidate set no longer broadcasts"))
     // NOT pinnable here: q115's/q117's broadcast of the new-batch
     // band rows (minhashPairsAgainst / minhashPairsAgainstIndex)
     // happens inside materializeAndRelease's eager localCheckpoint,
