@@ -3283,7 +3283,37 @@ object SparkEntry {
               |  coalesce(string_agg(kept.w, ' ' ORDER BY kept.i), '')
               |    AS text_dedup
               |FROM b LEFT JOIN kept ON b.doc_id = kept.doc_id
-              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // ===== §2.12-ext weighted sampling ==================================
+
+    // Deterministic weighted sampling without replacement
+    // (Budget.sampleWeightedPerGroup, Efraimidis–Spirakis A-Res with
+    // md5-derived uniforms): 5 docs per source, weight = token count
+    // + 1 — longer docs proportionally likelier, winners rerun- and
+    // layout-stable. The oracle replays the exact key arithmetic
+    // (hex md5 prefix → uniform → ln(u)/w) in SQL.
+    Q("q140_sample_weighted", (s, dir) =>
+      Budget.sampleWeightedPerGroup(
+          t(s, dir, "documents")
+            .withColumn("wt", (TF.tokenCount(col("text")) + 1)
+              .cast("double")),
+          Seq("source"), "doc_id", "wt", n = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |    CAST(len(${sqlTokens("text")}) + 1 AS DOUBLE) AS wt
+              |  FROM documents),
+              |k AS (SELECT doc_id, source,
+              |    ln((CAST(concat('0x',
+              |        substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              |      AS BIGINT) + 0.5) / 4294967296.0) / wt AS key
+              |  FROM d WHERE wt > 0),
+              |r AS (SELECT doc_id, source, row_number() OVER (
+              |    PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+              |  FROM k)
+              |SELECT doc_id, source FROM r WHERE rn <= 5
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -757,6 +757,14 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.SubstringDedup.duplicateSpansAgainst(df,
       corpusIndex.df, idCol, textCol, k, hashKeys))
 
+  /** [[graft.operators.Budget.sampleWeightedPerGroup]] — deterministic
+    * Efraimidis–Spirakis weighted sampling, n winners per stratum */
+  def sampleWeightedPerGroup(groupCols: Seq[String], idCol: String,
+                             weightCol: String, n: Int,
+                             seed: Long = 42L): DDF =
+    wrap(graft.operators.Budget.sampleWeightedPerGroup(df, groupCols,
+      idCol, weightCol, n, seed))
+
   /** [[graft.operators.Frequent.heavyHitters]] — exact heavy hitters
     * via the Misra–Gries two-pass (open-domain scale path) */
   def heavyHitters(colName: String, minShare: Double): DDF =

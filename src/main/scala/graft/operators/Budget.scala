@@ -238,6 +238,38 @@ object Budget {
     * memory. For extreme groups the threshold pattern of
     * [[tokenBudgetSelectThreshold]] applies the same way (estimate
     * the md5 cutoff on a sample, filter, trim the boundary). */
+  /** Weighted sampling WITHOUT replacement, `n` winners per stratum —
+    * Efraimidis–Spirakis 2006 A-Res, made DETERMINISTIC: the uniform
+    * u(id) derives from md5(seed ":" id) (the capPerGroup/hashSplit
+    * hash discipline), so winners are rerun- and layout-stable and
+    * the whole draw is SQL-replayable (q140's oracle) — P(id wins a
+    * slot) still follows the weights exactly because u is uniform on
+    * (0, 1) over the id population. Ranking key is ln(u)/w, the
+    * monotone form of ES's u^(1/w) WITHOUT its underflow (u^(1/w)
+    * denormals to 0 for small u and w, collapsing ties); larger key
+    * wins, ties break on id. Rows with null or non-positive weight
+    * are never selected. One shuffle on the stratum; same window
+    * shape as [[capPerGroup]]. The step between uniform subsampling
+    * ([[capPerGroup]]) and budgeted selection ([[tokenBudgetSelect]]):
+    * keep n per stratum, biased toward quality/length/recency
+    * weights, without replacement. */
+  def sampleWeightedPerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String, n: Int,
+                             seed: Long = 42L): DataFrame = {
+    require(groupCols.nonEmpty, "sampleWeightedPerGroup needs group columns")
+    require(n > 0, s"n must be positive, got $n")
+    val u = (conv(substring(md5(concat_ws(":", lit(seed.toString),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                   maxPerGroup: Int): DataFrame = {
     require(groupCols.nonEmpty, "capPerGroup needs group columns")

@@ -192,6 +192,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"withFold shuffled:\n$plan")
   }
 
+  test("sampleWeightedPerGroup: ES weights honored, deterministic, guards") {
+    import graft.operators.Budget
+    // 2000 two-item strata, weights 3:1 — for n=1 A-Res gives
+    // P(heavy wins) = 3/4 EXACTLY over the uniform u population;
+    // the md5-derived u's should land close
+    val rows = (0 until 2000).flatMap { g =>
+      Seq((g, s"h$g", 3.0), (g, s"l$g", 1.0))
+    }.toDF("grp", "id", "w")
+    val winners = Budget.sampleWeightedPerGroup(rows, Seq("grp"), "id",
+        "w", n = 1)
+      .select($"id").as[String].collect()
+    val heavyShare = winners.count(_.startsWith("h")).toDouble / 2000
+    assert(math.abs(heavyShare - 0.75) < 0.05, s"heavyShare=$heavyShare")
+    // deterministic under repartitioning, seed-sensitive
+    val again = Budget.sampleWeightedPerGroup(rows.repartition(13),
+      Seq("grp"), "id", "w", n = 1).select($"id").as[String].collect()
+    assert(winners.sorted.toSeq == again.sorted.toSeq)
+    val other = Budget.sampleWeightedPerGroup(rows, Seq("grp"), "id",
+      "w", n = 1, seed = 7L).select($"id").as[String].collect()
+    assert(winners.sorted.toSeq != other.sorted.toSeq)
+    // null/zero weights never selected; n >= positives keeps them all
+    val d = Seq(("a", 1L, 2.0), ("a", 2L, 0.0),
+      ("a", 3L, -1.0), ("a", 4L, Double.NaN)).toDF("grp", "id", "w")
+      .withColumn("w", when($"id" === 4L, lit(null)).otherwise($"w"))
+    val kept = Budget.sampleWeightedPerGroup(d, Seq("grp"), "id", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("capPerGroup: exact cap, small groups untouched, deterministic") {
     val rows = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
     val df = rows.toDF("id", "g")
