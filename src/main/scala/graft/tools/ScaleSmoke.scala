@@ -535,6 +535,38 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // ---- Frequent.heavyHitters: two-pass Misra–Gries vs the exact
+    // one-exchange groupBy, on the exploded token stream (open-domain
+    // shape). Equality asserted in-run at every scale; the MG claim
+    // is the SHUFFLE (pass 1 exchanges nothing; pass 2 exchanges only
+    // candidate-matching partial counts), which at local scale shows
+    // as comparable wall time — the win is network width on a real
+    // cluster, the equality is what must hold everywhere.
+    if (on("hh")) scales.foreach { k =>
+      val c = corpus(k)
+      val toks = c.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .cache()
+      val n = toks.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-8d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      val share = 0.002
+      val mg = graft.operators.Frequent.heavyHitters(toks, "token", share)
+      time("hhTwoPass")(mg.count())
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > n * share)
+      time("hhExactGroupBy")(exact.count())
+      require(mg.exceptAll(exact).isEmpty && exact.exceptAll(mg).isEmpty,
+        s"k=$k: two-pass heavy hitters diverge from the exact groupBy")
+      toks.unpersist()
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- BPE trainer: the scaladoc's scale claims, measured. The
     // corpus replicates k× but the DISTINCT-WORD table stays ~flat
     // (replicas add one `replicaI` token each — Heaps'-law shape), so
