@@ -52,7 +52,21 @@ object EventStream {
     * broke round 8 — re-classifies instead of corrupting every
     * window by 1000×. All six layouts are pinned output-identical in
     * EventsLoaderSpec. */
-  def probeTsLayout(spark: SparkSession, pathOrGlob: String): TsLayout = {
+  /** session-scoped probe memo: the unit sniff is a real (if
+    * column-pruned) scan, and every catalog query over events
+    * constructs through the probe — one classification per path per
+    * JVM is enough. Events inputs are immutable within a session by
+    * the testdata contract; a path whose FILES change layout
+    * mid-session would need a process restart to re-classify. */
+  private val tsLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsLayout]()
+
+  def probeTsLayout(spark: SparkSession, pathOrGlob: String): TsLayout =
+    tsLayoutCache.computeIfAbsent(pathOrGlob,
+      _ => probeTsLayoutUncached(spark, pathOrGlob))
+
+  private def probeTsLayoutUncached(spark: SparkSession,
+                                    pathOrGlob: String): TsLayout = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(pathOrGlob)
     df.schema("ts").dataType match {
