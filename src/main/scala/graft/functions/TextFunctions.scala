@@ -289,13 +289,13 @@ object TextFunctions {
     "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
     "ipv4" -> "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b")
 
-  /** redact PII to `<EMAIL>`/`<SSN>`/`<IPV4>` placeholders — one
-    * codegen'd regexp_replace chain, shuffle-free, linear per row */
   /** Unicode-normalize text (default NFC) — the pre-dedup
     * canonicalization step; see TextExpressions.UnicodeNormalize. */
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.expressions.TextExpressions.unicodeNormalize(text, form)
 
+  /** redact PII to `<EMAIL>`/`<SSN>`/`<IPV4>` placeholders — one
+    * codegen'd regexp_replace chain, shuffle-free, linear per row */
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
       regexp_replace(c, pat, s"<${name.toUpperCase}>")

@@ -247,8 +247,11 @@ object Budget {
     * (0, 1) over the id population. Ranking key is ln(u)/w, the
     * monotone form of ES's u^(1/w) WITHOUT its underflow (u^(1/w)
     * denormals to 0 for small u and w, collapsing ties); larger key
-    * wins, ties break on id. Rows with null or non-positive weight
-    * are never selected. One shuffle on the stratum; same window
+    * wins, ties break on id. Rows with null, NaN, or non-positive
+    * weight are never selected (Spark's NaN sorts ABOVE every number,
+    * so an unguarded NaN weight would pass `> 0` and its NaN key
+    * would steal a winner slot deterministically).
+    * One shuffle on the stratum; same window
     * shape as [[capPerGroup]]. The step between uniform subsampling
     * ([[capPerGroup]]) and budgeted selection ([[tokenBudgetSelect]]):
     * keep n per stratum, biased toward quality/length/recency
@@ -264,7 +267,8 @@ object Budget {
     val key = log(u) / col(weightCol)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(key.desc, col(idCol).asc)
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(weightCol).isNotNull && !isnan(col(weightCol)) &&
+        col(weightCol) > 0)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -17,11 +17,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    > n·minShare has count_p > n_p·minShare in at least one
   *    partition, and per-partition MG retains every such item — so
   *    the union of partition summaries is a SUPERSET of the true
-  *    heavy hitters. Driver state is ≤ numPartitions · k entries
-  *    (bounded and enforced), row counts ride the same pass.
-  *  - pass 2: broadcast the candidate set back as a semi join and
-  *    count EXACTLY those items (combiners bound the exchange to
-  *    ≤ partitions · |candidates| rows), keep count > n·minShare.
+  *    heavy hitters. Per-PARTITION state is ≤ k entries; the
+  *    candidate union (≤ partitions · k) is deduplicated
+  *    DISTRIBUTED-side (distinct + localCheckpoint) — the driver
+  *    never materializes it, so extreme partition counts cannot OOM
+  *    the driver. Row counts ride the same pass.
+  *  - pass 2: semi-join the candidate set back and count EXACTLY
+  *    those items (combiners bound the exchange to ≤ partitions ·
+  *    |candidates| rows), keep count > n·minShare. The candidate
+  *    side broadcasts below a size bound and falls back to a shuffle
+  *    join above it — still exact either way.
   *
   * The answer is EXACT and partition-independent — the candidate
   * superset varies with layout, the final filter by exact counts
@@ -41,58 +46,74 @@ object Frequent {
     val k = math.ceil(1.0 / minShare).toInt
     require(k <= 100000,
       s"minShare = $minShare needs $k counters per partition — below " +
-        "the useful heavy-hitter regime (driver state is partitions * k); " +
-        "use the exact groupBy (DDF.freqItems) for fine thresholds")
+        "the useful heavy-hitter regime (per-task state and the " +
+        "candidate table scale with k); use the exact groupBy " +
+        "(DDF.freqItems) for fine thresholds")
     val spark = df.sparkSession
     val colType = df.schema(colName).dataType
 
     // pass 1: per-partition (rowCount, MG summary); no exchange
     val summaries = df.select(col(colName)).rdd
       .mapPartitions { it =>
-        val counters = new java.util.HashMap[Any, Long](k * 2)
-        var n = 0L
-        it.foreach { row =>
-          val v = row.get(0)
-          if (v != null) {
-            n += 1L
-            if (counters.containsKey(v))
-              counters.put(v, counters.get(v) + 1L)
-            else if (counters.size < k) counters.put(v, 1L)
-            else {
-              // decrement-all: each such event cancels k+1 distinct
-              // rows, so events ≤ n/(k+1) and total work stays O(n)
-              val dead = new java.util.ArrayList[Any]()
-              val eit = counters.entrySet().iterator()
-              while (eit.hasNext) {
-                val e = eit.next()
-                if (e.getValue == 1L) dead.add(e.getKey)
-                else e.setValue(e.getValue - 1L)
-              }
-              dead.forEach(counters.remove(_))
-            }
-          }
-        }
-        import scala.jdk.CollectionConverters._
-        Iterator.single((n, counters.keySet().asScala.toArray))
-      }.collect()
+        mgSummary(it, k)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val n = summaries.map(_._1).sum
-    val candidates = summaries.iterator.flatMap(_._2).toSet.toArray
-    if (candidates.isEmpty || n == 0L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField(colName, colType),
-          StructField("cnt", LongType, nullable = false))))
-
-    // pass 2: exact counts of the candidate superset only
+    val n = summaries.map(_._1).fold(0L)(_ + _)
+    def emptyResult: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField(colName, colType),
+        StructField("cnt", LongType, nullable = false))))
+    if (n == 0L) { summaries.unpersist(); return emptyResult }
+    // candidate superset, deduplicated WITHOUT touching the driver;
+    // localCheckpoint settles it so the MG pass can release
     val candDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        candidates.toIndexedSeq.map(Row(_)), 1),
-      StructType(Seq(StructField("__cand", colType))))
+        summaries.flatMap(_._2.iterator.map(Row(_))),
+        StructType(Seq(StructField("__cand", colType))))
+      .distinct().localCheckpoint()
+    summaries.unpersist()
+    val nCand = candDf.count()
+    if (nCand == 0L) return emptyResult
+
+    // pass 2: exact counts of the candidate superset only. Broadcast
+    // is the intended plan (the candidate table is k-bounded per
+    // partition and tiny after dedup); an adversarially huge
+    // candidate set falls back to a shuffle join — same answer.
+    val candSide =
+      if (nCand <= 1000000L) broadcast(candDf) else candDf
     df.select(col(colName))
-      .join(broadcast(candDf), col(colName) === col("__cand"), "left_semi")
+      .join(candSide, col(colName) === col("__cand"), "left_semi")
       .groupBy(col(colName))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(n) * lit(minShare))
+  }
+
+  /** one partition's Misra–Gries summary: (rowCount, candidate keys) */
+  private def mgSummary(it: Iterator[Row], k: Int)
+  : Iterator[(Long, Array[Any])] = {
+    val counters = new java.util.HashMap[Any, Long](k * 2)
+    var n = 0L
+    it.foreach { row =>
+      val v = row.get(0)
+      if (v != null) {
+        n += 1L
+        if (counters.containsKey(v))
+          counters.put(v, counters.get(v) + 1L)
+        else if (counters.size < k) counters.put(v, 1L)
+        else {
+          // decrement-all: each such event cancels k+1 distinct
+          // rows, so events ≤ n/(k+1) and total work stays O(n)
+          val dead = new java.util.ArrayList[Any]()
+          val eit = counters.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (e.getValue == 1L) dead.add(e.getKey)
+            else e.setValue(e.getValue - 1L)
+          }
+          dead.forEach(counters.remove(_))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    Iterator.single((n, counters.keySet().asScala.toArray))
   }
 }

@@ -77,7 +77,18 @@ object EventStream {
           case v if v >= 100000000000000000L => TsLayout.NanosLong  // >=1e17
           case v if v >= 100000000000000L    => TsLayout.MicrosLong // >=1e14
           case v if v >= 100000000000L       => TsLayout.MillisLong // >=1e11
-          case _                             => TsLayout.SecondsLong
+          case v if v >= 100000000L          => TsLayout.SecondsLong // >=1e8
+          case v => throw new IllegalArgumentException(
+            // a finer unit whose data predates ~1973 would land in a
+            // coarser band and silently scale by 1000× — below the
+            // modern-era floor the sniff has no safe answer, so fail
+            // LOUD instead (early-epoch corpora must carry a real
+            // timestamp annotation)
+            s"events.ts at $pathOrGlob is a plain int64 with max " +
+              s"magnitude $v, below the epoch-seconds modern-era " +
+              "floor (1e8 ≈ 1973) — the time unit cannot be sniffed " +
+              "safely; write the column as an annotated parquet " +
+              "timestamp instead")
         }
       case TimestampNTZType => TsLayout.MicrosNtz
       case TimestampType    => TsLayout.MicrosTz
@@ -128,7 +139,10 @@ object EventStream {
     * events.parquet, or a direct file/glob path. */
   def eventsBatch(spark: SparkSession, pathOrDir: String): DataFrame = {
     val p = eventsPath(pathOrDir)
-    tsToTimestamp(spark.read.parquet(p), probeTsLayout(spark, p))
+    // probe FIRST: it sets the nanos legacy conf, without which the
+    // read itself throws on an annotated TIMESTAMP(NANOS) footer
+    val layout = probeTsLayout(spark, p)
+    tsToTimestamp(spark.read.parquet(p), layout)
   }
 
   /** [[eventsBatch]] with `ts` as TIMESTAMP_NTZ — the catalog-query
@@ -142,8 +156,11 @@ object EventStream {
     * float64's exact range in the oracle compare; micros stay exact). */
   def eventsRawMicros(spark: SparkSession, pathOrDir: String): DataFrame = {
     val p = eventsPath(pathOrDir)
+    // probe FIRST (sets the nanos conf the read may need — see
+    // eventsBatch)
+    val layout = probeTsLayout(spark, p)
     val df = spark.read.parquet(p)
-    probeTsLayout(spark, p) match {
+    layout match {
       case TsLayout.NanosLong =>
         df.withColumn("ts", expr("ts div 1000"))
       case TsLayout.MicrosLong => df

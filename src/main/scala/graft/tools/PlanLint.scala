@@ -126,8 +126,11 @@ object PlanLint {
       "q116_dedup_exact_incr" -> ("BroadcastHashJoin",
         "batch key set no longer broadcasts"),
       // heavy hitters (r9): pass 2's exact confirm semi-joins the
-      // driver-bounded candidate set as a BROADCAST build side — a
-      // shuffle here would defeat the whole two-pass design
+      // k-bounded candidate set as a BROADCAST build side — a shuffle
+      // here (below the fallback bound) would defeat the two-pass
+      // design. Known cost: constructing q136 runs pass 1 eagerly, so
+      // THIS pin pays one tiny sf0.001 token scan at lint time —
+      // accepted; it is the only way to see the real pass-2 plan.
       "q136_heavy_hitters" -> ("BroadcastHashJoin",
         "heavy-hitter candidate set no longer broadcasts"))
     // NOT pinnable here: q115's/q117's broadcast of the new-batch

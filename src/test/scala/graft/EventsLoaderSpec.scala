@@ -121,6 +121,23 @@ class EventsLoaderSpec extends SparkTestBase {
     got.foreach { case (l, rows) => assert(rows == want, s"$l") }
   }
 
+  test("int64 ts below the modern-era floor fails loud, not scaled") {
+    // a finer unit whose data predates ~1973 would land in a coarser
+    // band and silently scale by 1000x — the probe must throw instead
+    val d = java.nio.file.Files.createTempDirectory("graft_evt_low").toString
+    Seq((1L, 5000000L, 10L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/scratch")
+    val part = new java.io.File(s"$d/scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      EventStream.probeTsLayout(spark, s"$d/events.parquet")
+    }
+    assert(e.getMessage.contains("cannot be sniffed"))
+  }
+
   test("readStream drains the same normalized rows on every layout") {
     val results = layouts.map { l =>
       val got = EventStream.runToMemory(

@@ -212,13 +212,20 @@ class OperatorsSpec extends SparkTestBase {
     val other = Budget.sampleWeightedPerGroup(rows, Seq("grp"), "id",
       "w", n = 1, seed = 7L).select($"id").as[String].collect()
     assert(winners.sorted.toSeq != other.sorted.toSeq)
-    // null/zero weights never selected; n >= positives keeps them all
-    val d = Seq(("a", 1L, 2.0), ("a", 2L, 0.0),
-      ("a", 3L, -1.0), ("a", 4L, Double.NaN)).toDF("grp", "id", "w")
-      .withColumn("w", when($"id" === 4L, lit(null)).otherwise($"w"))
+    // null/zero/negative/NaN weights never selected (NaN is the trap:
+    // Spark sorts NaN above every number, so it passes `> 0` and its
+    // NaN ranking key would deterministically steal a winner slot
+    // without the explicit guard); n >= positives keeps them all
+    val d = Seq(("a", 1L, 2.0), ("a", 2L, 0.0), ("a", 3L, -1.0),
+      ("a", 4L, Double.NaN), ("a", 5L, 3.0)).toDF("grp", "id", "w")
+      .withColumn("w", when($"id" === 5L, lit(null)).otherwise($"w"))
     val kept = Budget.sampleWeightedPerGroup(d, Seq("grp"), "id", "w", 10)
       .select($"id").as[Long].collect().toSet
     assert(kept == Set(1L))
+    // and NaN must not win even when slots are scarce
+    val scarce = Budget.sampleWeightedPerGroup(d, Seq("grp"), "id", "w", 1)
+      .select($"id").as[Long].collect().toSet
+    assert(scarce == Set(1L))
   }
 
   test("capPerGroup: exact cap, small groups untouched, deterministic") {
