@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import graft.expressions.VectorExpressions._
-  import graft.expressions.TextExpressions.{JaccardSim, WordShingles}
+  import graft.expressions.TextExpressions.{JaccardSim, UnicodeNormalize, WordShingles}
   import graft.functions.{GraftFunctions, TextFunctions}
   import graft.operators.Geo.PointInPolygon
 
@@ -53,6 +53,12 @@ object GraftExtensions {
         PointInPolygon(es(0), es(1), es(2)) }),
       "jaccard_sim" -> (es => { GraftFunctions.arity("jaccard_sim", es, 2, 2)
         JaccardSim(es(0), es(1)) }),
+      "unicode_normalize" -> (es => {
+        GraftFunctions.arity("unicode_normalize", es, 1, 2)
+        val form = if (es.length == 2)
+          GraftFunctions.literalString("unicode_normalize", es(1)) else "NFC"
+        UnicodeNormalize(es.head, form)
+      }),
       "word_shingles" -> (es => {
         GraftFunctions.arity("word_shingles", es, 1, 2)
         val n = if (es.length == 2)

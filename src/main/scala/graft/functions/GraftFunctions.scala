@@ -14,7 +14,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 object GraftFunctions {
 
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.types.{IntegerType, StringType}
 
   private[graft] def arity(name: String, es: Seq[Expression],
                            lo: Int, hi: Int): Unit =
@@ -27,6 +27,14 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$name: expected an integer literal, got $other")
   }
+
+  private[graft] def literalString(name: String, e: Expression): String =
+    e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name: expected a string literal, got $other")
+    }
 
   def registerAll(spark: SparkSession): Unit =
     graft.GraftExtensions.builders.foreach { case (name, builder) =>

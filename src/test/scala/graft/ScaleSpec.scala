@@ -135,7 +135,20 @@ class ScaleSpec extends SparkTestBase {
     assert(graft.GraftExtensions.builders.map(_._1).toSet ==
       Set("dot_product", "cosine_sim", "simhash64", "minhash_sig",
         "point_in_polygon", "jaccard_sim", "word_shingles",
-        "hyperplane_codes"))
+        "hyperplane_codes", "unicode_normalize"))
+  }
+
+  test("unicode_normalize on the SQL surface: forms + literal guard") {
+    GraftFunctions.registerAll(spark)
+    // decomposed e+U+0301 composes under default NFC
+    assert(spark.sql("SELECT unicode_normalize('café') AS n")
+      .head().getString(0) == "café")
+    assert(spark.sql("SELECT unicode_normalize('café', 'NFD') AS n")
+      .head().getString(0) == "café")
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', length('ab'))").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
   }
 
   test("minhash_sig of an empty array is the non-null sentinel") {
