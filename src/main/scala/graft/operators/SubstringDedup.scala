@@ -138,7 +138,10 @@ object SubstringDedup {
 
   /** Fold a new batch's grams into a persisted [[gramIndex]] WITHOUT
     * re-reading the corpus. Update ≡ rebuild EXACTLY (distinct-union
-    * is the whole merge — no counts, no caps), spec-pinned. */
+    * is the whole merge — no counts, no caps), spec-pinned. The
+    * returned frame is the FULL merged index — writing it back is an
+    * index-proportional rewrite; at ingestion cadence use
+    * [[gramIndexAppendInPlace]], whose write is batch-bounded. */
   def gramIndexUpdate(index: DataFrame, newBatch: DataFrame,
                       idCol: String, textCol: String, k: Int,
                       hashKeys: Boolean = true,
@@ -151,6 +154,48 @@ object SubstringDedup {
           grams(newBatch, idCol, textCol, k, hashKeys).select(col("g")))
         .distinct(),
       k, hashKeys)
+  }
+
+  /** BATCH-BOUNDED index maintenance — the LSM-style alternative to
+    * rewriting the merged index: only the batch's grams NOT already
+    * present (one anti join, batch side broadcast-small by the
+    * ingestion contract) are APPENDED as new parquet files at
+    * `indexPath`; existing files are never touched. Because the
+    * appended set is disjoint from the stored set, the on-disk
+    * DISTINCT-gram content after append is IDENTICAL to
+    * [[gramIndexUpdate]]-then-rewrite and to a full rebuild
+    * (spec-pinned, old files byte-identical by listing). The trade is
+    * file count: every batch adds files, so pair with a periodic
+    * compaction (read → distinct → swap — the
+    * [[graft.streaming.Admission.compactCorpus]] pattern) at whatever
+    * cadence keeps the file listing healthy. Crash contract: parquet
+    * append commits per file; a crash mid-append leaves a valid index
+    * missing some of the batch's grams — recall degrades for exactly
+    * those runs until the batch replays, nothing corrupts. */
+  def gramIndexAppendInPlace(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, newBatch: DataFrame,
+                             idCol: String, textCol: String, k: Int,
+                             hashKeys: Boolean = true,
+                             acceptUnvalidated: Boolean = false): Long = {
+    val idx = Dedup.validateIndexParams(spark.read.parquet(indexPath),
+      "gramIndexAppendInPlace", gramAsked(k, hashKeys), acceptUnvalidated)
+    // the exactAgainst double-broadcast shape: the batch's distinct
+    // grams broadcast into ONE index semi-join scan (the index never
+    // shuffles), the small hit set broadcasts back into the anti join
+    val batchGrams = grams(newBatch, idCol, textCol, k, hashKeys)
+      .select(col("g")).distinct()
+    val hits = idx.select(col("g"))
+      .join(broadcast(batchGrams), Seq("g"), "left_semi").distinct()
+    val fresh = batchGrams
+      .join(broadcast(hits), Seq("g"), "left_anti")
+      // settle BEFORE the append: the write must not recompute a plan
+      // that scans the files it is adding to
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      stampGramParams(fresh, k, hashKeys)
+        .write.mode("append").parquet(indexPath)
+    n
   }
 
   /** [[duplicateSpans]] against a persisted corpus [[gramIndex]]:

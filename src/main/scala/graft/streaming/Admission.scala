@@ -123,7 +123,8 @@ object Admission {
                         screen: (DataFrame, DataFrame, DataFrame) => DataFrame,
                         dedupWithin: DataFrame => DataFrame,
                         fold: (DataFrame, DataFrame) => DataFrame,
-                        foldInPlace: (String, DataFrame) => Unit)
+                        foldInPlace: (String, DataFrame) => Unit,
+                        forceInPlace: Boolean = false)
   : AdmitStats = {
     val spark = batch.sparkSession
     val corpus = spark.read.parquet(corpusPath)
@@ -147,7 +148,8 @@ object Admission {
     val nAdmitted = admitted.count()
     if (nAdmitted > 0) {
       admitted.write.mode("append").parquet(corpusPath)
-      if (index.columns.contains("part")) foldInPlace(indexPath, admitted)
+      if (forceInPlace || index.columns.contains("part"))
+        foldInPlace(indexPath, admitted)
       else swapWrite(fold(index, admitted), indexPath)
     }
     fresh.unpersist()
@@ -244,7 +246,11 @@ object Admission {
     * union, so update ≡ rebuild exactly and the crash contract is
     * the swap path's. Optional within-batch stage applies the same
     * coverage rule symmetrically with the keep-first exemption (one
-    * copy of a duplicated run survives its own batch). */
+    * copy of a duplicated run survives its own batch). The fold is
+    * BATCH-BOUNDED ([[graft.operators.SubstringDedup
+    * .gramIndexAppendInPlace]] — only grams the index lacks append as
+    * new files, existing files untouched; pair with periodic
+    * compaction for file-count health). */
   def admitBatchSubstring(batch: DataFrame, corpusPath: String,
                           indexPath: String, idCol: String, textCol: String,
                           k: Int, maxDupCoverage: Double = 0.5,
@@ -278,12 +284,14 @@ object Admission {
             SubstringDedup.duplicateSpans(screened, idCol, textCol, k,
               keepFirst = true, hashKeys = hashKeys)),
           Seq(idCol), "left_anti"),
-      fold = (index, admitted) =>
-        SubstringDedup.gramIndexUpdate(index, admitted, idCol, textCol,
-          k, hashKeys),
-      foldInPlace = (_, _) => throw new IllegalStateException(
-        "gram indexes have no partitioned layout; a `part` column " +
-          "here means indexPath holds a different index family"))
+      fold = (_, _) => throw new IllegalStateException(
+        "unreachable: the substring loop always folds in place"),
+      foldInPlace = (path, admitted) => {
+        SubstringDedup.gramIndexAppendInPlace(admitted.sparkSession,
+          path, admitted, idCol, textCol, k, hashKeys)
+        ()
+      },
+      forceInPlace = true)
   }
 
   /** Continuous admission: drains `stream` (Trigger.AvailableNow) and

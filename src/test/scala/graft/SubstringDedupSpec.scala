@@ -254,6 +254,48 @@ class SubstringDedupSpec extends SparkTestBase {
       .select($"t").head().getString(0) == "caf\u00e9") // NFC-composed
   }
 
+  test("gramIndexAppendInPlace: content == rebuild, old files untouched") {
+    val a = Seq((1L, "m n o p m n"), (2L, "n o p q")).toDF("doc_id", "text")
+    val b = Seq((3L, "p q m n"), (4L, "brand new tokens here"))
+      .toDF("doc_id", "text")
+    val k = 3
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gram_app").toString + "/idx"
+    SubstringDedup.gramIndex(a, "doc_id", "text", k)
+      .write.mode("overwrite").parquet(dir)
+    def files: Map[String, Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = files
+    val appended = SubstringDedup.gramIndexAppendInPlace(spark, dir, b,
+      "doc_id", "text", k)
+    assert(appended > 0)
+    // old files byte-identical by (name, mtime); new files appeared
+    val after = files
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    assert(after.size > before.size)
+    // on-disk content == a full rebuild's distinct-gram set
+    val rebuilt = SubstringDedup.gramIndex(a.unionByName(b),
+      "doc_id", "text", k)
+    val onDisk = spark.read.parquet(dir)
+    assert(onDisk.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(onDisk).isEmpty)
+    // replaying the SAME batch appends nothing (all grams present)
+    assert(SubstringDedup.gramIndexAppendInPlace(spark, dir, b,
+      "doc_id", "text", k) == 0L)
+    assert(files == after)
+    // the index side of the freshness anti join never shuffles: the
+    // batch grams broadcast into the index scan
+    val plan = {
+      val idx = spark.read.parquet(dir).drop("__fmt", "__k", "__hashKeys")
+      idx.join(broadcast(
+          Seq("x y z").toDF("g")), Seq("g"), "left_semi")
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("no shuffle carries gram text in hash mode (scale shape)") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i"))
       .toDF("doc_id", "text")
