@@ -535,6 +535,58 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // ---- gram-index maintenance: batch-bounded append fold vs full
+    // update rewrite, as the INDEX grows k×. Claim: the rewrite cost
+    // rides the index size (it rewrites everything), the append cost
+    // rides the BATCH (index scanned once, only missing grams
+    // written); on-disk content asserted equal both ways.
+    if (on("suba")) scales.foreach { k =>
+      // per-replica token suffixing: unlike corpus(k), whose replicas
+      // share every body gram, each replica here contributes an
+      // entirely DISTINCT gram population — the index genuinely grows
+      // k×, which is what this section varies
+      val c = (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000)).as("doc_id"),
+          concat_ws(" ", transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            t => concat(t, lit(s"_$i")))).as("text"))
+      }.reduce(_ union _).cache()
+      val batch = base.select((col("doc_id") + lit(90000000L)).as("doc_id"),
+        concat(col("text"), lit(" subabatch")).as("text"))
+        .limit(500).cache()
+      batch.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_smoke_suba$k").toString
+      val appendDir = s"$dir/app"; val rewriteDir = s"$dir/rw"
+      val idx = graft.operators.SubstringDedup
+        .gramIndex(c, "doc_id", "text", k = 8)
+      idx.write.mode("overwrite").parquet(appendDir)
+      idx.write.mode("overwrite").parquet(rewriteDir)
+      val nIdx = spark.read.parquet(appendDir).count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d idx=$nIdx%-8d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("gramAppendFold")(graft.operators.SubstringDedup
+        .gramIndexAppendInPlace(spark, appendDir, batch,
+          "doc_id", "text", k = 8))
+      time("gramUpdateRewrite") {
+        val merged = graft.operators.SubstringDedup.gramIndexUpdate(
+          spark.read.parquet(rewriteDir), batch, "doc_id", "text", k = 8)
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(rewriteDir)
+        merged.count()
+      }
+      val a = spark.read.parquet(appendDir)
+      val r = spark.read.parquet(rewriteDir)
+      require(a.exceptAll(r).isEmpty && r.exceptAll(a).isEmpty,
+        s"k=$k: append fold diverges from the update rewrite")
+      batch.unpersist(); c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- Frequent.heavyHitters: two-pass Misra–Gries vs the exact
     // one-exchange groupBy, on the exploded token stream (open-domain
     // shape). Equality asserted in-run at every scale; the MG claim
