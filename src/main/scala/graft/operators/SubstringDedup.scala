@@ -247,6 +247,29 @@ object SubstringDedup {
       duplicateSpans(docs, idCol, textCol, k, keepFirst, hashKeys),
       idCol, textCol, outCol)
 
+  /** Compact an append-mode gram index
+    * ([[gramIndexAppendInPlace]]'s file-count counterpart, the
+    * [[graft.streaming.Admission.compactCorpus]] pattern): the
+    * content is already distinct (appends are disjoint by
+    * construction), so compaction only reshapes the file listing —
+    * read, repartition on the gram key (co-locating the key range a
+    * screen probes), write aside, swap. Validates the index params
+    * first so a foreign table cannot be silently rewritten; returns
+    * the gram count. Run at whatever cadence keeps listings healthy
+    * — between compactions, appends stay batch-bounded. */
+  def gramIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, partitions: Int,
+                       acceptUnvalidated: Boolean = false): Long = {
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+    val idx = spark.read.parquet(indexPath)
+    // validation only — the rewrite keeps the param columns intact
+    Dedup.validateIndexParams(idx, "gramIndexCompact",
+      Seq("__fmt" -> GramIndexFormat), acceptUnvalidated)
+    graft.streaming.Admission.swapWriteIndex(
+      idx.repartition(partitions, col("g")), indexPath)
+    spark.read.parquet(indexPath).count()
+  }
+
   /** [[duplicateSpansAgainst]] applied: SCRUB corpus-known runs out
     * of a batch instead of rejecting whole documents — every ≥k-token
     * run already present in the corpus index is cut and the

@@ -383,6 +383,12 @@ object Admission {
     spark.read.parquet(corpusPath).count()
   }
 
+  /** [[swapWrite]] opened to the operator package so index-family
+    * compactions (e.g. SubstringDedup.gramIndexCompact) share the
+    * exact staging+rename discipline instead of reimplementing it. */
+  private[graft] def swapWriteIndex(df: DataFrame, dest: String): Unit =
+    swapWrite(df, dest)
+
   /** Overwrite `dest` via staging + rename — parquet's substitute for
     * a transactional overwrite, since Spark refuses (correctly) to
     * overwrite a path its own plan is reading. Crash windows: before
