@@ -3313,7 +3313,49 @@ object SparkEntry {
               |    PARTITION BY source ORDER BY key DESC, doc_id) AS rn
               |  FROM k)
               |SELECT doc_id, source FROM r WHERE rn <= 5
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget LEDGER (Budget.tokenBudgetSelectLedgered /
+    // ledgerBank): budgeted selection made continuous across
+    // admission cycles — cycle 1 selects the per-lang best prefix
+    // within 3k tokens and BANKS it; cycle 2 selects only what fits
+    // the REMAINING per-lang budget. The oracle replays both cycles'
+    // cumsum windows and the used/remaining arithmetic sequentially.
+    Q("q141_token_budget_ledgered", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("double").as("score"),
+          TF.tokenCount(col("text")).cast("long").as("toks"))
+      val led = java.nio.file.Files
+        .createTempDirectory("graft_ledger_q141").resolve("led").toString
+      val c1 = Budget.tokenBudgetSelectAndBank(
+        docs.filter(col("doc_id") % 2 === 0), led,
+        "lang", "doc_id", "score", "toks", budget = 3000L)
+      val c2 = Budget.tokenBudgetSelectLedgered(
+        docs.filter(col("doc_id") % 2 =!= 0), led,
+        "lang", "doc_id", "score", "toks", budget = 3000L)
+      c1.select(col("doc_id")).unionByName(c2.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |    CAST(length(text) AS DOUBLE) AS score,
+              |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS toks
+              |  FROM documents),
+              |b1 AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+              |b2 AS (SELECT * FROM d WHERE doc_id % 2 <> 0),
+              |s1 AS (SELECT doc_id, lang, toks FROM (
+              |    SELECT doc_id, lang, toks, sum(toks) OVER (
+              |      PARTITION BY lang ORDER BY score DESC, doc_id) AS cum
+              |    FROM b1) WHERE cum <= 3000),
+              |u1 AS (SELECT lang, sum(toks) AS used FROM s1 GROUP BY lang),
+              |s2 AS (SELECT doc_id FROM (
+              |    SELECT b2.doc_id, sum(b2.toks) OVER (
+              |      PARTITION BY b2.lang ORDER BY b2.score DESC,
+              |        b2.doc_id) AS cum,
+              |      greatest(3000 - coalesce(u1.used, 0), 0) AS rem
+              |    FROM b2 LEFT JOIN u1 USING (lang)) WHERE cum <= rem)
+              |SELECT doc_id FROM s1
+              |UNION ALL SELECT doc_id FROM s2 ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -757,6 +757,14 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.SubstringDedup.duplicateSpansAgainst(df,
       corpusIndex.df, idCol, textCol, k, hashKeys))
 
+  /** [[graft.operators.Budget.tokenBudgetSelectLedgered]] — budgeted
+    * selection under a persisted cross-cycle token ledger */
+  def tokenBudgetSelectLedgered(ledgerPath: String, strataCol: String,
+                                idCol: String, scoreCol: String,
+                                tokenCol: String, budget: Long): DDF =
+    wrap(graft.operators.Budget.tokenBudgetSelectLedgered(df, ledgerPath,
+      strataCol, idCol, scoreCol, tokenCol, budget))
+
   /** [[graft.operators.Budget.sampleWeightedPerGroup]] — deterministic
     * Efraimidis–Spirakis weighted sampling, n winners per stratum */
   def sampleWeightedPerGroup(groupCols: Seq[String], idCol: String,

@@ -34,6 +34,73 @@ object Budget {
       .drop("__cum")
   }
 
+  // ---- persisted token-budget ledger (continuous selection) -----------
+
+  /** per-stratum tokens banked so far at `ledgerPath`, or None when
+    * no ledger exists yet (first cycle). The ledger is append-mode
+    * like the gram index: each [[ledgerBank]] call appends one
+    * (stratum, tokens) row per stratum in the batch — batch-bounded
+    * writes, reads partial-agg the tiny table. */
+  private def ledgerUsed(spark: org.apache.spark.sql.SparkSession,
+                         ledgerPath: String,
+                         strataCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else Some(spark.read.parquet(ledgerPath)
+      .groupBy(col(strataCol))
+      .agg(sum(col("tokens")).as("__used")))
+  }
+
+  /** bank a selection's per-stratum token totals into the ledger
+    * (localCheckpoint first: the append must not recompute a plan
+    * that could scan the ledger it writes) */
+  def ledgerBank(selected: DataFrame, ledgerPath: String,
+                 strataCol: String, tokenCol: String): Unit =
+    selected.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).cast("long").as("tokens"))
+      .localCheckpoint()
+      .write.mode("append").parquet(ledgerPath)
+
+  /** [[tokenBudgetSelect]] made CONTINUOUS across admission cycles: a
+    * persisted per-stratum ledger records tokens already selected in
+    * prior cycles, and this cycle's greedy (score desc, id asc)
+    * prefix fits the REMAINING budget — max(budget − used, 0) per
+    * stratum. With no ledger yet, identical to [[tokenBudgetSelect]].
+    * Selection does NOT bank automatically — call [[ledgerBank]] on
+    * the rows actually admitted (or [[tokenBudgetSelectAndBank]]),
+    * keeping replay/rollback policy with the caller. Ledger reads
+    * are a tiny broadcast join; nothing corpus-sized moves. */
+  def tokenBudgetSelectLedgered(df: DataFrame, ledgerPath: String,
+                                strataCol: String, idCol: String,
+                                scoreCol: String, tokenCol: String,
+                                budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val withRem = ledgerUsed(df.sparkSession, ledgerPath, strataCol) match {
+      case Some(used) =>
+        df.join(broadcast(used), Seq(strataCol), "left")
+          .withColumn("__rem", greatest(
+            lit(budget) - coalesce(col("__used"), lit(0L)), lit(0L)))
+      case None => df.withColumn("__rem", lit(budget))
+    }
+    withRem.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= col("__rem"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** select under the remaining budget AND bank the selection in one
+    * call — the admission-cycle convenience (select, settle, append). */
+  def tokenBudgetSelectAndBank(df: DataFrame, ledgerPath: String,
+                               strataCol: String, idCol: String,
+                               scoreCol: String, tokenCol: String,
+                               budget: Long): DataFrame = {
+    val selected = tokenBudgetSelectLedgered(df, ledgerPath, strataCol,
+      idCol, scoreCol, tokenCol, budget).localCheckpoint()
+    ledgerBank(selected, ledgerPath, strataCol, tokenCol)
+    selected
+  }
+
   /** Weighted data mixing: split `totalBudget` tokens across strata by
     * `weights` (the mixture recipe — e.g. en 0.5, fr 0.2, code 0.3)
     * and keep each stratum's best-scoring prefix within its share.

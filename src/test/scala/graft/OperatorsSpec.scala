@@ -192,6 +192,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"withFold shuffled:\n$plan")
   }
 
+  test("token-budget ledger: continuous selection across cycles") {
+    import graft.operators.Budget
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ledger").toString + "/led"
+    def doc(id: Long, s: String, score: Double, t: Long) = (id, s, score, t)
+    val b1 = Seq(doc(1, "en", 9.0, 60L), doc(2, "en", 8.0, 30L),
+      doc(3, "en", 7.0, 30L), doc(4, "fr", 9.0, 50L))
+      .toDF("id", "lang", "score", "toks")
+    val b2 = Seq(doc(10, "en", 9.5, 15L), doc(11, "en", 9.4, 10L),
+      doc(12, "fr", 9.9, 40L), doc(13, "fr", 9.8, 60L))
+      .toDF("id", "lang", "score", "toks")
+    // no ledger yet == plain tokenBudgetSelect
+    val s1 = Budget.tokenBudgetSelectAndBank(b1, dir, "lang", "id",
+      "score", "toks", budget = 100L)
+    assert(s1.select($"id").as[Long].collect().toSet ==
+      Budget.tokenBudgetSelect(b1, "lang", "id", "score", "toks", 100L)
+        .select($"id").as[Long].collect().toSet)
+    // en banked 60+30=90 (doc3 would hit 120 > 100); fr banked 50
+    // cycle 2: en remaining 10 -> only doc11 (10 toks; doc10's 15
+    // overflows the cum at rank 1? no - 15 > 10 so doc10 drops and
+    // doc11 cum=25>10... recompute: window cum is over BOTH docs
+    val s2 = Budget.tokenBudgetSelectAndBank(b2, dir, "lang", "id",
+      "score", "toks", budget = 100L)
+    val ids2 = s2.select($"id").as[Long].collect().toSet
+    // en rem=10: cum(doc10)=15 > 10 -> out; cum(doc11)=25 > 10 -> out.
+    // fr rem=50: cum(doc12)=40 <= 50 -> in; cum(doc13)=100 > 50 -> out.
+    assert(ids2 == Set(12L))
+    // cycle 3 sees fr used = 50 + 40 = 90 -> rem 10, nothing fits
+    val s3 = Budget.tokenBudgetSelectLedgered(
+      Seq(doc(20, "fr", 9.9, 11L)).toDF("id", "lang", "score", "toks"),
+      dir, "lang", "id", "score", "toks", 100L)
+    assert(s3.count() == 0)
+    // an 10-token doc still fits fr's last 10
+    val s4 = Budget.tokenBudgetSelectLedgered(
+      Seq(doc(21, "fr", 9.9, 10L)).toDF("id", "lang", "score", "toks"),
+      dir, "lang", "id", "score", "toks", 100L)
+    assert(s4.select($"id").as[Long].collect().toSeq == Seq(21L))
+  }
+
   test("sampleWeightedPerGroup: ES weights honored, deterministic, guards") {
     import graft.operators.Budget
     // 2000 two-item strata, weights 3:1 — for n=1 A-Res gives
