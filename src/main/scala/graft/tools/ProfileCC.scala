@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** scratch diagnostics main — stage-by-stage timing of the q62 DBSCAN
-  * pipeline (not part of the library surface) */
-object ProfileDbscan {
+/** scratch diagnostics main — step-by-step timing of the
+  * connectedComponentMinLabel driver path on the q62 core-edge graph
+  * (not part of the library surface) */
+object ProfileCC {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,9 +30,8 @@ object ProfileDbscan {
     val pts = graft.operators.Partitioning.spread(pts0)
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
-      .withColumn("ct", lit(0L))
       .cache()
-    time("pts cache")(pts.count())
+    pts.count()
     val offsets = for (dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1)) yield (dx, dy)
     val probes = pts.select(col("id"), col("x"), col("y"),
       explode(array(offsets.map { case (dx, dy) =>
@@ -43,41 +43,58 @@ object ProfileDbscan {
     val inEps = probes.join(home, Seq("gx", "gy"))
       .filter((col("x") - col("nx")) * (col("x") - col("nx")) +
         (col("y") - col("ny")) * (col("y") - col("ny")) <= eps * eps)
-      .select(col("id"), col("nid")).cache() // pairs unique by construction
-    time("inEps")(println("  edges=" + inEps.count()))
+      .select(col("id"), col("nid")).cache()
+    inEps.count()
     val degrees = inEps.groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val core = degrees.filter(col("deg") >= minPts).select(col("id")).cache()
-    time("core")(println("  core=" + core.count()))
+    core.count()
     val coreEdges = inEps.join(core, Seq("id"))
       .join(core.withColumnRenamed("id", "nid"), Seq("nid"))
       .filter(col("id") < col("nid"))
       .select(col("id").as("id_a"), col("nid").as("id_b"))
-    time("coreEdges")(println("  ce=" + coreEdges.count()))
-    val comps = time("CC")(
-      graft.operators.Dedup.connectedComponentMinLabel(coreEdges))
-    // tail of cluster(): border assignment + final materialization
-    val core2 = core
-    val coreLabels = core2.join(comps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"))
-    val borderLabels = inEps
-      .join(core2.withColumnRenamed("id", "nid"), Seq("nid"))
-      .join(coreLabels.select(col("id").as("nid"), col("cluster")), Seq("nid"))
-      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-    val labels2 = coreLabels.unionByName(borderLabels)
-      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-    time("labels agg")(labels2.count())
-    val outTail = pts.select(col("id"), col("x"), col("y"))
-      .join(labels2, Seq("id"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), lit(-1L)))
-    time("tail join count")(outTail.count())
-    time("tail cache+count")({ val c = outTail.cache(); c.count(); c })
-    val outTail2 = outTail.withColumn("cluster", col("cluster") + 0L) // new plan
-    time("tail coalesce+lckpt")(outTail2.coalesce(8).localCheckpoint(true))
-    val outTail3 = outTail.withColumn("cluster", col("cluster") + 0L + 0L)
-    time("tail lckpt(true)")(outTail3.localCheckpoint(true))
+    time("coreEdges count")(coreEdges.count())
+
+    // ---- CC internals, mirrored from Dedup.connectedComponentMinLabel
+    val pairs = coreEdges
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    time("edges0 count")(edges0.count())
+    time("edges0 count again")(edges0.count())
+    val edges = time("edges distinct+lckpt")(edges0.localCheckpoint())
+    val edges0b = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    time("2nd lckpt same lineage")(edges0b.localCheckpoint())
+    val nEdges = time("edges count")(edges.count())
+    println("  nEdges=" + nEdges)
+    val es = time("edges collect")(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    time("union-find")(es.foreach { case (x, y) =>
+      val (a, b) = (find(x), find(y))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    })
+    import spark.implicits._
+    val labels = time("labels toDF")(
+      es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        .map((id: Long) => (id, find(id))).toDF("id", "rep"))
+    time("labels count")(labels.count())
+    // the rest of cluster(): border assignment
+    val comps = graft.operators.Dedup.connectedComponentMinLabel(coreEdges)
+    time("library CC")(comps.count())
     time("full cluster()")(
-      graft.ml.DBSCAN.cluster(pts0, "id", "x", "y", eps, minPts).count())
-    time("full cluster() 2nd")(
       graft.ml.DBSCAN.cluster(pts0, "id", "x", "y", eps, minPts).count())
     spark.stop()
   }
