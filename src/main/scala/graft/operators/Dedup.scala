@@ -1124,7 +1124,8 @@ object Dedup {
     * broadcast EXACTLY: the eval shingle set is compressed into a
     * Bloom filter (~1.2 MB per million shingles at fpp 0.01 — a
     * fixed-size bit array where the exact broadcast set would be GBs)
-    * and broadcast as a scan-side prefilter, so only BLOOM-POSITIVE
+    * and shipped as a plan-literal scan-side prefilter (the same way
+    * Spark's injected runtime filters travel), so only BLOOM-POSITIVE
     * corpus shingles ever reach the shuffle. With `confirmExact`
     * (default) the survivors are confirmed against the real shingle
     * set by a shuffle join — both sides now reduced to (near-)matching
@@ -1137,25 +1138,22 @@ object Dedup {
     *
     * The eval shingle set is counted once to size the filter, cached
     * for the build (one `bloomFilter` aggregate) and, under
-    * `confirmExact`, reused as the confirming join side. */
+    * `confirmExact`, reused as the confirming join side. The digest
+    * build + probe ride [[BloomDigest]] — the SAME native
+    * `might_contain` path as the streaming screen
+    * (EventStream.screenAgainstBloom), so the prefilter stays inside
+    * whole-stage codegen (plan-pinned in DedupSpec). */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          evalTextCol: String = "text",
                          shingleLen: Int = 3, minOverlap: Int = 1,
                          fpp: Double = 0.01,
                          confirmExact: Boolean = true): DataFrame = {
-    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val evalSh = evalSet.select(
       explode(wordShingles(col(evalTextCol), shingleLen)).as("tok"))
       .distinct().cache()
-    val bf = evalSh.stat.bloomFilter("tok",
-      math.max(evalSh.count(), 1L), fpp)
-    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) =>
-      s != null && bfB.value.mightContainString(s))
-    val corpusSh = corpus.select(col(idCol),
-      explode(wordShingles(col(textCol), shingleLen)).as("tok"))
-      .filter(mightContain(col("tok")))
+    val corpusSh = bloomPrefilteredShingles(corpus, idCol, textCol,
+      shingleLen, evalSh, fpp)
     val hits = if (confirmExact) corpusSh.join(evalSh, Seq("tok"))
                else corpusSh
     // the contaminated id set is tiny — materialize it eagerly so the
@@ -1166,6 +1164,24 @@ object Dedup {
       .filter(col("__hits") >= minOverlap)
       .select(col(idCol)), evalSh)
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminateBloom]]'s scan-side stage, extracted so the spec
+    * can pin its plan (the returned DataFrame is consumed inside an
+    * eager materialization, so the probe never appears in the final
+    * anti-join plan): corpus shingles filtered by the shared
+    * [[BloomDigest]] native `might_contain` digest of `evalSh`. */
+  private[graft] def bloomPrefilteredShingles(corpus: DataFrame,
+                                              idCol: String,
+                                              textCol: String,
+                                              shingleLen: Int,
+                                              evalSh: DataFrame,
+                                              fpp: Double): DataFrame = {
+    val pred = BloomDigest.mightContainPreDistinct(
+      evalSh, "tok", fpp, col("tok"))
+    corpus.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleLen)).as("tok"))
+      .filter(col("tok").isNotNull && pred)
   }
 
   /** EXACT all-pairs n-gram Jaccard join via prefix filtering

@@ -340,24 +340,9 @@ object EventStream {
     * (build-side stat.bloomFilter on a long column putLongs). */
   private def bloomSeenPredicate(corpus: DataFrame, keyCol: String,
                                  fpp: Double)
-  : org.apache.spark.sql.Column = {
-    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
-    val keys = corpus.select(col(keyCol).cast("string").as("__k"))
-      .filter(col("__k").isNotNull).distinct()
-    val bf = keys.stat.bloomFilter(xxhash64(col("__k")),
-      math.max(keys.count(), 1L), fpp)
-    val bytes = {
-      val b = new java.io.ByteArrayOutputStream()
-      bf.writeTo(b)
-      b.toByteArray
-    }
-    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
-    column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal
-          .create(bytes, BinaryType),
-        expression(xxhash64(col(keyCol).cast("string")))))
-  }
+  : org.apache.spark.sql.Column =
+    graft.operators.BloomDigest.mightContain(corpus, keyCol, fpp,
+      col(keyCol))
 
   /** [[screenAgainstBloom]] with an EXACT confirm: Bloom-NEGATIVE
     * rows (definitely new — the overwhelming majority of a fresh

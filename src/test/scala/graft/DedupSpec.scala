@@ -722,6 +722,20 @@ class DedupSpec extends SparkTestBase {
     assert(ids(Dedup.decontaminateBloom(corpus, evalSet, "doc_id", "text",
       shingleLen = 3, minOverlap = 1, fpp = 0.001, confirmExact = false))
       == Set(3L, 4L, 5L))
+    // plan pin (mirrors the stream screen's): the prefilter probe is
+    // the NATIVE might_contain expression via the shared BloomDigest
+    // builder — codegen'd, pushdown-transparent — not a closure UDF.
+    // Pinned on the extracted scan-side stage: the full operator
+    // materializes the contaminated set eagerly, so the probe never
+    // survives into the final anti-join plan.
+    val evalSh = evalSet.select(
+      explode(graft.functions.TextFunctions.wordShingles($"text", 3))
+        .as("tok")).distinct()
+    val plan = Dedup.bloomPrefilteredShingles(corpus, "doc_id", "text",
+        3, evalSh, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"closure UDF on the batch path:\n$plan")
   }
 
   test("jaccard blocked pairs respect the blocking column") {
