@@ -38,7 +38,20 @@ object Frequent {
 
   /** items of `colName` whose frequency strictly exceeds
     * `minShare` of the non-null rows; returns (colName, cnt) with
-    * the column's original type. */
+    * the column's original type.
+    *
+    * Two-scan SNAPSHOT CONTRACT: pass 1 derives `n` and the
+    * candidate superset from one scan of `df`; pass 2 recounts the
+    * candidates in a second, independent scan. The threshold
+    * `cnt > n * minShare` is only meaningful when both scans observe
+    * the same rows — i.e. `df` must be a deterministic plan over
+    * stable input (the normal case: a file scan plus deterministic
+    * transforms). A non-deterministic plan (rand-filtered, sampled)
+    * or backing files rewritten between passes make the threshold
+    * inconsistent with the counts; snapshot such inputs first
+    * (persist or write out) before calling. Persisting
+    * unconditionally here would pin a corpus-sized column in memory
+    * at 100 TB scale — the contract is the scale-correct choice. */
   def heavyHitters(df: DataFrame, colName: String,
                    minShare: Double): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
@@ -71,15 +84,24 @@ object Frequent {
         StructType(Seq(StructField("__cand", colType))))
       .distinct().localCheckpoint()
     summaries.unpersist()
-    val nCand = candDf.count()
+    // one stats pass sizes the broadcast decision by BYTES, not rows:
+    // 1M long URLs can be hundreds of MB where 1M ints are a few —
+    // a row-count gate would stress the driver before the shuffle
+    // fallback engaged. String length is the estimator (chars ~ UTF-8
+    // bytes for the domains that matter here) plus per-entry overhead.
+    val candStats = candDf.select(count(lit(1)).as("c"),
+      coalesce(sum(length(col("__cand").cast("string"))), lit(0L))
+        .as("chars")).head()
+    val nCand = candStats.getLong(0)
     if (nCand == 0L) return emptyResult
+    val estBytes = candStats.getLong(1) * 2L + nCand * 24L
 
     // pass 2: exact counts of the candidate superset only. Broadcast
     // is the intended plan (the candidate table is k-bounded per
     // partition and tiny after dedup); an adversarially huge
     // candidate set falls back to a shuffle join — same answer.
     val candSide =
-      if (nCand <= 1000000L) broadcast(candDf) else candDf
+      if (estBytes <= (64L << 20)) broadcast(candDf) else candDf
     df.select(col(colName))
       .join(candSide, col(colName) === col("__cand"), "left_semi")
       .groupBy(col(colName))

@@ -241,16 +241,17 @@ object Admission {
     * inside runs (≥ `k` tokens) already present in the corpus, the
     * Lee et al. contamination criterion at admission time. Docs
     * shorter than `k` tokens produce no anchors and always pass this
-    * screen (the exact id screen still applies). The fold is
-    * [[graft.operators.SubstringDedup.gramIndexUpdate]] — a distinct
-    * union, so update ≡ rebuild exactly and the crash contract is
-    * the swap path's. Optional within-batch stage applies the same
-    * coverage rule symmetrically with the keep-first exemption (one
-    * copy of a duplicated run survives its own batch). The fold is
-    * BATCH-BOUNDED ([[graft.operators.SubstringDedup
-    * .gramIndexAppendInPlace]] — only grams the index lacks append as
-    * new files, existing files untouched; pair with periodic
-    * compaction for file-count health). */
+    * screen (the exact id screen still applies). Optional
+    * within-batch stage applies the same coverage rule symmetrically
+    * with the keep-first exemption (one copy of a duplicated run
+    * survives its own batch). The fold is BATCH-BOUNDED
+    * ([[graft.operators.SubstringDedup.gramIndexAppendInPlace]] —
+    * only grams the index lacks append as new files, existing files
+    * untouched), so its crash contract is the APPEND path's: a crash
+    * mid-fold leaves a valid, readable index that may lack some of
+    * the batch's grams (re-admitting the batch repairs it; the
+    * distinct-gram content is append-idempotent). Pair with periodic
+    * compaction for file-count health. */
   def admitBatchSubstring(batch: DataFrame, corpusPath: String,
                           indexPath: String, idCol: String, textCol: String,
                           k: Int, maxDupCoverage: Double = 0.5,

@@ -41,17 +41,27 @@ object EventStream {
   }
 
   /** Inspect the parquet footer (schema-only) and classify the `ts`
-    * layout. Sets the nanos legacy conf first so a NANOS footer
-    * resolves to long instead of throwing; the conf is a no-op for
-    * micros/millis files. A LongType `ts` is UNIT-SNIFFED by
-    * magnitude (one column-pruned max(abs) scan): epoch seconds,
-    * millis, micros, and nanos live four orders of magnitude apart
-    * (1.7e9 / 1.7e12 / 1.7e15 / 1.7e18 today; the bands stay
-    * disjoint for centuries), so a producer switching a plain int64
-    * column between units — the exact class of silent change that
-    * broke round 8 — re-classifies instead of corrupting every
-    * window by 1000×. All six layouts are pinned output-identical in
-    * EventsLoaderSpec. */
+    * layout. The footer is first read with session confs AS-IS; only
+    * an annotated TIMESTAMP(NANOS) footer fails that resolution, and
+    * exactly then the legacy `nanosAsLong` conf is enabled — and left
+    * enabled, because every later read of the same file needs it too.
+    * This is a deliberate session-wide side effect, but it now
+    * triggers ONLY for genuinely nanos-annotated inputs; probing
+    * micros/millis/plain-int64 files leaves session confs untouched
+    * (ADVICE r9: the old probe set the conf unconditionally, changing
+    * how later unrelated reads surface annotated-nanos columns).
+    * A LongType `ts` is UNIT-SNIFFED by magnitude (one column-pruned
+    * min/max(abs) scan): epoch seconds, millis, micros, and nanos
+    * live four orders of magnitude apart (1.7e9 / 1.7e12 / 1.7e15 /
+    * 1.7e18 today; the bands stay disjoint for centuries), so a
+    * producer switching a plain int64 column between units — the
+    * exact class of silent change that broke round 8 — re-classifies
+    * instead of corrupting every window by 1000×. BOTH the smallest
+    * and largest nonzero magnitudes must land in the SAME band
+    * (ADVICE r9: max-only classification let a single far-future
+    * sentinel row silently rescale an entire micros file to nanos);
+    * disagreement fails loud like the sub-1e8 case. All six layouts
+    * are pinned output-identical in EventsLoaderSpec. */
   /** session-scoped probe memo: the unit sniff is a real (if
     * column-pruned) scan, and every catalog query over events
     * constructs through the probe — one classification per path per
@@ -67,28 +77,66 @@ object EventStream {
 
   private def probeTsLayoutUncached(spark: SparkSession,
                                     pathOrGlob: String): TsLayout = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(pathOrGlob)
+    // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))" — schema
+    // inference may surface it directly (AnalysisException) or
+    // wrapped by the footer-reading job, so walk the cause chain
+    def isNanosFailure(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => c.getMessage != null &&
+          c.getMessage.contains("NANOS"))
+    val df =
+      try spark.read.parquet(pathOrGlob)
+      catch {
+        // only an annotated TIMESTAMP(NANOS) footer fails schema
+        // resolution — enable the legacy long surface for it (and for
+        // all later reads of it; see scaladoc) and classify directly,
+        // no sniff needed: the annotation IS the unit
+        case e: Exception if isNanosFailure(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val d = spark.read.parquet(pathOrGlob)
+          require(d.schema("ts").dataType == LongType,
+            s"events.ts at $pathOrGlob: NANOS footer did not surface " +
+              s"as long under nanosAsLong (got ${d.schema("ts").dataType})")
+          return TsLayout.NanosLong
+      }
+    // band index of a magnitude: 3=nanos, 2=micros, 1=millis,
+    // 0=seconds, -1=below the modern-era floor (unsniffable)
+    def band(v: Long): Int =
+      if (v >= 100000000000000000L) 3      // >=1e17
+      else if (v >= 100000000000000L) 2    // >=1e14
+      else if (v >= 100000000000L) 1       // >=1e11
+      else if (v >= 100000000L) 0          // >=1e8
+      else -1
     df.schema("ts").dataType match {
       case LongType =>
-        val m = df.select(max(abs(col("ts")))).head()
+        val m = df.select(max(abs(col("ts"))),
+          min(when(col("ts") =!= 0L, abs(col("ts"))))).head()
         if (m.isNullAt(0)) TsLayout.NanosLong // empty file: any unit works
-        else m.getLong(0) match {
-          case v if v >= 100000000000000000L => TsLayout.NanosLong  // >=1e17
-          case v if v >= 100000000000000L    => TsLayout.MicrosLong // >=1e14
-          case v if v >= 100000000000L       => TsLayout.MillisLong // >=1e11
-          case v if v >= 100000000L          => TsLayout.SecondsLong // >=1e8
-          case v => throw new IllegalArgumentException(
-            // a finer unit whose data predates ~1973 would land in a
-            // coarser band and silently scale by 1000× — below the
-            // modern-era floor the sniff has no safe answer, so fail
-            // LOUD instead (early-epoch corpora must carry a real
-            // timestamp annotation)
-            s"events.ts at $pathOrGlob is a plain int64 with max " +
-              s"magnitude $v, below the epoch-seconds modern-era " +
-              "floor (1e8 ≈ 1973) — the time unit cannot be sniffed " +
-              "safely; write the column as an annotated parquet " +
-              "timestamp instead")
+        else {
+          val hi = m.getLong(0)
+          // all-zero files have no nonzero magnitude: lo degenerates
+          // to hi (band -1 below fails loud as before)
+          val lo = if (m.isNullAt(1)) hi else m.getLong(1)
+          if (band(hi) < 0 || band(hi) != band(lo))
+            throw new IllegalArgumentException(
+              // two failure classes share this loud exit: (a) data
+              // below the ~1973 epoch-seconds floor, where a finer
+              // unit would land in a coarser band and silently scale
+              // by 1000x; (b) min/max magnitudes in DIFFERENT bands —
+              // e.g. one far-future sentinel in a micros file — where
+              // a max-only sniff would rescale every real timestamp
+              s"events.ts at $pathOrGlob is a plain int64 whose " +
+                s"nonzero magnitudes span [$lo, $hi] — not contained " +
+                "in a single unit band (seconds/millis/micros/nanos " +
+                "at 1e8/1e11/1e14/1e17), so the time unit cannot be " +
+                "sniffed safely; write the column as an annotated " +
+                "parquet timestamp, or clean sentinel/outlier rows")
+          else band(hi) match {
+            case 3 => TsLayout.NanosLong
+            case 2 => TsLayout.MicrosLong
+            case 1 => TsLayout.MillisLong
+            case _ => TsLayout.SecondsLong
+          }
         }
       case TimestampNTZType => TsLayout.MicrosNtz
       case TimestampType    => TsLayout.MicrosTz

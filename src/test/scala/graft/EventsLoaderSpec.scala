@@ -138,6 +138,95 @@ class EventsLoaderSpec extends SparkTestBase {
     assert(e.getMessage.contains("cannot be sniffed"))
   }
 
+  test("int64 ts with a far-future sentinel fails loud, not rescaled") {
+    // ADVICE r9: a max-only sniff would classify this micros file as
+    // nanos off the single Long.MaxValue sentinel and silently rescale
+    // every real timestamp 1000x; min/max band agreement throws instead
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_evt_sentinel").toString
+    Seq((1L, 1700000000000000L, 10L, "click", 1.5, "{}"),
+        (2L, Long.MaxValue, 10L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/scratch")
+    val part = new java.io.File(s"$d/scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      EventStream.probeTsLayout(spark, s"$d/events.parquet")
+    }
+    assert(e.getMessage.contains("single unit band"))
+  }
+
+  test("annotated TIMESTAMP(NANOS) classifies; conf flips only for it") {
+    // Spark cannot author the NANOS annotation — write the footer
+    // directly with parquet-mr (on the classpath) so the probe's
+    // fallback branch runs against the real thing
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+        .named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+        .named("props")
+      .named("events")
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_evt_nanosann").toString
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$d/events.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    microsDf.orderBy($"event_id").collect().foreach { r =>
+      w.write(f.newGroup()
+        .append("event_id", r.getLong(0))
+        .append("ts", r.getLong(1) * 1000L) // micros -> nanos
+        .append("user_id", r.getLong(2))
+        .append("event_type", r.getString(3))
+        .append("value", r.getDouble(4))
+        .append("props", r.getString(5)))
+    }
+    w.close()
+    // probing NON-nanos layouts must leave the session conf untouched
+    // (ADVICE r9: the old probe set it unconditionally); fresh paths
+    // dodge the probe memo
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_evt_confcheck").toString
+    EventStream.renderTs(microsDf, TsLayout.MicrosNtz)
+      .coalesce(1).write.mode("overwrite").parquet(s"$mdir/scratch")
+    val mpart = new java.io.File(s"$mdir/scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(mpart.toPath,
+      java.nio.file.Paths.get(s"$mdir/events.parquet"))
+    assert(EventStream.probeTsLayout(spark, s"$mdir/events.parquet")
+      == TsLayout.MicrosNtz)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .forall(_ != "true"), "probe of a non-nanos file flipped the conf")
+    // the annotated file classifies as NanosLong (via the legacy-conf
+    // fallback), and only THEN is the conf set — it must stay set so
+    // later reads of the same file keep resolving
+    assert(EventStream.probeTsLayout(spark, s"$d/events.parquet")
+      == TsLayout.NanosLong)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+      == "true")
+    // the full loader reads the annotated file identically to micros
+    val got = EventStream.eventsBatch(spark, d)
+      .orderBy($"event_id")
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .collect().map(_.toSeq).toSeq
+    val want = microsDf.orderBy($"event_id")
+      .select($"event_id", $"ts").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("readStream drains the same normalized rows on every layout") {
     val results = layouts.map { l =>
       val got = EventStream.runToMemory(
