@@ -257,6 +257,19 @@ object SubstringDedup {
     * first so a foreign table cannot be silently rewritten; returns
     * the gram count. Run at whatever cadence keeps listings healthy
     * — between compactions, appends stay batch-bounded. */
+  /** number of parquet data files currently backing the index — the
+    * health metric the auto-compaction policy gates on (each
+    * [[gramIndexAppendInPlace]] adds files; listing/open overhead
+    * grows with the count, content does not). */
+  def gramIndexFileCount(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   def gramIndexCompact(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, partitions: Int,
                        acceptUnvalidated: Boolean = false): Long = {

@@ -250,17 +250,32 @@ object Admission {
     * untouched), so its crash contract is the APPEND path's: a crash
     * mid-fold leaves a valid, readable index that may lack some of
     * the batch's grams (re-admitting the batch repairs it; the
-    * distinct-gram content is append-idempotent). Pair with periodic
-    * compaction for file-count health. */
+    * distinct-gram content is append-idempotent).
+    *
+    * AUTO-COMPACTION (`compactFileThreshold` > 0): after the fold,
+    * when the index's parquet file count exceeds the threshold, the
+    * cycle runs [[graft.operators.SubstringDedup.gramIndexCompact]]
+    * (staged swap into `compactPartitions` files, repartitioned on
+    * the gram key). Trickle admission otherwise grows file count
+    * without bound — a year of hourly batches is ~10k tiny files
+    * whose listing overhead eventually dominates every screen.
+    * Compaction only reshapes the listing (content is distinct and
+    * append-disjoint), so K trickle cycles + compaction ≡ one
+    * rebuild, spec-pinned in AdmissionSpec. Default 0 keeps the
+    * caller-managed cadence. */
   def admitBatchSubstring(batch: DataFrame, corpusPath: String,
                           indexPath: String, idCol: String, textCol: String,
                           k: Int, maxDupCoverage: Double = 0.5,
                           hashKeys: Boolean = true,
                           dedupWithinBatch: Boolean = false,
                           batchId: Long = -1L,
-                          collectStats: Boolean = true): AdmitStats = {
+                          collectStats: Boolean = true,
+                          compactFileThreshold: Int = 0,
+                          compactPartitions: Int = 32): AdmitStats = {
     require(maxDupCoverage >= 0.0 && maxDupCoverage < 1.0,
       s"maxDupCoverage must be in [0,1), got $maxDupCoverage")
+    require(compactFileThreshold >= 0,
+      s"compactFileThreshold must be >= 0, got $compactFileThreshold")
     import graft.operators.SubstringDedup
     import graft.functions.{TextFunctions => TF}
     def overCovered(docs: DataFrame, spans: DataFrame): DataFrame = {
@@ -288,8 +303,13 @@ object Admission {
       fold = (_, _) => throw new IllegalStateException(
         "unreachable: the substring loop always folds in place"),
       foldInPlace = (path, admitted) => {
-        SubstringDedup.gramIndexAppendInPlace(admitted.sparkSession,
+        val spark = admitted.sparkSession
+        SubstringDedup.gramIndexAppendInPlace(spark,
           path, admitted, idCol, textCol, k, hashKeys)
+        if (compactFileThreshold > 0 &&
+            SubstringDedup.gramIndexFileCount(spark, path)
+              > compactFileThreshold)
+          SubstringDedup.gramIndexCompact(spark, path, compactPartitions)
         ()
       },
       forceInPlace = true)
@@ -323,11 +343,15 @@ object Admission {
                            maxDupCoverage: Double = 0.5,
                            hashKeys: Boolean = true,
                            dedupWithinBatch: Boolean = false,
-                           collectStats: Boolean = true): Seq[AdmitStats] =
+                           collectStats: Boolean = true,
+                           compactFileThreshold: Int = 0,
+                           compactPartitions: Int = 32): Seq[AdmitStats] =
     streamCore(stream, checkpoint, (b, id) =>
       admitBatchSubstring(b, corpusPath, indexPath, idCol, textCol, k,
         maxDupCoverage, hashKeys, dedupWithinBatch, batchId = id,
-        collectStats = collectStats))
+        collectStats = collectStats,
+        compactFileThreshold = compactFileThreshold,
+        compactPartitions = compactPartitions))
 
   /** [[admitStream]]'s embedding sibling. */
   def admitStreamEmbedding(stream: DataFrame, corpusPath: String,

@@ -266,6 +266,56 @@ class AdmissionSpec extends SparkTestBase {
     assert(s4.admitted == 1L)
   }
 
+  test("substring auto-compaction: K trickle cycles + compact == rebuild") {
+    import graft.operators.SubstringDedup
+    // two identical worlds: one folding with auto-compaction on, one
+    // with the caller-managed default (off)
+    def world(): (String, String) = {
+      val c = Files.createTempDirectory("graft_adm_cmp_c").toString
+      val i = Files.createTempDirectory("graft_adm_cmp_i").toString + "/idx"
+      corpusDf.write.mode("overwrite").parquet(c)
+      SubstringDedup.gramIndex(corpusDf, "doc_id", "text", k = 4)
+        .write.mode("overwrite").parquet(i)
+      (c, i)
+    }
+    val (cA, iA) = world()
+    val (cB, iB) = world()
+    def batchN(n: Long) =
+      Seq((1000L + n) -> freshText(s"t$n")).toDF("doc_id", "text")
+    // threshold 1 with the seeded index already >= 1 file: every
+    // trickle cycle's append pushes the count over and compacts
+    (0L until 3L).foreach { n =>
+      Admission.admitBatchSubstring(batchN(n), cA, iA, "doc_id", "text",
+        k = 4, batchId = n, compactFileThreshold = 1,
+        compactPartitions = 2)
+      Admission.admitBatchSubstring(batchN(n), cB, iB, "doc_id", "text",
+        k = 4, batchId = n)
+    }
+    // compaction reshaped the listing down to compactPartitions while
+    // the append-only world kept growing files
+    val nA = SubstringDedup.gramIndexFileCount(spark, iA)
+    val nB = SubstringDedup.gramIndexFileCount(spark, iB)
+    assert(nA <= 2, s"auto-compacted index has $nA files")
+    assert(nB > nA, s"append-only world should have more files ($nB)")
+    // CONTENT: both worlds == a from-scratch rebuild over the final
+    // corpus (compaction only reshapes, appends are disjoint)
+    def grams(path: String): Set[Seq[Any]] =
+      spark.read.parquet(path).drop("__fmt").collect()
+        .map(_.toSeq).toSet
+    val rebuilt = SubstringDedup
+      .gramIndex(spark.read.parquet(cA), "doc_id", "text", k = 4)
+    val rebuiltSet = rebuilt.drop("__fmt").collect().map(_.toSeq).toSet
+    assert(grams(iA) == rebuiltSet, "compacted != rebuild")
+    assert(grams(iB) == rebuiltSet, "append-only != rebuild")
+    // the compacted index still validates and screens (a replayed
+    // near-copy of an admitted doc is rejected by coverage)
+    val s = Admission.admitBatchSubstring(
+      Seq(2000L -> (freshText("t1") + " zz")).toDF("doc_id", "text"),
+      cA, iA, "doc_id", "text", k = 4, batchId = 99L,
+      compactFileThreshold = 1, compactPartitions = 2)
+    assert(s.admitted == 0L, "coverage vs compacted index must reject")
+  }
+
   test("substring streaming face drives the same coverage cycles") {
     import graft.operators.SubstringDedup
     val corpusDir = Files.createTempDirectory("graft_adm_ssc").toString
