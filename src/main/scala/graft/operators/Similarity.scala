@@ -48,6 +48,15 @@ object Similarity {
     * nProbe nearest centroids per query. Recall < 1 by design; tested
     * against bruteForceTopK in the spec.
     *
+    * Measured operating curve (ScaleSmoke `ivf`, BENCH_NOTES r10, on
+    * the RANDOM testdata embeddings — the worst case for IVF, since
+    * unclustered data spreads each query's true neighbors across
+    * cells): at nc=8, recall@10 ≈ 0.32/0.65/0.92 at np=1/3/6 and
+    * EXACTLY 1.0 at np=8 (full probe is exhaustive by construction —
+    * the spec pins that invariant; any routing bug breaks it). Real
+    * embedding corpora cluster, so recall at a fixed np/nc ratio
+    * only improves from this floor.
+    *
     * Sizing (the defaults are TESTDATA-scale — 6k vectors in the gate
     * fixture — not corpus-scale): the standard IVF rule is
     * `nCentroids ≈ √n` for an n-vector corpus (1B vectors → ~32k

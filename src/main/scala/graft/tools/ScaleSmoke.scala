@@ -652,6 +652,41 @@ object ScaleSmoke {
       c.unpersist()
       spark.catalog.clearCache()
     }
+
+    // ---- IVF operating point: recall@10 vs brute force as nProbe
+    // sweeps the centroid count, at both the q50 fixed sizing (8
+    // centroids) and the sqrt-rule self-sizing. This is the measured
+    // probe-vs-recall curve behind the SimilaritySpec gate — the gate
+    // pins the default operating point with slack; this table shows
+    // where the curve actually sits and what each probe step buys.
+    if (on("ivf")) {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).cache()
+      val n = emb.count()
+      val q = emb.filter(col("vec_id") < 50).cache()
+      val exact = Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (nc <- Seq(8, 0); np <- Seq(1, 2, 3, 4, 6, 8)) {
+        val model = Similarity.fitIvfQuantizer(emb, "embedding",
+          nCentroids = nc)
+        val kEff = model.clusterCenters.length
+        if (np <= kEff) {
+          val t0 = System.nanoTime()
+          val approx = Similarity
+            .ivfTopK(emb, q, "vec_id", "embedding", 10, model, np)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = (exact intersect approx).size.toDouble / exact.size
+          println(f"[scale-smoke] n=$n%-6d ivf nc=$kEff%-3d np=$np%-2d " +
+            f"recall=$recall%.4f  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      }
+      emb.unpersist(); q.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
