@@ -71,7 +71,19 @@ object Bpe {
     * binary order — Spark's native string ordering) so the merge
     * sequence is identical; spec-pinned by forcing each path against
     * the clean-room naive trainer. 2^20 words ≈ tens of MB collected
-    * — the same bound class as the CC driver cutover. */
+    * — the same bound class as the CC driver cutover.
+    *
+    * The cutover is also re-checked MID-LOOP at every lineage cut:
+    * the working set only shrinks (fully-merged words retire), so a
+    * corpus that starts above the bound finishes on the driver the
+    * moment retirement brings it under — an exact continuation (the
+    * loop state is the word table; spec-pinned with a forced mid-run
+    * cutover). For a corpus whose distinct-word table NEVER fits the
+    * driver bound, the distributed tail stays one argmax job per
+    * merge — the measured per-merge cost and its 32k-vocab
+    * extrapolation live in BENCH_NOTES r10 (`bpe` section); training
+    * is one-time/offline, and raising `driverCutover` on a
+    * big-memory driver (1e8 words ≈ GBs) is the practical lever. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minFreq: Long = 2L, checkpointEvery: Int = 10,
             driverCutover: Long = 1L << 20): DataFrame = {
@@ -92,6 +104,7 @@ object Bpe {
       val local = words.collect()
       words.unpersist()
       val merges = trainLocal(local, numMerges, minFreq)
+      lastTrainPathDiag = "local"
       return merges.zipWithIndex
         .map { case ((l, r, f), i) => (i, l, r, f) }
         .toSeq.toDF("rank", "left", "right", "freq")
@@ -120,14 +133,37 @@ object Bpe {
           lastCheckpoint.unpersist()
           lastCheckpoint = cp
           words = cp
+          // MID-LOOP cutover (r10, the distributed-tail bound): the
+          // working set only SHRINKS as fully-merged words retire, so
+          // re-check the driver bound at each lineage cut and finish
+          // locally the moment it fits — an EXACT continuation, since
+          // the loop state IS the word table (spec-pinned against the
+          // clean-room trainer with a cutover forced mid-run). The
+          // count is one job over the just-materialized checkpoint.
+          // driverCutover = 0 still forces pure-distributed end to end.
+          if (cp.count() <= driverCutover) {
+            val local = cp.collect()
+            lastCheckpoint.unpersist()
+            merges ++= trainLocal(local, numMerges - merges.length, minFreq)
+            lastTrainPathDiag = "distributed+midCutover"
+            return merges.zipWithIndex
+              .map { case ((ml, mr, mf), i) => (i, ml, mr, mf) }
+              .toSeq.toDF("rank", "left", "right", "freq")
+          }
         } else words = next
       }
     }
     lastCheckpoint.unpersist()
+    lastTrainPathDiag = "distributed"
     merges.zipWithIndex
       .map { case ((l, r, f), i) => (i, l, r, f) }
       .toSeq.toDF("rank", "left", "right", "freq")
   }
+
+  /** which path the last [[train]] call on this JVM took — DIAGNOSTIC
+    * ONLY (spec observability for the mid-loop cutover; meaningless
+    * under concurrent trains). */
+  @volatile private[graft] var lastTrainPathDiag: String = ""
 
   /** the single corpus-proportional step, shared by [[train]] and
     * [[seedPairCounts]]: corpus-wide word counts (partial aggregation

@@ -123,6 +123,31 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("mid-loop driver cutover: exact continuation of the merge loop") {
+    // 6 distinct words; retirement shrinks the working set as words
+    // fully merge, so with cutover = 4 (< the seed count) the loop
+    // starts distributed and MUST finish locally mid-run — and the
+    // merge table must still equal the clean-room trainer exactly.
+    val texts = Seq("aa aa aa bb bb bb cc cc cc dd dd ee ee ff ff",
+      "aa bb cc dd ee ff")
+    val expected = Naive.train(texts, 20, minFreq = 2L)
+    val df = texts.toDF("text").repartition(5)
+    val got = Bpe.train(df, "text", 20, minFreq = 2L,
+        checkpointEvery = 1, driverCutover = 4L)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(Bpe.lastTrainPathDiag == "distributed+midCutover",
+      s"cutover did not engage (path=${Bpe.lastTrainPathDiag})")
+    assert(got == expected)
+    // sanity on the diagnostic's other values: cutover 0 stays
+    // distributed, a big cutover goes straight local — same answer
+    assert(Bpe.train(df, "text", 20, minFreq = 2L, driverCutover = 0L)
+      .collect().length == expected.length)
+    assert(Bpe.lastTrainPathDiag == "distributed")
+    assert(trained(df, 20) == expected)
+    assert(Bpe.lastTrainPathDiag == "local")
+  }
+
   private implicit class Times(n: Int) {
     def times[A](f: () => A): Seq[A] = Seq.fill(n)(f())
   }
