@@ -933,11 +933,31 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // r10: [R]→[O]. The production fingerprint's token hash is
+    // xxhash64 (no DuckDB counterpart — that default stays pinned in
+    // TextFunctionsSpec), but the 62-bit two-roll polynomial CHAIN is
+    // engine-owned and hash-agnostic: fingerprintPortable swaps in the
+    // md5 token hash (q140's replay discipline) and the oracle folds
+    // the identical chain with list_reduce — seed prepended, then
+    // (acc·mult + h) mod 2³¹−1 per token, two rolls packed.
     Q("q45_fingerprint", (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          TF.fingerprintPortable(col("text")).as("fp"))
         .orderBy(col("doc_id")),
-      None), // xxhash64-based; determinism pinned in ScalaTest
+      Some(s"""WITH h AS (SELECT doc_id, list_transform(
+              |    ${sqlTokens("text")},
+              |    x -> CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+              |         % 2147483647 AS BIGINT)) AS hs
+              |  FROM documents),
+              |r AS (SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
+              |      (acc, x) -> (acc * 1048573 + x) % 2147483647) AS r1,
+              |    list_reduce(list_prepend(CAST(13 AS BIGINT), hs),
+              |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS r2
+              |  FROM h)
+              |SELECT doc_id, r1 * 2147483648 + r2 AS fp FROM r
+              |ORDER BY doc_id""".stripMargin)),
 
     // ===== §2.12 dedup ==================================================
 

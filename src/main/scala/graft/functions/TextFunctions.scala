@@ -83,6 +83,27 @@ object TextFunctions {
     roll(1048573L, 7L) * lit(1L << 31) + roll(1000003L, 13L)
   }
 
+  /** [[fingerprint]] with an md5-derived token hash instead of
+    * xxhash64 — SAME 62-bit two-roll chain, but every step is
+    * replayable in standard SQL (q140's md5 discipline: 15 hex chars
+    * → 60-bit int → mod 2³¹−1), which is what puts the chain under
+    * the q45 DuckDB oracle. Operands stay < 2⁵² (acc < 2³¹, mult
+    * < 2²¹), exact under ANSI mode. Prefer [[fingerprint]] in
+    * production (xxhash64 is one codegen'd hash per token; md5 is a
+    * cryptographic digest plus hex/conv round-trip — measurably more
+    * per-token work at corpus scale); this variant exists so the
+    * polynomial chain itself — the part the engine owns, identical
+    * in both — is oracle-verified rather than rows-only. */
+  def fingerprintPortable(text: Column): Column = {
+    val m = (1L << 31) - 1
+    def tokHash(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(m))
+    def roll(mult: Long, seed: Long): Column =
+      aggregate(tokens(text), lit(seed), (acc, t) =>
+        pmod(acc * lit(mult) + tokHash(t), lit(m)))
+    roll(1048573L, 7L) * lit(1L << 31) + roll(1000003L, 13L)
+  }
+
   /** quality score in [0,1]: blend of length band, alpha ratio,
     * punctuation ratio, mean word length band, stopword presence —
     * the classic heuristic filter set (Gopher/C4-style rules, public). */
