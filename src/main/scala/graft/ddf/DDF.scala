@@ -687,6 +687,21 @@ class DDF(val df: DataFrame) {
     graft.streaming.Admission.admitBatchEmbedding(df, corpusPath,
       indexPath, idCol, vecCol, dim, threshold = threshold)
 
+  /** [[graft.streaming.Admission.admitBatchSubstring]] — the
+    * substring-coverage admission cycle against a persisted gram
+    * index, same contract as [[admitInto]]; `compactFileThreshold`
+    * > 0 turns on the index auto-compaction policy. */
+  def admitIntoSubstring(corpusPath: String, indexPath: String,
+                         idCol: String, textCol: String, k: Int,
+                         maxDupCoverage: Double = 0.5,
+                         compactFileThreshold: Int = 0,
+                         compactPartitions: Int = 32)
+  : graft.streaming.Admission.AdmitStats =
+    graft.streaming.Admission.admitBatchSubstring(df, corpusPath,
+      indexPath, idCol, textCol, k, maxDupCoverage = maxDupCoverage,
+      compactFileThreshold = compactFileThreshold,
+      compactPartitions = compactPartitions)
+
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */
   def decontaminate(evalSet: DDF, idCol: String, textCol: String,

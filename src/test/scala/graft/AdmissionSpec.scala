@@ -161,6 +161,24 @@ class AdmissionSpec extends SparkTestBase {
     assert(corpusIds(c) == ((0L until 40L) :+ 100L))
   }
 
+  test("fluent DDF.admitIntoSubstring delegates, compaction knob wired") {
+    import graft.operators.SubstringDedup
+    val c = Files.createTempDirectory("graft_adm_fls_c").toString
+    val i = Files.createTempDirectory("graft_adm_fls_i").toString + "/idx"
+    corpusDf.write.mode("overwrite").parquet(c)
+    SubstringDedup.gramIndex(corpusDf, "doc_id", "text", k = 4)
+      .write.mode("overwrite").parquet(i)
+    val s = graft.ddf.DDF(
+      Seq(100L -> freshText("n100"),
+          101L -> (freshText("c3") + " t0 t1")) // 8/10 covered -> out
+        .toDF("doc_id", "text"))
+      .admitIntoSubstring(c, i, "doc_id", "text", k = 4,
+        compactFileThreshold = 1, compactPartitions = 2)
+    assert(s.admitted == 1L)
+    assert(corpusIds(c) == ((0L until 40L) :+ 100L))
+    assert(SubstringDedup.gramIndexFileCount(spark, i) <= 2)
+  }
+
   test("collectStats=false skips telemetry counts but admits identically") {
     val (c, i) = setup()
     val batch = Seq(100L -> freshText("n100"), 0L -> freshText("c0"))
