@@ -19,4 +19,18 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** build a DataFrame from an InternalRow RDD without the external
+    * Row boxing round-trip (`df.rdd` + `createDataFrame` box every
+    * column per row and re-validate the schema — measured ~2x the
+    * whole positional-zip cost). The InternalRow path is what Spark's
+    * own sources use; re-exported here for the one operator that
+    * genuinely needs RDD row order (Zip.withRowIndex). */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[
+                                org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType)
+  : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

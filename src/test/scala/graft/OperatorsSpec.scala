@@ -47,6 +47,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(z.filter($"v" =!= $"id" * 2).count() == 0)
   }
 
+  test("zipByIndex aligned fast path: shuffle-free, equals index join") {
+    // two projections of ONE frame: identical per-partition counts
+    // engage the narrow RDD.zip — no index column, no join, no
+    // exchange in the executed plan
+    val base = spark.range(100)
+      .select($"id", ($"id" * 3).as("w")).repartition(5).orderBy($"id")
+      .cache()
+    val z = Zip.zipByIndex(base.select($"id"), base.select($"w"))
+    assert(z.count() == 100)
+    assert(z.filter($"w" =!= $"id" * 3).count() == 0)
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"aligned zip must not shuffle or join:\n$plan")
+    // MISALIGNED sides (different partition layout) take the index
+    // join and still pair by global row position
+    val l = spark.range(100).toDF("id").repartition(7).orderBy($"id")
+    val r = spark.range(100).select(($"id" * 3).as("w"))
+      .coalesce(2).orderBy($"w")
+    val z2 = Zip.zipByIndex(l, r)
+    assert(z2.count() == 100)
+    assert(z2.filter($"w" =!= $"id" * 3).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("token budget keeps the quality-ranked prefix per stratum") {
     val d = Seq(
       ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 50L), ("en", 3L, 0.7, 30L),
