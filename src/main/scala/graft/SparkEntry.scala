@@ -3375,7 +3375,40 @@ object SparkEntry {
               |      greatest(3000 - coalesce(u1.used, 0), 0) AS rem
               |    FROM b2 LEFT JOIN u1 USING (lang)) WHERE cum <= rem)
               |SELECT doc_id FROM s1
-              |UNION ALL SELECT doc_id FROM s2 ORDER BY doc_id""".stripMargin))
+              |UNION ALL SELECT doc_id FROM s2 ORDER BY doc_id""".stripMargin)),
+
+    // Portable simhash near-dup pairs (r10): the q45 md5 discipline
+    // applied to the simhash family. Same bucketing + exact-verify
+    // machinery as q48, but the 60-bit md5 token hash makes every
+    // step integer-exact and SQL-replayable; with the bucket cap
+    // lifted the pigeonhole candidates + hamming verify EQUAL the
+    // exhaustive all-pairs truth, so the oracle recomputes the
+    // fingerprints bit by bit (nested list lambdas) and cross-joins.
+    // The xxhash64 production default stays rows-only (q48) with its
+    // randomized recall pin.
+    Q("q142_simhash_portable", (s, dir) =>
+      Dedup.simhashPairsPortable(docsWithDups(s, dir), "doc_id", "text",
+          maxDistance = 3, maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |h AS (SELECT doc_id, list_transform(${sqlTokens("text")},
+              |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+              |  FROM u),
+              |f AS (SELECT doc_id,
+              |  CAST(list_sum(list_transform(range(60), b ->
+              |    CASE WHEN CAST(list_sum(list_transform(hs,
+              |        x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END))
+              |        AS BIGINT) > 0
+              |      THEN (CAST(1 AS BIGINT) << b)
+              |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+              |  FROM h)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+              |FROM f a, f b WHERE a.doc_id < b.doc_id
+              |  AND bit_count(xor(a.fp, b.fp)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -167,6 +167,65 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** [[SimHash64]] with the PORTABLE md5-derived 60-bit token hash —
+    * the q45 fingerprint discipline applied to simhash: h(token) =
+    * first 15 hex chars of md5 as a 60-bit integer (exactly Spark's
+    * `conv(substring(md5(t),1,15),16,10)` and DuckDB's
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), sign-vote over
+    * bits 0..59, ties vote 0. Every step is integer-exact and
+    * replayable in standard SQL, which is what puts the simhash
+    * family's arithmetic under a full DuckDB oracle (q142) where the
+    * xxhash64 production default can only be rows-only (q48).
+    * MessageDigest is not thread-safe → one per thread. */
+  case class SimHashMd5(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    @transient private lazy val md =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    def compute(arr: ArrayData): Long = {
+      val n = arr.numElements()
+      val votes = new Array[Int](60)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val d = md.get()
+          d.reset()
+          val digest = d.digest(arr.getUTF8String(i).getBytes)
+          // first 15 hex chars = bytes 0..6 + the HIGH nibble of
+          // byte 7, read big-endian → a 60-bit value
+          var h = 0L
+          var j = 0
+          while (j < 7) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+          h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 60) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashMd5", this,
+        classOf[SimHashMd5].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** k MinHash values over an array<string> of shingles: one pass per
     * row; h(s) = xxhash64(s) mod p with p = 2^31 − 1 (identical to the
     * column-math formulation in TextFunctions — domain == modulus, so
@@ -294,6 +353,7 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhashMd5(tokens: Column): Column = column(SimHashMd5(expression(tokens)))
   def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)],
                        prime: Long): Column =
     column(MinHashSignature(expression(shingles), coeffs, prime))

@@ -258,6 +258,31 @@ object TextFunctions {
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** [[simhash]] with the PORTABLE md5-derived 60-bit token hash
+    * (native [[graft.expressions.VectorExpressions.SimHashMd5]]) —
+    * integer-exact and SQL-replayable end to end, the q45
+    * fingerprint discipline applied to simhash. Production stays on
+    * [[simhash]] (one xxhash64 per token vs a cryptographic digest);
+    * this variant exists so the simhash sign-vote arithmetic sits
+    * under the q142 DuckDB oracle instead of rows-only. */
+  def simhashPortable(text: Column): Column =
+    graft.expressions.VectorExpressions.simhashMd5(tokens(text))
+
+  /** column-math formulation of [[simhashPortable]] — semantic spec
+    * for the native expression (equivalence pinned in ScalaTest;
+    * test-only, re-derives md5 per bit). */
+  private[graft] def simhashPortableHof(text: Column): Column = {
+    val hashes = transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until 60).map { b =>
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
   /** Hamming distance between two 64-bit simhashes */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -928,10 +928,30 @@ object Dedup {
     * selective chunks — same recall trade as the LSH band guard. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsOn(df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sim")), maxDistance, maxBucketSize)
+
+  /** [[simhashPairs]] over the PORTABLE md5-derived 60-bit simhash
+    * ([[graft.functions.TextFunctions.simhashPortable]]): identical
+    * bucketing + exact-verify machinery, but every arithmetic step is
+    * SQL-replayable — with an uncapped bucket size the result EQUALS
+    * the exhaustive all-pairs truth (pigeonhole recall 1), which is
+    * what q142 pins against a full DuckDB oracle. The 60-bit value in
+    * 64/(k+1)-bit chunks stays a valid pigeonhole (the top bits are
+    * constant-zero on both sides of any pair). */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDistance: Int = 3,
+                           maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsOn(df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.simhashPortable(col(textCol)).as("sim")),
+      maxDistance, maxBucketSize)
+
+  /** shared pair machinery over a precomputed (id, sim) table. */
+  private def simhashPairsOn(sh0: DataFrame, maxDistance: Int,
+                             maxBucketSize: Int): DataFrame = {
     val chunks = maxDistance + 1
-    val sh = Partitioning.spread(df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))).cache()
+    val sh = Partitioning.spread(sh0).cache()
     val chunked = sh.select(col("id"),
         explode(simhashChunks(col("sim"), chunks)).as("ck"))
       .select(col("id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))

@@ -738,6 +738,26 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("UDF"), s"closure UDF on the batch path:\n$plan")
   }
 
+  test("portable simhash pairs uncapped == exhaustive all-pairs truth") {
+    // pigeonhole recall is 1 with no bucket cap, and verification is
+    // exact — so the bucketed pipeline must EQUAL the brute force
+    // (the property q142's DuckDB oracle then replays end to end)
+    import graft.functions.{TextFunctions => TF}
+    val got = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+        maxDistance = 3, maxBucketSize = Int.MaxValue)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = corpus.select($"doc_id",
+        TF.simhashPortable($"text").as("fp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(truth.nonEmpty) // planted exact dups guarantee signal
+  }
+
   test("jaccard blocked pairs respect the blocking column") {
     val d = Seq(
       (1L, "a b c d e", "blk1"), (2L, "a b c d e", "blk1"),

@@ -166,6 +166,22 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("native portable simhash == column-math md5 formulation") {
+    // the md5 nibble-packing in SimHashMd5.compute must equal
+    // conv(substring(md5,1,15),16,10)'s value bit for bit — the hof
+    // re-derives it through Spark's own md5/conv chain
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val diff = docs.select(TF.simhashPortable(col("text")).as("a"),
+        TF.simhashPortableHof(col("text")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+    // 60-bit contract: no portable fingerprint sets bits 60..63
+    val high = docs.select(TF.simhashPortable(col("text")).as("a"))
+      .filter(shiftright($"a", 60) =!= 0L).count()
+    assert(high == 0)
+  }
+
   test("native minhash expression == column-math formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
