@@ -2152,6 +2152,44 @@ object SparkEntry {
     },
       Some(streamScreenOracleSql)),
 
+    // Persisted-digest stream screen (r10): the digest is SAVED from
+    // half the seen keys and APPENDED with the other half (so the
+    // catalog run exercises both faces and rides the append==rebuild
+    // contract), then the stream screens against the on-disk digest
+    // with exact confirm — row-identical to the exact screen, same
+    // oracle SQL verbatim (the digest routes, never answers). The
+    // corpus-scan-free production shape: stream starts read MBs of
+    // digest, not the corpus.
+    Q("q143_stream_screen_bloom_indexed", (s, dir) => {
+      val seen = events(s, dir).filter(col("event_id") % 3 === 0)
+        .select(col("event_id"))
+      val digest = java.nio.file.Files
+        .createTempDirectory("graft_q143_digest").toString + "/bloom"
+      val firstHalf = seen.filter(col("event_id") % 2 === 0)
+      val secondHalf = seen.filter(col("event_id") % 2 =!= 0)
+      // save from one half (capacity sized for both), fold the other
+      // in with append — the digest the stream screens against has
+      // exercised BOTH persistence faces; append == rebuild is the
+      // spec-pinned byte-identity contract
+      graft.operators.BloomDigest.save(firstHalf, "event_id", 0.01,
+        digest, capacity = seen.count())
+      graft.operators.BloomDigest.append(s, digest,
+        secondHalf, "event_id")
+      val stream = EventStream.readStream(s, dir)
+      val res = EventStream.runToMemory(
+        EventStream.screenAgainstBloomIndexedExact(stream, seen,
+            digest, "event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")),
+        "q143_mem",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
+      res.select(col("event_type"), col("n"),
+          round(col("sv"), 2).as("sv"))
+        .orderBy(col("event_type"))
+    },
+      Some(streamScreenOracleSql)),
+
     // The full ADMISSION LOOP (Admission.admitBatch, r7) run TWICE
     // against durable temp state: cycle 1 ingests reversed-text
     // fresh docs; cycle 2 throws near-dups of cycle 1's ADMISSIONS

@@ -418,6 +418,38 @@ object EventStream {
       screenAgainst(stream.filter(!definitelyNew), corpus, Seq(keyCol)))
   }
 
+  /** [[screenAgainstBloom]] against a digest PERSISTED by
+    * [[graft.operators.BloomDigest.save]]/`append` — the
+    * corpus-scan-free face: stream definition reads MBs of digest
+    * from disk instead of aggregating the corpus per session. Same
+    * over-removal contract as the inline form; keep the digest
+    * current by folding each admitted batch's keys with
+    * `BloomDigest.append` (append ≡ rebuild is the digest's
+    * spec-pinned contract). */
+  def screenAgainstBloomIndexed(stream: DataFrame, digestPath: String,
+                                keyCol: String): DataFrame = {
+    val pred = graft.operators.BloomDigest
+      .loadPredicate(stream.sparkSession, digestPath, col(keyCol))
+    stream.filter(col(keyCol).isNotNull && !pred)
+  }
+
+  /** [[screenAgainstBloomExact]] with the persisted digest routing:
+    * Bloom-NEGATIVE rows pass join-free, the positive sliver confirms
+    * against the exact corpus keys — row-for-row EQUAL to the exact
+    * screen (the digest never decides the answer; q143's oracle is
+    * the exact screen's SQL verbatim). The corpus is still read for
+    * the confirm side; what the digest saves is the per-session
+    * build aggregation over it. */
+  def screenAgainstBloomIndexedExact(stream: DataFrame, corpus: DataFrame,
+                                     digestPath: String,
+                                     keyCol: String): DataFrame = {
+    val pred = graft.operators.BloomDigest
+      .loadPredicate(stream.sparkSession, digestPath, col(keyCol))
+    val definitelyNew = col(keyCol).isNotNull && !pred
+    stream.filter(definitelyNew).unionByName(
+      screenAgainst(stream.filter(!definitelyNew), corpus, Seq(keyCol)))
+  }
+
   case class Session(userId: Long, nEvents: Long, total: Double)
 
   /** per-user running session state via mapGroupsWithState — the

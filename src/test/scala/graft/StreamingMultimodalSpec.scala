@@ -132,6 +132,55 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(confirmed == exact)
   }
 
+  test("persisted bloom digest: append == rebuild bytes; screens match") {
+    import graft.operators.BloomDigest
+    val batch = EventStream.eventsBatch(spark, dir)
+    val seen = batch.filter($"event_id" % 3 === 0).select($"event_id")
+      .cache()
+    val n = seen.count()
+    val half1 = seen.filter($"event_id" % 2 === 0)
+    val half2 = seen.filter($"event_id" % 2 =!= 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bloom_digest").toString
+    // full build vs half build + append, SAME capacity → a bloom bit
+    // array is a union of hash positions, so the bytes are IDENTICAL
+    BloomDigest.save(seen, "event_id", 0.01, s"$base/full", capacity = n)
+    BloomDigest.save(half1, "event_id", 0.01, s"$base/inc", capacity = n)
+    BloomDigest.append(spark, s"$base/inc", half2, "event_id")
+    def bytes(p: String): Seq[Byte] = spark.read.parquet(p)
+      .select($"bytes").head().getAs[Array[Byte]](0).toSeq
+    assert(bytes(s"$base/full") == bytes(s"$base/inc"),
+      "append != rebuild byte identity")
+    // the indexed screen equals the inline digest screen row for row
+    // (same bytes → same verdicts), and the exact-confirm face equals
+    // the exact screen
+    val inline = EventStream.screenAgainstBloom(batch, seen, "event_id")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val indexed = EventStream
+      .screenAgainstBloomIndexed(batch, s"$base/inc", "event_id")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == inline)
+    val exact = batch.join(seen, Seq("event_id"), "left_anti")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val confirmed = EventStream
+      .screenAgainstBloomIndexedExact(batch, seen, s"$base/inc",
+        "event_id")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(confirmed == exact)
+    // overfull append fails LOUD (capacity is the fpp contract)...
+    val e = intercept[IllegalStateException] {
+      BloomDigest.append(spark, s"$base/inc",
+        batch.select(($"event_id" + 1000000L).as("event_id")), "event_id")
+    }
+    assert(e.getMessage.contains("sized for"))
+    // ...and a foreign table never probes as a digest
+    seen.write.mode("overwrite").parquet(s"$base/foreign")
+    intercept[Exception] {
+      BloomDigest.loadPredicate(spark, s"$base/foreign", $"event_id")
+    }
+    seen.unpersist()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val l = df.filter($"event_type" === "click")
