@@ -3446,7 +3446,200 @@ object SparkEntry {
               |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
               |FROM f a, f b WHERE a.doc_id < b.doc_id
               |  AND bit_count(xor(a.fp, b.fp)) <= 3
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Hybrid lexical+semantic retrieval fused by reciprocal rank
+    // (Search.hybridRrf): BM25 top-10 and exact-cosine top-10 per
+    // query, fused by 1/(60+rank) sums. The fixture corpus is
+    // documents⋈embeddings on doc_id=vec_id (the testdata ids align
+    // 1:1); queries are five corpus rows asking with their own text
+    // and vector. The oracle replays BOTH retrievers (the q110 BM25
+    // CTE chain and the q49 cosine ranking) and then the fusion
+    // arithmetic term by term — ranks are integers and each RRF term
+    // is one exact double division, so the fused scores hash-match.
+    Q("q144_hybrid_rrf", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = corpus.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      graft.operators.Search.hybridRrf(
+          corpus, "doc_id", "text", "embedding",
+          queries, "qid", "qtext", "qvec", k = 5, kEach = 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf_score"),
+          col("lex_rank").cast("int").as("lex_rank"),
+          col("sem_rank").cast("int").as("sem_rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+      Some(s"""WITH corpus AS (SELECT doc_id, text, embedding
+              |  FROM documents JOIN embeddings ON doc_id = vec_id),
+              |q AS (SELECT doc_id AS qid, text AS qtext, embedding AS qvec
+              |  FROM corpus WHERE doc_id < 5),
+              |qt AS (SELECT DISTINCT qid, unnest(${sqlTokens("qtext")}) AS term
+              |  FROM q),
+              |base AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
+              |stats AS (SELECT count(*) AS n,
+              |   avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+              |dtok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+              |   unnest(toks) AS term FROM base),
+              |tf AS (SELECT doc_id, dl, term,
+              |   CAST(count(*) AS DOUBLE) AS tf FROM dtok
+              |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+              |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT qt.qid, tf.doc_id,
+              |   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+              |     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+              |     AS score
+              |  FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats
+              |  GROUP BY 1, 2),
+              |lex AS (SELECT qid, doc_id, rnk AS lex_rank FROM (
+              |   SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+              |     ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+              |  WHERE rnk <= 10),
+              |cosr AS (SELECT q.qid, c.doc_id,
+              |   list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+              |     CAST(c.embedding AS DOUBLE[])) AS cos
+              |  FROM q, corpus c),
+              |sem AS (SELECT qid, doc_id, rnk AS sem_rank FROM (
+              |   SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+              |     ORDER BY cos DESC, doc_id ASC) AS rnk FROM cosr)
+              |  WHERE rnk <= 10),
+              |fused AS (SELECT coalesce(lex.qid, sem.qid) AS qid,
+              |   coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+              |   round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+              |     + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0), 6)
+              |     AS rrf_score,
+              |   lex_rank, sem_rank
+              |  FROM lex FULL OUTER JOIN sem
+              |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id),
+              |r AS (SELECT qid, row_number() OVER (PARTITION BY qid
+              |     ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+              |   doc_id, rrf_score, CAST(lex_rank AS INT) AS lex_rank,
+              |   CAST(sem_rank AS INT) AS sem_rank FROM fused)
+              |SELECT * FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Product quantization, trained path (Pq.fit / encode / adcTopK):
+    // like q50, the approximation IS the measurement — the emitted row
+    // is ADC-top-5 recall against the exact squared-L2 top-5, plus
+    // the compression arithmetic (64-dim float32 = 2048 bits -> m=8
+    // 4-bit codes = 32 bits, 64x). The fit is deterministic (sorted
+    // bounded sample, spread init, fixed Lloyd rounds — PqSpec pins
+    // fit-twice and layout-shuffle equality), so this row is
+    // rerun-stable; the spec floor is in PqSpec, the visible recall
+    // here makes regressions show in the correctness dump.
+    Q("q145_pq_adc", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      val encoded = graft.operators.Pq.encode(emb, "embedding", model)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val approx = graft.operators.Pq.adcTopK(encoded, q, "vec_id",
+          "pq_code", "embedding", model, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.operators.Pq.exactL2TopK(emb, q, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(5).as("k"), lit(10).as("n_queries"), lit(8).as("m"),
+          lit(16).as("ksub"), col("hits"),
+          round(col("hits") / (5 * 10.0), 4).as("recall"),
+          lit(64 * 32).as("orig_bits"), lit(model.codeBits).as("code_bits"),
+          round(lit(64 * 32.0 / model.codeBits), 1).as("compression"))
+    },
+      None), // approximate op: the emitted recall is the gate signal,
+             // the codebook is k-means state no SQL replays; the
+             // LITERAL-codebook variant below is fully oracled
+
+    // Product quantization, portable path: the codebooks are four
+    // LITERAL corpus rows (vec_id<4, one centroid per subspace each),
+    // so encode (argmin by squared L2, ties to the lowest index) and
+    // ADC (subspace-wise squared L2 against the coded centroid) are
+    // integer-index + double arithmetic DuckDB replays exactly —
+    // same machinery as the trained q145, with the k-means swapped
+    // for a fixture the oracle can see. Proves the ENCODE/ADC
+    // algebra; q145's recall row proves the trained quality.
+    Q("q146_pq_portable", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = 4; val dsub = 16; val ksub = 4
+      // bounded fixture model-load: 4 rows -> codebook (the PQ model
+      // is driver state by nature, like any loaded model artifact)
+      val cbRows = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val centroids = new Array[Double](m * ksub * dsub)
+      for (ss <- 0 until m; c <- 0 until ksub; j <- 0 until dsub)
+        centroids((ss * ksub + c) * dsub + j) = cbRows(c)(ss * dsub + j)
+      val model = graft.operators.Pq.PqModel(m, dsub, ksub, centroids)
+      val encoded = graft.operators.Pq.encode(emb, "embedding", model)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Pq.adcTopK(encoded, q, "vec_id", "pq_code",
+          "embedding", model, k = 5)
+        .select(col("query_id"), col("rank").as("rnk"),
+          col("neighbor_id"), col("adc"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cb AS (SELECT vec_id AS cidx, v AS cv FROM e WHERE vec_id < 4),
+             |dist AS (SELECT e.vec_id, t.s, cb.cidx,
+             |   list_sum(list_transform(range(16), j ->
+             |     (v[CAST(t.s*16+j+1 AS INT)] - cv[CAST(t.s*16+j+1 AS INT)])
+             |     * (v[CAST(t.s*16+j+1 AS INT)]
+             |        - cv[CAST(t.s*16+j+1 AS INT)]))) AS d2
+             |  FROM e, range(4) t(s), cb),
+             |codes AS (SELECT vec_id, s, cidx FROM (
+             |   SELECT vec_id, s, cidx, row_number() OVER (
+             |     PARTITION BY vec_id, s ORDER BY d2 ASC, cidx ASC) AS rn
+             |   FROM dist) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |  WHERE vec_id < 3),
+             |adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             |   round(sum(list_sum(list_transform(range(16), j ->
+             |     (qv[CAST(c.s*16+j+1 AS INT)] - cv[CAST(c.s*16+j+1 AS INT)])
+             |     * (qv[CAST(c.s*16+j+1 AS INT)]
+             |        - cv[CAST(c.s*16+j+1 AS INT)])))), 6) AS adc
+             |  FROM q, codes c JOIN cb USING (cidx)
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER (
+             |   PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC)
+             |   AS rnk FROM adc)
+             |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // Z-order (Morton) values for (l_partkey, l_suppkey) — the sort
+    // key behind ZOrder.saveZOrdered's multi-column-pruning layout.
+    // Bounds come from the full table (one stats aggregation, exactly
+    // what the writer runs); the oracle recomputes the normalization
+    // with DuckDB's integer division and the 16-bit interleave with
+    // the SAME shift/mask/or terms (generated by the one helper the
+    // operator itself uses), so every bit of every z-value is pinned.
+    // The file-level pruning effect is measured in SourcesSpec.
+    Q("q147_zorder", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val zd = graft.operators.ZOrder.withZValue(li, "l_partkey",
+        "l_suppkey", out = "z", bits = 16)
+      zd.filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("z").cast("long").as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+      Some(s"""WITH st AS (SELECT min(l_partkey) AS plo,
+              |   max(l_partkey) AS phi, min(l_suppkey) AS slo,
+              |   max(l_suppkey) AS shi FROM lineitem),
+              |sc AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              |   ((l_partkey - plo) * 65535) // greatest(1, phi - plo) AS xs,
+              |   ((l_suppkey - slo) * 65535) // greatest(1, shi - slo) AS ys
+              |  FROM lineitem, st WHERE l_orderkey < 1000)
+              |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              | CAST(${graft.operators.ZOrder.sqlInterleave("xs", "ys")}
+              |   AS BIGINT) AS z
+              |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+
+/** Product quantization (Jégou/Douze/Schmid, PAMI 2011) for embedding
+  * columns (DRIVER-EXT, SURVEY.md §2.12 similarity search) — the
+  * storage/scan-compression half of large-scale ANN, complementing
+  * [[Similarity]]'s IVF routing half:
+  *
+  *  - '''fit''': split the `m*dsub`-dim space into `m` subspaces and
+  *    learn `ksub` centroids per subspace by k-means on a BOUNDED
+  *    sample (never the full corpus — subquantizer quality saturates
+  *    far below 100k points, and a full-corpus fit would re-scan
+  *    100 TB per Lloyd round).
+  *  - '''encode''': per vector, the index of the nearest centroid in
+  *    each subspace — `m` small ints in place of `m*dsub` floats. At
+  *    ksub=256 that is 1 byte per subspace: a 256-dim float32
+  *    embedding (1 KiB) becomes 32 bytes, a 32x cut in what an ANN
+  *    scan READS — the term that dominates at corpus scale, where the
+  *    search is IO-bound on the embedding column.
+  *  - '''adcTopK''': asymmetric distance computation — exact query
+  *    vector vs quantized corpus, squared L2 summed subspace-wise.
+  *    Same broadcast-queries / map-side-WindowGroupLimit shape as
+  *    [[Similarity.bruteForceTopK]]: the corpus (now codes, 32-64x
+  *    smaller) is scanned once per query batch and never collected.
+  *
+  * Determinism: the fit sorts its bounded sample by the id column and
+  * uses spread deterministic init + fixed Lloyd rounds, so the same
+  * (corpus, params) always yields the same codebooks regardless of
+  * partition layout — encode/search results are rerun-stable and the
+  * codebook can be treated as a persisted model artifact (PqSpec pins
+  * fit-twice equality). Approximation quality is measured, not
+  * assumed: q145 emits ADC-vs-exact recall as its output row, and the
+  * q146 variant with literal codebooks is fully SQL-oracled.
+  */
+object Pq {
+
+  /** Flattened codebooks: centroid j-th component of centroid `cidx`
+    * in subspace `s` lives at `((s*ksub)+cidx)*dsub + j`. */
+  case class PqModel(m: Int, dsub: Int, ksub: Int,
+                     centroids: Array[Double]) {
+    require(centroids.length == m * ksub * dsub,
+      s"codebook length ${centroids.length} != m*ksub*dsub")
+    /** bits per stored code vector (packed form rounds up to bytes) */
+    def codeBits: Int = m * (32 - Integer.numberOfLeadingZeros(ksub - 1))
+  }
+
+  /** Fit `m` subquantizers of `ksub` centroids each by Lloyd k-means
+    * on a bounded sample of the corpus.
+    *
+    * The sample is `sample(fitFraction, seed).limit(fitCap)` then
+    * SORTED BY `idCol` on the driver — the sort makes the fit
+    * independent of partition layout (the collected order would
+    * otherwise vary run to run), and at fitCap <= 100k rows the
+    * driver work is trivial (100k * 256 dims = ~100 MB transient).
+    * At 100 TB pass `fitFraction ~ fitCap / n` so the sample is
+    * uniform rather than a prefix, exactly like
+    * [[Similarity.fitIvfQuantizer]]. Init takes the `ksub` evenly
+    * spaced sample rows per subspace (deterministic, spread);
+    * `iters` fixed Lloyd rounds; an emptied cluster keeps its
+    * previous centroid. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          m: Int, dsub: Int, ksub: Int, seed: Long = 42L,
+          fitFraction: Double = 1.0, fitCap: Int = 100000,
+          iters: Int = 10): PqModel = {
+    require(m >= 1 && dsub >= 1 && ksub >= 1, "m, dsub, ksub must be >= 1")
+    val rows = corpus
+      .select(col(idCol).cast("string").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .sample(withReplacement = false, fitFraction, seed)
+      .limit(fitCap)
+      .collect()
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    val n = rows.length
+    require(n >= ksub, s"fit sample has $n rows, need >= ksub ($ksub)")
+    require(rows.head.length >= m * dsub,
+      s"vectors have ${rows.head.length} dims, need >= ${m * dsub}")
+
+    val centroids = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      // deterministic spread init: the ksub evenly spaced sample rows
+      var c = 0
+      while (c < ksub) {
+        val src = rows(((c.toLong * n) / ksub).toInt)
+        var j = 0
+        while (j < dsub) {
+          centroids((s * ksub + c) * dsub + j) = src(s * dsub + j)
+          j += 1
+        }
+        c += 1
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](ksub, dsub)
+        val counts = new Array[Long](ksub)
+        var i = 0
+        while (i < n) {
+          val v = rows(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < ksub) {
+            val base = (s * ksub + cc) * dsub
+            var d = 0.0
+            var j = 0
+            while (j < dsub) {
+              val diff = v(s * dsub + j) - centroids(base + j)
+              d += diff * diff
+              j += 1
+            }
+            if (d < bestD) { bestD = d; best = cc }
+            cc += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) {
+            sums(best)(j) += v(s * dsub + j)
+            j += 1
+          }
+          i += 1
+        }
+        var cc = 0
+        while (cc < ksub) {
+          if (counts(cc) > 0) {
+            var j = 0
+            while (j < dsub) {
+              centroids((s * ksub + cc) * dsub + j) =
+                sums(cc)(j) / counts(cc)
+              j += 1
+            }
+          } // emptied cluster keeps its previous centroid
+          cc += 1
+        }
+        it += 1
+      }
+      s += 1
+    }
+    PqModel(m, dsub, ksub, centroids)
+  }
+
+  /** Add the PQ code column for every row: array<int> of length m
+    * (`packed=false`, the SQL-replayable form) or an m-byte binary
+    * (`packed=true`, the storage form; requires ksub <= 256). One
+    * native codegen'd expression per row, no shuffle. */
+  def encode(df: DataFrame, vecCol: String, model: PqModel,
+             out: String = "pq_code", packed: Boolean = false): DataFrame =
+    df.withColumn(out, VectorExpressions.pqEncode(col(vecCol),
+      model.m, model.dsub, model.ksub, model.centroids, packed))
+
+  /** Approximate top-k by ADC over a PRE-ENCODED corpus
+    * (id, codeCol): per query, squared-L2-by-codebook ascending,
+    * ties on neighbor id. `rank <= k` over row_number triggers the
+    * WindowGroupLimit rewrite — map tasks pre-reduce to local top-k
+    * before the shuffle, as in [[Similarity.bruteForceTopK]]. The
+    * `adc` column is rounded to 6 decimals BEFORE ranking so the
+    * ordering is deterministic and oracle-replayable. */
+  def adcTopK(encodedCorpus: DataFrame, queries: DataFrame,
+              idCol: String, codeCol: String, qvecCol: String,
+              model: PqModel, k: Int,
+              excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(idCol).as("query_id"), col(qvecCol).as("__qv"))
+    val c = Partitioning.spread(
+      encodedCorpus.select(col(idCol).as("neighbor_id"),
+        col(codeCol).as("__code")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorExpressions.pqAdc(col("__qv"), col("__code"),
+          model.m, model.dsub, model.ksub, model.centroids), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact squared-L2 top-k (the recall yardstick for [[adcTopK]] —
+    * ADC approximates L2, not cosine, so the gate compares like with
+    * like). Same shape as [[Similarity.bruteForceTopK]]. */
+  def exactL2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = Partitioning.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.l2Distance(col("__qv"), col("__cv")).as("l2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

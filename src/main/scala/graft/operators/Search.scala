@@ -146,4 +146,72 @@ object Search {
       .select(col("__qid").as(qidCol), col("rank"),
         col("__id").as(idCol), col("score"))
   }
+
+  /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher RRF): per query, fuse the BM25 top-`kEach`
+    * list and the exact-cosine top-`kEach` list by
+    * `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, then return the
+    * fused top-`k`. RRF uses only the RANKS, never the raw scores, so
+    * the two retrievers need no score calibration — the standard
+    * first-stage recipe for retrieval-based data curation
+    * (decontamination by retrieval, dedup candidate seeding, eval-set
+    * mining) as well as serving.
+    *
+    * Shape at 100 TB: the corpus is scanned once per retriever — BM25
+    * through [[bm25Batch]] (query-term semi-join prunes the token
+    * stream before any shuffle) and cosine through
+    * [[Similarity.bruteForceTopK]] (broadcast query batch, map-side
+    * WindowGroupLimit top-k; swap in the IVF path for a fractional
+    * scan at corpus scale). Everything AFTER the retrievers is
+    * query-batch-sized: each list carries ≤ kEach rows per query, the
+    * fusion is one (qid, id)-keyed full-outer join of two ≤
+    * |queries|·kEach tables, and the final window partitions on qid
+    * with ≤ 2·kEach rows per group. No corpus-proportional state ever
+    * reaches the fusion stage.
+    *
+    * Determinism: ranks are integers; each RRF term is an exact
+    * double division; the fused score is rounded to 6 decimals BEFORE
+    * ranking and ties break on the id — the whole fusion is
+    * SQL-replayable (q144's oracle replays it term by term).
+    * `queries` must carry (qidCol, qtextCol, qvecCol); documents
+    * missing from one list contribute only the other list's term.
+    * Returns (qid, rank, id, rrf_score, lex_rank, sem_rank) with null
+    * lex/sem rank when the document was absent from that list. */
+  def hybridRrf(corpus: DataFrame, idCol: String, textCol: String,
+                vecCol: String, queries: DataFrame, qidCol: String,
+                qtextCol: String, qvecCol: String, k: Int,
+                kEach: Int = 20, rrfK: Int = 60,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(kEach >= k, s"kEach ($kEach) should be >= k ($k)")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+
+    val lex = bm25Batch(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol,
+        queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
+        k = kEach, k1 = k1, b = b)
+      .select(col(qidCol).as("__qid"), col(idCol).as("__id"),
+        col("rank").as("lex_rank"))
+
+    val sem = Similarity.bruteForceTopK(
+        corpus.select(col(idCol), col(vecCol)),
+        queries.select(col(qidCol).as(idCol), col(qvecCol).as(vecCol)),
+        idCol, vecCol, k = kEach, excludeSelf = false)
+      .select(col("query_id").as("__qid"), col("neighbor_id").as("__id"),
+        col("rank").as("sem_rank"))
+
+    val fused = lex.join(sem, Seq("__qid", "__id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)),
+        6))
+
+    import org.apache.spark.sql.expressions.Window
+    fused
+      .withColumn("rank", row_number().over(Window.partitionBy(col("__qid"))
+        .orderBy(col("rrf_score").desc, col("__id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("rank"), col("__id").as(idCol),
+        col("rrf_score"), col("lex_rank"), col("sem_rank"))
+  }
 }

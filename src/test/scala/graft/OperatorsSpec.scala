@@ -418,6 +418,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(top2 == Seq(1L, 3L))
   }
 
+  test("hybridRrf: fusion arithmetic, single-list docs, k cap") {
+    // BM25 list for "a b": doc1, doc3, doc2 (doc4 matches nothing);
+    // cosine list for (1,0): doc1 (1.0), doc2 (~.994), doc4 (~.707),
+    // doc3 (0.0). RRF with rrfK=60 is then exact rational arithmetic.
+    val corpus = Seq(
+      (1L, "a a b", Seq(1f, 0f)), (2L, "a c", Seq(0.9f, 0.1f)),
+      (3L, "b b b", Seq(0f, 1f)), (4L, "c c", Seq(1f, 1f)))
+      .toDF("id", "text", "vec")
+    val queries = Seq((10L, "a b", Seq(1f, 0f))).toDF("qid", "qtext", "qvec")
+    val got = graft.operators.Search.hybridRrf(corpus, "id", "text", "vec",
+        queries, "qid", "qtext", "qvec", k = 4, kEach = 4)
+      .orderBy($"rank").collect()
+    def rrf(ranks: Int*) =
+      BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_.getDouble(3)).toSeq ==
+      Seq(rrf(1, 1), rrf(3, 2), rrf(2, 4), rrf(3)))
+    // doc4 is semantic-only: lex_rank must be null, sem_rank = 3
+    val d4 = got.find(_.getLong(2) == 4L).get
+    assert(d4.isNullAt(4) && d4.getInt(5) == 3)
+    // k truncates after fusion, not before
+    val top2 = graft.operators.Search.hybridRrf(corpus, "id", "text", "vec",
+        queries, "qid", "qtext", "qvec", k = 2, kEach = 4)
+      .orderBy($"rank").collect().map(_.getLong(2)).toSeq
+    assert(top2 == Seq(1L, 2L))
+  }
+
   test("bm25Batch: each query's ranking equals the single-query path") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c"))
       .toDF("id", "text")
