@@ -3639,7 +3639,38 @@ object SparkEntry {
               |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
               | CAST(${graft.operators.ZOrder.sqlInterleave("xs", "ys")}
               |   AS BIGINT) AS z
-              |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin))
+              |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // IVF-PQ: the two ANN halves composed — coarse cells route
+    // (nProbe/nCells of the corpus scanned), PQ codes on the
+    // RESIDUALS compress what is scanned (32-64x fewer bytes). Same
+    // emitted-recall contract as q50/q145: the row carries the full
+    // operating point so the gate sees routing + quantization quality
+    // in one number; PqSpec pins the curve (full probe >= default
+    // probe, determinism, encode shape).
+    Q("q148_ivfpq", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fitIvfPq(emb, "vec_id", "embedding",
+        nCells = 8, m = 8, dsub = 8, ksub = 16)
+      val encoded = graft.operators.Pq.encodeIvfPq(emb, "vec_id",
+        "embedding", model)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val approx = graft.operators.Pq.ivfPqTopK(encoded, q, "vec_id",
+          "cell", "pq_code", "embedding", model, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.operators.Pq.exactL2TopK(emb, q, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(5).as("k"), lit(10).as("n_queries"),
+          lit(8).as("n_cells"), lit(4).as("n_probe"), lit(8).as("m"),
+          lit(16).as("ksub"), col("hits"),
+          round(col("hits") / (5 * 10.0), 4).as("recall"))
+    },
+      None) // approximate op: emitted recall is the gate signal
+             // (k-means coarse + subquantizer state no SQL replays)
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -180,6 +180,124 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ model: coarse cells route (the IVF half), per-cell
+    * RESIDUALS are PQ-coded (the PQ half) — the standard
+    * billion-scale ANN serving stack (Jégou et al. §V). Residual
+    * coding matters: residuals concentrate near 0 with far less
+    * variance than raw vectors, so the same code budget buys more
+    * fidelity. `coarse` is the flattened (nCells x dim) table. */
+  case class IvfPqModel(nCells: Int, dim: Int, coarse: Array[Double],
+                        pq: PqModel) {
+    require(coarse.length == nCells * dim, "coarse table shape mismatch")
+    private[operators] def coarseModel: PqModel =
+      PqModel(1, dim, nCells, coarse)
+  }
+
+  /** Fit coarse cells then subquantizers ON THE RESIDUALS, both via
+    * the deterministic bounded-sample Lloyd of [[fit]] (the coarse
+    * fit IS `fit` with m=1 — one subspace spanning the whole vector).
+    * Two bounded fits + one corpus-free residual pass over the SAMPLE
+    * only; nothing here scans the full corpus. */
+  def fitIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, m: Int, dsub: Int, ksub: Int,
+               seed: Long = 42L, fitFraction: Double = 1.0,
+               fitCap: Int = 100000, iters: Int = 10): IvfPqModel = {
+    val dim = m * dsub
+    val coarse = fit(corpus, idCol, vecCol, m = 1, dsub = dim,
+      ksub = nCells, seed = seed, fitFraction = fitFraction,
+      fitCap = fitCap, iters = iters)
+    val model0 = IvfPqModel(nCells, dim, coarse.centroids,
+      PqModel(m, dsub, ksub, new Array[Double](m * ksub * dsub)))
+    val residuals = withResiduals(corpus, idCol, vecCol, model0)
+      .select(col(idCol), col("__resid"))
+    val pq = fit(residuals, idCol, "__resid", m = m, dsub = dsub,
+      ksub = ksub, seed = seed, fitFraction = fitFraction,
+      fitCap = fitCap, iters = iters)
+    IvfPqModel(nCells, dim, coarse.centroids, pq)
+  }
+
+  /** (cell, cvec) lookup table — nCells rows, always broadcast. */
+  private def cellsDf(model: IvfPqModel,
+                      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rows = (0 until model.nCells).map { c =>
+      (c, model.coarse.slice(c * model.dim, (c + 1) * model.dim))
+    }
+    spark.createDataFrame(rows).toDF("__cell", "__cvec")
+  }
+
+  /** Adds `__cell` (nearest coarse cell — [[PqEncode]] with m=1) and
+    * `__resid` (vec − cell centroid, via zip_with in double). */
+  private def withResiduals(df: DataFrame, idCol: String, vecCol: String,
+                            model: IvfPqModel): DataFrame = {
+    val cm = model.coarseModel
+    val assigned = df.withColumn("__cellArr",
+        VectorExpressions.pqEncode(col(vecCol), cm.m, cm.dsub, cm.ksub,
+          cm.centroids, packed = false))
+      .withColumn("__cell", col("__cellArr").getItem(0))
+      .drop("__cellArr")
+    assigned.join(broadcast(cellsDf(model, df.sparkSession)), Seq("__cell"))
+      .withColumn("__resid", zip_with(col(vecCol).cast("array<double>"),
+        col("__cvec"), (a, b) => a - b))
+      .drop("__cvec")
+  }
+
+  /** Encode a corpus for IVF-PQ serving: (…, cell, codeCol) — the
+    * persistable index form (cell for routing, m small ints per row
+    * for ADC). One corpus pass, no shuffle. */
+  def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                  model: IvfPqModel, cellOut: String = "cell",
+                  codeOut: String = "pq_code",
+                  packed: Boolean = false): DataFrame =
+    encode(withResiduals(df, idCol, vecCol, model), "__resid", model.pq,
+        out = codeOut, packed = packed)
+      .withColumnRenamed("__cell", cellOut)
+      .drop("__resid")
+
+  /** IVF-PQ top-k over a PRE-ENCODED corpus: queries rank the nCells
+    * coarse cells (broadcast table, [[PqAdc]] with the cell id as a
+    * 1-element code), keep `nProbe`, form per-(query, cell) residuals
+    * and ADC-score only rows in probed cells. At 100 TB the corpus
+    * side reads `nProbe/nCells` of the CODES column (32-64x smaller
+    * than the embeddings) — both prunings compose; the probed query
+    * table (|Q| * nProbe rows) broadcasts into the cell join, and the
+    * final top-k is the same WindowGroupLimit shape as the other
+    * search paths. ADC rounded to 6 decimals before ranking. */
+  def ivfPqTopK(encodedCorpus: DataFrame, queries: DataFrame,
+                idCol: String, cellCol: String, codeCol: String,
+                qvecCol: String, model: IvfPqModel, k: Int,
+                nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val cm = model.coarseModel
+    val q = queries.select(col(idCol).as("query_id"), col(qvecCol).as("__qv"))
+    val probes = q.crossJoin(broadcast(cellsDf(model, queries.sparkSession)))
+      .select(col("query_id"), col("__qv"), col("__cell"),
+        VectorExpressions.pqAdc(col("__qv"),
+          array(col("__cell")), cm.m, cm.dsub, cm.ksub, cm.centroids)
+          .as("__cd"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").asc, col("__cell").asc)
+    val probed = probes.withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .join(broadcast(cellsDf(model, queries.sparkSession)), Seq("__cell"))
+      .select(col("query_id"), col("__cell"),
+        zip_with(col("__qv").cast("array<double>"), col("__cvec"),
+          (a, b) => a - b).as("__qres"))
+    val c = Partitioning.spread(encodedCorpus.select(
+      col(idCol).as("neighbor_id"), col(cellCol).as("__cell"),
+      col(codeCol).as("__code")))
+    val scored = c.join(broadcast(probed), Seq("__cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorExpressions.pqAdc(col("__qres"), col("__code"),
+          model.pq.m, model.pq.dsub, model.pq.ksub,
+          model.pq.centroids), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact squared-L2 top-k (the recall yardstick for [[adcTopK]] —
     * ADC approximates L2, not cosine, so the gate compares like with
     * like). Same shape as [[Similarity.bruteForceTopK]]. */
