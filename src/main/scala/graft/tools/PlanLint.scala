@@ -68,7 +68,19 @@ object PlanLint {
     "q108_bm25_search" -> ("scalar-broadcast pattern: the 1-row " +
       "(N, avgdl) corpus stats cross the already-reduced tf rows"),
     "q110_bm25_batch" -> ("scalar-broadcast pattern: the 1-row " +
-      "(N, avgdl) corpus stats cross the already-reduced tf rows"))
+      "(N, avgdl) corpus stats cross the already-reduced tf rows"),
+    "q144_hybrid_rrf" -> ("both retriever shapes are allowed " +
+      "elsewhere: bm25Batch's 1-row stats cross (q110) and " +
+      "bruteForceTopK's broadcast query batch (q49); the fusion " +
+      "itself is an equi join on (qid, id)"),
+    "q145_pq_adc" -> ("ADC/exact-L2 top-k score a broadcast query " +
+      "batch against the corpus by design (q49 precedent; the " +
+      "IVF-PQ q148 is the pruned path)"),
+    "q146_pq_portable" -> ("same broadcast-query-batch cross as " +
+      "q145 with literal codebooks"),
+    "q148_ivfpq" -> ("query->cell scoring is a broadcast cross of " +
+      "Q x nCells rows (tiny); the corpus side joins probed cells " +
+      "by EQUI key and is never crossed (q50 precedent)"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -687,6 +687,49 @@ object ScaleSmoke {
       emb.unpersist(); q.unpersist()
       spark.catalog.clearCache()
     }
+    // zorder: file-pruning potential of the Morton layout vs the
+    // lexicographic clustered write, measured from the actual per-file
+    // min/max (the stats parquet footers carry — what any engine's
+    // file-level pruning consults). A mid-domain equality predicate on
+    // EACH column counts the files whose [min, max] admit it.
+    if (on("zorder")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+      val zdir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_z").toString + "/z"
+      val ldir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_z").toString + "/lex"
+      val nFiles = 32
+      var t0 = System.nanoTime()
+      graft.operators.ZOrder.saveZOrdered(li, "l_partkey", "l_suppkey",
+        zdir, nFiles = nFiles)
+      val tz = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      graft.ddf.DDF(li).save.clustered(ldir,
+        Seq("l_partkey", "l_suppkey"), nFiles = nFiles)
+      val tl = (System.nanoTime() - t0) / 1e9
+      val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val pMid = (st.getLong(0) + st.getLong(1)) / 2
+      val sMid = (st.getLong(2) + st.getLong(3)) / 2
+      def admits(dir: String, c: String, v: Long): Int =
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).count { f =>
+            val r = spark.read.parquet(f.toString)
+              .agg(min(col(c)), max(col(c))).head()
+            r.getLong(0) <= v && v <= r.getLong(1)
+          }
+      println(f"[scale-smoke] zorder write $tz%6.2f s, lex write " +
+        f"$tl%6.2f s, $nFiles files each")
+      println(f"[scale-smoke] files admitting l_partkey=$pMid: " +
+        f"zorder ${admits(zdir, "l_partkey", pMid)}/$nFiles, " +
+        f"lex ${admits(ldir, "l_partkey", pMid)}/$nFiles")
+      println(f"[scale-smoke] files admitting l_suppkey=$sMid: " +
+        f"zorder ${admits(zdir, "l_suppkey", sMid)}/$nFiles, " +
+        f"lex ${admits(ldir, "l_suppkey", sMid)}/$nFiles")
+    }
+
     spark.stop()
   }
 }
