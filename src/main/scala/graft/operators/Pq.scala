@@ -298,6 +298,111 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Model FORMAT version stamped as `__fmt` into every persisted
+    * codebook row — same discipline as the minhash/gram index
+    * families (Dedup.MinhashIndexFormat): the params alone cannot
+    * detect an incompatible layout change (centroid flattening order,
+    * argmin tie rule), and the failure mode of a stale codebook is a
+    * silently WRONG encode, worse than the index families' silent
+    * zero-candidate screens. v1 = `[(sub*ksub)+cidx]*dsub+j`
+    * flattening, strict-less-than argmin. */
+  private[graft] val PqModelFormat = 1
+
+  /** Persist a codebook: one row per (space, sub, cidx) — "pq" rows
+    * for the subquantizers, "coarse" rows for an IVF-PQ coarse table
+    * — with `__fmt` + shape params stamped constant on every row
+    * (free under parquet RLE, validated on load). The model is
+    * driver-state by nature (like a spark.ml model) but rides the
+    * same storage contract as the persisted dedup indexes. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: PqModel, path: String): Unit =
+    modelDf(spark, "pq", model).coalesce(1).write.mode("overwrite")
+      .parquet(path)
+
+  /** Persist an [[IvfPqModel]]: the coarse table is "coarse" rows
+    * (sub=0, cidx=cell) in the same file. */
+  def saveIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                     model: IvfPqModel, path: String): Unit =
+    modelDf(spark, "pq", model.pq)
+      .unionByName(modelDf(spark, "coarse",
+        PqModel(1, model.dim, model.nCells, model.coarse)))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  private def modelDf(spark: org.apache.spark.sql.SparkSession,
+                      space: String, m: PqModel): DataFrame = {
+    val rows = for (s <- 0 until m.m; c <- 0 until m.ksub) yield
+      (space, s, c,
+        m.centroids.slice((s * m.ksub + c) * m.dsub,
+          (s * m.ksub + c + 1) * m.dsub).toSeq)
+    spark.createDataFrame(rows)
+      .toDF("space", "sub", "cidx", "centroid")
+      .withColumn("__fmt", lit(PqModelFormat))
+      .withColumn("__m", lit(m.m))
+      .withColumn("__dsub", lit(m.dsub))
+      .withColumn("__ksub", lit(m.ksub))
+  }
+
+  /** Load a [[PqModel]] persisted by [[saveModel]]. Validates the
+    * `__fmt` format version, the shape params (constant, matching the
+    * row population: exactly m*ksub "pq" rows, each centroid of
+    * length dsub) — any gap throws with a rebuild message instead of
+    * encoding wrongly. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): PqModel =
+    loadSpace(spark.read.parquet(path), "pq")
+
+  /** Load an [[IvfPqModel]] persisted by [[saveIvfPqModel]]. */
+  def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqModel = {
+    val df = spark.read.parquet(path)
+    val pq = loadSpace(df, "pq")
+    val coarse = loadSpace(df, "coarse")
+    IvfPqModel(coarse.ksub, coarse.dsub, coarse.centroids, pq)
+  }
+
+  private def loadSpace(df: DataFrame, space: String): PqModel = {
+    val need = Seq("space", "sub", "cidx", "centroid",
+      "__fmt", "__m", "__dsub", "__ksub")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a PQ model file: missing columns $missing — rebuild with " +
+        s"Pq.saveModel (format v$PqModelFormat)")
+    val rows = df.filter(col("space") === space)
+      .select(col("sub"), col("cidx"), col("centroid").cast("array<double>"),
+        col("__fmt"), col("__m"), col("__dsub"), col("__ksub"))
+      .collect()
+    require(rows.nonEmpty, s"PQ model file has no '$space' rows")
+    val fmts = rows.map(_.getInt(3)).distinct
+    require(fmts.sameElements(Array(PqModelFormat)),
+      s"PQ model format ${fmts.mkString(",")} does not match this " +
+        s"library's v$PqModelFormat — rebuild the codebook " +
+        s"(an incompatible layout would encode WRONG, not just miss)")
+    val (m, dsub, ksub) = (rows.map(_.getInt(4)).distinct,
+      rows.map(_.getInt(5)).distinct, rows.map(_.getInt(6)).distinct) match {
+      case (Array(a), Array(b), Array(c)) => (a, b, c)
+      case other => sys.error(s"PQ model params not constant: $other")
+    }
+    require(rows.length == m * ksub,
+      s"PQ model '$space' rows incomplete: ${rows.length} of ${m * ksub}")
+    val centroids = new Array[Double](m * ksub * dsub)
+    val seen = new java.util.HashSet[Int]()
+    rows.foreach { r =>
+      val (s, c) = (r.getInt(0), r.getInt(1))
+      val arr = r.getSeq[Double](2)
+      require(s >= 0 && s < m && c >= 0 && c < ksub,
+        s"PQ model row out of range: sub=$s cidx=$c")
+      require(seen.add(s * ksub + c),
+        s"PQ model has duplicate row sub=$s cidx=$c")
+      require(arr.length == dsub,
+        s"PQ model centroid length ${arr.length} != dsub $dsub")
+      var j = 0
+      while (j < dsub) {
+        centroids((s * ksub + c) * dsub + j) = arr(j); j += 1
+      }
+    }
+    PqModel(m, dsub, ksub, centroids)
+  }
+
   /** Exact squared-L2 top-k (the recall yardstick for [[adcTopK]] —
     * ADC approximates L2, not cosine, so the gate compares like with
     * like). Same shape as [[Similarity.bruteForceTopK]]. */

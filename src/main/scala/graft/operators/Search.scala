@@ -200,18 +200,35 @@ object Search {
       .select(col("query_id").as("__qid"), col("neighbor_id").as("__id"),
         col("rank").as("sem_rank"))
 
-    val fused = lex.join(sem, Seq("__qid", "__id"), "full_outer")
-      .withColumn("rrf_score", round(
-        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)),
-        6))
+    rrfFuse(lex, sem, k, rrfK)
+      .select(col("__qid").as(qidCol), col("rank"), col("__id").as(idCol),
+        col("rrf_score"), col("lex_rank"), col("sem_rank"))
+  }
 
+  /** Retriever-agnostic RRF core: fuse ANY two per-query ranked lists
+    * — each `(__qid, __id, <rank col>)` with ranks starting at 1 —
+    * into the top-`k` by `Σ 1/(rrfK + rank)`. [[hybridRrf]] rides
+    * this with (bm25Batch, bruteForceTopK); swap either side for the
+    * IVF path ([[Similarity.ivfTopK]]), the IVF-PQ path
+    * ([[Pq.ivfPqTopK]]), or any external ranking, renamed to the
+    * triple above — fusion cost is list-sized either way. The input
+    * rank column names must differ (they come through in the output;
+    * e.g. `lex_rank`/`sem_rank`). */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    val rankA = listA.columns.filterNot(Set("__qid", "__id")).head
+    val rankB = listB.columns.filterNot(Set("__qid", "__id")).head
+    require(rankA != rankB,
+      s"rank columns must be named differently, both are '$rankA'")
+    val fused = listA.join(listB, Seq("__qid", "__id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col(rankA)), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col(rankB)), lit(0.0)),
+        6))
     import org.apache.spark.sql.expressions.Window
     fused
       .withColumn("rank", row_number().over(Window.partitionBy(col("__qid"))
         .orderBy(col("rrf_score").desc, col("__id").asc)))
       .filter(col("rank") <= k)
-      .select(col("__qid").as(qidCol), col("rank"), col("__id").as(idCol),
-        col("rrf_score"), col("lex_rank"), col("sem_rank"))
   }
 }

@@ -446,6 +446,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(top2 == Seq(1L, 2L))
   }
 
+  test("rrfFuse: retriever-agnostic core — self-fusion, rename contract") {
+    val list = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("__qid", "__id", "r_a")
+    // fusing a list with a renamed copy of itself doubles each term
+    val twin = list.withColumnRenamed("r_a", "r_b")
+    val got = graft.operators.Search.rrfFuse(list, twin, k = 2)
+      .orderBy($"rank").collect()
+    def rrf2(r: Int) = BigDecimal(2.0 / (60 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(r => (r.getLong(1), r.getDouble(4))).toSeq ==
+      Seq((10L, rrf2(1)), (11L, rrf2(2))))
+    // identically-named rank columns are a contract error, not a
+    // silent self-join ambiguity
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Search.rrfFuse(list, list, k = 2)
+    }
+    assert(e.getMessage.contains("named differently"))
+  }
+
   test("bm25Batch: each query's ranking equals the single-query path") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"), (4L, "c c"))
       .toDF("id", "text")

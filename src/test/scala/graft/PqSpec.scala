@@ -144,6 +144,46 @@ class PqSpec extends SparkTestBase {
     enc.unpersist(); exact.unpersist()
   }
 
+  test("model persistence: round-trip, format gate, shape gates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqm").toString
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, dsub = 16,
+      ksub = 8)
+    Pq.saveModel(spark, model, s"$dir/pq")
+    val back = Pq.loadModel(spark, s"$dir/pq")
+    assert(back.m == 4 && back.dsub == 16 && back.ksub == 8)
+    assert(back.centroids.sameElements(model.centroids))
+    // IVF-PQ: both spaces round-trip through one file
+    val ivf = Pq.fitIvfPq(emb, "vec_id", "embedding", nCells = 4,
+      m = 4, dsub = 16, ksub = 8)
+    Pq.saveIvfPqModel(spark, ivf, s"$dir/ivfpq")
+    val ivfBack = Pq.loadIvfPqModel(spark, s"$dir/ivfpq")
+    assert(ivfBack.nCells == 4 && ivfBack.dim == 64)
+    assert(ivfBack.coarse.sameElements(ivf.coarse))
+    assert(ivfBack.pq.centroids.sameElements(ivf.pq.centroids))
+    // a future/unknown format version must throw, not encode wrongly
+    spark.read.parquet(s"$dir/pq")
+      .withColumn("__fmt", lit(99))
+      .write.mode("overwrite").parquet(s"$dir/badfmt")
+    val eFmt = intercept[IllegalArgumentException] {
+      Pq.loadModel(spark, s"$dir/badfmt")
+    }
+    assert(eFmt.getMessage.contains("format"))
+    // an incomplete codebook (missing rows) must throw
+    spark.read.parquet(s"$dir/pq")
+      .filter($"cidx" =!= 3)
+      .write.mode("overwrite").parquet(s"$dir/short")
+    val eShort = intercept[IllegalArgumentException] {
+      Pq.loadModel(spark, s"$dir/short")
+    }
+    assert(eShort.getMessage.contains("incomplete"))
+    // not-a-model parquet must be rejected by column check
+    emb.limit(2).write.mode("overwrite").parquet(s"$dir/notmodel")
+    val eCols = intercept[IllegalArgumentException] {
+      Pq.loadModel(spark, s"$dir/notmodel")
+    }
+    assert(eCols.getMessage.contains("missing columns"))
+  }
+
   test("quantization error shrinks as ksub grows (training works)") {
     def mse(ksub: Int): Double = {
       val model = Pq.fit(emb, "vec_id", "embedding", m = 8, dsub = 8,

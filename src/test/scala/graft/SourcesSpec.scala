@@ -94,14 +94,18 @@ class SourcesSpec extends SparkTestBase {
     val lexSupp = spans(lp, "l_suppkey")
     // the z-order layout bounds BOTH dimensions for nearly every
     // file, so parquet min/max stats prune files for predicates on
-    // EITHER column. "Nearly": a contiguous z-range that crosses a
-    // high interleaved-bit flip (a curve seam) legitimately spans one
-    // dimension — at 8 files that is at most ~1 seam file per
-    // column (measured here: 7 of 8 at ~0.5 span, 1 at 1.0). The
-    // lexicographic layout instead leaves the second column
-    // unbounded in essentially every file.
+    // EITHER column. "Nearly", twice over: (a) a contiguous z-range
+    // that crosses a high interleaved-bit flip (a curve seam)
+    // legitimately spans one dimension — at 8 files that is ~1 seam
+    // file per column; (b) repartitionByRange draws its boundaries
+    // from a SAMPLING job (Save.clustered documents the same), so
+    // per-file spans jitter slightly run to run (~0.5 typical, up to
+    // ~0.7 at an unlucky boundary). The gate pins the stable shape —
+    // bounded average, at most one full-span seam file — not exact
+    // spans. The lexicographic layout instead leaves the second
+    // column unbounded in essentially every file.
     def ok(s: Array[Double]) =
-      s.count(_ <= 0.6) >= s.length - 1 && s.sum / s.length <= 0.7
+      s.count(_ <= 0.8) >= s.length - 1 && s.sum / s.length <= 0.7
     assert(ok(zPart), s"zorder l_partkey spans: ${zPart.toSeq}")
     assert(ok(zSupp), s"zorder l_suppkey spans: ${zSupp.toSeq}")
     assert(lexSupp.count(_ > 0.9) >= 6,
