@@ -241,4 +241,42 @@ object AlgebraicLaws extends Properties("graft.ddf") {
       once.dedupExactAgainst(cd, Seq("v")).countRows() == once.countRows() &&
       bd.dedupExactAgainst(toDDF(Nil), Seq("v")).countRows() == b.size
     }
+
+  private val rankedList: Gen[List[Long]] =
+    Gen.someOf(0L to 9L).map(_.toList).suchThat(_.nonEmpty)
+      .map(ids => new scala.util.Random(ids.sum).shuffle(ids))
+
+  property("rrfFuse is symmetric in its two lists") =
+    Prop.forAll(rankedList, rankedList) { (a, b) =>
+      import scala.jdk.CollectionConverters._
+      def list(ids: List[Long], rc: String) =
+        spark.createDataFrame(
+          ids.zipWithIndex.map { case (id, i) =>
+            org.apache.spark.sql.Row(1L, id, i + 1) }.asJava,
+          new org.apache.spark.sql.types.StructType()
+            .add("__qid", org.apache.spark.sql.types.LongType)
+            .add("__id", org.apache.spark.sql.types.LongType)
+            .add(rc, org.apache.spark.sql.types.IntegerType))
+      def fuse(x: org.apache.spark.sql.DataFrame,
+               y: org.apache.spark.sql.DataFrame) =
+        graft.operators.Search.rrfFuse(x, y, k = 20)
+          .select("__id", "rrf_score", "rank")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+          .toSet
+      fuse(list(a, "r_a"), list(b, "r_b")) ==
+        fuse(list(b, "r_b"), list(a, "r_a"))
+    }
+
+  property("z-value interleave is exactly invertible (Scala model)") =
+    Prop.forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      import org.apache.spark.sql.functions.lit
+      // identity scaling at [0, 65535]: xs == x, so deinterleaving the
+      // z-value must recover (x, y) bit for bit
+      val z = spark.range(1).select(graft.operators.ZOrder
+          .zValue2(lit(x), 0, 65535, lit(y), 0, 65535).as("z"))
+        .head().getLong(0)
+      val xBack = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yBack = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      xBack == x && yBack == y
+    }
 }
