@@ -3669,8 +3669,50 @@ object SparkEntry {
           lit(16).as("ksub"), col("hits"),
           round(col("hits") / (5 * 10.0), 4).as("recall"))
     },
-      None) // approximate op: emitted recall is the gate signal
+      None), // approximate op: emitted recall is the gate signal
              // (k-means coarse + subquantizer state no SQL replays)
+
+    // Deterministic synchronous label propagation (LabelProp) over
+    // the bipartite orderkey<->partkey co-occurrence graph: three
+    // rounds, each unrolled in the oracle as the same count +
+    // row_number(ORDER BY n DESC, label ASC) pair the operator runs —
+    // possible ONLY because updates are synchronous and ties break to
+    // the smallest label (textbook LPA's visit order and tie
+    // coin-flips would force rows-only). Census face per community.
+    Q("q149_label_prop", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select((col("l_orderkey") % 100).as("src"),
+        (col("l_partkey") % 100 + 1000).as("dst")).distinct()
+      graft.operators.LabelProp.communitySizes(edges, "src", "dst",
+          iters = 3)
+        .orderBy(col("community"))
+    },
+      Some("""WITH re AS (SELECT DISTINCT l_orderkey % 100 AS a,
+             |   l_partkey % 100 + 1000 AS b FROM lineitem),
+             |e AS (SELECT a, b FROM re UNION SELECT b, a FROM re),
+             |l0 AS (SELECT node, node AS label FROM
+             |  (SELECT DISTINCT a AS node FROM e)),
+             |n1 AS (SELECT e.a AS node, l.label, count(*) AS n
+             |  FROM e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+             |l1 AS (SELECT node, label FROM (SELECT node, label,
+             |   row_number() OVER (PARTITION BY node
+             |     ORDER BY n DESC, label ASC) AS rn FROM n1)
+             |  WHERE rn = 1),
+             |n2 AS (SELECT e.a AS node, l.label, count(*) AS n
+             |  FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+             |l2 AS (SELECT node, label FROM (SELECT node, label,
+             |   row_number() OVER (PARTITION BY node
+             |     ORDER BY n DESC, label ASC) AS rn FROM n2)
+             |  WHERE rn = 1),
+             |n3 AS (SELECT e.a AS node, l.label, count(*) AS n
+             |  FROM e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+             |l3 AS (SELECT node, label FROM (SELECT node, label,
+             |   row_number() OVER (PARTITION BY node
+             |     ORDER BY n DESC, label ASC) AS rn FROM n3)
+             |  WHERE rn = 1)
+             |SELECT label AS community, CAST(count(*) AS BIGINT)
+             |   AS n_nodes, min(node) AS min_node
+             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

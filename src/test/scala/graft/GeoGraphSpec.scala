@@ -71,4 +71,42 @@ class GeoGraphSpec extends SparkTestBase {
       assert(math.abs(r - dist(id)) < 1e-9, s"id=$id $r vs ${dist(id)}")
     }
   }
+
+  test("labelPropagation: bridged triangles split into their cores") {
+    import graft.operators.LabelProp
+    // two triangles joined by ONE bridge edge: CC would merge them
+    // into a single component; LPA keeps the dense cores apart —
+    // hand-traced through 3 synchronous min-tie rounds, {1,2,3}
+    // settles on label 1 and {4,5,6} on label 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = LabelProp.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(labels(1L), labels(2L), labels(3L)).size == 1)
+    assert(Set(labels(4L), labels(5L), labels(6L)).size == 1)
+    assert(labels(1L) != labels(4L), s"cores merged: $labels")
+    // determinism: repartitioned and reversed-orientation edges give
+    // the identical labeling (sync updates + min tie-break leave no
+    // order to matter)
+    val again = LabelProp.labelPropagation(
+      edges.select($"dst".as("src"), $"src".as("dst")).repartition(7),
+      "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == labels)
+    // labels only flow along edges: disjoint subgraphs never share
+    assert((Set(labels(1L), labels(2L), labels(3L)) ++
+      Set(labels(4L), labels(5L), labels(6L))).subsetOf(Set(1L, 3L)))
+    // iters = 0 is the identity labeling; self-loops are dropped
+    val id0 = LabelProp.labelPropagation(
+      edges.union(Seq((2L, 2L)).toDF("src", "dst")), "src", "dst", 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L))
+    // audit face mirrors clusterSizes
+    val sizes = LabelProp.communitySizes(edges, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sizes.map(_._2).toSeq == Seq(3L, 3L))
+  }
 }
