@@ -3712,7 +3712,47 @@ object SparkEntry {
              |  WHERE rn = 1)
              |SELECT label AS community, CAST(count(*) AS BIGINT)
              |   AS n_nodes, min(node) AS min_node
-             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact containment join (Dedup.containmentPairs) — the
+    // quote/inclusion detector: the fixture plants 12-token EXCERPTS
+    // of long documents under doc_id+20000, whose containment vs
+    // their source is 1.0 while symmetric Jaccard is far below any
+    // dedup threshold (the size gap swamps it — that asymmetry is the
+    // operator's reason to exist, pinned in DedupSpec). The oracle
+    // rebuilds the excerpts with list_slice and replays the
+    // intersect-over-min arithmetic on distinct shingle sets.
+    Q("q150_containment", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val excerpts = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .filter(size(TF.tokens(col("text"))) >= 24)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(docs.union(excerpts), "doc_id", "text",
+          shingleLen = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some(s"""WITH u AS (SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 20000,
+              |    array_to_string(list_slice(${sqlTokens("text")}, 1, 12), ' ')
+              |  FROM documents
+              |  WHERE doc_id < 100 AND len(${sqlTokens("text")}) >= 24),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / least(len(a.sh), len(b.sh)), 6) AS containment
+              |FROM sh a, sh b
+              |WHERE a.doc_id < b.doc_id
+              |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |    / least(len(a.sh), len(b.sh)) >= 0.8
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1057,6 +1057,70 @@ object Dedup {
     materializeAndRelease(result, sh)
   }
 
+  /** Exact CONTAINMENT join (asymmetric Jaccard) — the
+    * quote/inclusion detector [[jaccardPairsExact]] cannot be: a
+    * short document wholly quoted inside a long one has
+    * J = |A|/|B| ≈ 0 (symmetric Jaccard punishes the size gap) but
+    * containment |A∩B| / min(|A|, |B|) = 1. The standard screen for
+    * "is this doc substantially contained in another" — boilerplate
+    * inclusion, quote farms, prompt-in-completion leaks — thresholded
+    * high (t ≳ 0.8).
+    *
+    * Same co-occurrence-count shape (and 100 TB story) as
+    * [[jaccardPairsExact]]: per-shingle (id, |set|) pairs self-joined
+    * on the shingle, partial-agg counts, measure + threshold — no
+    * arrays cross a shuffle, exact by construction since a pair with
+    * containment ≥ t > 0 shares a shingle. `maxTokenBucket` is the
+    * same boilerplate guard with the same contract: counts become
+    * lower bounds, so capped pairs re-verify EXACTLY on their full
+    * shingle sets and only the candidate set is (documentedly)
+    * incomplete. Returns (id_a, id_b, containment) with id_a < id_b;
+    * the measure is symmetric-min, so the orientation of the
+    * inclusion is size order, not column order. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, threshold: Double = 0.8,
+                       maxTokenBucket: Int = Int.MaxValue): DataFrame = {
+    val sh = Partitioning.spread(
+      df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0))
+      .cache()
+    val tok0 = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val capped = maxTokenBucket < Int.MaxValue
+    val tok =
+      if (!capped) tok0
+      else {
+        val freq = tok0.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        tok0.join(freq.filter(col("freq") <= maxTokenBucket), Seq("tok"))
+          .select(col("id"), col("sz"), col("tok"))
+      }
+    val a = tok.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = tok.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val counted = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    val result =
+      if (!capped)
+        counted.select(col("id_a"), col("id_b"),
+          (col("inter") / least(col("sz_a"), col("sz_b")))
+            .as("containment"))
+          .filter(col("containment") >= threshold)
+      else // capped counts are lower bounds → re-verify exactly
+        counted.select(col("id_a"), col("id_b"))
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b")))
+              / least(size(col("sh_a")), size(col("sh_b")))
+              .cast("double")).as("containment"))
+          .filter(col("containment") >= threshold)
+    materializeAndRelease(result, sh)
+  }
+
   /** URL-level dedup (DRIVER-EXT, SURVEY.md §2.12): one row per
     * CANONICAL URL ([[graft.functions.UrlFunctions.normalizeUrl]]) —
     * the first dedup pass of every web-derived corpus (re-crawls and

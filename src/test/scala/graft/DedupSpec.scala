@@ -767,6 +767,28 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L))) // 3 is identical but in another block
   }
 
+  test("containment pairs: catches inclusions symmetric jaccard misses") {
+    // doc 2 is a verbatim excerpt of doc 1: every excerpt shingle is
+    // in the source (containment 1.0) but symmetric Jaccard is
+    // 3/12 = 0.25 — under any dedup threshold. doc 3 is unrelated.
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l m n"), // 12 shingles
+      (2L, "a b c d e"),                   // 3 shingles, all in doc 1
+      (3L, "z y x w v u t")).toDF("id", "text")
+    val got = Dedup.containmentPairs(d, "id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairsExact(d, "id", "text", threshold = 0.5)
+      .count()
+    assert(jac == 0, "jaccard should MISS the inclusion (that gap is " +
+      "the operator's reason to exist)")
+    // the capped path re-verifies exactly: same answer
+    val capped = Dedup.containmentPairs(d, "id", "text", threshold = 0.8,
+        maxTokenBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("embedding pairs find planted duplicate vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter($"vec_id" < 5)
