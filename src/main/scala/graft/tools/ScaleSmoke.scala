@@ -687,6 +687,42 @@ object ScaleSmoke {
       emb.unpersist(); q.unpersist()
       spark.catalog.clearCache()
     }
+    // lpa: label-propagation rounds on two graph shapes — a chain of
+    // 3-cliques (worst case: many small communities, labels travel)
+    // and a bipartite co-occurrence graph (the q149 shape, dense).
+    // Cost should scale in edges x iters, never quadratically.
+    if (on("lpa")) Seq(10000, 40000, 160000).foreach { nCliques =>
+      import spark.implicits._
+      // clique i = nodes {3i, 3i+1, 3i+2} + bridge to clique i+1
+      val cliqueEdges = (0L until nCliques).flatMap { i =>
+        val b = 3 * i
+        Seq((b, b + 1), (b + 1, b + 2), (b, b + 2)) ++
+          (if (i + 1 < nCliques) Seq((b + 2, b + 3)) else Nil)
+      }.toDF("src", "dst")
+      val t0 = System.nanoTime()
+      val comms = graft.operators.LabelProp
+        .communitySizes(cliqueEdges, "src", "dst", iters = 3).count()
+      println(f"[scale-smoke] lpa cliqueChain nCliques=$nCliques%-7d " +
+        f"edges=${4 * nCliques - 1}%-8d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s  communities=$comms")
+    }
+
+    // cont: containment join at replicated corpus scale — same
+    // co-occurrence cost model as the jaccard join (sum over shingles
+    // of C(freq,2) join rows); the replica-suffix token keeps shingle
+    // buckets from exploding quadratically across replicas.
+    if (on("cont")) scales.foreach { k =>
+      val c = corpus(k)
+      val n = c.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.containmentPairs(c, "doc_id",
+        "text", shingleLen = 3, threshold = 0.9,
+        maxTokenBucket = 64).count()
+      println(f"[scale-smoke] cont k=$k%-3d docs=$n%-8d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s  pairs=$pairs")
+      c.unpersist()
+    }
+
     // zorder: file-pruning potential of the Morton layout vs the
     // lexicographic clustered write, measured from the actual per-file
     // min/max (the stats parquet footers carry — what any engine's
