@@ -438,14 +438,30 @@ object VectorExpressions {
     def compute(q: Any, codesRaw: Any): Double = {
       val qa = q.asInstanceOf[ArrayData]
       val et = qElemType
+      // unsafe array reads perform NO bounds checks — a short vector
+      // or a codes column from a different model would read garbage
+      // memory and return silently wrong distances; fail loud instead
+      // (elements must additionally be non-null / dense, the same
+      // contract as DotProduct)
+      require(qa.numElements() >= m * dsub,
+        s"query vector has ${qa.numElements()} dims, need ${m * dsub}")
       val codes: Int => Int = codesRaw match {
-        case b: Array[Byte] => s => b(s) & 0xff
-        case a: ArrayData   => s => a.getInt(s)
+        case b: Array[Byte] =>
+          require(b.length >= m, s"codes have ${b.length} bytes, need $m")
+          s => b(s) & 0xff
+        case a: ArrayData =>
+          require(a.numElements() >= m,
+            s"codes have ${a.numElements()} entries, need $m")
+          s => a.getInt(s)
       }
       var total = 0.0
       var s = 0
       while (s < m) {
-        val base = (s * ksub + codes(s)) * dsub
+        val c = codes(s)
+        require(c >= 0 && c < ksub,
+          s"code $c at subspace $s out of range [0, $ksub) — codes " +
+            "were encoded under a different model")
+        val base = (s * ksub + c) * dsub
         var d = 0.0
         var j = 0
         while (j < dsub) {

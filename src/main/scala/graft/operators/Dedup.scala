@@ -1019,7 +1019,24 @@ object Dedup {
     * truth on the documents testdata. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.5,
-                        maxTokenBucket: Int = Int.MaxValue): DataFrame = {
+                        maxTokenBucket: Int = Int.MaxValue): DataFrame =
+    coOccurrencePairs(df, idCol, textCol, shingleLen, maxTokenBucket,
+      out = "jaccard", threshold = threshold,
+      counted = (inter, szA, szB) => inter / (szA + szB - inter),
+      verify = (shA, shB) => jaccard(shA, shB))
+
+  /** Shared scaffold of the exact set-similarity joins
+    * ([[jaccardPairsExact]], [[containmentPairs]]): distinct shingle
+    * sets (cached for the capped re-verify), per-shingle (id, |set|)
+    * self-join, partial-agg intersection counts — then the caller's
+    * measure over (inter, sz_a, sz_b), or its exact array form when
+    * `maxTokenBucket` capped the counts (lower bounds → every
+    * candidate re-verifies on full shingle sets). */
+  private def coOccurrencePairs(df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, maxTokenBucket: Int,
+      out: String, threshold: Double,
+      counted: (Column, Column, Column) => Column,
+      verify: (Column, Column) => Column): DataFrame = {
     val sh = Partitioning.spread(
       df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleLen).as("sh"))
@@ -1037,23 +1054,24 @@ object Dedup {
       }
     val a = tok.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = tok.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val counted = a.join(b, Seq("tok"))
+    val counts = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
     val result =
       if (!capped)
-        counted.select(col("id_a"), col("id_b"),
-          (col("inter") /
-            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
+        counts.select(col("id_a"), col("id_b"),
+          counted(col("inter"), col("sz_a"), col("sz_b")).as(out))
+          .filter(col(out) >= threshold)
       else // capped counts are lower bounds → re-verify exactly
-        counted.select(col("id_a"), col("id_b"))
-          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        counts.select(col("id_a"), col("id_b"))
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
+            verify(col("sh_a"), col("sh_b")).as(out))
+          .filter(col(out) >= threshold)
     materializeAndRelease(result, sh)
   }
 
@@ -1079,47 +1097,12 @@ object Dedup {
     * inclusion is size order, not column order. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int = 3, threshold: Double = 0.8,
-                       maxTokenBucket: Int = Int.MaxValue): DataFrame = {
-    val sh = Partitioning.spread(
-      df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0))
-      .cache()
-    val tok0 = sh.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok"))
-    val capped = maxTokenBucket < Int.MaxValue
-    val tok =
-      if (!capped) tok0
-      else {
-        val freq = tok0.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        tok0.join(freq.filter(col("freq") <= maxTokenBucket), Seq("tok"))
-          .select(col("id"), col("sz"), col("tok"))
-      }
-    val a = tok.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = tok.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val counted = a.join(b, Seq("tok"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    val result =
-      if (!capped)
-        counted.select(col("id_a"), col("id_b"),
-          (col("inter") / least(col("sz_a"), col("sz_b")))
-            .as("containment"))
-          .filter(col("containment") >= threshold)
-      else // capped counts are lower bounds → re-verify exactly
-        counted.select(col("id_a"), col("id_b"))
-          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
-            Seq("id_a"))
-          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
-            Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sh_a"), col("sh_b")))
-              / least(size(col("sh_a")), size(col("sh_b")))
-              .cast("double")).as("containment"))
-          .filter(col("containment") >= threshold)
-    materializeAndRelease(result, sh)
-  }
+                       maxTokenBucket: Int = Int.MaxValue): DataFrame =
+    coOccurrencePairs(df, idCol, textCol, shingleLen, maxTokenBucket,
+      out = "containment", threshold = threshold,
+      counted = (inter, szA, szB) => inter / least(szA, szB),
+      verify = (shA, shB) => size(array_intersect(shA, shB))
+        / least(size(shA), size(shB)).cast("double"))
 
   /** URL-level dedup (DRIVER-EXT, SURVEY.md §2.12): one row per
     * CANONICAL URL ([[graft.functions.UrlFunctions.normalizeUrl]]) —

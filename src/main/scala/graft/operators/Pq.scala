@@ -51,26 +51,35 @@ object Pq {
   /** Fit `m` subquantizers of `ksub` centroids each by Lloyd k-means
     * on a bounded sample of the corpus.
     *
-    * The sample is `sample(fitFraction, seed).limit(fitCap)` then
-    * SORTED BY `idCol` on the driver — the sort makes the fit
-    * independent of partition layout (the collected order would
-    * otherwise vary run to run), and at fitCap <= 100k rows the
-    * driver work is trivial (100k * 256 dims = ~100 MB transient).
-    * At 100 TB pass `fitFraction ~ fitCap / n` so the sample is
-    * uniform rather than a prefix, exactly like
-    * [[Similarity.fitIvfQuantizer]]. Init takes the `ksub` evenly
-    * spaced sample rows per subspace (deterministic, spread);
-    * `iters` fixed Lloyd rounds; an emptied cluster keeps its
-    * previous centroid. */
+    * Determinism contract: the bounded sample is the id-ORDERED
+    * prefix — `sort(idCol).limit(fitCap)` plans as
+    * TakeOrderedAndProject (per-partition top-fitCap heaps + one
+    * k-row merge, never a full sort), so WHICH rows train the
+    * codebook is a pure function of the row set, independent of
+    * partition layout even when the corpus exceeds `fitCap` (PqSpec
+    * pins the truncation regime). At fitCap <= 100k rows the driver
+    * work is trivial (100k * 256 dims = ~100 MB transient). One
+    * caveat rides Spark's own semantics: `fitFraction < 1` row
+    * SELECTION is per-partition Bernoulli, so a fractional sample is
+    * layout-dependent before the ordered truncation ever runs — at
+    * 100 TB either accept that (any uniform sample trains equally
+    * well; only rerun-identity is lost) or pre-filter
+    * deterministically (e.g. on a hash of the id) and leave
+    * fitFraction at 1. Init takes the `ksub` evenly spaced sample
+    * rows per subspace (deterministic, spread); `iters` fixed Lloyd
+    * rounds; an emptied cluster keeps its previous centroid. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           m: Int, dsub: Int, ksub: Int, seed: Long = 42L,
           fitFraction: Double = 1.0, fitCap: Int = 100000,
           iters: Int = 10): PqModel = {
     require(m >= 1 && dsub >= 1 && ksub >= 1, "m, dsub, ksub must be >= 1")
-    val rows = corpus
+    val sampled = corpus
       .select(col(idCol).cast("string").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .sample(withReplacement = false, fitFraction, seed)
+    val rows = (if (fitFraction < 1.0)
+        sampled.sample(withReplacement = false, fitFraction, seed)
+      else sampled)
+      .sort(col("__id"))
       .limit(fitCap)
       .collect()
       .sortBy(_.getString(0))
@@ -269,8 +278,11 @@ object Pq {
     require(k > 0 && nProbe > 0, "k and nProbe must be positive")
     val cm = model.coarseModel
     val q = queries.select(col(idCol).as("query_id"), col(qvecCol).as("__qv"))
+    // carry __cvec through the probe ranking — the cross join already
+    // pairs every query with every cell's centroid, so the residual
+    // needs no second cells build/broadcast
     val probes = q.crossJoin(broadcast(cellsDf(model, queries.sparkSession)))
-      .select(col("query_id"), col("__qv"), col("__cell"),
+      .select(col("query_id"), col("__qv"), col("__cell"), col("__cvec"),
         VectorExpressions.pqAdc(col("__qv"),
           array(col("__cell")), cm.m, cm.dsub, cm.ksub, cm.centroids)
           .as("__cd"))
@@ -278,7 +290,6 @@ object Pq {
       .orderBy(col("__cd").asc, col("__cell").asc)
     val probed = probes.withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
-      .join(broadcast(cellsDf(model, queries.sparkSession)), Seq("__cell"))
       .select(col("query_id"), col("__cell"),
         zip_with(col("__qv").cast("array<double>"), col("__cvec"),
           (a, b) => a - b).as("__qres"))

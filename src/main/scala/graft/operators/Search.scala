@@ -216,8 +216,20 @@ object Search {
     * e.g. `lex_rank`/`sem_rank`). */
   def rrfFuse(listA: DataFrame, listB: DataFrame, k: Int,
               rrfK: Int = 60): DataFrame = {
-    val rankA = listA.columns.filterNot(Set("__qid", "__id")).head
-    val rankB = listB.columns.filterNot(Set("__qid", "__id")).head
+    // strict triple contract: guessing the rank column out of extra
+    // columns (say a score column the caller forgot to drop) would
+    // silently fuse on the wrong values — reject anything but
+    // exactly (__qid, __id, <rank>)
+    def rankColOf(df: DataFrame, side: String): String = {
+      val extra = df.columns.filterNot(Set("__qid", "__id"))
+      require(df.columns.toSet.contains("__qid")
+          && df.columns.toSet.contains("__id") && extra.length == 1,
+        s"$side list must have exactly the columns (__qid, __id, " +
+          s"<rank>), got (${df.columns.mkString(", ")})")
+      extra.head
+    }
+    val rankA = rankColOf(listA, "first")
+    val rankB = rankColOf(listB, "second")
     require(rankA != rankB,
       s"rank columns must be named differently, both are '$rankA'")
     val fused = listA.join(listB, Seq("__qid", "__id"), "full_outer")

@@ -462,6 +462,13 @@ class OperatorsSpec extends SparkTestBase {
       graft.operators.Search.rrfFuse(list, list, k = 2)
     }
     assert(e.getMessage.contains("named differently"))
+    // an extra column (say an undropped score) is rejected — guessing
+    // the rank column would silently fuse on the wrong values
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Search.rrfFuse(
+        list.withColumn("score", lit(3.5)), twin, k = 2)
+    }
+    assert(e2.getMessage.contains("exactly the columns"))
   }
 
   test("bm25Batch: each query's ranking equals the single-query path") {

@@ -61,6 +61,17 @@ class PqSpec extends SparkTestBase {
       m = 4, dsub = 16, ksub = 8)
     assert(a.centroids.sameElements(b.centroids))
     assert(a.centroids.sameElements(c.centroids))
+    // the TRUNCATION regime (corpus larger than fitCap) must pick the
+    // SAME rows regardless of layout — the id-ordered prefix, not
+    // whichever fitCap rows a partition order serves first
+    val t1 = Pq.fit(emb, "vec_id", "embedding", m = 4, dsub = 16,
+      ksub = 8, fitCap = 100)
+    val t2 = Pq.fit(emb.repartition(17), "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, fitCap = 100)
+    assert(t1.centroids.sameElements(t2.centroids))
+    // and the truncated fit differs from the full fit (it really
+    // trained on the 100-row prefix, not all 500)
+    assert(!t1.centroids.sameElements(a.centroids))
   }
 
   test("adcTopK recall floor vs exact L2, packed == unpacked") {
@@ -142,6 +153,36 @@ class PqSpec extends SparkTestBase {
     assert(model.coarse.sameElements(model2.coarse))
     assert(model.pq.centroids.sameElements(model2.pq.centroids))
     enc.unpersist(); exact.unpersist()
+  }
+
+  test("ADC fails loud on dimension/model mismatches") {
+    import graft.expressions.VectorExpressions
+    // unsafe array reads have no bounds checks, so a short vector or
+    // foreign codes would otherwise score silently wrong
+    val model = Pq.PqModel(2, 2, 2,
+      Array(0.0, 0.0, 4.0, 4.0, 1.0, 1.0, 9.0, 9.0))
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val shortQ = Seq((Seq(1f, 2f), Seq(0, 1))).toDF("v", "code")
+    val e1 = intercept[Exception] {
+      shortQ.select(VectorExpressions.pqAdc($"v", $"code", 2, 2, 2,
+        model.centroids)).collect()
+    }
+    assert(msgChain(e1).contains("dims"))
+    val shortCodes = Seq((Seq(1f, 2f, 3f, 4f), Seq(0))).toDF("v", "code")
+    val e2 = intercept[Exception] {
+      shortCodes.select(VectorExpressions.pqAdc($"v", $"code", 2, 2, 2,
+        model.centroids)).collect()
+    }
+    assert(msgChain(e2).contains("codes"))
+    val foreignCodes = Seq((Seq(1f, 2f, 3f, 4f), Seq(0, 7)))
+      .toDF("v", "code")
+    val e3 = intercept[Exception] {
+      foreignCodes.select(VectorExpressions.pqAdc($"v", $"code", 2, 2, 2,
+        model.centroids)).collect()
+    }
+    assert(msgChain(e3).contains("out of range"))
   }
 
   test("model persistence: round-trip, format gate, shape gates") {
