@@ -414,6 +414,78 @@ object Pq {
     PqModel(m, dsub, ksub, centroids)
   }
 
+  /** Content digest of a codebook (md5 over shape + every centroid
+    * byte) — the pairing key between a persisted ENCODED CORPUS and
+    * the model that encoded it. [[PqAdc]]'s range check only catches
+    * SHAPE-incompatible models; two models of identical (m, dsub,
+    * ksub) trained on different data pass it and decode silently
+    * WRONG — the exact trap `__fmt` versioning exists for, keyed here
+    * on content because PQ "params" ARE the learned centroids. */
+  def codebookDigest(model: PqModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(12 + model.centroids.length * 8)
+    bb.putInt(model.m).putInt(model.dsub).putInt(model.ksub)
+    model.centroids.foreach(bb.putDouble)
+    bb.flip()
+    md.update(bb)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** [[codebookDigest]] over both halves of an IVF-PQ model. */
+  def codebookDigest(model: IvfPqModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(codebookDigest(model.coarseModel)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(codebookDigest(model.pq)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Encoded-corpus index format version (`__fmt`), bumped with any
+    * incompatible change to the code column layout. v1 = array<int> /
+    * packed-binary codes as [[PqEncode]] emits them. */
+  private[graft] val PqIndexFormat = 1
+
+  /** Persist an encoded corpus (from [[encode]] / [[encodeIvfPq]])
+    * with the encoding model's digest stamped on every row — parquet
+    * RLE stores the constants for free, and [[loadEncoded]] can then
+    * REFUSE a corpus/model mismatch instead of ADC-scanning wrong
+    * distances. Any layout (partitioning, bucketing) can wrap this;
+    * the stamp is column-level. */
+  def saveEncoded(encoded: DataFrame, path: String, digest: String,
+                  mode: String = "overwrite"): Unit =
+    encoded
+      .withColumn("__fmt", lit(PqIndexFormat))
+      .withColumn("__digest", lit(digest))
+      .write.mode(mode).parquet(path)
+
+  /** Load a [[saveEncoded]] corpus for serving with `model`:
+    * validates the format version and that EVERY distinct stamped
+    * digest equals the model's (one column-pruned distinct over
+    * constant RLE columns — cheap at any scale; a union of corpora
+    * encoded under different models fails here instead of mixing
+    * geometries). Returns the frame with the stamp columns dropped. */
+  def loadEncoded(spark: org.apache.spark.sql.SparkSession, path: String,
+                  digest: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("__fmt") && df.columns.contains("__digest"),
+      "not a saveEncoded corpus: missing __fmt/__digest stamps — " +
+        "re-encode and persist with Pq.saveEncoded")
+    val stamps = df.select(col("__fmt"), col("__digest")).distinct()
+      .collect()
+    stamps.foreach { r =>
+      require(r.getInt(0) == PqIndexFormat,
+        s"encoded-corpus format ${r.getInt(0)} != this library's " +
+          s"v$PqIndexFormat — re-encode")
+      require(r.getString(1) == digest,
+        s"encoded corpus was built by codebook ${r.getString(1)}, not " +
+          s"the passed model's $digest — ADC against the wrong " +
+          "codebook returns silently wrong neighbors; re-encode or " +
+          "load the matching model")
+    }
+    df.drop("__fmt", "__digest")
+  }
+
   /** Exact squared-L2 top-k (the recall yardstick for [[adcTopK]] —
     * ADC approximates L2, not cosine, so the gate compares like with
     * like). Same shape as [[Similarity.bruteForceTopK]]. */

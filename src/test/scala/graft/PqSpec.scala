@@ -225,6 +225,44 @@ class PqSpec extends SparkTestBase {
     assert(eCols.getMessage.contains("missing columns"))
   }
 
+  test("encoded-corpus persistence: digest pairing, mismatch refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqi").toString
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, dsub = 8,
+      ksub = 16)
+    val dg = Pq.codebookDigest(model)
+    Pq.saveEncoded(Pq.encode(emb, "embedding", model)
+      .select($"vec_id", $"pq_code"), s"$dir/enc", dg)
+    // round-trip serves identically
+    val back = Pq.loadEncoded(spark, s"$dir/enc", dg)
+    val q = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val a = Pq.adcTopK(back, q, "vec_id", "pq_code", "embedding",
+      model, k = 3).collect().map(_.toSeq).toSet
+    val b = Pq.adcTopK(Pq.encode(emb, "embedding", model), q, "vec_id",
+      "pq_code", "embedding", model, k = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // a same-SHAPE model trained differently has a different digest,
+    // and loading under it is refused — PqAdc's range check alone
+    // cannot catch this (codes are in range, geometry is wrong)
+    val other = Pq.fit(emb, "vec_id", "embedding", m = 8, dsub = 8,
+      ksub = 16, fitCap = 100)
+    assert(Pq.codebookDigest(other) != dg)
+    val e = intercept[IllegalArgumentException] {
+      Pq.loadEncoded(spark, s"$dir/enc", Pq.codebookDigest(other))
+    }
+    assert(e.getMessage.contains("wrong codebook")
+      || e.getMessage.contains("built by codebook"))
+    // a plain parquet without stamps is refused
+    emb.limit(3).write.parquet(s"$dir/plain")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.loadEncoded(spark, s"$dir/plain", dg)
+    }
+    assert(e2.getMessage.contains("missing __fmt"))
+    // ivfpq digest covers both halves
+    val ivf = Pq.fitIvfPq(emb, "vec_id", "embedding", nCells = 4,
+      m = 8, dsub = 8, ksub = 16)
+    assert(Pq.codebookDigest(ivf) != Pq.codebookDigest(ivf.pq))
+  }
+
   test("quantization error shrinks as ksub grows (training works)") {
     def mse(ksub: Int): Double = {
       val model = Pq.fit(emb, "vec_id", "embedding", m = 8, dsub = 8,
