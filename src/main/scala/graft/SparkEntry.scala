@@ -3752,7 +3752,39 @@ object SparkEntry {
               |WHERE a.doc_id < b.doc_id
               |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |    / least(len(a.sh), len(b.sh)) >= 0.8
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // WordPiece encoding, whole-word-vocab face: with no "##"
+    // continuation pieces in the vocab, greedy longest-match-first
+    // collapses EXACTLY to `w IN vocab ? w : [UNK]` (any split
+    // attempt dead-ends — BERT's whole-word-unk rule), which one
+    // CASE WHEN replays. The greedy SPLIT path (not SQL-expressible)
+    // is spec-pinned against an independent recursive reference on
+    // randomized vocab/word inputs, the BPE q130/q132 treatment.
+    Q("q151_wordpiece", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs.filter(col("doc_id") < 50)
+        .select(explode(TF.tokens(col("text"))).as("piece")).distinct()
+      graft.operators.WordPiece.encode(docs, "text", vocab)
+        .select(col("lang"), explode(col("wp_tokens")).as("p"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(when(col("p") === "[UNK]", 1L).otherwise(0L)).as("n_unk"),
+          count_distinct(col("p")).as("n_distinct"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH v AS (SELECT DISTINCT unnest(${sqlTokens("text")})
+              |    AS piece FROM documents WHERE doc_id < 50),
+              |tok AS (SELECT lang, unnest(${sqlTokens("text")}) AS t
+              |  FROM documents),
+              |enc AS (SELECT lang, CASE WHEN len(t) <= 200
+              |    AND t IN (SELECT piece FROM v) THEN t
+              |    ELSE '[UNK]' END AS p FROM tok)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_pieces,
+              | CAST(sum(CASE WHEN p = '[UNK]' THEN 1 ELSE 0 END)
+              |   AS BIGINT) AS n_unk,
+              | CAST(count(DISTINCT p) AS BIGINT) AS n_distinct
+              |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

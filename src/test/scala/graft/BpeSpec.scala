@@ -269,4 +269,75 @@ class BpeSpec extends SparkTestBase {
     assert(out(2) == Seq.empty)
     assert(out(3) == null)
   }
+
+  // ---- WordPiece (the greedy longest-match sibling) ---------------------
+
+  test("wordpiece: BERT textbook cases, longest-first, whole-word unk") {
+    import graft.operators.WordPiece
+    val vocab = Seq("un", "##aff", "##able", "hello", "abc", "ab",
+      "##d", "a").toDF("piece")
+    val df = Seq((1, "unaffable hello"), (2, "abcd"), (3, "xyz"),
+      (4, "ab")).toDF("id", "text")
+    val out = WordPiece.encode(df, "text", vocab)
+      .select($"id", $"wp_tokens").as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("un", "##aff", "##able", "hello"))
+    // longest-first: "abc" beats "ab"/"a"; then "##d" continues
+    assert(out(2) == Seq("abc", "##d"))
+    // no piece matches at position 0 -> WHOLE word unk, no partials
+    assert(out(3) == Seq("[UNK]"))
+    assert(out(4) == Seq("ab"))
+    // a matchable prefix whose REMAINDER dead-ends is unk too:
+    // "az" matches "a" then needs "##z" which is absent
+    val out2 = WordPiece.encode(Seq((9, "az")).toDF("id", "text"),
+        "text", vocab)
+      .select($"wp_tokens").as[Seq[String]].head()
+    assert(out2 == Seq("[UNK]"))
+  }
+
+  test("wordpiece: randomized equality vs independent recursive model") {
+    import graft.operators.WordPiece
+    val rnd = new scala.util.Random(7)
+    (1 to 40).foreach { _ =>
+      val alphabet = "abc"
+      def randWord(n: Int) =
+        (1 to n).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val vocab = (1 to 12).flatMap { _ =>
+        val p = randWord(1 + rnd.nextInt(3))
+        Seq(p, "##" + randWord(1 + rnd.nextInt(2)))
+      }.distinct.toSet
+      val w = randWord(1 + rnd.nextInt(6))
+      val got = WordPiece.encodeWord(w, vocab, "[UNK]", "##", 200)
+      // reference replays the same COMMITTING greedy loop
+      def greedyRef(w: String): Seq[String] = {
+        var start = 0; val out = Seq.newBuilder[String]
+        while (start < w.length) {
+          val m = (w.length to (start + 1) by -1).iterator.map { e =>
+            val p = (if (start == 0) "" else "##") + w.substring(start, e)
+            (p, e)
+          }.find(pe => vocab.contains(pe._1))
+          m match {
+            case None => return Seq("[UNK]")
+            case Some((p, e)) => out += p; start = e
+          }
+        }
+        out.result()
+      }
+      assert(got == greedyRef(w), s"w=$w vocab=$vocab")
+    }
+  }
+
+  test("wordpiece: maxInputChars guard, counts, null text") {
+    import graft.operators.WordPiece
+    val vocab = Seq("a", "##a").toDF("piece")
+    val long = "a" * 300
+    val df = Seq((1, s"aa $long"), (2, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = WordPiece.encode(df, "text", vocab)
+      .select($"id", $"wp_tokens").as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("a", "##a", "[UNK]")) // overlong word -> unk
+    assert(out(2) == null)
+    val cnt = WordPiece.tokenCount(df.filter($"id" === 1), "text", vocab)
+      .select($"wp_count").as[Int].head()
+    assert(cnt == 3)
+  }
 }
