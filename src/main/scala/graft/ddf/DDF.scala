@@ -819,6 +819,37 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Search.bm25Batch(df, idCol, textCol,
       queries.df, qidCol, qtextCol, k))
 
+  /** [[graft.operators.Search.hybridRrf]] — BM25 ⊕ cosine top-k
+    * lists fused by reciprocal rank (this frame = the corpus with
+    * text AND embedding columns) */
+  def searchHybridRrf(idCol: String, textCol: String, vecCol: String,
+                      queries: DDF, qidCol: String, qtextCol: String,
+                      qvecCol: String, k: Int, kEach: Int = 20): DDF =
+    wrap(graft.operators.Search.hybridRrf(df, idCol, textCol, vecCol,
+      queries.df, qidCol, qtextCol, qvecCol, k, kEach = kEach))
+
+  /** [[graft.operators.Dedup.containmentPairs]] — asymmetric-Jaccard
+    * inclusion pairs (quote/boilerplate detection) */
+  def containmentPairs(idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       shingleLen: Int = 3): DDF =
+    wrap(graft.operators.Dedup.containmentPairs(df, idCol, textCol,
+      shingleLen = shingleLen, threshold = threshold))
+
+  /** [[graft.operators.LabelProp.labelPropagation]] — deterministic
+    * sync label propagation over this frame as an edge list */
+  def labelPropagation(srcCol: String, dstCol: String, iters: Int): DDF =
+    wrap(graft.operators.LabelProp.labelPropagation(df, srcCol, dstCol,
+      iters))
+
+  /** [[graft.operators.WordPiece.encode]] — BERT-family greedy
+    * longest-match subword tokens from a piece-vocabulary frame */
+  def wordpieceEncode(textCol: String, vocab: DDF,
+                      pieceCol: String = "piece",
+                      out: String = "wp_tokens"): DDF =
+    wrap(graft.operators.WordPiece.encode(df, textCol, vocab.df,
+      pieceCol, out))
+
   /** [[graft.operators.RangeJoin.pointInInterval]] — bucket-rewritten
     * inequality join (this side = points) */
   def rangeJoin(pCol: String, intervals: DDF, loCol: String,

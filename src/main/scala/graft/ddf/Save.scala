@@ -48,6 +48,15 @@ class Save(df: DataFrame) {
       .write.mode(mode).parquet(path)
   }
 
+  /** [[graft.operators.ZOrder.saveZOrdered]] — two-column Morton
+    * clustered parquet: files bound BOTH columns, so footer min/max
+    * stats prune on either predicate (the multi-dimensional sibling
+    * of [[clustered]], which bounds only its leading column). */
+  def zordered(path: String, xCol: String, yCol: String,
+               nFiles: Int = 0, mode: String = "overwrite"): Unit =
+    graft.operators.ZOrder.saveZOrdered(df, xCol, yCol, path,
+      nFiles = nFiles, mode = mode)
+
   /** ORC sink (engine ext, pairs with DDFContext.read.orc) — same
     * `partitionBy` hive-style directory layout as parquet. */
   def orc(path: String, mode: String = "overwrite",

@@ -645,6 +645,32 @@ class DDFSpec extends SparkTestBase {
     assert(rows(DDF(docs).classifyText("doc_id", "text", DDF(wts), 0.2).toDF)
       == rows(graft.operators.Classifier
         .linearTextScore(docs, "doc_id", "text", wts, 0.2)))
+    // r10 delegates
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), $"text", $"embedding")
+    val hq = corpus.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"), $"text".as("qtext"),
+        $"embedding".as("qvec"))
+    assert(rows(DDF(corpus).searchHybridRrf("doc_id", "text",
+        "embedding", DDF(hq), "qid", "qtext", "qvec", k = 3,
+        kEach = 5).toDF)
+      == rows(Search.hybridRrf(corpus, "doc_id", "text", "embedding",
+        hq, "qid", "qtext", "qvec", 3, kEach = 5)))
+    assert(rows(DDF(docs).containmentPairs("doc_id", "text",
+        threshold = 0.9).toDF)
+      == rows(Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9)))
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    assert(rows(DDF(edges).labelPropagation("src", "dst", 2).toDF)
+      == rows(graft.operators.LabelProp
+        .labelPropagation(edges, "src", "dst", 2)))
+    val vocab = Seq("the", "a", "##s").toDF("piece")
+    assert(rows(DDF(docs).wordpieceEncode("text", DDF(vocab))
+        .toDF.select($"doc_id", $"wp_tokens"))
+      == rows(graft.operators.WordPiece.encode(docs, "text", vocab)
+        .select($"doc_id", $"wp_tokens")))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {

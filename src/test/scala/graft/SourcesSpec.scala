@@ -84,8 +84,8 @@ class SourcesSpec extends SparkTestBase {
         }
     }
     val zp = tmp("zorder")
-    graft.operators.ZOrder.saveZOrdered(li, "l_partkey", "l_suppkey",
-      zp, nFiles = 8)
+    // through the fluent Save delegate (delegates to ZOrder.saveZOrdered)
+    DDF(li).save.zordered(zp, "l_partkey", "l_suppkey", nFiles = 8)
     assert(spark.read.parquet(zp).count() == n) // lossless
     // lexicographic baseline: leading column tight, second unbounded
     val lp = tmp("lexorder")
