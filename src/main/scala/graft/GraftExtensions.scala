@@ -73,5 +73,22 @@ object GraftExtensions {
           GraftFunctions.literalInt("hyperplane_codes", es(1)),
           GraftFunctions.literalInt("hyperplane_codes", es(2)),
           GraftFunctions.literalInt("hyperplane_codes", es(3)), seed)
+      }),
+      // z_value2(x, xLo, xHi, y, yLo, yHi [, bits]) — the Morton
+      // z-value ZOrder.saveZOrdered clusters on; the builder calls
+      // the same catalyst-expression core the Column API wraps, so
+      // SQL and Scala surfaces share one arithmetic source of truth.
+      // Bounds must be integer literals (they bake into the plan
+      // exactly as the Scala surface's Long params do).
+      "z_value2" -> (es => {
+        GraftFunctions.arity("z_value2", es, 6, 7)
+        val bits = if (es.length == 7)
+          GraftFunctions.literalInt("z_value2", es(6)) else 16
+        graft.operators.ZOrder.zValue2Expr(es(0),
+          GraftFunctions.literalLong("z_value2", es(1)),
+          GraftFunctions.literalLong("z_value2", es(2)),
+          es(3),
+          GraftFunctions.literalLong("z_value2", es(4)),
+          GraftFunctions.literalLong("z_value2", es(5)), bits)
       }))
 }

@@ -28,6 +28,14 @@ object GraftFunctions {
       s"$name: expected an integer literal, got $other")
   }
 
+  private[graft] def literalLong(name: String, e: Expression): Long =
+    e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer literal, got $other")
+    }
+
   private[graft] def literalString(name: String, e: Expression): String =
     e match {
       case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)

@@ -29,31 +29,57 @@ import org.apache.spark.sql.functions._
   * well once files hold millions of rows).
   */
 object ZOrder {
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, Greatest, IntegralDivide, Least, Literal, Multiply, ShiftLeft, ShiftRight, Subtract}
+  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.graftbridge.Bridge
 
-  /** normalized `bits`-bit rank of `c` within [lo, hi], clamped. */
-  def scaleToBits(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+  // Catalyst-expression core — ONE arithmetic source of truth shared
+  // by the Column API below and the `z_value2` SQL builder
+  // (GraftExtensions): a builder must return a resolved expression
+  // tree, so the core is built from catalyst nodes directly.
+
+  private[graft] def scaleToBitsExpr(c: Expression, lo: Long, hi: Long,
+                                     bits: Int): Expression = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
-    val clamped = greatest(least(c.cast("long"), lit(hi)), lit(lo))
-    call_function("div",
-      (clamped - lit(lo)) * lit((1L << bits) - 1),
-      lit(math.max(1L, hi - lo)))
+    val clamped =
+      Greatest(Seq(Least(Seq(Cast(c, LongType), Literal(hi))), Literal(lo)))
+    IntegralDivide(
+      Multiply(Subtract(clamped, Literal(lo)), Literal((1L << bits) - 1)),
+      Literal(math.max(1L, hi - lo)))
   }
+
+  private[graft] def interleaveExpr(xs: Expression, ys: Expression,
+                                    bits: Int): Expression =
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(xs, Literal(i)), Literal(1L)),
+          Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(ys, Literal(i)), Literal(1L)),
+          Literal(2 * i + 1)))
+    }.reduce[Expression]((a, b) => BitwiseOr(a, b))
+
+  private[graft] def zValue2Expr(x: Expression, xLo: Long, xHi: Long,
+                                 y: Expression, yLo: Long, yHi: Long,
+                                 bits: Int): Expression =
+    interleaveExpr(scaleToBitsExpr(x, xLo, xHi, bits),
+      scaleToBitsExpr(y, yLo, yHi, bits), bits)
+
+  /** normalized `bits`-bit rank of `c` within [lo, hi], clamped. */
+  def scaleToBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    Bridge.column(scaleToBitsExpr(Bridge.expression(c), lo, hi, bits))
 
   /** Morton interleave of two pre-scaled `bits`-bit values: bit i of
     * `xs` lands at position 2i, bit i of `ys` at 2i+1. */
   def interleave(xs: Column, ys: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    Bridge.column(interleaveExpr(Bridge.expression(xs),
+      Bridge.expression(ys), bits))
 
   /** z-value of (x, y) given each column's [lo, hi] bounds. */
   def zValue2(x: Column, xLo: Long, xHi: Long,
               y: Column, yLo: Long, yHi: Long, bits: Int = 16): Column =
-    interleave(scaleToBits(x, xLo, xHi, bits),
-      scaleToBits(y, yLo, yHi, bits), bits)
+    Bridge.column(zValue2Expr(Bridge.expression(x), xLo, xHi,
+      Bridge.expression(y), yLo, yHi, bits))
 
   /** DuckDB-side replica of [[zValue2]] over pre-scaled expressions —
     * kept next to the implementation so the oracle and the operator

@@ -135,7 +135,25 @@ class ScaleSpec extends SparkTestBase {
     assert(graft.GraftExtensions.builders.map(_._1).toSet ==
       Set("dot_product", "cosine_sim", "simhash64", "minhash_sig",
         "point_in_polygon", "jaccard_sim", "word_shingles",
-        "hyperplane_codes", "unicode_normalize"))
+        "hyperplane_codes", "unicode_normalize", "z_value2"))
+  }
+
+  test("z_value2 on the SQL surface matches the Column API bit for bit") {
+    GraftFunctions.registerAll(spark)
+    // identity scaling: interleave(10, 6) = 108 (SourcesSpec's case)
+    assert(spark.sql(
+      "SELECT z_value2(10L, 0, 65535, 6L, 0, 65535) AS z")
+      .head().getLong(0) == 108L)
+    // custom bits + clamp below lo
+    assert(spark.sql(
+      "SELECT z_value2(-5L, 0, 65535, 0L, 0, 65535, 8) AS z")
+      .head().getLong(0) == 0L)
+    // bounds must be literals (they bake into the plan)
+    val e = intercept[Exception] {
+      spark.sql("SELECT z_value2(1L, length('ab'), 9, 1L, 0, 9)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
   }
 
   test("unicode_normalize on the SQL surface: forms + literal guard") {
