@@ -3784,7 +3784,56 @@ object SparkEntry {
               | CAST(sum(CASE WHEN p = '[UNK]' THEN 1 ELSE 0 END)
               |   AS BIGINT) AS n_unk,
               | CAST(count(DISTINCT p) AS BIGINT) AS n_distinct
-              |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The dedup-graph composition LPA exists for: exact-jaccard
+    // near-dup pairs (q71's oracled machinery on the planted-dup
+    // fixture) become the edge list, three deterministic LPA rounds
+    // cluster it, census per community. TWO oracled operators
+    // composed under ONE oracle — the pair SQL feeds the unrolled
+    // round CTEs exactly as the operators feed each other.
+    Q("q152_dedup_communities", (s, dir) => {
+      val pairs = Dedup.jaccardPairsExact(docsWithDups(s, dir),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+      graft.operators.LabelProp.communitySizes(
+          pairs.select(col("id_a"), col("id_b")), "id_a", "id_b",
+          iters = 3)
+        .orderBy(col("community"))
+    },
+      Some(s"""WITH u AS ($docsWithDupsSql),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+              |    i -> ${sqlTokens("text")}[i] || ' ' || ${sqlTokens("text")}[i+1] || ' ' || ${sqlTokens("text")}[i+2])) AS sh
+              |  FROM u WHERE len(${sqlTokens("text")}) >= 3),
+              |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+              |e AS (SELECT ida AS a, idb AS b FROM p
+              |  UNION SELECT idb, ida FROM p),
+              |l0 AS (SELECT node, node AS label FROM
+              |  (SELECT DISTINCT a AS node FROM e)),
+              |n1 AS (SELECT e.a AS node, l.label, count(*) AS n
+              |  FROM e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+              |l1 AS (SELECT node, label FROM (SELECT node, label,
+              |   row_number() OVER (PARTITION BY node
+              |     ORDER BY n DESC, label ASC) AS rn FROM n1)
+              |  WHERE rn = 1),
+              |n2 AS (SELECT e.a AS node, l.label, count(*) AS n
+              |  FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+              |l2 AS (SELECT node, label FROM (SELECT node, label,
+              |   row_number() OVER (PARTITION BY node
+              |     ORDER BY n DESC, label ASC) AS rn FROM n2)
+              |  WHERE rn = 1),
+              |n3 AS (SELECT e.a AS node, l.label, count(*) AS n
+              |  FROM e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+              |l3 AS (SELECT node, label FROM (SELECT node, label,
+              |   row_number() OVER (PARTITION BY node
+              |     ORDER BY n DESC, label ASC) AS rn FROM n3)
+              |  WHERE rn = 1)
+              |SELECT label AS community, CAST(count(*) AS BIGINT)
+              |   AS n_nodes, min(node) AS min_node
+              |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
