@@ -3833,7 +3833,35 @@ object SparkEntry {
               |  WHERE rn = 1)
               |SELECT label AS community, CAST(count(*) AS BIGINT)
               |   AS n_nodes, min(node) AS min_node
-              |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Interval-overlap join (RangeJoin.intervalOverlap): supplier
+    // balance bands vs customer balance bands — a range-x-range
+    // overlap with NO equi key, rewritten to the canonical-bucket
+    // equi join (q111's binning with the emit-at-overlap-start dedup
+    // rule; never a nested loop). The oracle states the overlap
+    // predicate directly; any duplicate emission or dropped pair
+    // breaks the count census.
+    Q("q153_interval_overlap", (s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_acctbal").as("s_lo"), (col("s_acctbal") + 300).as("s_hi"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_acctbal") - 50).as("c_lo"),
+        (col("c_acctbal") + 50).as("c_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          sup, "s_lo", "s_hi", cust, "c_lo", "c_hi")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_overlap"),
+          round(avg((col("c_lo") + col("c_hi")) / 2), 2).as("avg_mid"))
+        .orderBy(col("s_suppkey"))
+    },
+      Some("""SELECT s_suppkey, count(*) AS n_overlap,
+             | round(avg((c_acctbal - 50 + c_acctbal + 50) / 2), 2)
+             |   AS avg_mid
+             |FROM supplier s JOIN customer c
+             | ON s.s_acctbal <= c.c_acctbal + 50
+             |  AND c.c_acctbal - 50 <= s.s_acctbal + 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

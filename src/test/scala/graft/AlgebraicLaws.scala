@@ -192,6 +192,29 @@ object AlgebraicLaws extends Properties("graft.ddf") {
       got.length == got.toSet.size && got.toSet == want
     }
 
+  property("intervalOverlap matches the brute-force overlap join") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.zip(Gen.choose(-20, 20), Gen.choose(0, 12))),
+      Gen.listOfN(6, Gen.zip(Gen.choose(-20, 20), Gen.choose(0, 12))),
+      Gen.oneOf(0.0, 0.5, 3.0, 100.0)) { (as, bs, w) =>
+      import spark.implicits._
+      val a = as.zipWithIndex.map { case ((lo, len), i) =>
+        (i.toLong, lo.toDouble, (lo + len).toDouble) }.toDF("aid", "alo", "ahi")
+      val b = bs.zipWithIndex.map { case ((lo, len), i) =>
+        (i.toLong, lo.toDouble, (lo + len).toDouble) }.toDF("bid", "blo", "bhi")
+      val want = (for {
+        ((alo, al), ai) <- as.zipWithIndex
+        ((blo, bl), bi) <- bs.zipWithIndex
+        if alo <= blo + bl && blo <= alo + al
+      } yield (ai.toLong, bi.toLong)).toSet
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // exact pair set AND no duplicates — the canonical-bucket rule
+      got.length == got.toSet.size && got.toSet == want
+    }
+
   property("winsorize preserves count, stays in range, (0,1) is identity") =
     Prop.forAll(Gen.listOfN(9, Gen.zip(Gen.oneOf("a", "b"),
         Gen.choose(-50, 50)))) { rows =>

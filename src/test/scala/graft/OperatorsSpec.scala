@@ -568,6 +568,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(z == Set((1L, 1L)))
   }
 
+  test("intervalOverlap: equi-join plan, self-sizing, touch-at-endpoint") {
+    // semantics vs brute force are property-pinned in AlgebraicLaws;
+    // here: the plan, the width-0 self-size path, and the boundary
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 25.0)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 10.0, 15.0), (20L, 16.0, 19.0)).toDF("bid", "blo", "bhi")
+    // [0,10] and [10,15] touch at 10 — closed-interval overlap
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi")
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    val plan = graft.operators.RangeJoin
+      .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
+  }
+
   test("linearTextScore: mean-weight sigmoid, OOV zero, empty-doc bias") {
     val docs = Seq((1L, "good good bad"), (2L, "unknown words only"),
       (3L, ""), (4L, "good")).toDF("id", "text")
