@@ -3861,7 +3861,49 @@ object SparkEntry {
              |FROM supplier s JOIN customer c
              | ON s.s_acctbal <= c.c_acctbal + 50
              |  AND c.c_acctbal - 50 <= s.s_acctbal + 300
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Spatial radius join (Geo.withinDistance): coordinates
+    // synthesized deterministically from keys (the testdata carries
+    // none), customers as points vs suppliers as 150 km geofence
+    // centers, grid-cell bucketed with an exact haversine verify.
+    // The oracle replays the synthesis AND the haversine term by term
+    // (explicit x*π/180, same op order — see Geo.haversineKm's
+    // rounding note); census per supplier pins every pair.
+    Q("q154_geo_radius_join", (s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 100).cast("double") - 50 + 0.25).as("lat"),
+        ((col("c_custkey") % 340).cast("double") - 170 + 0.5).as("lon"))
+      val ctr = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 100).cast("double") - 50 + 0.75).as("clat"),
+        ((col("s_suppkey") % 340).cast("double") - 170 + 0.25).as("clon"))
+      graft.operators.Geo.withinDistance(pts, "lat", "lon",
+          ctr, "clat", "clon", radiusKm = 150.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_within"),
+          min(col("distance_km")).as("min_km"))
+        .orderBy(col("s_suppkey"))
+    },
+      Some("""WITH p AS (SELECT c_custkey,
+             |   CAST(c_custkey % 100 AS DOUBLE) - 50 + 0.25 AS lat,
+             |   CAST(c_custkey % 340 AS DOUBLE) - 170 + 0.5 AS lon
+             |  FROM customer),
+             |c AS (SELECT s_suppkey,
+             |   CAST(s_suppkey % 100 AS DOUBLE) - 50 + 0.75 AS clat,
+             |   CAST(s_suppkey % 340 AS DOUBLE) - 170 + 0.25 AS clon
+             |  FROM supplier),
+             |d AS (SELECT s_suppkey, round(2 * 6371.0088 * asin(sqrt(
+             |     sin((clat - lat) * 3.141592653589793 / 180 / 2)
+             |       * sin((clat - lat) * 3.141592653589793 / 180 / 2)
+             |     + cos(lat * 3.141592653589793 / 180)
+             |       * cos(clat * 3.141592653589793 / 180)
+             |       * sin((clon - lon) * 3.141592653589793 / 180 / 2)
+             |       * sin((clon - lon) * 3.141592653589793 / 180 / 2))),
+             |     4) AS km
+             |  FROM p, c)
+             |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_within,
+             | min(km) AS min_km
+             |FROM d WHERE km <= 150.0 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

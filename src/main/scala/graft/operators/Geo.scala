@@ -84,6 +84,84 @@ object Geo {
     Bridge.column(PointInPolygon(Bridge.expression(x),
       Bridge.expression(y), Bridge.expression(vertices)))
 
+  /** Great-circle distance in km between two (lat, lon) degree pairs
+    * — the haversine formula on a 6371.0088 km mean-radius sphere.
+    * Degrees→radians is written out as `x * π / 180` with a π literal
+    * rather than the `radians` builtin: Spark's Radians is
+    * `x / 180 * π` while DuckDB's is `x * (π/180)` — same math, up to
+    * 1-ulp different doubles; spelling the op order once and
+    * replaying it verbatim keeps the oracle's arithmetic identical.
+    * (sin/cos/asin come from each engine's libm and may still differ
+    * in the last ulp — q154 rounds to 4 decimals, 0.1 m, so a
+    * boundary flip needs the true value within ~1e-12 of a rounding
+    * edge.) */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    def rad(c: Column): Column = c * lit(math.Pi) / lit(180.0)
+    val dLat = rad(lat2 - lat1) / 2
+    val dLon = rad(lon2 - lon1) / 2
+    val h = sin(dLat) * sin(dLat) +
+      cos(rad(lat1)) * cos(rad(lat2)) * sin(dLon) * sin(dLon)
+    lit(2 * 6371.0088) * asin(sqrt(h))
+  }
+
+  /** Spatial radius join: every (point, center) pair within
+    * `radiusKm` great-circle km — the proximity sibling of
+    * [[geoWithin]], grid-cell bucketed so it is NEVER an all-pairs
+    * cross (the reference's geo surface stops at containment; this is
+    * the engine-ext k-NN/geofence primitive a location pipeline
+    * needs).
+    *
+    * Shape at 100 TB: one pass computes the data's max |lat| (cell
+    * width in lon-degrees must be taken at the WORST latitude —
+    * degrees shrink by cos(lat)); each center explodes to its 3x3
+    * neighbor cells, each point maps to ONE cell, the join keys on
+    * the cell (hash shuffle both sides, AQE-splittable), and the
+    * exact haversine predicate filters candidates. Cell edges are
+    * >= radius in both axes by construction, so the 3x3 neighborhood
+    * COVERS the radius — no recall loss (spec-pinned against the
+    * brute-force cross). Candidate volume per cell is (points in
+    * cell) x (centers within one cell), the usual grid trade.
+    * Latitudes beyond ±85° are rejected (cos → 0 degenerates the lon
+    * grid; polar workloads need a polar-cap partition, not a lon
+    * grid), and the grid does NOT wrap the antimeridian — pairs
+    * straddling lon ±180 are missed (shift the frame or
+    * dual-register seam rows for trans-pacific data). Returns
+    * point x center rows + `distance_km` rounded to 4 decimals
+    * (0.1 m); name collisions are the caller's to resolve. */
+  def withinDistance(points: DataFrame, pLatCol: String, pLonCol: String,
+                     centers: DataFrame, cLatCol: String, cLonCol: String,
+                     radiusKm: Double): DataFrame = {
+    require(radiusKm > 0, s"radiusKm must be positive, got $radiusKm")
+    val kmPerDegLat = 111.195 // 2πR/360 at R = 6371.0088
+    val maxAbsLat = {
+      val r = points.agg(max(abs(col(pLatCol)))).head()
+      val r2 = centers.agg(max(abs(col(cLatCol)))).head()
+      math.max(if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+        if (r2.isNullAt(0)) 0.0 else r2.getDouble(0))
+    }
+    require(maxAbsLat <= 85.0,
+      s"withinDistance supports |lat| <= 85 (got $maxAbsLat): the " +
+        "lon grid degenerates toward the poles")
+    val dLat = radiusKm / kmPerDegLat
+    val dLon = radiusKm / (kmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
+    val pc = points
+      .withColumn("__cy", floor(col(pLatCol) / dLat).cast("long"))
+      .withColumn("__cx", floor(col(pLonCol) / dLon).cast("long"))
+    val cc = centers
+      .withColumn("__cy", explode(sequence(
+        floor(col(cLatCol) / dLat).cast("long") - 1,
+        floor(col(cLatCol) / dLat).cast("long") + 1)))
+      .withColumn("__cx", explode(sequence(
+        floor(col(cLonCol) / dLon).cast("long") - 1,
+        floor(col(cLonCol) / dLon).cast("long") + 1)))
+    pc.join(cc, Seq("__cy", "__cx"))
+      .withColumn("distance_km", round(haversineKm(col(pLatCol),
+        col(pLonCol), col(cLatCol), col(cLonCol)), 4))
+      .filter(col("distance_km") <= radiusKm)
+      .drop("__cy", "__cx")
+  }
+
   /** points(idCols..., xCol, yCol) x polygons(attrs..., verticesCol) →
     * points joined with the attributes of every polygon containing
     * them. Polygon table must be broadcast-small (reference semantics:

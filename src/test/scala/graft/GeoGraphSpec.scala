@@ -72,6 +72,47 @@ class GeoGraphSpec extends SparkTestBase {
     }
   }
 
+  test("withinDistance == brute-force haversine cross at every radius") {
+    import graft.operators.Geo
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 60L).map(i =>
+      (i, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 340 - 170))
+      .toDF("pid", "lat", "lon")
+    val ctrs = (1L to 15L).map(i =>
+      (i, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 340 - 170))
+      .toDF("cid", "clat", "clon")
+    val cross = pts.crossJoin(ctrs)
+      .withColumn("km", Geo.haversineKm($"lat", $"lon", $"clat", $"clon"))
+      .cache()
+    for (radius <- Seq(50.0, 300.0, 2000.0)) {
+      val want = cross.filter(round($"km", 4) <= radius)
+        .select($"pid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Geo.withinDistance(pts, "lat", "lon", ctrs, "clat",
+          "clon", radius)
+        .select($"pid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the 3x3 cell cover loses nothing AND emits nothing twice
+      assert(got.length == got.toSet.size, s"radius=$radius duplicates")
+      assert(got.toSet == want, s"radius=$radius")
+    }
+    cross.unpersist()
+    // polar latitudes are rejected, not silently mis-gridded
+    val polar = Seq((1L, 89.0, 0.0)).toDF("pid", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      Geo.withinDistance(polar, "lat", "lon", ctrs, "clat", "clon", 100)
+    }
+    assert(e.getMessage.contains("85"))
+    // known distance: 1 degree of longitude at the equator ~111.2 km
+    val oneDeg = Geo.withinDistance(
+      Seq((1L, 0.0, 0.0)).toDF("pid", "lat", "lon"),
+      "lat", "lon",
+      Seq((1L, 0.0, 1.0)).toDF("cid", "clat", "clon"),
+      "clat", "clon", 120.0)
+      .select($"distance_km").as[Double].head()
+    assert(math.abs(oneDeg - 111.195) < 0.01, s"1 deg = $oneDeg km")
+  }
+
   test("labelPropagation: bridged triangles split into their cores") {
     import graft.operators.LabelProp
     // two triangles joined by ONE bridge edge: CC would merge them
