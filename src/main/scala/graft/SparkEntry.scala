@@ -3903,7 +3903,59 @@ object SparkEntry {
              |  FROM p, c)
              |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_within,
              | min(km) AS min_km
-             |FROM d WHERE km <= 150.0 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d WHERE km <= 150.0 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Ordered funnel census (EventAnalytics.funnel): greedy
+    // sequential view -> click -> purchase with strict-after
+    // ordering. The operator folds each user's sorted event array in
+    // ONE shuffle; the oracle states the equivalent closed form —
+    // per-step min-ts STRICTLY AFTER the previous step's greedy time
+    // (equivalent precisely because greedy takes the earliest valid
+    // occurrence at every step).
+    Q("q155_funnel", (s, dir) =>
+      graft.operators.EventAnalytics.funnel(events(s, dir), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+             |SELECT 1 AS step_idx, 'view' AS step,
+             |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+             |UNION ALL SELECT 2, 'click',
+             |  CAST((SELECT count(*) FROM s2) AS BIGINT)
+             |UNION ALL SELECT 3, 'purchase',
+             |  CAST((SELECT count(*) FROM s3) AS BIGINT)
+             |ORDER BY step_idx""".stripMargin)),
+
+    // Cohort retention census (EventAnalytics.cohortRetention):
+    // ISO-week cohorts by first event, 7-day periods, distinct-active
+    // over cohort size. Dates render as strings (oracle parity rule);
+    // the oracle replays the trunc/datediff/floor arithmetic exactly.
+    Q("q156_cohort_retention", (s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(events(s, dir),
+          "user_id", "ts", periodDays = 7)
+        .orderBy(col("cohort"), col("period")),
+      Some("""WITH fc AS (SELECT user_id,
+             |   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT e.user_id, fc.cohort,
+             |   CAST(floor(date_diff('day', fc.cohort,
+             |     CAST(e.ts AS DATE)) / 7) AS INT) AS period
+             |  FROM events e JOIN fc USING (user_id)),
+             |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+             |  FROM fc GROUP BY 1),
+             |r AS (SELECT cohort, period, CAST(count(*) AS BIGINT)
+             |   AS n_active FROM a GROUP BY 1, 2)
+             |SELECT CAST(r.cohort AS VARCHAR) AS cohort, period,
+             | n_cohort, n_active,
+             | round(n_active / n_cohort, 4) AS retention
+             |FROM r JOIN sz USING (cohort)
+             |ORDER BY cohort, period""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the batch events table (DRIVER-EXT,
+  * SURVEY.md §2.10 sibling surface): the two census shapes every
+  * product-analytics pipeline runs — ordered funnels and cohort
+  * retention — expressed as single-shuffle plans with exact,
+  * SQL-replayable semantics.
+  */
+object EventAnalytics {
+
+  /** Per-user GREEDY SEQUENTIAL funnel progress: how many of `steps`
+    * the user completed in order, where step i+1 must occur STRICTLY
+    * after the greedy (earliest-valid) occurrence of step i. Greedy
+    * matching is the standard funnel semantics (it maximizes
+    * progression: taking the earliest valid occurrence of each step
+    * never excludes a later completion), and the strict `>` makes the
+    * answer independent of how same-timestamp events tie-break —
+    * which is what lets the oracle replay it with per-step
+    * min-after-min subqueries instead of the event-by-event scan.
+    *
+    * Shape at 100 TB: ONE shuffle — events project to (user, ts,
+    * type), group by user, and the sorted per-user array is folded by
+    * a catalyst `aggregate` lambda holding a (step-index, last-ts)
+    * state; k never touches the plan size. The per-user
+    * `collect_list` is bounded by that user's event count — for
+    * adversarial hot users, pre-filter to the step types (done here:
+    * only events whose type appears in `steps` enter the list).
+    * Returns (user, steps_reached). */
+  def funnelUsers(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      "repeated step types are ambiguous — name each stage uniquely")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val sorted = sort_array(collect_list(struct(col(tsCol).as("ts"),
+      col(typeCol).as("tp"))))
+    val fold: (Column, Column) => Column = (acc, x) =>
+      when(acc.getField("idx") < k
+          && x.getField("tp") ===
+            element_at(stepsArr, acc.getField("idx") + 1)
+          && (acc.getField("idx") === 0
+            || x.getField("ts") > acc.getField("last")),
+        struct((acc.getField("idx") + 1).as("idx"),
+          x.getField("ts").as("last")))
+        .otherwise(acc)
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol).as("user"))
+      .agg(sorted.as("__evs"))
+      .select(col("user"), aggregate(col("__evs"),
+        struct(lit(0).as("idx"),
+          lit(null).cast("timestamp").as("last")),
+        fold).getField("idx").as("steps_reached"))
+  }
+
+  /** The funnel census: (step_idx, step, n_users) where `n_users`
+    * counts users whose greedy progression reached step_idx — one
+    * aggregation over [[funnelUsers]], unpivoted to a row per step
+    * (counts are monotone non-increasing by construction). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    val fu = funnelUsers(events, userCol, tsCol, typeCol, steps)
+    val aggs = steps.indices.map(i =>
+      sum(when(col("steps_reached") >= i + 1, 1L).otherwise(0L))
+        .as(s"__n$i"))
+    fu.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("step_idx"), lit(st).as("step"),
+          col(s"__n$i").as("n_users"))
+      }: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
+  }
+
+  /** Cohort retention census: users cohorted by the ISO week of
+    * their FIRST event; for each (cohort, period) — period =
+    * `periodDays`-day offsets from the cohort week start — the
+    * distinct users active in that period over the cohort size.
+    * Returns (cohort string, period, n_cohort, n_active, retention
+    * rounded to 4). Period 0 always exists (the first event itself);
+    * cohort dates render as strings (the oracle-parity rule for
+    * dates).
+    *
+    * Shape at 100 TB: first-event table = one partial-agg groupBy on
+    * the user key; activity rows join it on the same key (AQE-planned
+    * shuffle join — the first-event side has one row per user);
+    * per-(cohort, period) distinct is the only other exchange, and
+    * cohort sizes (weeks x 1 row) broadcast into the final select. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__first"))
+      .withColumn("__cohort", to_date(date_trunc("week", col("__first"))))
+    val active = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .join(first, Seq("__u"))
+      .select(col("__u"), col("__cohort"),
+        floor(datediff(col("__d"), col("__cohort")) / periodDays)
+          .cast("int").as("period"))
+      .distinct()
+    val sizes = first.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.groupBy(col("__cohort"), col("period"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("__cohort"))
+      .select(col("__cohort").cast("string").as("cohort"), col("period"),
+        col("n_cohort"), col("n_active"),
+        round(col("n_active") / col("n_cohort"), 4).as("retention"))
+  }
+}

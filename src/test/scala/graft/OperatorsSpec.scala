@@ -586,6 +586,57 @@ class OperatorsSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
   }
 
+  test("funnel: greedy sequential matching, order strictness, census") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      // A completes in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // B has the steps but out of order: click BEFORE view
+      (2L, ts(3), "click"), (2L, ts(5), "view"),
+      // C: view and click at the SAME instant — strict > rejects
+      (3L, ts(1), "view"), (3L, ts(1), "click"),
+      // D: greedy matters — purchase lands between the two clicks,
+      // so only the EARLIEST click lets the purchase count
+      (4L, ts(1), "view"), (4L, ts(2), "click"), (4L, ts(4), "click"),
+      (4L, ts(3), "purchase"),
+      // E: never starts the funnel
+      (5L, ts(1), "click"), (5L, ts(2), "purchase"),
+      // F: noise types are ignored entirely
+      (6L, ts(1), "error"), (6L, ts(2), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val reached = EventAnalytics.funnelUsers(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reached == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 0,
+      6L -> 1))
+    val census = EventAnalytics.funnel(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy($"step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(census.toSeq == Seq((1, "view", 5L), (2, "click", 2L),
+      (3, "purchase", 2L)))
+  }
+
+  test("cohortRetention: week cohorts, period arithmetic, shares") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2026-01-$d 09:00:00")
+    // week of 2026-01-05 (Mon): users 1, 2 start; only user 1 is
+    // active the following week
+    val events = Seq(
+      (1L, t("06")), (2L, t("07")), (1L, t("13")), (1L, t("06"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .orderBy($"period").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2026-01-05", 0, 2L, 2L, 1.0),
+      ("2026-01-05", 1, 2L, 1L, 0.5)))
+  }
+
   test("linearTextScore: mean-weight sigmoid, OOV zero, empty-doc bias") {
     val docs = Seq((1L, "good good bad"), (2L, "unknown words only"),
       (3L, ""), (4L, "good")).toDF("id", "text")
