@@ -3955,7 +3955,74 @@ object SparkEntry {
              | n_cohort, n_active,
              | round(n_active / n_cohort, 4) AS retention
              |FROM r JOIN sz USING (cohort)
-             |ORDER BY cohort, period""".stripMargin))
+             |ORDER BY cohort, period""".stripMargin)),
+
+    // First-order event-transition matrix (EventAnalytics
+    // .transitions): consecutive pairs via lead over (ts, type) —
+    // the type in the sort key pins same-instant ordering, so the
+    // census is deterministic and the oracle replays the identical
+    // window.
+    Q("q157_transitions", (s, dir) =>
+      graft.operators.EventAnalytics.transitions(events(s, dir),
+          "user_id", "ts", "event_type")
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH p AS (SELECT event_type AS from_type,
+             |   lead(event_type) OVER (PARTITION BY user_id
+             |     ORDER BY ts, event_type) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type,
+             |   CAST(count(*) AS BIGINT) AS n FROM p
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+             |   PARTITION BY from_type) AS DOUBLE), 4) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Two-proportion z-test (AbTest.twoProportionZ): users split into
+    // variants by id parity, success = a heavy purchaser (>= 14
+    // purchase events — the median is 13, so the cut genuinely
+    // splits both arms; "any purchase" is degenerate on this data,
+    // every user converts and the variance is zero). Every emitted
+    // value is pure arithmetic (the 1.959964 two-sided α=0.05
+    // quantile is a baked constant, not a CDF call), replayed term
+    // for term.
+    Q("q158_ab_test", (s, dir) => {
+      val users = events(s, dir).groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14).as("converted"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.operators.AbTest.twoProportionZ(users, "variant",
+        "converted", "A", "B")
+    },
+      Some("""WITH u AS (SELECT user_id,
+             |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |     END) >= 14 AS converted,
+             |   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+             |     AS variant
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS x
+             |  FROM u GROUP BY 1),
+             |r AS (SELECT
+             |  min(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             |  min(CASE WHEN variant = 'A' THEN x END) AS x_a,
+             |  min(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             |  min(CASE WHEN variant = 'B' THEN x END) AS x_b FROM a),
+             |z AS (SELECT *,
+             |  round((CAST(x_a AS DOUBLE) / n_a
+             |      - CAST(x_b AS DOUBLE) / n_b)
+             |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+             |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)))
+             |      * (CAST(1 AS DOUBLE) / n_a
+             |        + CAST(1 AS DOUBLE) / n_b)), 6) AS zv
+             |  FROM r)
+             |SELECT n_a, x_a, round(CAST(x_a AS DOUBLE) / n_a, 6)
+             |   AS rate_a,
+             | n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+             | zv AS z, abs(zv) >= 1.959964 AS significant
+             |FROM z""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -75,6 +75,32 @@ object EventAnalytics {
       .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
   }
 
+  /** Event-transition census (the first-order Markov view of the
+    * stream): for every (from, to) pair of CONSECUTIVE events within
+    * a user's timeline, the count and the row-normalized transition
+    * probability. Consecutive = `lead` over (ts, type) — the type in
+    * the sort key makes same-instant ordering deterministic, so the
+    * census (and its oracle) is a pure function of the data. One
+    * shuffle (the per-user window); the census aggregation reuses its
+    * partitioning-compatible keys. Returns (from_type, to_type, n,
+    * p rounded to 4). */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col("from_type").asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counted = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy(col("from_type"))
+    counted.withColumn("p",
+        round(col("n") / sum(col("n")).over(w2), 4))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
   /** Cohort retention census: users cohorted by the ISO week of
     * their FIRST event; for each (cohort, period) — period =
     * `periodDays`-day offsets from the cohort week start — the

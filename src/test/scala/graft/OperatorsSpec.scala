@@ -637,6 +637,58 @@ class OperatorsSpec extends SparkTestBase {
       ("2026-01-05", 1, 2L, 1L, 0.5)))
   }
 
+  test("transitions: consecutive pairs, tie order, row-normalized p") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "view"),
+      (1L, ts(4), "click"),
+      // same instant: (click, view) orders by type -> click then view
+      (2L, ts(1), "click"), (2L, ts(1), "view"),
+      (3L, ts(1), "view") // single event: no transition
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.transitions(events, "user_id", "ts",
+        "event_type")
+      .orderBy($"from_type", $"to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", "view", 2L, 1.0),       // u1 c->v, u2 c->v (tie order)
+      ("view", "click", 2L, 1.0)))      // u1 v->c twice
+  }
+
+  test("twoProportionZ: hand-computed z, verdicts, degenerate arms") {
+    import graft.operators.AbTest
+    def arm(g: String, n: Int, x: Int) =
+      (1 to n).map(i => (g, i <= x))
+    val d1 = (arm("A", 100, 30) ++ arm("B", 100, 20))
+      .toDF("variant", "converted")
+    val r1 = AbTest.twoProportionZ(d1, "variant", "converted", "A", "B")
+      .head()
+    // pooled 0.25, se = sqrt(0.25*0.75*0.02) -> z = 0.1/se = 1.632993
+    assert(r1.getLong(0) == 100 && r1.getLong(1) == 30)
+    assert(r1.getDouble(2) == 0.3 && r1.getDouble(5) == 0.2)
+    assert(math.abs(r1.getDouble(6) - 1.632993) < 1e-6)
+    assert(!r1.getBoolean(7))
+    val d2 = (arm("A", 100, 35) ++ arm("B", 100, 20))
+      .toDF("variant", "converted")
+    val r2 = AbTest.twoProportionZ(d2, "variant", "converted", "A", "B")
+      .head()
+    assert(math.abs(r2.getDouble(6) - 2.375423) < 1e-6)
+    assert(r2.getBoolean(7))
+    // empty arm -> null z, false verdict, no NaN
+    val d3 = arm("A", 10, 5).toDF("variant", "converted")
+    val r3 = AbTest.twoProportionZ(d3, "variant", "converted", "A", "B")
+      .head()
+    assert(r3.isNullAt(6) && !r3.getBoolean(7))
+    // zero-variance (pooled rate 1) -> null z as well
+    val d4 = (arm("A", 5, 5) ++ arm("B", 5, 5)).toDF("variant", "converted")
+    val r4 = AbTest.twoProportionZ(d4, "variant", "converted", "A", "B")
+      .head()
+    assert(r4.isNullAt(6) && !r4.getBoolean(7))
+  }
+
   test("linearTextScore: mean-weight sigmoid, OOV zero, empty-doc bias") {
     val docs = Seq((1L, "good good bad"), (2L, "unknown words only"),
       (3L, ""), (4L, "good")).toDF("id", "text")
