@@ -4022,7 +4022,40 @@ object SparkEntry {
              |   AS rate_a,
              | n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
              | zv AS z, abs(zv) >= 1.959964 AS significant
-             |FROM z""".stripMargin))
+             |FROM z""".stripMargin)),
+
+    // Funnel latency quantiles (EventAnalytics.funnelLatency): time
+    // from the greedy step-1 occurrence to each later step, exact
+    // interpolated percentiles over epoch-microsecond LONGS (integer
+    // subtraction — no timestamp-arithmetic parity risk). The oracle
+    // reuses q155's min-after-min chain for the per-user times and
+    // DuckDB's quantile_cont for the same interpolation.
+    Q("q159_funnel_latency", (s, dir) =>
+      graft.operators.EventAnalytics.funnelLatency(events(s, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+             |l2 AS (SELECT epoch_us(t2) - epoch_us(t1) AS lat
+             |  FROM s2 JOIN s1 USING (user_id)),
+             |l3 AS (SELECT epoch_us(t3) - epoch_us(t1) AS lat
+             |  FROM s3 JOIN s1 USING (user_id))
+             |SELECT 2 AS step_idx, 'click' AS step,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  round(quantile_cont(lat, 0.5), 1) AS p50_us,
+             |  round(quantile_cont(lat, 0.9), 1) AS p90_us FROM l2
+             |UNION ALL SELECT 3, 'purchase',
+             |  CAST(count(*) AS BIGINT),
+             |  round(quantile_cont(lat, 0.5), 1),
+             |  round(quantile_cont(lat, 0.9), 1) FROM l3
+             |ORDER BY step_idx""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

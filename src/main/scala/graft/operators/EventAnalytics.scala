@@ -36,8 +36,10 @@ object EventAnalytics {
       "repeated step types are ambiguous — name each stage uniquely")
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
-    val sorted = sort_array(collect_list(struct(col(tsCol).as("ts"),
-      col(typeCol).as("tp"))))
+    // cast up front: the events loader yields TIMESTAMP_NTZ, and the
+    // fold state/unix_micros need one concrete timestamp type
+    val sorted = sort_array(collect_list(struct(
+      col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp"))))
     val fold: (Column, Column) => Column = (acc, x) =>
       when(acc.getField("idx") < k
           && x.getField("tp") ===
@@ -55,6 +57,65 @@ object EventAnalytics {
         struct(lit(0).as("idx"),
           lit(null).cast("timestamp").as("last")),
         fold).getField("idx").as("steps_reached"))
+  }
+
+  /** [[funnelUsers]] keeping each reached step's GREEDY timestamp
+    * (epoch micros, exact longs): (user, times) with
+    * `size(times) = steps_reached`. Same one-shuffle fold; the state
+    * additionally accumulates `unix_micros` per advance. */
+  def funnelUserTimes(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      "repeated step types are ambiguous — name each stage uniquely")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    // cast up front: the events loader yields TIMESTAMP_NTZ, and the
+    // fold state/unix_micros need one concrete timestamp type
+    val sorted = sort_array(collect_list(struct(
+      col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp"))))
+    val fold: (Column, Column) => Column = (acc, x) =>
+      when(size(acc.getField("times")) < k
+          && x.getField("tp") ===
+            element_at(stepsArr, size(acc.getField("times")) + 1)
+          && (size(acc.getField("times")) === 0
+            || x.getField("ts") > acc.getField("last")),
+        struct(x.getField("ts").as("last"),
+          concat(acc.getField("times"),
+            array(unix_micros(x.getField("ts")))).as("times")))
+        .otherwise(acc)
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol).as("user"))
+      .agg(sorted.as("__evs"))
+      .select(col("user"), aggregate(col("__evs"),
+        struct(lit(null).cast("timestamp").as("last"),
+          lit(Array.empty[Long]).as("times")),
+        fold).getField("times").as("times"))
+  }
+
+  /** Funnel LATENCY census: for every step past the first,
+    * (step_idx, step, n_users, p50_us, p90_us) of the time from the
+    * step-1 greedy occurrence to that step's — exact interpolated
+    * percentiles over epoch-microsecond longs (rounded to 1), one
+    * explode + one aggregation over [[funnelUserTimes]]. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    val stepsArr = array(steps.map(lit): _*)
+    funnelUserTimes(events, userCol, tsCol, typeCol, steps)
+      .filter(size(col("times")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("times"))),
+        i => struct(i.as("step_idx"),
+          (get(col("times"), i - 1)
+            - get(col("times"), lit(0))).as("lat_us")))).as("s"))
+      .select(col("s.step_idx"), col("s.lat_us"))
+      .groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"),
+        round(percentile(col("lat_us"), lit(0.5)), 1).as("p50_us"),
+        round(percentile(col("lat_us"), lit(0.9)), 1).as("p90_us"))
+      .select(col("step_idx"),
+        get(stepsArr, col("step_idx") - 1).as("step"),
+        col("n_users"), col("p50_us"), col("p90_us"))
   }
 
   /** The funnel census: (step_idx, step, n_users) where `n_users`

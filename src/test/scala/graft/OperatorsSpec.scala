@@ -619,6 +619,28 @@ class OperatorsSpec extends SparkTestBase {
       (3, "purchase", 2L)))
   }
 
+  test("funnelLatency: greedy step times, exact percentiles") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(2), "click"), (1L, ts(5), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(4), "click"),
+      (3L, ts(0), "view") // never clicks
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLatency(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy($"step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // click latencies {2, 4} min -> p50 = 3 min (interpolated),
+    // p90 = 3.8 min; purchase latency {5} -> both 5 min
+    val M = 60e6 // minutes in micros
+    assert(got.toSeq == Seq(
+      (2, "click", 2L, 3 * M, 3.8 * M),
+      (3, "purchase", 1L, 5 * M, 5 * M)))
+  }
+
   test("cohortRetention: week cohorts, period arithmetic, shares") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
