@@ -4055,7 +4055,37 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT),
              |  round(quantile_cont(lat, 0.5), 1),
              |  round(quantile_cont(lat, 0.9), 1) FROM l3
-             |ORDER BY step_idx""".stripMargin))
+             |ORDER BY step_idx""".stripMargin)),
+
+    // Persisted HLL cardinality digest (Profile.appendHllDigest /
+    // hllEstimates): two append cycles (documents split by id
+    // parity) into one digest file, estimates unioned at read — the
+    // approximation IS the measurement, so the row carries estimate
+    // vs exact vs relative error per column (q50/q145 contract; the
+    // sketch internals are not SQL-replayable). Deterministic: HLL
+    // sketching has no RNG, so this row is rerun-stable.
+    Q("q160_hll_digest", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q160_hll").toString + "/digest"
+      val cols = Seq("doc_id", "lang", "source")
+      graft.operators.Profile.appendHllDigest(
+        docs.filter(col("doc_id") % 2 === 0), cols, path)
+      graft.operators.Profile.appendHllDigest(
+        docs.filter(col("doc_id") % 2 === 1), cols, path)
+      val est = graft.operators.Profile.hllEstimates(s, path)
+      val exact = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_distinct"))
+      est.join(exact, Seq("col_name"))
+        .select(col("col_name"), round(col("n_distinct_est"), 1)
+            .as("est"),
+          col("n_distinct"),
+          round(abs(col("n_distinct_est") - col("n_distinct"))
+            / col("n_distinct"), 4).as("rel_err"))
+        .orderBy(col("col_name"))
+    },
+      None) // sketch internals are engine-specific; the emitted
+             // rel_err column is the gate signal (spec floor 5%)
   )
 
   // ---- driver contract ---------------------------------------------------

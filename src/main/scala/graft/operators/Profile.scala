@@ -43,4 +43,96 @@ object Profile {
       col(s"__p${i}hi").as("max_val")) }
     wide.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** Profile DRIFT between two snapshots of the same table — the
+    * monitoring census that catches a producer change before it
+    * corrupts a pipeline (the events-loader incident class: a schema
+    * or distribution shift shows up here as a drifted column row).
+    * Runs [[profile]] on both sides (one scan each) and full-outer
+    * joins the two 1-row-per-column results — columns present on one
+    * side only surface with nulls on the other. `drifted` flags any
+    * change in null count, distinct count, or min/max rendering.
+    * Cost: two profile aggregations + a column-count-sized join. */
+  def diff(before: DataFrame, after: DataFrame, cols: Seq[String],
+           exactDistinct: Boolean = true): DataFrame = {
+    val b = profile(before, cols.filter(before.columns.contains),
+      exactDistinct)
+      .select(col("col_name"), col("n_null").as("n_null_before"),
+        col("n_distinct").as("n_distinct_before"),
+        col("min_val").as("min_before"), col("max_val").as("max_before"))
+    val a = profile(after, cols.filter(after.columns.contains),
+      exactDistinct)
+      .select(col("col_name"), col("n_null").as("n_null_after"),
+        col("n_distinct").as("n_distinct_after"),
+        col("min_val").as("min_after"), col("max_val").as("max_after"))
+    b.join(a, Seq("col_name"), "full_outer")
+      .withColumn("drifted",
+        !(col("n_null_before") <=> col("n_null_after"))
+          || !(col("n_distinct_before") <=> col("n_distinct_after"))
+          || !(col("min_before") <=> col("min_after"))
+          || !(col("max_before") <=> col("max_after")))
+  }
+
+  // ---- persisted HLL cardinality digests --------------------------------
+  // The distinct-count sibling of the persisted Bloom membership
+  // digest (EventStream.screenAgainstBloom's family): per-cycle
+  // corpus cardinality telemetry WITHOUT rescanning history. The
+  // digest file is APPEND-ONLY — each batch appends one Datasketches
+  // HLL sketch row per column, and estimation unions the rows at read
+  // time (sketch union is the associative merge HLL exists for), so
+  // cycle cost is one batch scan + a few-KB append, never a corpus
+  // read. Same `__fmt`+params storage discipline as every other
+  // persisted digest; estimates are gated rows-only (q160 emits
+  // estimate vs exact vs relative error — the sketch internals are
+  // not SQL-replayable) with the error floor pinned in the spec.
+
+  private[graft] val HllDigestFormat = 1
+
+  /** One (col_name, sketch) row per column — Datasketches HLL,
+    * `lgConfigK` buckets exponent (12 → ±~1.6% typical). */
+  def hllDigest(df: DataFrame, cols: Seq[String],
+                lgConfigK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "hllDigest needs at least one column")
+    def in(c: String) = df.col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      hll_sketch_agg(in(c).cast("string"), lit(lgConfigK)).as(s"__h$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) => struct(
+      lit(c).as("col_name"), col(s"__h$i").as("sketch")) }
+    wide.select(explode(array(rows: _*)).as("__h")).select(col("__h.*"))
+  }
+
+  /** Append this frame's per-column sketches to the digest at `path`
+    * (creating it on first use), stamped with the format version and
+    * `lgConfigK` — mixed-parameter appends are rejected at read. */
+  def appendHllDigest(df: DataFrame, cols: Seq[String], path: String,
+                      lgConfigK: Int = 12): Unit =
+    hllDigest(df, cols, lgConfigK)
+      .withColumn("__fmt", lit(HllDigestFormat))
+      .withColumn("__lgK", lit(lgConfigK))
+      .coalesce(1).write.mode("append").parquet(path)
+
+  /** Distinct-count estimates from a digest: validates the stamps,
+    * unions each column's appended sketches, estimates. Returns
+    * (col_name, n_distinct_est). */
+  def hllEstimates(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("__fmt") && df.columns.contains("__lgK"),
+      "not an HLL digest: missing __fmt/__lgK stamps — write with " +
+        "Profile.appendHllDigest")
+    val stamps = df.select(col("__fmt"), col("__lgK")).distinct().collect()
+    stamps.foreach { r =>
+      require(r.getInt(0) == HllDigestFormat,
+        s"HLL digest format ${r.getInt(0)} != v$HllDigestFormat — rebuild")
+    }
+    require(stamps.map(_.getInt(1)).distinct.length == 1,
+      s"HLL digest mixes lgConfigK values " +
+        s"${stamps.map(_.getInt(1)).distinct.mkString(",")} — " +
+        "union would silently degrade; rebuild at one precision")
+    df.groupBy(col("col_name"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("n_distinct_est"))
+  }
 }

@@ -375,6 +375,65 @@ class OperatorsSpec extends SparkTestBase {
       "a-b" -> "4", "a`b" -> "5"))
   }
 
+  test("profile diff: drift flags, one-sided columns, null-safe") {
+    import graft.operators.Profile
+    val before = Seq((1, "a"), (2, "b"), (3, null)).toDF("id", "v")
+    val after = Seq((1, "a"), (2, "c"), (3, null), (4, null))
+      .toDF("id", "v")
+    val got = Profile.diff(before, after, Seq("id", "v", "only_before"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(9)).toMap
+    // id: distinct 3 -> 4 and max 3 -> 4: drifted
+    assert(got("id"))
+    // v: nulls 1 -> 2, max b -> c: drifted
+    assert(got("v"))
+    val same = Profile.diff(before, before, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(9)).toMap
+    assert(same == Map("id" -> false, "v" -> false))
+  }
+
+  test("hll digest: append==oneshot union, error floor, param gates") {
+    import graft.operators.Profile
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll")
+      .toString
+    val cols = Seq("doc_id", "lang")
+    Profile.appendHllDigest(docs.filter($"doc_id" % 2 === 0), cols,
+      s"$dir/d")
+    Profile.appendHllDigest(docs.filter($"doc_id" % 2 === 1), cols,
+      s"$dir/d")
+    val est = Profile.hllEstimates(spark, s"$dir/d")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Profile.profile(docs, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    cols.foreach { c =>
+      val err = math.abs(est(c) - exact(c)) / math.max(1L, exact(c))
+      assert(err < 0.05, s"$c: est ${est(c)} vs exact ${exact(c)}")
+    }
+    // union of per-half sketches ~= the one-shot digest of the whole
+    val whole = java.nio.file.Files.createTempDirectory("graft_hll2")
+      .toString + "/d"
+    Profile.appendHllDigest(docs, cols, whole)
+    val one = Profile.hllEstimates(spark, whole)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    cols.foreach { c =>
+      assert(math.abs(est(c) - one(c)) / math.max(1.0, one(c)) < 0.02,
+        s"$c: union ${est(c)} vs one-shot ${one(c)}")
+    }
+    // mixed lgConfigK appends are refused at read
+    Profile.appendHllDigest(docs, cols, s"$dir/d", lgConfigK = 13)
+    val e = intercept[IllegalArgumentException] {
+      Profile.hllEstimates(spark, s"$dir/d").collect()
+    }
+    assert(e.getMessage.contains("lgConfigK"))
+    // unstamped parquet is refused
+    docs.limit(2).write.parquet(s"$dir/plain")
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.hllEstimates(spark, s"$dir/plain")
+    }
+    assert(e2.getMessage.contains("missing __fmt"))
+  }
+
   test("domain filter: exact host, subdomain suffix, case, non-URLs") {
     val docs = Seq(
       (1L, "https://www.good.com/a"),
