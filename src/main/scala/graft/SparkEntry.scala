@@ -4084,8 +4084,53 @@ object SparkEntry {
             / col("n_distinct"), 4).as("rel_err"))
         .orderBy(col("col_name"))
     },
-      None) // sketch internals are engine-specific; the emitted
+      None), // sketch internals are engine-specific; the emitted
              // rel_err column is the gate signal (spec floor 5%)
+
+    // Nearest-center assignment (Geo.nearestCenter): q154's fixture,
+    // each customer assigned to its closest supplier hub within
+    // 150 km (ties to the lower s_suppkey). The oracle reuses q154's
+    // haversine replay plus one argmin row_number — census of
+    // assignments per hub.
+    Q("q161_geo_nearest", (s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 100).cast("double") - 50 + 0.25).as("lat"),
+        ((col("c_custkey") % 340).cast("double") - 170 + 0.5).as("lon"))
+      val ctr = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 100).cast("double") - 50 + 0.75).as("clat"),
+        ((col("s_suppkey") % 340).cast("double") - 170 + 0.25).as("clon"))
+      graft.operators.Geo.nearestCenter(pts, "lat", "lon",
+          ctr, "clat", "clon", maxRadiusKm = 150.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(avg(col("distance_km")), 4).as("avg_km"))
+        .orderBy(col("s_suppkey"))
+    },
+      Some("""WITH p AS (SELECT c_custkey,
+             |   CAST(c_custkey % 100 AS DOUBLE) - 50 + 0.25 AS lat,
+             |   CAST(c_custkey % 340 AS DOUBLE) - 170 + 0.5 AS lon
+             |  FROM customer),
+             |c AS (SELECT s_suppkey,
+             |   CAST(s_suppkey % 100 AS DOUBLE) - 50 + 0.75 AS clat,
+             |   CAST(s_suppkey % 340 AS DOUBLE) - 170 + 0.25 AS clon
+             |  FROM supplier),
+             |d AS (SELECT c_custkey, s_suppkey,
+             |   round(2 * 6371.0088 * asin(sqrt(
+             |     sin((clat - lat) * 3.141592653589793 / 180 / 2)
+             |       * sin((clat - lat) * 3.141592653589793 / 180 / 2)
+             |     + cos(lat * 3.141592653589793 / 180)
+             |       * cos(clat * 3.141592653589793 / 180)
+             |       * sin((clon - lon) * 3.141592653589793 / 180 / 2)
+             |       * sin((clon - lon) * 3.141592653589793 / 180 / 2))),
+             |     4) AS km
+             |  FROM p, c),
+             |n AS (SELECT c_custkey, s_suppkey, km, row_number() OVER (
+             |   PARTITION BY c_custkey ORDER BY km ASC, s_suppkey ASC)
+             |   AS rn
+             |  FROM d WHERE km <= 150.0)
+             |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_assigned,
+             | round(avg(km), 4) AS avg_km
+             |FROM n WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -162,6 +162,30 @@ object Geo {
       .drop("__cy", "__cx")
   }
 
+  /** Nearest-center assignment within a search radius: each point's
+    * closest center by great-circle distance (ties break on the
+    * center's first column, deterministically), provided one lies
+    * within `maxRadiusKm` — points with no center in range are
+    * absent, exactly like an inner radius join. The radius bounds the
+    * candidate grid ([[withinDistance]]'s 3x3 cover), so assignment
+    * cost is the radius join plus one per-point WindowGroupLimit
+    * top-1 — never a scan of all centers per point. Pick the radius
+    * from the center density (e.g. p99 nearest-hub distance); a too
+    * -small radius loses points (visible as missing rows), a too
+    * -large one only costs candidates. */
+  def nearestCenter(points: DataFrame, pLatCol: String, pLonCol: String,
+                    centers: DataFrame, cLatCol: String, cLonCol: String,
+                    maxRadiusKm: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cIdCol = centers.columns.head
+    val joined = withinDistance(points, pLatCol, pLonCol, centers,
+      cLatCol, cLonCol, maxRadiusKm)
+    val w = Window.partitionBy(points.columns.map(col): _*)
+      .orderBy(col("distance_km").asc, col(cIdCol).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** points(idCols..., xCol, yCol) x polygons(attrs..., verticesCol) →
     * points joined with the attributes of every polygon containing
     * them. Polygon table must be broadcast-small (reference semantics:

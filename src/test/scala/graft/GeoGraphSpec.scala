@@ -113,6 +113,21 @@ class GeoGraphSpec extends SparkTestBase {
     assert(math.abs(oneDeg - 111.195) < 0.01, s"1 deg = $oneDeg km")
   }
 
+  test("nearestCenter: argmin assignment, tie to lower id, range cut") {
+    import graft.operators.Geo
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.5), (3L, 40.0, 40.0))
+      .toDF("pid", "lat", "lon")
+    val ctrs = Seq((10L, 0.0, 0.2), (20L, 0.0, 1.0), (30L, 0.0, -0.2))
+      .toDF("cid", "clat", "clon")
+    val got = Geo.nearestCenter(pts, "lat", "lon", ctrs, "clat", "clon",
+        maxRadiusKm = 100.0)
+      .select($"pid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // p1 is equidistant from 10 and 30 (0.2 deg each) -> lower id 10;
+    // p2 is closest to 10 (0.3 deg vs 0.5); p3 has nothing in range
+    assert(got == Map(1L -> 10L, 2L -> 10L))
+  }
+
   test("labelPropagation: bridged triangles split into their cores") {
     import graft.operators.LabelProp
     // two triangles joined by ONE bridge edge: CC would merge them
