@@ -2163,8 +2163,16 @@ object SparkEntry {
     Q("q143_stream_screen_bloom_indexed", (s, dir) => {
       val seen = events(s, dir).filter(col("event_id") % 3 === 0)
         .select(col("event_id"))
-      val digest = java.nio.file.Files
-        .createTempDirectory("graft_q143_digest").toString + "/bloom"
+      // fixed scratch location, cleared per invocation (the q160
+      // no-leak discipline)
+      val q143Root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q143_digest")
+      def rmQ143(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmQ143)
+        f.delete(): Unit
+      }
+      if (q143Root.exists()) rmQ143(q143Root)
+      val digest = q143Root.toString + "/bloom"
       val firstHalf = seen.filter(col("event_id") % 2 === 0)
       val secondHalf = seen.filter(col("event_id") % 2 =!= 0)
       // save from one half (capacity sized for both), fold the other
@@ -3763,8 +3771,13 @@ object SparkEntry {
     // randomized vocab/word inputs, the BPE q130/q132 treatment.
     Q("q151_wordpiece", (s, dir) => {
       val docs = t(s, dir, "documents")
+      // the whole-word collapse needs NO continuation pieces in the
+      // vocab — enforced structurally (both sides filter '##%'), not
+      // assumed, so a testdata regeneration with a literal '##'
+      // token cannot silently break the equivalence
       val vocab = docs.filter(col("doc_id") < 50)
         .select(explode(TF.tokens(col("text"))).as("piece")).distinct()
+        .filter(!col("piece").startsWith("##"))
       graft.operators.WordPiece.encode(docs, "text", vocab)
         .select(col("lang"), explode(col("wp_tokens")).as("p"))
         .groupBy(col("lang"))
@@ -3773,8 +3786,10 @@ object SparkEntry {
           count_distinct(col("p")).as("n_distinct"))
         .orderBy(col("lang"))
     },
-      Some(s"""WITH v AS (SELECT DISTINCT unnest(${sqlTokens("text")})
-              |    AS piece FROM documents WHERE doc_id < 50),
+      Some(s"""WITH v AS (SELECT DISTINCT piece FROM (
+              |    SELECT unnest(${sqlTokens("text")}) AS piece
+              |    FROM documents WHERE doc_id < 50)
+              |  WHERE piece NOT LIKE '##%'),
               |tok AS (SELECT lang, unnest(${sqlTokens("text")}) AS t
               |  FROM documents),
               |enc AS (SELECT lang, CASE WHEN len(t) <= 200
@@ -4066,8 +4081,16 @@ object SparkEntry {
     // sketching has no RNG, so this row is rerun-stable.
     Q("q160_hll_digest", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q160_hll").toString + "/digest"
+      // fixed scratch location, cleared per invocation — repeated
+      // bench/verify runs must not leak a temp dir each time
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q160_hll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val path = root.toString + "/digest"
       val cols = Seq("doc_id", "lang", "source")
       graft.operators.Profile.appendHllDigest(
         docs.filter(col("doc_id") % 2 === 0), cols, path)

@@ -37,7 +37,13 @@ object EventAnalytics {
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
     // cast up front: the events loader yields TIMESTAMP_NTZ, and the
-    // fold state/unix_micros need one concrete timestamp type
+    // fold state/unix_micros need one concrete timestamp type. The
+    // NTZ cast resolves wall-clock fields in the SESSION time zone —
+    // pin spark.sql.session.timeZone (this repo's drivers use UTC) or
+    // pass real TIMESTAMP columns, else emitted epoch values and
+    // cross-DST latencies shift with the session. Null-timestamp
+    // events are dropped up front (they cannot order, and min(ts)
+    // semantics — the oracle's closed form — ignore them too)
     val sorted = sort_array(collect_list(struct(
       col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp"))))
     val fold: (Column, Column) => Column = (acc, x) =>
@@ -50,7 +56,7 @@ object EventAnalytics {
           x.getField("ts").as("last")))
         .otherwise(acc)
     events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
       .groupBy(col(userCol).as("user"))
       .agg(sorted.as("__evs"))
       .select(col("user"), aggregate(col("__evs"),
@@ -71,7 +77,13 @@ object EventAnalytics {
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
     // cast up front: the events loader yields TIMESTAMP_NTZ, and the
-    // fold state/unix_micros need one concrete timestamp type
+    // fold state/unix_micros need one concrete timestamp type. The
+    // NTZ cast resolves wall-clock fields in the SESSION time zone —
+    // pin spark.sql.session.timeZone (this repo's drivers use UTC) or
+    // pass real TIMESTAMP columns, else emitted epoch values and
+    // cross-DST latencies shift with the session. Null-timestamp
+    // events are dropped up front (they cannot order, and min(ts)
+    // semantics — the oracle's closed form — ignore them too)
     val sorted = sort_array(collect_list(struct(
       col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp"))))
     val fold: (Column, Column) => Column = (acc, x) =>
@@ -85,7 +97,7 @@ object EventAnalytics {
             array(unix_micros(x.getField("ts")))).as("times")))
         .otherwise(acc)
     events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
       .groupBy(col(userCol).as("user"))
       .agg(sorted.as("__evs"))
       .select(col("user"), aggregate(col("__evs"),
@@ -125,9 +137,11 @@ object EventAnalytics {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     val fu = funnelUsers(events, userCol, tsCol, typeCol, steps)
+    // coalesce: over an EMPTY user set (no step events at all) the
+    // sums are null, and the census contract is 0
     val aggs = steps.indices.map(i =>
-      sum(when(col("steps_reached") >= i + 1, 1L).otherwise(0L))
-        .as(s"__n$i"))
+      coalesce(sum(when(col("steps_reached") >= i + 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"__n$i"))
     fu.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
         struct(lit(i + 1).as("step_idx"), lit(st).as("step"),

@@ -112,16 +112,22 @@ object Geo {
     * the engine-ext k-NN/geofence primitive a location pipeline
     * needs).
     *
-    * Shape at 100 TB: one pass computes the data's max |lat| (cell
-    * width in lon-degrees must be taken at the WORST latitude —
-    * degrees shrink by cos(lat)); each center explodes to its 3x3
+    * Shape at 100 TB: one stats aggregation computes the data's max
+    * |lat| (pass `maxAbsLat` yourself to skip it when the domain is
+    * known — geofencing usually is); each center explodes to its 3x3
     * neighbor cells, each point maps to ONE cell, the join keys on
     * the cell (hash shuffle both sides, AQE-splittable), and the
-    * exact haversine predicate filters candidates. Cell edges are
-    * >= radius in both axes by construction, so the 3x3 neighborhood
-    * COVERS the radius — no recall loss (spec-pinned against the
-    * brute-force cross). Candidate volume per cell is (points in
-    * cell) x (centers within one cell), the usual grid trade.
+    * exact haversine predicate filters candidates. Cell sizing is
+    * the EXACT spherical-cap bound, not the parallel-arc
+    * approximation: the max longitude delta of an in-radius pair at
+    * latitude φ is `asin(sin(r/R) / cos(φ))` — always ≥ the naive
+    * `r / (111.195·cos φ)`, and the gap matters (at lat 80°,
+    * r=2000 km the naive width misses true pairs two cells away).
+    * With that width the 3x3 neighborhood COVERS the radius — no
+    * recall loss (spec-pinned against the brute-force cross,
+    * including the high-latitude case the naive sizing fails).
+    * Candidate volume per cell is (points in cell) x (centers within
+    * one cell), the usual grid trade.
     * Latitudes beyond ±85° are rejected (cos → 0 degenerates the lon
     * grid; polar workloads need a polar-cap partition, not a lon
     * grid), and the grid does NOT wrap the antimeridian — pairs
@@ -131,20 +137,31 @@ object Geo {
     * (0.1 m); name collisions are the caller's to resolve. */
   def withinDistance(points: DataFrame, pLatCol: String, pLonCol: String,
                      centers: DataFrame, cLatCol: String, cLonCol: String,
-                     radiusKm: Double): DataFrame = {
+                     radiusKm: Double,
+                     maxAbsLat: Double = Double.NaN): DataFrame = {
     require(radiusKm > 0, s"radiusKm must be positive, got $radiusKm")
     val kmPerDegLat = 111.195 // 2πR/360 at R = 6371.0088
-    val maxAbsLat = {
-      val r = points.agg(max(abs(col(pLatCol)))).head()
-      val r2 = centers.agg(max(abs(col(cLatCol)))).head()
-      math.max(if (r.isNullAt(0)) 0.0 else r.getDouble(0),
-        if (r2.isNullAt(0)) 0.0 else r2.getDouble(0))
-    }
-    require(maxAbsLat <= 85.0,
-      s"withinDistance supports |lat| <= 85 (got $maxAbsLat): the " +
+    val latBound =
+      if (!maxAbsLat.isNaN) maxAbsLat
+      else { // ONE stats aggregation over the union of both lat columns
+        val r = points.select(abs(col(pLatCol)).as("__l"))
+          .unionByName(centers.select(abs(col(cLatCol)).as("__l")))
+          .agg(max(col("__l"))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+    require(latBound <= 85.0,
+      s"withinDistance supports |lat| <= 85 (got $latBound): the " +
         "lon grid degenerates toward the poles")
     val dLat = radiusKm / kmPerDegLat
-    val dLon = radiusKm / (kmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
+    // exact spherical-cap max lon delta at the worst latitude; the
+    // sine ratio >= 1 means the radius circle wraps past the pole at
+    // that latitude — no finite lon grid covers it
+    val sinRatio = math.sin(radiusKm / 6371.0088) /
+      math.cos(math.toRadians(latBound))
+    require(sinRatio < 1.0,
+      s"radius $radiusKm km reaches around the pole at |lat| " +
+        s"$latBound — shrink the radius or partition the polar cap")
+    val dLon = math.toDegrees(math.asin(sinRatio))
     val pc = points
       .withColumn("__cy", floor(col(pLatCol) / dLat).cast("long"))
       .withColumn("__cx", floor(col(pLonCol) / dLon).cast("long"))
@@ -172,14 +189,18 @@ object Geo {
     * top-1 — never a scan of all centers per point. Pick the radius
     * from the center density (e.g. p99 nearest-hub distance); a too
     * -small radius loses points (visible as missing rows), a too
-    * -large one only costs candidates. */
+    * -large one only costs candidates. Point ROWS must be distinct
+    * (the argmin window partitions on the point's columns) — frames
+    * without a unique point id collapse coincident duplicates to one
+    * assignment; carry an id column through. */
   def nearestCenter(points: DataFrame, pLatCol: String, pLonCol: String,
                     centers: DataFrame, cLatCol: String, cLonCol: String,
-                    maxRadiusKm: Double): DataFrame = {
+                    maxRadiusKm: Double,
+                    maxAbsLat: Double = Double.NaN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cIdCol = centers.columns.head
     val joined = withinDistance(points, pLatCol, pLonCol, centers,
-      cLatCol, cLonCol, maxRadiusKm)
+      cLatCol, cLonCol, maxRadiusKm, maxAbsLat)
     val w = Window.partitionBy(points.columns.map(col): _*)
       .orderBy(col("distance_km").asc, col(cIdCol).asc)
     joined.withColumn("__rn", row_number().over(w))

@@ -55,13 +55,32 @@ object Profile {
     * Cost: two profile aggregations + a column-count-sized join. */
   def diff(before: DataFrame, after: DataFrame, cols: Seq[String],
            exactDistinct: Boolean = true): DataFrame = {
-    val b = profile(before, cols.filter(before.columns.contains),
-      exactDistinct)
+    // a side that carries NONE of the requested columns must still
+    // yield an (empty) profile — this is the exact situation the
+    // detector exists for (a producer renamed everything), and
+    // crashing on it would mask the drift it should report
+    def side(df: DataFrame): DataFrame = {
+      val present = cols.filter(df.columns.contains)
+      if (present.nonEmpty) profile(df, present, exactDistinct)
+      else df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_null",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_distinct",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_val",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("max_val",
+            org.apache.spark.sql.types.StringType))))
+    }
+    val b = side(before)
       .select(col("col_name"), col("n_null").as("n_null_before"),
         col("n_distinct").as("n_distinct_before"),
         col("min_val").as("min_before"), col("max_val").as("max_before"))
-    val a = profile(after, cols.filter(after.columns.contains),
-      exactDistinct)
+    val a = side(after)
       .select(col("col_name"), col("n_null").as("n_null_after"),
         col("n_distinct").as("n_distinct_after"),
         col("min_val").as("min_after"), col("max_val").as("max_after"))

@@ -82,8 +82,10 @@ object RangeJoin {
     * side, candidate volume set by `bucketWidth` vs the interval
     * width distribution (self-sized from BOTH sides' p75 length when
     * 0 — overlap cost is symmetric, unlike the point join).
-    * Zero-/negative-length rows drop (lo <= hi contract), as do null
-    * bounds. Column-name collisions are the caller's to resolve. */
+    * Negative-length rows (lo > hi) drop; zero-length `[x, x]`
+    * intervals are KEPT and overlap anything touching x (closed
+    * endpoints). Null bounds drop. Column-name collisions are the
+    * caller's to resolve. */
   def intervalOverlap(a: DataFrame, aLoCol: String, aHiCol: String,
                       b: DataFrame, bLoCol: String, bHiCol: String,
                       bucketWidth: Double = 0.0): DataFrame = {

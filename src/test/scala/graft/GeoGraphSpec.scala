@@ -75,11 +75,13 @@ class GeoGraphSpec extends SparkTestBase {
   test("withinDistance == brute-force haversine cross at every radius") {
     import graft.operators.Geo
     val rnd = new scala.util.Random(11)
+    // |lat| <= 60 so the largest tested radius (2000 km) never crosses
+    // the pole-wrap guard: sin(2000/R)/cos(60°) ≈ 0.62 < 1
     val pts = (1L to 60L).map(i =>
-      (i, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 340 - 170))
+      (i, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 340 - 170))
       .toDF("pid", "lat", "lon")
     val ctrs = (1L to 15L).map(i =>
-      (i, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 340 - 170))
+      (i, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 340 - 170))
       .toDF("cid", "clat", "clon")
     val cross = pts.crossJoin(ctrs)
       .withColumn("km", Geo.haversineKm($"lat", $"lon", $"clat", $"clon"))
@@ -103,6 +105,31 @@ class GeoGraphSpec extends SparkTestBase {
       Geo.withinDistance(polar, "lat", "lon", ctrs, "clat", "clon", 100)
     }
     assert(e.getMessage.contains("85"))
+    // high-latitude regression (review r10): lat 70, r=1500 km,
+    // lon delta 40° — great-circle distance 1494 km IS in radius,
+    // but the parallel-arc lon width (39.4°) puts the pair two cells
+    // apart (missed); the exact spherical-cap width (43.0°) covers it
+    val hp = Seq((1L, 70.0, -40.0)).toDF("pid", "lat", "lon")
+    val hc = Seq((9L, 70.0, 0.0)).toDF("cid", "clat", "clon")
+    val hi = Geo.withinDistance(hp, "lat", "lon", hc, "clat", "clon",
+      1500.0).select($"pid", $"cid").collect()
+    assert(hi.length == 1, "high-latitude in-radius pair missed")
+    // a radius whose cap crosses the pole at the data's latitude is
+    // rejected, not silently under-covered (no finite lon grid works)
+    val e2 = intercept[IllegalArgumentException] {
+      Geo.withinDistance(hp, "lat", "lon", hc, "clat", "clon", 8000.0)
+    }
+    assert(e2.getMessage.contains("pole"))
+    // explicit maxAbsLat skips the stats scan and gives the same pairs
+    val explicitBound = Geo.withinDistance(pts, "lat", "lon", ctrs,
+        "clat", "clon", 300.0, maxAbsLat = 80.0)
+      .select($"pid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = Geo.withinDistance(pts, "lat", "lon", ctrs,
+        "clat", "clon", 300.0)
+      .select($"pid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicitBound == derived)
     // known distance: 1 degree of longitude at the equator ~111.2 km
     val oneDeg = Geo.withinDistance(
       Seq((1L, 0.0, 0.0)).toDF("pid", "lat", "lon"),

@@ -663,19 +663,28 @@ class OperatorsSpec extends SparkTestBase {
       // E: never starts the funnel
       (5L, ts(1), "click"), (5L, ts(2), "purchase"),
       // F: noise types are ignored entirely
-      (6L, ts(1), "error"), (6L, ts(2), "view")
+      (6L, ts(1), "error"), (6L, ts(2), "view"),
+      // G: a NULL-timestamp view must not freeze the funnel (review
+      // r10) — nulls drop up front, the real chain still completes
+      (7L, null.asInstanceOf[Timestamp], "view"),
+      (7L, ts(1), "view"), (7L, ts(2), "click"), (7L, ts(3), "purchase")
     ).toDF("user_id", "ts", "event_type")
     val reached = EventAnalytics.funnelUsers(events, "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(reached == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 0,
-      6L -> 1))
+      6L -> 1, 7L -> 3))
     val census = EventAnalytics.funnel(events, "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))
       .orderBy($"step_idx").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    assert(census.toSeq == Seq((1, "view", 5L), (2, "click", 2L),
-      (3, "purchase", 2L)))
+    assert(census.toSeq == Seq((1, "view", 6L), (2, "click", 3L),
+      (3, "purchase", 3L)))
+    // an absent step type yields 0 counts, not nulls
+    val none = EventAnalytics.funnel(events, "user_id", "ts",
+        "event_type", Seq("no_such_type"))
+      .collect().map(r => r.getLong(2))
+    assert(none.toSeq == Seq(0L))
   }
 
   test("funnelLatency: greedy step times, exact percentiles") {
