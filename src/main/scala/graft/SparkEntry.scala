@@ -4153,7 +4153,342 @@ object SparkEntry {
              |  FROM d WHERE km <= 150.0)
              |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_assigned,
              | round(avg(km), 4) AS avg_km
-             |FROM n WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM n WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Count-Min sketch (CountMin.sketch/estimate), portable md5 hash
+    // family: per-user event frequencies estimated from a 4x64
+    // counter grid and compared against the exact groupBy. The
+    // upper-bound property (est >= exact, collisions only add) shows
+    // up as nonzero overcounts at width 64 over 150 users. RARE for
+    // a sketch: the md5 family makes the ENTIRE build->estimate
+    // chain SQL-replayable, so this is a full [O] gate, not a
+    // rows-only emission.
+    Q("q162_countmin", (s, dir) => {
+      val ev = events(s, dir)
+      val sk = graft.operators.CountMin.sketch(ev, "user_id",
+        depth = 4, width = 64, portable = true)
+      val est = graft.operators.CountMin.estimate(sk, ev, "user_id",
+        depth = 4, width = 64, portable = true)
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("est"), col("exact_cnt"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH c AS (SELECT d,
+             |   CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |       || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+             |     % 64 AS BIGINT) AS bucket,
+             |   CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events, range(4) t(d)
+             |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |k AS (SELECT DISTINCT user_id FROM events
+             |  WHERE user_id IS NOT NULL),
+             |p AS (SELECT user_id, d,
+             |   CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |       || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+             |     % 64 AS BIGINT) AS bucket
+             |  FROM k, range(4) t(d)),
+             |e AS (SELECT user_id, min(coalesce(cnt, 0)) AS est
+             |  FROM p LEFT JOIN c USING (d, bucket) GROUP BY 1),
+             |x AS (SELECT user_id, CAST(count(*) AS BIGINT)
+             |   AS exact_cnt FROM events GROUP BY 1)
+             |SELECT user_id, est, exact_cnt
+             |FROM e JOIN x USING (user_id) ORDER BY user_id""".stripMargin)),
+
+    // Persisted CMS digest (CountMin.append/estimateFromPath): the
+    // same estimates through TWO append cycles (events split by
+    // event_id parity) and a parquet round-trip. Counters are LINEAR
+    // (sketch(A+B) = sketch(A) + sketch(B) cell for cell), so the
+    // oracle is q162's SQL VERBATIM — append == rebuild exactly, and
+    // the oracle proves it end-to-end rather than trusting the spec.
+    Q("q163_countmin_digest", (s, dir) => {
+      val ev = events(s, dir)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q163_cms")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val path = root.toString + "/digest"
+      graft.operators.CountMin.append(
+        ev.filter(col("event_id") % 2 === 0), "user_id", path,
+        depth = 4, width = 64, portable = true)
+      graft.operators.CountMin.append(
+        ev.filter(col("event_id") % 2 === 1), "user_id", path,
+        depth = 4, width = 64, portable = true)
+      val est = graft.operators.CountMin.estimateFromPath(
+        s, path, ev, "user_id")
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("est"), col("exact_cnt"))
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH c AS (SELECT d,
+             |   CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |       || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+             |     % 64 AS BIGINT) AS bucket,
+             |   CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events, range(4) t(d)
+             |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |k AS (SELECT DISTINCT user_id FROM events
+             |  WHERE user_id IS NOT NULL),
+             |p AS (SELECT user_id, d,
+             |   CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |       || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+             |     % 64 AS BIGINT) AS bucket
+             |  FROM k, range(4) t(d)),
+             |e AS (SELECT user_id, min(coalesce(cnt, 0)) AS est
+             |  FROM p LEFT JOIN c USING (d, bucket) GROUP BY 1),
+             |x AS (SELECT user_id, CAST(count(*) AS BIGINT)
+             |   AS exact_cnt FROM events GROUP BY 1)
+             |SELECT user_id, est, exact_cnt
+             |FROM e JOIN x USING (user_id) ORDER BY user_id""".stripMargin)),
+
+    // Batch sessionization (EventAnalytics.sessions): gaps-and-
+    // islands at a 1-day gap (the generator's median inter-event gap
+    // is ~7 h, so this genuinely splits: ~1.2k sessions over 150
+    // users at sf0.01), censused per user. Gap arithmetic runs on
+    // epoch-microsecond longs; the island flag is a pure function of
+    // each user's timestamp multiset (equal-ts rows gap 0), so the
+    // oracle replays the identical lag + running-sum windows.
+    Q("q164_sessions", (s, dir) =>
+      graft.operators.EventAnalytics.sessions(events(s, dir),
+          "user_id", "ts", gapSeconds = 86400L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          round(avg(col("duration_us")) / 1000000.0, 1)
+            .as("avg_duration_s"))
+        .orderBy(col("user_id")),
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) AS us
+             |  FROM events WHERE ts IS NOT NULL),
+             |f AS (SELECT user_id, us,
+             |   CASE WHEN us - coalesce(lag(us) OVER (
+             |       PARTITION BY user_id ORDER BY us), us)
+             |     > 86400000000 THEN 1 ELSE 0 END AS nf
+             |  FROM o),
+             |i AS (SELECT user_id, us, sum(nf) OVER (
+             |   PARTITION BY user_id ORDER BY us
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+             |   AS session_idx
+             |  FROM f),
+             |se AS (SELECT user_id, session_idx,
+             |   CAST(count(*) AS BIGINT) AS n_events,
+             |   max(us) - min(us) AS dur
+             |  FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             | CAST(sum(n_events) AS BIGINT) AS n_events,
+             | CAST(max(n_events) AS BIGINT) AS max_session_events,
+             | round(avg(dur) / 1000000.0, 1) AS avg_duration_s
+             |FROM se GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD2 interval builder (Scd.scd2): each user's event_type
+    // treated as a tracked dimension attribute — the change log
+    // collapses to maximal validity intervals (same-instant writes
+    // to the max-struct winner, no-op changes extended, half-open
+    // [from, to) bounds). Census: intervals and current rows per
+    // state. The oracle replays the dedupe/collapse/lead chain
+    // window for window.
+    Q("q165_scd2", (s, dir) =>
+      graft.operators.Scd.scd2(events(s, dir), "user_id", "ts",
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("is_current"), 1L).otherwise(0L))
+            .as("n_current"))
+        .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT user_id, ts, max(event_type) AS a
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT user_id, ts, a, lag(a) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS pa
+             |  FROM d),
+             |k AS (SELECT user_id, ts, a FROM c
+             |  WHERE pa IS NULL OR pa <> a),
+             |v AS (SELECT user_id, a, ts AS valid_from, lead(ts) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS valid_to
+             |  FROM k)
+             |SELECT a AS event_type,
+             | CAST(count(*) AS BIGINT) AS n_intervals,
+             | CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_current
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Point-in-time snapshot (Scd.snapshotAt): the dimension as of
+    // mid-month — per state, how many users held it at the instant.
+    // Same interval chain as q165 plus the half-open containment
+    // filter; a codegen'd filter the interval table would prune by
+    // valid_from partitioning at scale.
+    Q("q166_scd2_snapshot", (s, dir) =>
+      graft.operators.Scd.snapshotAt(
+          graft.operators.Scd.scd2(events(s, dir), "user_id", "ts",
+            Seq("event_type")),
+          lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT user_id, ts, max(event_type) AS a
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT user_id, ts, a, lag(a) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS pa
+             |  FROM d),
+             |k AS (SELECT user_id, ts, a FROM c
+             |  WHERE pa IS NULL OR pa <> a),
+             |v AS (SELECT user_id, a, ts AS valid_from, lead(ts) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS valid_to
+             |  FROM k)
+             |SELECT a AS event_type, CAST(count(*) AS BIGINT) AS n_users
+             |FROM v
+             |WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+             |  AND (valid_to IS NULL
+             |    OR TIMESTAMP '2024-01-16 00:00:00' < valid_to)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact triangle census (GraphMetrics.clusteringCoefficients)
+    // over the parts-bought-together graph: edge (a, b) iff parts
+    // co-occur in >= 2 orders (3.6k edges, 96 triangles at sf0.01).
+    // The operator runs the degree-ORIENTED wedge join (O(m^1.5)
+    // bound, hub-skew-proof); the oracle counts the same triangles
+    // by the independent a<b<c three-way join — agreement across
+    // formulations is the point of the gate.
+    Q("q167_triangles", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("l1").join(li.alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey")
+            && col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).drop("w")
+      graft.operators.GraphMetrics.clusteringCoefficients(e, "a", "b")
+        .filter(col("n_triangles") > 0)
+        .select(col("node"), col("degree"), col("n_triangles"),
+          col("lcc"))
+        .orderBy(col("node"))
+    },
+      Some("""WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |   ON l1.l_orderkey = l2.l_orderkey
+             |    AND l1.l_partkey < l2.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |  FROM (SELECT a AS node FROM e
+             |    UNION ALL SELECT b FROM e) GROUP BY 1),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tc AS (SELECT node, CAST(count(*) AS BIGINT)
+             |   AS n_triangles
+             |  FROM (SELECT x AS node FROM tri
+             |    UNION ALL SELECT y FROM tri
+             |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+             |SELECT node, degree, n_triangles,
+             | round(n_triangles * 2.0 / (degree * (degree - 1)), 4)
+             |   AS lcc
+             |FROM deg JOIN tc USING (node)
+             |WHERE n_triangles > 0 ORDER BY node""".stripMargin)),
+
+    // Sorted-neighborhood blocking (Blocking.sortedNeighborPairs):
+    // candidate pairs within a 4-wide window of the sort by a fuzzy
+    // key (first 12 chars of the whitespace-stripped lowered text —
+    // exact dups and the 'zzz'-suffixed near-dups share it, so they
+    // land adjacent). Census by window distance with the exact-text
+    // screen applied: the classic generate-then-screen linkage
+    // pipeline, O(n*w) candidates by construction. The oracle
+    // replays the global row_number and the banded self-join.
+    Q("q168_sorted_neighbor", (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val keyed = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", ""),
+          1, 12).as("bkey"))
+      val pairs = graft.operators.Blocking.sortedNeighborPairs(
+        keyed, "doc_id", "bkey", window = 4)
+      val texts = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(texts.select(col("doc_id").as("a"),
+          col("text").as("__ta")), Seq("a"))
+        .join(texts.select(col("doc_id").as("b"),
+          col("text").as("__tb")), Seq("b"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__ta") === col("__tb"), 1L).otherwise(0L))
+            .as("n_exact"))
+        .orderBy(col("dist"))
+    },
+      Some(s"""WITH docs AS ($docsWithDupsSql),
+             |k AS (SELECT doc_id,
+             |   substr(regexp_replace(lower(text), '\\s+', '', 'g'),
+             |     1, 12) AS bkey
+             |  FROM docs),
+             |r AS (SELECT doc_id, row_number() OVER (
+             |   ORDER BY bkey, doc_id) AS rnk
+             |  FROM k),
+             |p AS (SELECT r1.doc_id AS a, r2.doc_id AS b,
+             |   r2.rnk - r1.rnk AS dist
+             |  FROM r r1 JOIN r r2
+             |   ON r2.rnk > r1.rnk AND r2.rnk <= r1.rnk + 3),
+             |e AS (SELECT p.dist, (da.text = db.text) AS ex
+             |  FROM p JOIN docs da ON da.doc_id = p.a
+             |  JOIN docs db ON db.doc_id = p.b)
+             |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+             | CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_exact
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Persisted KLL quantile digest (Profile.appendKllDigest /
+    // kllQuantiles): two append cycles (lineitem split by orderkey
+    // parity) into one digest, per-column p50/p90/p99 merged at
+    // read. Rows-only by necessity — KLL compaction is randomized,
+    // so exact output values wobble run to run — and the q160/q50
+    // contract applies: each row carries the estimate NEXT TO the
+    // exact percentile and the measured rank error, so the gate
+    // sees sketch quality numerically (spec floor: rank error 5%;
+    // k=200 is ~1.65% at 99% confidence).
+    Q("q169_kll_digest", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q169_kll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val path = root.toString + "/digest"
+      val cols = Seq("l_extendedprice", "l_quantity")
+      graft.operators.Profile.appendKllDigest(
+        li.filter(col("l_orderkey") % 2 === 0), cols, path)
+      graft.operators.Profile.appendKllDigest(
+        li.filter(col("l_orderkey") % 2 === 1), cols, path)
+      val est = graft.operators.Profile.kllQuantiles(
+        s, path, Seq(0.5, 0.9, 0.99))
+      val longVals = li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(c).cast("double").as("v"))): _*)).as("x"))
+        .select(col("x.col_name"), col("x.v"))
+      val qsArr = array(lit(0.5), lit(0.9), lit(0.99))
+      val exacts = longVals.groupBy(col("col_name"))
+        .agg(percentile(col("v"), qsArr).as("__ex"))
+        .select(col("col_name"),
+          posexplode(col("__ex")).as(Seq("__i", "__e")))
+        .select(col("col_name"),
+          element_at(qsArr, col("__i") + 1).as("q"),
+          round(col("__e"), 4).as("exact_value"))
+      val ranks = est.join(longVals, Seq("col_name"))
+        .groupBy(col("col_name"), col("q"), col("value_est"))
+        .agg(round(abs(sum(when(col("v") <= col("value_est"), 1.0)
+            .otherwise(0.0)) / count(lit(1)) - col("q")), 4)
+          .as("rank_err"))
+      ranks.join(exacts, Seq("col_name", "q"))
+        .select(col("col_name"), col("q"),
+          round(col("value_est"), 4).as("value_est"),
+          col("exact_value"), col("rank_err"))
+        .orderBy(col("col_name"), col("q"))
+    },
+      None) // KLL compaction is randomized; the emitted rank_err
+            // column is the gate signal (spec floor 5%)
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -212,4 +212,52 @@ object EventAnalytics {
         col("n_cohort"), col("n_active"),
         round(col("n_active") / col("n_cohort"), 4).as("retention"))
   }
+
+  /** BATCH sessionization — the gaps-and-islands assignment every
+    * behavioral pipeline starts from (the batch sibling of
+    * EventStream.sessionize's mapGroupsWithState path, for replaying
+    * history rather than tailing a stream): a user's events split
+    * into sessions wherever the gap to the previous event exceeds
+    * `gapSeconds`. Returns one row per session: (user, session_idx
+    * 1-based in time order, session_start, session_end, n_events,
+    * duration_s).
+    *
+    * Determinism: the island flag compares CONSECUTIVE timestamps
+    * under an order by ts, so it is a pure function of each user's
+    * timestamp MULTISET — equal-ts events yield gap 0 regardless of
+    * how the sort tie-breaks, and every emitted column is an
+    * aggregate over the resulting islands. Null timestamps are
+    * dropped up front (they cannot order). Gap arithmetic runs on
+    * `unix_micros` longs — exact integers, no timestamp-subtraction
+    * parity risk (the funnelLatency discipline).
+    *
+    * Shape at 100 TB: ONE hash shuffle on the user key; both windows
+    * (the lag and the running island sum) and the final session
+    * aggregation share that partitioning, so Catalyst plans a single
+    * Exchange with two in-partition sorts — no global sort, no
+    * second shuffle. Hot users cost their own event count in one
+    * task's sort, the same bound as every per-user window here. */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+               gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col("__us").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .withColumn("__new",
+        when(col("__us") - coalesce(lag(col("__us"), 1).over(wOrd),
+          col("__us")) > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(wRun) + 1L)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(timestamp_micros(min(col("__us"))).as("session_start"),
+        timestamp_micros(max(col("__us"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"),
+        round((max(col("__us")) - min(col("__us"))) / 1000000.0, 3)
+          .as("duration_s"))
+  }
 }

@@ -434,6 +434,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("missing __fmt"))
   }
 
+  test("kll digest: rank-error floor, small-n exactness, param gates") {
+    import graft.operators.Profile
+    // 50k skewed doubles, two append cycles vs the true ECDF
+    val rng = new scala.util.Random(405)
+    val vals = (1 to 50000).map(_ => math.pow(rng.nextDouble(), 3) * 1e4)
+    val df = vals.toDF("v").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll")
+      .toString
+    Profile.appendKllDigest(df.filter($"v" < 1000), Seq("v"), s"$dir/d")
+    Profile.appendKllDigest(df.filter($"v" >= 1000), Seq("v"), s"$dir/d")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Profile.kllQuantiles(spark, s"$dir/d", qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sortedVals = vals.sorted
+    qs.foreach { q =>
+      // measured RANK of the estimate vs the requested rank
+      val rank = sortedVals.count(_ <= est(q)).toDouble / vals.size
+      assert(math.abs(rank - q) < 0.05,
+        s"q=$q: est ${est(q)} sits at rank $rank")
+    }
+    // n < k: the sketch holds every value, INCLUSIVE quantile is the
+    // exact order statistic — deterministic despite KLL randomness
+    val tiny = (1 to 100).map(_.toDouble)
+    val tinyDir = java.nio.file.Files.createTempDirectory("graft_kll2")
+      .toString + "/d"
+    Profile.appendKllDigest(tiny.toDF("v"), Seq("v"), tinyDir)
+    val tq = Profile.kllQuantiles(spark, tinyDir, Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(tq(0.5) == 50.0 && tq(1.0) == 100.0)
+    // all-null columns are omitted, not emitted as garbage
+    val nulls = Seq[(Option[Double], Double)]((None, 1.0), (None, 2.0))
+      .toDF("a", "b")
+    val nullDir = java.nio.file.Files.createTempDirectory("graft_kll3")
+      .toString + "/d"
+    Profile.appendKllDigest(nulls, Seq("a", "b"), nullDir)
+    val nq = Profile.kllQuantiles(spark, nullDir, Seq(0.5))
+      .collect().map(_.getString(0))
+    assert(nq.toSeq == Seq("b"))
+    // mixed-k appends refused; unstamped parquet refused; bad rank
+    Profile.appendKllDigest(tiny.toDF("v"), Seq("v"), s"$dir/d", k = 128)
+    val e = intercept[IllegalArgumentException] {
+      Profile.kllQuantiles(spark, s"$dir/d", Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("mixes k"))
+    tiny.toDF("v").limit(2).write.parquet(s"$dir/plain")
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.kllQuantiles(spark, s"$dir/plain", Seq(0.5))
+    }
+    assert(e2.getMessage.contains("missing __fmt"))
+    intercept[IllegalArgumentException] {
+      Profile.kllQuantiles(spark, tinyDir, Seq(1.5))
+    }
+  }
+
   test("domain filter: exact host, subdomain suffix, case, non-URLs") {
     val docs = Seq(
       (1L, "https://www.good.com/a"),
