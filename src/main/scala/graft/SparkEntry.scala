@@ -4487,8 +4487,258 @@ object SparkEntry {
           col("exact_value"), col("rank_err"))
         .orderBy(col("col_name"), col("q"))
     },
-      None) // KLL compaction is randomized; the emitted rank_err
-            // column is the gate signal (spec floor 5%)
+      None), // KLL compaction is randomized; the emitted rank_err
+             // column is the gate signal (spec floor 5%)
+
+    // k-core decomposition (GraphMetrics.kCore): the 3-core of the
+    // q167 parts-bought-together graph — simultaneous peeling to
+    // fixpoint (9 rounds at sf0.01). The oracle unrolls 12 peeling
+    // rounds as generated CTE pairs: peeling is IDEMPOTENT at the
+    // fixpoint, so an over-unrolled replay is exact, the q58
+    // PageRank-unroll trick applied to a converging loop.
+    Q("q170_kcore", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("l1").join(li.alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey")
+            && col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).drop("w")
+      graft.operators.GraphMetrics.kCore(e, "a", "b", k = 3)
+        .orderBy(col("node"))
+    },
+      Some {
+        // every CTE references its predecessor 3x — MATERIALIZED
+        // stops DuckDB's default inlining from expanding the
+        // 12-round chain exponentially (3^12 scans of lineitem)
+        val rounds = 12
+        val peel = (1 to rounds).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg
+             |  FROM (SELECT a AS node FROM e${i - 1}
+             |    UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+             |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+             |  JOIN d$i da ON da.node = e.a
+             |  JOIN d$i db ON db.node = e.b
+             |  WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           |  FROM lineitem l1 JOIN lineitem l2
+           |   ON l1.l_orderkey = l2.l_orderkey
+           |    AND l1.l_partkey < l2.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |$peel
+           |SELECT node, CAST(count(*) AS BIGINT) AS degree
+           |FROM (SELECT a AS node FROM e$rounds
+           |  UNION ALL SELECT b FROM e$rounds)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Benford first-digit census (AbTest.benford) on l_extendedprice:
+    // TPC-H prices are uniform-ish, NOT Benford — exactly what the
+    // screen flags on synthetic data, so the chi2 terms are large and
+    // the census is a real demonstration, not a vacuous pass. Digit
+    // extraction is the log-free threshold ladder (log10-ulp decade
+    // boundaries are the one place two engines can disagree), so the
+    // oracle replays it as a literal CASE.
+    Q("q171_benford", (s, dir) =>
+      graft.operators.AbTest.benford(t(s, dir, "lineitem"),
+          "l_extendedprice", maxMagnitude = 6)
+        .orderBy(col("digit")),
+      Some("""WITH v AS (SELECT abs(CAST(l_extendedprice AS DOUBLE))
+             |   AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |dg AS (SELECT CAST(CASE
+             |   WHEN v >= 1000000.0 THEN floor(v / 1000000.0)
+             |   WHEN v >= 100000.0 THEN floor(v / 100000.0)
+             |   WHEN v >= 10000.0 THEN floor(v / 10000.0)
+             |   WHEN v >= 1000.0 THEN floor(v / 1000.0)
+             |   WHEN v >= 100.0 THEN floor(v / 100.0)
+             |   WHEN v >= 10.0 THEN floor(v / 10.0)
+             |   WHEN v >= 1.0 THEN floor(v)
+             |   END AS INT) AS digit
+             |  FROM v WHERE v >= 1.0 AND v < 10000000.0),
+             |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM dg GROUP BY 1),
+             |ex AS (SELECT d AS digit, log10(1.0 + 1.0 / d) AS p
+             |  FROM (SELECT CAST(range + 1 AS INT) AS d FROM range(9))),
+             |tot AS (SELECT sum(n_obs) AS n FROM o)
+             |SELECT ex.digit, coalesce(o.n_obs, 0) AS n_obs,
+             | round(coalesce(o.n_obs, 0) / n, 6) AS p_obs,
+             | round(ex.p, 6) AS p_benford,
+             | round(pow(coalesce(o.n_obs, 0) - n * ex.p, 2)
+             |   / (n * ex.p), 4) AS chi2_term
+             |FROM ex LEFT JOIN o USING (digit), tot
+             |ORDER BY digit""".stripMargin)),
+
+    // HLL set-overlap telemetry (Profile.hllOverlap): two digests
+    // over OVERLAPPING document subsets (doc_id thirds: [0, 2/3) vs
+    // [1/3, n)), intersection estimated by inclusion-exclusion over
+    // sketch unions — no corpus scan. Rows-only (q160's sketch
+    // contract); the row carries est vs exact overlap so the gate
+    // sees the error numerically (spec floor in OperatorsSpec).
+    Q("q172_hll_overlap", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q172_hll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val n = docs.count()
+      val aSet = docs.filter(col("doc_id") < lit(2 * n / 3))
+      val bSet = docs.filter(col("doc_id") >= lit(n / 3))
+      graft.operators.Profile.appendHllDigest(aSet, Seq("doc_id"),
+        root + "/a")
+      graft.operators.Profile.appendHllDigest(bSet, Seq("doc_id"),
+        root + "/b")
+      val est = graft.operators.Profile.hllOverlap(s, root + "/a",
+        root + "/b")
+      val exact = aSet.select(col("doc_id"))
+        .intersect(bSet.select(col("doc_id"))).count()
+      est.select(col("col_name"), round(col("est_a"), 1).as("est_a"),
+        round(col("est_b"), 1).as("est_b"),
+        round(col("est_intersect"), 1).as("est_intersect"),
+        lit(exact).as("exact_intersect"),
+        round(abs(col("est_intersect") - lit(exact.toDouble))
+          / lit(exact.toDouble), 4).as("rel_err"))
+    },
+      None), // sketch internals are engine-specific; rel_err is the
+             // gate signal (spec floor 10% — three HLL reads compound)
+
+    // Equi-width histogram (Profile.histogram): 20 bins over
+    // l_extendedprice with auto-derived bounds, empty bins included.
+    // The oracle recomputes min/max and replays the identical
+    // floor((v - lo) / w) assignment with the closed top edge.
+    Q("q173_histogram", (s, dir) =>
+      graft.operators.Profile.histogram(t(s, dir, "lineitem"),
+          "l_extendedprice", bins = 20)
+        .select(col("bin"), round(col("bin_lo"), 4).as("bin_lo"),
+          round(col("bin_hi"), 4).as("bin_hi"), col("n"))
+        .orderBy(col("bin")),
+      Some("""WITH st AS (SELECT min(CAST(l_extendedprice AS DOUBLE))
+             |   AS lo, max(CAST(l_extendedprice AS DOUBLE)) AS hi
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |w AS (SELECT lo, hi, (hi - lo) / 20 AS w FROM st),
+             |b AS (SELECT CAST(least(floor(
+             |     (CAST(l_extendedprice AS DOUBLE) - lo) / w.w), 19)
+             |   AS INT) AS bin
+             |  FROM lineitem, w
+             |  WHERE l_extendedprice IS NOT NULL
+             |   AND CAST(l_extendedprice AS DOUBLE) >= lo
+             |   AND CAST(l_extendedprice AS DOUBLE) <= hi),
+             |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+             |  FROM b GROUP BY 1),
+             |sp AS (SELECT CAST(range AS INT) AS bin FROM range(20))
+             |SELECT sp.bin,
+             | round(lo + sp.bin * w.w, 4) AS bin_lo,
+             | round(CASE WHEN sp.bin = 19 THEN hi
+             |   ELSE lo + (sp.bin + 1) * w.w END, 4) AS bin_hi,
+             | coalesce(c.n, 0) AS n
+             |FROM sp LEFT JOIN c USING (bin), w
+             |ORDER BY sp.bin""".stripMargin)),
+
+    // SCD2 as-of enrichment (Scd.enrichAsOf): every event joined to
+    // the user's dimension state one hour BEFORE it happened (the
+    // production face: facts get the attributes that were current at
+    // fact time, not now). Census over (own type, as-of state) —
+    // events before the user's first change surface with null state
+    // through the left join. Key-equi join + containment residual,
+    // not a binning rewrite: a key's interval count is its change
+    // count.
+    Q("q174_scd2_enrich", (s, dir) => {
+      val ev = events(s, dir)
+      val dim = graft.operators.Scd.scd2(
+        ev.select(col("user_id"), col("ts"),
+          col("event_type").as("state")),
+        "user_id", "ts", Seq("state"))
+      val facts = ev.select(col("user_id"), col("event_type"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("asof"))
+      graft.operators.Scd.enrichAsOf(facts, "asof", dim, "user_id")
+        .groupBy(col("event_type"), col("state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("state"))
+    },
+      Some("""WITH d AS (SELECT user_id, ts, max(event_type) AS a
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT user_id, ts, a, lag(a) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS pa
+             |  FROM d),
+             |k AS (SELECT user_id, ts, a FROM c
+             |  WHERE pa IS NULL OR pa <> a),
+             |v AS (SELECT user_id, a, ts AS valid_from, lead(ts) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS valid_to
+             |  FROM k),
+             |f AS (SELECT user_id, event_type,
+             |   ts - INTERVAL 1 HOUR AS asof
+             |  FROM events WHERE ts IS NOT NULL)
+             |SELECT f.event_type, v.a AS state,
+             | CAST(count(*) AS BIGINT) AS n
+             |FROM f LEFT JOIN v ON v.user_id = f.user_id
+             |  AND v.valid_from <= f.asof
+             |  AND (v.valid_to IS NULL OR f.asof < v.valid_to)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Dimension diff between two instants (Scd.changedBetween):
+    // which users' state changed between Jan 10 and Jan 20, plus
+    // users first seen in between ('added'). Two snapshot filters +
+    // one full-outer join — the weekly dimension-audit face.
+    Q("q175_scd2_diff", (s, dir) => {
+      val dim = graft.operators.Scd.scd2(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type").as("state")),
+        "user_id", "ts", Seq("state"))
+      graft.operators.Scd.changedBetween(dim,
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"), "user_id")
+        .orderBy(col("user_id"))
+    },
+      Some("""WITH d AS (SELECT user_id, ts, max(event_type) AS a
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT user_id, ts, a, lag(a) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS pa
+             |  FROM d),
+             |k AS (SELECT user_id, ts, a FROM c
+             |  WHERE pa IS NULL OR pa <> a),
+             |v AS (SELECT user_id, a, ts AS valid_from, lead(ts) OVER (
+             |   PARTITION BY user_id ORDER BY ts) AS valid_to
+             |  FROM k),
+             |s1 AS (SELECT user_id, a FROM v
+             |  WHERE valid_from <= TIMESTAMP '2024-01-10 00:00:00'
+             |   AND (valid_to IS NULL
+             |    OR TIMESTAMP '2024-01-10 00:00:00' < valid_to)),
+             |s2 AS (SELECT user_id, a FROM v
+             |  WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+             |   AND (valid_to IS NULL
+             |    OR TIMESTAMP '2024-01-20 00:00:00' < valid_to))
+             |SELECT user_id, s1.a AS state_before, s2.a AS state_after,
+             | CASE WHEN s1.a IS NULL THEN 'added'
+             |   WHEN s2.a IS NULL THEN 'removed'
+             |   WHEN s1.a <> s2.a THEN 'changed' END AS change
+             |FROM s1 FULL OUTER JOIN s2 USING (user_id)
+             |WHERE s1.a IS NULL OR s2.a IS NULL OR s1.a <> s2.a
+             |ORDER BY user_id""".stripMargin)),
+
+    // Path n-gram census (EventAnalytics.pathNgrams): every run of 3
+    // consecutive events per user, counted corpus-wide — the
+    // order-3 generalization of the q157 transition matrix, same
+    // (ts, type) determinism pin, one window + one census agg.
+    Q("q176_paths", (s, dir) =>
+      graft.operators.EventAnalytics.pathNgrams(events(s, dir),
+          "user_id", "ts", "event_type", n = 3)
+        .orderBy(col("path")),
+      Some("""WITH p AS (SELECT event_type AS t0,
+             |   lead(event_type, 1) OVER w AS t1,
+             |   lead(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |   ORDER BY ts, event_type))
+             |SELECT t0 || '>' || t1 || '>' || t2 AS path,
+             | CAST(count(*) AS BIGINT) AS n
+             |FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -850,6 +850,69 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.WordPiece.encode(df, textCol, vocab.df,
       pieceCol, out))
 
+  /** [[graft.operators.EventAnalytics.sessions]] — gaps-and-islands
+    * batch sessionization (one row per session) */
+  def sessionize(userCol: String, tsCol: String,
+                 gapSeconds: Long): DDF =
+    wrap(graft.operators.EventAnalytics.sessions(df, userCol, tsCol,
+      gapSeconds))
+
+  /** [[graft.operators.Scd.scd2]] — change log → SCD2 validity
+    * intervals with half-open bounds and a current flag */
+  def scd2(keyCol: String, tsCol: String, attrCols: Seq[String],
+           collapse: Boolean = true): DDF =
+    wrap(graft.operators.Scd.scd2(df, keyCol, tsCol, attrCols,
+      collapse))
+
+  /** [[graft.operators.Scd.snapshotAt]] — point-in-time view of an
+    * interval frame built by [[scd2]] */
+  def snapshotAt(at: Column): DDF =
+    wrap(graft.operators.Scd.snapshotAt(df, at))
+
+  /** [[graft.operators.GraphMetrics.clusteringCoefficients]] — exact
+    * per-node triangle counts + local clustering coefficient over
+    * this frame as an edge list */
+  def triangleCensus(srcCol: String, dstCol: String): DDF =
+    wrap(graft.operators.GraphMetrics.clusteringCoefficients(df,
+      srcCol, dstCol))
+
+  /** [[graft.operators.Blocking.sortedNeighborPairs]] — sorted-
+    * neighborhood record-linkage candidate pairs */
+  def sortedNeighborPairs(idCol: String, keyCol: String,
+                          window: Int): DDF =
+    wrap(graft.operators.Blocking.sortedNeighborPairs(df, idCol,
+      keyCol, window))
+
+  /** [[graft.operators.CountMin.sketch]] — Count-Min frequency
+    * sketch of a column as a (d, bucket, cnt) frame */
+  def cmsSketch(colName: String, depth: Int = 4, width: Int = 1024,
+                portable: Boolean = false): DDF =
+    wrap(graft.operators.CountMin.sketch(df, colName, depth, width,
+      portable))
+
+  /** [[graft.operators.CountMin.estimate]] — point-frequency upper
+    * bounds for this frame's keys from a [[cmsSketch]] frame (same
+    * params as the build) */
+  def cmsEstimate(sketch: DDF, keyCol: String, depth: Int = 4,
+                  width: Int = 1024, portable: Boolean = false): DDF =
+    wrap(graft.operators.CountMin.estimate(sketch.df, df, keyCol,
+      depth, width, portable))
+
+  /** [[graft.operators.GraphMetrics.kCore]] — dense-backbone
+    * extraction over this frame as an edge list */
+  def kCore(srcCol: String, dstCol: String, k: Int): DDF =
+    wrap(graft.operators.GraphMetrics.kCore(df, srcCol, dstCol, k))
+
+  /** [[graft.operators.AbTest.benford]] — first-significant-digit
+    * census vs Benford's law (fabricated-data screen) */
+  def benford(colName: String): DDF =
+    wrap(graft.operators.AbTest.benford(df, colName))
+
+  /** [[graft.operators.Profile.histogram]] — equi-width histogram
+    * with empty bins emitted */
+  def histogram(colName: String, bins: Int): DDF =
+    wrap(graft.operators.Profile.histogram(df, colName, bins))
+
   /** [[graft.operators.RangeJoin.pointInInterval]] — bucket-rewritten
     * inequality join (this side = points) */
   def rangeJoin(pCol: String, intervals: DDF, loCol: String,

@@ -48,4 +48,58 @@ object AbTest {
       z.as("z"),
       coalesce(abs(z) >= 1.959964, lit(false)).as("significant"))
   }
+
+  /** First-significant-digit census against Benford's law — the
+    * classic fabricated-data / broken-generator screen (a synthetic
+    * column whose leading digits run uniform instead of
+    * logarithmic is machine-made or truncated; an ETL bug that
+    * clamps or re-scales a natural column shows up the same way).
+    * Returns one row per digit 1–9: (digit, n_obs, p_obs,
+    * p_benford, chi2_term), the χ² contribution being
+    * (obs − n·p)² / (n·p); Σ chi2_term vs χ²₈ is the test.
+    *
+    * Digit extraction is a LOG-FREE threshold ladder
+    * (`when(v ≥ 10^m, floor(v / 10^m))` from the largest magnitude
+    * down) — `floor(v / 10^floor(log10 v))` would hinge on log10
+    * ulps at decade boundaries, where two engines legitimately
+    * disagree; plain division + floor is IEEE-identical everywhere,
+    * which is what lets the DuckDB oracle replay the census bit for
+    * bit. Rows with null, non-finite, or |v| < 1 values are skipped
+    * (sub-1 magnitudes would need the same ladder downward; callers
+    * can pre-scale). One partial-agg groupBy over one scan; the
+    * 9-row census then joins the 1-row total — nothing but counts
+    * moves. */
+  def benford(df: DataFrame, colName: String,
+              maxMagnitude: Int = 15): DataFrame = {
+    require(maxMagnitude >= 1 && maxMagnitude <= 15,
+      s"maxMagnitude must be in [1,15], got $maxMagnitude")
+    val v = abs(col(colName).cast("double"))
+    val ladder = (0 to maxMagnitude).foldLeft(
+      lit(null).cast("long")) { (acc, m) =>
+      // ascending fold ⇒ the LARGEST magnitude ends up outermost, so
+      // evaluation tests decades top-down (a bottom-up order would
+      // send every big value through the v ≥ 1 branch)
+      when(v >= math.pow(10.0, m), floor(v / math.pow(10.0, m)))
+        .otherwise(acc)
+    }
+    val digits = df
+      .filter(col(colName).isNotNull && !isnan(v) && v >= 1.0
+        && v < math.pow(10.0, maxMagnitude + 1))
+      .select(ladder.cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9)
+      .map(d => (d, math.log10(1.0 + 1.0 / d)))
+      .toDF("digit", "__p")
+    val total = digits.agg(sum(col("n_obs")).as("__n"))
+    expected.join(digits, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs") / col("__n"), 6).as("p_obs"),
+        round(col("__p"), 6).as("p_benford"),
+        round(pow(col("n_obs") - col("__n") * col("__p"), 2)
+          / (col("__n") * col("__p")), 4).as("chi2_term"))
+  }
 }

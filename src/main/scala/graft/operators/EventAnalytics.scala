@@ -213,6 +213,37 @@ object EventAnalytics {
         round(col("n_active") / col("n_cohort"), 4).as("retention"))
   }
 
+  /** Path n-gram census — the order-n generalization of
+    * [[transitions]]: every run of `n` CONSECUTIVE events in a
+    * user's timeline, counted across users. The top paths are the
+    * "how do users actually move" readout funnels can only confirm
+    * hypotheses about. Consecutive = a lead chain over (ts, type) —
+    * the type in the sort key pins same-instant ordering exactly as
+    * [[transitions]] does, so the census is deterministic and
+    * SQL-replayable. Returns (path "a>b>c", n) — one per-user window
+    * (a single shuffle; all n−1 leads share the frame) plus the
+    * census aggregation. */
+  def pathNgrams(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 8,
+      s"path length must be in [2,8], got $n — longer paths explode " +
+        "the census domain; chain filters instead")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col("__t0").asc)
+    val steps = (1 until n).foldLeft(
+      events.select(col(userCol), col(tsCol),
+        col(typeCol).as("__t0"))) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col("__t0"), i).over(w))
+    }
+    steps
+      .filter((1 until n).map(i => col(s"__t$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(">",
+        (0 until n).map(i => col(s"__t$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+  }
+
   /** BATCH sessionization — the gaps-and-islands assignment every
     * behavioral pipeline starts from (the batch sibling of
     * EventStream.sessionize's mapGroupsWithState path, for replaying

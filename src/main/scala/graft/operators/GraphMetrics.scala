@@ -114,4 +114,54 @@ object GraphMetrics {
           round(col("n_triangles") * 2.0
             / (col("degree") * (col("degree") - 1)), 4))
           .otherwise(lit(0.0)))
+
+  /** k-CORE: the maximal subgraph in which every node keeps degree
+    * ≥ k — the standard "dense backbone" extraction (spam-farm and
+    * template-cluster cores survive, pendant chains and casual links
+    * peel away). Returns (node, degree) over the surviving core, the
+    * degree being the IN-CORE degree.
+    *
+    * Iterative peeling: drop all nodes of degree < k simultaneously,
+    * recompute, repeat to fixpoint — the textbook algorithm, which
+    * is also the only distributed-friendly one (sequential min-degree
+    * peeling is inherently serial; simultaneous peeling converges to
+    * the SAME core because removing a < k node never raises another
+    * node's degree). Each round is one partial-agg degree count plus
+    * two semi-join filters, with lineage cut per round
+    * (localCheckpoint — the PageRank/CC loop discipline) so the plan
+    * never deepens. Rounds ≤ the peeling depth of the graph (small
+    * in practice — 9 on the sf0.01 co-purchase graph); `maxIters`
+    * guards pathological chains by THROWING rather than returning a
+    * half-peeled subgraph that silently violates the core contract. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 200): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var nEdges = e.count()
+    var iters = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      iters += 1
+      if (iters > maxIters)
+        throw new IllegalStateException(
+          s"k-core peeling did not converge in $maxIters rounds " +
+            s"($nEdges edges left) — raise maxIters; a partial peel " +
+            "is not a core")
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == nEdges
+      e = next
+      nEdges = n
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
 }

@@ -155,6 +155,81 @@ object Profile {
         .as("n_distinct_est"))
   }
 
+  /** Set-overlap telemetry between two corpora from their HLL
+    * digests ALONE — inclusion–exclusion over sketch unions:
+    * |A∩B| ≈ max(0, |A| + |B| − |A∪B|), where |A∪B| is the union of
+    * both digests' sketches (exactly the merge HLL guarantees).
+    * Neither corpus is scanned — this is the "how much does the new
+    * crawl overlap the old corpus" dashboard number for MBs of
+    * digest instead of TBs of text. Returns one row per column
+    * PRESENT IN BOTH digests: (col_name, est_a, est_b, est_union,
+    * est_intersect). The intersection estimate inherits ±ε from
+    * three HLL reads, amplified when the true overlap is small
+    * relative to the sets — a telemetry signal, not a screen (the
+    * Bloom/exact screens exist for decisions). Both digests must
+    * carry the same lgConfigK (unioning mixed precisions silently
+    * degrades — refused, the digest discipline). */
+  def hllOverlap(spark: org.apache.spark.sql.SparkSession,
+                 pathA: String, pathB: String): DataFrame = {
+    def read(path: String): DataFrame = {
+      val df = spark.read.parquet(path)
+      require(df.columns.contains("__fmt") && df.columns.contains("__lgK"),
+        s"$path is not an HLL digest: missing __fmt/__lgK stamps")
+      df
+    }
+    val a = read(pathA); val b = read(pathB)
+    val ks = a.select(col("__lgK")).union(b.select(col("__lgK")))
+      .distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"digests carry different lgConfigK values ${ks.mkString(",")} " +
+        "— cross-precision union degrades; rebuild at one precision")
+    def est(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col("col_name"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(out))
+    val u = est(a.select(col("col_name"), col("sketch"))
+      .union(b.select(col("col_name"), col("sketch"))), "est_union")
+    est(a, "est_a").join(est(b, "est_b"), Seq("col_name"))
+      .join(u, Seq("col_name"))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets over
+    * [lo, hi] (derived from one min/max aggregation when not given),
+    * every bin emitted INCLUDING empty ones — (bin, bin_lo, bin_hi,
+    * n). Values land in floor((v − lo) / w) with the top edge closed
+    * (v = hi joins the last bin); rows with null/NaN or outside
+    * [lo, hi] are dropped. One scan + one partial-agg groupBy on the
+    * bin id; the bin spine is a `bins`-row literal frame, so empty
+    * bins cost nothing at any scale. */
+  def histogram(df: DataFrame, colName: String, bins: Int,
+                lo: Double = Double.NaN,
+                hi: Double = Double.NaN): DataFrame = {
+    require(bins >= 1 && bins <= 100000,
+      s"bins must be in [1,100000], got $bins")
+    val v = col(colName).cast("double")
+    val (blo, bhi) =
+      if (lo.isNaN || hi.isNaN) {
+        val r = df.filter(v.isNotNull && !isnan(v))
+          .agg(min(v), max(v)).head()
+        if (r.isNullAt(0)) (0.0, 1.0) else (r.getDouble(0), r.getDouble(1))
+      } else (lo, hi)
+    require(blo <= bhi, s"lo $blo > hi $bhi")
+    val w = if (bhi > blo) (bhi - blo) / bins else 1.0
+    val counted = df
+      .filter(v.isNotNull && !isnan(v) && v >= blo && v <= bhi)
+      .select(least(floor((v - lit(blo)) / w), lit(bins - 1L))
+        .cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (0 until bins)
+      .map(i => (i, blo + i * w, if (i == bins - 1) bhi else blo + (i + 1) * w))
+      .toDF("bin", "bin_lo", "bin_hi")
+    spine.join(counted, Seq("bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   // ---- persisted KLL quantile digests -----------------------------------
   // The DISTRIBUTION sibling of the HLL cardinality digest: per-cycle
   // percentile telemetry (latency p99s, token-count medians, price

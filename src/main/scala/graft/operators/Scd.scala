@@ -72,4 +72,67 @@ object Scd {
   def snapshotAt(dim: DataFrame, at: Column): DataFrame =
     dim.filter(col("valid_from") <= at
       && (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Enrich a fact table with the dimension state AS OF each fact's
+    * own timestamp — the production face of SCD2 (every event joined
+    * to the attribute values that were current WHEN IT HAPPENED, not
+    * now). Left join: facts with no covering interval (before the
+    * key's first change, or an unknown key) keep null attributes.
+    *
+    * Shape at 100 TB: a plain equi-join on the KEY with the interval
+    * containment as a join-level residual — deliberately NOT the
+    * binning rewrite (RangeJoin): SCD2 intervals are keyed, and a
+    * key's interval count is its change count (small), so the range
+    * predicate filters a handful of rows per fact. The heavy term is
+    * the fact-side shuffle on the key, which any enrichment pays;
+    * AQE broadcast-plans small dimensions for free. */
+  def enrichAsOf(facts: DataFrame, factTsCol: String,
+                 dim: DataFrame, keyCol: String): DataFrame = {
+    val dimCols = dim.columns.filterNot(
+      Seq(keyCol, "valid_from", "valid_to", "is_current").contains)
+    val d = dim.select(
+      (Seq(col(keyCol), col("valid_from"), col("valid_to")) ++
+        dimCols.map(col)): _*)
+    facts.join(d,
+      facts(keyCol) === d(keyCol)
+        && d("valid_from") <= facts(factTsCol)
+        && (d("valid_to").isNull
+          || facts(factTsCol) < d("valid_to")),
+      "left")
+      .drop(d(keyCol)).drop("valid_from").drop("valid_to")
+  }
+
+  /** Dimension DIFF between two instants: per key, the state at `t1`
+    * vs the state at `t2`, keeping only keys that were added,
+    * removed, or changed (null-safe struct compare over the attr
+    * columns). `change` ∈ {added, removed, changed}. Two containment
+    * filters + one full-outer join on the key — the audit face of
+    * the interval table ("what changed in the dimension this
+    * week?"), no history scan beyond the two snapshots. */
+  def changedBetween(dim: DataFrame, t1: Column, t2: Column,
+                     keyCol: String): DataFrame = {
+    val attrCols = dim.columns.filterNot(
+      Seq(keyCol, "valid_from", "valid_to", "is_current").contains)
+    require(attrCols.nonEmpty, "interval table carries no attributes")
+    // explicit presence markers, NOT attr-null sniffing: a key whose
+    // state legitimately holds all-null attributes must still read
+    // as present on that side
+    def side(at: Column, suffix: String): DataFrame =
+      snapshotAt(dim, at).select(
+        (Seq(col(keyCol), lit(true).as("__present" + suffix)) ++
+          attrCols.map(a => col(a).as(a + suffix))): _*)
+    val a = side(t1, "_before")
+    val b = side(t2, "_after")
+    val beforeS = struct(attrCols.map(a => col(a + "_before")): _*)
+    val afterS = struct(attrCols.map(a => col(a + "_after")): _*)
+    val hasBefore = coalesce(col("__present_before"), lit(false))
+    val hasAfter = coalesce(col("__present_after"), lit(false))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(!hasBefore && hasAfter, "added")
+          .when(hasBefore && !hasAfter, "removed")
+          .when(!(beforeS <=> afterS), "changed"))
+      .filter(col("change").isNotNull)
+      .drop("__present_before", "__present_after")
+  }
 }

@@ -531,4 +531,35 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
+
+  /** Streaming Count-Min telemetry: drain `stream` (AvailableNow)
+    * appending each micro-batch's CMS partial counters to the digest
+    * at `path` — per-key frequency telemetry over an unbounded
+    * stream in O(depth·width) state, no corpus, no watermark, no
+    * stateful operator at all (counter linearity does the merging at
+    * read time, the CountMin.append contract).
+    *
+    * Crash contract, stated honestly: foreachBatch is
+    * AT-LEAST-ONCE, and a CMS append is NOT idempotent — a batch
+    * that commits its parquet append but crashes before the
+    * checkpoint commit replays and double-counts. Estimates are
+    * upper bounds by construction, so replay pushes them FURTHER up,
+    * never under — acceptable for telemetry (its only use); anything
+    * making per-key decisions should read the exact screens
+    * instead. The admission loops neutralize replays with an id
+    * screen; a frequency digest has no id to screen on. */
+  def cmsDigestStream(stream: DataFrame, colName: String, path: String,
+                      checkpoint: String, depth: Int = 4,
+                      width: Int = 1024,
+                      portable: Boolean = false): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.CountMin.append(b.toDF(), colName, path,
+          depth, width, portable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

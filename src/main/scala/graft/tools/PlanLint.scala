@@ -80,7 +80,9 @@ object PlanLint {
       "q145 with literal codebooks"),
     "q148_ivfpq" -> ("query->cell scoring is a broadcast cross of " +
       "Q x nCells rows (tiny); the corpus side joins probed cells " +
-      "by EQUI key and is never crossed (q50 precedent)"))
+      "by EQUI key and is never crossed (q50 precedent)"),
+    "q171_benford" -> ("scalar-broadcast pattern: the 1-row total " +
+      "count crosses the 9-row digit census (q38/q87 precedent)"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

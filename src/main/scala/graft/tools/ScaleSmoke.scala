@@ -723,6 +723,83 @@ object ScaleSmoke {
       c.unpersist()
     }
 
+    // tri: triangle census growth + the hub-skew case the degree
+    // orientation exists for. Clique chains grow triangles linearly
+    // in cliques (20/clique at size 6); the star graph has ~zero
+    // triangles but a degree-100k hub — a naive wedge join would
+    // build 10^10 hub wedges, the oriented join builds none (every
+    // hub edge points INTO the hub).
+    if (on("tri")) {
+      import spark.implicits._
+      Seq(10000, 40000, 160000).foreach { nCliques =>
+        val s = 6 // clique size
+        val cliqueEdges = (0L until nCliques).flatMap { i =>
+          val b = s * i
+          (for (x <- 0 until s; y <- x + 1 until s)
+            yield (b + x, b + y)) ++
+            (if (i + 1 < nCliques) Seq((b + s - 1, b + s)) else Nil)
+        }.toDF("src", "dst")
+        val t0 = System.nanoTime()
+        val tri = graft.operators.GraphMetrics
+          .triangles(cliqueEdges, "src", "dst").count()
+        println(f"[scale-smoke] tri cliqueChain nCliques=$nCliques%-7d " +
+          f"edges=${16 * nCliques - 1}%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  triangles=$tri")
+      }
+      Seq(100000, 400000).foreach { rim =>
+        val hub = (1L to rim).map(i => (0L, i))
+        val rimEdges = (1L until 1000L).map(i => (i, i + 1))
+        val e = (hub ++ rimEdges).toDF("src", "dst")
+        val t0 = System.nanoTime()
+        val tri = graft.operators.GraphMetrics
+          .triangles(e, "src", "dst").count()
+        println(f"[scale-smoke] tri hubStar rim=$rim%-7d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  triangles=$tri")
+      }
+    }
+
+    // snm: sorted-neighborhood candidates at replicated corpus scale
+    // — the n*(w-1) law should hold to the row and wall time should
+    // track the range sort, i.e. ~linear in n.
+    if (on("snm")) scales.foreach { k =>
+      val c = corpus(k)
+      val n = c.count()
+      val keyed = c.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", ""),
+          1, 12).as("bkey"))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Blocking
+        .sortedNeighborPairs(keyed, "doc_id", "bkey", window = 8)
+        .count()
+      println(f"[scale-smoke] snm k=$k%-3d docs=$n%-8d w=8 " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s  pairs=$pairs " +
+        f"(law=${(1 until 8).map(j => n - j).sum})")
+      c.unpersist()
+    }
+
+    // kcore: peel-to-fixpoint growth on the CASCADING shape — at
+    // k=2 a pendant path peels exactly one node (its free endpoint)
+    // per round, so rounds = pathLen by construction while the
+    // triangles survive as the 2-core. Cost should scale with
+    // edges x rounds; the (20000, 12) row isolates the rounds term.
+    if (on("kcore")) Seq((20000, 4), (80000, 4), (20000, 12)).foreach {
+      case (nTris, pathLen) =>
+        import spark.implicits._
+        val edges = (0L until nTris).flatMap { i =>
+          val b = (3 + pathLen) * i
+          val tri = Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+          val path = (0 until pathLen)
+            .map(j => (b + 2 + j, b + 3 + j))
+          tri ++ path
+        }.toDF("src", "dst")
+        val t0 = System.nanoTime()
+        val core = graft.operators.GraphMetrics
+          .kCore(edges, "src", "dst", k = 2).count()
+        println(f"[scale-smoke] kcore nTris=$nTris%-6d " +
+          f"pathLen=$pathLen%-3d edges=${(3 + pathLen) * nTris}%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  coreNodes=$core")
+    }
+
     // zorder: file-pruning potential of the Morton layout vs the
     // lexicographic clustered write, measured from the actual per-file
     // min/max (the stats parquet footers carry — what any engine's

@@ -123,6 +123,66 @@ class CensusOpsSpec extends SparkTestBase {
     assert(stateAt("2023-12-31 00:00:00").isEmpty) // before first
   }
 
+  // ---- scd2 enrichment / diff --------------------------------------------
+
+  test("enrichAsOf: facts get the state current AT FACT TIME") {
+    val dim = Scd.scd2(changeLog, "k", "t", Seq("attr"))
+    val facts = Seq(
+      (1L, ts("2024-01-02 12:00:00"), "f1"), // inside [01-01, 01-03) A
+      (1L, ts("2024-01-03 00:00:00"), "f2"), // boundary -> B
+      (1L, ts("2023-12-01 00:00:00"), "f3"), // before history -> null
+      (1L, ts("2025-06-01 00:00:00"), "f4"), // current interval -> A
+      (9L, ts("2024-01-02 00:00:00"), "f5") // unknown key -> null
+    ).toDF("k", "ft", "tag")
+    val got = Scd.enrichAsOf(facts, "ft", dim, "k")
+      .collect().map(r => r.getAs[String]("tag")
+        -> Option(r.getAs[String]("attr"))).toMap
+    assert(got == Map("f1" -> Some("A"), "f2" -> Some("B"),
+      "f3" -> None, "f4" -> Some("A"), "f5" -> None))
+  }
+
+  test("changedBetween: added/removed/changed, stable keys absent") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "A"), // stable A throughout
+      (2L, ts("2024-01-01 00:00:00"), "A"), // A -> B between probes
+      (2L, ts("2024-01-15 00:00:00"), "B"),
+      (3L, ts("2024-01-12 00:00:00"), "C") // first seen between
+    ).toDF("k", "t", "attr")
+    val dim = Scd.scd2(log, "k", "t", Seq("attr"))
+    val got = Scd.changedBetween(dim,
+        lit(ts("2024-01-05 00:00:00")), lit(ts("2024-01-20 00:00:00")),
+        "k")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("attr_before")),
+          Option(r.getAs[String]("attr_after")),
+          r.getAs[String]("change"))).toMap
+    assert(got == Map(
+      2L -> (Some("A"), Some("B"), "changed"),
+      3L -> (None, Some("C"), "added")))
+  }
+
+  // ---- path n-grams --------------------------------------------------------
+
+  test("pathNgrams: counts every consecutive run, pins n bounds") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "a"),
+      (1L, ts("2024-01-01 00:00:02"), "b"),
+      (1L, ts("2024-01-01 00:00:03"), "c"),
+      (1L, ts("2024-01-01 00:00:04"), "b"),
+      (2L, ts("2024-01-01 00:00:01"), "a"),
+      (2L, ts("2024-01-01 00:00:02"), "b")
+    ).toDF("u", "t", "e")
+    val got3 = EventAnalytics.pathNgrams(ev, "u", "t", "e", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got3 == Map("a>b>c" -> 1L, "b>c>b" -> 1L))
+    val got2 = EventAnalytics.pathNgrams(ev, "u", "t", "e", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("a>b" -> 2L, "b>c" -> 1L, "c>b" -> 1L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.pathNgrams(ev, "u", "t", "e", 1)
+    }
+  }
+
   // ---- triangles --------------------------------------------------------
 
   test("triangles: K4 minus an edge, counts and lcc hand-traced") {
@@ -180,6 +240,80 @@ class CensusOpsSpec extends SparkTestBase {
     assert(GraphMetrics.triangleCounts(path, "s", "d").count() == 0)
     val empty = Seq.empty[(Long, Long)].toDF("s", "d")
     assert(GraphMetrics.triangles(empty, "s", "d").count() == 0)
+  }
+
+  // ---- k-core ------------------------------------------------------------
+
+  test("kCore: pendant chains peel away, the dense core survives") {
+    // triangle {1,2,3} + chain 3-4-5-6: 2-core = the triangle only
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("s", "d")
+    val got = GraphMetrics.kCore(e, "s", "d", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max possible degree -> empty core, no crash
+    assert(GraphMetrics.kCore(e, "s", "d", k = 4).count() == 0)
+  }
+
+  test("kCore: randomized equality vs a naive driver peeling") {
+    val rng = new scala.util.Random(404)
+    val n = 40
+    val edges = (for {
+      a <- 1 to n; b <- (a + 1) to n if rng.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)).toVector
+    def naive(k: Int): Map[Long, Int] = {
+      var e = edges.toSet
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val e2 = e.filter(p => deg(p._1) >= k && deg(p._2) >= k)
+        stable = e2 == e
+        e = e2
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+    }
+    for (k <- Seq(2, 3)) {
+      val got = GraphMetrics.kCore(edges.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == naive(k), s"k=$k")
+    }
+  }
+
+  test("kCore: maxIters guard throws rather than half-peeling") {
+    // a 6-chain needs 3 peel rounds at k=2 to empty out
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("s", "d")
+    val ex = intercept[IllegalStateException] {
+      GraphMetrics.kCore(e, "s", "d", k = 2, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  // ---- Benford census -----------------------------------------------------
+
+  test("benford: digit ladder, expected probabilities, chi2 arithmetic") {
+    import graft.operators.AbTest
+    // 9000 values with first digit d appearing d times per block of 45
+    val vals = (0 until 200).flatMap { _ =>
+      (1 to 9).flatMap(d => Seq.fill(d)(d * 100.0 + 7))
+    } // digit d occurs 200*d times; n = 9000
+    val df = vals.toDF("v")
+    val got = AbTest.benford(df, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    val n = vals.size
+    got.foreach { case (d, obs, pb) =>
+      assert(obs == 200L * d, s"digit $d")
+      assert(math.abs(pb - math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+    // decade boundaries: 10 -> 1, 9.99 -> 9, 0.5 dropped, -200 -> 2
+    val edge = Seq(10.0, 9.99, 0.5, -200.0, Double.NaN).toDF("v")
+    val digs = AbTest.benford(edge, "v")
+      .filter(col("n_obs") > 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(digs == Map(1 -> 1L, 9 -> 1L, 2 -> 1L))
+    assert(n == 9000)
   }
 
   // ---- sorted-neighborhood blocking -------------------------------------

@@ -132,6 +132,28 @@ class CountMinSpec extends SparkTestBase {
     assert(e2.getMessage.contains("missing param stamps"))
   }
 
+  test("streaming face: per-micro-batch appends fold to the batch answer") {
+    val items = mkItems(205, 2000)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cms_stream").toString
+    // two parquet files -> the file stream drains them as batches
+    items.take(900).toDF("v").coalesce(1)
+      .write.parquet(s"$dir/in/p1")
+    items.drop(900).toDF("v").coalesce(1)
+      .write.parquet(s"$dir/in/p2")
+    graft.streaming.EventStream.cmsDigestStream(
+      spark.readStream.schema("v STRING").parquet(s"$dir/in/*"),
+      "v", s"$dir/digest", s"$dir/ckpt", depth = 4, width = 128)
+    val viaStream = CountMin
+      .estimateFromPath(spark, s"$dir/digest", items.toDF("v"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = CountMin.estimate(
+        CountMin.sketch(items.toDF("v"), "v", depth = 4, width = 128),
+        items.toDF("v"), "v", depth = 4, width = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStream == oneShot)
+  }
+
   test("param bounds throw early") {
     val df = Seq("a").toDF("v")
     intercept[IllegalArgumentException] {

@@ -671,6 +671,48 @@ class DDFSpec extends SparkTestBase {
         .toDF.select($"doc_id", $"wp_tokens"))
       == rows(graft.operators.WordPiece.encode(docs, "text", vocab)
         .select($"doc_id", $"wp_tokens")))
+    // r10 second-half delegates
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("uid", "t")
+    assert(rows(DDF(ev).sessionize("uid", "t", 1800L).toDF)
+      == rows(graft.operators.EventAnalytics.sessions(ev, "uid", "t",
+        1800L)))
+    val log = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "A"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "B"))
+      .toDF("k", "t", "a")
+    assert(rows(DDF(log).scd2("k", "t", Seq("a")).toDF)
+      == rows(graft.operators.Scd.scd2(log, "k", "t", Seq("a"))))
+    assert(rows(DDF(log).scd2("k", "t", Seq("a"))
+        .snapshotAt(lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 12:00:00"))).toDF)
+      == rows(graft.operators.Scd.snapshotAt(
+        graft.operators.Scd.scd2(log, "k", "t", Seq("a")),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))))
+    val tedges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    assert(rows(DDF(tedges).triangleCensus("src", "dst").toDF)
+      == rows(graft.operators.GraphMetrics
+        .clusteringCoefficients(tedges, "src", "dst")))
+    val keyed = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    assert(rows(DDF(keyed).sortedNeighborPairs("id", "k", 3).toDF)
+      == rows(graft.operators.Blocking.sortedNeighborPairs(keyed,
+        "id", "k", 3)))
+    val vals = Seq("x", "y", "x").toDF("v")
+    assert(rows(DDF(vals).cmsEstimate(
+        DDF(vals).cmsSketch("v", 2, 16), "v", 2, 16).toDF)
+      == rows(graft.operators.CountMin.estimate(
+        graft.operators.CountMin.sketch(vals, "v", 2, 16),
+        vals, "v", 2, 16)))
+    assert(rows(DDF(tedges).kCore("src", "dst", 2).toDF)
+      == rows(graft.operators.GraphMetrics.kCore(tedges, "src",
+        "dst", 2)))
+    val nums = Seq(123.0, 45.0, 6.0).toDF("v")
+    assert(rows(DDF(nums).benford("v").toDF)
+      == rows(graft.operators.AbTest.benford(nums, "v")))
+    assert(rows(DDF(nums).histogram("v", 3).toDF)
+      == rows(graft.operators.Profile.histogram(nums, "v", 3)))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {

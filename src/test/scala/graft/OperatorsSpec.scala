@@ -488,6 +488,58 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("hll overlap: disjoint ~0, identical ~|A|, mixed-precision gate") {
+    import graft.operators.Profile
+    val dir = java.nio.file.Files.createTempDirectory("graft_hlo")
+      .toString
+    val xs = (1L to 5000L).toDF("id")
+    val ys = (5001L to 10000L).toDF("id")
+    Profile.appendHllDigest(xs, Seq("id"), s"$dir/a")
+    Profile.appendHllDigest(ys, Seq("id"), s"$dir/b")
+    Profile.appendHllDigest(xs, Seq("id"), s"$dir/a2")
+    def inter(p1: String, p2: String): Double =
+      Profile.hllOverlap(spark, p1, p2)
+        .collect().head.getAs[Double]("est_intersect")
+    // disjoint: inclusion-exclusion lands near 0 (clamped at 0)
+    assert(inter(s"$dir/a", s"$dir/b") < 500.0)
+    // identical: overlap ~ |A| within HLL tolerance
+    val same = inter(s"$dir/a", s"$dir/a2")
+    assert(math.abs(same - 5000.0) / 5000.0 < 0.1, s"got $same")
+    Profile.appendHllDigest(xs, Seq("id"), s"$dir/c", lgConfigK = 13)
+    val e = intercept[IllegalArgumentException] {
+      Profile.hllOverlap(spark, s"$dir/a", s"$dir/c")
+    }
+    assert(e.getMessage.contains("lgConfigK"))
+  }
+
+  test("histogram: exact counts, empty bins, closed top edge, bounds") {
+    import graft.operators.Profile
+    // 100 values 0..99 in 10 bins of width 10 -> 10 each; value 99
+    // is NOT the hi edge here, so also pin v=hi explicitly below
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val h = Profile.histogram(df, "v", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toMap
+    assert(h.values.forall(_ == 10L) && h.size == 10)
+    // explicit bounds: values outside [lo, hi] drop; hi lands in the
+    // LAST bin (closed top edge); mid-range empty bins are emitted
+    val e = Profile.histogram(
+      Seq(0.0, 5.0, 10.0, 11.0, -1.0).toDF("v"), "v", 2,
+      lo = 0.0, hi = 10.0).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).toMap
+    assert(e == Map(0 -> 1L, 1 -> 2L)) // w=5: 0 in bin0; 5,10 in bin1
+    val sparse = Profile.histogram(
+      Seq(0.0, 100.0).toDF("v"), "v", 4).collect()
+    assert(sparse.length == 4
+      && sparse.count(_.getLong(3) == 0L) == 2)
+    // degenerate lo == hi collapses to one populated bin, no /0
+    val deg = Profile.histogram(Seq(7.0, 7.0).toDF("v"), "v", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toMap
+    assert(deg(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "v", 0)
+    }
+  }
+
   test("domain filter: exact host, subdomain suffix, case, non-URLs") {
     val docs = Seq(
       (1L, "https://www.good.com/a"),
