@@ -4738,7 +4738,206 @@ object SparkEntry {
              |SELECT t0 || '>' || t1 || '>' || t2 AS path,
              | CAST(count(*) AS BIGINT) AS n
              |FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Welch's t-test (AbTest.welchT): event `value` by user-parity
+    // arms — (n, mean, var) per arm, t and Welch–Satterthwaite df as
+    // pure arithmetic, replayed term for term (the q158 discipline;
+    // variances round to 4 — they sit near 1e1-1e4 where cross-engine
+    // summation-order ulps live below that granularity).
+    Q("q177_welch_t", (s, dir) =>
+      graft.operators.AbTest.welchT(
+        events(s, dir).withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "arm", "value", "A", "B"),
+      Some("""WITH u AS (SELECT
+             |   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+             |   CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL
+             |   AND NOT isnan(CAST(value AS DOUBLE))),
+             |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |   avg(v) AS m, var_samp(v) AS s2
+             |  FROM u GROUP BY 1),
+             |r AS (SELECT
+             |  min(CASE WHEN g = 'A' THEN n END) AS n_a,
+             |  min(CASE WHEN g = 'A' THEN m END) AS m_a,
+             |  min(CASE WHEN g = 'A' THEN s2 END) AS s2_a,
+             |  min(CASE WHEN g = 'B' THEN n END) AS n_b,
+             |  min(CASE WHEN g = 'B' THEN m END) AS m_b,
+             |  min(CASE WHEN g = 'B' THEN s2 END) AS s2_b FROM a)
+             |SELECT n_a, round(m_a, 6) AS mean_a,
+             | round(s2_a, 6) AS var_a,
+             | n_b, round(m_b, 6) AS mean_b, round(s2_b, 6) AS var_b,
+             | round((m_a - m_b)
+             |   / sqrt(s2_a / n_a + s2_b / n_b), 6) AS t,
+             | round(pow(s2_a / n_a + s2_b / n_b, 2)
+             |   / (pow(s2_a / n_a, 2) / (n_a - 1)
+             |    + pow(s2_b / n_b, 2) / (n_b - 1)), 4) AS df
+             |FROM r""".stripMargin)),
+
+    // Pearson chi-square independence (AbTest.chiSquareIndependence):
+    // is event_type independent of the user-parity arm? Full
+    // contingency arithmetic — margins, expected counts incl. empty
+    // observed cells, (o-e)^2/e — replayed in SQL.
+    Q("q178_chi2_independence", (s, dir) =>
+      graft.operators.AbTest.chiSquareIndependence(
+        events(s, dir).withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "event_type", "arm"),
+      Some("""WITH u AS (SELECT event_type AS a,
+             |   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS b
+             |  FROM events WHERE event_type IS NOT NULL),
+             |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+             |  FROM u GROUP BY 1, 2),
+             |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+             |  FROM cells GROUP BY 1),
+             |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+             |  FROM cells GROUP BY 1),
+             |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb, nn.n,
+             |   coalesce(cells.o, 0) AS o,
+             |   ra.ra * cb.cb / CAST(nn.n AS DOUBLE) AS e
+             |  FROM ra CROSS JOIN cb CROSS JOIN nn
+             |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+             |SELECT round(sum(pow(o - e, 2) / e), 4) AS chi2,
+             | CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+             |   AS BIGINT) AS dof,
+             | CAST(max(n) AS BIGINT) AS n
+             |FROM grid""".stripMargin)),
+
+    // Mann–Whitney U (AbTest.mannWhitneyU): the rank-sum sibling on
+    // the same arms — pooled midranks with the exact tie handling
+    // and the tie-corrected normal approximation, every term
+    // replayed via rank()/count() windows.
+    Q("q179_mann_whitney", (s, dir) =>
+      graft.operators.AbTest.mannWhitneyU(
+        events(s, dir).withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "arm", "value", "A", "B"),
+      Some("""WITH u AS (SELECT
+             |   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+             |   CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL
+             |   AND NOT isnan(CAST(value AS DOUBLE))),
+             |rk AS (SELECT g, v, rank() OVER (ORDER BY v) AS r,
+             |   count(*) OVER (PARTITION BY v) AS t
+             |  FROM u),
+             |m AS (SELECT g, r + (t - 1) / 2.0 AS mid, t FROM rk),
+             |a AS (SELECT
+             |  CAST(sum(CASE WHEN g = 'A' THEN 1 END) AS BIGINT)
+             |    AS n_a,
+             |  CAST(sum(CASE WHEN g = 'B' THEN 1 END) AS BIGINT)
+             |    AS n_b,
+             |  sum(CASE WHEN g = 'A' THEN mid END) AS ra,
+             |  sum((pow(t, 3) - t) / t) AS tt FROM m)
+             |SELECT n_a, n_b,
+             | round(ra - n_a * (n_a + 1) / 2.0, 1) AS u_a,
+             | round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             |   / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+             |     - tt / (CAST(n_a + n_b AS DOUBLE)
+             |       * (n_a + n_b - 1)))), 6) AS z
+             |FROM a""".stripMargin)),
+
+    // Jensen–Shannon drift (Profile.jsDrift): how far the `lang`
+    // distribution moved between the doc_id-parity snapshots, in
+    // bits — symmetric, bounded, defined across one-sided categories
+    // (the mixture term). The oracle replays the mixture arithmetic
+    // with log2.
+    Q("q180_js_drift", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.jsDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    },
+      Some("""WITH b AS (SELECT lang AS c, CAST(count(*) AS BIGINT)
+             |   AS nb FROM documents
+             |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+             |a AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS na
+             |  FROM documents
+             |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+             |j AS (SELECT coalesce(b.nb, 0) AS nb,
+             |   coalesce(a.na, 0) AS na
+             |  FROM b FULL OUTER JOIN a USING (c)),
+             |tt AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+             |   CAST(sum(na) AS BIGINT) AS ta,
+             |   CAST(count(*) AS BIGINT) AS k FROM j),
+             |terms AS (SELECT tb, ta, k,
+             |   nb / CAST(tb AS DOUBLE) AS p,
+             |   na / CAST(ta AS DOUBLE) AS q,
+             |   (nb / CAST(tb AS DOUBLE) + na / CAST(ta AS DOUBLE))
+             |     / 2.0 AS mm
+             |  FROM j, tt)
+             |SELECT max(tb) AS n_before, max(ta) AS n_after,
+             | max(k) AS n_categories,
+             | round(sum(
+             |   CASE WHEN p > 0 THEN p * log2(p / mm) / 2.0
+             |     ELSE 0 END
+             |   + CASE WHEN q > 0 THEN q * log2(q / mm) / 2.0
+             |     ELSE 0 END), 6) AS jsd_bits
+             |FROM terms""".stripMargin)),
+
+    // Gini concentration (Profile.gini): how concentrated revenue is
+    // across lineitem rows — global ascending rank (range-partitioned
+    // sort-rank machinery, no one-task window) folded through the
+    // closed-form 2*sum(i*x)/(n*sum(x)) - (n+1)/n. Ties commute in
+    // sum(i*x), so the oracle's row_number ordering is equivalent.
+    Q("q181_gini", (s, dir) =>
+      graft.operators.Profile.gini(t(s, dir, "lineitem"),
+        "l_extendedprice"),
+      Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x) AS i
+             |  FROM v)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             | round(sum(x), 4) AS total,
+             | round(2.0 * sum(i * x) / (count(*) * sum(x))
+             |   - (count(*) + 1.0) / count(*), 6) AS gini
+             |FROM r""".stripMargin)),
+
+    // Personalized PageRank (PageRank.personalized): q58's graph,
+    // restart mass on seeds {0..4} — "central RELATIVE to these
+    // nodes", the seed-expansion score. Same unrolled-CTE oracle
+    // trick as q58, with the restart term (1-d)*p(v) carried on the
+    // vertex table. Seed 999 is absent from the graph and must be
+    // ignored with the mass renormalized over the present five.
+    Q("q182_pagerank_personalized", (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("src"),
+          (col("o_orderkey") % 50).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val seeds = Seq(0L, 1L, 2L, 3L, 4L, 999L).toDF("id")
+      PageRank.personalized(edges, "src", "dst", seeds, "id",
+          maxIters = 10)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("id"))
+    }, Some {
+      val steps = (1 to 10).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |   CAST(0.15 AS DOUBLE) * v.p
+           |     + CAST(0.85 AS DOUBLE) * coalesce(s.c, 0) AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / d.deg) AS c
+           |    FROM edges e JOIN p${i - 1} p ON e.src = p.id
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+         |  FROM orders WHERE o_custkey % 50 != o_orderkey % 50),
+         |verts AS MATERIALIZED (
+         |  SELECT id, CASE WHEN id IN (0, 1, 2, 3, 4)
+         |    THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS p
+         |  FROM (SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges
+         |    UNION SELECT dst AS id FROM edges))),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |p0 AS (SELECT id, p AS rank FROM verts),
+         |$steps
+         |SELECT id, round(rank, 8) AS rank FROM p10 ORDER BY id""".stripMargin
+    })
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -49,6 +49,128 @@ object AbTest {
       coalesce(abs(z) >= 1.959964, lit(false)).as("significant"))
   }
 
+  /** Welch's unequal-variance t-test — the metric-mean readout for
+    * experiment arms (the z-test's continuous sibling): given
+    * per-unit (group, value) rows, t = (m_a − m_b) / √(s²_a/n_a +
+    * s²_b/n_b) with Welch–Satterthwaite degrees of freedom. Every
+    * emitted value is pure arithmetic over the two arms' (n, mean,
+    * sample variance) — one partial-agg groupBy, one 1-row collapse,
+    * term-for-term SQL-replayable (the twoProportionZ discipline; no
+    * CDF call — consumers apply the t CDF to the emitted (t, df)).
+    * Degenerate arms (n < 2 or both variances 0) yield null t. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val v = col(valueCol).cast("double")
+    val perArm = df.filter(col(groupCol).isin(groupA, groupB)
+        && v.isNotNull && !isnan(v))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"),
+        var_samp(v).as("__s2"))
+    def pick(g: String, c: String) =
+      min(when(col(groupCol) === g, col(c)))
+    val row = perArm.agg(
+      pick(groupA, "__n").as("n_a"), pick(groupA, "__m").as("m_a"),
+      pick(groupA, "__s2").as("s2_a"),
+      pick(groupB, "__n").as("n_b"), pick(groupB, "__m").as("m_b"),
+      pick(groupB, "__s2").as("s2_b"))
+    val sea = col("s2_a") / col("n_a")
+    val seb = col("s2_b") / col("n_b")
+    val se2 = sea + seb
+    val t = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0,
+      round((col("m_a") - col("m_b")) / sqrt(se2), 6))
+    val dfree = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0,
+      round(pow(se2, 2) / (pow(sea, 2) / (col("n_a") - 1)
+        + pow(seb, 2) / (col("n_b") - 1)), 4))
+    row.select(col("n_a"), round(col("m_a"), 6).as("mean_a"),
+      round(col("s2_a"), 6).as("var_a"),
+      col("n_b"), round(col("m_b"), 6).as("mean_b"),
+      round(col("s2_b"), 6).as("var_b"),
+      t.as("t"), dfree.as("df"))
+  }
+
+  /** Pearson χ² test of independence between two categorical
+    * columns: the full contingency arithmetic — observed vs
+    * expected = row_total · col_total / n per cell — collapsed to
+    * (chi2, dof, n). Null categories count as a real level is NOT
+    * done: null rows are dropped (document nulls upstream; a null
+    * level would silently absorb missingness into the test). Two
+    * partial-agg groupBys + broadcast margins; nothing but counts
+    * moves. The χ²_dof quantile is the consumer's step, as with
+    * [[welchT]]. */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    // expected counts exist for EVERY (row level, col level) pair —
+    // including empty observed cells, which still contribute e to χ²
+    // rename the observed side: rowT/colT descend from `cells`, so
+    // joining on same-named columns would hit the self-join
+    // ambiguity trap
+    val obs = cells.select(col("__a").as("__oa"),
+      col("__b").as("__ob"), col("__o"))
+    val grid = rowT.crossJoin(colT).crossJoin(broadcast(n))
+      .join(obs, col("__a") <=> col("__oa")
+        && col("__b") <=> col("__ob"), "left")
+      .select(col("__a"), col("__b"), col("__ra"), col("__cb"),
+        col("__n"), coalesce(col("__o"), lit(0L)).as("__o"))
+      .withColumn("__e", col("__ra") * col("__cb")
+        / col("__n").cast("double"))
+    grid.agg(
+      round(sum(pow(col("__o") - col("__e"), 2) / col("__e")), 4)
+        .as("chi2"),
+      ((count_distinct(col("__a")) - 1)
+        * (count_distinct(col("__b")) - 1)).as("dof"),
+      max(col("__n")).as("n"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the distribution-free
+    * two-sample location test (the [[welchT]] alternative when means
+    * mislead: heavy tails, outliers, ordinal values). Midranks over
+    * the POOLED values handle ties exactly (rank + (ties−1)/2); the
+    * normal approximation carries the standard tie-corrected
+    * variance. Emits (n_a, n_b, u_a, z) — all closed-form arithmetic
+    * over rank aggregates, SQL-replayable.
+    *
+    * Shape at scale: ranks come from ONE window over the pooled
+    * values — a single global sort. Fine for experiment readouts
+    * (arms fit a sort); for corpus-sized inputs prefer [[welchT]] on
+    * a transformed metric. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val pooled = df.filter(col(groupCol).isin(groupA, groupB)
+      && v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val wOrd = Window.orderBy(col("__v"))
+    val wTie = Window.partitionBy(col("__v"))
+    val ranked = pooled
+      .withColumn("__rk", rank().over(wOrd))
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("__mid", col("__rk") + (col("__t") - 1) / 2.0)
+    val agg = ranked.agg(
+      sum(when(col("__g") === groupA, lit(1L))).as("n_a"),
+      sum(when(col("__g") === groupB, lit(1L))).as("n_b"),
+      sum(when(col("__g") === groupA, col("__mid"))).as("__ra"),
+      // tie term Σ(t³−t) — one value per tie GROUP, so divide each
+      // row's group contribution by the group size
+      sum((pow(col("__t"), 3) - col("__t")) / col("__t")).as("__tt"))
+    val u = col("__ra") - col("n_a") * (col("n_a") + 1) / 2.0
+    val nn = col("n_a") + col("n_b")
+    val mu = col("n_a") * col("n_b") / 2.0
+    val sig2 = (col("n_a") * col("n_b") / 12.0) *
+      ((nn + 1) - col("__tt") / (nn * (nn - 1)))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && sig2 > 0,
+      round((u - mu) / sqrt(sig2), 6))
+    agg.select(col("n_a"), col("n_b"), round(u, 1).as("u_a"), z.as("z"))
+  }
+
   /** First-significant-digit census against Benford's law — the
     * classic fabricated-data / broken-generator screen (a synthetic
     * column whose leading digits run uniform instead of

@@ -102,4 +102,63 @@ object PageRank {
     Seq(e, vertices, eDeg).foreach(_.unpersist(false))
     out
   }
+
+  /** PERSONALIZED PageRank — random walk with restart to a source
+    * SET: rank' = (1−d)·p + d·Σ contribs where p(v) = 1/|S| over the
+    * sources and 0 elsewhere. The "what's near THESE nodes"
+    * relevance score (seed-expansion for a dedup cluster, related-
+    * item scoring from a seed set) — global PageRank answers "what's
+    * central overall", PPR answers "central relative to S". Same
+    * per-iteration shape as [[run]] (one dst-keyed shuffle, lineage
+    * cut every third round); the restart vector rides the cached
+    * vertex table as a column, costing nothing per round. Sources
+    * not present in the graph are ignored (and the restart mass
+    * renormalizes over the present ones — a typo'd seed id must not
+    * silently deflate every score); an empty intersection throws.
+    * Initial rank = p, so iteration 0 already concentrates mass at
+    * the seeds (the standard PPR start). */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceIdCol: String,
+                   damping: Double = 0.85,
+                   maxIters: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seeds = sources.select(col(sourceIdCol).as("id")).distinct()
+      .join(vertices, Seq("id"), "left_semi").cache()
+    val nS = seeds.count()
+    require(nS > 0L,
+      "no source id is a vertex of the graph — personalized restart " +
+        "has nowhere to land; check the seed set")
+    val withP = vertices
+      .join(seeds.withColumn("__s", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s"), lit(1.0 / nS)).otherwise(lit(0.0)).as("p"))
+      .cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg")).cache()
+    var ranks = withP.select(col("id"), col("p").as("rank"))
+    var i = 0
+    while (i < maxIters) {
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("recv"))
+      val next = withP
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      ranks = if (i % 3 == 2 || i == maxIters - 1) next.localCheckpoint()
+              else next
+      i += 1
+    }
+    val out = if (maxIters == 0) ranks.localCheckpoint() else ranks
+    Seq(e, seeds, withP, eDeg).foreach(_.unpersist(false))
+    out
+  }
 }

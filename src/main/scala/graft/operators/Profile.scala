@@ -194,6 +194,74 @@ object Profile {
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
   }
 
+  /** Jensen–Shannon drift between two snapshots' distributions of a
+    * categorical column — the NUMERIC companion to [[diff]]'s
+    * boolean flags: how FAR did the distribution move, in bits,
+    * bounded [0, 1] (log base 2), symmetric, and defined even when a
+    * category exists on one side only (KL alone is infinite there —
+    * the mixture M = (P+Q)/2 is positive wherever either side is,
+    * and a zero-probability term contributes exactly 0). The weekly
+    * "did the language/source mix shift and by how much" dashboard
+    * number. One partial-agg groupBy per side + a category-sized
+    * full-outer join; only counts move. Returns one row:
+    * (n_before, n_after, n_categories, jsd_bits). */
+  def jsDrift(before: DataFrame, after: DataFrame,
+              colName: String): DataFrame = {
+    def dist(df: DataFrame, cnt: String): DataFrame =
+      df.filter(col(colName).isNotNull)
+        .groupBy(col(colName).as("__c"))
+        .agg(count(lit(1)).as(cnt))
+    val joined = dist(before, "__nb").join(dist(after, "__na"),
+        Seq("__c"), "full_outer")
+      .select(col("__c"), coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__na"), lit(0L)).as("__na"))
+    val tot = joined.agg(sum(col("__nb")).as("__tb"),
+      sum(col("__na")).as("__ta"), count(lit(1)).as("__k"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__nb") / col("__tb").cast("double"))
+      .withColumn("__q", col("__na") / col("__ta").cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+      .withColumn("__t",
+        when(col("__p") > 0,
+          col("__p") * log(2.0, col("__p") / col("__m")) / 2.0)
+          .otherwise(0.0)
+          + when(col("__q") > 0,
+            col("__q") * log(2.0, col("__q") / col("__m")) / 2.0)
+          .otherwise(0.0))
+    terms.agg(max(col("__tb")).as("n_before"),
+      max(col("__ta")).as("n_after"),
+      max(col("__k")).as("n_categories"),
+      round(sum(col("__t")), 6).as("jsd_bits"))
+  }
+
+  /** Gini concentration of a non-negative numeric column —
+    * G = (2·Σ i·x_(i)) / (n·Σ x) − (n+1)/n over the ascending sort —
+    * the "what share of tokens/bytes/spend sits in the top sliver"
+    * inequality scalar every corpus-mix report carries. The global
+    * rank i comes from the range-partitioned sort-rank machinery
+    * (Blocking.withSortRank — parallel TeraSort shape, no one-task
+    * window); ties take an arbitrary-but-valid order, which the
+    * formula is invariant to (equal values commute in Σ i·x).
+    * Returns one row: (n, total, gini). Negative values are
+    * rejected — the statistic is undefined there. */
+  def gini(df: DataFrame, colName: String): DataFrame = {
+    val v = col(colName).cast("double")
+    val vals = df.filter(v.isNotNull && !isnan(v))
+      .select(v.as("__v"),
+        monotonically_increasing_id().as("__id"))
+    val neg = vals.filter(col("__v") < 0).limit(1).count()
+    require(neg == 0L,
+      s"gini is undefined over negative values (column $colName)")
+    val ranked = Blocking.withSortRank(vals, "__v", "__id")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(col("rnk") * col("__v")).as("__is"))
+      .select(col("n"), round(col("__s"), 4).as("total"),
+        when(col("n") > 0 && col("__s") > 0,
+          round(lit(2.0) * col("__is") / (col("n") * col("__s"))
+            - (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets over
     * [lo, hi] (derived from one min/max aggregation when not given),
     * every bin emitted INCLUDING empty ones — (bin, bin_lo, bin_hi,

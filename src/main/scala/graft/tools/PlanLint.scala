@@ -82,7 +82,13 @@ object PlanLint {
       "Q x nCells rows (tiny); the corpus side joins probed cells " +
       "by EQUI key and is never crossed (q50 precedent)"),
     "q171_benford" -> ("scalar-broadcast pattern: the 1-row total " +
-      "count crosses the 9-row digit census (q38/q87 precedent)"))
+      "count crosses the 9-row digit census (q38/q87 precedent)"),
+    "q178_chi2_independence" -> ("contingency margins: row-levels x " +
+      "col-levels x 1-row n — every side is category-count-sized " +
+      "(the expected-count grid IS a cross product by definition)"),
+    "q180_js_drift" -> ("scalar-broadcast pattern: the 1-row " +
+      "(n_before, n_after, k) totals cross the category-sized " +
+      "distribution rows"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

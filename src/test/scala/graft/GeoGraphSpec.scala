@@ -72,6 +72,36 @@ class GeoGraphSpec extends SparkTestBase {
     }
   }
 
+  test("personalized pagerank: mass concentrates at seeds, absent " +
+    "seeds renormalize, all-vertices seeding == global/n") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L),
+      (2L, 4L)).toDF("src", "dst")
+    // seed {1}: walker restarts at 1, so 1 and its successors carry
+    // the mass; 999 is not a vertex and must be ignored
+    val ppr = PageRank.personalized(edges, "src", "dst",
+        Seq(1L, 999L).toDF("id"), "id", maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr(1L) > ppr(4L) && ppr(2L) > ppr(4L))
+    assert(ppr.values.forall(_ >= 0.0))
+    // seeding EVERY vertex makes the recurrence global PR scaled by
+    // 1/n exactly (linearity: same matrix, scaled restart vector)
+    val all = PageRank.personalized(edges, "src", "dst",
+        Seq(1L, 2L, 3L, 4L).toDF("id"), "id", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val global = PageRank.run(edges, maxIters = 10,
+        driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    all.foreach { case (id, r) =>
+      assert(math.abs(r - global(id) / 4.0) < 1e-9, s"id=$id")
+    }
+    // no seed in the graph -> loud failure
+    val e = intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, "src", "dst",
+        Seq(999L).toDF("id"), "id")
+    }
+    assert(e.getMessage.contains("nowhere to land"))
+  }
+
   test("withinDistance == brute-force haversine cross at every radius") {
     import graft.operators.Geo
     val rnd = new scala.util.Random(11)

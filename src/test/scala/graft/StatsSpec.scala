@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AbTest, Profile}
+
+/** Statistical-test operators: hand-traced fixtures for Welch's t,
+  * chi-square independence, Mann–Whitney U (incl. exact tie
+  * handling), Jensen–Shannon drift, and Gini concentration. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("welchT: hand-computed arms, degenerate arm yields null t") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _))
+      ++ Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(("B", _))).toDF("g", "v")
+    val r = AbTest.welchT(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(3) == 5L)
+    assert(r.getDouble(1) == 2.5 && r.getDouble(4) == 6.0)
+    // s2_a = 5/3, s2_b = 10; t = -3.5/sqrt(5/12 + 2); df by W-S
+    val se2 = 5.0 / 3 / 4 + 10.0 / 5
+    val tExp = -3.5 / math.sqrt(se2)
+    val dfExp = se2 * se2 /
+      (math.pow(5.0 / 3 / 4, 2) / 3 + math.pow(2.0, 2) / 4)
+    assert(math.abs(r.getDouble(6) - tExp) < 1e-5)
+    assert(math.abs(r.getDouble(7) - dfExp) < 1e-3)
+    // single-row arm: variance undefined -> null t, not NaN
+    val tiny = Seq(("A", 1.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    assert(AbTest.welchT(tiny, "g", "v", "A", "B")
+      .collect().head.isNullAt(6))
+  }
+
+  test("chiSquare: perfect independence is 0; 2x2 hand value; empty cell") {
+    // independent: every (a, b) combo equally likely
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("u", "w");
+                    _ <- 1 to 10) yield (a, b)).toDF("a", "b")
+    val r0 = AbTest.chiSquareIndependence(ind, "a", "b").collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 1L
+      && r0.getLong(2) == 40L)
+    // (10,20 / 20,10): e = 15 everywhere, chi2 = 4 * 25/15 = 6.6667
+    val skew = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "w"))
+      ++ Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "w")))
+      .toDF("a", "b")
+    val r1 = AbTest.chiSquareIndependence(skew, "a", "b").collect().head
+    assert(math.abs(r1.getDouble(0) - 20.0 / 3) < 1e-3)
+    // an absent observed cell still contributes its expected count:
+    // (5,5 / 5,0): e(y,w) = 10*5/15 = 10/3, term = 10/3
+    val gap = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("x", "w"))
+      ++ Seq.fill(5)(("y", "u"))).toDF("a", "b")
+    val r2 = AbTest.chiSquareIndependence(gap, "a", "b").collect().head
+    // chi2 = sum over 4 cells: e = (10*10/15, 10*5/15, 5*10/15, 5*5/15)
+    //      = (20/3, 10/3, 10/3, 5/3); o = (5, 5, 5, 0)
+    val chi = math.pow(5 - 20.0 / 3, 2) / (20.0 / 3) +
+      math.pow(5 - 10.0 / 3, 2) / (10.0 / 3) +
+      math.pow(5 - 10.0 / 3, 2) / (10.0 / 3) +
+      math.pow(0 - 5.0 / 3, 2) / (5.0 / 3)
+    assert(math.abs(r2.getDouble(0) - chi) < 1e-3)
+  }
+
+  test("mannWhitneyU: tie-free and tied hand fixtures") {
+    val plain = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r = AbTest.mannWhitneyU(plain, "g", "v", "A", "B")
+      .collect().head
+    assert(r.getDouble(2) == 0.0) // U_a = 0: A fully below B
+    assert(math.abs(r.getDouble(3) - (-2.0 / math.sqrt(20.0 / 12)))
+      < 1e-5)
+    // ties: A=[1,1], B=[1,2] -> midranks 2,2,2,4; U_a=1; sigma^2=1
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val rt = AbTest.mannWhitneyU(tied, "g", "v", "A", "B")
+      .collect().head
+    assert(rt.getDouble(2) == 1.0)
+    assert(math.abs(rt.getDouble(3) - (-1.0)) < 1e-6)
+  }
+
+  test("jsDrift: identical 0, disjoint 1 bit, null categories dropped") {
+    val p = (Seq.fill(30)("en") ++ Seq.fill(10)("de")).toDF("lang")
+    assert(Profile.jsDrift(p, p, "lang")
+      .collect().head.getDouble(3) == 0.0)
+    val q = Seq.fill(20)("fr").toDF("lang")
+    val dis = Profile.jsDrift(p, q, "lang").collect().head
+    assert(math.abs(dis.getDouble(3) - 1.0) < 1e-9)
+    assert(dis.getLong(2) == 3L) // en, de, fr
+    val withNull = (Seq.fill(30)(Some("en")) ++ Seq.fill(10)(None))
+      .toDF("lang")
+    val r = Profile.jsDrift(withNull, p, "lang").collect().head
+    assert(r.getLong(0) == 30L) // nulls dropped from the census
+  }
+
+  test("gini: uniform 0, one-hot (n-1)/n, negatives refused") {
+    val eq = Seq.fill(8)(5.0).toDF("v")
+    assert(Profile.gini(eq, "v").collect().head.getDouble(2) == 0.0)
+    val hot = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    assert(Profile.gini(hot, "v").collect().head.getDouble(2) == 0.75)
+    intercept[IllegalArgumentException] {
+      Profile.gini(Seq(1.0, -2.0).toDF("v"), "v")
+    }
+    // all-zero total -> null gini, not NaN
+    assert(Profile.gini(Seq(0.0, 0.0).toDF("v"), "v")
+      .collect().head.isNullAt(2))
+  }
+}
