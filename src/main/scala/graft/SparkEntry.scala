@@ -4937,7 +4937,164 @@ object SparkEntry {
          |p0 AS (SELECT id, p AS rank FROM verts),
          |$steps
          |SELECT id, round(rank, 8) AS rank FROM p10 ORDER BY id""".stripMargin
-    })
+    }),
+
+    // IR ranking evaluation (Search.evalRanking): BM25 top-10 (q110's
+    // three queries) judged against all-query-terms-present relevance
+    // — per query recall@10 / MRR@10 / nDCG@10, every metric pure
+    // arithmetic over the judged hits (the yardstick the retrieval
+    // family is tuned by; 17/265/249 relevant docs per query at
+    // sf0.01, so recall is genuinely partial). The oracle replays
+    // q110's BM25 chain, the token-subset qrels, and the metric
+    // arithmetic including the ideal-DCG prefix sum.
+    Q("q183_eval_ranking", (s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "dup spark"), (2L, "vector join table"),
+        (3L, "the fast key")).toDF("qid", "qtext")
+      val docs = t(s, dir, "documents")
+      val results = graft.operators.Search.bm25Batch(docs, "doc_id",
+        "text", queries, "qid", "qtext", k = 10)
+      val qterms = queries.select(col("qid"),
+          explode(TF.tokens(col("qtext"))).as("__term")).distinct()
+      val nq = qterms.groupBy(col("qid")).agg(count(lit(1)).as("__nt"))
+      val dterms = docs.select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("__term")).distinct()
+      val qrels = qterms.join(dterms, Seq("__term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("__hit"))
+        .join(broadcast(nq), Seq("qid"))
+        .filter(col("__hit") === col("__nt"))
+        .select(col("qid"), col("doc_id"))
+      graft.operators.Search.evalRanking(results, "qid", "doc_id",
+          "rank", qrels, "qid", "doc_id", k = 10)
+        .orderBy(col("qid"))
+    },
+      Some(s"""WITH q(qid, qtext) AS (VALUES (1, 'dup spark'),
+              |   (2, 'vector join table'), (3, 'the fast key')),
+              |qt AS (SELECT DISTINCT qid, unnest(${sqlTokens("qtext")})
+              |   AS term FROM q),
+              |nq AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+              |base AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n,
+              |   avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+              |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+              |   unnest(toks) AS term FROM base),
+              |tf AS (SELECT doc_id, dl, term,
+              |   CAST(count(*) AS DOUBLE) AS tf FROM d
+              |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+              |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT qt.qid, tf.doc_id,
+              |   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+              |     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+              |     AS score
+              |  FROM tf JOIN dfq USING (term) JOIN qt USING (term), stats
+              |  GROUP BY 1, 2),
+              |res AS (SELECT qid, doc_id, row_number() OVER (
+              |   PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+              |   AS rnk FROM sc),
+              |dd AS (SELECT DISTINCT doc_id, term FROM d),
+              |qrels AS (SELECT qt.qid, dd.doc_id
+              |  FROM qt JOIN dd USING (term) JOIN nq USING (qid)
+              |  GROUP BY qt.qid, dd.doc_id, nq.nt
+              |  HAVING count(DISTINCT dd.term) = nt),
+              |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+              |  FROM qrels GROUP BY 1),
+              |hits AS (SELECT res.qid, res.rnk FROM res
+              |  JOIN qrels ON qrels.qid = res.qid
+              |   AND qrels.doc_id = res.doc_id
+              |  WHERE res.rnk <= 10),
+              |per AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+              |   min(rnk) AS first_hit,
+              |   sum(1.0 / log2(rnk + 1)) AS dcg
+              |  FROM hits GROUP BY 1),
+              |ic AS (SELECT qid, sum(1.0 / log2(r.range + 2)) AS idcg
+              |  FROM nrel, range(10) r
+              |  WHERE r.range < least(10, n_rel) GROUP BY 1)
+              |SELECT nrel.qid, n_rel,
+              | coalesce(n_hits, 0) AS n_hits,
+              | round(coalesce(n_hits, 0) / CAST(n_rel AS DOUBLE), 6)
+              |   AS recall_at_k,
+              | round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr_at_k,
+              | round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_at_k
+              |FROM nrel LEFT JOIN per USING (qid)
+              |JOIN ic USING (qid)
+              |ORDER BY qid""".stripMargin)),
+
+    // Spearman rank correlation (AbTest.spearmanCorr): quantity vs
+    // price — Pearson over exact midranks, tie handling shared with
+    // q179. The oracle replays the two rank windows and corr().
+    Q("q184_spearman", (s, dir) =>
+      graft.operators.AbTest.spearmanCorr(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice"),
+      Some("""WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+             |   CAST(l_extendedprice AS DOUBLE) AS b
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL
+             |   AND l_extendedprice IS NOT NULL),
+             |r AS (SELECT
+             |   rank() OVER (ORDER BY a)
+             |     + (count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+             |   rank() OVER (ORDER BY b)
+             |     + (count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+             |  FROM c)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             | round(corr(ra, rb), 6) AS rho
+             |FROM r""".stripMargin)),
+
+    // Windowed funnel (EventAnalytics.funnelWindowed): q155's steps
+    // under a 7-day conversion window anchored at the FIRST-TOUCH
+    // view — the attribution semantics that keeps the census
+    // replayable as the min-after-min chain plus the window bound.
+    Q("q185_funnel_windowed", (s, dir) =>
+      graft.operators.EventAnalytics.funnelWindowed(events(s, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), windowSeconds = 604800L)
+        .orderBy(col("step_idx")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1
+             |   AND epoch_us(ts) <= epoch_us(t1) + 604800000000
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2
+             |   AND epoch_us(ts) <= epoch_us(t1) + 604800000000
+             |  GROUP BY 1)
+             |SELECT 1 AS step_idx, 'view' AS step,
+             |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+             |UNION ALL SELECT 2, 'click',
+             |  CAST((SELECT count(*) FROM s2) AS BIGINT)
+             |UNION ALL SELECT 3, 'purchase',
+             |  CAST((SELECT count(*) FROM s3) AS BIGINT)
+             |ORDER BY step_idx""".stripMargin)),
+
+    // Time-weighted average (EventAnalytics.timeWeightedAvg): each
+    // user's `value` signal weighted by how long each observation
+    // stayed current — the correct mean over irregular sampling.
+    // Epoch-micros weights, (ts, value) tie order, zero-duration
+    // users emit null; the oracle replays the lead window.
+    Q("q186_twap", (s, dir) =>
+      graft.operators.EventAnalytics.timeWeightedAvg(events(s, dir),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id")),
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+             |   CAST(value AS DOUBLE) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+             |d AS (SELECT user_id, us, v,
+             |   lead(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, v) - us AS dur
+             |  FROM o)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+             | max(us) - min(us) AS duration_us,
+             | CASE WHEN max(us) - min(us) > 0 THEN
+             |   round(sum(v * dur) / (max(us) - min(us)), 6) END
+             |   AS twap
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -171,6 +171,32 @@ object AbTest {
     agg.select(col("n_a"), col("n_b"), round(u, 1).as("u_a"), z.as("z"))
   }
 
+  /** Spearman rank correlation — Pearson over midranks: the
+    * monotone-association measure that survives outliers and
+    * nonlinear-but-monotone relationships (where [[DDF]]'s Pearson
+    * corr reads noise). Ties take exact midranks (the
+    * [[mannWhitneyU]] machinery); rows with a null/NaN on either
+    * side are dropped PAIRWISE. Returns one row (n, rho rounded 6).
+    * Two global-sort windows (one per column) — the experiment-
+    * readout scale trade documented on mannWhitneyU. */
+  def spearmanCorr(df: DataFrame, colA: String,
+                   colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = col(colA).cast("double"); val b = col(colB).cast("double")
+    val clean = df.filter(a.isNotNull && !isnan(a)
+        && b.isNotNull && !isnan(b))
+      .select(a.as("__a"), b.as("__b"))
+    def midrank(c: String, out: String)(d: DataFrame): DataFrame =
+      d.withColumn("__rk", rank().over(Window.orderBy(col(c))))
+        .withColumn("__t",
+          count(lit(1)).over(Window.partitionBy(col(c))))
+        .withColumn(out, col("__rk") + (col("__t") - 1) / 2.0)
+        .drop("__rk", "__t")
+    val ranked = midrank("__b", "rb")(midrank("__a", "ra")(clean))
+    ranked.agg(count(lit(1)).as("n"),
+      round(corr(col("ra"), col("rb")), 6).as("rho"))
+  }
+
   /** First-significant-digit census against Benford's law — the
     * classic fabricated-data / broken-generator screen (a synthetic
     * column whose leading digits run uniform instead of

@@ -213,6 +213,90 @@ object EventAnalytics {
         round(col("n_active") / col("n_cohort"), 4).as("retention"))
   }
 
+  /** WINDOWED funnel census — [[funnel]] under a conversion window:
+    * steps past the first must land within `windowSeconds` of the
+    * user's FIRST-TOUCH step-1 time (greedy min — the standard
+    * first-touch attribution semantics; a later step-1 occurrence
+    * never re-anchors the window, which keeps the census replayable
+    * as the same min-after-min chain with the window bound added).
+    * Same one-shuffle fold as [[funnelUsers]], with the anchor time
+    * carried in the fold state. */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      "repeated step types are ambiguous — name each stage uniquely")
+    require(windowSeconds >= 1,
+      s"windowSeconds must be >= 1, got $windowSeconds")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val winUs = windowSeconds * 1000000L
+    val sorted = sort_array(collect_list(struct(
+      col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp"))))
+    val fold: (Column, Column) => Column = (acc, x) =>
+      when(acc.getField("idx") < k
+          && x.getField("tp") ===
+            element_at(stepsArr, acc.getField("idx") + 1)
+          && (acc.getField("idx") === 0
+            || (x.getField("ts") > acc.getField("last")
+              && unix_micros(x.getField("ts"))
+                <= acc.getField("anchor") + winUs)),
+        struct((acc.getField("idx") + 1).as("idx"),
+          x.getField("ts").as("last"),
+          when(acc.getField("idx") === 0,
+            unix_micros(x.getField("ts")))
+            .otherwise(acc.getField("anchor")).as("anchor")))
+        .otherwise(acc)
+    val fu = events
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("user"))
+      .agg(sorted.as("__evs"))
+      .select(col("user"), aggregate(col("__evs"),
+        struct(lit(0).as("idx"),
+          lit(null).cast("timestamp").as("last"),
+          lit(null).cast("long").as("anchor")),
+        fold).getField("idx").as("steps_reached"))
+    val aggs = steps.indices.map(i =>
+      coalesce(sum(when(col("steps_reached") >= i + 1, 1L)
+        .otherwise(0L)), lit(0L)).as(s"__n$i"))
+    fu.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("step_idx"), lit(st).as("step"),
+          col(s"__n$i").as("n_users"))
+      }: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
+  }
+
+  /** Time-weighted average of a sampled value per user — the correct
+    * mean over IRREGULARLY sampled state (a session's price/level/
+    * quality signal observed at events): each observation weights by
+    * how long it remained current, Σ v_i·(t_{i+1}−t_i) / (t_n−t_1).
+    * Users with one observation (or all at one instant: zero total
+    * duration) emit null — an unweightable mean, not 0. Ties order
+    * by (ts, value) so the census is deterministic; epoch-micros
+    * longs carry the weights (the sessionize discipline). One
+    * per-user window + one aggregation. Returns (user, n_obs,
+    * duration_us, twap rounded 6). */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col("__v").asc)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"),
+        when(max(col("__us")) - min(col("__us")) > 0,
+          round(sum(col("__v") * col("__dur"))
+            / (max(col("__us")) - min(col("__us"))), 6)).as("twap"))
+  }
+
   /** Path n-gram census — the order-n generalization of
     * [[transitions]]: every run of `n` CONSECUTIVE events in a
     * user's timeline, counted across users. The top paths are the

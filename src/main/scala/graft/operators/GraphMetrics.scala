@@ -51,10 +51,24 @@ object GraphMetrics {
     * a core) and spec oracles. */
   def triangles(edges: DataFrame, srcCol: String,
                 dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+    // localCheckpoint (eager) rather than lazy persist: the canonical
+    // table feeds the degree count AND both wedge sides — a lazy
+    // persist leaves the upstream edge build (often an expensive
+    // self-join) re-planned per branch until first materialization,
+    // and this operator IS usually the pipeline's first action
+    // (caught by the r10 explain audit). Checkpointing settles it
+    // once, up front.
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    trianglesOf(e, degreesOf(e))
+  }
+
+  private def degreesOf(canon: DataFrame): DataFrame =
+    canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** wedge join over a SETTLED canonical edge table + its degrees —
+    * the shared core of [[triangles]]/[[clusteringCoefficients]] */
+  private def trianglesOf(e: DataFrame, deg: DataFrame): DataFrame = {
     // rank-orient: u -> v iff (deg(u), u) < (deg(v), v)
     val ranked = e
       .join(deg.withColumnRenamed("node", "a")
@@ -79,17 +93,16 @@ object GraphMetrics {
       oriented.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"))
     val tri = closed.select(col("u"), col("x"), col("y"))
-    val out = tri.select(
-        least(col("u"), col("x"), col("y")).as("x"),
-        when(col("u") =!= least(col("u"), col("x"), col("y"))
-            && col("u") =!= greatest(col("u"), col("x"), col("y")),
-          col("u"))
-          .when(col("x") =!= least(col("u"), col("x"), col("y"))
-            && col("x") =!= greatest(col("u"), col("x"), col("y")),
-            col("x"))
-          .otherwise(col("y")).as("y"),
-        greatest(col("u"), col("x"), col("y")).as("z"))
-    out
+    tri.select(
+      least(col("u"), col("x"), col("y")).as("x"),
+      when(col("u") =!= least(col("u"), col("x"), col("y"))
+          && col("u") =!= greatest(col("u"), col("x"), col("y")),
+        col("u"))
+        .when(col("x") =!= least(col("u"), col("x"), col("y"))
+          && col("x") =!= greatest(col("u"), col("x"), col("y")),
+          col("x"))
+        .otherwise(col("y")).as("y"),
+      greatest(col("u"), col("x"), col("y")).as("z"))
   }
 
   /** (node, n_triangles) — nodes in no triangle are absent (join
@@ -102,18 +115,25 @@ object GraphMetrics {
 
   /** Full per-node census: (node, degree, n_triangles, lcc) where
     * lcc = 2T / (deg·(deg−1)) rounded to 4 (0 for degree-1 nodes —
-    * no possible wedge). One extra broadcast-sized join over
-    * [[triangleCounts]]. */
+    * no possible wedge). Canonicalizes and settles the edge table
+    * ONCE and shares it (and the degree table) across the census and
+    * the wedge join — the naive composition re-ran the upstream edge
+    * build once per branch (r10 explain audit). */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
-                             dstCol: String): DataFrame =
-    degrees(edges, srcCol, dstCol)
-      .join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+                             dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val deg = degreesOf(e).localCheckpoint()
+    val counts = trianglesOf(e, deg)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(counts, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("lcc",
         when(col("degree") >= 2,
           round(col("n_triangles") * 2.0
             / (col("degree") * (col("degree") - 1)), 4))
           .otherwise(lit(0.0)))
+  }
 
   /** k-CORE: the maximal subgraph in which every node keeps degree
     * ≥ k — the standard "dense backbone" extraction (spam-farm and

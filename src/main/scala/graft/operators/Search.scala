@@ -243,4 +243,48 @@ object Search {
         .orderBy(col("rrf_score").desc, col("__id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** IR evaluation of a ranked result list against relevance
+    * judgments — the yardstick the whole retrieval family (BM25,
+    * cosine, IVF/IVF-PQ, RRF) is tuned BY: per query,
+    * (n_rel, n_hits, recall_at_k, mrr_at_k, ndcg_at_k), binary
+    * gains. One row per qid that HAS judgments; queries whose
+    * retriever returned nothing still appear (all-zero metrics),
+    * queries with no judgments are undefined and omitted.
+    *
+    * ndcg = Σ_hits 1/log2(rank+1) over the ideal prefix
+    * Σ_{i≤min(k,n_rel)} 1/log2(i+1) — the ideal term is a
+    * higher-order `aggregate` over `sequence`, pure column math.
+    * Shape: one semi-join of the rank-≤k results against the
+    * judgment pairs + two partial-agg groupBys on qid; both sides
+    * are query-batch-sized, the corpus is never touched. */
+  def evalRanking(results: DataFrame, qidCol: String, idCol: String,
+                  rankCol: String, qrels: DataFrame, relQidCol: String,
+                  relIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.select(col(relQidCol).as("__qid"),
+      col(relIdCol).as("__id")).distinct()
+    val nRel = rel.groupBy(col("__qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = results
+      .select(col(qidCol).as("__qid"), col(idCol).as("__id"),
+        col(rankCol).as("__rk"))
+      .filter(col("__rk") <= k)
+      .join(rel, Seq("__qid", "__id"), "left_semi")
+    val per = hits.groupBy(col("__qid"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__rk")).as("__first"),
+        sum(lit(1.0) / log2(col("__rk") + 1)).as("__dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1))
+    nRel.join(per, Seq("__qid"), "left")
+      .select(col("__qid").as(qidCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_rel"), 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6)
+          .as("mrr_at_k"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6)
+          .as("ndcg_at_k"))
+  }
 }

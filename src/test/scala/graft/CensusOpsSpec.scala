@@ -123,6 +123,52 @@ class CensusOpsSpec extends SparkTestBase {
     assert(stateAt("2023-12-31 00:00:00").isEmpty) // before first
   }
 
+  // ---- windowed funnel / twap ----------------------------------------------
+
+  test("funnelWindowed: window bounds from FIRST touch, no re-anchor") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      // u1: click inside the 60 s window -> reaches 2
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:00:30"), "click"),
+      // u2: click after the window -> stuck at 1
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:02:00"), "click"),
+      // u3: a SECOND view inside would admit the click if the window
+      // re-anchored; first-touch semantics say no
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:01:30"), "view"),
+      (3L, ts("2024-01-01 00:02:00"), "click")
+    ).toDF("u", "t", "e")
+    val got = EventAnalytics.funnelWindowed(ev, "u", "t", "e",
+        Seq("view", "click"), windowSeconds = 60L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L))
+    // and the unwindowed funnel admits all three clicks
+    val plain = EventAnalytics.funnel(ev, "u", "t", "e",
+        Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(plain == Map(1 -> 3L, 2 -> 3L))
+  }
+
+  test("timeWeightedAvg: duration weights, null on zero duration") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:10"), 20.0),
+      (1L, ts("2024-01-01 00:00:30"), 99.0), // terminal: no duration
+      (2L, ts("2024-01-01 00:00:00"), 7.0) // single obs
+    ).toDF("u", "t", "v")
+    val got = EventAnalytics.timeWeightedAvg(ev, "u", "t", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    // (10*10 + 20*20) / 30 = 16.666667
+    assert(got(1L)._1 == 3L && got(1L)._2 == 30000000L)
+    assert(got(1L)._3.map(_.asInstanceOf[Double]).exists(
+      v => math.abs(v - 500.0 / 30) < 1e-5))
+    assert(got(2L)._3.isEmpty)
+  }
+
   // ---- scd2 enrichment / diff --------------------------------------------
 
   test("enrichAsOf: facts get the state current AT FACT TIME") {

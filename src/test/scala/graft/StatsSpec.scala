@@ -86,6 +86,50 @@ class StatsSpec extends SparkTestBase {
     assert(r.getLong(0) == 30L) // nulls dropped from the census
   }
 
+  test("spearman: monotone-nonlinear 1, reversed -1, tie midranks") {
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i, 3)))
+      .toDF("a", "b")
+    assert(AbTest.spearmanCorr(mono, "a", "b")
+      .collect().head.getDouble(1) == 1.0)
+    val rev = (1 to 50).map(i => (i.toDouble, -math.pow(i, 3)))
+      .toDF("a", "b")
+    assert(AbTest.spearmanCorr(rev, "a", "b")
+      .collect().head.getDouble(1) == -1.0)
+    // ties on one side: midranks, |rho| < 1 but positive
+    val tied = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 3.0))
+      .toDF("a", "b")
+    val rho = AbTest.spearmanCorr(tied, "a", "b")
+      .collect().head.getDouble(1)
+    assert(rho > 0.9 && rho < 1.0)
+  }
+
+  test("evalRanking: hand-computed recall/mrr/ndcg, zero-hit queries") {
+    import graft.operators.Search
+    val results = Seq((1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
+      (2L, 101L, 1), (2L, 102L, 2)).toDF("qid", "id", "rank")
+    val qrels = Seq((1L, 101L), (1L, 103L), (1L, 104L),
+      (2L, 999L), (3L, 101L)).toDF("qid", "id")
+    val got = Search.evalRanking(results, "qid", "id", "rank",
+        qrels, "qid", "id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // qid 1: hits at rank 1 and 3 of 3 relevant
+    val dcg = 1.0 / (math.log(2) / math.log(2)) +
+      1.0 / (math.log(4) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    val e1 = got(1L)
+    assert(e1._1 == 3L && e1._2 == 2L)
+    assert(math.abs(e1._3 - 2.0 / 3) < 1e-6)
+    assert(e1._4 == 1.0)
+    assert(math.abs(e1._5 - dcg / idcg) < 1e-6)
+    // qid 2: judged but no hit in top-k -> all zeros
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    // qid 3: judged but the retriever returned nothing -> zeros too
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    assert(got.size == 3)
+  }
+
   test("gini: uniform 0, one-hot (n-1)/n, negatives refused") {
     val eq = Seq.fill(8)(5.0).toDF("v")
     assert(Profile.gini(eq, "v").collect().head.getDouble(2) == 0.0)
