@@ -5094,7 +5094,67 @@ object SparkEntry {
              | CASE WHEN max(us) - min(us) > 0 THEN
              |   round(sum(v * dur) / (max(us) - min(us)), 6) END
              |   AS twap
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Composed: funnel conversion as an A/B readout —
+    // funnelUsersWindowed's greedy per-user progression (2-day
+    // first-touch window: 41/150 convert at sf0.01, a REAL split —
+    // the unwindowed chain converts everyone, q158's degenerate-cut
+    // lesson) feeds twoProportionZ on the user-parity arms. Two
+    // independently-oracled operators under ONE oracle (the q152
+    // composition discipline).
+    Q("q187_funnel_ab", (s, dir) => {
+      val fu = graft.operators.EventAnalytics.funnelUsersWindowed(
+        events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 172800L)
+      val users = fu
+        .withColumn("variant",
+          when(col("user") % 2 === 0, "A").otherwise("B"))
+        .withColumn("converted", col("steps_reached") >= 3)
+      graft.operators.AbTest.twoProportionZ(users, "variant",
+        "converted", "A", "B")
+    },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1
+             |   AND epoch_us(ts) <= epoch_us(t1) + 172800000000
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2
+             |   AND epoch_us(ts) <= epoch_us(t1) + 172800000000
+             |  GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |arms AS (SELECT
+             |   CASE WHEN u.user_id % 2 = 0 THEN 'A' ELSE 'B' END
+             |     AS variant,
+             |   s3.user_id IS NOT NULL AS converted
+             |  FROM u LEFT JOIN s3 USING (user_id)),
+             |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS x
+             |  FROM arms GROUP BY 1),
+             |r AS (SELECT
+             |  min(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             |  min(CASE WHEN variant = 'A' THEN x END) AS x_a,
+             |  min(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             |  min(CASE WHEN variant = 'B' THEN x END) AS x_b FROM a),
+             |z AS (SELECT *,
+             |  round((CAST(x_a AS DOUBLE) / n_a
+             |      - CAST(x_b AS DOUBLE) / n_b)
+             |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+             |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)))
+             |      * (CAST(1 AS DOUBLE) / n_a
+             |        + CAST(1 AS DOUBLE) / n_b)), 6) AS zv
+             |  FROM r)
+             |SELECT n_a, x_a, round(CAST(x_a AS DOUBLE) / n_a, 6)
+             |   AS rate_a,
+             | n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+             | zv AS z, abs(zv) >= 1.959964 AS significant
+             |FROM z""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -213,17 +213,16 @@ object EventAnalytics {
         round(col("n_active") / col("n_cohort"), 4).as("retention"))
   }
 
-  /** WINDOWED funnel census — [[funnel]] under a conversion window:
-    * steps past the first must land within `windowSeconds` of the
-    * user's FIRST-TOUCH step-1 time (greedy min — the standard
-    * first-touch attribution semantics; a later step-1 occurrence
-    * never re-anchors the window, which keeps the census replayable
-    * as the same min-after-min chain with the window bound added).
-    * Same one-shuffle fold as [[funnelUsers]], with the anchor time
-    * carried in the fold state. */
-  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
-                     typeCol: String, steps: Seq[String],
-                     windowSeconds: Long): DataFrame = {
+  /** Per-user WINDOWED funnel progression — [[funnelUsers]] under a
+    * conversion window anchored at the user's FIRST-TOUCH step-1
+    * time (greedy min; a later step-1 occurrence never re-anchors —
+    * the attribution semantics that keeps the census replayable as
+    * the min-after-min chain plus a bound). Returns
+    * (user, steps_reached); the anchor rides the fold state. */
+  def funnelUsersWindowed(events: DataFrame, userCol: String,
+                          tsCol: String, typeCol: String,
+                          steps: Seq[String],
+                          windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length,
       "repeated step types are ambiguous — name each stage uniquely")
@@ -248,7 +247,7 @@ object EventAnalytics {
             unix_micros(x.getField("ts")))
             .otherwise(acc.getField("anchor")).as("anchor")))
         .otherwise(acc)
-    val fu = events
+    events
       .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
       .groupBy(col(userCol).as("user"))
       .agg(sorted.as("__evs"))
@@ -257,6 +256,21 @@ object EventAnalytics {
           lit(null).cast("timestamp").as("last"),
           lit(null).cast("long").as("anchor")),
         fold).getField("idx").as("steps_reached"))
+  }
+
+  /** WINDOWED funnel census — [[funnel]] under a conversion window:
+    * steps past the first must land within `windowSeconds` of the
+    * user's FIRST-TOUCH step-1 time (greedy min — the standard
+    * first-touch attribution semantics; a later step-1 occurrence
+    * never re-anchors the window, which keeps the census replayable
+    * as the same min-after-min chain with the window bound added).
+    * Same one-shuffle fold as [[funnelUsers]], with the anchor time
+    * carried in the fold state. */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowSeconds: Long): DataFrame = {
+    val fu = funnelUsersWindowed(events, userCol, tsCol, typeCol,
+      steps, windowSeconds)
     val aggs = steps.indices.map(i =>
       coalesce(sum(when(col("steps_reached") >= i + 1, 1L)
         .otherwise(0L)), lit(0L)).as(s"__n$i"))

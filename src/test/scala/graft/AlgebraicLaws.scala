@@ -302,4 +302,69 @@ object AlgebraicLaws extends Properties("graft.ddf") {
       val yBack = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
       xBack == x && yBack == y
     }
+
+  property("CMS never undercounts and is exact when wide") =
+    Prop.forAll(Gen.listOfN(60, Gen.choose(0, 8))) { xs =>
+      import org.apache.spark.sql.functions.col
+      val df = toDDF(xs).toDF.select(col("v").cast("string").as("v"))
+      val exact = counts(xs).map { case (k, n) => k.toString -> n.toLong }
+      val narrow = graft.operators.CountMin.estimate(
+          graft.operators.CountMin.sketch(df, "v", 3, 4),
+          df, "v", 3, 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wide = graft.operators.CountMin.estimate(
+          graft.operators.CountMin.sketch(df, "v", 3, 1 << 14),
+          df, "v", 3, 1 << 14)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.forall { case (k, n) => narrow(k) >= n && wide(k) == n }
+    }
+
+  property("sessions partition the events: counts and spans add up") =
+    Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 5000L))) { offs =>
+      import org.apache.spark.sql.functions.col
+      import scala.jdk.CollectionConverters._
+      val rows = offs.map(o => org.apache.spark.sql.Row(
+        1L, new java.sql.Timestamp(1700000000000L + o * 1000L))).asJava
+      val df = spark.createDataFrame(rows,
+        new org.apache.spark.sql.types.StructType()
+          .add("u", org.apache.spark.sql.types.LongType)
+          .add("t", org.apache.spark.sql.types.TimestampType))
+      val s = graft.operators.EventAnalytics.sessions(df, "u", "t", 600L)
+        .collect()
+      val nEvents = s.map(_.getLong(4)).sum
+      // every event lands in exactly one session; session indexes
+      // are 1..k dense; total in-session span <= the full span
+      val idxs = s.map(_.getLong(1)).sorted
+      nEvents == offs.size &&
+        idxs.sameElements(1L to s.length.toLong) &&
+        s.map(_.getLong(5)).sum <= (offs.max - offs.min) * 1000000L
+    }
+
+  property("scd2 intervals are gapless, non-overlapping, exactly one current") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 9), Gen.oneOf("A", "B", "C")))) { evs =>
+      import scala.jdk.CollectionConverters._
+      // listOfN(12) is never empty, so the interval table exists
+      val rows = evs.map { case (d, a) =>
+        org.apache.spark.sql.Row(1L,
+          new java.sql.Timestamp(1700000000000L + d * 86400000L), a)
+      }.asJava
+      val df = spark.createDataFrame(rows,
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)
+          .add("t", org.apache.spark.sql.types.TimestampType)
+          .add("a", org.apache.spark.sql.types.StringType))
+      val iv = graft.operators.Scd.scd2(df, "k", "t", Seq("a"))
+        .collect().sortBy(_.getTimestamp(1).getTime)
+      val gapless = iv.sliding(2).forall {
+        case Array(x, y) => x.getTimestamp(2) == y.getTimestamp(1)
+        case _           => true
+      }
+      val oneCurrent = iv.count(_.getBoolean(3)) == 1 &&
+        iv.last.isNullAt(2)
+      val collapsed = iv.sliding(2).forall {
+        case Array(x, y) => x.getString(4) != y.getString(4)
+        case _           => true
+      }
+      gapless && oneCurrent && collapsed
+    }
 }
