@@ -5154,7 +5154,74 @@ object SparkEntry {
              |   AS rate_a,
              | n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
              | zv AS z, abs(zv) >= 1.959964 AS significant
-             |FROM z""".stripMargin))
+             |FROM z""".stripMargin)),
+
+    // Composed: Matryoshka-style dimension-truncation evaluation —
+    // how much retrieval quality do the first 16 of 64 embedding
+    // dims keep? results = cosine top-10 over the TRUNCATED vectors,
+    // judgments = the full-dimension top-10, scored by evalRanking.
+    // Everything is exact arithmetic (both rankings + the metrics),
+    // so unlike the q50/q145 ANN rows this quality curve gets a FULL
+    // oracle — the measurement pipeline itself is verified, then
+    // reusable against any approximate retriever.
+    Q("q188_matryoshka_eval", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qFull = emb.filter(col("vec_id") < 10)
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qTrunc = trunc.filter(col("vec_id") < 10)
+      val results = Similarity.bruteForceTopK(trunc, qTrunc,
+        "vec_id", "embedding", k = 10)
+      val qrels = Similarity.bruteForceTopK(emb, qFull,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      graft.operators.Search.evalRanking(results, "query_id",
+          "neighbor_id", "rank", qrels, "query_id", "neighbor_id",
+          k = 10)
+        .orderBy(col("query_id"))
+    },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id < 10),
+             |fullr AS (SELECT query_id, neighbor_id, rnk FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |   row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(
+             |      CAST(q.embedding AS DOUBLE[]),
+             |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+             |    AS rnk
+             |  FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+             |  WHERE rnk <= 10),
+             |truncr AS (SELECT query_id, neighbor_id, rnk FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |   row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(
+             |      CAST(q.embedding[1:16] AS DOUBLE[]),
+             |      CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id)
+             |    AS rnk
+             |  FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+             |  WHERE rnk <= 10),
+             |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT)
+             |   AS n_rel FROM fullr GROUP BY 1),
+             |hits AS (SELECT t.query_id, t.rnk FROM truncr t
+             |  JOIN fullr f ON f.query_id = t.query_id
+             |   AND f.neighbor_id = t.neighbor_id),
+             |per AS (SELECT query_id, CAST(count(*) AS BIGINT)
+             |   AS n_hits, min(rnk) AS first_hit,
+             |   sum(1.0 / log2(rnk + 1)) AS dcg
+             |  FROM hits GROUP BY 1),
+             |ic AS (SELECT query_id, sum(1.0 / log2(r.range + 2))
+             |   AS idcg
+             |  FROM nrel, range(10) r
+             |  WHERE r.range < least(10, n_rel) GROUP BY 1)
+             |SELECT nrel.query_id, n_rel,
+             | coalesce(n_hits, 0) AS n_hits,
+             | round(coalesce(n_hits, 0) / CAST(n_rel AS DOUBLE), 6)
+             |   AS recall_at_k,
+             | round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr_at_k,
+             | round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_at_k
+             |FROM nrel LEFT JOIN per USING (query_id)
+             |JOIN ic USING (query_id)
+             |ORDER BY query_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -88,7 +88,10 @@ object PlanLint {
       "(the expected-count grid IS a cross product by definition)"),
     "q180_js_drift" -> ("scalar-broadcast pattern: the 1-row " +
       "(n_before, n_after, k) totals cross the category-sized " +
-      "distribution rows"))
+      "distribution rows"),
+    "q183_eval_ranking" -> ("rides bm25Batch, whose 1-row (N, avgdl) " +
+      "stats cross the already-reduced tf rows (q110 precedent); " +
+      "the evaluation joins themselves are all equi"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
