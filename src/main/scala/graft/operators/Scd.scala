@@ -78,6 +78,10 @@ object Scd {
     * to the attribute values that were current WHEN IT HAPPENED, not
     * now). Left join: facts with no covering interval (before the
     * key's first change, or an unknown key) keep null attributes.
+    * Column contract: the fact side must not already carry the
+    * dimension's attribute names or the interval bookkeeping names
+    * (valid_from/valid_to) — rename on one side first, as with any
+    * enrichment join (q174 renames the tracked attr to `state`).
     *
     * Shape at 100 TB: a plain equi-join on the KEY with the interval
     * containment as a join-level residual — deliberately NOT the

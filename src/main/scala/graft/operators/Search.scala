@@ -265,10 +265,16 @@ object Search {
     val rel = qrels.select(col(relQidCol).as("__qid"),
       col(relIdCol).as("__id")).distinct()
     val nRel = rel.groupBy(col("__qid")).agg(count(lit(1)).as("n_rel"))
+    // a proper ranking has one row per (qid, id); a degenerate input
+    // that repeats a document would silently inflate DCG and the hit
+    // count, so collapse to the BEST rank per pair first (a no-op on
+    // row_number-ranked lists, one query-batch-sized aggregation)
     val hits = results
       .select(col(qidCol).as("__qid"), col(idCol).as("__id"),
         col(rankCol).as("__rk"))
       .filter(col("__rk") <= k)
+      .groupBy(col("__qid"), col("__id"))
+      .agg(min(col("__rk")).as("__rk"))
       .join(rel, Seq("__qid", "__id"), "left_semi")
     val per = hits.groupBy(col("__qid"))
       .agg(count(lit(1)).as("n_hits"),
