@@ -5221,7 +5221,90 @@ object SparkEntry {
              | round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_at_k
              |FROM nrel LEFT JOIN per USING (query_id)
              |JOIN ic USING (query_id)
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // Corpus remix to a target distribution (Budget.remixToTarget):
+    // "make the mix 50% en / 20% de / 30% fr by characters" — the
+    // achievable total binds on the scarcest stratum (fr at sf0.01),
+    // budgets = floor(T*p), selection = the md5-ordered greedy
+    // prefix per stratum (q140's rerun-stable draw). The oracle
+    // recomputes T, the budgets, and the prefix with identical
+    // double arithmetic; the census reads the realized mix back.
+    Q("q189_remix", (s, dir) => {
+      val sel = graft.operators.Budget.remixToTarget(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+      sel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_selected"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH t(lang, p) AS (VALUES ('en', 0.5), ('de', 0.2),
+             |   ('fr', 0.3)),
+             |av AS (SELECT lang, CAST(sum(n_chars) AS BIGINT)
+             |   AS avail
+             |  FROM documents JOIN t USING (lang) GROUP BY 1),
+             |tot AS (SELECT min(avail / p) AS total
+             |  FROM av JOIN t USING (lang)),
+             |b AS (SELECT t.lang,
+             |   CAST(floor(total * p) AS BIGINT) AS budget
+             |  FROM t, tot),
+             |o AS (SELECT d.lang, d.doc_id, d.n_chars,
+             |   sum(d.n_chars) OVER (PARTITION BY d.lang
+             |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             |    AS cum
+             |  FROM documents d JOIN t USING (lang))
+             |SELECT o.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(sum(o.n_chars) AS BIGINT) AS chars_selected
+             |FROM o JOIN b USING (lang) WHERE cum <= budget
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-document novelty vs a reference corpus (Dedup
+    // .noveltyScore): the docsWithDups planted rows scored against
+    // the originals — exact copies (+20000) read novelty 0, the
+    // 'zzz'-suffixed near-dups (+10000) read the trailing-shingle
+    // sliver, fresh content would read ~1. The oracle replays the
+    // shingle sets and the anti-join arithmetic.
+    Q("q190_novelty", (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val batch = docs.filter(col("doc_id") >= 10000)
+      val ref = docs.filter(col("doc_id") < 10000)
+      graft.operators.Dedup.noveltyScore(batch, "doc_id", "text",
+          ref, "text", shingleLen = 3)
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH docs AS ($docsWithDupsSql),
+              |batch AS (SELECT doc_id, text FROM docs
+              |  WHERE doc_id >= 10000),
+              |ref AS (SELECT doc_id, text FROM docs
+              |  WHERE doc_id < 10000),
+              |rsh AS (SELECT DISTINCT unnest(list_distinct(
+              |   list_transform(range(1, greatest(len(toks) - 1, 1)),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              |   AS tok
+              |  FROM (SELECT ${sqlTokens("text")} AS toks FROM ref)
+              |  WHERE len(toks) >= 3),
+              |bsh AS (SELECT doc_id, unnest(list_distinct(
+              |   list_transform(range(1, greatest(len(toks) - 1, 1)),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              |   AS tok
+              |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks
+              |    FROM batch)
+              |  WHERE len(toks) >= 3),
+              |tots AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+              |   AS n_shingles FROM bsh GROUP BY 1),
+              |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+              |   AS n_novel FROM bsh
+              |  WHERE tok NOT IN (SELECT tok FROM rsh) GROUP BY 1)
+              |SELECT b.doc_id,
+              | coalesce(n_shingles, 0) AS n_shingles,
+              | coalesce(n_novel, 0) AS n_novel,
+              | CASE WHEN coalesce(n_shingles, 0) > 0 THEN
+              |   round(coalesce(n_novel, 0)
+              |     / CAST(n_shingles AS DOUBLE), 4) END AS novelty
+              |FROM batch b LEFT JOIN tots USING (doc_id)
+              |LEFT JOIN nov USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

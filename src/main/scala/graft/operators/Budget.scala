@@ -34,6 +34,59 @@ object Budget {
       .drop("__cum")
   }
 
+  /** REMIX a corpus to a target distribution — the data-recipe step
+    * ("make the mix 50% en / 30% de / 20% fr by tokens") that turns
+    * a mixing decision into a deterministic selection. The
+    * achievable total is bounded by the SCARCEST targeted stratum:
+    * T = min_s(available_s / p_s), each stratum's budget is
+    * floor(T·p_s), and the selection is the md5(id)-ordered greedy
+    * prefix per stratum (the capPerGroup/sampleWeighted discipline —
+    * an unbiased, rerun/layout-stable draw, so the whole remix is
+    * SQL-replayable). Strata not in `targets` are dropped; a
+    * targeted stratum with no tokens THROWS (silently returning an
+    * empty remix because one target was typo'd would be the worst
+    * failure mode).
+    *
+    * Shape at 100 TB: one partial-agg stats pass (rows = strata,
+    * collected — the Frequent driver-state bound), budgets broadcast
+    * back, one per-stratum cumsum window. The window sorts each
+    * stratum once; for mega-strata the [[tokenBudgetSelect]]
+    * sampled-cutoff notes apply identically. */
+  def remixToTarget(df: DataFrame, strataCol: String, idCol: String,
+                    tokenCol: String,
+                    targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "remix needs at least one target share")
+    require(targets.values.forall(_ > 0.0),
+      s"target shares must be positive, got $targets")
+    val pSum = targets.values.sum
+    require(math.abs(pSum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $pSum — normalize explicitly " +
+        "so the recipe is unambiguous")
+    val spark = df.sparkSession
+    val avail = df
+      .filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(col(tokenCol)).cast("long").as("__avail"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keySet -- avail.keySet
+    require(missing.isEmpty,
+      s"targeted strata with no tokens: ${missing.mkString(", ")} — " +
+        "a remix toward an empty stratum is unachievable; fix the " +
+        "recipe or drop the stratum")
+    val total = targets
+      .map { case (s, p) => avail(s) / p }.min
+    val budgets = targets.toSeq
+      .map { case (s, p) => (s, math.floor(total * p).toLong) }
+    import spark.implicits._
+    val budgetDf = budgets.toDF(strataCol, "__budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.join(broadcast(budgetDf), Seq(strataCol))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__cum", "__budget")
+  }
+
   // ---- persisted token-budget ledger (continuous selection) -----------
 
   /** per-stratum tokens banked so far at `ledgerPath`, or None when

@@ -1187,6 +1187,45 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document NOVELTY score against a reference corpus: the
+    * share of a doc's DISTINCT word n-grams absent from the
+    * reference's distinct n-gram set — the continuous companion to
+    * [[decontaminate]]'s binary verdict (novelty ≈ 0 means the doc
+    * is re-hashed reference material; the score feeds quality
+    * weighting and dedup-threshold tuning rather than a hard drop).
+    * Returns (idCol, n_shingles, n_novel, novelty rounded 4); docs
+    * too short for one shingle emit zero shingles and null novelty.
+    *
+    * Shape at 100 TB: the batch's per-doc distinct shingles LEFT
+    * SEMI/ANTI-join the reference's distinct shingle set on the
+    * shingle key — both sides shuffle REDUCED shingle rows, never
+    * text; the reference set is computed once per call (persist it
+    * via the gram-index machinery for repeated batches — the
+    * SubstringDedup.gramIndex discipline applies verbatim). */
+  def noveltyScore(batch: DataFrame, idCol: String, textCol: String,
+                   reference: DataFrame, refTextCol: String = "text",
+                   shingleLen: Int = 3): DataFrame = {
+    val refSh = reference.select(
+      explode(wordShingles(col(refTextCol), shingleLen)).as("tok"))
+      .distinct()
+    val batchSh = batch.select(col(idCol),
+        explode(wordShingles(col(textCol), shingleLen)).as("tok"))
+      .distinct()
+    val novel = batchSh.join(refSh, Seq("tok"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    val totals = batchSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    batch.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(coalesce(col("n_novel"), lit(0L))
+            / col("n_shingles"), 4)).as("novelty"))
+  }
+
   /** [[decontaminate]]'s scale path for an eval set too large to
     * broadcast EXACTLY: the eval shingle set is compressed into a
     * Bloom filter (~1.2 MB per million shingles at fpp 0.01 — a

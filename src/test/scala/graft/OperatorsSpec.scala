@@ -488,6 +488,57 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("remixToTarget: scarcest stratum binds, deterministic, guards") {
+    import graft.operators.Budget
+    // en has 1000 tokens, de 100: target 50/50 binds on de ->
+    // T = 200, budgets 100/100
+    val docs = ((1 to 10).map(i => (i.toLong, "en", 100L))
+      ++ (11 to 20).map(i => (i.toLong, "de", 10L))
+      ++ Seq((21L, "zh", 500L))) // not targeted -> dropped
+      .toDF("id", "lang", "tokens")
+    val sel = Budget.remixToTarget(docs, "lang", "id", "tokens",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = sel.groupBy($"lang").agg(sum($"tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 100L, "de" -> 100L))
+    // rerun-stable: identical selection ids across invocations
+    val ids1 = sel.select($"id").collect().map(_.getLong(0)).toSet
+    val ids2 = Budget.remixToTarget(docs.repartition(7), "lang", "id",
+        "tokens", Map("en" -> 0.5, "de" -> 0.5))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // guards: shares must sum to 1; empty targeted stratum throws
+    intercept[IllegalArgumentException] {
+      Budget.remixToTarget(docs, "lang", "id", "tokens",
+        Map("en" -> 0.5, "de" -> 0.4))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Budget.remixToTarget(docs, "lang", "id", "tokens",
+        Map("en" -> 0.5, "xx" -> 0.5))
+    }
+    assert(e.getMessage.contains("unachievable"))
+  }
+
+  test("noveltyScore: exact copy 0, fresh 1, short doc null") {
+    import graft.operators.Dedup
+    val ref = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact copy
+      (11L, "one two three four five six"), // fully fresh
+      (12L, "alpha beta gamma delta qq ww"), // half-novel tail
+      (13L, "too short")) // < shingleLen tokens
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(batch, "doc_id", "text", ref)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(got(10L) == ((4L, 0L, Some(0.0))))
+    assert(got(11L) == ((4L, 4L, Some(1.0))))
+    // doc 12: shingles a-b-g, b-g-d, g-d-qq, d-qq-ww; first two known
+    assert(got(12L) == ((4L, 2L, Some(0.5))))
+    assert(got(13L)._1 == 0L && got(13L)._3.isEmpty)
+  }
+
   test("hll overlap: disjoint ~0, identical ~|A|, mixed-precision gate") {
     import graft.operators.Profile
     val dir = java.nio.file.Files.createTempDirectory("graft_hlo")
