@@ -903,6 +903,21 @@ class DDF(val df: DataFrame) {
   def kCore(srcCol: String, dstCol: String, k: Int): DDF =
     wrap(graft.operators.GraphMetrics.kCore(df, srcCol, dstCol, k))
 
+  /** [[graft.operators.Budget.remixToTarget]] — deterministic
+    * selection toward a target stratum mix (the data-recipe step) */
+  def remixToTarget(strataCol: String, idCol: String, tokenCol: String,
+                    targets: Map[String, Double]): DDF =
+    wrap(graft.operators.Budget.remixToTarget(df, strataCol, idCol,
+      tokenCol, targets))
+
+  /** [[graft.operators.Dedup.noveltyScore]] — per-doc share of
+    * n-grams unseen in a reference corpus */
+  def noveltyScore(idCol: String, textCol: String, reference: DDF,
+                   refTextCol: String = "text",
+                   shingleLen: Int = 3): DDF =
+    wrap(graft.operators.Dedup.noveltyScore(df, idCol, textCol,
+      reference.df, refTextCol, shingleLen))
+
   /** [[graft.operators.AbTest.benford]] — first-significant-digit
     * census vs Benford's law (fabricated-data screen) */
   def benford(colName: String): DDF =

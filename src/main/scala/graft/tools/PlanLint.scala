@@ -91,7 +91,10 @@ object PlanLint {
       "distribution rows"),
     "q183_eval_ranking" -> ("rides bm25Batch, whose 1-row (N, avgdl) " +
       "stats cross the already-reduced tf rows (q110 precedent); " +
-      "the evaluation joins themselves are all equi"))
+      "the evaluation joins themselves are all equi"),
+    "q188_matryoshka_eval" -> ("rides bruteForceTopK twice — the " +
+      "broadcast query batch crossing the corpus is the documented " +
+      "exact-baseline plan (q49/q145 precedent)"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

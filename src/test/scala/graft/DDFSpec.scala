@@ -713,6 +713,17 @@ class DDFSpec extends SparkTestBase {
       == rows(graft.operators.AbTest.benford(nums, "v")))
     assert(rows(DDF(nums).histogram("v", 3).toDF)
       == rows(graft.operators.Profile.histogram(nums, "v", 3)))
+    val mix = Seq((1L, "en", 10L), (2L, "en", 10L), (3L, "de", 10L))
+      .toDF("id", "lang", "tok")
+    assert(rows(DDF(mix).remixToTarget("lang", "id", "tok",
+        Map("en" -> 0.5, "de" -> 0.5)).toDF)
+      == rows(graft.operators.Budget.remixToTarget(mix, "lang", "id",
+        "tok", Map("en" -> 0.5, "de" -> 0.5))))
+    val ref = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bat = Seq((2L, "a b c x")).toDF("doc_id", "text")
+    assert(rows(DDF(bat).noveltyScore("doc_id", "text", DDF(ref)).toDF)
+      == rows(graft.operators.Dedup.noveltyScore(bat, "doc_id",
+        "text", ref)))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {
