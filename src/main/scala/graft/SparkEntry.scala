@@ -5259,6 +5259,32 @@ object SparkEntry {
              |FROM o JOIN b USING (lang) WHERE cum <= budget
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental connected components (Dedup
+    // .connectedComponentMinLabelUpdate): q125's graph split into an
+    // OLD labeling (edges from user_id < 120) plus a NEW batch (the
+    // rest), folded in via the quotient contraction — and judged by
+    // the FULL-GRAPH rebuild oracle VERBATIM, so update == rebuild
+    // is oracle-proven, not just spec-pinned (the q115/q117 and
+    // q109/q78 discipline applied to the graph family).
+    Q("q191_cc_update", (s, dir) => {
+      val old = events(s, dir)
+        .filter(col("user_id") >= 0 && col("user_id") < 120)
+        .select(col("user_id").as("id_a"),
+          (col("user_id") * 7 % 200).as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+      val batch = events(s, dir)
+        .filter(col("user_id") >= 120 && col("user_id") < 200)
+        .select(col("user_id").as("id_a"),
+          (col("user_id") * 7 % 200).as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+      val labels = graft.operators.Dedup
+        .connectedComponentMinLabel(old)
+      graft.operators.Dedup
+        .connectedComponentMinLabelUpdate(labels, batch)
+        .orderBy(col("id"))
+    },
+      Some(ccOracleSql)),
+
     // Per-document novelty vs a reference corpus (Dedup
     // .noveltyScore): the docsWithDups planted rows scored against
     // the originals — exact copies (+20000) read novelty 0, the

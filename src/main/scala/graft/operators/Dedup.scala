@@ -791,6 +791,65 @@ object Dedup {
     connectedComponentMinLabel(pairs, maxIter)
       .groupBy(col("rep")).agg(count(lit(1)).as("size"))
 
+  /** INCREMENTAL connected components — fold a batch of new pairs
+    * into an existing (id, rep) labeling without re-clustering the
+    * corpus: the admission-loop face of the CC machinery (each cycle
+    * contributes a few near-dup pairs; rebuilding the whole component
+    * graph per cycle is the one corpus-proportional CC cost this
+    * removes).
+    *
+    * Quotient argument for update ≡ rebuild EXACTLY: every existing
+    * rep is the MINIMUM id of its component, so contracting each
+    * component to its rep and running min-label CC over the QUOTIENT
+    * graph — new pairs with endpoints mapped through their labels
+    * (unlabeled endpoints map to themselves) — yields, per merged
+    * component, min over {old reps, new node ids} = the global min
+    * id of the merged component: exactly the label a full rebuild
+    * over (old edges ∪ new pairs) assigns. Oracle-proven (q191 runs
+    * the REBUILD oracle against the update's output), not just
+    * spec-pinned.
+    *
+    * Cost: the quotient CC sees ONLY the new pairs (the adaptive
+    * driver/distributed machinery applies — batch-sized, so usually
+    * the one-collect driver path); the labels table pays one remap
+    * join against the touched-components-bounded relabel table (AQE
+    * broadcasts it) — never a re-cluster. Within-component new pairs
+    * contract to dropped self-edges and cost nothing. */
+  def connectedComponentMinLabelUpdate(labels: DataFrame,
+                                       newPairs: DataFrame,
+                                       maxIter: Int = 50): DataFrame = {
+    require(labels.columns.toSet == Set("id", "rep"),
+      s"labels must be a (id, rep) frame from " +
+        s"connectedComponentMinLabel, got (${labels.columns.mkString(", ")})")
+    val lab = labels.localCheckpoint()
+    def mapped(side: String) = lab
+      .select(col("id").as(side), col("rep").as(s"__r$side"))
+    val q = newPairs
+      .join(mapped("id_a"), Seq("id_a"), "left")
+      .join(mapped("id_b"), Seq("id_b"), "left")
+      .select(coalesce(col("__rid_a"), col("id_a")).as("id_a"),
+        coalesce(col("__rid_b"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val remap = connectedComponentMinLabel(q, maxIter)
+      .select(col("id").as("__old"), col("rep").as("__new"))
+    val updated = lab
+      .join(remap, lab("rep") === col("__old"), "left")
+      .select(lab("id"),
+        coalesce(col("__new"), lab("rep")).as("rep"))
+    // endpoints of the batch that were not yet labeled become new
+    // rows: their quotient result if they merged with anything, else
+    // themselves (a self-pair-only or fully-contracted new node)
+    val newNodes = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val newLabeled = newNodes
+      .join(remap, newNodes("id") === col("__old"), "left")
+      .select(newNodes("id"),
+        coalesce(col("__new"), newNodes("id")).as("rep"))
+    updated.union(newLabeled)
+  }
+
   /** min-label propagation over an undirected edge list (id_a, id_b):
     * returns (id, rep) where rep = min id in the component.
     *

@@ -538,6 +538,49 @@ class DedupSpec extends SparkTestBase {
       cc("url_c") == "url_a" && cc("x") == "x" && cc("y") == "x", s"$cc")
   }
 
+  test("incremental CC: update == rebuild on randomized splits") {
+    val rng = new scala.util.Random(406)
+    for (round <- 1 to 3) {
+      val n = 60
+      val all = (1 to 80).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val (old, batch) = all.splitAt(all.length / 2)
+      val labels = Dedup.connectedComponentMinLabel(
+        old.toDF("id_a", "id_b"))
+      val got = Dedup.connectedComponentMinLabelUpdate(labels,
+          batch.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.connectedComponentMinLabel(
+          all.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("incremental CC: within-component pairs no-op; new-node merges") {
+    val labels = Dedup.connectedComponentMinLabel(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    // (1,3) is already one component — labeling must be unchanged
+    val same = Dedup.connectedComponentMinLabelUpdate(labels,
+        Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // (3,10) bridges the two components; (20,21) is a brand-new one
+    val merged = Dedup.connectedComponentMinLabelUpdate(labels,
+        Seq((3L, 10L), (20L, 21L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      11L -> 1L, 20L -> 20L, 21L -> 20L))
+    // schema contract is loud
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponentMinLabelUpdate(
+        Seq((1L, 2L)).toDF("a", "b"),
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+    }
+  }
+
   test("simhash pairs: bucket cap drops candidates, never corrupts") {
     val all = Dedup.simhashPairs(corpus, "doc_id", "text", maxDistance = 3)
       .select($"id_a", $"id_b").collect()
