@@ -30,6 +30,14 @@ import org.apache.spark.sql.SparkSession
   * `queries_best`, its name joins the appended `failed` list, and
   * BOTH totals become -1 — a red query can no longer masquerade as a
   * fast pass, and a red round can no longer post a headline total.
+  *
+  * Round-11 extension (VERDICT r10 item 2): the artifact carries a
+  * `contended` flag (1-minute loadavg at start or end above
+  * [[contendedThreshold]]) and, when flagged, a third RERUN pass over
+  * the ten most-inflated queries vs the previous round's committed
+  * artifact — raw third-pass times in `rerun`, its loadavg in
+  * `loadavg_rerun`, and `queries_best` folds the rerun in via min.
+  * All new keys append strictly after the existing ones.
   */
 object Bench {
   /** Time one query; a FAILED query returns -1.0, never its
@@ -58,6 +66,65 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim
       s.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "unavailable" }
+
+  /** Round-11 extension (VERDICT r10 item 2): the gate carries its
+    * own weather report. Three consecutive rounds the committed
+    * driver artifact ran on a contended host (loadavg 3-4.5 at
+    * start) and interpreting it needed manual archaeology against a
+    * quiet-host re-run — the 1-minute loadavg at gate start above
+    * this threshold flags the artifact `contended:true` and triggers
+    * a third RERUN pass over the most-inflated queries (below). 2.5
+    * on a 32-vCPU host is conservative: the r10 gate started at 4.48
+    * and showed diffuse 2-5x inflation; quiet runs start < 1.5. */
+  val contendedThreshold = 2.5
+
+  /** First (1-minute) loadavg field vs the threshold; malformed
+    * input reads as NOT contended (the flag must never turn a
+    * readable artifact red on a /proc hiccup). */
+  def isContended(load: String, threshold: Double = contendedThreshold)
+  : Boolean =
+    load.split("\\s+").headOption.flatMap(_.toDoubleOption)
+      .exists(_ > threshold)
+
+  /** Extract `queries_best` from a prior bench artifact (previous
+    * round's committed bench_last.json) without a JSON library:
+    * the artifact is single-line machine-written JSON, so a regex
+    * over the one known object key is exact. Unreadable/absent ref
+    * -> empty map (rerun selection falls back to largest-best). */
+  def parseRefBest(json: String): Map[String, Double] = {
+    val obj = "\"queries_best\":\\{([^}]*)\\}".r
+    obj.findFirstMatchIn(json).map { m =>
+      m.group(1).split(",").iterator.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            v.toDoubleOption.map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Which queries the contended-gate rerun pass repeats: the `n`
+    * with the largest inflation `this_best / ref_best` vs the prior
+    * round's artifact (both passes of a contended gate are inflated,
+    * so cold-vs-best spread alone cannot identify victims). Queries
+    * under `floorSec` are skipped (a 0.1 s -> 0.4 s swing is
+    * scheduler noise, not signal); with no usable ref the fallback
+    * is the `n` largest by absolute best time — they dominate the
+    * total the flag is protecting. `exclude` removes the median-of-3
+    * queries, which already ran three passes. */
+  def rerunSelection(best: Map[String, Double], ref: Map[String, Double],
+                     n: Int, exclude: Set[String],
+                     floorSec: Double = 0.3): Seq[String] = {
+    val eligible = best.filter { case (k, v) =>
+      v >= floorSec && !exclude(k) }
+    val ranked =
+      if (ref.nonEmpty)
+        eligible.flatMap { case (k, v) =>
+          ref.get(k).filter(_ > 0.05).map(r => k -> v / r) }
+      else eligible
+    ranked.toSeq.sortBy(-_._2).take(n).map(_._1).sorted
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,7 +158,12 @@ object Bench {
     // window, so for THESE queries the gate runs a third pass and
     // reports the MEDIAN of three in queries_best — one scheduler
     // hiccup or cold pass can no longer pollute round comparisons.
-    val medianOf3 = Set("q62_dbscan", "q80_dedup_keep_best")
+    // q124_admission_embed joined in r11: ProbeVariance showed the
+    // identical profile (deterministic 58 jobs/654 tasks, first
+    // post-warmup run 2.6x JIT-cold at 9.4-9.7 s, steady 3.7-4.6 s)
+    // — attribution table in BENCH_NOTES r11.
+    val medianOf3 =
+      Set("q62_dbscan", "q80_dedup_keep_best", "q124_admission_embed")
     val timings = SparkEntry.queries.map { case (name, fn) =>
       val cold = timeOne(fn)
       val rep = timeOne(fn)
@@ -106,23 +178,54 @@ object Bench {
       name -> (if (cold < 0 || best < 0) -1.0 else cold, best)
     }
     val loadEnd = loadavg()
-    val failed = timings.collect { case (k, (_, b)) if b < 0 => k }.toSeq.sorted
+    // contended-gate rerun pass (r11): when the gate STARTED hot, the
+    // ten most-inflated surviving queries (vs the previous round's
+    // committed artifact, read before this run overwrites it) get a
+    // third sample; queries_best folds it in via min, and the raw
+    // third-pass map + its loadavg append to the artifact so a reader
+    // can see both the contended and the rerun numbers side by side.
+    // A rerun failure keeps the failure contract: the query goes red.
+    val contended = isContended(loadStart) || isContended(loadEnd)
+    val refBest: Map[String, Double] =
+      try parseRefBest(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+          "/root/repo/bench_last.json")))))
+      catch { case _: Throwable => Map.empty }
+    var timingsFinal = timings
+    var rerunMap = Map.empty[String, Double]
+    var loadRerun = ""
+    if (contended) {
+      val survivors = timings.collect {
+        case (k, (_, b)) if b >= 0 => k -> b }.toMap
+      val picks = rerunSelection(survivors, refBest, 10, medianOf3)
+      rerunMap = picks.map(k => k -> timeOne(SparkEntry.queries(k))).toMap
+      loadRerun = loadavg()
+      timingsFinal = timings.map { case (k, (c, b)) =>
+        rerunMap.get(k) match {
+          case Some(r) if r < 0 => k -> (-1.0, -1.0)
+          case Some(r)          => k -> (c, math.min(b, r))
+          case None             => k -> (c, b)
+        }
+      }
+    }
+    val failed =
+      timingsFinal.collect { case (k, (_, b)) if b < 0 => k }.toSeq.sorted
     def jmap(sel: ((Double, Double)) => Double): String =
-      timings.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+      timingsFinal.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
     // totals poison on any failure (BASELINE.md): a red query must be
     // impossible to miss in the artifact's headline number
     val totalBest =
-      if (failed.nonEmpty) -1.0 else timings.values.map(_._2).sum
+      if (failed.nonEmpty) -1.0 else timingsFinal.values.map(_._2).sum
     val totalCold =
-      if (failed.nonEmpty) -1.0 else timings.values.map(_._1).sum
+      if (failed.nonEmpty) -1.0 else timingsFinal.values.map(_._1).sum
     // the driver-documented fields (metric/value/unit/queries/sf) keep
     // their original order, original SINGLE-COLD-PASS meaning, and come
     // first; protocol extensions (best-of-two, loadavg) append strictly
     // after, so any prefix- or key-based parse of the old shape still
     // works and never silently changes metric
     val json =
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","median_of_3":[${medianOf3.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${jmap(_._1)},"sf":"$sfDir","queries_best":${jmap(_._2)},"value_best":$totalBest,"passes":2,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","median_of_3":[${medianOf3.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"contended":$contended,"rerun":${rerunMap.toSeq.sorted.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")},"loadavg_rerun":"$loadRerun"}"""
     // the stdout line can drown in sbt log noise — also write the JSON
     // to a file so the driver never depends on stdout scraping
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")

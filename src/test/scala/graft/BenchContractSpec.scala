@@ -31,4 +31,35 @@ class BenchContractSpec extends SparkTestBase {
     val dt = Bench.timeOne(spark, "/nowhere", ok)
     assert(dt > 0.0)
   }
+
+  // r11: contended-gate weather report (VERDICT r10 item 2)
+
+  test("isContended reads the 1-minute field; malformed input is calm") {
+    assert(Bench.isContended("4.48 3.90 3.10"))
+    assert(!Bench.isContended("0.10 0.27 1.08"))
+    assert(!Bench.isContended("2.50 9.99 9.99")) // strict >
+    assert(!Bench.isContended("unavailable"))
+    assert(!Bench.isContended(""))
+  }
+
+  test("parseRefBest extracts queries_best from a prior artifact") {
+    val art = """{"metric":"total","value":10.0,"unit":"sec",""" +
+      """"queries":{"q1":9.0,"q2":1.0},"sf":"x",""" +
+      """"queries_best":{"q1":5.5,"q2":0.5},"value_best":6.0}"""
+    assert(Bench.parseRefBest(art) == Map("q1" -> 5.5, "q2" -> 0.5))
+    assert(Bench.parseRefBest("not json") == Map.empty)
+    assert(Bench.parseRefBest("") == Map.empty)
+  }
+
+  test("rerunSelection ranks by inflation vs ref, with floor and exclude") {
+    val best = Map("a" -> 4.0, "b" -> 2.0, "c" -> 0.2, "d" -> 3.0)
+    val ref = Map("a" -> 1.0, "b" -> 2.0, "d" -> 1.0)
+    // c is under the floor; a inflated 4x, d 3x, b 1x
+    assert(Bench.rerunSelection(best, ref, 2, Set.empty) == Seq("a", "d"))
+    // exclusion removes median-of-3 queries even when most inflated
+    assert(Bench.rerunSelection(best, ref, 2, Set("a")) == Seq("b", "d"))
+    // no ref -> fall back to largest absolute best
+    assert(Bench.rerunSelection(best, Map.empty, 2, Set.empty) ==
+      Seq("a", "d"))
+  }
 }
