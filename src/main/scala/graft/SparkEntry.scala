@@ -4549,7 +4549,7 @@ object SparkEntry {
       Some("""WITH v AS (SELECT abs(CAST(l_extendedprice AS DOUBLE))
              |   AS v FROM lineitem
              |  WHERE l_extendedprice IS NOT NULL),
-             |dg AS (SELECT CAST(CASE
+             |dg AS (SELECT CAST(least(9, CASE
              |   WHEN v >= 1000000.0 THEN floor(v / 1000000.0)
              |   WHEN v >= 100000.0 THEN floor(v / 100000.0)
              |   WHEN v >= 10000.0 THEN floor(v / 10000.0)
@@ -4557,7 +4557,7 @@ object SparkEntry {
              |   WHEN v >= 100.0 THEN floor(v / 100.0)
              |   WHEN v >= 10.0 THEN floor(v / 10.0)
              |   WHEN v >= 1.0 THEN floor(v)
-             |   END AS INT) AS digit
+             |   END) AS INT) AS digit
              |  FROM v WHERE v >= 1.0 AND v < 10000000.0),
              |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
              |  FROM dg GROUP BY 1),

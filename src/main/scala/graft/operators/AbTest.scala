@@ -118,7 +118,12 @@ object AbTest {
         && col("__b") <=> col("__ob"), "left")
       .select(col("__a"), col("__b"), col("__ra"), col("__cb"),
         col("__n"), coalesce(col("__o"), lit(0L)).as("__o"))
-      .withColumn("__e", col("__ra") * col("__cb")
+      // a margin is cast to double BEFORE the product: row_total x
+      // col_total as long x long silently wraps past Long.MaxValue
+      // (margins beyond ~3e9 rows each — exactly the 100 TB regime),
+      // and non-ANSI Spark would emit a wrong chi2 with no error.
+      // Small-data oracles cannot catch this; ADVICE r10.
+      .withColumn("__e", col("__ra").cast("double") * col("__cb")
         / col("__n").cast("double"))
     grid.agg(
       round(sum(pow(col("__o") - col("__e"), 2) / col("__e")), 4)
@@ -227,7 +232,16 @@ object AbTest {
       // ascending fold ⇒ the LARGEST magnitude ends up outermost, so
       // evaluation tests decades top-down (a bottom-up order would
       // send every big value through the v ≥ 1 branch)
-      when(v >= math.pow(10.0, m), floor(v / math.pow(10.0, m)))
+      // clamp to 9: for v within half an ulp below a decade boundary
+      // (e.g. the largest double below 1000), v / 10^m rounds to
+      // exactly 10.0 and floor yields digit 10 — a row that the
+      // digit-1..9 join would silently drop while the total still
+      // counted it, skewing p_obs/chi2_term (ADVICE r10; the DuckDB
+      // oracle reproduces the same double rounding, so parity tests
+      // could never flag it). The true leading digit of such a value
+      // is 9.
+      when(v >= math.pow(10.0, m),
+        least(lit(9L), floor(v / math.pow(10.0, m))))
         .otherwise(acc)
     }
     val digits = df

@@ -353,12 +353,20 @@ class CensusOpsSpec extends SparkTestBase {
       assert(obs == 200L * d, s"digit $d")
       assert(math.abs(pb - math.log10(1.0 + 1.0 / d)) < 1e-6)
     }
-    // decade boundaries: 10 -> 1, 9.99 -> 9, 0.5 dropped, -200 -> 2
-    val edge = Seq(10.0, 9.99, 0.5, -200.0, Double.NaN).toDF("v")
-    val digs = AbTest.benford(edge, "v")
-      .filter(col("n_obs") > 0)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(digs == Map(1 -> 1L, 9 -> 1L, 2 -> 1L))
+    // decade boundaries: 10 -> 1, 9.99 -> 9, 0.5 dropped, -200 -> 2.
+    // nextDown(1000.0) is the ADVICE-r10 half-ulp case: v/100 rounds
+    // to exactly 10.0 and the unclamped ladder emitted digit 10 — a
+    // row the digit-1..9 join dropped while the total still counted
+    // it. The clamp lands it on its true leading digit, 9, and the
+    // probability column proves it stayed IN the total.
+    val edge = Seq(10.0, 9.99, 0.5, -200.0, Double.NaN,
+      Math.nextDown(1000.0)).toDF("v")
+    val out = AbTest.benford(edge, "v").collect()
+    val digs = out.filter(_.getLong(1) > 0)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(digs == Map(1 -> 1L, 9 -> 2L, 2 -> 1L))
+    // p_obs sums to 1: no row silently dropped from the census
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-5)
     assert(n == 9000)
   }
 
