@@ -364,13 +364,36 @@ object Profile {
       .coalesce(1).write.mode("append").parquet(path)
   }
 
+  /** Row-count threshold above which [[kllQuantiles]] merges the
+    * digest DISTRIBUTED (per-column `reduceByKey` over the sketch
+    * rows — KLL merge is associative and commutative, so the reduce
+    * tree is exact) instead of collecting every appended row to the
+    * driver. Below it the driver merge is strictly cheaper: a digest
+    * row is ~3 KB, so 4096 rows is ~12 MB — well under any driver
+    * budget — while the distributed path costs a shuffle. Above it
+    * (a year of hourly cycles x a wide schema: 8760 cycles x 50 cols
+    * = 438k rows, ~1.3 GB) the driver merge becomes the bottleneck
+    * the digest exists to avoid; after the reduce only one merged
+    * row PER COLUMN comes back, bounded by schema width, never by
+    * cycle count. Spec-pinned (KllMergePathSpec): on sub-k digests —
+    * where KLL retains every value and merge involves no randomized
+    * compaction — the two paths produce IDENTICAL quantiles; past
+    * compaction scale they agree within the sketch's rank-error
+    * bound (merge trees of different shapes are equally valid KLL
+    * states, not byte-equal ones). */
+  val kllDistributedMergeThreshold = 4096
+
   /** Quantile estimates from a digest: validates the stamps, merges
     * each column's appended sketches, reads the INCLUSIVE quantile
     * at each rank in `qs`. Returns (col_name, q, value_est) — one
     * row per column per requested rank; columns whose sketches saw
-    * no values (all-null) are omitted. */
+    * no values (all-null) are omitted. Digests larger than
+    * `mergeThreshold` rows merge distributed (see
+    * [[kllDistributedMergeThreshold]]). */
   def kllQuantiles(spark: org.apache.spark.sql.SparkSession,
-                   path: String, qs: Seq[Double]): DataFrame = {
+                   path: String, qs: Seq[Double],
+                   mergeThreshold: Int = kllDistributedMergeThreshold)
+  : DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
@@ -389,17 +412,38 @@ object Profile {
         s"${stamps.map(_.getInt(1)).distinct.mkString(",")} — " +
         "merge would degrade to the weaker guarantee; rebuild at one k")
     val k = stamps(0).getInt(1)
-    // digest rows are few (cols x cycles) — driver merge, like append
-    val byCol = df.select(col("col_name"), col("sketch")).collect()
-      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-      .groupBy(_._1)
+    val sketchRows = df.select(col("col_name"), col("sketch"))
+    // cols x cycles rows: driver merge below the threshold (cheaper
+    // than a shuffle), per-column reduceByKey above it — an
+    // unbounded-cycles append-only digest must not funnel every
+    // appended row through the driver (VERDICT r10 item 3)
+    val byCol: Seq[(String, Array[Byte])] =
+      if (sketchRows.count() <= mergeThreshold)
+        sketchRows.collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+          .groupBy(_._1).toSeq.map { case (c, rows) =>
+            val m = KllDoublesSketch.newHeapInstance(k)
+            rows.foreach { case (_, b) =>
+              m.merge(KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(b)))
+            }
+            (c, m.toByteArray)
+          }
+      else
+        sketchRows.rdd
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+          .reduceByKey { (a, b) =>
+            val m = KllDoublesSketch.newHeapInstance(k)
+            m.merge(KllDoublesSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(a)))
+            m.merge(KllDoublesSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(b)))
+            m.toByteArray
+          }.collect().toSeq // one row per COLUMN survives the reduce
     import spark.implicits._
-    byCol.toSeq.sortBy(_._1).flatMap { case (c, rows) =>
-      val m = KllDoublesSketch.newHeapInstance(k)
-      rows.foreach { case (_, b) =>
-        m.merge(KllDoublesSketch.heapify(
-          org.apache.datasketches.memory.Memory.wrap(b)))
-      }
+    byCol.sortBy(_._1).flatMap { case (c, b) =>
+      val m = KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))
       if (m.isEmpty) Nil
       else qs.map(q => (c, q,
         m.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)))

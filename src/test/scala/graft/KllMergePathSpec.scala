@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** VERDICT r10 item 3: [[graft.operators.Profile.kllQuantiles]] must
+  * not funnel an unbounded-cycles append-only digest through the
+  * driver — past `kllDistributedMergeThreshold` rows the merge runs
+  * as a per-column reduceByKey, and only one merged row per column
+  * returns. These tests pin the two paths against each other by
+  * forcing each via the `mergeThreshold` knob.
+  *
+  * Exactness framing: KLL compaction is randomized, so different
+  * merge-tree shapes are equally valid sketch states, not byte-equal
+  * ones. On sub-k digests the sketch retains every value, no
+  * compaction happens, and BOTH paths must return identical exact
+  * order statistics; past compaction scale the distributed path must
+  * sit within the sketch's rank-error bound against the true ECDF,
+  * same floor the driver path is pinned to in OperatorsSpec. */
+class KllMergePathSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Profile
+
+  test("sub-k digest: distributed merge == driver merge, exactly") {
+    // 30 append cycles x 3 values x 2 columns, total 90 < k=200 per
+    // column: every value is retained, merge order cannot matter
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllmp")
+      .toString + "/d"
+    (0 until 30).foreach { c =>
+      val rows = (0 until 3).map(i => (c * 3 + i + 0.5, 1000.0 - c * 3 - i))
+      Profile.appendKllDigest(rows.toDF("a", "b"), Seq("a", "b"), dir)
+    }
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    def run(thr: Int) =
+      Profile.kllQuantiles(spark, dir, qs, mergeThreshold = thr)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+    val driver = run(Int.MaxValue)
+    val dist = run(0)
+    assert(driver == dist)
+    assert(driver.size == qs.size * 2)
+    // and both are the exact order statistics
+    assert(driver(("a", 1.0)) == 89.5 && driver(("a", 0.0)) == 0.5)
+    assert(driver(("b", 1.0)) == 1000.0)
+  }
+
+  test("post-compaction scale: distributed merge holds the rank bound") {
+    val rng = new scala.util.Random(411)
+    val vals = (1 to 50000).map(_ => math.pow(rng.nextDouble(), 2) * 1e3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllmp2")
+      .toString + "/d"
+    val df = vals.toDF("v").repartition(8)
+    Profile.appendKllDigest(df.filter($"v" < 300), Seq("v"), dir)
+    Profile.appendKllDigest(df.filter($"v" >= 300), Seq("v"), dir)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Profile.kllQuantiles(spark, dir, qs, mergeThreshold = 0)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val rank = sorted.count(_ <= est(q)).toDouble / vals.size
+      assert(math.abs(rank - q) < 0.05,
+        s"q=$q: est ${est(q)} sits at rank $rank")
+    }
+  }
+}
