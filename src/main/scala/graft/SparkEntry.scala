@@ -5330,7 +5330,83 @@ object SparkEntry {
               |     / CAST(n_shingles AS DOUBLE), 4) END AS novelty
               |FROM batch b LEFT JOIN tots USING (doc_id)
               |LEFT JOIN nov USING (doc_id)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // FULL-oracle siblings of q160/q172 (VERDICT r10 item 7): the
+    // sketch ESTIMATES are engine-specific ([R] forever), but the
+    // claim "the estimate sits within the documented floor of the
+    // exact value" is itself SQL-expressible — the Spark side emits
+    // the EXACT value (computable in DuckDB) plus a within_bound
+    // boolean, and the oracle predicts literal TRUE. A degraded
+    // sketch now fails the HASH gate, not just a spec floor: the
+    // q169 pattern (oracle the composition, pin the sketch by
+    // measured error) promoted to the correctness harness.
+    Q("q192_hll_digest_bounded", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q192_hll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val path = root.toString + "/digest"
+      val cols = Seq("doc_id", "lang", "source")
+      graft.operators.Profile.appendHllDigest(
+        docs.filter(col("doc_id") % 2 === 0), cols, path)
+      graft.operators.Profile.appendHllDigest(
+        docs.filter(col("doc_id") % 2 === 1), cols, path)
+      val est = graft.operators.Profile.hllEstimates(s, path)
+      val exact = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_distinct"))
+      est.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_distinct"),
+          (abs(col("n_distinct_est") - col("n_distinct"))
+            / col("n_distinct") < 0.05).as("within_bound"))
+        .orderBy(col("col_name"))
+    },
+      Some("""SELECT 'doc_id' AS col_name,
+             | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             | TRUE AS within_bound FROM documents
+             |UNION ALL SELECT 'lang',
+             | CAST(count(DISTINCT lang) AS BIGINT), TRUE FROM documents
+             |UNION ALL SELECT 'source',
+             | CAST(count(DISTINCT source) AS BIGINT), TRUE FROM documents
+             |ORDER BY col_name""".stripMargin)),
+
+    Q("q193_hll_overlap_bounded", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q193_hll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val n = docs.count()
+      val aSet = docs.filter(col("doc_id") < lit(2 * n / 3))
+      val bSet = docs.filter(col("doc_id") >= lit(n / 3))
+      graft.operators.Profile.appendHllDigest(aSet, Seq("doc_id"),
+        root + "/a")
+      graft.operators.Profile.appendHllDigest(bSet, Seq("doc_id"),
+        root + "/b")
+      val est = graft.operators.Profile.hllOverlap(s, root + "/a",
+        root + "/b")
+      val exact = aSet.select(col("doc_id"))
+        .intersect(bSet.select(col("doc_id"))).count()
+      est.select(col("col_name"),
+        lit(exact).as("exact_intersect"),
+        (abs(col("est_intersect") - lit(exact.toDouble))
+          / lit(exact.toDouble) < 0.10).as("within_bound"))
+    },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+             |i AS (SELECT doc_id FROM documents, n
+             |   WHERE doc_id < (2 * n) // 3
+             |  INTERSECT
+             |  SELECT doc_id FROM documents, n WHERE doc_id >= n // 3)
+             |SELECT 'doc_id' AS col_name,
+             | CAST(count(*) AS BIGINT) AS exact_intersect,
+             | TRUE AS within_bound FROM i""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
