@@ -374,8 +374,14 @@ object Dedup {
         .map(fs => (fs, asked.map { case (k, v) => k -> String.valueOf(v) }))
       if (cacheKey.exists(validatedIndexes.contains))
         return index.drop(paramCols: _*)
+      // no .limit(3) guard here: a limit over a shuffle runs the
+      // incremental try-1-then-2-then-4-partitions probe — FOUR jobs
+      // per validation at gate scale (r11 ProbeAdmit). The distinct
+      // of constant-per-build columns is bounded by the number of
+      // builds ever unioned into the file set (1 for any graft-
+      // written index), so a plain collect is one job and bytes.
       val tuples = index.select(paramCols.map(col): _*).distinct()
-        .limit(3).collect()
+        .collect()
       require(tuples.length <= 1,
         s"$what: index carries ${tuples.length}+ distinct build-param " +
           s"tuples ${tuples.map(_.toString).mkString(", ")} over " +
