@@ -723,6 +723,33 @@ object ScaleSmoke {
       c.unpersist()
     }
 
+    // contd: containment join in its DOCUMENTED regime — post-dedup
+    // (VERDICT r10 item 4). The r10 `cont` curve measured the
+    // adversarial replica-dense corpus (replicas share ~all
+    // shingles, so C(freq,2) join rows grow quadratically in k —
+    // output-proportional, the regime the operator documents NOT to
+    // run in). Here every replica's TOKENS carry a replica suffix,
+    // making replica shingle sets disjoint: the shingle-frequency
+    // PROFILE of the base corpus is preserved while n grows — the
+    // post-near-dedup world where surviving docs share few shingles.
+    // The claim under test: cost and pairs grow ~linearly in k.
+    if (on("contd")) scales.foreach { k =>
+      val c = (0 until k).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * 1000000)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1r" + i).as("text"))
+      }.reduce(_ union _).cache()
+      val n = c.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.containmentPairs(c, "doc_id",
+        "text", shingleLen = 3, threshold = 0.9,
+        maxTokenBucket = 64).count()
+      println(f"[scale-smoke] contd k=$k%-3d docs=$n%-8d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s  pairs=$pairs")
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // tri: triangle census growth + the hub-skew case the degree
     // orientation exists for. Clique chains grow triangles linearly
     // in cliques (20/clique at size 6); the star graph has ~zero
