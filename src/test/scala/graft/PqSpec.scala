@@ -155,6 +155,73 @@ class PqSpec extends SparkTestBase {
     enc.unpersist(); exact.unpersist()
   }
 
+  test("clustered fixture: recall ceiling brackets the random floor") {
+    // VERDICT r10 item 5: every PQ/IVF-PQ recall gate was pinned on
+    // RANDOM embeddings, so this fixture measures the CLUSTERED face:
+    // a fixed-seed mixture of 20 Gaussians in 64-d (sigma 0.05 vs
+    // unit-scale center spread). What it measured (r11) refined the
+    // "favorable ceiling" hypothesis into three pinned facts:
+    //   1. cluster-MEMBERSHIP recall is perfect (50/50): whole-space
+    //      quantization resolves which component a vector belongs to
+    //      — the semantic-retrieval notion of correct.
+    //   2. fine recall@5 WITHIN a tight cluster is HARDER than
+    //      random (11/50 vs 15/50 at the same 32 bits): the true
+    //      top-5 hide among ~100 near-equidistant cluster-mates and
+    //      raw PQ's quantization error is centroid-scale, far above
+    //      the sigma-scale gaps that order them.
+    //   3. RESIDUAL coding exists for exactly this: with coarse
+    //      cells aligned to the components (nCells=32 >= 20), IVF-PQ
+    //      lifts fine recall to 19/50 — and np=1 already holds ALL
+    //      of np=8's recall (every true neighbor shares the query's
+    //      cell), i.e. 1/32 of the scan buys the full achievable
+    //      recall on clustered data. The random fixture showed the
+    //      opposite np behavior; together they bracket reality.
+    val rng = new scala.util.Random(1105)
+    val dim = 64; val nCenters = 20
+    val centers = Array.fill(nCenters, dim)(rng.nextGaussian().toFloat)
+    val pts = (0 until 2000).map { i =>
+      val c = centers(i % nCenters)
+      (i.toLong, c.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    }
+    val cemb = pts.toDF("vec_id", "embedding").repartition(4).cache()
+    val q = cemb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+    val exact = Pq.exactL2TopK(cemb, q, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").cache()
+    // raw PQ at the same 32-bit operating point the random floor
+    // measured 15/50 on: clustered data must lift it far higher
+    val model = Pq.fit(cemb, "vec_id", "embedding", m = 8, dsub = 8,
+      ksub = 16)
+    val hits = Pq.adcTopK(Pq.encode(cemb, "embedding", model), q,
+        "vec_id", "pq_code", "embedding", model, k = 5)
+      .select($"query_id", $"neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"clustered 32-bit ADC recall@5: $hits/50 (random floor: 15)")
+    // cluster-membership recall: did the answers land in the right
+    // mixture component, the semantic-retrieval notion of correct?
+    val memb = Pq.adcTopK(Pq.encode(cemb, "embedding", model), q,
+        "vec_id", "pq_code", "embedding", model, k = 5)
+      .filter($"neighbor_id" % 20 === $"query_id" % 20).count()
+    info(s"clustered 32-bit ADC cluster-membership@5: $memb/50")
+    assert(memb >= 45, s"cluster-membership recall only $memb/50")
+    // IVF-PQ residual coding on the same fixture
+    val ivf = Pq.fitIvfPq(cemb, "vec_id", "embedding", nCells = 32,
+      m = 8, dsub = 8, ksub = 16)
+    val enc = Pq.encodeIvfPq(cemb, "vec_id", "embedding", ivf).cache()
+    def hitsAt(np: Int): Long =
+      Pq.ivfPqTopK(enc, q, "vec_id", "cell", "pq_code", "embedding",
+          ivf, k = 5, nProbe = np)
+        .select($"query_id", $"neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val h1 = hitsAt(1); val h8 = hitsAt(8)
+    info(s"clustered IVF-PQ recall@5: np=1 $h1/50, np=8 $h8/50")
+    // gates under the measured points (19/19) with slack
+    assert(h1 >= 14, s"clustered np=1 residual recall only $h1/50")
+    assert(h8 >= h1, s"full probe lost to np=1: $h8 < $h1")
+    assert(h1 > hits,
+      s"residual coding must beat raw PQ on clustered data: $h1 vs $hits")
+    enc.unpersist(); exact.unpersist(); cemb.unpersist()
+  }
+
   test("ADC fails loud on dimension/model mismatches") {
     import graft.expressions.VectorExpressions
     // unsafe array reads have no bounds checks, so a short vector or
