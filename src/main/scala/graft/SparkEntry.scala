@@ -5406,7 +5406,49 @@ object SparkEntry {
              |  SELECT doc_id FROM documents, n WHERE doc_id >= n // 3)
              |SELECT 'doc_id' AS col_name,
              | CAST(count(*) AS BIGINT) AS exact_intersect,
-             | TRUE AS within_bound FROM i""".stripMargin))
+             | TRUE AS within_bound FROM i""".stripMargin)),
+
+    // Int8 scalar quantization (Quantize) — fit per-dimension ranges
+    // over a corpus slice, encode, reconstruct; the whole pipeline is
+    // closed-form arithmetic, so unlike the k-means PQ codebooks it
+    // sits fully under the hash gate. Emits (vec_id, dim_idx, code,
+    // recon) rows for the first 20 vectors.
+    Q("q194_int8_quantize", (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 500).select(col("vec_id"), col("embedding"))
+      val m = graft.operators.Quantize.fitScalarQuantizer(
+        base, "embedding", 64)
+      graft.operators.Quantize.dequantize(
+          graft.operators.Quantize.quantize(
+            base.filter(col("vec_id") < 20), "embedding", m),
+          "q8", m)
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("q8"), col("vec_rec"))))
+        .select(col("vec_id"), col("pos").as("dim_idx"),
+          col("col.q8").as("code"),
+          round(col("col.vec_rec"), 6).as("recon"))
+        .orderBy(col("vec_id"), col("dim_idx"))
+    },
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id < 500),
+             |st AS (SELECT i, min(CAST(x AS DOUBLE)) AS lo,
+             |   max(CAST(x AS DOUBLE)) AS hi
+             |  FROM (SELECT unnest(embedding) AS x,
+             |     generate_subscripts(embedding, 1) AS i FROM base)
+             |  GROUP BY i)
+             |SELECT b.vec_id, s.i - 1 AS dim_idx,
+             | CASE WHEN s.hi > s.lo THEN least(255, greatest(0,
+             |   CAST(round((CAST(b.embedding[s.i] AS DOUBLE) - s.lo)
+             |     / (s.hi - s.lo) * 255) AS INT)))
+             |  ELSE 0 END AS code,
+             | round(s.lo + (CASE WHEN s.hi > s.lo THEN
+             |   least(255, greatest(0,
+             |    CAST(round((CAST(b.embedding[s.i] AS DOUBLE) - s.lo)
+             |      / (s.hi - s.lo) * 255) AS INT)))
+             |  ELSE 0 END) / 255.0 * (s.hi - s.lo), 6) AS recon
+             |FROM base b CROSS JOIN st s
+             |WHERE b.vec_id < 20
+             |ORDER BY vec_id, dim_idx""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
