@@ -5448,7 +5448,60 @@ object SparkEntry {
              |  ELSE 0 END) / 255.0 * (s.hi - s.lo), 6) AS recon
              |FROM base b CROSS JOIN st s
              |WHERE b.vec_id < 20
-             |ORDER BY vec_id, dim_idx""".stripMargin))
+             |ORDER BY vec_id, dim_idx""".stripMargin)),
+
+    // Data-quality expectations (Expect.check): the ingestion-gate
+    // census over lineitem + an orders referential check. The
+    // l_discount range is chosen to VIOLATE (its domain tops out
+    // above 0.05) so the frame proves it counts, not just blesses.
+    Q("q195_expectations", (s, dir) =>
+      graft.operators.Expect.check(t(s, dir, "lineitem"), Seq(
+          graft.operators.Expect.NotNull("l_orderkey"),
+          graft.operators.Expect.Unique(Seq("l_orderkey", "l_linenumber")),
+          graft.operators.Expect.InRange("l_quantity", 1.0, 50.0),
+          graft.operators.Expect.InRange("l_discount", 0.0, 0.05),
+          graft.operators.Expect.InSet("l_returnflag", Seq("A", "N", "R")),
+          graft.operators.Expect.Matches("l_linestatus", "[OF]"),
+          graft.operators.Expect.ForeignKey("l_orderkey",
+            t(s, dir, "orders"), "o_orderkey")))
+        .orderBy(col("constraint")),
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS v_nn,
+             |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |    AS BIGINT) AS v_uq,
+             |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |     AND (l_quantity < 1.0 OR l_quantity > 50.0)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_r1,
+             |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+             |     AND (l_discount < 0.0 OR l_discount > 0.05)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_r2,
+             |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |     AND l_returnflag NOT IN ('A', 'N', 'R')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+             |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+             |     AND NOT regexp_full_match(l_linestatus, '[OF]')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_m
+             | FROM lineitem),
+             |fk AS (SELECT CAST(count(*) AS BIGINT) AS v_fk
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL
+             |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |SELECT * FROM (
+             | SELECT 'not_null(l_orderkey)' AS "constraint", v_nn
+             |    AS violations, n AS total, v_nn = 0 AS passed FROM t
+             | UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+             |   v_uq, n, v_uq = 0 FROM t
+             | UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)',
+             |   v_r1, n, v_r1 = 0 FROM t
+             | UNION ALL SELECT 'in_range(l_discount,0.0,0.05)',
+             |   v_r2, n, v_r2 = 0 FROM t
+             | UNION ALL SELECT 'in_set(l_returnflag)',
+             |   v_st, n, v_st = 0 FROM t
+             | UNION ALL SELECT 'matches(l_linestatus)',
+             |   v_m, n, v_m = 0 FROM t
+             | UNION ALL SELECT 'foreign_key(l_orderkey)',
+             |   v_fk, n, v_fk = 0 FROM fk, t)
+             |ORDER BY "constraint"""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
