@@ -5501,7 +5501,66 @@ object SparkEntry {
              |   v_m, n, v_m = 0 FROM t
              | UNION ALL SELECT 'foreign_key(l_orderkey)',
              |   v_fk, n, v_fk = 0 FROM fk, t)
-             |ORDER BY "constraint"""".stripMargin))
+             |ORDER BY "constraint"""".stripMargin)),
+
+    // Fellegi-Sunter record linkage (Linkage.classify): customer vs
+    // a perturbed copy of itself (every 10th name suffixed, every
+    // 7th balance shifted), blocked by nation, three evidence fields
+    // (name / segment / rounded balance). Emitted: the LINK pairs at
+    // upper=5 — agreement on either high-weight field survives its
+    // partner's perturbation; doubly-perturbed records drop out.
+    Q("q196_record_linkage", (s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val a = cust.select(col("c_custkey").as("rid"),
+        col("c_nationkey").as("blk"), col("c_name").as("nm"),
+        col("c_mktsegment").as("mk"),
+        round(col("c_acctbal"), 0).as("ab"))
+      val b = cust.select((col("c_custkey") + 100000).as("rid"),
+        col("c_nationkey").as("blk"),
+        when(col("c_custkey") % 10 === 0, concat(col("c_name"),
+          lit(" jr"))).otherwise(col("c_name")).as("nm"),
+        col("c_mktsegment").as("mk"),
+        round(when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
+          .otherwise(col("c_acctbal")), 0).as("ab"))
+      Linkage.classify(a, "rid", b, "rid", Seq("blk"), Seq(
+          Linkage.FieldSpec("nm", 0.95, 0.001),
+          Linkage.FieldSpec("mk", 0.9, 0.2),
+          Linkage.FieldSpec("ab", 0.85, 0.002)),
+          lower = 0.0, upper = 5.0)
+        .filter(col("decision") === "link")
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some("""WITH a AS (SELECT c_custkey AS ida, c_nationkey AS blk,
+             |   c_name AS nm, c_mktsegment AS mk,
+             |   round(c_acctbal, 0) AS ab FROM customer),
+             |b AS (SELECT c_custkey + 100000 AS idb,
+             |   c_nationkey AS blk,
+             |   CASE WHEN c_custkey % 10 = 0 THEN c_name || ' jr'
+             |    ELSE c_name END AS nm,
+             |   c_mktsegment AS mk,
+             |   round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+             |    ELSE c_acctbal END, 0) AS ab FROM customer),
+             |p AS (SELECT ida, idb,
+             |  (CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END
+             |   + CASE WHEN a.mk = b.mk THEN 1 ELSE 0 END
+             |   + CASE WHEN a.ab = b.ab THEN 1 ELSE 0 END) AS n_agree,
+             |  (CASE WHEN a.nm IS NULL OR b.nm IS NULL THEN 0.0
+             |    WHEN a.nm = b.nm THEN log2(0.95 / 0.001)
+             |    ELSE log2(0.05 / 0.999) END
+             |   + CASE WHEN a.mk IS NULL OR b.mk IS NULL THEN 0.0
+             |    WHEN a.mk = b.mk THEN log2(0.9 / 0.2)
+             |    ELSE log2(0.1 / 0.8) END
+             |   + CASE WHEN a.ab IS NULL OR b.ab IS NULL THEN 0.0
+             |    WHEN a.ab = b.ab THEN log2(0.85 / 0.002)
+             |    ELSE log2(0.15 / 0.998) END) AS score
+             |  FROM a JOIN b ON a.blk = b.blk)
+             |SELECT ida AS id_a, idb AS id_b, n_agree,
+             |  round(score, 4) AS score
+             |FROM p WHERE score >= 5.0
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
