@@ -5560,7 +5560,67 @@ object SparkEntry {
              |SELECT ida AS id_a, idb AS id_b, n_agree,
              |  round(score, 4) AS score
              |FROM p WHERE score >= 5.0
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Rolling z-score anomalies (TimeSeries.rollingZscore): each
+    // order scored against the customer's previous <= 5 orders
+    // (trailing-EXCLUSIVE window — a spike never mutes itself),
+    // census of |z| >= 2 rows. One hash exchange on the key.
+    Q("q197_rolling_anomaly", (s, dir) =>
+      graft.operators.TimeSeries.rollingZscore(t(s, dir, "orders"),
+          Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+          "o_totalprice", window = 5)
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("roll_n"),
+          round(col("roll_mean"), 4).as("roll_mean"),
+          round(col("z"), 4).as("z"))
+        .orderBy(col("o_custkey"), col("o_orderkey")),
+      Some("""WITH w AS (SELECT o_custkey, o_orderkey,
+             |  count(o_totalprice) OVER fr AS roll_n,
+             |  avg(o_totalprice) OVER fr AS roll_mean,
+             |  stddev_samp(o_totalprice) OVER fr AS roll_std,
+             |  o_totalprice AS v
+             | FROM orders
+             | WINDOW fr AS (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+             |SELECT o_custkey, o_orderkey, roll_n,
+             | round(roll_mean, 4) AS roll_mean,
+             | round((v - roll_mean) / roll_std, 4) AS z
+             |FROM w
+             |WHERE roll_n >= 2 AND roll_std > 0
+             | AND abs((v - roll_mean) / roll_std) >= 2
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Bounded-window adjusted EWMA (TimeSeries.ewma) over each
+    // user's event values — the smoother face of the rolling family
+    // (current row included). The oracle replays the exact weight
+    // arithmetic over the same frame list.
+    Q("q198_ewma", (s, dir) =>
+      graft.operators.TimeSeries.ewma(
+          events(s, dir)
+            .filter(col("user_id") < 200 && col("value").isNotNull),
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          alpha = 0.25, window = 8)
+        .select(col("user_id"), col("event_id"),
+          round(col("ewma"), 4).as("ewma"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |   CAST(value AS DOUBLE) AS v FROM events
+             |  WHERE user_id < 200 AND value IS NOT NULL),
+             |w AS (SELECT user_id, event_id,
+             |  list(v) OVER (PARTITION BY user_id
+             |   ORDER BY ts, event_id
+             |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fr
+             | FROM e)
+             |SELECT user_id, event_id,
+             | round(
+             |  list_sum(list_transform(range(1, len(fr) + 1),
+             |    i -> pow(0.75, len(fr) - i) * fr[i]))
+             |  / list_sum(list_transform(range(1, len(fr) + 1),
+             |    i -> pow(0.75, len(fr) - i))), 4) AS ewma
+             |FROM w
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
