@@ -5620,7 +5620,38 @@ object SparkEntry {
              |  / list_sum(list_transform(range(1, len(fr) + 1),
              |    i -> pow(0.75, len(fr) - i))), 4) AS ewma
              |FROM w
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Zipf-law fit (Vocabulary.zipfFit): corpus-health exponent over
+    // the documents vocabulary. The rank rides the range-partitioned
+    // global rank, not a partition-less window; the oracle's
+    // row_number() replay agrees because the (freq desc, token asc)
+    // order is total.
+    Q("q199_zipf_fit", (s, dir) =>
+      graft.operators.Vocabulary.zipfFit(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("vocab_size"), round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 4).as("r2")),
+      Some(s"""WITH tok AS (SELECT unnest(${sqlTokens("text")})
+             |   AS token FROM documents),
+             |v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c
+             |  FROM tok GROUP BY 1),
+             |r AS (SELECT ln(CAST(row_number()
+             |    OVER (ORDER BY c DESC, token) AS DOUBLE)) AS x,
+             |   ln(c) AS y FROM v),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |   sum(y * y) AS syy, sum(x * y) AS sxy FROM r)
+             |SELECT n AS vocab_size,
+             | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             |   AS slope,
+             | round((sy - sx * ((n * sxy - sx * sy)
+             |   / (n * sxx - sx * sx))) / n, 4) AS intercept,
+             | round(pow(n * sxy - sx * sy, 2)
+             |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             |   AS r2
+             |FROM s""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -77,4 +77,48 @@ object Vocabulary {
       .select(col("__doc").as(idCol), col("rank"), col("token"),
         col("score"))
   }
+
+  /** Zipf-law fit over the corpus vocabulary — the corpus-health
+    * number a pipeline watches across ingestion cycles: natural text
+    * follows freq ∝ rank^s with s ≈ −1; a slope drifting toward 0
+    * means boilerplate/spam flooding the token distribution, a
+    * steeper slope means collapsing diversity. OLS on
+    * (x, y) = (ln rank, ln freq) over all tokens with
+    * tok_count ≥ `minCount`; returns ONE row
+    * (vocab_size, slope, intercept, r2).
+    *
+    * Scale shape: the ranking is the RANGE-PARTITIONED global rank
+    * ([[Blocking.withSortRank]] on (−freq, token)) — never a
+    * partition-less window, whose single reducer is exactly the
+    * global-sort bottleneck the rank machinery exists to avoid; the
+    * regression reduces to six partial-aggregated sums. `minCount`
+    * trims the hapax tail (rank-inflating noise under OLS) — fit
+    * discipline, not a shuffle bound. */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              minCount: Long = 1L): DataFrame = {
+    val ranked = Blocking.withSortRank(
+      vocabulary(df, idCol, textCol, minCount)
+        .select(col("token"), col("tok_count"))
+        .withColumn("__negf", -col("tok_count")),
+      "__negf", "token", "rnk")
+    val pts = ranked.select(
+      log(col("rnk").cast("double")).as("x"),
+      log(col("tok_count").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("vocab_size"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        ((col("sy") - col("sx")
+          * ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))))
+          / col("n")).as("intercept"),
+        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("r2"))
+  }
 }

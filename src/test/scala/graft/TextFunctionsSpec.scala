@@ -313,4 +313,27 @@ class TextFunctionsSpec extends SparkTestBase {
       .select("token").as[String].collect().toSet
     assert(pruned == Set("a", "c"))
   }
+
+  test("zipfFit: recovers the exponent of an exact power law") {
+    import graft.operators.Vocabulary
+    // token ti appears round(1000 / i) times, i = 1..50 — freq ∝
+    // rank^-1 by construction, so OLS on (ln rank, ln freq) must
+    // recover slope ~ -1 with near-perfect fit (integer rounding of
+    // the counts is the only deviation)
+    val text = (1 to 50).flatMap { i =>
+      Seq.fill(math.round(1000.0 / i).toInt)(f"t$i%02d")
+    }.mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "txt")
+    val r = Vocabulary.zipfFit(df, "id", "txt").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.02,
+      s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.999, s"r2 ${r.getDouble(3)}")
+    // minCount trims the tail BEFORE ranking: vocab shrinks and the
+    // fit runs on the trimmed set
+    val trimmed = Vocabulary.zipfFit(df, "id", "txt", minCount = 100L)
+      .collect().head
+    assert(trimmed.getLong(0) == 10L) // 1000/i >= 100 for i <= 10
+    assert(math.abs(trimmed.getDouble(1) - (-1.0)) < 0.02)
+  }
 }
