@@ -5651,7 +5651,45 @@ object SparkEntry {
              | round(pow(n * sxy - sx * sy, 2)
              |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
              |   AS r2
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // Touch attribution (EventAnalytics.attribution): first/last
+    // click-or-view within 7 days of each purchase, census over the
+    // (first, last) model pair with organic conversions kept. The
+    // operator is one range-framed window; the oracle replays it as
+    // the quadratic join + row_number it replaces.
+    Q("q200_attribution", (s, dir) =>
+      graft.operators.EventAnalytics.attribution(events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          "purchase", Seq("click", "view"), 604800L)
+        .select(
+          coalesce(col("first_type"), lit("organic")).as("first_type"),
+          coalesce(col("last_type"), lit("organic")).as("last_type"))
+        .groupBy(col("first_type"), col("last_type"))
+        .agg(count(lit(1)).as("conversions"))
+        .orderBy(col("first_type"), col("last_type")),
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |   CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events),
+             |c AS (SELECT user_id, event_id AS cid, sec AS csec
+             |  FROM e WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_id AS tid, sec AS tsec,
+             |   event_type AS ttyp FROM e
+             |  WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT c.cid, t.tid, t.ttyp,
+             |   row_number() OVER (PARTITION BY c.cid
+             |     ORDER BY t.tsec ASC, t.tid ASC) AS rf,
+             |   row_number() OVER (PARTITION BY c.cid
+             |     ORDER BY t.tsec DESC, t.tid DESC) AS rl
+             |  FROM c JOIN t ON c.user_id = t.user_id
+             |   AND t.tsec <= c.csec AND t.tsec >= c.csec - 604800),
+             |f AS (SELECT cid, ttyp AS first_type FROM j WHERE rf = 1),
+             |l AS (SELECT cid, ttyp AS last_type FROM j WHERE rl = 1)
+             |SELECT coalesce(f.first_type, 'organic') AS first_type,
+             | coalesce(l.last_type, 'organic') AS last_type,
+             | CAST(count(*) AS BIGINT) AS conversions
+             |FROM c LEFT JOIN f USING (cid) LEFT JOIN l USING (cid)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

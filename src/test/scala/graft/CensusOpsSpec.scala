@@ -418,4 +418,32 @@ class CensusOpsSpec extends SparkTestBase {
       Blocking.sortedNeighborPairs(df, "id", "k", 1001)
     }
   }
+
+  test("attribution: first/last touch in lookback, organic nulls, ties") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("u", ts(0), 1L, "click"),
+      ("u", ts(10), 2L, "view"),
+      ("u", ts(15), 3L, "purchase"),  // window [-20, 15]: click, view
+      ("u", ts(100), 4L, "purchase"), // nothing within 20s: organic
+      ("v", ts(50), 5L, "view"),
+      ("v", ts(50), 6L, "view"),      // same-second tie: id breaks it
+      ("v", ts(50), 7L, "purchase"),  // touch at conversion instant counts
+      ("v", ts(60), 8L, "error")      // not a touch, not a conversion
+    ).toDF("user_id", "t", "event_id", "event_type")
+    val got = EventAnalytics.attribution(df, "user_id", "t", "event_id",
+        "event_type", "purchase", Seq("click", "view"), 20L)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.getString(3)), Option(r.get(4)),
+          Option(r.getString(5)), Option(r.get(6))))).toMap
+    assert(got(3L) == ((Some("click"), Some(1L), Some("view"), Some(2L))))
+    assert(got(4L) == ((None, None, None, None)))
+    // v: two views at the same second — first takes id 5, last id 6
+    assert(got(7L) == ((Some("view"), Some(5L), Some("view"), Some(6L))))
+    assert(got.size == 3)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attribution(df, "user_id", "t", "event_id",
+        "event_type", "purchase", Seq("purchase"), 20L)
+    }
+  }
 }
