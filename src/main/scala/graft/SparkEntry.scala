@@ -5689,7 +5689,55 @@ object SparkEntry {
              | coalesce(l.last_type, 'organic') AS last_type,
              | CAST(count(*) AS BIGINT) AS conversions
              |FROM c LEFT JOIN f USING (cid) LEFT JOIN l USING (cid)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Link prediction (GraphMetrics.linkPrediction) on q167's
+    // co-purchase part graph: common-neighbor / Jaccard /
+    // Adamic-Adar scores for non-adjacent part pairs, cn >= 3 census.
+    // The oracle replays the wedge join + degree arithmetic.
+    Q("q201_link_prediction", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("l1").join(li.alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey")
+            && col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("x"), col("l2.l_partkey").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).drop("w")
+      graft.operators.GraphMetrics.linkPrediction(e, "x", "y")
+        .filter(col("common_neighbors") >= 2)
+        .select(col("a"), col("b"), col("common_neighbors"),
+          round(col("jaccard"), 4).as("jaccard"),
+          round(col("adamic_adar"), 4).as("adamic_adar"))
+        .orderBy(col("a"), col("b"))
+    },
+      Some("""WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |   ON l1.l_orderkey = l2.l_orderkey
+             |    AND l1.l_partkey < l2.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |  FROM (SELECT a AS node FROM e
+             |    UNION ALL SELECT b FROM e) GROUP BY 1),
+             |adj AS (SELECT a AS c, b AS n FROM e
+             |  UNION ALL SELECT b, a FROM e),
+             |w AS (SELECT m1.n AS pa, m2.n AS pb,
+             |   1.0 / ln(d.degree) AS wt
+             |  FROM adj m1 JOIN adj m2 ON m1.c = m2.c AND m1.n < m2.n
+             |  JOIN deg d ON d.node = m1.c),
+             |sc AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS cn,
+             |   sum(wt) AS aa FROM w GROUP BY 1, 2),
+             |nonadj AS (SELECT sc.* FROM sc
+             |  LEFT JOIN e ON e.a = sc.pa AND e.b = sc.pb
+             |  WHERE e.a IS NULL)
+             |SELECT pa AS a, pb AS b, cn AS common_neighbors,
+             | round(cn / CAST(da.degree + db.degree - cn AS DOUBLE), 4)
+             |   AS jaccard,
+             | round(aa, 4) AS adamic_adar
+             |FROM nonadj JOIN deg da ON da.node = pa
+             |JOIN deg db ON db.node = pb
+             |WHERE cn >= 2
+             |ORDER BY a, b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -419,6 +419,30 @@ class CensusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("linkPrediction: CN/Jaccard/Adamic-Adar hand graph, hub cap") {
+    // 1-2, 1-3, 2-3, 3-4, 2-4: the one non-adjacent pair with shared
+    // neighbors is (1,4) through {2, 3} (both degree 3)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (2L, 1L) /* dup reversed */).toDF("s", "d")
+    val got = GraphMetrics.linkPrediction(e, "s", "d").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 4L, 2L)))
+    assert(r.getDouble(3) == 1.0) // 2 / (2 + 2 - 2)
+    assert(math.abs(r.getDouble(4) - 2.0 / math.log(3.0)) < 1e-12)
+    // keep existing edges: (2,3) scores through {1, 4} as well
+    val all = GraphMetrics.linkPrediction(e, "s", "d",
+        excludeExisting = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(all((2L, 3L)) == 2L && all.contains((1L, 4L)))
+    // hub cap: with maxDegree = 2 the degree-3 intermediates {2, 3}
+    // are excluded and (1,4) is no longer reachable — the documented
+    // recall trade
+    assert(GraphMetrics.linkPrediction(e, "s", "d", maxDegree = 2)
+      .count() == 0)
+  }
+
   test("attribution: first/last touch in lookback, organic nulls, ties") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val df = Seq(
