@@ -5737,7 +5737,65 @@ object SparkEntry {
              |FROM nonadj JOIN deg da ON da.node = pa
              |JOIN deg db ON db.node = pb
              |WHERE cn >= 2
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // PMI collocations (Vocabulary.collocations) over documents —
+    // pair probability vs independence, floored at pair_count >= 40.
+    Q("q202_collocations", (s, dir) =>
+      graft.operators.Vocabulary.collocations(
+          t(s, dir, "documents"), "doc_id", "text", minCount = 40L)
+        .select(col("w1"), col("w2"), col("pair_count"),
+          round(col("pmi"), 4).as("pmi"))
+        .orderBy(col("w1"), col("w2")),
+      Some(s"""WITH toks AS (SELECT ${sqlTokens("text")} AS t
+             |   FROM documents),
+             |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+             |    FROM toks WHERE len(t) >= 2)),
+             |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT)
+             |   AS pair_count FROM bg GROUP BY 1, 2),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(pair_count) FROM bc) AS tb,
+             |   (SELECT sum(c) FROM uni) AS tu)
+             |SELECT b.w1, b.w2, b.pair_count,
+             | round(ln((b.pair_count / tb)
+             |   / ((u1.c / tu) * (u2.c / tu))), 4) AS pmi
+             |FROM bc b JOIN uni u1 ON u1.w = b.w1
+             |JOIN uni u2 ON u2.w = b.w2, tot
+             |WHERE b.pair_count >= 40
+             |ORDER BY w1, w2""".stripMargin)),
+
+    // Wilson score intervals (AbTest.proportionCI): per-priority
+    // fulfilled-order proportion with the interval that stays sane
+    // at the p -> 0/1 boundaries (unlike the Wald bar).
+    Q("q203_wilson_ci", (s, dir) =>
+      graft.operators.AbTest.proportionCI(
+          t(s, dir, "orders")
+            .withColumn("ok", col("o_orderstatus") === "F"),
+          "o_orderpriority", "ok")
+        .select(col("o_orderpriority"), col("n"), col("successes"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy(col("o_orderpriority")),
+      Some("""WITH g AS (SELECT o_orderpriority,
+             |   CAST(count(*) AS BIGINT) AS n,
+             |   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+             |     END) AS BIGINT) AS successes
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT o_orderpriority, n, successes,
+             |   successes / CAST(n AS DOUBLE) AS p,
+             |   1.959964 AS z FROM g)
+             |SELECT o_orderpriority, n, successes,
+             | round(p, 6) AS p_hat,
+             | round((p + z*z/(2*n)) / (1 + z*z/n)
+             |  - z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)) / (1 + z*z/n), 6)
+             |  AS ci_lo,
+             | round((p + z*z/(2*n)) / (1 + z*z/n)
+             |  + z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)) / (1 + z*z/n), 6)
+             |  AS ci_hi
+             |FROM c ORDER BY o_orderpriority""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -264,4 +264,35 @@ object AbTest {
         round(pow(col("n_obs") - col("__n") * col("__p"), 2)
           / (col("__n") * col("__p")), 4).as("chi2_term"))
   }
+
+  /** Per-group WILSON score interval for a proportion — the interval
+    * the experiment dashboards should draw instead of the Wald
+    * ±z√(p(1−p)/n) textbook bar, which collapses to width 0 at
+    * p ∈ {0, 1} and undercovers small n (Brown, Cai & DasGupta 2001).
+    * Wilson inverts the score test:
+    * center = (p + z²/2n) / (1 + z²/n),
+    * half = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n) — always inside
+    * [0, 1], sane at the boundaries. Pure arithmetic over one
+    * partial-agg groupBy; `successCol` is cast to boolean, null
+    * success values are DROPPED (not counted as failures — absence
+    * of a measurement is not a failure; spec-pinned). Returns
+    * (group, n, successes, p_hat, ci_lo, ci_hi). */
+  def proportionCI(df: DataFrame, groupCol: String, successCol: String,
+                   z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val s = col(successCol).cast("boolean")
+    val agg = df.filter(s.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(s, 1L).otherwise(0L)).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes") / n
+    val denom = lit(1.0) + lit(z * z) / n
+    val center = (p + lit(z * z) / (n * 2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n
+      + lit(z * z) / (n * n * 4.0))) / denom
+    agg.select(col(groupCol), col("n"), col("successes"),
+      p.as("p_hat"), (center - half).as("ci_lo"),
+      (center + half).as("ci_hi"))
+  }
 }

@@ -94,6 +94,48 @@ object Vocabulary {
     * regression reduces to six partial-aggregated sums. `minCount`
     * trims the hapax tail (rank-inflating noise under OLS) — fit
     * discipline, not a shuffle bound. */
+  /** COLLOCATION extraction by pointwise mutual information: bigram
+    * (w1, w2) scored PMI = ln(p(w1 w2) / (p(w1) p(w2))) — how much
+    * more often the pair co-occurs than independence predicts, the
+    * classic multi-word-expression detector ("new york", "machine
+    * learning") feeding tokenizer-vocab and stopword decisions.
+    * `minCount` floors the bigram count (PMI is notoriously
+    * noise-dominated at count 1 — a hapax pair of two hapax words
+    * maxes the score); probabilities use corpus-total token and
+    * bigram counts. Returns (w1, w2, pair_count, pmi), pmi in nats.
+    *
+    * Scale shape: two partial-aggregated groupBys (bigrams, tokens)
+    * + two count-lookup joins keyed on the word; totals ride as
+    * one-row broadcasts. Nothing driver-side, no windows. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bigrams = toks.select(explode(
+        zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("__b"))
+      .select(col("__b.w1"), col("__b.w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val uni = df.select(explode(TextFunctions.tokens(col(textCol)))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val totals = bg.agg(sum(col("pair_count")).as("__tb"))
+      .crossJoin(uni.agg(sum(col("__c")).as("__tu")))
+    bg.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__c").as("__c1")),
+        Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").as("__c2")),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        log((col("pair_count") / col("__tb"))
+          / ((col("__c1") / col("__tu")) * (col("__c2") / col("__tu"))))
+          .as("pmi"))
+  }
+
   def zipfFit(df: DataFrame, idCol: String, textCol: String,
               minCount: Long = 1L): DataFrame = {
     val ranked = Blocking.withSortRank(

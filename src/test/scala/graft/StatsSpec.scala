@@ -130,6 +130,33 @@ class StatsSpec extends SparkTestBase {
     assert(got.size == 3)
   }
 
+  test("proportionCI: Wilson hand values, boundary sanity, null drop") {
+    import graft.operators.AbTest
+    val df = (Seq.fill(8)(("g1", Some(true))) ++
+      Seq.fill(2)(("g1", Some(false))) ++
+      Seq.fill(5)(("g2", Some(false))) ++
+      Seq(("g2", None))).toDF("g", "ok")
+    val z = 1.959964
+    val got = AbTest.proportionCI(df, "g", "ok", z)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val (n1, s1, p1, lo1, hi1) = got("g1")
+    assert((n1, s1, p1) == ((10L, 8L, 0.8)))
+    // Wilson closed form at p=0.8, n=10
+    val denom = 1.0 + z * z / 10
+    val center = (0.8 + z * z / 20) / denom
+    val half = z * math.sqrt(0.8 * 0.2 / 10 + z * z / 400) / denom
+    assert(math.abs(lo1 - (center - half)) < 1e-12)
+    assert(math.abs(hi1 - (center + half)) < 1e-12)
+    // p = 0 boundary: the Wald bar has width 0; Wilson does not,
+    // and the null success row was DROPPED (n=5, not 6)
+    val (n2, s2, p2, lo2, hi2) = got("g2")
+    assert((n2, s2, p2) == ((5L, 0L, 0.0)))
+    assert(lo2 == 0.0 && hi2 > 0.3)
+    assert(hi1 <= 1.0 && lo2 >= 0.0)
+  }
+
   test("gini: uniform 0, one-hot (n-1)/n, negatives refused") {
     val eq = Seq.fill(8)(5.0).toDF("v")
     assert(Profile.gini(eq, "v").collect().head.getDouble(2) == 0.0)

@@ -314,6 +314,26 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(pruned == Set("a", "c"))
   }
 
+  test("collocations: bigram PMI hand values, minCount floor") {
+    import graft.operators.Vocabulary
+    val d = Seq((1L, "a b a b c")).toDF("id", "txt")
+    // bigrams: (a,b) x2, (b,a), (b,c); tokens: a2 b2 c1; B=4, N=5
+    val got = Vocabulary.collocations(d, "id", "txt", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (w1, w2, c, pmi) = got.head
+    assert((w1, w2, c) == (("a", "b", 2L)))
+    assert(math.abs(pmi
+      - math.log((2.0 / 4) / ((2.0 / 5) * (2.0 / 5)))) < 1e-12)
+    // minCount 1 exposes the rest
+    assert(Vocabulary.collocations(d, "id", "txt", minCount = 1)
+      .count() == 3)
+    // single-token docs contribute no bigrams and don't crash
+    assert(Vocabulary.collocations(Seq((1L, "solo")).toDF("id", "txt"),
+      "id", "txt", minCount = 1).count() == 0)
+  }
+
   test("zipfFit: recovers the exponent of an exact power law") {
     import graft.operators.Vocabulary
     // token ti appears round(1000 / i) times, i = 1..50 — freq ∝
