@@ -32,8 +32,9 @@ import org.apache.spark.sql.SparkSession
   * fast pass, and a red round can no longer post a headline total.
   *
   * Round-11 extension (VERDICT r10 item 2): the artifact carries a
-  * `contended` flag (1-minute loadavg at start or end above
-  * [[contendedThreshold]]) and, when flagged, a third RERUN pass over
+  * `contended` flag (1-minute loadavg at START above
+  * [[contendedThreshold]] — the end reading is dominated by the
+  * gate's own threads) and, when flagged, a third RERUN pass over
   * the ten most-inflated queries vs the previous round's committed
   * artifact — raw third-pass times in `rerun`, its loadavg in
   * `loadavg_rerun`, and `queries_best` folds the rerun in via min.
@@ -185,7 +186,14 @@ object Bench {
     // third-pass map + its loadavg append to the artifact so a reader
     // can see both the contended and the rerun numbers side by side.
     // A rerun failure keeps the failure contract: the query goes red.
-    val contended = isContended(loadStart) || isContended(loadEnd)
+    // START loadavg only: after minutes of local[32] execution the
+    // 1-minute loadavg at END is dominated by the benchmark's own
+    // threads — keying on it made the flag tautologically true on
+    // the very first r11 gate run (start 1.77, end 3.19, rerun pass
+    // fired for nothing). Contention that ARRIVES mid-run still
+    // shows in the artifact via loadavg_end; it just doesn't trigger
+    // the rerun by itself.
+    val contended = isContended(loadStart)
     val refBest: Map[String, Double] =
       try parseRefBest(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",

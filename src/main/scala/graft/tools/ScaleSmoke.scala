@@ -750,6 +750,41 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // lp: link-prediction growth + the hub case its maxDegree cap
+    // exists for. Clique chains: candidates grow linearly in cliques
+    // (within a 6-clique every non-adjacent... all pairs ARE
+    // adjacent, so candidates come only from the bridges — tiny,
+    // what matters is the wedge volume staying linear). Star graph:
+    // a degree-100k hub is C(100k, 2) ≈ 5e9 wedges uncapped — the
+    // cap excludes the hub as an intermediate and the run completes
+    // in seconds with zero candidate pairs (rim nodes share ONLY the
+    // hub), the documented recall trade made visible.
+    if (on("lp")) {
+      import spark.implicits._
+      Seq(10000, 40000, 160000).foreach { nCliques =>
+        val s = 6
+        val cliqueEdges = (0L until nCliques).flatMap { i =>
+          val b = s * i
+          (for (x <- 0 until s; y <- x + 1 until s)
+            yield (b + x, b + y)) ++
+            (if (i + 1 < nCliques) Seq((b + s - 1, b + s)) else Nil)
+        }.toDF("src", "dst")
+        val t0 = System.nanoTime()
+        val cands = graft.operators.GraphMetrics
+          .linkPrediction(cliqueEdges, "src", "dst").count()
+        println(f"[scale-smoke] lp cliqueChain nCliques=$nCliques%-7d " +
+          f"edges=${15 * nCliques + nCliques - 1}%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  candidates=$cands")
+      }
+      val star = (1L to 100000L).map(i => (0L, i)).toDF("src", "dst")
+      val t0 = System.nanoTime()
+      val n = graft.operators.GraphMetrics
+        .linkPrediction(star, "src", "dst", maxDegree = 10000).count()
+      println(f"[scale-smoke] lp star hubDeg=100000 capped " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s  candidates=$n " +
+        "(uncapped would wedge C(100k,2)~5e9)")
+    }
+
     // tri: triangle census growth + the hub-skew case the degree
     // orientation exists for. Clique chains grow triangles linearly
     // in cliques (20/clique at size 6); the star graph has ~zero
