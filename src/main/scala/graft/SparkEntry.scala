@@ -5795,7 +5795,69 @@ object SparkEntry {
              | round((p + z*z/(2*n)) / (1 + z*z/n)
              |  + z * sqrt(p*(1-p)/n + z*z/(4.0*n*n)) / (1 + z*z/n), 6)
              |  AS ci_hi
-             |FROM c ORDER BY o_orderpriority""".stripMargin))
+             |FROM c ORDER BY o_orderpriority""".stripMargin)),
+
+    // CUSUM change-point statistic (TimeSeries.cusum): per-customer
+    // upward drift in order totals. The operator computes the
+    // recursion via the prefix-min identity; the oracle replays the
+    // SAME identity — two running windows, no recursion.
+    Q("q204_cusum", (s, dir) =>
+      graft.operators.TimeSeries.cusum(t(s, dir, "orders"),
+          Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+          "o_totalprice", target = 150000.0, slack = 10000.0,
+          h = 400000.0)
+        .filter(col("alarm"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("cusum"), 4).as("cusum"))
+        .orderBy(col("o_custkey"), col("o_orderkey")),
+      Some("""WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             |  sum(o_totalprice - 150000 - 10000) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING) AS rs
+             | FROM orders),
+             |c AS (SELECT o_custkey, o_orderkey,
+             |  rs - least(min(rs) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING), 0) AS cusum
+             | FROM s)
+             |SELECT o_custkey, o_orderkey, round(cusum, 4) AS cusum
+             |FROM c WHERE cusum > 400000
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Join-cardinality pre-flight (Profile.joinCardinality): the
+    // exact lineitem JOIN orders row count + skew diagnostics from
+    // count tables alone — the 100 TB "should this join run"
+    // number; the oracle computes the same products.
+    Q("q205_join_cardinality", (s, dir) =>
+      graft.operators.Profile.joinCardinality(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        Seq("l_orderkey"), Seq("o_orderkey")),
+      Some("""WITH ca AS (SELECT l_orderkey AS k,
+             |   CAST(count(*) AS BIGINT) AS c FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+             |cb AS (SELECT o_orderkey AS k,
+             |   CAST(count(*) AS BIGINT) AS c FROM orders
+             |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+             |p AS (SELECT CAST(count(*) AS BIGINT) AS matching_keys,
+             |   CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
+             |     AS join_rows,
+             |   CAST(coalesce(max(ca.c * cb.c), 0) AS BIGINT)
+             |     AS max_key_rows
+             |  FROM ca JOIN cb USING (k))
+             |SELECT
+             | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_a,
+             | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_b,
+             | (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1
+             |    ELSE 0 END) AS BIGINT) FROM lineitem)
+             |   AS n_null_key_a,
+             | (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1
+             |    ELSE 0 END) AS BIGINT) FROM orders)
+             |   AS n_null_key_b,
+             | (SELECT CAST(count(*) AS BIGINT) FROM ca) AS distinct_a,
+             | (SELECT CAST(count(*) AS BIGINT) FROM cb) AS distinct_b,
+             | matching_keys, join_rows, max_key_rows
+             |FROM p""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

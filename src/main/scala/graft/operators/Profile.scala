@@ -194,6 +194,51 @@ object Profile {
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
   }
 
+  /** JOIN-CARDINALITY pre-flight: the exact row count `a JOIN b` on
+    * the given keys WOULD produce, plus the skew diagnostics that
+    * predict whether it should run at all — computed WITHOUT running
+    * the join. At 100 TB this is the difference between launching a
+    * 10^13-row fan-out and catching it in a count-table join of
+    * distinct-key size: join_rows = Σ_k cnt_a(k)·cnt_b(k) over two
+    * partial-aggregated count tables; max_key_rows is the single
+    * hottest key's contribution (the AQE-skew-split / salting
+    * decision number). Null keys never match in SQL and are reported
+    * separately, not folded into the product. Returns ONE row:
+    * (n_a, n_b, n_null_key_a, n_null_key_b, distinct_a, distinct_b,
+    * matching_keys, join_rows, max_key_rows). */
+  def joinCardinality(a: DataFrame, b: DataFrame,
+                      keysA: Seq[String], keysB: Seq[String]): DataFrame = {
+    require(keysA.nonEmpty && keysA.length == keysB.length,
+      s"key lists must be non-empty and same length, got " +
+        s"${keysA.length}/${keysB.length}")
+    def side(df: DataFrame, keys: Seq[String], cnt: String)
+    : (DataFrame, DataFrame) = {
+      val anyNull = keys.map(k => df(k).isNull).reduce(_ || _)
+      val stats = df.agg(count(lit(1)).as(s"n_$cnt"),
+        sum(when(anyNull, 1L).otherwise(0L)).as(s"n_null_key_$cnt"))
+      val counts = df.filter(!anyNull)
+        .groupBy(keys.zipWithIndex.map { case (k, i) =>
+          df(k).as(s"__k$i") }: _*)
+        .agg(count(lit(1)).as(s"__c$cnt"))
+      (stats, counts)
+    }
+    val (sa, ca) = side(a, keysA, "a")
+    val (sb, cb) = side(b, keysB, "b")
+    val keyCols = keysA.indices.map(i => s"__k$i")
+    val prod = ca.join(cb, keyCols)
+      .select((col("__ca") * col("__cb")).as("__rows"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("matching_keys"),
+        coalesce(sum(col("__rows")), lit(0L)).as("join_rows"),
+        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"))
+    val dist = ca.agg(count(lit(1)).as("distinct_a"))
+      .crossJoin(cb.agg(count(lit(1)).as("distinct_b")))
+    broadcast(sa).crossJoin(broadcast(sb)).crossJoin(broadcast(dist))
+      .crossJoin(broadcast(prod))
+      .select(col("n_a"), col("n_b"), col("n_null_key_a"),
+        col("n_null_key_b"), col("distinct_a"), col("distinct_b"),
+        col("matching_keys"), col("join_rows"), col("max_key_rows"))
+  }
+
   /** Jensen–Shannon drift between two snapshots' distributions of a
     * categorical column — the NUMERIC companion to [[diff]]'s
     * boolean flags: how FAR did the distribution move, in bits,

@@ -94,6 +94,42 @@ object TimeSeries {
       .drop("__fr")
   }
 
+  /** One-sided CUSUM change-point statistic (Page 1954): per key,
+    * C_t = max(0, C_{t−1} + (x_t − target − slack)) — the classic
+    * "has the mean shifted upward" detector that accumulates small
+    * persistent drifts a per-point z-score never flags. `upward =
+    * false` runs the mirrored downward test on −x. A row is flagged
+    * when C_t > `h` (alarm threshold, in the value's units; the
+    * standard tuning is slack = drift/2, h = 4–5 sigmas).
+    *
+    * The recursion looks window-inexpressible, but the prefix-min
+    * identity C_t = S_t − min_{j ≤ t} S_j (S = running sum of the
+    * drifts, S_0 = 0) turns it into two running window aggregates —
+    * exact, one keyed exchange, and SQL-replayable (the oracle uses
+    * the same identity). Appends `cusum` and `alarm`. */
+  def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+            valCol: String, target: Double, slack: Double,
+            h: Double, upward: Boolean = true): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val x = col(valCol).cast("double")
+    val drift =
+      if (upward) x - lit(target) - lit(slack)
+      else lit(target) - x - lit(slack)
+    // two Window nodes by necessity (the min is OF the running sum,
+    // and nesting window functions is illegal) — but both share the
+    // same spec, so still ONE exchange + one sort. S_0 = 0
+    // participates in the min via least(..., 0).
+    df.withColumn("__s", sum(drift).over(w))
+      .withColumn("cusum",
+        col("__s") - least(min(col("__s")).over(w), lit(0.0)))
+      .withColumn("alarm", col("cusum") > h)
+      .drop("__s")
+  }
+
   /** Bounded-window ADJUSTED EWMA (pandas `ewm(adjust=true)` over
     * the trailing `window` rows, current row INCLUDED — a smoother
     * follows the series, unlike the anomaly baselines above):

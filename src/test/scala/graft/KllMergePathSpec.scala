@@ -43,6 +43,29 @@ class KllMergePathSpec extends SparkTestBase {
     assert(driver(("b", 1.0)) == 1000.0)
   }
 
+  test("joinCardinality: exact product arithmetic, nulls never match") {
+    val a = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("j")
+    val r = Profile.joinCardinality(a, b, Seq("k"), Seq("j"))
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)    // n_a, n_b
+    assert(r.getLong(2) == 1 && r.getLong(3) == 0)    // null keys
+    assert(r.getLong(4) == 2 && r.getLong(5) == 3)    // distincts
+    assert(r.getLong(6) == 2)                         // matching keys
+    // join rows: k=1 -> 2x1, k=2 -> 1x2  = 4; hottest key 2 rows
+    assert(r.getLong(7) == 4 && r.getLong(8) == 2)
+    // the prediction IS the join's count
+    assert(a.join(b, a("k") === b("j")).count() == 4)
+    // disjoint sides: zero matches, zero rows, maxes stay 0 not null
+    val r2 = Profile.joinCardinality(a,
+        Seq(9L).toDF("j"), Seq("k"), Seq("j")).collect().head
+    assert(r2.getLong(6) == 0 && r2.getLong(7) == 0 &&
+      r2.getLong(8) == 0)
+    intercept[IllegalArgumentException] {
+      Profile.joinCardinality(a, b, Nil, Nil)
+    }
+  }
+
   test("post-compaction scale: distributed merge holds the rank bound") {
     val rng = new scala.util.Random(411)
     val vals = (1 to 50000).map(_ => math.pow(rng.nextDouble(), 2) * 1e3)

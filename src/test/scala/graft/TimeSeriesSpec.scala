@@ -41,6 +41,30 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got(0).isNullAt(2)) // empty frame
   }
 
+  test("cusum: prefix-min identity == the recursion, reset, mirror") {
+    // target 10, slack 0: drifts 4, -6, 4 — the -6 RESETS the
+    // statistic to 0 (max(0, ...)), the identity must reproduce that
+    val got = TimeSeries.cusum(series(14, 4, 14), Seq("key"), Seq("t"),
+        "v", target = 10.0, slack = 0.0, h = 3.0)
+      .orderBy($"t").select($"cusum", $"alarm").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(4.0, 0.0, 4.0))
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
+    // persistent small drift accumulates past h where any single
+    // point would not: +2 per step
+    val acc = TimeSeries.cusum(series(10, 10, 12, 12, 12, 8),
+        Seq("key"), Seq("t"), "v", 10.0, 0.0, 3.0)
+      .orderBy($"t").select($"cusum").collect().map(_.getDouble(0))
+    assert(acc.toSeq == Seq(0.0, 0.0, 2.0, 4.0, 6.0, 4.0))
+    // downward mirror: a dip below target accumulates there instead
+    val down = TimeSeries.cusum(series(10, 6, 10), Seq("key"), Seq("t"),
+        "v", 10.0, 0.0, 3.0, upward = false)
+      .orderBy($"t").select($"cusum").collect().map(_.getDouble(0))
+    assert(down.toSeq == Seq(0.0, 4.0, 4.0))
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(series(1), Seq("key"), Seq("t"), "v", 0, 0, 0)
+    }
+  }
+
   test("ewma: adjusted weights over the bounded window") {
     val got = TimeSeries.ewma(series(1, 2, 3, 4), Seq("key"), Seq("t"),
         "v", alpha = 0.5, window = 3)
