@@ -452,6 +452,54 @@ object EventStream {
 
   case class Session(userId: Long, nEvents: Long, total: Double)
 
+  case class CusumState(cusum: Double)
+  case class CusumRow(user_id: Long, event_id: Long, cusum: Double,
+                      alarm: Boolean)
+
+  /** STREAMING one-sided CUSUM ([[graft.operators.TimeSeries.cusum]]'s
+    * stateful face): per-key running
+    * C = max(0, C + (value − target − slack)), alarm at C > h,
+    * emitted per event in Append mode. State is ONE double per key —
+    * the change-point detector whose whole point is surviving
+    * unbounded streams without a frame.
+    *
+    * Ordering contract: CUSUM is order-SENSITIVE. Within a
+    * micro-batch, events fold in (ts, event_id) order (sorted here —
+    * the group iterator has no order guarantee); ACROSS micro-batches
+    * they fold in arrival order, which equals event order exactly
+    * when per-key event time is non-decreasing across batches — the
+    * in-order ingestion contract. A late event folds at its arrival
+    * point, not its event-time point (no watermark can re-order a
+    * recursion); pipelines with real out-of-orderness should run the
+    * batch operator over a corrected log instead. Stream == batch
+    * pinned in StreamingMultimodalSpec under in-order input.
+    * At-least-once replays of an uncommitted batch re-fold its rows
+    * (upper-biases C until the next reset to 0) — same degrade-only
+    * class as the CMS stream's documented replay behavior. */
+  def cusumStream(events: DataFrame, target: Double, slack: Double,
+                  h: Double): Dataset[CusumRow] = {
+    require(slack >= 0 && h > 0,
+      s"slack must be >= 0 and h positive, got slack=$slack h=$h")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long],
+        unix_micros(col("ts").cast("timestamp")).as[Long],
+        col("event_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[CusumState]) =>
+          var c = state.getOption.map(_.cusum).getOrElse(0.0)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { r =>
+            c = math.max(0.0, c + (r._4 - target - slack))
+            CusumRow(user, r._3, c, c > h)
+          }
+          state.update(CusumState(c))
+          out.iterator
+      }
+  }
+
   /** per-user running session state via mapGroupsWithState — the
     * KeyValueGroupedDataset custom-state path. */
   def sessionize(events: DataFrame): Dataset[Session] = {
