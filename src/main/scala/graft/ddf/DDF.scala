@@ -928,6 +928,53 @@ class DDF(val df: DataFrame) {
   def histogram(colName: String, bins: Int): DDF =
     wrap(graft.operators.Profile.histogram(df, colName, bins))
 
+  /** [[graft.operators.TimeSeries.rollingZscore]] — trailing-
+    * exclusive rolling mean/std + z per key */
+  def rollingZscore(keys: Seq[String], orderCols: Seq[String],
+                    valCol: String, window: Int): DDF =
+    wrap(graft.operators.TimeSeries.rollingZscore(df, keys, orderCols,
+      valCol, window))
+
+  /** [[graft.operators.TimeSeries.ewma]] — bounded-window adjusted
+    * exponential moving average */
+  def ewma(keys: Seq[String], orderCols: Seq[String], valCol: String,
+           alpha: Double, window: Int): DDF =
+    wrap(graft.operators.TimeSeries.ewma(df, keys, orderCols, valCol,
+      alpha, window))
+
+  /** [[graft.operators.TimeSeries.cusum]] — one-sided CUSUM
+    * change-point statistic with alarm flag */
+  def cusum(keys: Seq[String], orderCols: Seq[String], valCol: String,
+            target: Double, slack: Double, h: Double,
+            upward: Boolean = true): DDF =
+    wrap(graft.operators.TimeSeries.cusum(df, keys, orderCols, valCol,
+      target, slack, h, upward))
+
+  /** [[graft.operators.Expect.check]] — data-quality constraint
+    * census (one row per expectation) */
+  def expect(expectations: Seq[graft.operators.Expect.Expectation]): DDF =
+    wrap(graft.operators.Expect.check(df, expectations))
+
+  /** [[graft.operators.Profile.joinCardinality]] — exact join-size
+    * pre-flight against `other` WITHOUT running the join */
+  def joinCardinality(other: DDF, keys: Seq[String],
+                      otherKeys: Seq[String]): DDF =
+    wrap(graft.operators.Profile.joinCardinality(df, other.toDF,
+      keys, otherKeys))
+
+  /** [[graft.operators.Vocabulary.zipfFit]] — corpus-health Zipf
+    * exponent over this frame's text column */
+  def zipfFit(idCol: String, textCol: String, minCount: Long = 1L): DDF =
+    wrap(graft.operators.Vocabulary.zipfFit(df, idCol, textCol,
+      minCount))
+
+  /** [[graft.operators.Vocabulary.collocations]] — bigram PMI
+    * multi-word-expression census */
+  def collocations(idCol: String, textCol: String,
+                   minCount: Long = 5L): DDF =
+    wrap(graft.operators.Vocabulary.collocations(df, idCol, textCol,
+      minCount))
+
   /** [[graft.operators.RangeJoin.pointInInterval]] — bucket-rewritten
     * inequality join (this side = points) */
   def rangeJoin(pCol: String, intervals: DDF, loCol: String,

@@ -146,21 +146,22 @@ object Vocabulary {
     val pts = ranked.select(
       log(col("rnk").cast("double")).as("x"),
       log(col("tok_count").cast("double")).as("y"))
+    // degenerate guards (null, not divide-by-zero under ANSI): a
+    // single-token vocab has zero x-variance (no slope exists); a
+    // flat frequency profile has zero y-variance (r2 undefined —
+    // slope is still exactly 0 there and remains emitted)
+    val sxVar = col("n") * col("sxx") - col("sx") * col("sx")
+    val syVar = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = when(sxVar =!= 0.0, cov / sxVar)
     pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("n").as("vocab_size"),
-        ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")))
-          .as("slope"),
-        ((col("sy") - col("sx")
-          * ((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx"))))
-          / col("n")).as("intercept"),
-        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))))
-          .as("r2"))
+        slope.as("slope"),
+        ((col("sy") - col("sx") * slope) / col("n")).as("intercept"),
+        when(sxVar =!= 0.0 && syVar =!= 0.0,
+          pow(cov, 2) / (sxVar * syVar)).as("r2"))
   }
 }

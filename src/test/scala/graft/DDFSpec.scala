@@ -724,6 +724,32 @@ class DDFSpec extends SparkTestBase {
     assert(rows(DDF(bat).noveltyScore("doc_id", "text", DDF(ref)).toDF)
       == rows(graft.operators.Dedup.noveltyScore(bat, "doc_id",
         "text", ref)))
+    // r11 wrappers delegate verbatim
+    val ts = Seq(("k", 1, 10.0), ("k", 2, 12.0), ("k", 3, 40.0))
+      .toDF("g", "t", "v")
+    assert(rows(DDF(ts).rollingZscore(Seq("g"), Seq("t"), "v", 2).toDF)
+      == rows(graft.operators.TimeSeries.rollingZscore(ts, Seq("g"),
+        Seq("t"), "v", 2)))
+    assert(rows(DDF(ts).ewma(Seq("g"), Seq("t"), "v", 0.5, 3).toDF)
+      == rows(graft.operators.TimeSeries.ewma(ts, Seq("g"), Seq("t"),
+        "v", 0.5, 3)))
+    assert(rows(DDF(ts).cusum(Seq("g"), Seq("t"), "v", 10, 0, 5).toDF)
+      == rows(graft.operators.TimeSeries.cusum(ts, Seq("g"), Seq("t"),
+        "v", 10, 0, 5)))
+    import graft.operators.Expect
+    assert(rows(DDF(ts).expect(Seq(Expect.NotNull("g"),
+        Expect.InRange("v", 0, 100))).toDF)
+      == rows(Expect.check(ts, Seq(Expect.NotNull("g"),
+        Expect.InRange("v", 0, 100)))))
+    assert(rows(DDF(ts).joinCardinality(DDF(ts), Seq("g"), Seq("g")).toDF)
+      == rows(graft.operators.Profile.joinCardinality(ts, ts,
+        Seq("g"), Seq("g"))))
+    val txt = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(rows(DDF(txt).zipfFit("doc_id", "text").toDF)
+      == rows(graft.operators.Vocabulary.zipfFit(txt, "doc_id", "text")))
+    assert(rows(DDF(txt).collocations("doc_id", "text", 1L).toDF)
+      == rows(graft.operators.Vocabulary.collocations(txt, "doc_id",
+        "text", 1L)))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {
