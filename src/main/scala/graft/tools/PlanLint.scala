@@ -55,6 +55,13 @@ object PlanLint {
     "q38_freq_items" -> ("scalar-broadcast pattern: the 1-row global " +
       "count crosses the (already reduced) per-value counts — " +
       "build side is a single row"),
+    "q202_collocations" -> ("scalar-broadcast pattern: the 1-row " +
+      "(bigram total, token total) frame crosses the already-reduced " +
+      "bigram counts — q38 precedent"),
+    "q205_join_cardinality" -> ("scalar-broadcast pattern BY " +
+      "CONSTRUCTION: the result row is assembled from four 1-row " +
+      "aggregate frames crossed together — every build side is a " +
+      "single row"),
     "q50_similarity_ivf" -> ("query->centroid scoring is a broadcast " +
       "cross of Q x K rows (K = nCentroids, tiny); corpus side is " +
       "probed, never crossed"),
