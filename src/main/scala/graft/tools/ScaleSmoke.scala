@@ -750,6 +750,46 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // attr: the touch-attribution window vs the touches x
+    // conversions join it replaces, on the power-user shape that
+    // breaks the join: ONE user with T touches and C conversions in
+    // one lookback window is T x C join rows but only T + C window
+    // rows. The window should stay flat-ish while the join grows
+    // multiplicatively.
+    if (on("attr")) {
+      import spark.implicits._
+      Seq((5000, 500), (20000, 2000), (80000, 8000)).foreach {
+        case (t, c) =>
+          val touches = (0 until t).map(i =>
+            (1L, new java.sql.Timestamp(i * 1000L), i.toLong, "click",
+              0.0))
+          val convs = (0 until c).map(i =>
+            (1L, new java.sql.Timestamp((i * 1000L) + 500L),
+              (t + i).toLong, "purchase", 0.0))
+          val ev = (touches ++ convs)
+            .toDF("user_id", "ts", "event_id", "event_type", "value")
+          val t0 = System.nanoTime()
+          val viaWindow = graft.operators.EventAnalytics.attribution(
+            ev, "user_id", "ts", "event_id", "event_type",
+            "purchase", Seq("click"), lookbackSec = t + c + 10L)
+            .count()
+          val tw = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val viaJoin = ev.filter($"event_type" === "purchase")
+            .select($"event_id".as("cid"),
+              unix_micros($"ts").as("csec"))
+            .join(ev.filter($"event_type" === "click")
+              .select($"event_id".as("tid"),
+                unix_micros($"ts").as("tsec")),
+              $"tsec" <= $"csec")
+            .count()
+          val tj = (System.nanoTime() - t1) / 1e9
+          println(f"[scale-smoke] attr T=$t%-6d C=$c%-5d " +
+            f"window=$tw%6.2f s ($viaWindow rows)  " +
+            f"join=$tj%6.2f s ($viaJoin rows)")
+      }
+    }
+
     // lp: link-prediction growth + the hub case its maxDegree cap
     // exists for. Clique chains: candidates grow linearly in cliques
     // (within a 6-clique every non-adjacent... all pairs ARE
