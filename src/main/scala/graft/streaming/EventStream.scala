@@ -610,4 +610,34 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming face of the data-quality gate
+    * ([[graft.operators.Expect.check]]): every micro-batch runs the
+    * expectation suite and APPENDS its one-row-per-constraint census
+    * (stamped with the batch id) to the parquet ledger at `path` —
+    * the ingestion-monitoring trail "which batch broke which
+    * constraint, when". The quarantine variant: pass `onViolation`
+    * to divert the batch (e.g. write it to a quarantine path) when
+    * any constraint fails — the batch is still censused either way,
+    * a silent diversion would make the ledger lie. foreachBatch is
+    * at-least-once: a replayed uncommitted batch re-appends its
+    * census row under the same batch id (dedup on (batch_id,
+    * constraint) at read — the ledger is telemetry, not state). */
+  def expectStream(stream: DataFrame,
+                   expectations: Seq[graft.operators.Expect.Expectation],
+                   path: String, checkpoint: String,
+                   onViolation: DataFrame => Unit = _ => ()): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val census = graft.operators.Expect.check(b.toDF(), expectations)
+          .withColumn("batch_id", lit(id))
+        census.coalesce(1).write.mode("append").parquet(path)
+        val bad = census.filter(!col("passed")).count()
+        if (bad > 0) onViolation(b.toDF())
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

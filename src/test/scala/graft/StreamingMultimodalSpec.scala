@@ -382,6 +382,42 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.filter($"alarm").count() > 0)
   }
 
+  test("expectStream: per-batch census ledger + quarantine hook") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.Expect
+    val base = Files.createTempDirectory("graft_stream_exp").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val rawFile = new java.io.File(s"$dir/events.parquet").toPath
+    Files.copy(rawFile, Paths.get(s"$src/a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val exps = Seq(Expect.NotNull("event_id"),
+      // deliberately failing: value has a wide range
+      Expect.InRange("value", 0.0, 1.0))
+    var quarantined = 0L
+    EventStream.expectStream(
+      EventStream.readStreamGlob(spark, s"$src/*.parquet"),
+      exps, s"$base/ledger", s"$base/chk",
+      onViolation = b => quarantined += b.count())
+    val ledger1 = spark.read.parquet(s"$base/ledger")
+    assert(ledger1.count() == 2) // one batch x two constraints
+    assert(ledger1.filter($"constraint" === "not_null(event_id)")
+      .head().getBoolean(3))
+    assert(!ledger1.filter($"constraint".startsWith("in_range"))
+      .head().getBoolean(3))
+    assert(quarantined > 0) // the failing batch was diverted
+    // second wave appends a second census under a new batch id;
+    // the first file is not re-censused (checkpointed source)
+    Files.copy(rawFile, Paths.get(s"$src/b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.expectStream(
+      EventStream.readStreamGlob(spark, s"$src/*.parquet"),
+      exps, s"$base/ledger", s"$base/chk")
+    val ledger2 = spark.read.parquet(s"$base/ledger")
+    assert(ledger2.count() == 4)
+    assert(ledger2.select($"batch_id").distinct().count() == 2)
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_stream_eo").toString
