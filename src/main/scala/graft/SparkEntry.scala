@@ -5857,7 +5857,60 @@ object SparkEntry {
              | (SELECT CAST(count(*) AS BIGINT) FROM ca) AS distinct_a,
              | (SELECT CAST(count(*) AS BIGINT) FROM cb) AS distinct_b,
              | matching_keys, join_rows, max_key_rows
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // Shannon entropy of the corpus language mix (Profile.entropy):
+    // the concentration scalar next to Gini/JS-drift. The oracle
+    // replays the one-pass rearrangement H = log2 n − (Σ c·log2 c)/n.
+    Q("q206_entropy", (s, dir) =>
+      graft.operators.Profile.entropy(t(s, dir, "documents"), "lang")
+        .select(col("n"), col("n_categories"),
+          round(col("entropy_bits"), 6).as("entropy_bits"),
+          round(col("entropy_norm"), 6).as("entropy_norm")),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |   CAST(count(*) AS BIGINT) AS k,
+             |   sum(c * ln(c)) AS clogc FROM c)
+             |SELECT n, k AS n_categories,
+             | round((ln(n) - clogc / n) / ln(2), 6) AS entropy_bits,
+             | round(CASE WHEN k > 1
+             |   THEN (ln(n) - clogc / n) / ln(k) END, 6)
+             |  AS entropy_norm
+             |FROM t""".stripMargin)),
+
+    // Mutual information lang x source (Profile.mutualInformation):
+    // the association/leakage detector — I = H(a) + H(b) − H(a,b)
+    // over one joint partial agg, marginals re-aggregated from it.
+    Q("q207_mutual_information", (s, dir) =>
+      graft.operators.Profile.mutualInformation(
+          t(s, dir, "documents"), "lang", "source")
+        .select(col("n"), round(col("h_a_bits"), 6).as("h_a_bits"),
+          round(col("h_b_bits"), 6).as("h_b_bits"),
+          round(col("h_ab_bits"), 6).as("h_ab_bits"),
+          round(col("mi_bits"), 6).as("mi_bits"),
+          round(col("mi_norm"), 6).as("mi_norm")),
+      Some("""WITH j AS (SELECT lang, source,
+             |   CAST(count(*) AS BIGINT) AS c FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ja AS (SELECT lang, sum(c) AS c FROM j GROUP BY 1),
+             |jb AS (SELECT source, sum(c) AS c FROM j GROUP BY 1),
+             |ea AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |   (ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2) AS h
+             |  FROM ja),
+             |eb AS (SELECT (ln(sum(c)) - sum(c * ln(c)) / sum(c))
+             |   / ln(2) AS h FROM jb),
+             |eab AS (SELECT (ln(sum(c)) - sum(c * ln(c)) / sum(c))
+             |   / ln(2) AS h FROM j)
+             |SELECT ea.n, round(ea.h, 6) AS h_a_bits,
+             | round(eb.h, 6) AS h_b_bits,
+             | round(eab.h, 6) AS h_ab_bits,
+             | round(ea.h + eb.h - eab.h, 6) AS mi_bits,
+             | round(CASE WHEN least(ea.h, eb.h) > 0
+             |   THEN (ea.h + eb.h - eab.h) / least(ea.h, eb.h) END, 6)
+             |  AS mi_norm
+             |FROM ea, eb, eab""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

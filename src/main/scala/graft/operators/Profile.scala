@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiler (DRIVER-EXT, SURVEY.md §2.12) — the data-quality
@@ -192,6 +192,72 @@ object Profile {
       .join(u, Seq("col_name"))
       .withColumn("est_intersect",
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  /** Shannon ENTROPY of a categorical column, in bits (log2), with
+    * the normalized variant (entropy / log2(k), 1 = uniform over the
+    * observed support, null when k = 1) — the concentration scalar
+    * for monitoring a corpus mix ("how evenly are languages/sources
+    * represented"), complementing [[gini]] (magnitude concentration)
+    * and [[jsDrift]] (movement between snapshots). Null categories
+    * are dropped (declare missingness with Expect.NotNull; folding
+    * it into the distribution hides it). One partial-agg groupBy +
+    * a one-row total; returns (n, n_categories, entropy_bits,
+    * entropy_norm). */
+  def entropy(df: DataFrame, colName: String): DataFrame = {
+    val counts = df.filter(col(colName).isNotNull)
+      .groupBy(col(colName)).agg(count(lit(1)).as("__c"))
+    counts.agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("__c") * log(col("__c").cast("double"))).as("__clogc"))
+      .select(col("__n").as("n"), col("n_categories"),
+        // H = log2(n) - (1/n) Σ c·log2 c  (exact rearrangement that
+        // avoids a second pass for p = c/n)
+        ((log(col("__n").cast("double")) - col("__clogc") / col("__n"))
+          / math.log(2.0)).as("entropy_bits"),
+        when(col("n_categories") > 1,
+          (log(col("__n").cast("double")) - col("__clogc") / col("__n"))
+            / log(col("n_categories").cast("double"))).as("entropy_norm"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns, in bits —
+    * the association strength that catches what correlation cannot
+    * (non-linear, non-ordinal dependence): near-zero means the
+    * columns are independent, near min(H(a), H(b)) means one
+    * determines the other. The feature-leakage detector: a "feature"
+    * with high MI against the label column is a leak suspect. Rows
+    * with a null on either side are dropped (both marginals must
+    * describe the same row set or the identity I = H(a) + H(b) −
+    * H(a,b) silently breaks). One joint partial-agg groupBy; the
+    * marginals REUSE the joint counts (two tiny re-aggregations of
+    * the category-pair table, not two more corpus scans). Returns
+    * one row: (n, h_a_bits, h_b_bits, h_ab_bits, mi_bits,
+    * npmi — MI / min(H(a), H(b)), null when either entropy is 0). */
+  def mutualInformation(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val joint = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    def hOf(counts: DataFrame): Column =
+      (log(col("__n").cast("double")) - col("__clogc") / col("__n")) /
+        math.log(2.0)
+    def ent(counts: DataFrame, out: String): DataFrame =
+      counts.agg(sum(col("__c")).as("__n"),
+          sum(col("__c") * log(col("__c").cast("double"))).as("__clogc"))
+        .select(col("__n"), hOf(counts).as(out))
+    val ha = ent(joint.groupBy(col("__a")).agg(sum(col("__c")).as("__c")),
+      "h_a_bits").select(col("__n"), col("h_a_bits"))
+    val hb = ent(joint.groupBy(col("__b")).agg(sum(col("__c")).as("__c")),
+      "h_b_bits").select(col("h_b_bits"))
+    val hab = ent(joint, "h_ab_bits").select(col("h_ab_bits"))
+    broadcast(ha).crossJoin(broadcast(hb)).crossJoin(broadcast(hab))
+      .select(col("__n").as("n"), col("h_a_bits"), col("h_b_bits"),
+        col("h_ab_bits"),
+        (col("h_a_bits") + col("h_b_bits") - col("h_ab_bits"))
+          .as("mi_bits"))
+      .withColumn("mi_norm",
+        when(least(col("h_a_bits"), col("h_b_bits")) > 0.0,
+          col("mi_bits") / least(col("h_a_bits"), col("h_b_bits"))))
   }
 
   /** JOIN-CARDINALITY pre-flight: the exact row count `a JOIN b` on

@@ -66,6 +66,42 @@ class KllMergePathSpec extends SparkTestBase {
     }
   }
 
+  test("entropy: uniform, skew, single-category, null drop") {
+    val uni = Seq("a", "b", "c", "d").toDF("v")
+    val r = Profile.entropy(uni, "v").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // p = (0.75, 0.25): H = 0.811278 bits
+    val skew = Seq("a", "a", "a", "b").toDF("v")
+    val s = Profile.entropy(skew, "v").collect().head
+    assert(math.abs(s.getDouble(2) - 0.8112781244591328) < 1e-12)
+    // one category: H = 0, normalized undefined (null, not NaN)
+    val one = Seq(Some("a"), Some("a"), None).toDF("v")
+    val o = Profile.entropy(one, "v").collect().head
+    assert(o.getLong(0) == 2 && o.getDouble(2) == 0.0 && o.isNullAt(3))
+  }
+
+  test("mutualInformation: dependence 1 bit, independence 0, identity") {
+    // b == a: one determines the other exactly
+    val dep = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Profile.mutualInformation(dep, "a", "b").collect().head
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(d.getDouble(5) - 1.0) < 1e-12)
+    // all four combinations equally often: independent
+    val ind = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val i = Profile.mutualInformation(ind, "a", "b").collect().head
+    assert(math.abs(i.getDouble(4)) < 1e-12)
+    assert(math.abs(i.getDouble(3) - 2.0) < 1e-12) // H(a,b) = 2 bits
+    // a null on EITHER side drops the row from all three entropies
+    val withNull = Seq(("x", Some("x")), ("y", None), ("x", Some("x")))
+      .toDF("a", "b")
+    assert(Profile.mutualInformation(withNull, "a", "b")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("post-compaction scale: distributed merge holds the rank bound") {
     val rng = new scala.util.Random(411)
     val vals = (1 to 50000).map(_ => math.pow(rng.nextDouble(), 2) * 1e3)
