@@ -5910,7 +5910,66 @@ object SparkEntry {
              | round(CASE WHEN least(ea.h, eb.h) > 0
              |   THEN (ea.h + eb.h - eab.h) / least(ea.h, eb.h) END, 6)
              |  AS mi_norm
-             |FROM ea, eb, eab""".stripMargin))
+             |FROM ea, eb, eab""".stripMargin)),
+
+    // ROC-AUC (Classifier.rocAuc) on a deterministic synthetic
+    // scorer over orders (label = fulfilled, score = shifted
+    // orderkey hash — overlapping class distributions so the AUC is
+    // strictly between 0.5 and 1). The oracle replays the midrank
+    // identity AUC = (R+ − n+(n+1)/2) / (n+ n−).
+    Q("q208_roc_auc", (s, dir) =>
+      graft.operators.Classifier.rocAuc(
+          t(s, dir, "orders").select(
+            ((col("o_orderkey") % 97
+              + when(col("o_orderstatus") === "F", 30).otherwise(0))
+              / lit(127.0)).as("score"),
+            (col("o_orderstatus") === "F").as("label")),
+          "score", "label")
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc"), 6).as("auc")),
+      Some("""WITH d AS (SELECT
+             |   (o_orderkey % 97 + CASE WHEN o_orderstatus = 'F'
+             |     THEN 30 ELSE 0 END) / 127.0 AS s,
+             |   o_orderstatus = 'F' AS y FROM orders),
+             |r AS (SELECT y,
+             |   rank() OVER (ORDER BY s)
+             |    + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS mid
+             |  FROM d),
+             |a AS (SELECT
+             |   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS np,
+             |   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+             |     AS nn,
+             |   sum(CASE WHEN y THEN mid END) AS rp FROM r)
+             |SELECT np AS n_pos, nn AS n_neg,
+             | round((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+             |FROM a""".stripMargin)),
+
+    // Calibration curve (Classifier.calibration): reliability
+    // diagram of the same scorer, 10 equal-width bins, empty bins
+    // omitted, 1.0 clamped into the last bin.
+    Q("q209_calibration", (s, dir) =>
+      graft.operators.Classifier.calibration(
+          t(s, dir, "orders").select(
+            ((col("o_orderkey") % 97
+              + when(col("o_orderstatus") === "F", 30).otherwise(0))
+              / lit(127.0)).as("score"),
+            (col("o_orderstatus") === "F").as("label")),
+          "score", "label", bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("frac_pos"), 6).as("frac_pos"))
+        .orderBy(col("bin")),
+      Some("""WITH d AS (SELECT
+             |   (o_orderkey % 97 + CASE WHEN o_orderstatus = 'F'
+             |     THEN 30 ELSE 0 END) / 127.0 AS s,
+             |   o_orderstatus = 'F' AS y FROM orders)
+             |SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin,
+             | CAST(count(*) AS BIGINT) AS n,
+             | round(avg(s), 6) AS mean_score,
+             | round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+             |  AS frac_pos
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

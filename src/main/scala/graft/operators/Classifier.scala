@@ -48,4 +48,67 @@ object Classifier {
           exp(-(coalesce(col("__raw"), lit(0.0)) + lit(bias)))))
       .drop("__raw")
   }
+
+  /** ROC-AUC, exactly, via the rank identity AUC = (R⁺ −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the midrank sum of the positive
+    * class — AUC IS the Mann–Whitney U statistic rescaled, so this
+    * reuses that machinery's exact tie handling (tied scores
+    * contribute 1/2, the trapezoid convention) instead of binning or
+    * sampling. Null/NaN scores and null labels are dropped. Returns
+    * one row (n_pos, n_neg, auc; auc null when either class is
+    * empty). Global-sort window — the experiment-readout scale trade
+    * documented on [[graft.operators.AbTest.mannWhitneyU]]; for
+    * monitoring at corpus scale, compute on a score sample. */
+  def rocAuc(df: DataFrame, scoreCol: String,
+             labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val clean = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+    val ranked = clean
+      .withColumn("__rk", rank().over(Window.orderBy(col("__s"))))
+      .withColumn("__t",
+        count(lit(1)).over(Window.partitionBy(col("__s"))))
+      .withColumn("__mid", col("__rk") + (col("__t") - 1) / 2.0)
+    ranked.agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__y"), col("__mid"))).as("__rp"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** CALIBRATION curve (reliability diagram) over equal-width score
+    * bins in [0, 1]: per bin, row count, mean predicted score, and
+    * observed positive rate — "when the model says 0.8, is it right
+    * 80% of the time". Scores outside [0, 1] are refused (calibration
+    * is defined on probabilities; silently clamping would fake the
+    * diagram's x-axis). Empty bins are omitted (no prediction mass —
+    * nothing to calibrate; the spine join that histogram() uses
+    * would chart 0/0). The expected-calibration-error summary is
+    * Σ (n_b / n) · |acc_b − conf_b| over these rows — one more
+    * partial agg for the caller or the oracle. One scan, one
+    * partial-agg groupBy. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val clean = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+    val bad = clean.filter(s < 0.0 || s > 1.0).limit(1).count()
+    require(bad == 0,
+      s"calibration: $scoreCol has values outside [0,1] — it is not " +
+        "a probability; fix the scorer rather than clamping the axis")
+    clean
+      .withColumn("bin",
+        least(lit(bins - 1), floor(s * bins)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(s).as("mean_score"),
+        avg(when(y, 1.0).otherwise(0.0)).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
 }

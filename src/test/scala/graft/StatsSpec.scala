@@ -157,6 +157,47 @@ class StatsSpec extends SparkTestBase {
     assert(hi1 <= 1.0 && lo2 >= 0.0)
   }
 
+  test("rocAuc: rank identity, ties at 1/2, degenerate null") {
+    import graft.operators.Classifier
+    // pos {0.9, 0.4}, neg {0.6, 0.1}: 3 of 4 pairs ordered -> 0.75
+    val df = Seq((0.9, true), (0.4, true), (0.6, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Classifier.rocAuc(df, "s", "y").collect().head
+      .getDouble(2) == 0.75)
+    // perfect / inverted / all-tied
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false))
+      .toDF("s", "y")
+    assert(Classifier.rocAuc(perfect, "s", "y").collect().head
+      .getDouble(2) == 1.0)
+    val inverted = Seq((0.1, true), (0.9, false)).toDF("s", "y")
+    assert(Classifier.rocAuc(inverted, "s", "y").collect().head
+      .getDouble(2) == 0.0)
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true))
+      .toDF("s", "y")
+    assert(Classifier.rocAuc(tied, "s", "y").collect().head
+      .getDouble(2) == 0.5)
+    // single-class input: auc undefined -> null, not 0 or NaN
+    val onlyPos = Seq((0.9, true)).toDF("s", "y")
+    assert(Classifier.rocAuc(onlyPos, "s", "y").collect().head
+      .isNullAt(2))
+  }
+
+  test("calibration: bin assignment, rates, probability-axis guard") {
+    import graft.operators.Classifier
+    val df = Seq((0.05, false), (0.95, true), (0.92, true),
+      (0.98, false), (1.0, true)).toDF("s", "y")
+    val got = Classifier.calibration(df, "s", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got(0) == ((1L, 0.0)))
+    // 1.0 clamps into the LAST bin, not a phantom bin 10
+    assert(got(9)._1 == 4L && got(9)._2 == 0.75)
+    assert(got.size == 2) // empty bins omitted
+    intercept[IllegalArgumentException] {
+      Classifier.calibration(Seq((1.2, true)).toDF("s", "y"), "s", "y")
+    }
+  }
+
   test("gini: uniform 0, one-hot (n-1)/n, negatives refused") {
     val eq = Seq.fill(8)(5.0).toDF("v")
     assert(Profile.gini(eq, "v").collect().head.getDouble(2) == 0.0)
