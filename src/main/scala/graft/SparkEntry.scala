@@ -5969,7 +5969,52 @@ object SparkEntry {
              | round(avg(s), 6) AS mean_score,
              | round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
              |  AS frac_pos
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Markov stationary distribution of the event-transition chain
+    // (EventAnalytics.stationaryDistribution): 10 synchronous
+    // renormalized power-iteration rounds, the q58/q182 unrolled-CTE
+    // oracle discipline — every round is generated SQL, not prose.
+    Q("q210_stationary", (s, dir) =>
+      graft.operators.EventAnalytics.stationaryDistribution(
+          events(s, dir), "user_id", "ts", "event_type", iters = 10)
+        .select(col("state"), round(col("p"), 6).as("p"))
+        .orderBy(col("state")), {
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references its predecessor through two paths (the step and
+      // its normalizer) — inlined, round 10 re-evaluates the chain
+      // 2^10 times (the q170 k-core lesson; caught live in r11 when
+      // the un-materialized replay ran for minutes)
+      val rounds = (1 to 10).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT pr.to_type AS state,
+           |   sum(r${i - 1}.p * pr.pr) AS m
+           |  FROM r${i - 1} JOIN pr ON pr.from_type = r${i - 1}.state
+           |  GROUP BY 1),
+           |t$i AS MATERIALIZED (SELECT sum(m) AS tot FROM m$i),
+           |r$i AS MATERIALIZED (SELECT st.state,
+           |   coalesce(m$i.m, 0) / t$i.tot AS p
+           |  FROM st LEFT JOIN m$i USING (state), t$i)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH pairs AS MATERIALIZED (SELECT event_type
+              |    AS from_type,
+              |   lead(event_type) OVER (PARTITION BY user_id
+              |     ORDER BY ts, event_type) AS to_type
+              |  FROM events),
+              |c AS MATERIALIZED (SELECT from_type, to_type,
+              |   CAST(count(*) AS DOUBLE) AS n FROM pairs
+              |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              |pr AS MATERIALIZED (SELECT from_type, to_type,
+              |   n / sum(n) OVER (PARTITION BY from_type) AS pr
+              |  FROM c),
+              |st AS MATERIALIZED (SELECT from_type AS state FROM c
+              |  UNION SELECT to_type FROM c),
+              |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+              |r0 AS MATERIALIZED (SELECT state, 1.0 / k AS p
+              |  FROM st, kk),
+              |$rounds
+              |SELECT state, round(p, 6) AS p FROM r10
+              |ORDER BY state""".stripMargin)
+    })
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -177,6 +177,57 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
   }
 
+  /** STATIONARY DISTRIBUTION of the [[transitions]] Markov chain —
+    * the steady-state behavior mix ("where do users spend their time
+    * in the long run"), the eigenvector reading of the transition
+    * census. Deterministic synchronous power iteration from the
+    * uniform vector: p' = p·P row-normalized per step (sink states —
+    * types appearing only as targets — leak mass; renormalizing each
+    * round is the standard fix and keeps every round a valid
+    * distribution). Returns (state, p) after `iters` rounds.
+    *
+    * Shape at scale: the state space is the TYPE alphabet (tiny);
+    * each round is one broadcast-sized join + partial-agg groupBy on
+    * the edge table — the [[graft.operators.PageRank]] per-round
+    * shape with lineage cut every third round. Deterministic and
+    * fully SQL-replayable by unrolling rounds (q210). */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String,
+                             iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1,100], got $iters")
+    val edges = transitions(events, userCol, tsCol, typeCol)
+      .select(col("from_type"), col("to_type"),
+        col("n").cast("double").as("__n"))
+      .localCheckpoint()
+    val outSum = edges.groupBy(col("from_type"))
+      .agg(sum(col("__n")).as("__out"))
+    val probs = edges.join(outSum, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("__n") / col("__out")).as("__pr"))
+      .localCheckpoint()
+    val states = edges.select(col("from_type").as("state"))
+      .union(edges.select(col("to_type")))
+      .distinct().localCheckpoint()
+    val k = states.count()
+    require(k > 0, "no transitions — need at least two events per key")
+    var p = states.withColumn("p", lit(1.0 / k))
+    for (i <- 1 to iters) {
+      val stepped = p.join(probs, p("state") === probs("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(col("p") * col("__pr")).as("__m"))
+      val mass = stepped.agg(sum(col("__m")).as("__tot"))
+      val next = states
+        .join(stepped, Seq("state"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("state"),
+          (coalesce(col("__m"), lit(0.0)) / col("__tot")).as("p"))
+      p = if (i % 3 == 0 || i == iters) next.localCheckpoint()
+          else next
+    }
+    p.select(col("state"), col("p"))
+  }
+
   /** Cohort retention census: users cohorted by the ISO week of
     * their FIRST event; for each (cohort, period) — period =
     * `periodDays`-day offsets from the cohort week start — the

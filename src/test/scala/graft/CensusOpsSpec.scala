@@ -419,6 +419,29 @@ class CensusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stationaryDistribution: converges to the known eigenvector") {
+    // chain P(A->B)=1, P(B->A)=P(B->B)=0.5 has stationary (1/3, 2/3);
+    // transition counts are forged from two-event user sequences
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "A"), (1L, ts(1), "B"),   // A->B
+      (2L, ts(0), "A"), (2L, ts(1), "B"),   // A->B
+      (3L, ts(0), "B"), (3L, ts(1), "A"),   // B->A
+      (4L, ts(0), "B"), (4L, ts(1), "B")    // B->B
+    ).toDF("user_id", "t", "event_type")
+    val got = EventAnalytics.stationaryDistribution(ev, "user_id",
+        "t", "event_type", iters = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("A") - 1.0 / 3) < 1e-9, s"A: ${got("A")}")
+    assert(math.abs(got("B") - 2.0 / 3) < 1e-9)
+    // every round is a valid distribution
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.stationaryDistribution(ev, "user_id", "t",
+        "event_type", iters = 0)
+    }
+  }
+
   test("linkPrediction: CN/Jaccard/Adamic-Adar hand graph, hub cap") {
     // 1-2, 1-3, 2-3, 3-4, 2-4: the one non-adjacent pair with shared
     // neighbors is (1,4) through {2, 3} (both degree 3)
