@@ -6003,11 +6003,13 @@ object SparkEntry {
               |c AS MATERIALIZED (SELECT from_type, to_type,
               |   CAST(count(*) AS DOUBLE) AS n FROM pairs
               |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
-              |pr AS MATERIALIZED (SELECT from_type, to_type,
-              |   n / sum(n) OVER (PARTITION BY from_type) AS pr
-              |  FROM c),
               |st AS MATERIALIZED (SELECT from_type AS state FROM c
               |  UNION SELECT to_type FROM c),
+              |pr AS MATERIALIZED (SELECT from_type, to_type,
+              |   n / sum(n) OVER (PARTITION BY from_type) AS pr
+              |  FROM c
+              | UNION ALL SELECT state, state, 1.0 FROM st
+              |  WHERE state NOT IN (SELECT DISTINCT from_type FROM c)),
               |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
               |r0 AS MATERIALIZED (SELECT state, 1.0 / k AS p
               |  FROM st, kk),

@@ -975,6 +975,51 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Vocabulary.collocations(df, idCol, textCol,
       minCount))
 
+  /** [[graft.operators.Profile.entropy]] — Shannon entropy of a
+    * categorical column in bits */
+  def entropy(colName: String): DDF =
+    wrap(graft.operators.Profile.entropy(df, colName))
+
+  /** [[graft.operators.Profile.mutualInformation]] — association /
+    * leakage strength between two categorical columns */
+  def mutualInformation(colA: String, colB: String): DDF =
+    wrap(graft.operators.Profile.mutualInformation(df, colA, colB))
+
+  /** [[graft.operators.Classifier.rocAuc]] — exact AUC via the
+    * midrank identity */
+  def rocAuc(scoreCol: String, labelCol: String): DDF =
+    wrap(graft.operators.Classifier.rocAuc(df, scoreCol, labelCol))
+
+  /** [[graft.operators.Classifier.calibration]] — reliability
+    * diagram over equal-width probability bins */
+  def calibration(scoreCol: String, labelCol: String,
+                  bins: Int = 10): DDF =
+    wrap(graft.operators.Classifier.calibration(df, scoreCol,
+      labelCol, bins))
+
+  /** [[graft.operators.EventAnalytics.attribution]] — first/last
+    * touch per conversion within a trailing lookback */
+  def attribution(userCol: String, tsCol: String, idCol: String,
+                  typeCol: String, conversionType: String,
+                  touchTypes: Seq[String], lookbackSec: Long): DDF =
+    wrap(graft.operators.EventAnalytics.attribution(df, userCol,
+      tsCol, idCol, typeCol, conversionType, touchTypes, lookbackSec))
+
+  /** [[graft.operators.EventAnalytics.stationaryDistribution]] —
+    * steady-state mix of the event-transition chain */
+  def stationaryDistribution(userCol: String, tsCol: String,
+                             typeCol: String, iters: Int = 10): DDF =
+    wrap(graft.operators.EventAnalytics.stationaryDistribution(df,
+      userCol, tsCol, typeCol, iters))
+
+  /** [[graft.operators.GraphMetrics.linkPrediction]] — CN / Jaccard
+    * / Adamic–Adar candidate scores (this frame = edge list) */
+  def linkPrediction(srcCol: String, dstCol: String,
+                     maxDegree: Int = 10000,
+                     excludeExisting: Boolean = true): DDF =
+    wrap(graft.operators.GraphMetrics.linkPrediction(df, srcCol,
+      dstCol, maxDegree, excludeExisting))
+
   /** [[graft.operators.RangeJoin.pointInInterval]] — bucket-rewritten
     * inequality join (this side = points) */
   def rangeJoin(pCol: String, intervals: DDF, loCol: String,

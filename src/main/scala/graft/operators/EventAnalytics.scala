@@ -181,10 +181,13 @@ object EventAnalytics {
     * the steady-state behavior mix ("where do users spend their time
     * in the long run"), the eigenvector reading of the transition
     * census. Deterministic synchronous power iteration from the
-    * uniform vector: p' = p·P row-normalized per step (sink states —
-    * types appearing only as targets — leak mass; renormalizing each
-    * round is the standard fix and keeps every round a valid
-    * distribution). Returns (state, p) after `iters` rounds.
+    * uniform vector: p' = p·P renormalized per step. Sink states
+    * (types appearing only as targets) get an IMPLICIT SELF-LOOP —
+    * the standard stochastic completion; without it a chain whose
+    * mass drains entirely into a sink renormalizes 0/0 (caught by
+    * the two-event spec fixture — renormalization alone is an
+    * fp-drift guard, NOT a sink fix). Returns (state, p) after
+    * `iters` rounds.
     *
     * Shape at scale: the state space is the TYPE alphabet (tiny);
     * each round is one broadcast-sized join + partial-agg groupBy on
@@ -202,13 +205,18 @@ object EventAnalytics {
       .localCheckpoint()
     val outSum = edges.groupBy(col("from_type"))
       .agg(sum(col("__n")).as("__out"))
-    val probs = edges.join(outSum, Seq("from_type"))
-      .select(col("from_type"), col("to_type"),
-        (col("__n") / col("__out")).as("__pr"))
-      .localCheckpoint()
     val states = edges.select(col("from_type").as("state"))
       .union(edges.select(col("to_type")))
       .distinct().localCheckpoint()
+    val sinks = states.join(
+      edges.select(col("from_type").as("state")).distinct(),
+      Seq("state"), "left_anti")
+    val probs = edges.join(outSum, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("__n") / col("__out")).as("__pr"))
+      .unionByName(sinks.select(col("state").as("from_type"),
+        col("state").as("to_type"), lit(1.0).as("__pr")))
+      .localCheckpoint()
     val k = states.count()
     require(k > 0, "no transitions — need at least two events per key")
     var p = states.withColumn("p", lit(1.0 / k))

@@ -436,6 +436,15 @@ class CensusOpsSpec extends SparkTestBase {
     assert(math.abs(got("B") - 2.0 / 3) < 1e-9)
     // every round is a valid distribution
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // absorbing chain: B is a sink (appears only as a target) — the
+    // implicit self-loop absorbs all mass instead of renormalizing
+    // 0/0 (the defect this fixture caught in r11)
+    val absorbing = Seq((1L, ts(0), "A"), (1L, ts(1), "B"))
+      .toDF("user_id", "t", "event_type")
+    val abs = EventAnalytics.stationaryDistribution(absorbing,
+        "user_id", "t", "event_type", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(abs("A") == 0.0 && abs("B") == 1.0)
     intercept[IllegalArgumentException] {
       EventAnalytics.stationaryDistribution(ev, "user_id", "t",
         "event_type", iters = 0)

@@ -750,6 +750,33 @@ class DDFSpec extends SparkTestBase {
     assert(rows(DDF(txt).collocations("doc_id", "text", 1L).toDF)
       == rows(graft.operators.Vocabulary.collocations(txt, "doc_id",
         "text", 1L)))
+    val cat = Seq(("en", "web"), ("de", "web"), ("en", "book"))
+      .toDF("lang", "src")
+    assert(rows(DDF(cat).entropy("lang").toDF)
+      == rows(graft.operators.Profile.entropy(cat, "lang")))
+    assert(rows(DDF(cat).mutualInformation("lang", "src").toDF)
+      == rows(graft.operators.Profile.mutualInformation(cat, "lang",
+        "src")))
+    val sc = Seq((0.9, true), (0.2, false)).toDF("s", "y")
+    assert(rows(DDF(sc).rocAuc("s", "y").toDF)
+      == rows(graft.operators.Classifier.rocAuc(sc, "s", "y")))
+    assert(rows(DDF(sc).calibration("s", "y", 4).toDF)
+      == rows(graft.operators.Classifier.calibration(sc, "s", "y", 4)))
+    def t0(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev2 = Seq((1L, t0(0), 1L, "click", 0.0),
+      (1L, t0(5), 2L, "purchase", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(rows(DDF(ev2).attribution("user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click"), 10L).toDF)
+      == rows(graft.operators.EventAnalytics.attribution(ev2, "user_id",
+        "ts", "event_id", "event_type", "purchase", Seq("click"), 10L)))
+    assert(rows(DDF(ev2).stationaryDistribution("user_id", "ts",
+        "event_type", 3).toDF)
+      == rows(graft.operators.EventAnalytics.stationaryDistribution(ev2,
+        "user_id", "ts", "event_type", 3)))
+    assert(rows(DDF(tedges).linkPrediction("src", "dst").toDF)
+      == rows(graft.operators.GraphMetrics.linkPrediction(tedges,
+        "src", "dst")))
   }
 
   test("empty DataFrame no-ops cleanly through operators") {
