@@ -62,6 +62,9 @@ object PlanLint {
       "CONSTRUCTION: the result row is assembled from four 1-row " +
       "aggregate frames crossed together — every build side is a " +
       "single row"),
+    "q207_mutual_information" -> ("scalar-broadcast pattern BY " +
+      "CONSTRUCTION: the three 1-row entropy frames (H(a), H(b), " +
+      "H(a,b)) cross into the single result row"),
     "q50_similarity_ivf" -> ("query->centroid scoring is a broadcast " +
       "cross of Q x K rows (K = nCentroids, tiny); corpus side is " +
       "probed, never crossed"),
