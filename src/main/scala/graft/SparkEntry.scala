@@ -5840,10 +5840,10 @@ object SparkEntry {
              |   CAST(count(*) AS BIGINT) AS c FROM orders
              |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
              |p AS (SELECT CAST(count(*) AS BIGINT) AS matching_keys,
-             |   CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
-             |     AS join_rows,
-             |   CAST(coalesce(max(ca.c * cb.c), 0) AS BIGINT)
-             |     AS max_key_rows
+             |   CAST(coalesce(sum(CAST(ca.c AS DOUBLE) * cb.c), 0)
+             |     AS DOUBLE) AS join_rows,
+             |   CAST(coalesce(max(CAST(ca.c AS DOUBLE) * cb.c), 0)
+             |     AS DOUBLE) AS max_key_rows
              |  FROM ca JOIN cb USING (k))
              |SELECT
              | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_a,

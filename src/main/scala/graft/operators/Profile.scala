@@ -291,11 +291,17 @@ object Profile {
     val (sa, ca) = side(a, keysA, "a")
     val (sb, cb) = side(b, keysB, "b")
     val keyCols = keysA.indices.map(i => s"__k$i")
+    // DOUBLE product, deliberately: two hot keys of ~3e9 rows each
+    // make cnt_a x cnt_b overflow long — the exact 100 TB regime this
+    // pre-flight exists to warn about, and the same silent-wrap class
+    // ADVICE r10 flagged in chiSquareIndependence. A join size beyond
+    // 2^53 loses integer exactness in double but NEVER wraps — for a
+    // "should this join run" number, magnitude-safe beats exact.
     val prod = ca.join(cb, keyCols)
-      .select((col("__ca") * col("__cb")).as("__rows"))
+      .select((col("__ca").cast("double") * col("__cb")).as("__rows"))
       .agg(coalesce(count(lit(1)), lit(0L)).as("matching_keys"),
-        coalesce(sum(col("__rows")), lit(0L)).as("join_rows"),
-        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"))
+        coalesce(sum(col("__rows")), lit(0.0)).as("join_rows"),
+        coalesce(max(col("__rows")), lit(0.0)).as("max_key_rows"))
     val dist = ca.agg(count(lit(1)).as("distinct_a"))
       .crossJoin(cb.agg(count(lit(1)).as("distinct_b")))
     broadcast(sa).crossJoin(broadcast(sb)).crossJoin(broadcast(dist))

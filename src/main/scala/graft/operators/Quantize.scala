@@ -42,11 +42,17 @@ object Quantize {
   def fitScalarQuantizer(df: DataFrame, vecCol: String, dim: Int)
   : SqModel = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim)
+    // non-finite elements would poison the ranges (a single NaN makes
+    // min/max NaN, every code null) — refuse loudly, same discipline
+    // as the null/length check
+    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim
+        || exists(col(vecCol), x => isnan(x) ||
+          x === Float.PositiveInfinity || x === Float.NegativeInfinity))
       .limit(1).count()
     require(bad == 0,
-      s"fitScalarQuantizer: $vecCol contains null or non-$dim-length " +
-        "vectors — fix the input rather than silently skewing ranges")
+      s"fitScalarQuantizer: $vecCol contains null, non-$dim-length, " +
+        "or non-finite vectors — fix the input rather than silently " +
+        "skewing ranges")
     val stats = df
       .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
       .groupBy(col("__d"))

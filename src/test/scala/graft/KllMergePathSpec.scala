@@ -53,14 +53,16 @@ class KllMergePathSpec extends SparkTestBase {
     assert(r.getLong(4) == 2 && r.getLong(5) == 3)    // distincts
     assert(r.getLong(6) == 2)                         // matching keys
     // join rows: k=1 -> 2x1, k=2 -> 1x2  = 4; hottest key 2 rows
-    assert(r.getLong(7) == 4 && r.getLong(8) == 2)
+    // (doubles by design: long x long products wrap at the hot-key
+    // scale this pre-flight exists to warn about)
+    assert(r.getDouble(7) == 4.0 && r.getDouble(8) == 2.0)
     // the prediction IS the join's count
     assert(a.join(b, a("k") === b("j")).count() == 4)
     // disjoint sides: zero matches, zero rows, maxes stay 0 not null
     val r2 = Profile.joinCardinality(a,
         Seq(9L).toDF("j"), Seq("k"), Seq("j")).collect().head
-    assert(r2.getLong(6) == 0 && r2.getLong(7) == 0 &&
-      r2.getLong(8) == 0)
+    assert(r2.getLong(6) == 0 && r2.getDouble(7) == 0.0 &&
+      r2.getDouble(8) == 0.0)
     intercept[IllegalArgumentException] {
       Profile.joinCardinality(a, b, Nil, Nil)
     }
