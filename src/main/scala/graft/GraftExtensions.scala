@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import graft.expressions.VectorExpressions._
-  import graft.expressions.TextExpressions.{JaccardSim, UnicodeNormalize, WordShingles}
+  import graft.expressions.TextExpressions.{JaccardSim, JaroWinkler, UnicodeNormalize, WordShingles}
   import graft.functions.{GraftFunctions, TextFunctions}
   import graft.operators.Geo.PointInPolygon
 
@@ -53,6 +53,9 @@ object GraftExtensions {
         PointInPolygon(es(0), es(1), es(2)) }),
       "jaccard_sim" -> (es => { GraftFunctions.arity("jaccard_sim", es, 2, 2)
         JaccardSim(es(0), es(1)) }),
+      "jaro_winkler" -> (es => {
+        GraftFunctions.arity("jaro_winkler", es, 2, 2)
+        JaroWinkler(es(0), es(1)) }),
       "unicode_normalize" -> (es => {
         GraftFunctions.arity("unicode_normalize", es, 1, 2)
         val form = if (es.length == 2)

@@ -6016,7 +6016,66 @@ object SparkEntry {
               |$rounds
               |SELECT state, round(p, 6) AS p FROM r10
               |ORDER BY state""".stripMargin)
-    })
+    }),
+
+    // FUZZY record linkage (Linkage with a Jaro-Winkler field):
+    // every 10th customer's name arrives with its last two characters
+    // TRANSPOSED — exact equality calls that a disagreement, the
+    // jw >= 0.97 comparator does not (transposed last-two scores
+    // 0.9889; a DIFFERENT customer with the same 16-char prefix tops
+    // out ~0.956 — the threshold separates the two regimes). The native JaroWinkler
+    // expression is pinned bit-for-bit against DuckDB's
+    // jaro_winkler_similarity (TextFunctionsSpec), so the oracle
+    // replays the fuzzy agreement decision exactly.
+    Q("q211_fuzzy_linkage", (s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val a = cust.select(col("c_custkey").as("rid"),
+        col("c_nationkey").as("blk"), col("c_name").as("nm"),
+        col("c_mktsegment").as("mk"))
+      val swapped = concat(
+        substring(col("c_name"), 1, 16),
+        substring(col("c_name"), 18, 1),
+        substring(col("c_name"), 17, 1))
+      val b = cust.select((col("c_custkey") + 100000).as("rid"),
+        col("c_nationkey").as("blk"),
+        when(col("c_custkey") % 10 === 0, swapped)
+          .otherwise(col("c_name")).as("nm"),
+        col("c_mktsegment").as("mk"))
+      Linkage.linkPairs(a, "rid", b, "rid", Seq("blk"), Seq(
+          Linkage.FieldSpec("nm", 0.95, 0.001,
+            jwThreshold = Some(0.97)),
+          Linkage.FieldSpec("mk", 0.9, 0.2)))
+        .filter(col("score") >= 5.0)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some("""WITH a AS (SELECT c_custkey AS ida, c_nationkey AS blk,
+             |   c_name AS nm, c_mktsegment AS mk FROM customer),
+             |b AS (SELECT c_custkey + 100000 AS idb,
+             |   c_nationkey AS blk,
+             |   CASE WHEN c_custkey % 10 = 0 THEN
+             |     substring(c_name, 1, 16) || substring(c_name, 18, 1)
+             |      || substring(c_name, 17, 1)
+             |    ELSE c_name END AS nm,
+             |   c_mktsegment AS mk FROM customer),
+             |p AS (SELECT ida, idb,
+             |  (CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.97
+             |    THEN 1 ELSE 0 END
+             |   + CASE WHEN a.mk = b.mk THEN 1 ELSE 0 END) AS n_agree,
+             |  (CASE WHEN a.nm IS NULL OR b.nm IS NULL THEN 0.0
+             |    WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.97
+             |    THEN log2(0.95 / 0.001)
+             |    ELSE log2(0.05 / 0.999) END
+             |   + CASE WHEN a.mk IS NULL OR b.mk IS NULL THEN 0.0
+             |    WHEN a.mk = b.mk THEN log2(0.9 / 0.2)
+             |    ELSE log2(0.1 / 0.8) END) AS score
+             |  FROM a JOIN b ON a.blk = b.blk)
+             |SELECT ida AS id_a, idb AS id_b, n_agree,
+             |  round(score, 4) AS score
+             |FROM p WHERE score >= 5.0
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -107,6 +107,84 @@ object TextExpressions {
   def jaccardSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Jaro–Winkler string similarity as a native codegen'd expression
+    * — the record-linkage fuzzy comparator (Spark ships only
+    * levenshtein, an edit DISTANCE with no length normalization and
+    * no prefix emphasis; JW is what census/linkage practice uses for
+    * person/org names). Semantics pinned BYTE-FOR-BYTE against
+    * DuckDB's `jaro_winkler_similarity` (rapidfuzz lineage), probed
+    * in r11, so linkage oracles replay exactly:
+    *   - either side empty → 0.0 (yes, even both-empty);
+    *   - match window floor(max(l1,l2)/2) − 1, clamped ≥ 0;
+    *   - jaro = mean of m/l1, m/l2, (m − t)/m with t = half the
+    *     out-of-order matched pairs;
+    *   - Winkler prefix boost (≤ 4 chars, p = 0.1) applied ONLY when
+    *     jaro > 0.7 (probed: 'ax'/'az' stays 2/3 despite the shared
+    *     prefix).
+    * Comparison is over UTF-16 code units — identical to DuckDB for
+    * BMP text; surrogate pairs count as two units (documented
+    * divergence for astral-plane text). */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    def compute(x: UTF8String, y: UTF8String): Double = {
+      val a = x.toString; val b = y.toString
+      val l1 = a.length; val l2 = b.length
+      if (l1 == 0 || l2 == 0) return 0.0
+      val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val matchedA = new Array[Boolean](l1)
+      val matchedB = new Array[Boolean](l2)
+      var m = 0
+      var i = 0
+      while (i < l1) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(l2 - 1, i + window)
+        var j = lo
+        var found = false
+        while (j <= hi && !found) {
+          if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+            matchedA(i) = true; matchedB(j) = true; m += 1
+            found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0.0
+      var t = 0
+      var k = 0
+      i = 0
+      while (i < l1) {
+        if (matchedA(i)) {
+          while (!matchedB(k)) k += 1
+          if (a.charAt(i) != b.charAt(k)) t += 1
+          k += 1
+        }
+        i += 1
+      }
+      val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+        (m - t / 2.0) / m) / 3.0
+      if (jaro <= 0.7) return jaro
+      var prefix = 0
+      while (prefix < math.min(4, math.min(l1, l2)) &&
+        a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+      jaro + prefix * 0.1 * (1.0 - jaro)
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ref = ctx.addReferenceObj("jw", this, classOf[JaroWinkler].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
   /** Unicode normalization (java.text.Normalizer) as a native
     * codegen'd expression — Spark ships no normalization function, and
     * a training pipeline that dedups on text MUST normalize first or

@@ -36,11 +36,23 @@ object Linkage {
   /** Field comparison spec: `m` = P(values agree | records refer to
     * the same entity), `u` = P(agree | different entities). Both in
     * (0, 1) and m > u (otherwise agreement on the field is not
-    * evidence FOR a link and the model is misparameterized). */
-  case class FieldSpec(col: String, m: Double, u: Double) {
+    * evidence FOR a link and the model is misparameterized).
+    * `jwThreshold`: when set, "agree" means Jaro–Winkler similarity
+    * ≥ the threshold (the native
+    * [[graft.expressions.TextExpressions.JaroWinkler]] codegen
+    * comparator, DuckDB-exact) instead of exact equality — the
+    * standard treatment for name fields, where 'JONES'/'JONSE' is
+    * agreement-grade evidence that equality throws away. Only
+    * meaningful on string fields; m/u should be re-estimated for the
+    * fuzzy definition of agreement (a looser comparator raises BOTH,
+    * u especially). */
+  case class FieldSpec(col: String, m: Double, u: Double,
+                       jwThreshold: Option[Double] = None) {
     require(m > 0 && m < 1 && u > 0 && u < 1,
       s"$col: m and u must be in (0,1), got m=$m u=$u")
     require(m > u, s"$col: m ($m) must exceed u ($u)")
+    jwThreshold.foreach(t => require(t > 0 && t <= 1,
+      s"$col: jwThreshold must be in (0,1], got $t"))
     def agreeWeight: Double = math.log(m / u) / math.log(2.0)
     def disagreeWeight: Double =
       math.log((1 - m) / (1 - u)) / math.log(2.0)
@@ -64,16 +76,20 @@ object Linkage {
       .distinct.map(c => b(c).as(s"__b_$c")): _*)
     val joined = af.join(bf,
       blockCols.map(c => col(s"__a_$c") === col(s"__b_$c")).reduce(_ && _))
+    def agreeCond(f: FieldSpec): Column = f.jwThreshold match {
+      case Some(t) => graft.expressions.TextExpressions.jaroWinkler(
+        col(s"__a_${f.col}").cast("string"),
+        col(s"__b_${f.col}").cast("string")) >= t
+      case None => col(s"__a_${f.col}") === col(s"__b_${f.col}")
+    }
     def fieldWeight(f: FieldSpec): Column =
       when(col(s"__a_${f.col}").isNull || col(s"__b_${f.col}").isNull,
         lit(0.0))
-        .when(col(s"__a_${f.col}") === col(s"__b_${f.col}"),
-          lit(f.agreeWeight))
+        .when(agreeCond(f), lit(f.agreeWeight))
         .otherwise(lit(f.disagreeWeight))
     def fieldAgree(f: FieldSpec): Column =
       when(col(s"__a_${f.col}").isNotNull &&
-        col(s"__b_${f.col}").isNotNull &&
-        col(s"__a_${f.col}") === col(s"__b_${f.col}"), 1).otherwise(0)
+        col(s"__b_${f.col}").isNotNull && agreeCond(f), 1).otherwise(0)
     joined.select(
       col(s"__a_$aId").as("id_a"), col(s"__b_$bId").as("id_b"),
       fields.map(fieldAgree).reduce(_ + _).as("n_agree"),

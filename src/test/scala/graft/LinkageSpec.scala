@@ -52,6 +52,28 @@ class LinkageSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy fields: Jaro-Winkler agreement catches transpositions") {
+    // exact equality calls 'martha'/'marhta' a DISAGREEMENT; the
+    // jw >= 0.9 comparator reads it as agreement-grade evidence
+    val fuzzy = FieldSpec("name", 0.9, 0.1, jwThreshold = Some(0.9))
+    val a = Seq((1L, 1, "martha")).toDF("id", "blk", "name")
+    val b = Seq((9L, 1, "marhta"), (8L, 1, "zzzzzz"))
+      .toDF("id", "blk", "name")
+    val got = Linkage.linkPairs(a, "id", b, "id", Seq("blk"),
+        Seq(fuzzy))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(got(9L) - fuzzy.agreeWeight) < 1e-9)
+    assert(math.abs(got(8L) - fuzzy.disagreeWeight) < 1e-9)
+    // the exact comparator on the same pair disagrees both
+    val exact = Linkage.linkPairs(a, "id", b, "id", Seq("blk"),
+        Seq(FieldSpec("name", 0.9, 0.1)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(exact(9L) - fuzzy.disagreeWeight) < 1e-9)
+    intercept[IllegalArgumentException] {
+      FieldSpec("name", 0.9, 0.1, jwThreshold = Some(1.5))
+    }
+  }
+
   test("classify: three-way decision on the score") {
     val a = Seq((1L, 1, "x"), (2L, 1, "y")).toDF("id", "blk", "name")
     val b = Seq((9L, 1, "x")).toDF("id", "blk", "name")

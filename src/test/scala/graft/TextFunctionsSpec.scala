@@ -314,6 +314,41 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(pruned == Set("a", "c"))
   }
 
+  test("jaroWinkler: DuckDB-pinned values, threshold gate, codegen") {
+    import graft.expressions.TextExpressions.jaroWinkler
+    // every constant below was PROBED against DuckDB
+    // jaro_winkler_similarity in r11 — bit-for-bit the oracle's values
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // textbook + boost
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no prefix
+      ("crate", "trace", 0.7333333333333334),     // prefix 0
+      ("dwayne", "duane", 0.8400000000000001),
+      ("ax", "az", 0.6666666666666666),  // jaro <= 0.7: NO boost
+      ("ab", "ba", 0.0),                 // window 0: no matches
+      ("a", "a", 1.0),
+      ("a", "b", 0.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0))                     // DuckDB: both-empty is 0
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(jaroWinkler($"a", $"b")).collect()
+      .map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jw($a, $b): got $g want $want")
+    }
+    // null propagates
+    assert(Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(jaroWinkler($"a", $"b")).head().isNullAt(0))
+    // SQL surface + whole-stage codegen
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta')")
+      .head().getDouble(0) == 0.9611111111111111)
+    val plan = spark.range(4)
+      .select(jaroWinkler(concat(lit("ab"), $"id"), lit("ab0")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
   test("collocations: bigram PMI hand values, minCount floor") {
     import graft.operators.Vocabulary
     val d = Seq((1L, "a b a b c")).toDF("id", "txt")
