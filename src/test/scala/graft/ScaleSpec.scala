@@ -134,8 +134,9 @@ class ScaleSpec extends SparkTestBase {
     // both registration paths share one builder table
     assert(graft.GraftExtensions.builders.map(_._1).toSet ==
       Set("dot_product", "cosine_sim", "simhash64", "minhash_sig",
-        "point_in_polygon", "jaccard_sim", "word_shingles",
-        "hyperplane_codes", "unicode_normalize", "z_value2"))
+        "point_in_polygon", "jaccard_sim", "jaro_winkler",
+        "word_shingles", "hyperplane_codes", "unicode_normalize",
+        "z_value2"))
   }
 
   test("z_value2 on the SQL surface matches the Column API bit for bit") {
