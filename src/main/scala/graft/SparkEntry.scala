@@ -5499,7 +5499,7 @@ object SparkEntry {
              |   v_st, n, v_st = 0 FROM t
              | UNION ALL SELECT 'matches(l_linestatus)',
              |   v_m, n, v_m = 0 FROM t
-             | UNION ALL SELECT 'foreign_key(l_orderkey)',
+             | UNION ALL SELECT 'foreign_key(l_orderkey->o_orderkey)',
              |   v_fk, n, v_fk = 0 FROM fk, t)
              |ORDER BY "constraint"""".stripMargin)),
 

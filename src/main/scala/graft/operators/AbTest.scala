@@ -141,31 +141,30 @@ object AbTest {
     * variance. Emits (n_a, n_b, u_a, z) — all closed-form arithmetic
     * over rank aggregates, SQL-replayable.
     *
-    * Shape at scale: ranks come from ONE window over the pooled
-    * values — a single global sort. Fine for experiment readouts
-    * (arms fit a sort); for corpus-sized inputs prefer [[welchT]] on
-    * a transformed metric. */
+    * Shape at scale: NO global-sort window. The per-arm tie census
+    * (one row per distinct pooled value) feeds
+    * [[Midrank.withMidranks]]'s range-partitioned prefix sum; the
+    * rank sum and the tie term are then distributed aggregates over
+    * distinct values — corpus-sized arms rank in parallel. */
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String): DataFrame = {
     require(groupA != groupB, "groupA and groupB must differ")
-    import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("double")
     val pooled = df.filter(col(groupCol).isin(groupA, groupB)
       && v.isNotNull && !isnan(v))
       .select(col(groupCol).as("__g"), v.as("__v"))
-    val wOrd = Window.orderBy(col("__v"))
-    val wTie = Window.partitionBy(col("__v"))
-    val ranked = pooled
-      .withColumn("__rk", rank().over(wOrd))
-      .withColumn("__t", count(lit(1)).over(wTie))
-      .withColumn("__mid", col("__rk") + (col("__t") - 1) / 2.0)
+    val census = pooled.groupBy(col("__v")).agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ta"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__tb"))
+      .withColumn("__t", col("__ta") + col("__tb"))
+    val ranked = Midrank.withMidranks(census, "__v", "__t")
     val agg = ranked.agg(
-      sum(when(col("__g") === groupA, lit(1L))).as("n_a"),
-      sum(when(col("__g") === groupB, lit(1L))).as("n_b"),
-      sum(when(col("__g") === groupA, col("__mid"))).as("__ra"),
-      // tie term Σ(t³−t) — one value per tie GROUP, so divide each
-      // row's group contribution by the group size
-      sum((pow(col("__t"), 3) - col("__t")) / col("__t")).as("__tt"))
+      sum(col("__ta")).as("n_a"),
+      sum(col("__tb")).as("n_b"),
+      sum(col("__ta") * col("__mid")).as("__ra"),
+      // tie term Σ(t³−t) — exactly one census row per tie group now,
+      // no per-row division trick needed
+      sum(pow(col("__t"), 3) - col("__t")).as("__tt"))
     val u = col("__ra") - col("n_a") * (col("n_a") + 1) / 2.0
     val nn = col("n_a") + col("n_b")
     val mu = col("n_a") * col("n_b") / 2.0
@@ -182,22 +181,21 @@ object AbTest {
     * corr reads noise). Ties take exact midranks (the
     * [[mannWhitneyU]] machinery); rows with a null/NaN on either
     * side are dropped PAIRWISE. Returns one row (n, rho rounded 6).
-    * Two global-sort windows (one per column) — the experiment-
-    * readout scale trade documented on mannWhitneyU. */
+    *
+    * Shape at scale: NO global-sort windows. Each side's midranks
+    * come from [[Midrank.perRow]] — a distinct-value census ranked
+    * by range-partitioned prefix sum, joined back on the value (the
+    * join shuffles at distinct-value width; AQE broadcasts a small
+    * census) — because ρ = Pearson over rank PAIRS genuinely needs
+    * per-row ranks, unlike the pure rank-sum statistics. */
   def spearmanCorr(df: DataFrame, colA: String,
                    colB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = col(colA).cast("double"); val b = col(colB).cast("double")
     val clean = df.filter(a.isNotNull && !isnan(a)
         && b.isNotNull && !isnan(b))
       .select(a.as("__a"), b.as("__b"))
-    def midrank(c: String, out: String)(d: DataFrame): DataFrame =
-      d.withColumn("__rk", rank().over(Window.orderBy(col(c))))
-        .withColumn("__t",
-          count(lit(1)).over(Window.partitionBy(col(c))))
-        .withColumn(out, col("__rk") + (col("__t") - 1) / 2.0)
-        .drop("__rk", "__t")
-    val ranked = midrank("__b", "rb")(midrank("__a", "ra")(clean))
+    val ranked = Midrank.perRow(
+      Midrank.perRow(clean, "__a", "ra"), "__b", "rb")
     ranked.agg(count(lit(1)).as("n"),
       round(corr(col("ra"), col("rb")), 6).as("rho"))
   }

@@ -56,25 +56,28 @@ object Classifier {
     * contribute 1/2, the trapezoid convention) instead of binning or
     * sampling. Null/NaN scores and null labels are dropped. Returns
     * one row (n_pos, n_neg, auc; auc null when either class is
-    * empty). Global-sort window — the experiment-readout scale trade
-    * documented on [[graft.operators.AbTest.mannWhitneyU]]; for
-    * monitoring at corpus scale, compute on a score sample. */
+    * empty).
+    *
+    * Shape at scale: NO global-sort window. The per-class tie census
+    * (one row per distinct score, map-side combined) feeds
+    * [[Midrank.withMidranks]]'s range-partitioned prefix sum, so the
+    * rank sum R⁺ = Σ t⁺·midrank is a distributed aggregate over
+    * distinct scores — a corpus-sized scorer ranks in parallel. */
   def rocAuc(df: DataFrame, scoreCol: String,
              labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("boolean")
     val clean = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .select(s.as("__s"), y.as("__y"))
-    val ranked = clean
-      .withColumn("__rk", rank().over(Window.orderBy(col("__s"))))
-      .withColumn("__t",
-        count(lit(1)).over(Window.partitionBy(col("__s"))))
-      .withColumn("__mid", col("__rk") + (col("__t") - 1) / 2.0)
+    val census = clean.groupBy(col("__s")).agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__tp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__tn"))
+      .withColumn("__t", col("__tp") + col("__tn"))
+    val ranked = Midrank.withMidranks(census, "__s", "__t")
     ranked.agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("__y"), col("__mid"))).as("__rp"))
+        sum(col("__tp")).as("n_pos"),
+        sum(col("__tn")).as("n_neg"),
+        sum(col("__tp") * col("__mid")).as("__rp"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           (col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0)
@@ -90,25 +93,39 @@ object Classifier {
     * nothing to calibrate; the spine join that histogram() uses
     * would chart 0/0). The expected-calibration-error summary is
     * Σ (n_b / n) · |acc_b − conf_b| over these rows — one more
-    * partial agg for the caller or the oracle. One scan, one
-    * partial-agg groupBy. */
+    * partial agg for the caller or the oracle.
+    *
+    * One scan, one partial-agg groupBy, ONE JOB: the out-of-range
+    * refusal is fused into the same aggregation (the Expect.check
+    * pattern) — an out-of-range score bins to NULL, so the refusal
+    * census rides the bin census instead of a separate limit-probe
+    * scan. The diagram is ≤ `bins` rows, so collecting it to refuse
+    * (or return) is driver-bounded at any corpus size; EAGER as a
+    * consequence. */
   def calibration(df: DataFrame, scoreCol: String, labelCol: String,
                   bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("boolean")
     val clean = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
-    val bad = clean.filter(s < 0.0 || s > 1.0).limit(1).count()
-    require(bad == 0,
-      s"calibration: $scoreCol has values outside [0,1] — it is not " +
-        "a probability; fix the scorer rather than clamping the axis")
-    clean
+    val census = clean
       .withColumn("bin",
-        least(lit(bins - 1), floor(s * bins)).cast("int"))
+        when(s >= 0.0 && s <= 1.0,
+          least(lit(bins - 1), floor(s * bins)).cast("int")))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         avg(s).as("mean_score"),
         avg(when(y, 1.0).otherwise(0.0)).as("frac_pos"))
-      .orderBy(col("bin"))
+    val rows = census.collect()
+    val bad = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    require(bad == 0,
+      s"calibration: $scoreCol has $bad values outside [0,1] — it " +
+        "is not a probability; fix the scorer rather than clamping " +
+        "the axis")
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows.sortBy(_.getInt(0)): _*)),
+      census.schema)
   }
 }

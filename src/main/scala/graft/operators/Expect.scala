@@ -53,10 +53,15 @@ object Expect {
   case class Matches(col: String, regex: String) extends Expectation {
     val name = s"matches($col)"
   }
-  /** Non-null values of `col` exist in `ref`'s `refCol`. */
+  /** Non-null values of `col` exist in `ref`'s `refCol`. The name
+    * includes the reference column: two FK expectations on the same
+    * column against DIFFERENT reference tables must stay
+    * distinguishable in the census (downstream ledgers key on
+    * (batch_id, constraint) — expectStream's dedup would silently
+    * merge identically-named rows). */
   case class ForeignKey(col: String, ref: DataFrame, refCol: String)
       extends Expectation {
-    val name = s"foreign_key($col)"
+    val name = s"foreign_key($col->$refCol)"
   }
 
   /** Run the suite; returns (constraint, violations, total, passed)
@@ -103,13 +108,30 @@ object Expect {
     // constraint ran; one count job only for an all-FK suite
     lazy val total: Long = localRow.headOption.map(_._2._2)
       .getOrElse(df.count())
+    // ALL foreign keys fold into ONE job: each FK's anti-join
+    // survivors tagged with the expectation's index, unioned, then
+    // counted per tag. N separate .count() actions would re-launch
+    // (and re-schedule) N jobs over the fact table; the union is one
+    // action whose branches run as parallel stages. Each branch is
+    // still bounded by its reference's DISTINCT keys (broadcast when
+    // small — the dims-vs-facts shape). A violation-free FK emits no
+    // rows, hence the default of 0.
+    val fks = expectations.zipWithIndex.collect {
+      case (fk: ForeignKey, i) => (fk, i)
+    }
+    val fkCounts: Map[Int, Long] =
+      if (fks.isEmpty) Map.empty
+      else fks.map { case (ForeignKey(c, ref, rc), i) =>
+          val keys = ref.select(col(rc).as(c)).distinct()
+          df.filter(col(c).isNotNull).join(keys, Seq(c), "left_anti")
+            .select(lit(i).as("__fk"))
+        }.reduce(_ unionByName _)
+        .groupBy("__fk").agg(count(lit(1)).as("__bad"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
     val rows = expectations.zipWithIndex.map {
-      case (fk @ ForeignKey(c, ref, rc), _) =>
-        // bounded by the reference's DISTINCT keys; Spark broadcasts
-        // it when small — the common dims-vs-facts shape
-        val keys = ref.select(col(rc).as(c)).distinct()
-        val bad = df.filter(col(c).isNotNull)
-          .join(keys, Seq(c), "left_anti").count()
+      case (fk: ForeignKey, i) =>
+        val bad = fkCounts(i)
         (fk.name, bad, total, bad == 0L)
       case (e, i) =>
         val (v, n) = localRow(i)

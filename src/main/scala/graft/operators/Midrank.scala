@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Distributed exact MIDRANKS — the shared rank machinery behind the
+  * experiment-readout family ([[Classifier.rocAuc]],
+  * [[AbTest.mannWhitneyU]], [[AbTest.spearmanCorr]]). A midrank is
+  * rank + (ties−1)/2: the average position a value's tie group
+  * occupies in the total order — the quantity every rank statistic
+  * (AUC, U, Spearman ρ) is actually built from.
+  *
+  * The naive encoding is `rank().over(Window.orderBy(v))`: an EMPTY
+  * window partition, i.e. every row funneled through ONE task — the
+  * classic scale-killer (fine at experiment size, fatal at corpus
+  * size). This helper replaces it with the ntileGlobal shape
+  * ([[graft.ddf.DDF.ntileGlobal]]'s TeraSort trick), applied to the
+  * GROUPED value census rather than raw rows:
+  *
+  *   1. the caller pre-aggregates to one row per distinct value with
+  *      a tie count `t` (a partial-agg groupBy — map-side combined,
+  *      so the shuffle moves distinct values, not rows);
+  *   2. range-partition + sort-within-partitions on the value — a
+  *      parallel sort with disjoint key ranges in partition order;
+  *   3. one light job counts rows-per-range (a Long fold, driver
+  *      state bounded by the partition count), whose prefix sums are
+  *      the global offsets;
+  *   4. a per-partition sequential pass converts each tie group's
+  *      cumulative row position into its midrank — genuine
+  *      imperative prefix-sum logic, the one place mapPartitions
+  *      beats any relational encoding.
+  *
+  * The counts job and the output read the SAME shuffled RDD, so the
+  * sort's map outputs are reused — no resample, nothing cached.
+  * Midranks are exact multiples of 0.5 (c + (t+1)/2), so every rank
+  * SUM downstream is binary-exact below 2⁵³ — bit-identical to the
+  * single-task window it replaces, which is what keeps the DuckDB
+  * oracles replaying `rank() OVER (ORDER BY v)` green.
+  *
+  * DRIVER-EXT scaffolding (reference `/root/reference/` is empty; no
+  * file:line citation possible — SURVEY.md §0 protocol).
+  */
+private[graft] object Midrank {
+
+  /** Append midranks to a PRE-GROUPED census: `grouped` has exactly
+    * one row per distinct value of `valueCol`, with the tie count in
+    * `tCol` (a positive long). Appends `out` = that value's midrank
+    * over the implied row population (Σ t rows). Nulls in `valueCol`
+    * must be filtered by the caller — a rank over nulls is
+    * undefined in every convention this library exposes. EAGER: the
+    * per-range counting job runs at call time. */
+  def withMidranks(grouped: DataFrame, valueCol: String, tCol: String,
+                   out: String = "__mid"): DataFrame = {
+    val spark = grouped.sparkSession
+    val sorted = grouped.drop(out)
+      .repartitionByRange(col(valueCol).asc)
+      .sortWithinPartitions(col(valueCol).asc)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, DoubleType, nullable = false))
+    val tIdx = sorted.schema.fieldIndex(tCol)
+    val rdd = sorted.rdd
+    // Long fold, not Iterator.size: one range of a 100 TB census can
+    // exceed Int range, same edge ntileGlobal guards
+    val counts = rdd.mapPartitionsWithIndex((i, it) => {
+        var n = 0L
+        while (it.hasNext) { n += it.next().getLong(tIdx) }
+        Iterator((i, n))
+      }, preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = offsets(i) // rows strictly below this tie group
+      it.map { row =>
+        val t = row.getLong(tIdx)
+        val mid = c + (t + 1) / 2.0 // = minrank + (t-1)/2
+        c += t
+        Row.fromSeq(row.toSeq :+ mid)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /** Per-ROW midranks of `valueCol` (for statistics that need rank
+    * pairs, e.g. Spearman): census + [[withMidranks]] + a join back
+    * on the value. The join shuffles at the width of the DISTINCT
+    * values; AQE broadcasts the census when it is small. */
+  def perRow(df: DataFrame, valueCol: String,
+             out: String): DataFrame = {
+    val census = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__t"))
+    val mids = withMidranks(census, valueCol, "__t", out)
+      .drop("__t")
+    df.join(mids, Seq(valueCol))
+  }
+}

@@ -44,21 +44,29 @@ object Quantize {
     require(dim > 0, s"dim must be positive, got $dim")
     // non-finite elements would poison the ranges (a single NaN makes
     // min/max NaN, every code null) — refuse loudly, same discipline
-    // as the null/length check
-    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) =!= dim
-        || exists(col(vecCol), x => isnan(x) ||
-          x === Float.PositiveInfinity || x === Float.NegativeInfinity))
-      .limit(1).count()
-    require(bad == 0,
-      s"fitScalarQuantizer: $vecCol contains null, non-$dim-length, " +
-        "or non-finite vectors — fix the input rather than silently " +
-        "skewing ranges")
-    val stats = df
-      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    // as the null/length check. The refusal census is FUSED into the
+    // stats scan (the Expect.check pattern): a bad row's vector is
+    // nulled, so posexplode_outer lands it in the null-dimension
+    // group of the SAME aggregation — one scan, one job, where a
+    // separate limit-probe used to run first.
+    val isBad = col(vecCol).isNull || size(col(vecCol)) =!= dim ||
+      exists(col(vecCol), x => isnan(x) ||
+        x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    val census = df
+      .select(when(!isBad, col(vecCol)).as("__v"))
+      .select(posexplode_outer(col("__v")).as(Seq("__d", "__x")))
       .groupBy(col("__d"))
-      .agg(min(col("__x").cast("double")).as("__lo"),
+      .agg(count(lit(1)).as("__n"),
+        min(col("__x").cast("double")).as("__lo"),
         max(col("__x").cast("double")).as("__hi"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .collect()
+    val bad = census.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    require(bad == 0,
+      s"fitScalarQuantizer: $vecCol contains $bad null, " +
+        s"non-$dim-length, or non-finite vectors — fix the input " +
+        "rather than silently skewing ranges")
+    val stats = census.filterNot(_.isNullAt(0))
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
     require(stats.length == dim,
       s"fitScalarQuantizer: saw ${stats.length} dimensions, expected $dim")

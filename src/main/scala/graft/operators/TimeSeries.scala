@@ -156,6 +156,11 @@ object TimeSeries {
     val vsum = aggregate(idx, lit(0.0),
       (acc, i) => acc + pow(lit(1.0 - alpha), (n - i).cast("double"))
         * element_at(col("__fr"), i))
-    withFr.withColumn("ewma", vsum / wsum).drop("__fr")
+    // collect_list SKIPS nulls, so a frame whose every row is null
+    // arrives EMPTY (n = 0); unguarded, element_at(__fr, 1) then
+    // throws under ANSI mode. An empty frame has no data to smooth —
+    // emit null, mirroring pandas ewm over an all-NaN window.
+    withFr.withColumn("ewma", when(n > lit(0), vsum / wsum))
+      .drop("__fr")
   }
 }

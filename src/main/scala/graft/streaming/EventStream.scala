@@ -482,7 +482,13 @@ object EventStream {
       s"slack must be >= 0 and h positive, got slack=$slack h=$h")
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").as[Long],
+    // value is nullable in the events schema; the primitive Double
+    // encoder below would throw on a null at runtime and kill the
+    // query. A null measurement carries no drift information, so it
+    // is skipped — matching the batch sibling, where sum() over the
+    // window ignores nulls.
+    events.filter(col("value").isNotNull)
+      .select(col("user_id").as[Long],
         unix_micros(col("ts").cast("timestamp")).as[Long],
         col("event_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)

@@ -501,6 +501,66 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // ---- distributed midranks (r12): the experiment-readout family
+    // (rocAuc / mannWhitneyU / spearmanCorr) used to rank via
+    // rank().over(Window.orderBy(v)) — ONE total-sort task. The
+    // Midrank helper replaces it with a grouped tie census + range-
+    // partitioned prefix sum. Time both shapes on replicated prices
+    // (replicas share values, so ties grow too) and assert the
+    // U-statistic row identical.
+    if (on("rank")) Seq(1, 4, 16).foreach { k =>
+      val c = priceCorpus(k)
+        .withColumn("g", when(col("l_orderkey") % 2 === 0, "A")
+          .otherwise("B"))
+        .cache()
+      val n = c.count()
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-8d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
+      val rWindow = time("mwWindow") {
+        // the pre-r12 shape, verbatim
+        val wOrd = Window.orderBy(col("v"))
+        val wTie = Window.partitionBy(col("v"))
+        val m = c.withColumn("__rk", rank().over(wOrd))
+          .withColumn("__t", count(lit(1)).over(wTie))
+          .withColumn("__mid", col("__rk") + (col("__t") - 1) / 2.0)
+        val a = m.agg(
+          sum(when(col("g") === "A", lit(1L))).as("n_a"),
+          sum(when(col("g") === "B", lit(1L))).as("n_b"),
+          sum(when(col("g") === "A", col("__mid"))).as("__ra"),
+          sum((pow(col("__t"), 3) - col("__t")) / col("__t")).as("__tt"))
+        a.collect().head.toSeq
+      }
+      val rCensus = time("mwMidrank") {
+        val u = graft.operators.AbTest.mannWhitneyU(c, "g", "v", "A", "B")
+        u.collect().head.toSeq
+      }
+      // compare via the operator's own outputs on the window path
+      val (na, nb, ra, tt) = (rWindow(0).asInstanceOf[Long],
+        rWindow(1).asInstanceOf[Long],
+        rWindow(2).asInstanceOf[Double],
+        rWindow(3).asInstanceOf[Double])
+      val uWin = ra - na * (na + 1) / 2.0
+      val sig2 = na.toDouble * nb / 12.0 *
+        ((na + nb + 1) - tt / (na.toDouble + nb) / (na + nb - 1))
+      val zWin = BigDecimal((uWin - na.toDouble * nb / 2.0)
+        / math.sqrt(sig2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      require(rCensus(0) == na && rCensus(1) == nb,
+        s"k=$k: counts diverged $rCensus vs ($na,$nb)")
+      require(rCensus(2) == BigDecimal(uWin)
+          .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"k=$k: U diverged ${rCensus(2)} vs $uWin")
+      require(math.abs(rCensus(3).asInstanceOf[Double]
+          - zWin.toDouble) < 2e-6,
+        s"k=$k: z diverged ${rCensus(3)} vs $zWin")
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- SubstringDedup: the scaladoc's scale shape, measured. The
     // replicated corpus duplicates every document body across
     // replicas (only the one-token `replicaI` suffix differs), so

@@ -31,7 +31,59 @@ class ExpectSpec extends SparkTestBase {
     // full-match semantics: "bad value" fails, "ok1".."ok3" pass
     assert(got("matches(txt)") == ((1L, 4L, false)))
     // FK: null key skipped; 1 and 2 both resolve
-    assert(got("foreign_key(id)") == ((0L, 4L, true)))
+    assert(got("foreign_key(id->k)") == ((0L, 4L, true)))
+  }
+
+  test("two FKs on one column vs different refs stay distinguishable") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val refA = Seq(1L, 2L, 3L).toDF("a")
+    val refB = Seq(1L, 2L).toDF("b")
+    val got = Expect.check(df, Seq(
+        ForeignKey("id", refA, "a"), ForeignKey("id", refB, "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got.size == 2) // names must not collide
+    assert(got("foreign_key(id->a)") == ((0L, true)))
+    assert(got("foreign_key(id->b)") == ((1L, false)))
+  }
+
+  test("N-FK suite runs as one batched job, not one per FK") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "pid")
+    val refA = Seq(1L, 2L, 3L).toDF("a")
+    val refB = Seq(10L, 20L).toDF("b")
+    val refC = Seq(1L).toDF("c")
+    // deterministic job accounting: AQE materializes stages as extra
+    // jobs and broadcast exchanges submit their own — switch both
+    // off for the count, restore after
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    try {
+      val suite = Seq(NotNull("id"), ForeignKey("id", refA, "a"),
+        ForeignKey("pid", refB, "b"), ForeignKey("id", refC, "c"))
+      sc.addSparkListener(l) // check() runs its jobs EAGERLY inside
+      val census = Expect.check(df, suite)
+      Thread.sleep(500) // listener bus is async
+      sc.removeSparkListener(l)
+      // census is driver-local rows; this collect is job-free
+      assert(census.collect().length == 4)
+      // check()'s internals: 1 fused local agg + 1 batched FK union
+      // (NOT 3 per-FK counts)
+      assert(n.get <= 2, s"expected <=2 jobs for a 3-FK suite, saw ${n.get}")
+    } finally {
+      sc.removeSparkListener(l)
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
   }
 
   test("clean table passes everything; all-FK suite still totals") {

@@ -49,6 +49,13 @@ class QuantizeSpec extends SparkTestBase {
     }
   }
 
+  test("fit: refusal census fused into the stats scan — 1 job") {
+    val df = Seq((1L, Seq(0f, 10f)), (2L, Seq(5f, 20f)))
+      .toDF("id", "v")
+    val jobs = countJobs { Quantize.fitScalarQuantizer(df, "v", 2) }
+    assert(jobs == 1, s"expected the fused single job, saw $jobs")
+  }
+
   test("int8 recall: near-exact top-k on the testdata embeddings") {
     // int8 keeps per-dimension resolution (range/255 error), far
     // below the distances that separate random 64-d vectors — so

@@ -198,6 +198,15 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("calibration: refusal census fused into the bin scan — 1 job") {
+    import graft.operators.Classifier
+    val df = Seq((0.1, false), (0.9, true), (0.5, true)).toDF("s", "y")
+    val jobs = countJobs {
+      Classifier.calibration(df, "s", "y", bins = 10)
+    }
+    assert(jobs == 1, s"expected the fused single job, saw $jobs")
+  }
+
   test("gini: uniform 0, one-hot (n-1)/n, negatives refused") {
     val eq = Seq.fill(8)(5.0).toDF("v")
     assert(Profile.gini(eq, "v").collect().head.getDouble(2) == 0.0)

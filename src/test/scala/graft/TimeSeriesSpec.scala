@@ -78,4 +78,19 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.ewma(series(1), Seq("key"), Seq("t"), "v", 1.0, 3)
     }
   }
+
+  test("ewma: null-leading rows yield null, not an ANSI crash") {
+    // collect_list skips nulls -> the first row's frame is EMPTY;
+    // pre-guard this threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    val df = Seq(("k", 1, None: Option[Double]), ("k", 2, Some(10.0)),
+        ("k", 3, None), ("k", 4, Some(20.0)))
+      .toDF("key", "t", "v")
+    val got = TimeSeries.ewma(df, Seq("key"), Seq("t"), "v",
+        alpha = 0.5, window = 2)
+      .orderBy($"t").select($"ewma").collect()
+    assert(got(0).isNullAt(0))              // empty frame -> null
+    assert(got(1).getDouble(0) == 10.0)     // frame [10]
+    assert(got(2).getDouble(0) == 10.0)     // null skipped: frame [10]
+    assert(got(3).getDouble(0) == 20.0)     // window 2 from t=3: [20]
+  }
 }
