@@ -6027,22 +6027,37 @@ object SparkEntry {
     // expression is pinned bit-for-bit against DuckDB's
     // jaro_winkler_similarity (TextFunctionsSpec), so the oracle
     // replays the fuzzy agreement decision exactly.
+    // Blocking is COMPOSITE (r12, VERDICT item 4): nation alone has 25
+    // values, so the largest block is corpus/25 and candidate pairs
+    // grow quadratically with corpus size. Nation × first-16-chars
+    // name prefix keeps every true pair in-block (the transposition
+    // only touches chars 17–18) while bounding blocks to the handful
+    // of customers sharing a nation AND a custkey-div-100 prefix —
+    // candidates are corpus-linear (ScaleSmoke `lnk` measures both
+    // keys' growth). The standard blocking-recall trade applies and
+    // is visible in the fixture: cross-prefix near-names (custkey
+    // ...099 vs ...100 differ inside the 16-char prefix yet score
+    // jw >= 0.97) were candidates under nation-only blocking and are
+    // not here — every real linkage deployment makes exactly this
+    // trade when it picks a block key, and the oracle replays the
+    // same composite block, so the gate pins the traded answer.
     Q("q211_fuzzy_linkage", (s, dir) => {
       import graft.operators.Linkage
       val cust = t(s, dir, "customer")
+      val pfx = substring(col("c_name"), 1, 16).as("pfx")
       val a = cust.select(col("c_custkey").as("rid"),
-        col("c_nationkey").as("blk"), col("c_name").as("nm"),
+        col("c_nationkey").as("blk"), pfx, col("c_name").as("nm"),
         col("c_mktsegment").as("mk"))
       val swapped = concat(
         substring(col("c_name"), 1, 16),
         substring(col("c_name"), 18, 1),
         substring(col("c_name"), 17, 1))
       val b = cust.select((col("c_custkey") + 100000).as("rid"),
-        col("c_nationkey").as("blk"),
+        col("c_nationkey").as("blk"), pfx,
         when(col("c_custkey") % 10 === 0, swapped)
           .otherwise(col("c_name")).as("nm"),
         col("c_mktsegment").as("mk"))
-      Linkage.linkPairs(a, "rid", b, "rid", Seq("blk"), Seq(
+      Linkage.linkPairs(a, "rid", b, "rid", Seq("blk", "pfx"), Seq(
           Linkage.FieldSpec("nm", 0.95, 0.001,
             jwThreshold = Some(0.97)),
           Linkage.FieldSpec("mk", 0.9, 0.2)))
@@ -6052,9 +6067,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
       Some("""WITH a AS (SELECT c_custkey AS ida, c_nationkey AS blk,
+             |   substring(c_name, 1, 16) AS pfx,
              |   c_name AS nm, c_mktsegment AS mk FROM customer),
              |b AS (SELECT c_custkey + 100000 AS idb,
              |   c_nationkey AS blk,
+             |   substring(c_name, 1, 16) AS pfx,
              |   CASE WHEN c_custkey % 10 = 0 THEN
              |     substring(c_name, 1, 16) || substring(c_name, 18, 1)
              |      || substring(c_name, 17, 1)
@@ -6071,11 +6088,142 @@ object SparkEntry {
              |   + CASE WHEN a.mk IS NULL OR b.mk IS NULL THEN 0.0
              |    WHEN a.mk = b.mk THEN log2(0.9 / 0.2)
              |    ELSE log2(0.1 / 0.8) END) AS score
-             |  FROM a JOIN b ON a.blk = b.blk)
+             |  FROM a JOIN b ON a.blk = b.blk AND a.pfx = b.pfx)
              |SELECT ida AS id_a, idb AS id_b, n_agree,
              |  round(score, 4) AS score
              |FROM p WHERE score >= 5.0
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // BOUNDED sibling of q145 (r12, VERDICT item 6 — the q192/q193
+    // promotion pattern applied to PQ): the trained codebook is
+    // k-means state no SQL replays, but TWO claims about the same run
+    // are fully checkable. (a) the EXACT-L2 half (the recall
+    // denominator) is plain double arithmetic — emitted row-for-row
+    // (query_id, rnk, neighbor_id) and replayed in DuckDB with the
+    // identical fold order and neighbor-id tie-break, putting
+    // exactL2TopK itself under the hash gate for the first time;
+    // (b) "trained-PQ recall@5 over these 10 queries clears the
+    // floor" — a boolean the oracle predicts as literal TRUE. Floor
+    // 0.15 = half the weakest measured operating point (0.30/0.34/
+    // 0.34 at sf0.001/0.01/0.1, ProbeR12; fit is deterministic by the
+    // id-ordered-sample contract, so the measurement is stable). A
+    // degraded codebook or a broken ADC now fails the HASH gate.
+    Q("q212_pq_adc_bounded", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      val encoded = graft.operators.Pq.encode(emb, "embedding", model)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val approx = graft.operators.Pq.adcTopK(encoded, q, "vec_id",
+          "pq_code", "embedding", model, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.operators.Pq.exactL2TopK(emb, q, "vec_id",
+        "embedding", k = 5)
+      val hits = approx.join(
+          exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      exact.select(col("query_id"), col("rank").as("rnk"),
+          col("neighbor_id"),
+          lit(hits / 50.0 >= 0.15).as("recall_floor_met"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |  WHERE vec_id < 10),
+             |d AS (SELECT query_id, e.vec_id AS neighbor_id,
+             |   list_sum(list_transform(range(64), j ->
+             |     (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)])
+             |     * (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)]))) AS d2
+             |  FROM q, e),
+             |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+             |   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC)
+             |   AS rnk FROM d)
+             |SELECT query_id, rnk, neighbor_id,
+             | TRUE AS recall_floor_met
+             |FROM r WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // BOUNDED sibling of q148, same promotion: IVF-PQ composes the
+    // coarse router with residual PQ codes — still k-means state —
+    // but its recall over the q148 operating point (nCells=8,
+    // nProbe=4, 32-bit residual codes) measured 0.32/0.40/0.32
+    // across the three gate scales (ProbeR12), so the 0.15 floor
+    // carries 2x slack. Exact side replayed as in q212; the two
+    // siblings share the exact fixture deliberately — one DuckDB
+    // answer, two independent ANN paths gated against it.
+    Q("q213_ivfpq_bounded", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fitIvfPq(emb, "vec_id", "embedding",
+        nCells = 8, m = 8, dsub = 8, ksub = 16)
+      val encoded = graft.operators.Pq.encodeIvfPq(emb, "vec_id",
+        "embedding", model)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val approx = graft.operators.Pq.ivfPqTopK(encoded, q, "vec_id",
+          "cell", "pq_code", "embedding", model, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.operators.Pq.exactL2TopK(emb, q, "vec_id",
+        "embedding", k = 5)
+      val hits = approx.join(
+          exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      exact.select(col("query_id"), col("rank").as("rnk"),
+          col("neighbor_id"),
+          lit(hits / 50.0 >= 0.15).as("recall_floor_met"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |  WHERE vec_id < 10),
+             |d AS (SELECT query_id, e.vec_id AS neighbor_id,
+             |   list_sum(list_transform(range(64), j ->
+             |     (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)])
+             |     * (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)]))) AS d2
+             |  FROM q, e),
+             |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+             |   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC)
+             |   AS rnk FROM d)
+             |SELECT query_id, rnk, neighbor_id,
+             | TRUE AS recall_floor_met
+             |FROM r WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // BOUNDED sibling of q59 (r12, VERDICT item 6): the k-means
+    // TRAINER is iterative RNG-initialized state no SQL replays
+    // (q59 stays [R] with MLSpec's blob pin), but the ASSIGNMENT
+    // step — the half of Lloyd every serving pipeline runs — is
+    // closed-form: predict(x) must be the argmin over the model's
+    // own centers of squared L2. The Spark side recomputes that
+    // argmin as column arithmetic over the trained centers (literal
+    // arrays, the q146 literal-codebook move) and emits one
+    // consistency boolean per vector; the oracle predicts literal
+    // TRUE for every row. Robust to trainer nondeterminism by
+    // construction — ANY trained centers satisfy the invariant, so
+    // the gate pins predict()'s algebra, not the RNG.
+    Q("q214_kmeans_assign_bounded", (s, dir) => {
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val feats = emb.withColumn("features", array_to_vector(col("v")))
+      val model = Models.kmeans(feats, "features", k = 8)
+      def d2(center: Array[Double]) = aggregate(
+        zip_with(col("v"), typedLit(center.toSeq),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+      val dists = array(model.clusterCenters.map(c => d2(c.toArray)): _*)
+      model.transform(feats)
+        .select(col("vec_id"),
+          (element_at(dists, col("prediction").cast("int") + 1)
+            <= array_min(dists) + lit(1e-9)).as("assign_consistent"))
+        .orderBy(col("vec_id"))
+    },
+      Some("""SELECT vec_id, TRUE AS assign_consistent FROM embeddings
+             |ORDER BY vec_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -592,41 +592,76 @@ object Dedup {
       s"$what: index at $path is not partitioned — persist it with " +
         "indexWritePartitioned (or use the full-swap update)")
     // numParts = 0 means "the index's own layout": read the embedded
-    // __numParts (one head row of a constant RLE column) — admission
-    // callers shouldn't have to know a layout param the index carries
-    val np =
-      if (numParts != 0) numParts
-      else {
-        require(index.columns.contains("__numParts"),
-          s"$what: index at $path lacks __numParts; pass numParts " +
-            "explicitly or rebuild with indexWritePartitioned")
+    // __numParts (one head row of a constant RLE column — a limit
+    // over a bare scan is one 1-task job, not the limit-over-shuffle
+    // probe trap). r12: the head read now also runs for EXPLICIT
+    // numParts and asserts agreement — with param validation pruned
+    // to dirty partitions (below), an all-new dirty set would
+    // otherwise let a wrong explicit numParts slip through and hash
+    // buckets into the wrong layout partitions.
+    val embedded: Option[Int] =
+      if (index.columns.contains("__numParts")) {
         val head = index.select(col("__numParts")).limit(1).collect()
-        require(head.nonEmpty,
-          s"$what: index at $path has zero rows, so its layout cannot " +
-            "be read back — pass numParts explicitly (it must match " +
-            "the value the index was created with)")
-        head(0).getInt(0)
-      }
-    val old = validateIndexParams(index, what,
+        head.headOption.map(_.getInt(0))
+      } else None
+    val np = (numParts, embedded) match {
+      case (0, Some(e)) => e
+      case (0, None) =>
+        throw new IllegalArgumentException(
+          s"$what: index at $path lacks __numParts (or has zero " +
+            "rows), so its layout cannot be read back — pass numParts " +
+            "explicitly (it must match the value the index was " +
+            "created with)")
+      case (a, Some(e)) =>
+        require(a == e,
+          s"$what: index at $path was laid out with __numParts = $e " +
+            s"but numParts = $a was passed — an update under the " +
+            "wrong layout hashes buckets into the wrong partitions. " +
+            s"Pass numParts = $e (or 0 to read the layout from the " +
+            "index).")
+        a
+      case (a, None) => a // unstamped legacy layout: caller's contract
+    }
+    // batch banding: CACHE, populated by the dirty-scan collect below
+    // and reused by the merge — r12 job diet (VERDICT item 3): the
+    // previous localCheckpoint-then-collect shape ran the banding as
+    // its own job and the dirty scan as a second; the cache folds
+    // them into one. Safe where a checkpoint was required for
+    // `merged`: nb derives from the BATCH, not from the index files
+    // the overwrite below replaces.
+    val nb = batchBuckets.withColumn("part", partOf(keys, np)).cache()
+    val dirty = nb.select(col("part")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (dirty.isEmpty) { // empty batch
+      nb.unpersist()
+      return PartialUpdateStats(0, np)
+    }
+    // r12 job diet, part 2: validate build params against the DIRTY
+    // partitions only — the same partition-pruned scan the merge
+    // reads — instead of the whole index. The full-index validation
+    // was the fold's one corpus-proportional READ (and the file set
+    // changes every fold, so the validation cache never hit on cycle
+    // 2+). Sound because every partitioned-index writer
+    // (indexWritePartitioned and this fold's restamp) stamps params
+    // uniformly across partitions — the screen side still validates
+    // the full index each cycle, so a hand-assembled mixed-param
+    // union is caught there. Dirty partitions that do not exist yet
+    // (all-new buckets) validate vacuously (zero param tuples).
+    val pruned = index.filter(col("part").isin(dirty.map(Int.box): _*))
+    val old = validateIndexParams(pruned, what,
       asked :+ ("__numParts" -> np), acceptUnvalidated)
     require(old.columns.contains("n"),
       s"$what requires a graft-built index carrying the true bucket " +
         "count column `n`")
-    val nb = batchBuckets.withColumn("part", partOf(keys, np))
-      .localCheckpoint() // one banding job serves dirty-scan and merge
-    val dirty = nb.select(col("part")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (dirty.isEmpty) return PartialUpdateStats(0, np) // empty batch
     val cols = keys.map(col) :+ col("ids") :+ col("n")
     val merged = restamp(
-        mergeIndex(
-          old.filter(col("part").isin(dirty.map(Int.box): _*))
-            .select(cols: _*),
+        mergeIndex(old.select(cols: _*),
           nb.select(cols: _*), keys, maxBucketSize))
       .withColumn("__numParts", lit(np))
       .withColumn("part", partOf(keys, np))
       .repartition(col("part"))
       .localCheckpoint()
+    nb.unpersist()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try

@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike,
+  ShuffleExchangeLike}
 
 /** Parallelism guard for compute-heavy per-row stages (signatures,
   * distance math): a small single-file scan arrives as ONE partition,
@@ -17,7 +20,16 @@ private[graft] object Partitioning {
     // adaptive plan, which materializes every query stage — i.e. the
     // "check" runs real jobs (r11 ProbeAdmit caught the admission
     // screen scanning the corpus for a throwaway broadcast during
-    // planning). So: inspect the physical plan instead.
+    // planning). Requirement-driven exchanges are only INSERTED during
+    // plan preparation (EnsureRequirements), so queryExecution
+    // .sparkPlan is blind to them — a groupBy or broadcast-join plan
+    // shows no exchange there (r11's version checked sparkPlan and its
+    // exchange branches were dead). Inspect the PREPARED plan instead:
+    // under AQE the executedPlan root is AdaptiveSparkPlanExec, whose
+    // public initialPlan is the post-EnsureRequirements physical tree;
+    // building it runs zero jobs (stages materialize only on
+    // execute/rdd). With AQE off, executedPlan itself carries the
+    // exchanges.
     //   - plan already shuffles -> its output width is
     //     spark.sql.shuffle.partitions (~ target here); leave it
     //     alone and let AQE size it.
@@ -29,20 +41,22 @@ private[graft] object Partitioning {
     //     genuinely free (nothing adaptive to materialize); keep the
     //     exact width check so a 100 TB corpus scan that already has
     //     thousands of splits is NEVER needlessly reshuffled.
-    val hasShuffle = df.queryExecution.sparkPlan.find(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange
-        .ShuffleExchangeLike]).isDefined
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val hasShuffle =
+      physical.find(_.isInstanceOf[ShuffleExchangeLike]).isDefined
     // a CACHED frame (InMemoryTableScan root) is deliberately NOT
     // treated as exchange-bearing: probing its width does build the
     // cache eagerly, but that materialization is exactly the work
     // every downstream action would reuse — early attribution, not
     // waste. Only an UNCACHED broadcast-bearing plan wastes work
     // when probed (its stages belong to the probe's execution alone).
-    val hasExchange = hasShuffle || df.queryExecution.sparkPlan.find(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange
-        .BroadcastExchangeLike]).isDefined
+    val hasBroadcast =
+      physical.find(_.isInstanceOf[BroadcastExchangeLike]).isDefined
     if (hasShuffle) df
-    else if (hasExchange) df.repartition(target)
+    else if (hasBroadcast) df.repartition(target)
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

@@ -1005,6 +1005,57 @@ object ScaleSmoke {
         f"lex ${admits(ldir, "l_suppkey", sMid)}/$nFiles")
     }
 
+    // lnk: fuzzy-linkage candidate growth — nation-only vs composite
+    // (nation × 16-char name-prefix) blocking as the customer corpus
+    // replicates k×. Replicas mint fresh TPC-H-shaped names from
+    // their offset keys (a growing corpus grows its name space), so
+    // composite blocks stay bounded (same nation AND same
+    // custkey-div-100 prefix) while nation-only blocks grow ~n/25:
+    // candidates quadratic vs linear — the q211 fixture re-block
+    // (VERDICT r11 item 4) as a measured table. Wall time rides the
+    // candidate count (the JW comparator runs once per candidate).
+    if (on("lnk")) {
+      import graft.operators.Linkage
+      val cust0 = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      def custCorpus(k: Int) = (0 until k).map { i =>
+        cust0.select(
+          (col("c_custkey") + lit(i.toLong * 10000000L)).as("ck"),
+          col("c_nationkey"), col("c_mktsegment"))
+      }.reduce(_ union _)
+        .select(col("ck"),
+          format_string("Customer#%09d", col("ck")).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment")).cache()
+      Seq(1, 2).foreach { k =>
+        val cust = custCorpus(k)
+        val n = cust.count()
+        val pfx = substring(col("c_name"), 1, 16).as("pfx")
+        val a = cust.select(col("ck").as("rid"),
+          col("c_nationkey").as("blk"), pfx,
+          col("c_name").as("nm"), col("c_mktsegment").as("mk"))
+        val swapped = concat(substring(col("c_name"), 1, 16),
+          substring(col("c_name"), 18, 1), substring(col("c_name"), 17, 1))
+        val b = cust.select((col("ck") + 100000000L).as("rid"),
+          col("c_nationkey").as("blk"), pfx,
+          when(col("ck") % 10 === 0, swapped)
+            .otherwise(col("c_name")).as("nm"),
+          col("c_mktsegment").as("mk"))
+        val fields = Seq(
+          Linkage.FieldSpec("nm", 0.95, 0.001, jwThreshold = Some(0.97)),
+          Linkage.FieldSpec("mk", 0.9, 0.2))
+        for ((label, bc) <- Seq(("lnkNationOnly", Seq("blk")),
+                                ("lnkComposite", Seq("blk", "pfx")))) {
+          val t0 = System.nanoTime()
+          val cands = Linkage.linkPairs(a, "rid", b, "rid", bc, fields)
+            .count()
+          println(f"[scale-smoke] lnk k=$k%-2d n=$n%-7d $label%-16s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  candidates=$cands")
+        }
+        cust.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     spark.stop()
   }
 }

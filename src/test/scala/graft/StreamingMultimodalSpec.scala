@@ -386,6 +386,48 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(got.filter($"alarm").count() > 0)
   }
 
+  test("cusumLedger: at-least-once replay is a provable no-op at read") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_cusum_ledger").toString
+    val ledger = s"$base/ledger"
+    EventStream.cusumLedger(EventStream.readStream(spark, dir),
+      target = 50.0, slack = 5.0, h = 200.0,
+      path = ledger, checkpoint = s"$base/ckpt")
+    val clean = EventStream.readCusumLedger(spark, ledger)
+      .collect().toSet
+    assert(clean.nonEmpty, "ledger must have rows")
+    // replay-free run: the ledger (modulo batch stamps) must equal
+    // the memory-sink stream output — state carried identically
+    val direct = EventStream.runToMemory(
+      EventStream.cusumStream(EventStream.readStream(spark, dir),
+        target = 50.0, slack = 5.0, h = 200.0).toDF(),
+      "cusum_ledger_direct", OutputMode.Append())
+    val a = spark.read.parquet(ledger)
+      .select($"user_id", $"event_id", $"cusum", $"alarm")
+    assert(a.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(a).count() == 0,
+      "ledger diverged from the replay-free stream output")
+    // FORCED REPLAY: re-append one batch's rows under its original
+    // batch id — the at-least-once failure mode (batch committed to
+    // the sink, checkpoint commit lost, batch re-runs). Replayed rows
+    // are identical by the determinism argument in the scaladoc, so
+    // the raw ledger grows but the dedup read must not move.
+    val raw0 = spark.read.parquet(ledger).count()
+    val lastId = spark.read.parquet(ledger)
+      .agg(max($"batch_id")).head().getLong(0)
+    val replayRows = spark.read.parquet(ledger)
+      .filter($"batch_id" === lastId)
+      .select($"user_id", $"event_id", $"cusum", $"alarm")
+      .as[EventStream.CusumRow]
+    EventStream.appendCusumBatch(replayRows, lastId, ledger)
+    assert(spark.read.parquet(ledger).count() > raw0,
+      "forced replay must append raw rows")
+    val afterReplay = EventStream.readCusumLedger(spark, ledger)
+      .collect().toSet
+    assert(afterReplay == clean,
+      "dedup read must be identical before and after the replay")
+  }
+
   test("expectStream: per-batch census ledger + quarantine hook") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.operators.Expect
