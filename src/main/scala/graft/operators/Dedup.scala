@@ -585,9 +585,19 @@ object Dedup {
                                     batchBuckets: DataFrame,
                                     maxBucketSize: Int, numParts: Int,
                                     acceptUnvalidated: Boolean,
-                                    restamp: DataFrame => DataFrame)
+                                    restamp: DataFrame => DataFrame,
+                                    preRead: Option[DataFrame])
   : PartialUpdateStats = {
-    val index = spark.read.parquet(path)
+    // preRead: a caller that already holds a DataFrame over `path`
+    // (the admission loop reads the index once per cycle for its
+    // screens) passes it here to skip a second read — above
+    // spark.sql.sources.parallelPartitionDiscovery.threshold (32)
+    // dirs, EVERY fresh read of the partitioned layout runs a
+    // numParts-task listing job (r12 ProbeQ129: 128 tasks, the
+    // fold's single biggest job). Only valid while no writer has
+    // touched `path` since the frame was created — the admission
+    // cycle's single-writer contract.
+    val index = preRead.getOrElse(spark.read.parquet(path))
     require(index.columns.contains("part"),
       s"$what: index at $path is not partitioned — persist it with " +
         "indexWritePartitioned (or use the full-swap update)")
@@ -692,7 +702,8 @@ object Dedup {
                                     shingleLen: Int = 3, seed: Long = 42L,
                                     maxBucketSize: Int = 1000,
                                     numParts: Int = 0,
-                                    acceptUnvalidated: Boolean = false)
+                                    acceptUnvalidated: Boolean = false,
+                                    preRead: Option[DataFrame] = None)
   : PartialUpdateStats = {
     val nb = bandedFor(shingledFor(newBatch, idCol, textCol, shingleLen),
         numHashes, bands, seed)
@@ -706,7 +717,8 @@ object Dedup {
       Seq("band", "bucket"), nb, maxBucketSize, numParts,
       acceptUnvalidated,
       stampMinhashParams(_, numHashes, bands, shingleLen, seed,
-        maxBucketSize))
+        maxBucketSize),
+      preRead)
   }
 
   /** [[minhashIndexUpdatePartitioned]]'s embedding sibling. */
@@ -716,7 +728,8 @@ object Dedup {
       idCol: String, vecCol: String, dim: Int,
       nTables: Int = 8, bitsPerTable: Int = 16, seed: Long = 42L,
       maxBucketSize: Int = 10000, numParts: Int = 0,
-      acceptUnvalidated: Boolean = false): PartialUpdateStats = {
+      acceptUnvalidated: Boolean = false,
+      preRead: Option[DataFrame] = None): PartialUpdateStats = {
     val nb = embCodes(newBatch, idCol, vecCol, dim, nTables, bitsPerTable,
         seed)
       .select(col("id"), explode(col("codes")).as("code"))
@@ -727,7 +740,8 @@ object Dedup {
       embAsked(nTables, bitsPerTable, dim, seed) :+
         ("__maxBucketSize" -> maxBucketSize),
       Seq("code"), nb, maxBucketSize, numParts, acceptUnvalidated,
-      stampEmbParams(_, nTables, bitsPerTable, dim, seed, maxBucketSize))
+      stampEmbParams(_, nTables, bitsPerTable, dim, seed, maxBucketSize),
+      preRead)
   }
 
   private def screenAgainstIndex(newDf: DataFrame, corpus: DataFrame,

@@ -123,7 +123,7 @@ object Admission {
                         screen: (DataFrame, DataFrame, DataFrame) => DataFrame,
                         dedupWithin: DataFrame => DataFrame,
                         fold: (DataFrame, DataFrame) => DataFrame,
-                        foldInPlace: (String, DataFrame) => Unit,
+                        foldInPlace: (String, DataFrame, DataFrame) => Unit,
                         forceInPlace: Boolean = false)
   : AdmitStats = {
     val spark = batch.sparkSession
@@ -148,8 +148,14 @@ object Admission {
     val nAdmitted = admitted.count()
     if (nAdmitted > 0) {
       admitted.write.mode("append").parquet(corpusPath)
+      // the cycle's own index frame rides along: no writer touched
+      // indexPath since it was read (single-writer contract, and the
+      // corpus append above writes corpusPath, not the index), so the
+      // fold can reuse its file listing instead of re-listing — above
+      // the parallel-discovery threshold a fresh read of a partitioned
+      // layout costs a numParts-task job (r12 ProbeQ129)
       if (forceInPlace || index.columns.contains("part"))
-        foldInPlace(indexPath, admitted)
+        foldInPlace(indexPath, admitted, index)
       else swapWrite(fold(index, admitted), indexPath)
     }
     fresh.unpersist()
@@ -187,11 +193,11 @@ object Admission {
         Dedup.minhashIndexUpdate(index, admitted, idCol, textCol,
           numHashes = numHashes, bands = bands, shingleLen = shingleLen,
           seed = seed, maxBucketSize = maxBucketSize),
-      foldInPlace = (path, admitted) =>
+      foldInPlace = (path, admitted, idx) =>
         Dedup.minhashIndexUpdatePartitioned(admitted.sparkSession, path,
           admitted, idCol, textCol, numHashes = numHashes, bands = bands,
           shingleLen = shingleLen, seed = seed,
-          maxBucketSize = maxBucketSize))
+          maxBucketSize = maxBucketSize, preRead = Some(idx)))
 
   /** [[admitBatch]]'s embedding sibling: same skeleton, with the
     * semantic screen ([[Dedup.embeddingPairsAgainstIndex]] over a
@@ -228,11 +234,11 @@ object Admission {
         Dedup.embeddingIndexUpdate(index, admitted, idCol, vecCol, dim,
           nTables = nTables, bitsPerTable = bitsPerTable, seed = seed,
           maxBucketSize = maxBucketSize),
-      foldInPlace = (path, admitted) =>
+      foldInPlace = (path, admitted, idx) =>
         Dedup.embeddingIndexUpdatePartitioned(admitted.sparkSession, path,
           admitted, idCol, vecCol, dim, nTables = nTables,
           bitsPerTable = bitsPerTable, seed = seed,
-          maxBucketSize = maxBucketSize))
+          maxBucketSize = maxBucketSize, preRead = Some(idx)))
 
   /** [[admitBatch]]'s substring sibling: the near screen is
     * SPAN-COVERAGE against a persisted
@@ -302,7 +308,7 @@ object Admission {
           Seq(idCol), "left_anti"),
       fold = (_, _) => throw new IllegalStateException(
         "unreachable: the substring loop always folds in place"),
-      foldInPlace = (path, admitted) => {
+      foldInPlace = (path, admitted, _) => {
         val spark = admitted.sparkSession
         SubstringDedup.gramIndexAppendInPlace(spark,
           path, admitted, idCol, textCol, k, hashKeys)

@@ -104,7 +104,14 @@ object PlanLint {
       "the evaluation joins themselves are all equi"),
     "q188_matryoshka_eval" -> ("rides bruteForceTopK twice — the " +
       "broadcast query batch crossing the corpus is the documented " +
-      "exact-baseline plan (q49/q145 precedent)"))
+      "exact-baseline plan (q49/q145 precedent)"),
+    "q212_pq_adc_bounded" -> ("rides exactL2TopK (and adcTopK for " +
+      "the recall boolean): the broadcast 10-query batch crossing " +
+      "the corpus is the documented exact-baseline plan (q49/q145 " +
+      "precedent)"),
+    "q213_ivfpq_bounded" -> ("rides exactL2TopK (and ivfPqTopK for " +
+      "the recall boolean): same broadcast-query-batch exact " +
+      "baseline as q212 (q49/q145 precedent)"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

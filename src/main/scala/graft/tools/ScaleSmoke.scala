@@ -1046,10 +1046,15 @@ object ScaleSmoke {
         for ((label, bc) <- Seq(("lnkNationOnly", Seq("blk")),
                                 ("lnkComposite", Seq("blk", "pfx")))) {
           val t0 = System.nanoTime()
-          val cands = Linkage.linkPairs(a, "rid", b, "rid", bc, fields)
-            .count()
+          // aggregate over score, not count(): a bare count would let
+          // Catalyst prune the JW comparator out of the plan and time
+          // only candidate enumeration — the wall must carry the
+          // scoring work the gate query actually runs per candidate
+          val r = Linkage.linkPairs(a, "rid", b, "rid", bc, fields)
+            .agg(count(lit(1)).as("cands"), sum(col("score"))).head()
           println(f"[scale-smoke] lnk k=$k%-2d n=$n%-7d $label%-16s " +
-            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  candidates=$cands")
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"candidates=${r.getLong(0)}")
         }
         cust.unpersist()
         spark.catalog.clearCache()
