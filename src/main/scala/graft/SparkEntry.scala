@@ -113,6 +113,38 @@ object SparkEntry {
     (corpusDir, indexDir, tmp)
   }
 
+  /** sequential SQL replay of both EMBEDDING admission cycles with
+    * exact cosine — shared verbatim by q124 (plain index) and q216
+    * (partitioned index, r12): same answer through both fold paths. */
+  private lazy val admissionEmbedOracleSql =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+      |b1 AS (SELECT vec_id + 30000 AS vec_id,
+      |    list_transform(embedding, x -> -x) AS embedding
+      |  FROM base WHERE vec_id < 100),
+      |b2 AS (SELECT vec_id + 10000 AS vec_id,
+      |    list_transform(embedding, x -> x * 2) AS embedding
+      |    FROM b1 WHERE vec_id < 30050
+      |  UNION ALL SELECT vec_id + 20000,
+      |    list_transform(embedding, x -> x * 3) FROM base WHERE vec_id < 50
+      |  UNION ALL SELECT vec_id, embedding FROM base WHERE vec_id < 30),
+      |m1 AS (SELECT DISTINCT n.vec_id FROM b1 n, base c
+      |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])) >= 0.95),
+      |c1 AS (SELECT vec_id FROM base UNION ALL
+      |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
+      |cv AS (SELECT vec_id, embedding FROM base UNION ALL
+      |  SELECT vec_id, embedding FROM b1
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
+      |b2f AS (SELECT vec_id, embedding FROM b2
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM c1)),
+      |m2 AS (SELECT DISTINCT n.vec_id FROM b2f n, cv c
+      |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])) >= 0.95)
+      |SELECT vec_id FROM c1
+      |UNION ALL SELECT vec_id FROM b2f
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
+      |ORDER BY vec_id""".stripMargin
+
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
     * (streaming path). */
@@ -2313,33 +2345,46 @@ object SparkEntry {
       s.read.parquet(corpusDir).select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
-      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
-             |b1 AS (SELECT vec_id + 30000 AS vec_id,
-             |    list_transform(embedding, x -> -x) AS embedding
-             |  FROM base WHERE vec_id < 100),
-             |b2 AS (SELECT vec_id + 10000 AS vec_id,
-             |    list_transform(embedding, x -> x * 2) AS embedding
-             |    FROM b1 WHERE vec_id < 30050
-             |  UNION ALL SELECT vec_id + 20000,
-             |    list_transform(embedding, x -> x * 3) FROM base WHERE vec_id < 50
-             |  UNION ALL SELECT vec_id, embedding FROM base WHERE vec_id < 30),
-             |m1 AS (SELECT DISTINCT n.vec_id FROM b1 n, base c
-             |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
-             |    CAST(c.embedding AS DOUBLE[])) >= 0.95),
-             |c1 AS (SELECT vec_id FROM base UNION ALL
-             |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
-             |cv AS (SELECT vec_id, embedding FROM base UNION ALL
-             |  SELECT vec_id, embedding FROM b1
-             |  WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
-             |b2f AS (SELECT vec_id, embedding FROM b2
-             |  WHERE vec_id NOT IN (SELECT vec_id FROM c1)),
-             |m2 AS (SELECT DISTINCT n.vec_id FROM b2f n, cv c
-             |  WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
-             |    CAST(c.embedding AS DOUBLE[])) >= 0.95)
-             |SELECT vec_id FROM c1
-             |UNION ALL SELECT vec_id FROM b2f
-             |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
-             |ORDER BY vec_id""".stripMargin)),
+      Some(admissionEmbedOracleSql)),
+
+    // The embedding admission loop against a PARTITIONED persisted
+    // index (r12, the q129-vs-q122 pattern in cosine space):
+    // identical fixture and cycles as q124, with the index persisted
+    // via Dedup.indexWritePartitioned so both cycles take the
+    // embeddingIndexUpdatePartitioned dirty-partition fold —
+    // previously spec-only (DedupSpec pins update == rebuild); now
+    // the whole partitioned path is oracle-proven against q124's SQL
+    // VERBATIM. Same answer, batch-bounded index writes.
+    Q("q216_admission_embed_partitioned", (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 2000).select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q216")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      Dedup.indexWritePartitioned(
+        Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64),
+        indexDir, numParts = 128)
+      val b1 = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val b2 = b1.filter(col("vec_id") < 30050)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .union(base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+        .union(base.filter(col("vec_id") < 30))
+      graft.streaming.Admission.admitBatchEmbedding(b1, corpusDir,
+        indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
+        dedupWithinBatch = false, batchId = 1L, collectStats = false)
+      graft.streaming.Admission.admitBatchEmbedding(b2, corpusDir,
+        indexDir, "vec_id", "embedding", dim = 64, threshold = 0.95,
+        dedupWithinBatch = false, batchId = 2L, collectStats = false)
+      s.read.parquet(corpusDir).select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+      Some(admissionEmbedOracleSql)),
 
     // Connected components (Dedup.connectedComponentMinLabel — the
     // machinery under every near-dup cluster merge), gated directly
@@ -6223,7 +6268,36 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
       Some("""SELECT vec_id, TRUE AS assign_consistent FROM embeddings
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Salted join (Skew.saltedJoin) promoted to the full hash gate
+    // (r12): salting is ANSWER-PRESERVING — the salt column only
+    // splits each hot key across `salt` reducers (left rows salted
+    // randomly, the small side replicated once per salt value), the
+    // join's row multiset is untouched — so the oracle is the PLAIN
+    // equi-join SQL and the gate proves the mitigation changes the
+    // shuffle, never the answer. Fixture is hot by construction:
+    // lineitem keyed mod 5 (~12k rows per key at sf0.01, every key a
+    // heavy hitter) against the 5-row region dim, salt = 8. The
+    // operator's reason to exist is the regime AQE's skew split
+    // cannot reach: ONE key too big for any single reducer.
+    Q("q215_salted_join", (s, dir) => {
+      import graft.operators.Skew
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 5).as("k"), col("l_quantity"))
+      val dim = t(s, dir, "region")
+        .select(col("r_regionkey").as("k"), col("r_name"))
+      Skew.saltedJoin(li, dim, Seq("k"), salt = 8)
+        .groupBy(col("k"), col("r_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("k"))
+    },
+      Some("""SELECT l_orderkey % 5 AS k, r_name,
+             | CAST(count(*) AS BIGINT) AS n,
+             | round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN region ON l_orderkey % 5 = r_regionkey
+             |GROUP BY 1, 2 ORDER BY k""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -227,6 +227,16 @@ class DDF(val df: DataFrame) {
   def antiJoin(other: DDF, keys: Seq[String]): DDF =
     wrap(df.join(other.df, keys, "left_anti"))
 
+  /** [[graft.operators.Skew.saltedJoin]] fluent face (r12): the
+    * hot-key mitigation AQE's skew split cannot reach — splits ONE
+    * oversized key across `salt` reducers by salting this side and
+    * replicating `other` per salt value. Answer-preserving for
+    * inner/left (oracle-gated q215); `other` should be the small
+    * side. */
+  def saltedJoin(other: DDF, keys: Seq[String], salt: Int,
+                 mode: String = "inner"): DDF =
+    wrap(graft.operators.Skew.saltedJoin(df, other.df, keys, salt, mode))
+
   // ===== §2.4 aggregation ===============================================
 
   /** reference: ddf.py :: group_by / functions/etl/aggregation.py.
