@@ -51,7 +51,18 @@ private[graft] object Midrank {
     * undefined in every convention this library exposes. EAGER: the
     * per-range counting job runs at call time. */
   def withMidranks(grouped: DataFrame, valueCol: String, tCol: String,
-                   out: String = "__mid"): DataFrame = {
+                   out: String = "__mid"): DataFrame =
+    withMidranksCounted(grouped, valueCol, tCol, out)._1
+
+  /** [[withMidranks]] plus the census ROW count, measured by the
+    * same per-range counting job that computes the rank offsets —
+    * free information callers can use for join-side planning
+    * (an RDD-backed frame has no Catalyst size statistics, so
+    * without it the join-back NEVER broadcasts, however small the
+    * census; see [[perRow]]). */
+  def withMidranksCounted(grouped: DataFrame, valueCol: String,
+                          tCol: String,
+                          out: String = "__mid"): (DataFrame, Long) = {
     val spark = grouped.sparkSession
     val sorted = grouped.drop(out)
       .repartitionByRange(col(valueCol).asc)
@@ -60,15 +71,16 @@ private[graft] object Midrank {
       StructField(out, DoubleType, nullable = false))
     val tIdx = sorted.schema.fieldIndex(tCol)
     val rdd = sorted.rdd
-    // Long fold, not Iterator.size: one range of a 100 TB census can
+    // Long folds, not Iterator.size: one range of a 100 TB census can
     // exceed Int range, same edge ntileGlobal guards
     val counts = rdd.mapPartitionsWithIndex((i, it) => {
-        var n = 0L
-        while (it.hasNext) { n += it.next().getLong(tIdx) }
-        Iterator((i, n))
+        var rows = 0L; var n = 0L
+        while (it.hasNext) { rows += 1L; n += it.next().getLong(tIdx) }
+        Iterator((i, rows, n))
       }, preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+      .collect().sortBy(_._1)
+    val censusRows = counts.map(_._2).sum
+    val offsets = counts.map(_._3).scanLeft(0L)(_ + _)
     val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
       var c = offsets(i) // rows strictly below this tie group
       it.map { row =>
@@ -78,19 +90,32 @@ private[graft] object Midrank {
         Row.fromSeq(row.toSeq :+ mid)
       }
     }
-    spark.createDataFrame(ranked, schema)
+    (spark.createDataFrame(ranked, schema), censusRows)
   }
+
+  /** Census rows below this broadcast the join-back (≲ tens of MB
+    * serialized at 2M × (value, mid)); above it the join shuffles —
+    * a billion-distinct-value corpus must never be broadcast. */
+  private val BroadcastCensusRows = 2000000L
 
   /** Per-ROW midranks of `valueCol` (for statistics that need rank
     * pairs, e.g. Spearman): census + [[withMidranks]] + a join back
-    * on the value. The join shuffles at the width of the DISTINCT
-    * values; AQE broadcasts the census when it is small. */
-  def perRow(df: DataFrame, valueCol: String,
-             out: String): DataFrame = {
+    * on the value. The mids frame is RDD-backed — Catalyst sees no
+    * size statistic and AQE only re-plans exchanges it can measure —
+    * so a small census would still sort-merge the full row corpus
+    * without the explicit `broadcast()` hint below, keyed on the
+    * census count the ranking job already measured (threshold
+    * [[BroadcastCensusRows]]; a wide census falls back to the
+    * shuffled join, which clusters at distinct-value width). */
+  def perRow(df: DataFrame, valueCol: String, out: String,
+             broadcastRowLimit: Long = BroadcastCensusRows): DataFrame = {
     val census = df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("__t"))
-    val mids = withMidranks(census, valueCol, "__t", out)
-      .drop("__t")
-    df.join(mids, Seq(valueCol))
+    val (ranked, censusRows) =
+      withMidranksCounted(census, valueCol, "__t", out)
+    val mids = ranked.drop("__t")
+    if (censusRows <= broadcastRowLimit)
+      df.join(broadcast(mids), Seq(valueCol))
+    else df.join(mids, Seq(valueCol))
   }
 }

@@ -34,6 +34,30 @@ class MidrankSpec extends SparkTestBase {
     assert(got == Map("a" -> 3.5, "b" -> 1.0, "c" -> 3.5, "d" -> 2.0))
   }
 
+  test("perRow broadcast and shuffled join-backs agree; plans differ") {
+    // auto-broadcast off: the mids frame is RDD-backed (no size
+    // statistic) AND the row side is deliberately unsized here, so
+    // any BroadcastHashJoin in the plan can only come from perRow's
+    // census-count hint
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rows = (1 to 500).map(i => (i.toString, (i % 23).toDouble))
+        .toDF("id", "v").repartition(4)
+      val bcast = Midrank.perRow(rows, "v", "r") // 23-row census
+      val shuf = Midrank.perRow(rows, "v", "r", broadcastRowLimit = 0L)
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!shuf.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(r => r.getString(r.fieldIndex("id")) ->
+          r.getDouble(r.fieldIndex("r"))).toMap
+      assert(key(bcast) == key(shuf))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("empty census yields an empty frame, not a crash") {
     val empty = Seq.empty[Double].toDF("v")
       .groupBy($"v").agg(count(lit(1)).as("__t"))
