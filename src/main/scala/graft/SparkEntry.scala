@@ -145,6 +145,21 @@ object SparkEntry {
       |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
       |ORDER BY vec_id""".stripMargin
 
+  /** exact cosine top-5 for queries vec_id &lt; 10 — shared verbatim
+    * by q49 (bruteForceTopK) and q218 (ivfTopK at nProbe ==
+    * nCentroids, where the pruned path must degrade to exact). */
+  private lazy val embedTopkOracleSql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |     CAST(c.embedding AS DOUBLE[])) AS cos
+      |  FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
     * (streaming path). */
@@ -1113,16 +1128,7 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
-      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-             |     CAST(c.embedding AS DOUBLE[])) AS cos
-             |  FROM q, embeddings c WHERE c.vec_id != q.vec_id),
-             |r AS (SELECT query_id, neighbor_id, cos,
-             |   row_number() OVER (PARTITION BY query_id
-             |     ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-             |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
-             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+      Some(embedTopkOracleSql)),
 
     // ANN is approximate by design (no SQL oracle), so the query
     // output IS the quality metric: recall of IVF top-k vs the exact
@@ -6297,7 +6303,117 @@ object SparkEntry {
              | CAST(count(*) AS BIGINT) AS n,
              | round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem JOIN region ON l_orderkey % 5 = r_regionkey
-             |GROUP BY 1, 2 ORDER BY k""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY k""".stripMargin)),
+
+    // Bounded sibling of q169 (r12, the q192/q214 pattern): the KLL
+    // estimates are randomized ([R] forever), but "each estimate's
+    // measured rank error sits under the documented 5% floor" is a
+    // boolean the oracle predicts TRUE, and the exact interpolated
+    // percentiles ARE SQL-expressible — so a degraded digest now
+    // fails the HASH gate, not just KllSpec's floor. Same two-cycle
+    // append fixture as q169, fresh digest dir.
+    Q("q217_kll_bounded", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q217_kll")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val path = root.toString + "/digest"
+      val cols = Seq("l_extendedprice", "l_quantity")
+      graft.operators.Profile.appendKllDigest(
+        li.filter(col("l_orderkey") % 2 === 0), cols, path)
+      graft.operators.Profile.appendKllDigest(
+        li.filter(col("l_orderkey") % 2 === 1), cols, path)
+      val est = graft.operators.Profile.kllQuantiles(
+        s, path, Seq(0.5, 0.9, 0.99))
+      val longVals = li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(c).cast("double").as("v"))): _*)).as("x"))
+        .select(col("x.col_name"), col("x.v"))
+      val qsArr = array(lit(0.5), lit(0.9), lit(0.99))
+      val exacts = longVals.groupBy(col("col_name"))
+        .agg(percentile(col("v"), qsArr).as("__ex"))
+        .select(col("col_name"),
+          posexplode(col("__ex")).as(Seq("__i", "__e")))
+        .select(col("col_name"),
+          element_at(qsArr, col("__i") + 1).as("q"),
+          round(col("__e"), 4).as("exact_value"))
+      val ranks = est.join(longVals, Seq("col_name"))
+        .groupBy(col("col_name"), col("q"), col("value_est"))
+        .agg(abs(sum(when(col("v") <= col("value_est"), 1.0)
+            .otherwise(0.0)) / count(lit(1)) - col("q"))
+          .as("__err"))
+      ranks.join(exacts, Seq("col_name", "q"))
+        .select(col("col_name"), col("q"), col("exact_value"),
+          (col("__err") <= 0.05).as("within_bound"))
+        .orderBy(col("col_name"), col("q"))
+    },
+      Some("""WITH e AS (SELECT 'l_extendedprice' AS col_name,
+             |   quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             |     [0.5, 0.9, 0.99]) AS exl
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_quantity',
+             |   quantile_cont(CAST(l_quantity AS DOUBLE),
+             |     [0.5, 0.9, 0.99])
+             |  FROM lineitem),
+             |u AS (SELECT col_name,
+             |   unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q,
+             |   unnest(exl) AS ex FROM e)
+             |SELECT col_name, q, round(ex, 4) AS exact_value,
+             | TRUE AS within_bound
+             |FROM u ORDER BY col_name, q""".stripMargin)),
+
+    // FULL-oracle sibling of q50 (r12): at nProbe == nCentroids the
+    // IVF path prunes NOTHING, so the whole pruned machinery —
+    // quantizer assignment, probe ranking, bucket join, per-query
+    // top-k — must reproduce the exact brute-force answer row for
+    // row. q49's oracle VERBATIM; q50 keeps measuring recall at the
+    // real operating point (nProbe < nCentroids). This is the
+    // SimilaritySpec full-probe==exact invariant promoted to the
+    // hash gate.
+    Q("q218_ivf_full_probe", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+      Some(embedTopkOracleSql)),
+
+    // Bounded sibling of q130/q131 (r12): the merge table of an
+    // iteratively-trained BPE is engine-specific ([R]), but BPE is
+    // LOSSLESS by construction — concatenating a word's subword
+    // tokens and stripping the end-of-word markers must reproduce
+    // the normalized word, whatever merges were learned. The gate
+    // re-concatenates every document's token stream and compares
+    // against the same normalization (lowercase, whitespace
+    // stripped) computed relationally; the oracle predicts every
+    // document survives. A truncating memo, a dropped symbol, or a
+    // marker-corrupting merge now fails the HASH gate. (Corpus is
+    // ASCII — verified both SFs — so lower() agrees across engines;
+    // unicode normalization is q135's gate.)
+    Q("q219_bpe_roundtrip", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 60, minFreq = 2L)
+      val enc = Bpe.encode(docs, "text", merges)
+      val recon = array_join(transform(col("bpe_tokens"),
+        tk => regexp_replace(tk, lit("</w>"), lit(""))), "")
+      val expect = regexp_replace(lower(col("text")), lit("\\s+"), lit(""))
+      enc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(recon === expect, 1L).otherwise(0L)).as("n_roundtrip"))
+        .select(col("lang"), col("n_docs"), col("n_roundtrip"),
+          (col("n_docs") === col("n_roundtrip")).as("lossless"))
+        .orderBy(col("lang"))
+    },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(count(*) AS BIGINT) AS n_roundtrip,
+             | TRUE AS lossless
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

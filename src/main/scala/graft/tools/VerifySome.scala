@@ -3,16 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Selective Verify: dump only the NAMED catalog queries (plus their
-  * oracle SQL) so a new query can be oracle-checked without re-running
-  * the whole catalog. Same output contract as graft.Verify; feed the
-  * outDir to tools/check_oracle.py.
-  * `sbt "runMain graft.tools.VerifySome <sfDir> <outDir> q91_pivot ..."`
-  */
+/** scratch diagnostics main — dump a SUBSET of SparkEntry queries
+  * into an existing Verify output dir and refresh oracle_sql.json,
+  * so tools/check_oracle.py can re-compare without re-running the
+  * whole catalog: runMain graft.tools.VerifySome <sfDir> <outDir>
+  * <q1> <q2> ... (not part of the library surface; the real gate is
+  * graft.Verify). */
 object VerifySome {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = args(0); val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,11 +22,11 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    graft.SparkEntry.queries.filter(kv => names(kv._1)).foreach {
-      case (name, fn) =>
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        spark.catalog.clearCache()
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verifysome] dumped $name")
+      spark.catalog.clearCache()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -36,7 +37,7 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names(kv._1))
+    val json = graft.SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
