@@ -160,6 +160,28 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** exact squared-L2 top-5 for queries vec_id &lt; 10 with the
+    * recall-floor boolean the oracle predicts TRUE — shared verbatim
+    * by q212 (PQ ADC) and q213 (IVF-PQ): one DuckDB answer, two
+    * independent ANN paths gated against it. */
+  private lazy val exactL2OracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      |  WHERE vec_id < 10),
+      |d AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |   list_sum(list_transform(range(64), j ->
+      |     (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)])
+      |     * (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)]))) AS d2
+      |  FROM q, e),
+      |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+      |   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC)
+      |   AS rnk FROM d)
+      |SELECT query_id, rnk, neighbor_id,
+      | TRUE AS recall_floor_met
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
     * (streaming path). */
@@ -6180,22 +6202,7 @@ object SparkEntry {
           lit(hits / 50.0 >= 0.15).as("recall_floor_met"))
         .orderBy(col("query_id"), col("rnk"))
     },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-             |  WHERE vec_id < 10),
-             |d AS (SELECT query_id, e.vec_id AS neighbor_id,
-             |   list_sum(list_transform(range(64), j ->
-             |     (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)])
-             |     * (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)]))) AS d2
-             |  FROM q, e),
-             |r AS (SELECT query_id, neighbor_id, row_number() OVER (
-             |   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC)
-             |   AS rnk FROM d)
-             |SELECT query_id, rnk, neighbor_id,
-             | TRUE AS recall_floor_met
-             |FROM r WHERE rnk <= 5
-             |ORDER BY query_id, rnk""".stripMargin)),
+      Some(exactL2OracleSql)),
 
     // BOUNDED sibling of q148, same promotion: IVF-PQ composes the
     // coarse router with residual PQ codes — still k-means state —
@@ -6227,22 +6234,7 @@ object SparkEntry {
           lit(hits / 50.0 >= 0.15).as("recall_floor_met"))
         .orderBy(col("query_id"), col("rnk"))
     },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-             |  WHERE vec_id < 10),
-             |d AS (SELECT query_id, e.vec_id AS neighbor_id,
-             |   list_sum(list_transform(range(64), j ->
-             |     (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)])
-             |     * (qv[CAST(j+1 AS INT)] - v[CAST(j+1 AS INT)]))) AS d2
-             |  FROM q, e),
-             |r AS (SELECT query_id, neighbor_id, row_number() OVER (
-             |   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC)
-             |   AS rnk FROM d)
-             |SELECT query_id, rnk, neighbor_id,
-             | TRUE AS recall_floor_met
-             |FROM r WHERE rnk <= 5
-             |ORDER BY query_id, rnk""".stripMargin)),
+      Some(exactL2OracleSql)),
 
     // BOUNDED sibling of q59 (r12, VERDICT item 6): the k-means
     // TRAINER is iterative RNG-initialized state no SQL replays
@@ -6314,14 +6306,8 @@ object SparkEntry {
     // append fixture as q169, fresh digest dir.
     Q("q217_kll_bounded", (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q217_kll")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (root.exists()) rm(root)
-      val path = root.toString + "/digest"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q217_kll").toString + "/digest"
       val cols = Seq("l_extendedprice", "l_quantity")
       graft.operators.Profile.appendKllDigest(
         li.filter(col("l_orderkey") % 2 === 0), cols, path)

@@ -124,8 +124,7 @@ object Classifier {
         "is not a probability; fix the scorer rather than clamping " +
         "the axis")
     spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows.sortBy(_.getInt(0)): _*)),
+      java.util.Arrays.asList(rows.sortBy(_.getInt(0)): _*),
       census.schema)
   }
 }

@@ -609,11 +609,16 @@ object Dedup {
     // to dirty partitions (below), an all-new dirty set would
     // otherwise let a wrong explicit numParts slip through and hash
     // buckets into the wrong layout partitions.
-    val embedded: Option[Int] =
-      if (index.columns.contains("__numParts")) {
-        val head = index.select(col("__numParts")).limit(1).collect()
-        head.headOption.map(_.getInt(0))
+    val allParamCols = index.columns.filter(_.startsWith("__")).toSeq
+    val headParams: Option[Map[String, Any]] =
+      if (allParamCols.nonEmpty) {
+        val head = index.select(allParamCols.map(col): _*).limit(1).collect()
+        head.headOption.map(r =>
+          allParamCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }
+            .toMap)
       } else None
+    val embedded: Option[Int] =
+      headParams.flatMap(_.get("__numParts").collect { case i: Int => i })
     val np = (numParts, embedded) match {
       case (0, Some(e)) => e
       case (0, None) =>
@@ -631,6 +636,28 @@ object Dedup {
             "index).")
         a
       case (a, None) => a // unstamped legacy layout: caller's contract
+    }
+    // r12 review fix: the dirty-pruned validation below is VACUOUS
+    // when every dirty partition is new (zero existing param tuples
+    // in the pruned scan) — a wrong-param caller would then merge
+    // unvalidated and restamp those partitions with its own params,
+    // corrupting the index into the mixed-param state the full-index
+    // validation used to refuse up front. The one-row head read
+    // above already carries the index's param stamp (uniform across
+    // partitions by every writer's contract), so the caller's params
+    // are checked against it here at zero extra jobs. Hand-assembled
+    // MIXED stamps remain the screen side's full-index validation to
+    // catch (and the pruned check below still catches them among the
+    // partitions actually read).
+    headParams.foreach { built =>
+      (asked :+ ("__numParts" -> np)).foreach { case (k, v) =>
+        require(!built.contains(k) || built(k) == v,
+          s"$what: index at $path was built with $k = ${built(k)} " +
+            s"but this update was called with $k = $v — folding " +
+            "under mismatched params would corrupt the index into a " +
+            "mixed-param state. Rebuild the index or match the " +
+            "params.")
+      }
     }
     // batch banding: CACHE, populated by the dirty-scan collect below
     // and reused by the merge — r12 job diet (VERDICT item 3): the
@@ -656,7 +683,8 @@ object Dedup {
     // uniformly across partitions — the screen side still validates
     // the full index each cycle, so a hand-assembled mixed-param
     // union is caught there. Dirty partitions that do not exist yet
-    // (all-new buckets) validate vacuously (zero param tuples).
+    // (all-new buckets) validate vacuously here — the caller-param
+    // guard for that case is the head-stamp check above.
     val pruned = index.filter(col("part").isin(dirty.map(Int.box): _*))
     val old = validateIndexParams(pruned, what,
       asked :+ ("__numParts" -> np), acceptUnvalidated)

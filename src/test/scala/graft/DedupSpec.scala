@@ -406,6 +406,17 @@ class DedupSpec extends SparkTestBase {
         "doc_id", "text", numHashes = 64, bands = 32)
     }
     assert(e2.getMessage.contains("not partitioned"))
+    // r12 review fix: wrong params refuse BEFORE any write even when
+    // the dirty-pruned validation would be vacuous — the empty batch
+    // is the deterministic member of that class (zero dirty
+    // partitions; an all-new-dirty batch is the probabilistic one).
+    // The guard is the head-stamp check, not the pruned scan.
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexUpdatePartitioned(spark, dir,
+        batch.filter($"doc_id" < 0), "doc_id", "text",
+        numHashes = 32, bands = 32, numParts = 256)
+    }
+    assert(e3.getMessage.contains("mixed-param state"))
   }
 
   test("partitioned embedding index update == rebuild from disk") {

@@ -48,42 +48,20 @@ class ExpectSpec extends SparkTestBase {
   }
 
   test("N-FK suite runs as one batched job, not one per FK") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    val sc = spark.sparkContext
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "pid")
     val refA = Seq(1L, 2L, 3L).toDF("a")
     val refB = Seq(10L, 20L).toDF("b")
     val refC = Seq(1L).toDF("c")
-    // deterministic job accounting: AQE materializes stages as extra
-    // jobs and broadcast exchanges submit their own — switch both
-    // off for the count, restore after
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled")
-    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    val l = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        n.incrementAndGet()
-    }
-    try {
-      val suite = Seq(NotNull("id"), ForeignKey("id", refA, "a"),
-        ForeignKey("pid", refB, "b"), ForeignKey("id", refC, "c"))
-      sc.addSparkListener(l) // check() runs its jobs EAGERLY inside
-      val census = Expect.check(df, suite)
-      Thread.sleep(500) // listener bus is async
-      sc.removeSparkListener(l)
-      // census is driver-local rows; this collect is job-free
-      assert(census.collect().length == 4)
-      // check()'s internals: 1 fused local agg + 1 batched FK union
-      // (NOT 3 per-FK counts)
-      assert(n.get <= 2, s"expected <=2 jobs for a 3-FK suite, saw ${n.get}")
-    } finally {
-      sc.removeSparkListener(l)
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
-    }
+    val suite = Seq(NotNull("id"), ForeignKey("id", refA, "a"),
+      ForeignKey("pid", refB, "b"), ForeignKey("id", refC, "c"))
+    var census: org.apache.spark.sql.DataFrame = null
+    // check() runs its jobs EAGERLY inside
+    val jobs = countJobs { census = Expect.check(df, suite) }
+    // census is driver-local rows; this collect is job-free
+    assert(census.collect().length == 4)
+    // check()'s internals: 1 fused local agg + 1 batched FK union
+    // (NOT 3 per-FK counts)
+    assert(jobs <= 2, s"expected <=2 jobs for a 3-FK suite, saw $jobs")
   }
 
   test("clean table passes everything; all-FK suite still totals") {
