@@ -68,6 +68,10 @@ object PlanLint {
     "q50_similarity_ivf" -> ("query->centroid scoring is a broadcast " +
       "cross of Q x K rows (K = nCentroids, tiny); corpus side is " +
       "probed, never crossed"),
+    "q218_ivf_full_probe" -> ("same ivfTopK plan as q50 at " +
+      "nProbe == nCentroids: the broadcast cross is still only " +
+      "Q x K centroid rows — full probe widens the EQUI-joined " +
+      "bucket read, not the cross"),
     "q87_lm_perplexity" -> ("scalar-broadcast pattern: the 1-row " +
       "vocabulary size crosses the already-aggregated score rows"),
     "q89_tfidf_keywords" -> ("scalar-broadcast pattern: the 1-row " +
