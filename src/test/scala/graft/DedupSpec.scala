@@ -439,6 +439,15 @@ class DedupSpec extends SparkTestBase {
     val rebuilt = key(Dedup.embeddingIndex(embCorpus, "vec_id",
       "embedding", dim = 64))
     assert(key(spark.read.parquet(dir)) == rebuilt)
+    // head-stamp guard, embedding face (shared core with the minhash
+    // pin): wrong params refuse before any write even when the
+    // dirty-pruned validation would be vacuous (empty batch)
+    val eGuard = intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexUpdatePartitioned(spark, dir,
+        batch.filter($"vec_id" < 0), "vec_id", "embedding", dim = 64,
+        nTables = 4, numParts = 128)
+    }
+    assert(eGuard.getMessage.contains("mixed-param state"))
     // and the screen accepts the partitioned read-back unchanged
     val truth = cosTruth(0.95)
     val got = Dedup.embeddingPairsAgainstIndex(embBatch, embCorpus,
