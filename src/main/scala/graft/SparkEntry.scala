@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Frequent, Geo, KolmogorovSmirnov, PageRank, Similarity, SubstringDedup, Zip}
+import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Dsir, Frequent, Geo, KolmogorovSmirnov, PageRank, SemDedup, Similarity, SubstringDedup, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -181,6 +181,35 @@ object SparkEntry {
       | TRUE AS recall_floor_met
       |FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** shared DSIR replay (q221/q222): hashed unigram+bigram buckets
+    * on the q45 md5 chain (m = 512), per-corpus counts (target =
+    * lang 'en', raw = all documents), Laplace-1 smoothed log-ratio,
+    * per-document weight sums. Ends with CTE `w(doc_id, lw)`. */
+  private lazy val dsirOracleCte =
+    s"""WITH tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t
+       |  FROM documents),
+       |g AS (SELECT doc_id, lang, list_concat(t,
+       |    list_transform(range(1, len(t)), i ->
+       |      t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])) AS gs
+       |  FROM tk),
+       |ex0 AS (SELECT doc_id, lang, unnest(gs) AS x FROM g),
+       |ex AS (SELECT doc_id, lang,
+       |    CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 512
+       |      AS BIGINT) AS b FROM ex0),
+       |tc AS (SELECT b, count(*) AS c FROM ex WHERE lang = 'en'
+       |  GROUP BY b),
+       |rc AS (SELECT b, count(*) AS c FROM ex GROUP BY b),
+       |tt AS (SELECT coalesce(sum(c), 0) AS tot FROM tc),
+       |rt AS (SELECT coalesce(sum(c), 0) AS tot FROM rc),
+       |r AS (SELECT bs.b,
+       |    ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 512.0))
+       |    - ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 512.0)) AS lr
+       |  FROM range(512) AS bs(b) LEFT JOIN tc ON bs.b = tc.b
+       |  LEFT JOIN rc ON bs.b = rc.b, tt, rt),
+       |w AS (SELECT ex.doc_id, sum(r.lr) AS lw FROM ex
+       |  JOIN r ON ex.b = r.b GROUP BY ex.doc_id)
+       |""".stripMargin
 
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
@@ -6399,7 +6428,129 @@ object SparkEntry {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              | CAST(count(*) AS BIGINT) AS n_roundtrip,
              | TRUE AS lossless
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) under the FULL
+    // hash gate: centers are the min-vec_id embedding of each of the
+    // 10 labels (a bounded, relationally-expressible "fit" — the
+    // serving path takes offline-fit centers the same way), the
+    // corpus is embeddings plus two waves of per-component-perturbed
+    // copies (+10000 for vec_id < 60 at factors 0.99/1.0/1.01 by
+    // j%3; +20000 for vec_id < 25 at 1 - 0.005*(j%2) — triangles
+    // with BOTH copies for vec_id < 25), and tau = 0.9 sits in a
+    // measured gap: injected-dup cosines are >= 0.999 while the
+    // corpus's max NATURAL pair cosine is 0.60 at sf0.1 (0.51 at
+    // sf0.01), so no boundary pair can flip between engines. The
+    // oracle replays assignment (argmin d2, ties to lower label),
+    // within-cluster pairing, the cosine threshold, and the min_id
+    // dominance rule relationally; the paper's centroid keep-rule is
+    // SemDedupSpec's pin (FP priority stays within one engine).
+    Q("q220_semdedup", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
+      val base = e.select(col("vec_id"), col("v"))
+      val corpus = base
+        .unionByName(base.filter(col("vec_id") < 60)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
+        .unionByName(base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
+      val centers = e
+        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+      val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
+        minCosine = 0.9, keep = "min_id")
+      SemDedup.assign(kept, "v", centers)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |u AS (SELECT vec_id, v FROM e
+             |  UNION ALL SELECT vec_id + 10000,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 + 0.01 * ((j % 3) - 1)))
+             |    FROM e WHERE vec_id < 60
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 - 0.005 * (j % 2)))
+             |    FROM e WHERE vec_id < 25),
+             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+             |  ON e.vec_id = f.mv),
+             |d AS (SELECT u.vec_id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM u, c),
+             |a AS (SELECT vec_id, cl FROM d
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, cl) = 1),
+             |p AS (SELECT y.vec_id AS ib
+             |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+             |  JOIN u ux ON ux.vec_id = x.vec_id
+             |  JOIN u uy ON uy.vec_id = y.vec_id
+             |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9)
+             |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
+             |WHERE a.vec_id NOT IN (SELECT ib FROM p)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169)
+    // under the FULL hash gate: target = the English slice, raw =
+    // all documents, m = 512 hashed unigram+bigram buckets on the
+    // q45 md5 chain, Laplace alpha = 1. The oracle replays the whole
+    // pipeline — gram construction, bucket hashing, both corpus
+    // counts, the smoothed log-ratio, and every document's weight
+    // sum (round 6 absorbs the engines' different summation orders).
+    Q("q221_dsir_weights", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ratios = Dsir.logRatioTable(
+        docs.filter(col("lang") === "en"), docs, "text", m = 512)
+      Dsir.importanceWeights(
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          "text", ratios, m = 512)
+        .select(col("doc_id"), col("lang"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+      Some(dsirOracleCte +
+        """SELECT d.doc_id, d.lang,
+          | round(coalesce(w.lw, 0.0), 6) AS log_weight
+          |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR selection: the paper's Gumbel-top-n importance resampling
+    // with md5-derived uniforms (the q140 discipline) — top 50 of
+    // the same weights, key = round(log_w, 6) + Gumbel(u(doc_id)).
+    // Rounding the weight FIRST pins the only cross-engine FP seam
+    // (summation order); the Gumbel term is pure per-id arithmetic.
+    Q("q222_dsir_select", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ratios = Dsir.logRatioTable(
+        docs.filter(col("lang") === "en"), docs, "text", m = 512)
+      val weighted = Dsir.importanceWeights(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        "text", ratios, m = 512)
+      Dsir.resampleGumbel(weighted, "doc_id", "log_weight", n = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+      Some(dsirOracleCte +
+        """, k AS (SELECT d.doc_id, d.lang,
+          |   round(coalesce(w.lw, 0.0), 6)
+          |   - ln(-ln((CAST(concat('0x',
+          |       substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+          |     AS BIGINT) + 0.5) / 4294967296.0)) AS key
+          |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
+          |s AS (SELECT doc_id, lang FROM k
+          |  ORDER BY key DESC, doc_id LIMIT 50)
+          |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -928,6 +928,35 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Dedup.noveltyScore(df, idCol, textCol,
       reference.df, refTextCol, shingleLen))
 
+  /** [[graft.operators.SemDedup.semDedup]] — SemDeDup (Abbas et al.
+    * 2023): clustered-cosine semantic dedup over an embedding
+    * column; returns the rows that survive. `centers` are offline-fit
+    * cluster centers (the PQ/IVF codebook discipline). */
+  def semDedup(idCol: String, vecCol: String, centers: Seq[Seq[Double]],
+               minCosine: Double, maxClusterSize: Int = 10000,
+               keep: String = "min_id"): DDF =
+    wrap(graft.operators.SemDedup.semDedup(df, idCol, vecCol, centers,
+      minCosine, maxClusterSize, keep))
+
+  /** [[graft.operators.Dsir.importanceWeights]] over a ratio table
+    * fit with [[graft.operators.Dsir.logRatioTable]] — DSIR (Xie et
+    * al. 2023): hashed-n-gram importance weights of THIS DDF's rows
+    * (the raw pool) against a target corpus; adds `log_weight`. */
+  def dsirWeights(textCol: String, target: DDF, numBuckets: Int = 8192,
+                  alpha: Double = 1.0): DDF = {
+    val ratios = graft.operators.Dsir.logRatioTable(target.df, df,
+      textCol, numBuckets, alpha)
+    wrap(graft.operators.Dsir.importanceWeights(df, textCol, ratios,
+      numBuckets))
+  }
+
+  /** [[graft.operators.Dsir.resampleGumbel]] — deterministic
+    * Gumbel-top-n importance resampling by a weight column. */
+  def dsirSelect(idCol: String, weightCol: String, n: Int,
+                 seed: Long = 42L): DDF =
+    wrap(graft.operators.Dsir.resampleGumbel(df, idCol, weightCol,
+      n, seed))
+
   /** [[graft.operators.AbTest.benford]] — first-significant-digit
     * census vs Benford's law (fabricated-data screen) */
   def benford(colName: String): DDF =

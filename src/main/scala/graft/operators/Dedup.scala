@@ -122,8 +122,9 @@ object Dedup {
   /** expand a bucket's collected id array into ordered unique pairs:
     * one hash aggregation + in-row expansion instead of a bucket
     * self-join (no join-row blowup on skewed buckets). Callers filter
-    * bucket size into [2, cap] BEFORE this. */
-  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    * bucket size into [2, cap] BEFORE this. (Shared with SemDedup,
+    * whose clusters play the bucket role.) */
+  private[operators] def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
@@ -140,8 +141,8 @@ object Dedup {
     * calls in a long-lived session do not accumulate storage memory
     * (the checkpoint blocks themselves are dropped by the
     * ContextCleaner once the result is garbage-collected). */
-  private def materializeAndRelease(result: DataFrame,
-                                    cached: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame,
+                                               cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     cached.foreach(_.unpersist(false))
     out

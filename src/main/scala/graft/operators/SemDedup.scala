@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** SemDeDup — semantic deduplication over an embedding column by
+  * clustered cosine similarity (Abbas et al. 2023, arXiv:2303.09540,
+  * public method). Cluster assignment is the BLOCKING structure: the
+  * pairwise cosine work is bounded per cluster instead of n² over the
+  * corpus, and a keep rule decides which end of each near-dup pair
+  * survives. This complements the hyperplane-LSH screen
+  * ([[Dedup.embeddingPairs]]): LSH blocks by random projections of
+  * the pair itself (recall is a per-pair probability), SemDeDup
+  * blocks by a FIXED partition of the space (recall is 1 for any
+  * pair the partition keeps together, 0 across a boundary) — the
+  * trade the paper makes to get a deterministic, auditable candidate
+  * set at web scale.
+  *
+  * Engine shape at 100 TB:
+  *  - `centers` is a LITERAL parameter, fit OFFLINE on a bounded
+  *    sample (the PQ/IVF codebook discipline — never full-corpus
+  *    Lloyd inline; [[graft.ml.Models.kmeans]] or [[Pq.fit]]'s
+  *    deterministic Lloyd both produce one). Assignment is one
+  *    codegen'd corpus pass: an array of per-center squared-L2
+  *    expressions folded in index order, argmin via struct-min
+  *    (ties to the lowest center index). No shuffle.
+  *  - candidates come from a per-cluster collected-id aggregate with
+  *    a `maxClusterSize` guard — the identical shape (and skew
+  *    trade) as minhashPairs' band buckets: a degenerate center that
+  *    attracts a corpus-sized cluster contributes NO candidate pairs
+  *    instead of n_c², and the refusal is visible in
+  *    [[clusterSizes]] rather than silent (callers audit / refit
+  *    centers). The shuffle carries (cluster, id) pairs, never
+  *    vectors.
+  *  - verification joins vectors back by id (two hash joins against
+  *    the assigned frame) and keeps cosine >= `minCosine` with the
+  *    native codegen'd cosine — never a cluster self-join of raw
+  *    vectors.
+  *
+  * Keep policies (`keep`):
+  *  - `"min_id"` (default for gates): the lowest id of a dup pair
+  *    survives — pure integer arithmetic, no cross-engine FP
+  *    tie-break hazard, fully SQL-replayable (q220's oracle).
+  *  - `"centroid"` (the paper's rule): the pair member FARTHER from
+  *    its cluster centroid (lower centroid cosine) survives — the
+  *    paper keeps "edge" examples to preserve diversity; ties break
+  *    on id. Pinned against min_id on controlled fixtures in
+  *    SemDedupSpec (FP priority stays within one engine).
+  */
+object SemDedup {
+
+  /** squared L2 to one literal center, folded in index order (the
+    * q214 arithmetic — bit-stable across engines for a given fold
+    * order, which is what lets an oracle replay the argmin). */
+  private def d2ToCenter(vecCol: Column, center: Seq[Double]): Column =
+    aggregate(
+      zip_with(vecCol, typedLit(center),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def requireCenters(centers: Seq[Seq[Double]]): Unit = {
+    require(centers.nonEmpty, "semDedup needs at least one center")
+    require(centers.map(_.length).distinct.size == 1,
+      s"centers must share one dimension, got ${centers.map(_.length).distinct}")
+  }
+
+  /** Assign every row to its nearest literal center: adds `cluster`
+    * (int, argmin squared-L2, ties to the lowest center index) and
+    * `centroid_cosine` (cosine to the OWN cluster's center — free at
+    * assignment time, and the priority the `"centroid"` keep policy
+    * ranks by). One codegen'd pass, no shuffle. */
+  def assign(df: DataFrame, vecCol: String,
+             centers: Seq[Seq[Double]]): DataFrame = {
+    requireCenters(centers)
+    // struct-min argmin: array_min over struct(d2, idx) orders by d2
+    // first, then idx — ties land on the lowest center index without
+    // a separate position lookup (and with NO double==double compare)
+    val scored = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(d2ToCenter(col(vecCol), c).as("d"), lit(i).as("i"))
+    }: _*)
+    val centArr = typedLit(centers.map(_.toSeq))
+    df.withColumn("cluster", array_min(scored).getField("i"))
+      .withColumn("centroid_cosine",
+        VectorFunctions.cosine(col(vecCol).cast("array<double>"),
+          element_at(centArr, col("cluster") + 1)))
+  }
+
+  /** Per-cluster member counts — the audit surface for the
+    * `maxClusterSize` refusal (a cluster above the cap generates no
+    * candidates; this is where that shows). */
+  def clusterSizes(df: DataFrame, vecCol: String,
+                   centers: Seq[Seq[Double]]): DataFrame =
+    assign(df, vecCol, centers)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+
+  /** Within-cluster near-dup pairs: (id_a, id_b, cluster, cosine,
+    * cent_cos_a, cent_cos_b) with id_a < id_b and cosine >=
+    * `minCosine`. Candidates are bucket-expanded per cluster (size
+    * guard [2, maxClusterSize]), then cosine-verified via id joins. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centers: Seq[Seq[Double]], minCosine: Double,
+                    maxClusterSize: Int = 10000): DataFrame = {
+    requireCenters(centers)
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    require(maxClusterSize >= 2,
+      s"maxClusterSize must be >= 2, got $maxClusterSize")
+    val asg = Partitioning.spread(
+      assign(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "v", centers)).cache()
+    val cand = Dedup.pairsFromBuckets(asg
+      .groupBy(col("cluster")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxClusterSize)))
+    val verified = cand
+      .join(asg.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("cluster"), col("centroid_cosine").as("cent_cos_a")), Seq("id_a"))
+      .join(asg.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("centroid_cosine").as("cent_cos_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"),
+        col("cent_cos_a"), col("cent_cos_b"))
+      .filter(col("cosine") >= minCosine)
+    Dedup.materializeAndRelease(verified, asg)
+  }
+
+  /** Rows that SURVIVE semantic dedup: a row is dropped iff some
+    * same-cluster neighbor at cosine >= `minCosine` outranks it
+    * under the keep policy. Dominance (an EXISTS anti-join), not
+    * connected components: for every dup group the unique
+    * policy-best member always survives, and the rule is
+    * SQL-replayable without a fixpoint. CC-style transitive grouping
+    * is [[Dedup.connectedComponents]] over [[semDedupPairs]] when a
+    * caller wants it. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centers: Seq[Seq[Double]], minCosine: Double,
+               maxClusterSize: Int = 10000,
+               keep: String = "min_id"): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, centers, minCosine,
+      maxClusterSize)
+    val losers = (keep match {
+      case "min_id" =>
+        // pairsFromBuckets emits id_a < id_b, so the loser is id_b
+        pairs.select(col("id_b").as("__loser"))
+      case "centroid" =>
+        // paper rule: LOWER centroid cosine survives (keep the edge
+        // example); ties break to the lower id
+        pairs.select(
+          when(col("cent_cos_a") < col("cent_cos_b") ||
+            (col("cent_cos_a") === col("cent_cos_b") &&
+              col("id_a") < col("id_b")), col("id_b"))
+            .otherwise(col("id_a")).as("__loser"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"keep must be min_id or centroid, got $other")
+    }).distinct()
+    // loser set is bounded by the pair set — small next to the
+    // corpus, and AQE broadcasts it when it is
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+}

@@ -80,6 +80,30 @@ object ExplainR12 {
       ("map-side partial agg before the census shuffle",
         p => "HashAggregate".r.findAllIn(p).length >= 2))
 
+    // late-r12 operators: DSIR's weighting pass must be ONE
+    // shuffle-free codegen pass (the m-row ratio table is an array
+    // literal — a join or exchange here would mean the literal path
+    // regressed), and SemDeDup's assignment must be a pure project
+    // over the scan (the argmin is column math, not a join against
+    // a centers table).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ratios = graft.operators.Dsir.logRatioTable(
+      docs.filter(col("lang") === "en"), docs, "text", 512)
+    audit("dsir importanceWeights (scoring pass only)",
+      graft.operators.Dsir.importanceWeights(docs, "text", ratios, 512),
+      ("no exchange — shuffle-free corpus pass",
+        p => !p.contains("Exchange")),
+      ("no join — ratio table is a literal", p => !p.contains("Join")))
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centers = emb.orderBy(col("vec_id")).limit(8).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    audit("semDedup assign",
+      graft.operators.SemDedup.assign(emb, "v", centers),
+      ("no exchange — one-pass assignment", p => !p.contains("Exchange")),
+      ("no join — centers are literals", p => !p.contains("Join")))
+
     spark.stop()
     if (bad > 0) { println(s"$bad VIOLATION(s)"); sys.exit(1) }
     println("all plan pins ok")

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.SemDedup
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated center directions in R^3 plus a far third
+  private val centers = Seq(
+    Seq(1.0, 0.0, 0.0),
+    Seq(0.0, 1.0, 0.0),
+    Seq(0.0, 0.0, 1.0))
+
+  private def vec(xs: Double*) = xs.toArray
+
+  test("assign: argmin squared-L2, ties to the lowest center index") {
+    val df = Seq(
+      (1L, vec(0.9, 0.1, 0.0)),   // nearest center 0
+      (2L, vec(0.0, 1.1, 0.1)),   // nearest center 1
+      (3L, vec(0.1, 0.0, 0.8)),   // nearest center 2
+      (4L, vec(0.5, 0.5, 0.0))    // exactly equidistant to 0 and 1 -> 0
+    ).toDF("id", "v")
+    val got = SemDedup.assign(df, "v", centers)
+      .select($"id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("assign: centroid_cosine is cosine to the OWN cluster center") {
+    val df = Seq((1L, vec(1.0, 1.0, 0.0))).toDF("id", "v") // cluster 0 tie->0
+    val row = SemDedup.assign(df, "v", centers).select($"centroid_cosine")
+      .head()
+    assert(math.abs(row.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("pairs: within-cluster near-dups found, cross-cluster blocked") {
+    val df = Seq(
+      (1L, vec(1.0, 0.05, 0.0)),  // cluster 0
+      (2L, vec(1.0, 0.06, 0.0)),  // cluster 0, ~dup of 1
+      (3L, vec(0.05, 1.0, 0.0)),  // cluster 1
+      (4L, vec(0.06, 1.0, 0.0)),  // cluster 1, ~dup of 3
+      // near-dup PAIR that straddles the 0/1 boundary: blocked by
+      // design (the partition trade the scaladoc documents)
+      (5L, vec(0.51, 0.49, 0.0)), // cluster 0
+      (6L, vec(0.49, 0.51, 0.0))  // cluster 1
+    ).toDF("id", "v")
+    val pairs = SemDedup.semDedupPairs(df, "id", "v", centers,
+      minCosine = 0.99)
+    val got = pairs.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+    // and the verified cosine is the real cosine, not an LSH estimate
+    val c = pairs.filter($"id_a" === 1L).select($"cosine").head().getDouble(0)
+    val exact = (1.0 + 0.05 * 0.06) /
+      (math.sqrt(1 + 0.05 * 0.05) * math.sqrt(1 + 0.06 * 0.06))
+    assert(math.abs(c - exact) < 1e-12)
+  }
+
+  test("maxClusterSize: an oversized cluster contributes no candidates") {
+    val crowd = (1L to 20L).map(i => (i, vec(1.0, i * 1e-4, 0.0)))
+    val df = (crowd :+ ((21L, vec(0.0, 1.0, 0.0)))).toDF("id", "v")
+    val capped = SemDedup.semDedupPairs(df, "id", "v", centers,
+      minCosine = 0.9, maxClusterSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = SemDedup.semDedupPairs(df, "id", "v", centers,
+      minCosine = 0.9, maxClusterSize = 1000)
+    assert(uncapped.count() == 20L * 19L / 2)
+  }
+
+  test("semDedup min_id: the lowest id of every dup group survives") {
+    val df = Seq(
+      (10L, vec(1.0, 0.00, 0.0)),
+      (11L, vec(1.0, 0.01, 0.0)),  // dup of 10
+      (12L, vec(1.0, 0.02, 0.0)),  // dup of 10 and 11 (triangle)
+      (20L, vec(0.0, 1.0, 0.0))    // lone
+    ).toDF("id", "v")
+    val kept = SemDedup.semDedup(df, "id", "v", centers, minCosine = 0.99)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L))
+  }
+
+  test("semDedup centroid: the member FARTHER from the centroid survives") {
+    // both in cluster 0; id 31 is closer to the centroid than id 30,
+    // so the paper rule keeps 30 (the edge example) while min_id
+    // would keep 30 too — flip ids to separate the policies
+    val df = Seq(
+      (30L, vec(1.0, 0.0, 0.0)),   // ON the centroid direction
+      (31L, vec(1.0, 0.2, 0.0))    // farther out, near-dup of 30
+    ).toDF("id", "v")
+    val keptCentroid = SemDedup.semDedup(df, "id", "v", centers,
+      minCosine = 0.98, keep = "centroid")
+      .select($"id").as[Long].collect().toSet
+    assert(keptCentroid == Set(31L)) // lower centroid cosine survives
+    val keptMinId = SemDedup.semDedup(df, "id", "v", centers,
+      minCosine = 0.98, keep = "min_id")
+      .select($"id").as[Long].collect().toSet
+    assert(keptMinId == Set(30L))
+  }
+
+  test("parameter validation refuses bad inputs") {
+    val df = Seq((1L, vec(1.0, 0.0, 0.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SemDedup.assign(df, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.assign(df, "v", Seq(Seq(1.0), Seq(1.0, 2.0)))
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.semDedupPairs(df, "id", "v", centers, minCosine = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.semDedupPairs(df, "id", "v", centers, 0.9,
+        maxClusterSize = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.semDedup(df, "id", "v", centers, 0.9, keep = "best")
+    }
+  }
+}
