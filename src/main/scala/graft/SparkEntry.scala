@@ -6459,13 +6459,29 @@ object SparkEntry {
         .unionByName(base.filter(col("vec_id") < 25)
           .select((col("vec_id") + 20000).as("vec_id"),
             zip_with(col("v"), f2, (x, f) => x * f).as("v")))
-      val centers = e
+      val centerRows = e
         .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
           .select(col("vec_id")), Seq("vec_id"))
         .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+        .sortBy(_.getInt(0))
+      // the Spark side emits the center INDEX as `cluster`, the
+      // oracle emits the LABEL — equal only while labels are exactly
+      // 0..k-1 (true at all three gate scales); fail LOUDLY at
+      // construction if a regenerated fixture ever breaks that,
+      // instead of as a mystifying hash mismatch
+      require(centerRows.map(_.getInt(0)).toSeq ==
+        centerRows.indices.toSeq,
+        s"q220 assumes contiguous 0..k-1 labels, got " +
+          centerRows.map(_.getInt(0)).mkString(","))
+      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      // maxClusterSize deliberately UNCAPPED (the oracle's pair CTE
+      // has no size guard — the cap's refusal face is SemDedupSpec's
+      // pin, not this gate's); +10000/+20000 copy offsets assume
+      // natural vec_ids stay below 10000 (max 1999 at sf0.1, the
+      // docsWithDups convention)
       val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
-        minCosine = 0.9, keep = "min_id")
+        minCosine = 0.9, maxClusterSize = Int.MaxValue,
+        keep = "min_id")
       SemDedup.assign(kept, "v", centers)
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))

@@ -32,7 +32,7 @@ object TextFunctions {
     * reference an evaluated value instead of re-evaluating the whole
     * subtree (Catalyst does no CSE inside HOF lambdas — an unbound
     * tokens() there turns O(L) construction into O(L^2) regex calls). */
-  private def bound(e: Column)(f: Column => Column): Column =
+  private[graft] def bound(e: Column)(f: Column => Column): Column =
     element_at(transform(array(e), f), 1)
 
   /** character n-gram shingles (lowercased, whitespace collapsed) */

@@ -50,12 +50,6 @@ object Dsir {
     require(m >= 2 && m <= MaxBuckets,
       s"numBuckets must be in [2, $MaxBuckets], got $m")
 
-  /** bind once so per-element lambdas see an evaluated value
-    * (TextFunctions' bound trick — Catalyst does no CSE inside HOF
-    * lambdas). */
-  private def bound(e: Column)(f: Column => Column): Column =
-    element_at(transform(array(e), f), 1)
-
   /** gram → bucket in [0, m): md5 hex prefix → 60-bit int → mod m
     * (the q45 portable-hash chain, exact under ANSI). */
   private def bucketOf(g: Column, m: Int): Column =
@@ -65,7 +59,7 @@ object Dsir {
     * counts, not a shingle set: the multinomial weights repeated
     * grams, per the paper. */
   private[graft] def bucketArr(textCol: Column, m: Int): Column =
-    bound(TextFunctions.tokens(textCol)) { t =>
+    TextFunctions.bound(TextFunctions.tokens(textCol)) { t =>
       val bigrams = when(size(t) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(t) - 2),
           i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
@@ -120,9 +114,14 @@ object Dsir {
         "(build it with logRatioTable over the same m)")
     rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
     val ratioLit = typedLit(arr.toSeq)
+    // null text scores 0.0 like empty text does (a null gram array
+    // would otherwise null the fold and make the row unselectable
+    // under a NULLS-LAST sort — divergent from the SQL replay's
+    // coalesce and from the empty-string row one byte away)
     df.withColumn("log_weight",
-      aggregate(bucketArr(col(textCol), m), lit(0.0),
-        (acc, b) => acc + element_at(ratioLit, b.cast("int") + 1)))
+      coalesce(aggregate(bucketArr(col(textCol), m), lit(0.0),
+        (acc, b) => acc + element_at(ratioLit, b.cast("int") + 1)),
+        lit(0.0)))
   }
 
   /** Deterministic Gumbel-top-n resampling by importance weight —

@@ -110,9 +110,14 @@ object SemDedup {
     val asg = Partitioning.spread(
       assign(df.select(col(idCol).as("id"), col(vecCol).as("v")),
         "v", centers)).cache()
+    // duplicated ids would otherwise self-pair (least==greatest) and
+    // make a row its own loser — a duplicated-id GROUP must dedup
+    // against OTHERS, not against itself (collapsing id copies is
+    // exact dedup's job, not semantic dedup's)
     val cand = Dedup.pairsFromBuckets(asg
       .groupBy(col("cluster")).agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxClusterSize)))
+      .filter(col("id_a") =!= col("id_b"))
     val verified = cand
       .join(asg.select(col("id").as("id_a"), col("v").as("v_a"),
         col("cluster"), col("centroid_cosine").as("cent_cos_a")), Seq("id_a"))
@@ -137,6 +142,10 @@ object SemDedup {
                centers: Seq[Seq[Double]], minCosine: Double,
                maxClusterSize: Int = 10000,
                keep: String = "min_id"): DataFrame = {
+    // validate the policy BEFORE the eager pair pipeline runs — a
+    // typo'd keep must not cost a full corpus pass first
+    require(keep == "min_id" || keep == "centroid",
+      s"keep must be min_id or centroid, got $keep")
     val pairs = semDedupPairs(df, idCol, vecCol, centers, minCosine,
       maxClusterSize)
     val losers = (keep match {
@@ -151,9 +160,6 @@ object SemDedup {
             (col("cent_cos_a") === col("cent_cos_b") &&
               col("id_a") < col("id_b")), col("id_b"))
             .otherwise(col("id_a")).as("__loser"))
-      case other =>
-        throw new IllegalArgumentException(
-          s"keep must be min_id or centroid, got $other")
     }).distinct()
     // loser set is bounded by the pair set — small next to the
     // corpus, and AQE broadcasts it when it is

@@ -87,6 +87,19 @@ class DsirSpec extends SparkTestBase {
     assert(a != c)
   }
 
+  test("null text scores 0.0 like empty text (selectable, not " +
+    "NULLS-LAST-buried)") {
+    val target = Seq("the cat").toDF("text")
+    val ratios = Dsir.logRatioTable(target, target, "text", m)
+    val docs = Seq((1L, "the cat"), (2L, ""), (3L, null))
+      .toDF("id", "text")
+    val w = Dsir.importanceWeights(docs, "text", ratios, m)
+      .select($"id", $"log_weight")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(2L) == 0.0)
+    assert(w(3L) == 0.0) // null text == empty text, never null weight
+  }
+
   test("parameter validation refuses bad inputs") {
     val df = Seq("x").toDF("text")
     intercept[IllegalArgumentException] {

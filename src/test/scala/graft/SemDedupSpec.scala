@@ -98,6 +98,33 @@ class SemDedupSpec extends SparkTestBase {
     assert(keptMinId == Set(30L))
   }
 
+  test("duplicated ids never self-pair: the group dedups against " +
+    "OTHERS, not itself") {
+    // two rows share id 40 (copies of one vector); a third row is a
+    // distinct near-dup. The id-40 group must not vanish by losing
+    // to itself; it loses only where a DIFFERENT id outranks it.
+    val df = Seq(
+      (40L, vec(1.0, 0.01, 0.0)),
+      (40L, vec(1.0, 0.01, 0.0)),   // exact copy, same id
+      (41L, vec(1.0, 0.02, 0.0))    // near-dup, higher id -> loser
+    ).toDF("id", "v")
+    val pairs = SemDedup.semDedupPairs(df, "id", "v", centers, 0.99)
+    assert(pairs.filter($"id_a" === $"id_b").count() == 0)
+    val kept = SemDedup.semDedup(df, "id", "v", centers, 0.99)
+      .select($"id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(40L, 40L)) // both id-40 rows survive; 41 drops
+  }
+
+  test("invalid keep policy throws BEFORE any job runs") {
+    val df = Seq((1L, vec(1.0, 0.0, 0.0))).toDF("id", "v")
+    val n = countJobs {
+      intercept[IllegalArgumentException] {
+        SemDedup.semDedup(df, "id", "v", centers, 0.9, keep = "best")
+      }
+    }
+    assert(n == 0, s"expected zero jobs before the keep check, got $n")
+  }
+
   test("parameter validation refuses bad inputs") {
     val df = Seq((1L, vec(1.0, 0.0, 0.0))).toDF("id", "v")
     intercept[IllegalArgumentException] {
@@ -112,9 +139,6 @@ class SemDedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SemDedup.semDedupPairs(df, "id", "v", centers, 0.9,
         maxClusterSize = 1)
-    }
-    intercept[IllegalArgumentException] {
-      SemDedup.semDedup(df, "id", "v", centers, 0.9, keep = "best")
     }
   }
 }
