@@ -1061,6 +1061,84 @@ object ScaleSmoke {
       }
     }
 
+    // ---- SemDeDup center provisioning: the operator's cost is
+    // Σ n_c² over clusters. Replica block i is a REFLECTION of the
+    // base embeddings (deterministic per-block sign pattern —
+    // orthogonal, so within-block geometry is untouched while blocks
+    // decorrelate from each other). With the center count HELD FIXED
+    // (block 0's 10 seeds), every new block crowds into the same 10
+    // clusters and the verify wall grows ~quadratically; scaling the
+    // center count with the corpus (the paper's k ∝ n rule — block
+    // i's centers are block 0's seeds under block i's reflection)
+    // keeps cluster sizes flat and the wall ~linear. maxClusterSize
+    // is the refusal backstop when a fit under-provisions.
+    if (on("sem")) {
+      import graft.operators.SemDedup
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def signs(i: Int): Seq[Double] =
+        if (i == 0) Seq.fill(64)(1.0) // block 0 IS the base corpus
+        else Seq.tabulate(64)(j => if ((j + 7 * i) % 5 < 2) -1.0 else 1.0)
+      def block(i: Int) = e0.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        zip_with(col("v"), typedLit(signs(i)), (x, s) => x * s).as("v"))
+      val seeds0 = e0.orderBy(col("vec_id")).limit(10).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      scales.foreach { k =>
+        val c = (0 until k).map(block).reduce(_ unionByName _).cache()
+        val n = c.count()
+        val fixed = seeds0
+        val scaled = (0 until k).flatMap { i =>
+          val s = signs(i)
+          fixed.map(cv => cv.zip(s).map { case (x, sg) => x * sg })
+        }
+        for ((label, cents) <- Seq(("semFixedCenters", fixed),
+                                   ("semScaledCenters", scaled))) {
+          val t0 = System.nanoTime()
+          val pairs = SemDedup.semDedupPairs(c, "vec_id", "v", cents,
+            minCosine = 0.4, maxClusterSize = Int.MaxValue).count()
+          val maxC = SemDedup.clusterSizes(c, "v", cents)
+            .agg(max(col("n"))).head().getLong(0)
+          println(f"[scale-smoke] sem k=$k%-2d n=$n%-6d $label%-17s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"maxCluster=$maxC pairs=$pairs")
+        }
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
+    // ---- DSIR: the fit partial-aggs into m bucket rows whatever the
+    // corpus size (model stays O(m)), and the weighting pass is one
+    // shuffle-free scan — both walls must grow ~linearly with the
+    // corpus while the ratio table stays exactly m rows.
+    if (on("dsir")) {
+      import graft.operators.Dsir
+      val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      scales.foreach { k =>
+        val c = (0 until k).map { i =>
+          d0.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("lang"), concat(col("text"), lit(s" replica$i")).as("text"))
+        }.reduce(_ unionByName _).cache()
+        val n = c.count()
+        var t0 = System.nanoTime()
+        val ratios = Dsir.logRatioTable(
+          c.filter(col("lang") === "en"), c, "text", 8192)
+        val mRows = ratios.count()
+        val fitS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val scored = Dsir.importanceWeights(c, "text", ratios, 8192)
+          .agg(count(lit(1)), sum(col("log_weight"))).head().getLong(0)
+        val weighS = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-smoke] dsir k=$k%-2d n=$n%-6d " +
+          f"fit=$fitS%7.2f s (model=$mRows rows)  " +
+          f"weigh=$weighS%7.2f s  scored=$scored")
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     spark.stop()
   }
 }
