@@ -211,6 +211,48 @@ object SparkEntry {
        |  JOIN r ON ex.b = r.b GROUP BY ex.doc_id)
        |""".stripMargin
 
+  /** q223/q224 raking targets: english-heavy langs, uniform sources */
+  private lazy val rakeRowTargets = Map("en" -> 0.4, "de" -> 0.15,
+    "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private lazy val rakeColTargets =
+    (0 until 20).map(i => s"src$i" -> 0.05).toMap
+
+  /** unrolled-IPF oracle (q223/q224): `iters` row-then-column passes
+    * over the lang x source cell counts as CTE pairs — possible
+    * because the iteration count is FIXED (the q149 discipline).
+    * Ends with CTE `f(r, c, n, cell_frac)`. */
+  private def ipfOracleCte(iters: Int): String = {
+    val rowVals = rakeRowTargets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('$k',$v)" }.mkString(",")
+    val colVals = rakeColTargets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('$k',$v)" }.mkString(",")
+    val sb = new StringBuilder
+    sb ++= s"""WITH rt(r, t) AS (VALUES $rowVals),
+              |ct(c, t) AS (VALUES $colVals),
+              |w0 AS (SELECT lang AS r, source AS c,
+              |    CAST(count(*) AS DOUBLE) AS n, 1.0 AS w
+              |  FROM documents GROUP BY 1, 2),
+              |""".stripMargin
+    (1 to iters).foreach { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}b"
+      sb ++= s"""ra$i AS (SELECT r, sum(n*w) AS s FROM $prev GROUP BY r),
+                |w${i}a AS (SELECT p.r, p.c, p.n, p.w * rt.t / ra$i.s AS w
+                |  FROM $prev p JOIN ra$i ON p.r = ra$i.r
+                |  JOIN rt ON p.r = rt.r),
+                |ca$i AS (SELECT c, sum(n*w) AS s FROM w${i}a GROUP BY c),
+                |w${i}b AS (SELECT p.r, p.c, p.n, p.w * ct.t / ca$i.s AS w
+                |  FROM w${i}a p JOIN ca$i ON p.c = ca$i.c
+                |  JOIN ct ON p.c = ct.c),
+                |""".stripMargin
+    }
+    sb ++= s"""tot AS (SELECT sum(n*w) AS t FROM w${iters}b),
+              |f AS (SELECT r, c, CAST(n AS BIGINT) AS n,
+              |    n*w/tot.t AS cell_frac
+              |  FROM w${iters}b, tot)
+              |""".stripMargin
+    sb.toString
+  }
+
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
     * (streaming path). */
@@ -6566,7 +6608,52 @@ object SparkEntry {
           |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
           |s AS (SELECT doc_id, lang FROM k
           |  ORDER BY key DESC, doc_id LIMIT 50)
-          |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin))
+          |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin)),
+
+    // IPF raking (Deming & Stephan 1940) under the FULL hash gate:
+    // fit lang x source cell fractions to simultaneous marginal
+    // targets (en 0.4 / others 0.15; sources uniform 0.05) with 5
+    // fixed row-then-column passes. Fixed iteration count is what
+    // makes the oracle possible — every pass unrolls as a pair of
+    // (marginal-sum, rescale) CTEs, the q149 label-prop discipline.
+    // Round 6 absorbs the engines' summation-order drift (~1e-14
+    // after 10 contractive passes).
+    Q("q223_ipf_raking", (s, dir) =>
+      graft.operators.Raking.ipfCellFractions(
+          t(s, dir, "documents"), "lang", "source",
+          rakeRowTargets, rakeColTargets, iters = 5)
+        .select(col("r"), col("c"), col("n"),
+          round(col("cell_frac"), 6).as("cell_frac"))
+        .orderBy(col("r"), col("c")),
+      Some(ipfOracleCte(5) +
+        """SELECT r, c, n, round(cell_frac, 6) AS cell_frac FROM f
+          |ORDER BY r, c""".stripMargin)),
+
+    // Raked selection: 200 docs at the fitted mix — per-cell quota
+    // floor(200 * cell_frac + 1e-9) (the epsilon pins the floor seam
+    // so a last-ulp replay difference cannot flip a quota), winners
+    // by md5(seed:id) order (capPerGroup's rerun-stable discipline).
+    Q("q224_rake_select", (s, dir) =>
+      graft.operators.Raking.rakeSelect(
+          t(s, dir, "documents"), "doc_id", "lang", "source",
+          rakeRowTargets, rakeColTargets, totalN = 200, iters = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(ipfOracleCte(5) +
+        """, qn AS (SELECT r, c,
+          |   CAST(floor(200 * cell_frac + 1e-9) AS BIGINT) AS q
+          |  FROM f),
+          |kk AS (SELECT doc_id, lang, source,
+          |   CAST(concat('0x',
+          |       substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          |     AS BIGINT) AS key
+          |  FROM documents),
+          |rr AS (SELECT doc_id, lang, source, row_number() OVER (
+          |   PARTITION BY lang, source ORDER BY key, doc_id) AS rn
+          |  FROM kk)
+          |SELECT doc_id, lang, source FROM rr
+          |JOIN qn ON lang = qn.r AND source = qn.c
+          |WHERE rn <= q ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

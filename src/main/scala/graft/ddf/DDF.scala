@@ -957,6 +957,16 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Dsir.resampleGumbel(df, idCol, weightCol,
       n, seed))
 
+  /** [[graft.operators.Raking.rakeSelect]] — IPF raking (Deming &
+    * Stephan 1940): budgeted md5-deterministic sample whose row AND
+    * column marginals simultaneously match the targets. */
+  def rakeSelect(idCol: String, rowCol: String, colCol: String,
+                 rowTargets: Map[String, Double],
+                 colTargets: Map[String, Double], totalN: Long,
+                 iters: Int = 5, seed: Long = 42L): DDF =
+    wrap(graft.operators.Raking.rakeSelect(df, idCol, rowCol, colCol,
+      rowTargets, colTargets, totalN, iters, seed))
+
   /** [[graft.operators.AbTest.benford]] — first-significant-digit
     * census vs Benford's law (fabricated-data screen) */
   def benford(colName: String): DDF =

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Raking
+import org.apache.spark.sql.functions._
+
+class RakingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 2x2 fixture: counts deliberately OFF both marginals
+  //         c=x  c=y   row share
+  //  r=a     30   10   40%
+  //  r=b     40   20   60%
+  private def fixture = {
+    val rows =
+      Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(40)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    rows.zipWithIndex.map { case ((r, c), i) => (i.toLong, r, c) }
+      .toDF("id", "r0", "c0")
+  }
+
+  test("cellCounts: one row per observed cell") {
+    val got = Raking.cellCounts(fixture, "r0", "c0")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "x") -> 30L, ("a", "y") -> 10L,
+      ("b", "x") -> 40L, ("b", "y") -> 20L))
+  }
+
+  test("ipf converges: fitted fractions match BOTH target marginals") {
+    val rowT = Map("a" -> 0.5, "b" -> 0.5)
+    val colT = Map("x" -> 0.3, "y" -> 0.7)
+    val f = Raking.ipfCellFractions(fixture, "r0", "c0", rowT, colT,
+      iters = 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val rowM = f.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colM = f.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    rowT.foreach { case (k, t) => assert(math.abs(rowM(k) - t) < 1e-9) }
+    colT.foreach { case (k, t) => assert(math.abs(colM(k) - t) < 1e-9) }
+    assert(math.abs(f.values.sum - 1.0) < 1e-9)
+  }
+
+  test("identity fit: targets equal to observed marginals keep the mix") {
+    val rowT = Map("a" -> 0.4, "b" -> 0.6)
+    val colT = Map("x" -> 0.7, "y" -> 0.3)
+    val f = Raking.ipfCellFractions(fixture, "r0", "c0", rowT, colT)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // observed table already satisfies both marginals -> IPF is the
+    // identity (weights 1 up to normalization)
+    assert(math.abs(f(("a", "x")) - 0.30) < 1e-9)
+    assert(math.abs(f(("b", "y")) - 0.20) < 1e-9)
+  }
+
+  test("rakeSelect: per-cell quotas honored, deterministic, " +
+    "seed-sensitive, population-capped") {
+    val rowT = Map("a" -> 0.5, "b" -> 0.5)
+    val colT = Map("x" -> 0.5, "y" -> 0.5)
+    val sel = Raking.rakeSelect(fixture, "id", "r0", "c0", rowT, colT,
+      totalN = 40, iters = 30)
+    val perCell = sel.groupBy($"r0", $"c0").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // quotas follow the FITTED fractions (IPF preserves the table's
+    // odds ratio — symmetric targets do NOT mean uniform cells)
+    val fr = Raking.ipfCellFractions(fixture, "r0", "c0", rowT, colT,
+      iters = 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    fr.foreach { case (cell, f) =>
+      assert(perCell(cell) == math.floor(40.0 * f + 1e-9).toLong, cell) }
+    // and the fit is NOT uniform: the original 1.5 odds ratio survives
+    val or = (fr(("a", "x")) * fr(("b", "y"))) /
+      (fr(("a", "y")) * fr(("b", "x")))
+    assert(math.abs(or - 1.5) < 1e-6)
+    val again = Raking.rakeSelect(fixture, "id", "r0", "c0", rowT, colT,
+      totalN = 40, iters = 30).select($"id").as[Long].collect().sorted
+    assert(again.toSeq ==
+      sel.select($"id").as[Long].collect().sorted.toSeq)
+    val other = Raking.rakeSelect(fixture, "id", "r0", "c0", rowT, colT,
+      totalN = 40, iters = 30, seed = 7L)
+      .select($"id").as[Long].collect().sorted
+    assert(other.toSeq != again.toSeq)
+    // quota above a cell's population -> the whole cell, no error:
+    // push 80% of mass onto the 10-row (a,y) cell
+    val greedy = Raking.rakeSelect(fixture, "id", "r0", "c0",
+      Map("a" -> 0.9, "b" -> 0.1), Map("x" -> 0.1, "y" -> 0.9),
+      totalN = 90, iters = 30)
+    val ay = greedy.filter($"r0" === "a" && $"c0" === "y").count()
+    assert(ay == 10L) // capped at population
+  }
+
+  test("validation refuses bad targets") {
+    intercept[IllegalArgumentException] {
+      Raking.ipfCellFractions(fixture, "r0", "c0",
+        Map("a" -> 0.4), Map("x" -> 0.5, "y" -> 0.5)) // b uncovered
+    }
+    intercept[IllegalArgumentException] {
+      Raking.ipfCellFractions(fixture, "r0", "c0",
+        Map("a" -> 0.4, "b" -> 0.4), Map("x" -> 0.5, "y" -> 0.5)) // sum!=1
+    }
+    intercept[IllegalArgumentException] {
+      Raking.ipfCellFractions(fixture, "r0", "c0",
+        Map("a" -> -0.5, "b" -> 1.5), Map("x" -> 0.5, "y" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Raking.ipfCellFractions(fixture, "r0", "c0",
+        Map("a" -> 0.4, "b" -> 0.6), Map("x" -> 1.0, "y" -> 1e-12),
+        iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Raking.rakeSelect(fixture, "id", "r0", "c0",
+        Map("a" -> 0.5, "b" -> 0.5), Map("x" -> 0.5, "y" -> 0.5),
+        totalN = 0)
+    }
+  }
+
+  test("extra target keys for unobserved values are tolerated") {
+    val f = Raking.ipfCellFractions(fixture, "r0", "c0",
+      Map("a" -> 0.3, "b" -> 0.3, "ghost" -> 0.4),
+      Map("x" -> 0.5, "y" -> 0.5), iters = 30).collect()
+    // ghost mass is unreachable; the fit renormalizes over observed
+    // cells and the COLUMN marginals (the last pass) still hit target
+    val colM = f.map(r => r.getString(1) -> r.getDouble(4))
+      .groupBy(_._1).map { case (k, m) => k -> m.map(_._2).sum }
+    assert(math.abs(colM("x") - 0.5) < 1e-9)
+    assert(math.abs(colM("y") - 0.5) < 1e-9)
+  }
+}
