@@ -6629,10 +6629,12 @@ object SparkEntry {
         """SELECT r, c, n, round(cell_frac, 6) AS cell_frac FROM f
           |ORDER BY r, c""".stripMargin)),
 
-    // Raked selection: 200 docs at the fitted mix — per-cell quota
-    // floor(200 * cell_frac + 1e-9) (the epsilon pins the floor seam
-    // so a last-ulp replay difference cannot flip a quota), winners
-    // by md5(seed:id) order (capPerGroup's rerun-stable discipline).
+    // Raked selection: 200 docs at the fitted mix — per-cell quotas
+    // are largest-remainder (Hamilton) apportionments (floor + one
+    // extra for the largest round-9 remainders, so the draw hits 200
+    // exactly when populations allow; the epsilon and the round-9
+    // remainder pin both FP seams), winners by md5(seed:id) order
+    // (capPerGroup's rerun-stable discipline).
     Q("q224_rake_select", (s, dir) =>
       graft.operators.Raking.rakeSelect(
           t(s, dir, "documents"), "doc_id", "lang", "source",
@@ -6640,9 +6642,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id")),
       Some(ipfOracleCte(5) +
-        """, qn AS (SELECT r, c,
-          |   CAST(floor(200 * cell_frac + 1e-9) AS BIGINT) AS q
+        """, base AS (SELECT r, c,
+          |   CAST(floor(200 * cell_frac + 1e-9) AS BIGINT) AS q,
+          |   round(200 * cell_frac
+          |     - floor(200 * cell_frac + 1e-9), 9) AS rem
           |  FROM f),
+          |sh AS (SELECT 200 - sum(q) AS s FROM base),
+          |rk AS (SELECT r, c, q, row_number() OVER (
+          |   ORDER BY rem DESC, r, c) AS brn FROM base),
+          |qn AS (SELECT r, c,
+          |   q + (CASE WHEN brn <= sh.s THEN 1 ELSE 0 END) AS q
+          |  FROM rk, sh),
           |kk AS (SELECT doc_id, lang, source,
           |   CAST(concat('0x',
           |       substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))

@@ -120,21 +120,49 @@ object Raking {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
-  /** Budgeted selection at the fitted mix: per cell, quota =
-    * floor(totalN * cell_frac + 1e-9) rows (the epsilon pins the
-    * floor seam against last-ulp drift — a replay must not flip a
-    * quota), chosen by md5(seed ":" id) order (capPerGroup's
-    * rerun-stable discipline), capped at the cell's population. */
+  /** Budgeted selection at the fitted mix. Per-cell quotas are
+    * largest-remainder (Hamilton) apportionments of totalN over the
+    * fitted fractions — floor(totalN·frac + 1e-9) plus one extra for
+    * the cells with the largest rounded remainders, so the selection
+    * hits totalN EXACTLY whenever populations allow (a bare floor
+    * loses up to #cells−1 rows — at a 97-cell lang×source table
+    * that's a double-digit-percent shortfall of a small budget).
+    * The 1e-9 epsilon and the round-9 remainder pin the two FP seams
+    * (floor flip, remainder rank) against last-ulp replay drift.
+    * Winners per cell by md5(seed ":" id) order (capPerGroup's
+    * rerun-stable discipline), capped at the cell's population —
+    * the only remaining shortfall is a cell smaller than its quota,
+    * which no apportionment can fill without leaving the fitted
+    * mix. */
   def rakeSelect(df: DataFrame, idCol: String, rowCol: String,
                  colCol: String, rowTargets: Map[String, Double],
                  colTargets: Map[String, Double], totalN: Long,
                  iters: Int = 5, seed: Long = 42L): DataFrame = {
     require(totalN > 0, s"totalN must be positive, got $totalN")
-    val quotas = ipfCellFractions(df, rowCol, colCol, rowTargets,
-      colTargets, iters)
-      .select(col("r").as("__r"), col("c").as("__c"),
-        floor(lit(totalN.toDouble) * col("cell_frac") + lit(1e-9))
-          .cast("long").as("__q"))
+    val fracs = ipfCellFractions(df, rowCol, colCol, rowTargets,
+      colTargets, iters).collect() // bounded — same table IPF ran on
+    val base = fracs.map { r =>
+      val exact = totalN.toDouble * r.getDouble(4)
+      val q = math.floor(exact + 1e-9).toLong
+      val rem = BigDecimal(exact - q)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getString(0), r.getString(1), q, rem)
+    }
+    val short = (totalN - base.map(_._3).sum).toInt
+    val bumped = base.sortBy { case (r, c, _, rem) => (-rem, r, c) }
+      .zipWithIndex
+      .map { case ((r, c, q, _), i) => (r, c, if (i < short) q + 1 else q) }
+    val spark = df.sparkSession
+    val quotas = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        bumped.toSeq.map(t => Row(t._1, t._2, t._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__r",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__c",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__q",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val key = conv(substring(md5(concat_ws(":", lit(seed.toString),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     val w = org.apache.spark.sql.expressions.Window

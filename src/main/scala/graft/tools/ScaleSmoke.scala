@@ -1076,9 +1076,15 @@ object ScaleSmoke {
       import graft.operators.SemDedup
       val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // period-97 pseudo-random windows: distinct NON-REPEATING sign
+      // patterns for every i < 97 (a short-period family like
+      // (j+7i)%5 silently duplicates blocks past i=5 — twin blocks
+      // are identical point sets and the smoke measures the twins,
+      // not provisioning)
       def signs(i: Int): Seq[Double] =
         if (i == 0) Seq.fill(64)(1.0) // block 0 IS the base corpus
-        else Seq.tabulate(64)(j => if ((j + 7 * i) % 5 < 2) -1.0 else 1.0)
+        else Seq.tabulate(64)(j =>
+          if ((j * 41 + i * 17) % 97 < 39) -1.0 else 1.0)
       def block(i: Int) = e0.select(
         (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
         zip_with(col("v"), typedLit(signs(i)), (x, s) => x * s).as("v"))
@@ -1097,11 +1103,15 @@ object ScaleSmoke {
           val t0 = System.nanoTime()
           val pairs = SemDedup.semDedupPairs(c, "vec_id", "v", cents,
             minCosine = 0.4, maxClusterSize = Int.MaxValue).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // audit OUTSIDE the timed window: clusterSizes re-runs the
+          // O(n·|cents|) assignment, which is k× dearer in the
+          // scaled arm and would bias the very comparison this
+          // section makes
           val maxC = SemDedup.clusterSizes(c, "v", cents)
             .agg(max(col("n"))).head().getLong(0)
           println(f"[scale-smoke] sem k=$k%-2d n=$n%-6d $label%-17s " +
-            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
-            f"maxCluster=$maxC pairs=$pairs")
+            f"$wall%7.2f s  maxCluster=$maxC pairs=$pairs")
         }
         c.unpersist()
         spark.catalog.clearCache()
@@ -1123,8 +1133,12 @@ object ScaleSmoke {
         }.reduce(_ unionByName _).cache()
         val n = c.count()
         var t0 = System.nanoTime()
+        // cache the ratio table: importanceWeights collects it, and
+        // an uncached collect would RE-RUN both fit aggregations
+        // inside the weigh window — the weigh number must price the
+        // scoring pass, not a second fit
         val ratios = Dsir.logRatioTable(
-          c.filter(col("lang") === "en"), c, "text", 8192)
+          c.filter(col("lang") === "en"), c, "text", 8192).cache()
         val mRows = ratios.count()
         val fitS = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()

@@ -59,13 +59,17 @@ class RakingSpec extends SparkTestBase {
       totalN = 40, iters = 30)
     val perCell = sel.groupBy($"r0", $"c0").count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // quotas follow the FITTED fractions (IPF preserves the table's
-    // odds ratio — symmetric targets do NOT mean uniform cells)
+    // Hamilton apportionment: totals hit totalN EXACTLY (populations
+    // ample), each cell gets floor or floor+1 of its fitted share
+    // (IPF preserves the table's odds ratio — symmetric targets do
+    // NOT mean uniform cells)
     val fr = Raking.ipfCellFractions(fixture, "r0", "c0", rowT, colT,
       iters = 30).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(perCell.values.sum == 40L)
     fr.foreach { case (cell, f) =>
-      assert(perCell(cell) == math.floor(40.0 * f + 1e-9).toLong, cell) }
+      val fl = math.floor(40.0 * f + 1e-9).toLong
+      assert(perCell(cell) == fl || perCell(cell) == fl + 1, cell) }
     // and the fit is NOT uniform: the original 1.5 odds ratio survives
     val or = (fr(("a", "x")) * fr(("b", "y"))) /
       (fr(("a", "y")) * fr(("b", "x")))
