@@ -95,10 +95,31 @@ object SemDedup {
     assign(df, vecCol, centers)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
+  /** Admitted-cluster id buckets: (cluster, ids) for clusters whose
+    * COUNT is in [2, maxClusterSize]. Count-first by construction:
+    * the size guard runs on a per-cluster `count` aggregate (output
+    * bounded by |centers| rows — it broadcasts) and over-cap
+    * clusters are semi-joined OUT before any `collect_list` runs, so
+    * a degenerate center that attracts a corpus-sized cluster is
+    * refused by its count and never buffers its id array in an
+    * aggregation task (the filter-after-collect shape would build
+    * the array first and drop it after — cap'd pair explosion but
+    * unbounded executor memory). SemDedupSpec pins the plan shape:
+    * the collect_list aggregate sits ABOVE the semi join. */
+  private[graft] def candidateBuckets(asg: DataFrame,
+                                      maxClusterSize: Int): DataFrame = {
+    val ok = asg.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxClusterSize))
+      .select(col("cluster"))
+    asg.join(broadcast(ok), Seq("cluster"), "left_semi")
+      .groupBy(col("cluster")).agg(collect_list(col("id")).as("ids"))
+  }
+
   /** Within-cluster near-dup pairs: (id_a, id_b, cluster, cosine,
     * cent_cos_a, cent_cos_b) with id_a < id_b and cosine >=
     * `minCosine`. Candidates are bucket-expanded per cluster (size
-    * guard [2, maxClusterSize]), then cosine-verified via id joins. */
+    * guard [2, maxClusterSize], count-first — see
+    * [[candidateBuckets]]), then cosine-verified via id joins. */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     centers: Seq[Seq[Double]], minCosine: Double,
                     maxClusterSize: Int = 10000): DataFrame = {
@@ -114,9 +135,8 @@ object SemDedup {
     // make a row its own loser — a duplicated-id GROUP must dedup
     // against OTHERS, not against itself (collapsing id copies is
     // exact dedup's job, not semantic dedup's)
-    val cand = Dedup.pairsFromBuckets(asg
-      .groupBy(col("cluster")).agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxClusterSize)))
+    val cand = Dedup.pairsFromBuckets(
+      candidateBuckets(asg, maxClusterSize))
       .filter(col("id_a") =!= col("id_b"))
     val verified = cand
       .join(asg.select(col("id").as("id_a"), col("v").as("v_a"),
@@ -164,5 +184,47 @@ object SemDedup {
     // loser set is bounded by the pair set — small next to the
     // corpus, and AQE broadcasts it when it is
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
+  /** Provision centers by the paper's k ∝ n rule (Abbas 2023 §3:
+    * cluster count scales with the corpus so per-cluster population
+    * — and therefore the n_c² verify work — stays FLAT as the corpus
+    * grows; ScaleSmoke's `sem` section measures exactly this:
+    * fixed-k walls grow ~quadratically, scaled-k stays ~linear).
+    *
+    * k = clamp(⌈n / targetClusterSize⌉, 1, maxCenters); the fit is
+    * the bounded-sample Lloyd recipe shared with the IVF quantizer
+    * ([[Similarity.fitIvfQuantizer]] — random init, 10 rounds,
+    * ≤ fitCap sample rows, never a full-corpus iteration). The
+    * returned centers ride [[assign]]'s codegen literal path, which
+    * is why `maxCenters` exists: past a few thousand centers the
+    * literal argmin should hand over to IVF routing
+    * ([[Similarity.ivfTopK]]'s model path) rather than grow the
+    * expression tree without bound — at that point per-cluster size
+    * grows again and [[semDedupPairs]]' count-first cap is the
+    * documented refusal backstop.
+    *
+    * At 100 TB pass `fitFraction ≈ fitCap / n` so the sample is
+    * uniform rather than a prefix (the quantizer-fit discipline). */
+  def fitCenters(df: DataFrame, vecCol: String,
+                 targetClusterSize: Long = 5000L,
+                 maxCenters: Int = 4096, seed: Long = 42L,
+                 fitFraction: Double = 1.0,
+                 fitCap: Int = 100000): Seq[Seq[Double]] = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    require(maxCenters >= 1,
+      s"maxCenters must be >= 1, got $maxCenters")
+    // column-pruned count — parquet answers from footer metadata
+    val n = df.count()
+    require(n > 0, "fitCenters: input has no rows")
+    val k = math.max(1L, math.min(maxCenters.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    require(k <= fitCap,
+      s"k=$k centers exceed the fit sample cap $fitCap — raise " +
+        "fitCap or targetClusterSize (Lloyd needs >= k sample rows)")
+    Similarity.fitIvfQuantizer(df, vecCol, nCentroids = k,
+        seed = seed, fitFraction = fitFraction, fitCap = fitCap)
+      .clusterCenters.map(_.toArray.toSeq).toSeq
   }
 }

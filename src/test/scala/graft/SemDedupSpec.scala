@@ -115,6 +115,68 @@ class SemDedupSpec extends SparkTestBase {
     assert(kept == Seq(40L, 40L)) // both id-40 rows survive; 41 drops
   }
 
+  test("count-first: the collect_list aggregate sits ABOVE the " +
+    "cluster-size semi join (over-cap clusters never materialize " +
+    "their id arrays)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val df = Seq((1L, vec(1.0, 0.0, 0.0)), (2L, vec(1.0, 0.1, 0.0)))
+      .toDF("id", "v")
+    val asg = SemDedup.assign(
+      df.select($"id", $"v".as("v")), "v", centers)
+    val plan = SemDedup.candidateBuckets(asg, 10)
+      .queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.collectFirst { case _: CollectList => () }.nonEmpty) => a
+    }
+    assert(collectAggs.nonEmpty, "no collect_list aggregate in plan")
+    collectAggs.foreach { a =>
+      val semiBelow = a.child.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j }
+      assert(semiBelow.nonEmpty,
+        "collect_list aggregate is not guarded by the count-first " +
+          s"semi join — over-cap clusters would materialize:\n$plan")
+    }
+  }
+
+  test("fitCenters: k ∝ n under targetClusterSize, clamped to " +
+    "maxCenters, and fitted centers drive an end-to-end dedup") {
+    // 40 near-identical rows in 4 loose groups around orthogonal axes
+    val rows = (0 until 40).map { i =>
+      val axis = i % 4
+      val base = Array(0.0, 0.0, 0.0, 0.0)
+      base(axis) = 1.0
+      base((axis + 1) % 4) = 0.001 * (i / 4) // tiny within-group spread
+      (i.toLong, base)
+    }
+    val df = rows.toDF("id", "v")
+    val c10 = SemDedup.fitCenters(df, "v", targetClusterSize = 10L)
+    assert(c10.length == 4) // ceil(40/10)
+    val c7 = SemDedup.fitCenters(df, "v", targetClusterSize = 7L)
+    assert(c7.length == 6) // ceil(40/7)
+    val clamped = SemDedup.fitCenters(df, "v", targetClusterSize = 1L,
+      maxCenters = 5)
+    assert(clamped.length == 5)
+    assert(c10.forall(_.length == 4)) // centers carry the data dim
+    // fitted centers (k=4 ≈ the true group count) behave as dedup
+    // blocking: each group collapses to one survivor
+    val kept = SemDedup.semDedup(df, "id", "v", c10, minCosine = 0.999)
+    assert(kept.count() >= 4 && kept.count() < 40)
+    // determinism: same (corpus, params) -> same centers
+    val again = SemDedup.fitCenters(df, "v", targetClusterSize = 10L)
+    assert(again == c10)
+    intercept[IllegalArgumentException] {
+      SemDedup.fitCenters(df, "v", targetClusterSize = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      // k=40 centers but only 20 sample rows allowed
+      SemDedup.fitCenters(df, "v", targetClusterSize = 1L,
+        maxCenters = 4096, fitCap = 20)
+    }
+  }
+
   test("invalid keep policy throws BEFORE any job runs") {
     val df = Seq((1L, vec(1.0, 0.0, 0.0))).toDF("id", "v")
     val n = countJobs {
