@@ -13,7 +13,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
-    // upd/adm/cc/ntile); numeric args override the replication scales.
+    // upd/adm/bkt/cc/ntile/rank/sub/suba/hh/bpe/ivf/lpa/cont/contd/
+    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir); numeric args
+    // override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
@@ -1090,6 +1092,7 @@ object ScaleSmoke {
         zip_with(col("v"), typedLit(signs(i)), (x, s) => x * s).as("v"))
       val seeds0 = e0.orderBy(col("vec_id")).limit(10).collect()
         .map(_.getSeq[Double](1).toSeq).toSeq
+      val baseN = e0.count()
       scales.foreach { k =>
         val c = (0 until k).map(block).reduce(_ unionByName _).cache()
         val n = c.count()
@@ -1098,8 +1101,20 @@ object ScaleSmoke {
           val s = signs(i)
           fixed.map(cv => cv.zip(s).map { case (x, sg) => x * sg })
         }
+        // the FIT face (r13): k ∝ n provisioning from a bounded
+        // sample — targetClusterSize fixed at block-0's n/10, so the
+        // fitted k grows ~10·k with the corpus and per-cluster size
+        // stays flat (the scaled arm's property, with centers the
+        // operator provisioned itself instead of hand-built ones)
+        val tFit = System.nanoTime()
+        val fitted = SemDedup.fitCenters(c, "v",
+          targetClusterSize = math.max(1L, baseN / 10))
+        println(f"[scale-smoke] sem k=$k%-2d n=$n%-6d " +
+          f"semFitCenters     ${(System.nanoTime() - tFit) / 1e9}%7.2f s  " +
+          f"kFit=${fitted.length}")
         for ((label, cents) <- Seq(("semFixedCenters", fixed),
-                                   ("semScaledCenters", scaled))) {
+                                   ("semScaledCenters", scaled),
+                                   ("semFittedCenters", fitted))) {
           val t0 = System.nanoTime()
           val pairs = SemDedup.semDedupPairs(c, "vec_id", "v", cents,
             minCosine = 0.4, maxClusterSize = Int.MaxValue).count()
@@ -1116,6 +1131,81 @@ object ScaleSmoke {
         c.unpersist()
         spark.catalog.clearCache()
       }
+    }
+
+    // ---- hybrid salted join: replicated shuffle volume must track
+    // the HOT subset only. Fixture: ~half the left rows land on ONE
+    // hot key, the rest are a near-unique tail; the right side is one
+    // row per key (distinct-key sized — non-tiny, the regime where
+    // replicating all of it salt-fold is the scale bug r12 flagged).
+    // Three arms, each with total shuffle WRITE records measured by a
+    // task-metrics listener: plain join / hybrid saltedJoin (auto
+    // threshold -> exactly one hot key) / the naive full-replication
+    // construction (explode 0..salt-1 on EVERY right row — the
+    // pre-r13 shape, built inline). hybrid - plain must stay ~salt ×
+    // hot right rows (= salt copies of 1 key's single right row +
+    // re-keyed left, not salt × |right|), while naive - plain grows
+    // with salt × n_right.
+    if (on("salt")) {
+      import graft.operators.Skew
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val bcSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measured(body: => Long): (Long, Long, Double) = {
+        val recs = new java.util.concurrent.atomic.AtomicLong(0)
+        val l = new SparkListener {
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null)
+              recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val rows =
+          try body
+          finally {
+            // listener bus is async — drain before reading counters
+            Thread.sleep(1000)
+            spark.sparkContext.removeSparkListener(l)
+          }
+        (rows, recs.get(), (System.nanoTime() - t0) / 1e9)
+      }
+      try scales.foreach { k =>
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val left = (0 until k).map(i => li0.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok"),
+            col("l_quantity")))
+          .reduce(_ unionByName _)
+          .select(when(col("ok") % 2 === 0, lit(0L)).otherwise(col("ok"))
+            .as("key"), col("l_quantity"))
+          .cache()
+        val right = left.select(col("key")).distinct()
+          .withColumn("payload", concat(lit("dim"), col("key")))
+          .cache()
+        val nL = left.count(); val nR = right.count()
+        val salt = 8
+        val arms = Seq[(String, () => Long)](
+          ("plain", () => left.join(right, Seq("key")).count()),
+          ("hybridSalted", () => Skew.saltedJoin(left, right,
+            Seq("key"), salt).count()),
+          ("naiveFullSalt", () => {
+            val l2 = left.withColumn("__salt",
+              (rand(42L) * salt).cast("int"))
+            val r2 = right.withColumn("__salt",
+              explode(sequence(lit(0), lit(salt - 1))))
+            l2.join(r2, Seq("key", "__salt")).count()
+          }))
+        arms.foreach { case (label, f) =>
+          val (rows, recs, wall) = measured(f())
+          println(f"[scale-smoke] salt k=$k%-2d nL=$nL%-7d nR=$nR%-7d " +
+            f"$label%-14s $wall%7.2f s  rows=$rows shufRecs=$recs")
+        }
+        left.unpersist(); right.unpersist()
+        spark.catalog.clearCache()
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", bcSaved)
     }
 
     // ---- DSIR: the fit partial-aggs into m bucket rows whatever the

