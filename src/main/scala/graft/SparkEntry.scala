@@ -217,41 +217,67 @@ object SparkEntry {
   private lazy val rakeColTargets =
     (0 until 20).map(i => s"src$i" -> 0.05).toMap
 
-  /** unrolled-IPF oracle (q223/q224): `iters` row-then-column passes
-    * over the lang x source cell counts as CTE pairs — possible
-    * because the iteration count is FIXED (the q149 discipline).
-    * Ends with CTE `f(r, c, n, cell_frac)`. */
-  private def ipfOracleCte(iters: Int): String = {
-    val rowVals = rakeRowTargets.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"('$k',$v)" }.mkString(",")
-    val colVals = rakeColTargets.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"('$k',$v)" }.mkString(",")
-    val sb = new StringBuilder
-    sb ++= s"""WITH rt(r, t) AS (VALUES $rowVals),
-              |ct(c, t) AS (VALUES $colVals),
-              |w0 AS (SELECT lang AS r, source AS c,
-              |    CAST(count(*) AS DOUBLE) AS n, 1.0 AS w
-              |  FROM documents GROUP BY 1, 2),
-              |""".stripMargin
-    (1 to iters).foreach { i =>
-      val prev = if (i == 1) "w0" else s"w${i - 1}b"
-      sb ++= s"""ra$i AS (SELECT r, sum(n*w) AS s FROM $prev GROUP BY r),
-                |w${i}a AS (SELECT p.r, p.c, p.n, p.w * rt.t / ra$i.s AS w
-                |  FROM $prev p JOIN ra$i ON p.r = ra$i.r
-                |  JOIN rt ON p.r = rt.r),
-                |ca$i AS (SELECT c, sum(n*w) AS s FROM w${i}a GROUP BY c),
-                |w${i}b AS (SELECT p.r, p.c, p.n, p.w * ct.t / ca$i.s AS w
-                |  FROM w${i}a p JOIN ca$i ON p.c = ca$i.c
-                |  JOIN ct ON p.c = ct.c),
-                |""".stripMargin
+  /** q225's third raking marginal: document length buckets */
+  private lazy val rakeBucketTargets =
+    Map("short" -> 0.3, "mid" -> 0.4, "long" -> 0.3)
+  private val lenBucketSql = "CASE WHEN n_chars < 200 THEN 'short' " +
+    "WHEN n_chars < 400 THEN 'mid' ELSE 'long' END"
+
+  /** unrolled-IPF oracle over k marginals (q223/q224/q225): `iters`
+    * passes, each one (marginal-sum, rescale) CTE pair PER dimension
+    * in column order — possible because the iteration count is FIXED
+    * (the q149 discipline). `dims` = (output name, cell SQL
+    * expression over `documents`, targets); ends with CTE
+    * `f(<names>, n, cell_frac)`. */
+  private def ipfOracleCteN(
+      iters: Int,
+      dims: Seq[(String, String, Map[String, Double])]): String = {
+    val sb = new StringBuilder("WITH ")
+    dims.zipWithIndex.foreach { case ((_, _, t), d) =>
+      val vals = t.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k',$v)" }.mkString(",")
+      sb ++= s"t$d(k, t) AS (VALUES $vals),\n"
     }
-    sb ++= s"""tot AS (SELECT sum(n*w) AS t FROM w${iters}b),
-              |f AS (SELECT r, c, CAST(n AS BIGINT) AS n,
+    val keyDefs = dims.zipWithIndex
+      .map { case ((_, expr, _), d) => s"$expr AS k$d" }.mkString(", ")
+    // MATERIALIZED, load-bearing: each pass references its
+    // predecessor twice (marginal sum + rescale join); an INLINED
+    // chain doubles the expansion per pass — 2^(iters*dims)
+    // re-evaluations of the base scan (q225's 15 passes = 32k parquet
+    // opens, a too-many-open-files failure in the oracle engine)
+    sb ++= s"""w0 AS MATERIALIZED (SELECT $keyDefs,
+              |    CAST(count(*) AS DOUBLE) AS n, 1.0 AS w
+              |  FROM documents
+              |  GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}),
+              |""".stripMargin
+    var prev = "w0"
+    (1 to iters).foreach { i =>
+      dims.indices.foreach { d =>
+        val m = s"m${i}_$d"; val w = s"w${i}_$d"
+        val pk = dims.indices.map(dd => s"p.k$dd").mkString(", ")
+        sb ++= s"""$m AS (SELECT k$d, sum(n*w) AS s FROM $prev GROUP BY k$d),
+                  |$w AS MATERIALIZED (SELECT $pk, p.n, p.w * t$d.t / $m.s AS w
+                  |  FROM $prev p JOIN $m ON p.k$d = $m.k$d
+                  |  JOIN t$d ON p.k$d = t$d.k),
+                  |""".stripMargin
+        prev = w
+      }
+    }
+    val outs = dims.zipWithIndex
+      .map { case ((nm, _, _), d) => s"k$d AS $nm" }.mkString(", ")
+    sb ++= s"""tot AS (SELECT sum(n*w) AS t FROM $prev),
+              |f AS (SELECT $outs, CAST(n AS BIGINT) AS n,
               |    n*w/tot.t AS cell_frac
-              |  FROM w${iters}b, tot)
+              |  FROM $prev, tot)
               |""".stripMargin
     sb.toString
   }
+
+  /** 2-marginal face (q223/q224): lang x source as `f(r, c, n,
+    * cell_frac)`. */
+  private def ipfOracleCte(iters: Int): String =
+    ipfOracleCteN(iters, Seq(("r", "lang", rakeRowTargets),
+      ("c", "source", rakeColTargets)))
 
   /** sequential SQL replay of both admission cycles with exact
     * shingle jaccard — shared verbatim by q122 (batch path) and q123
@@ -6634,7 +6660,12 @@ object SparkEntry {
     // extra for the largest round-9 remainders, so the draw hits 200
     // exactly when populations allow; the epsilon and the round-9
     // remainder pin both FP seams), winners by md5(seed:id) order
-    // (capPerGroup's rerun-stable discipline).
+    // (capPerGroup's rerun-stable discipline). r13: the oracle also
+    // mirrors the engine's overshoot TRIM — if the floor epsilon
+    // rounds enough cells UP that floors alone exceed totalN, the
+    // smallest-remainder cells give the excess back (RakingSpec pins
+    // the corner; at this fixture sh.s is positive and the branch is
+    // dormant on both sides).
     Q("q224_rake_select", (s, dir) =>
       graft.operators.Raking.rakeSelect(
           t(s, dir, "documents"), "doc_id", "lang", "source",
@@ -6650,9 +6681,14 @@ object SparkEntry {
           |sh AS (SELECT 200 - sum(q) AS s FROM base),
           |rk AS (SELECT r, c, q, row_number() OVER (
           |   ORDER BY rem DESC, r, c) AS brn FROM base),
-          |qn AS (SELECT r, c,
-          |   q + (CASE WHEN brn <= sh.s THEN 1 ELSE 0 END) AS q
-          |  FROM rk, sh),
+          |tk AS (SELECT r, c, row_number() OVER (
+          |   ORDER BY rem ASC, r, c) AS trn FROM base WHERE q > 0),
+          |qn AS (SELECT rk.r, rk.c,
+          |   rk.q + (CASE WHEN sh.s > 0 AND rk.brn <= sh.s
+          |           THEN 1 ELSE 0 END)
+          |        - (CASE WHEN sh.s < 0 AND tk.trn <= -sh.s
+          |           THEN 1 ELSE 0 END) AS q
+          |  FROM rk LEFT JOIN tk ON rk.r = tk.r AND rk.c = tk.c, sh),
           |kk AS (SELECT doc_id, lang, source,
           |   CAST(concat('0x',
           |       substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -6663,7 +6699,39 @@ object SparkEntry {
           |  FROM kk)
           |SELECT doc_id, lang, source FROM rr
           |JOIN qn ON lang = qn.r AND source = qn.c
-          |WHERE rn <= q ORDER BY doc_id""".stripMargin))
+          |WHERE rn <= q ORDER BY doc_id""".stripMargin)),
+
+    // 3-marginal raking (r13): lang x source x length-bucket fitted
+    // SIMULTANEOUSLY — the k-marginal generalization VERDICT r12
+    // item 3 asked for (real data recipes rake lang x source x
+    // quality at once; 2-marginal raking cannot hit a third
+    // stratification's targets except by luck). Same fixed-iteration
+    // discipline: every one of the 15 marginal passes (5 iters x 3
+    // dims) unrolls as a (marginal-sum, rescale) CTE pair. The third
+    // dimension is a DERIVED int-ish bucket (n_chars thresholds) —
+    // exercising the string-cast stratification contract (ADVICE
+    // r12) on the gate, not just in RakingSpec.
+    Q("q225_ipf_raking_3m", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("len_bucket",
+          when(col("n_chars") < 200, "short")
+            .when(col("n_chars") < 400, "mid")
+            .otherwise("long"))
+      graft.operators.Raking.ipfCellFractionsN(docs,
+          Seq("lang", "source", "len_bucket"),
+          Seq(rakeRowTargets, rakeColTargets, rakeBucketTargets),
+          iters = 5)
+        .select(col("lang"), col("source"), col("len_bucket"),
+          col("n"), round(col("cell_frac"), 6).as("cell_frac"))
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    },
+      Some(ipfOracleCteN(5, Seq(
+        ("lang", "lang", rakeRowTargets),
+        ("source", "source", rakeColTargets),
+        ("len_bucket", lenBucketSql, rakeBucketTargets))) +
+        """SELECT lang, source, len_bucket, n,
+          | round(cell_frac, 6) AS cell_frac
+          |FROM f ORDER BY lang, source, len_bucket""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -91,6 +91,85 @@ class RakingSpec extends SparkTestBase {
     assert(ay == 10L) // capped at population
   }
 
+  test("3-marginal fit: every marginal hits its target at 1e-9") {
+    // lang x source x parity over 120 rows with deliberately skewed
+    // joint counts
+    val rows = (0 until 120).map { i =>
+      (i.toLong,
+        if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr",
+        s"s${i % 3}",
+        if (i % 5 < 3) 0 else 1) // INT third dim — string-cast contract
+    }
+    val df = rows.toDF("id", "lang", "src", "par")
+    val targets = Seq(
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+      Map("s0" -> 0.4, "s1" -> 0.3, "s2" -> 0.3),
+      Map("0" -> 0.7, "1" -> 0.3))
+    val f = Raking.ipfCellFractionsN(df, Seq("lang", "src", "par"),
+      targets, iters = 40).collect()
+    val byDim = (0 to 2).map(d => f.groupBy(_.getString(d))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(5)).sum })
+    targets.zipWithIndex.foreach { case (t, d) =>
+      t.foreach { case (k, tv) =>
+        assert(math.abs(byDim(d)(k) - tv) < 1e-9,
+          s"dim $d key $k: ${byDim(d).get(k)} vs $tv") } }
+    assert(math.abs(f.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+  }
+
+  test("non-string stratification columns are string-cast; NULL " +
+    "cells are refused with the contract message") {
+    val ints = Seq((1L, 2020, "x"), (2L, 2021, "x"), (3L, 2020, "y"))
+      .toDF("id", "year", "c0")
+    val f = Raking.ipfCellFractionsN(ints, Seq("year", "c0"),
+      Seq(Map("2020" -> 0.5, "2021" -> 0.5),
+        Map("x" -> 0.5, "y" -> 0.5)), iters = 20).collect()
+    assert(f.map(_.getString(0)).toSet == Set("2020", "2021"))
+    val withNull = Seq((1L, Some("a"), "x"), (2L, None, "y"))
+      .toDF("id", "r0", "c0")
+    val e = intercept[IllegalArgumentException] {
+      Raking.ipfCellFractionsN(withNull, Seq("r0", "c0"),
+        Seq(Map("a" -> 1.0), Map("x" -> 0.5, "y" -> 0.5)))
+    }
+    assert(e.getMessage.contains("NULL value in stratification"))
+  }
+
+  test("hamiltonQuotas: FP overshoot corner trims the smallest " +
+    "remainders instead of exceeding totalN") {
+    // fracs crafted so every exact sits an ulp below an integer and
+    // the bare floor(x + 1e-9) rounds all three UP: 1e9 * 0.333333334
+    // = 333333334.00000006 -> q = 333333334 each, sum = 1000000002
+    // > totalN. The trim branch must take the overshoot back from
+    // the smallest-remainder cells and land on totalN exactly.
+    val keys = Array(Array("a"), Array("b"), Array("c"))
+    val fracs = Array(0.333333334, 0.333333334, 0.333333334)
+    val totalN = 1000000000L
+    val pre = fracs.map(f => math.floor(f * totalN + 1e-9).toLong).sum
+    assume(pre > totalN, s"fixture no longer overshoots (pre=$pre)")
+    val q = Raking.hamiltonQuotas(keys, fracs, totalN)
+    assert(q.sum == totalN)
+    // deterministic: the lexicographically-first smallest-remainder
+    // cells absorb the trim
+    assert(q.toSeq == Seq(333333333L, 333333333L, 333333334L))
+    // and the normal bump branch still fills shortfalls exactly
+    val q2 = Raking.hamiltonQuotas(
+      Array(Array("a"), Array("b"), Array("c")),
+      Array(1.0 / 3, 1.0 / 3, 1.0 / 3), 10L)
+    assert(q2.sum == 10L && q2.max - q2.min <= 1)
+  }
+
+  test("rakeSelectByN: quota winners ranked by the priority column, " +
+    "not the md5 draw") {
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+    val df = rows.toDF("id", "r0", "prio")
+    val sel = Raking.rakeSelectByN(df, "id", Seq("r0"),
+      Seq(Map("a" -> 0.5, "b" -> 0.5)), totalN = 10,
+      priorityCol = "prio", iters = 10)
+    val got = sel.select($"id").as[Long].collect().toSet
+    // 5 per cell, highest priority = highest ids of each parity
+    assert(got == Set(30L, 32L, 34L, 36L, 38L, 31L, 33L, 35L, 37L, 39L))
+  }
+
   test("validation refuses bad targets") {
     intercept[IllegalArgumentException] {
       Raking.ipfCellFractions(fixture, "r0", "c0",
