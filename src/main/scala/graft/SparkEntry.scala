@@ -211,6 +211,20 @@ object SparkEntry {
        |  JOIN r ON ex.b = r.b GROUP BY ex.doc_id)
        |""".stripMargin
 
+  /** q222/q226 shared selection oracle: Gumbel-top-50 over the DSIR
+    * weights — one DuckDB answer, two engine paths (inline fit vs
+    * persisted model). */
+  private lazy val dsirSelectOracleSql = dsirOracleCte +
+    """, k AS (SELECT d.doc_id, d.lang,
+      |   round(coalesce(w.lw, 0.0), 6)
+      |   - ln(-ln((CAST(concat('0x',
+      |       substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+      |     AS BIGINT) + 0.5) / 4294967296.0)) AS key
+      |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
+      |s AS (SELECT doc_id, lang FROM k
+      |  ORDER BY key DESC, doc_id LIMIT 50)
+      |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin
+
   /** q223/q224 raking targets: english-heavy langs, uniform sources */
   private lazy val rakeRowTargets = Map("en" -> 0.4, "de" -> 0.15,
     "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
@@ -6625,16 +6639,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
-      Some(dsirOracleCte +
-        """, k AS (SELECT d.doc_id, d.lang,
-          |   round(coalesce(w.lw, 0.0), 6)
-          |   - ln(-ln((CAST(concat('0x',
-          |       substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-          |     AS BIGINT) + 0.5) / 4294967296.0)) AS key
-          |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
-          |s AS (SELECT doc_id, lang FROM k
-          |  ORDER BY key DESC, doc_id LIMIT 50)
-          |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin)),
+      Some(dsirSelectOracleSql)),
+
+    // DSIR selection from a PERSISTED model (r13, the q117-vs-q115
+    // pattern): the fit is saved under the __fmt + (m, alpha, hash)
+    // stamp discipline, loaded back (stamps validated), and the
+    // selection reproduces q222's oracle VERBATIM — proving the
+    // persisted artifact carries the model exactly, so production
+    // selection cycles reuse a fit instead of re-scanning target and
+    // pool per run (BENCH_NOTES prices the inline refit q222 pays).
+    Q("q226_dsir_persisted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q226_dsir").toString + "/model"
+      Dsir.saveModel(Dsir.logRatioTable(
+        docs.filter(col("lang") === "en"), docs, "text", m = 512),
+        path, m = 512, alpha = 1.0)
+      val weighted = Dsir.importanceWeights(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        "text", Dsir.loadModel(s, path, m = 512, alpha = 1.0), m = 512)
+      Dsir.resampleGumbel(weighted, "doc_id", "log_weight", n = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+      Some(dsirSelectOracleSql)),
 
     // IPF raking (Deming & Stephan 1940) under the FULL hash gate:
     // fit lang x source cell fractions to simultaneous marginal

@@ -32,13 +32,21 @@ import graft.functions.TextFunctions
   *  - selection is a global top-n on (key, id) — TakeOrderedAndProject,
   *    never a full sort.
   *
-  * Hashing uses the md5 → 60-bit → mod-m discipline of
+  * Hashing defaults to the md5 → 60-bit → mod-m discipline of
   * [[TextFunctions.fingerprintPortable]] (q45), so every stage —
   * counts, smoothing, weights, the Gumbel draw — is SQL-replayable
-  * and q221/q222 run under the full DuckDB hash gate. (A per-token
-  * xxhash64 variant would shave scan cost at production scale; it is
-  * deliberately NOT the default here so the gate covers the shipped
-  * arithmetic — flip `bucketOf` if that trade ever matters.)
+  * and q221/q222/q226 run under the full DuckDB hash gate. The
+  * production-scale `hash = "xxhash64"` family (r13) skips the
+  * per-gram hex string; fit and scoring must use ONE family — the
+  * persisted-model stamps ([[saveModel]]/[[loadModel]]) enforce it.
+  *
+  * The fitted model is driver-state by nature (like a PQ codebook);
+  * [[saveModel]] persists the m-row table under the `__fmt` + params
+  * index discipline so selection cycles REUSE a fit instead of
+  * re-scanning target and pool per run (q226 reproduces q222's
+  * oracle from a persisted model; a stale or mismatched model file
+  * is refused on load, because scoring under a different (m, alpha,
+  * hash) than the fit would be silently WRONG, not just slow).
   */
 object Dsir {
 
@@ -50,28 +58,49 @@ object Dsir {
     require(m >= 2 && m <= MaxBuckets,
       s"numBuckets must be in [2, $MaxBuckets], got $m")
 
-  /** gram → bucket in [0, m): md5 hex prefix → 60-bit int → mod m
-    * (the q45 portable-hash chain, exact under ANSI). */
-  private def bucketOf(g: Column, m: Int): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+  private[graft] val HashFamilies = Set("md5", "xxhash64")
+
+  private def requireHash(hash: String): Unit =
+    require(HashFamilies(hash),
+      s"hash must be one of ${HashFamilies.mkString("/")}, got $hash")
+
+  /** gram → bucket in [0, m). Two families:
+    *  - `"md5"` (default): md5 hex prefix → 60-bit int → mod m — the
+    *    q45 portable-hash chain, SQL-replayable, so the FULL gate
+    *    (q221/q222/q226) covers the shipped arithmetic.
+    *  - `"xxhash64"`: one 8-byte non-cryptographic hash per gram —
+    *    the at-scale choice (no hex string materialized per gram;
+    *    ScaleSmoke's dsir section A/Bs the scan cost). Same model
+    *    quality (any uniform hash family serves the hashing trick —
+    *    Xie 2023 §2); DsirSpec pins selection-set equality of the
+    *    two families on a collision-divergent fixture.
+    * Both stay inside whole-stage codegen. */
+  private def bucketOf(g: Column, m: Int, hash: String): Column = hash match {
+    case "md5" =>
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+    case "xxhash64" => pmod(xxhash64(g), lit(m.toLong))
+  }
 
   /** per-row hashed unigram+bigram bucket MULTISET (array<long>) —
     * counts, not a shingle set: the multinomial weights repeated
     * grams, per the paper. */
-  private[graft] def bucketArr(textCol: Column, m: Int): Column =
+  private[graft] def bucketArr(textCol: Column, m: Int,
+                               hash: String = "md5"): Column =
     TextFunctions.bound(TextFunctions.tokens(textCol)) { t =>
       val bigrams = when(size(t) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(t) - 2),
           i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      transform(concat(t, bigrams), g => bucketOf(g, m))
+      transform(concat(t, bigrams), g => bucketOf(g, m, hash))
     }
 
   /** corpus bucket counts, ALL m buckets zero-filled (the smoothing
     * denominator needs every bucket to exist exactly once). */
-  def hashedNgramCounts(df: DataFrame, textCol: String, m: Int): DataFrame = {
+  def hashedNgramCounts(df: DataFrame, textCol: String, m: Int,
+                        hash: String = "md5"): DataFrame = {
     requireM(m)
+    requireHash(hash)
     val cnt = df
-      .select(explode(bucketArr(col(textCol), m)).as("bucket"))
+      .select(explode(bucketArr(col(textCol), m, hash)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     df.sparkSession.range(m).select(col("id").as("bucket"))
       .join(cnt, Seq("bucket"), "left")
@@ -81,12 +110,14 @@ object Dsir {
   /** m-row (bucket, log_ratio) table from a target corpus and the
     * raw pool. α > 0 keeps unseen buckets finite on both sides. */
   def logRatioTable(target: DataFrame, raw: DataFrame, textCol: String,
-                    m: Int, alpha: Double = 1.0): DataFrame = {
+                    m: Int, alpha: Double = 1.0,
+                    hash: String = "md5"): DataFrame = {
     requireM(m)
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val t = hashedNgramCounts(target, textCol, m)
+    requireHash(hash)
+    val t = hashedNgramCounts(target, textCol, m, hash)
       .select(col("bucket"), col("cnt").as("t_cnt"))
-    val r = hashedNgramCounts(raw, textCol, m)
+    val r = hashedNgramCounts(raw, textCol, m, hash)
       .select(col("bucket"), col("cnt").as("r_cnt"))
     val am = lit(alpha * m)
     val joined = t.join(r, Seq("bucket"))
@@ -104,8 +135,10 @@ object Dsir {
     * Collects the m-row ratio table once (bounded by [[MaxBuckets]])
     * and scores in one shuffle-free codegen pass. */
   def importanceWeights(df: DataFrame, textCol: String,
-                        ratios: DataFrame, m: Int): DataFrame = {
+                        ratios: DataFrame, m: Int,
+                        hash: String = "md5"): DataFrame = {
     requireM(m)
+    requireHash(hash)
     val arr = new Array[Double](m)
     val rows = ratios.select(col("bucket").cast("long"),
       col("log_ratio").cast("double")).collect()
@@ -119,7 +152,7 @@ object Dsir {
     // under a NULLS-LAST sort — divergent from the SQL replay's
     // coalesce and from the empty-string row one byte away)
     df.withColumn("log_weight",
-      coalesce(aggregate(bucketArr(col(textCol), m), lit(0.0),
+      coalesce(aggregate(bucketArr(col(textCol), m, hash), lit(0.0),
         (acc, b) => acc + element_at(ratioLit, b.cast("int") + 1)),
         lit(0.0)))
   }
@@ -139,5 +172,73 @@ object Dsir {
       + lit(0.5)) / lit(4294967296.0)
     val key = round(col(weightCol), 6) - log(-log(u))
     weighted.orderBy(key.desc, col(idCol).asc).limit(n)
+  }
+
+  /** Model FORMAT version stamped as `__fmt` into every persisted
+    * ratio row (the PqModelFormat discipline): params alone cannot
+    * detect an incompatible layout change (bucket chain, smoothing
+    * algebra), and a stale model scores WRONG, not slow. v1 =
+    * (bucket, log_ratio) rows, md5/xxhash64 bucket chains as of
+    * r13. */
+  private[graft] val DsirModelFormat = 1
+
+  /** Persist a fitted ratio table: m rows of (bucket, log_ratio)
+    * with `__fmt` + the fit params (m, alpha, hash family) stamped
+    * constant on every row (free under parquet RLE, validated on
+    * load). */
+  def saveModel(ratios: DataFrame, path: String, m: Int,
+                alpha: Double, hash: String = "md5"): Unit = {
+    requireM(m)
+    requireHash(hash)
+    ratios.select(col("bucket").cast("long").as("bucket"),
+        col("log_ratio").cast("double").as("log_ratio"))
+      .withColumn("__fmt", lit(DsirModelFormat))
+      .withColumn("__m", lit(m))
+      .withColumn("__alpha", lit(alpha))
+      .withColumn("__hash", lit(hash))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a ratio table persisted by [[saveModel]], refusing format
+    * or param mismatches: the caller states the (m, alpha, hash) it
+    * will score with, and a model fit under ANY other combination
+    * throws with a refit message — the exact trap `__fmt` versioning
+    * exists for, keyed here on the three knobs that silently change
+    * every weight if they drift between fit and scoring. Row
+    * population is validated to exactly m (importanceWeights would
+    * catch a short table later, but a load-time message names the
+    * FILE, not the symptom). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                m: Int, alpha: Double,
+                hash: String = "md5"): DataFrame = {
+    requireM(m)
+    requireHash(hash)
+    val df = spark.read.parquet(path)
+    val need = Seq("bucket", "log_ratio", "__fmt", "__m", "__alpha", "__hash")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a DSIR model file: missing columns $missing — rebuild " +
+        s"with Dsir.saveModel (format v$DsirModelFormat)")
+    val stamps = df.select(col("__fmt"), col("__m"), col("__alpha"),
+      col("__hash")).distinct().collect()
+    require(stamps.length == 1,
+      s"DSIR model stamps not constant (${stamps.length} distinct) — " +
+        "the file mixes fits; rebuild with Dsir.saveModel")
+    val st = stamps(0)
+    require(st.getInt(0) == DsirModelFormat,
+      s"DSIR model format ${st.getInt(0)} does not match this " +
+        s"library's v$DsirModelFormat — refit and save again (an " +
+        "incompatible layout would score WRONG, not just miss)")
+    require(st.getInt(1) == m && st.getDouble(2) == alpha &&
+      st.getString(3) == hash,
+      s"DSIR model was fit with (m=${st.getInt(1)}, " +
+        s"alpha=${st.getDouble(2)}, hash=${st.getString(3)}) but the " +
+        s"caller will score with (m=$m, alpha=$alpha, hash=$hash) — " +
+        "every weight would silently change; refit or fix the params")
+    val out = df.select(col("bucket"), col("log_ratio"))
+    require(out.count() == m,
+      s"DSIR model file has ${out.count()} rows, expected m=$m — " +
+        "truncated write? rebuild with Dsir.saveModel")
+    out
   }
 }

@@ -1238,6 +1238,25 @@ object ScaleSmoke {
         println(f"[scale-smoke] dsir k=$k%-2d n=$n%-6d " +
           f"fit=$fitS%7.2f s (model=$mRows rows)  " +
           f"weigh=$weighS%7.2f s  scored=$scored")
+        ratios.unpersist()
+        // hash-family A/B (r13): same pipeline under xxhash64 — no
+        // per-gram hex string, so fit+weigh price the production
+        // bucket chain against the SQL-replayable md5 default
+        t0 = System.nanoTime()
+        val ratiosXx = Dsir.logRatioTable(
+          c.filter(col("lang") === "en"), c, "text", 8192,
+          hash = "xxhash64").cache()
+        ratiosXx.count()
+        val fitXx = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        Dsir.importanceWeights(c, "text", ratiosXx, 8192,
+            hash = "xxhash64")
+          .agg(count(lit(1)), sum(col("log_weight"))).head()
+        val weighXx = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-smoke] dsir k=$k%-2d n=$n%-6d " +
+          f"fitXx=$fitXx%5.2f s  weighXx=$weighXx%5.2f s  " +
+          f"(md5 fit=$fitS%5.2f weigh=$weighS%5.2f)")
+        ratiosXx.unpersist()
         c.unpersist()
         spark.catalog.clearCache()
       }

@@ -100,7 +100,84 @@ class DsirSpec extends SparkTestBase {
     assert(w(3L) == 0.0) // null text == empty text, never null weight
   }
 
+  test("saveModel/loadModel: round-trip identity, stamp-validated") {
+    val target = Seq("the cat sat").toDF("text")
+    val raw = Seq("the cat sat", "dogs bark loud", "x y z").toDF("text")
+    val ratios = Dsir.logRatioTable(target, raw, "text", m, alpha = 1.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsir_model").toString + "/model"
+    Dsir.saveModel(ratios, dir, m, alpha = 1.0)
+    val loaded = Dsir.loadModel(spark, dir, m, alpha = 1.0)
+    val a = ratios.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = loaded.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-identical round trip, all m rows
+    // weights from the loaded model == weights from the live fit
+    val corpus = Seq((1L, "the cat sat"), (2L, "dogs bark")).toDF("id", "text")
+    val w1 = Dsir.importanceWeights(corpus, "text", ratios, m)
+      .select($"id", $"log_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w2 = Dsir.importanceWeights(corpus, "text", loaded, m)
+      .select($"id", $"log_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 == w2)
+  }
+
+  test("loadModel refuses format/param mismatches and foreign files") {
+    val target = Seq("a b").toDF("text")
+    val raw = Seq("a b", "c d").toDF("text")
+    val ratios = Dsir.logRatioTable(target, raw, "text", m)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dsir_guard").toString
+    Dsir.saveModel(ratios, s"$base/ok", m, alpha = 1.0, hash = "md5")
+    // every knob that silently changes weights is refused on mismatch
+    for ((mm, aa, hh) <- Seq((m * 2, 1.0, "md5"), (m, 2.0, "md5"),
+      (m, 1.0, "xxhash64"))) {
+      val e = intercept[IllegalArgumentException] {
+        Dsir.loadModel(spark, s"$base/ok", mm, aa, hh)
+      }
+      assert(e.getMessage.contains("fit with"), e.getMessage)
+    }
+    // a random parquet is not a model file
+    Seq((1L, 2.0)).toDF("x", "y").write.parquet(s"$base/foreign")
+    val e2 = intercept[IllegalArgumentException] {
+      Dsir.loadModel(spark, s"$base/foreign", m, 1.0)
+    }
+    assert(e2.getMessage.contains("not a DSIR model file"))
+  }
+
+  test("xxhash64 family: different bucketing, same selection on a " +
+    "separable fixture") {
+    // target-like docs share a dense vocab; off-target docs share a
+    // disjoint one. ANY uniform hash family must rank the target-like
+    // docs above the rest — collisions differ between families (the
+    // fixture makes m small enough to force some) but the selection
+    // set is the same.
+    val target = (0 until 8).map(i => s"alpha beta gamma delta run$i")
+      .toDF("text")
+    val pool = ((0 until 6).map(i => (i.toLong, s"alpha beta gamma delta p$i"))
+      ++ (6 until 20).map(i => (i.toLong, s"zig zag zork quux n$i")))
+      .toDF("id", "text")
+    def select(hash: String): Set[Long] = {
+      val ratios = Dsir.logRatioTable(target, pool, "text", m, 1.0, hash)
+      val w = Dsir.importanceWeights(pool, "text", ratios, m, hash)
+      Dsir.resampleGumbel(w, "id", "log_weight", n = 6)
+        .select($"id").as[Long].collect().toSet
+    }
+    val md5Sel = select("md5")
+    val xxSel = select("xxhash64")
+    assert(md5Sel == (0L until 6L).toSet)
+    assert(xxSel == md5Sel)
+    // and the two families really do bucket differently
+    val bm = pool.select(Dsir.bucketArr($"text", m, "md5")).head().getSeq[Long](0)
+    val bx = pool.select(Dsir.bucketArr($"text", m, "xxhash64")).head().getSeq[Long](0)
+    assert(bm != bx)
+  }
+
   test("parameter validation refuses bad inputs") {
+    intercept[IllegalArgumentException] {
+      Dsir.logRatioTable(Seq("a").toDF("text"), Seq("b").toDF("text"),
+        "text", m, hash = "sha1")
+    }
     val df = Seq("x").toDF("text")
     intercept[IllegalArgumentException] {
       Dsir.hashedNgramCounts(df, "text", 1)
