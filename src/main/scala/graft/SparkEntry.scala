@@ -182,13 +182,14 @@ object SparkEntry {
       |FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
-  /** shared DSIR replay (q221/q222): hashed unigram+bigram buckets
-    * on the q45 md5 chain (m = 512), per-corpus counts (target =
-    * lang 'en', raw = all documents), Laplace-1 smoothed log-ratio,
-    * per-document weight sums. Ends with CTE `w(doc_id, lw)`. */
-  private lazy val dsirOracleCte =
-    s"""WITH tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t
-       |  FROM documents),
+  /** shared DSIR replay (q221/q222/q226/q227): hashed unigram+bigram
+    * buckets on the q45 md5 chain (m = 512), per-corpus counts
+    * (target = lang 'en', raw = all of `from`), Laplace-1 smoothed
+    * log-ratio, per-document weight sums. FRAGMENT (no WITH):
+    * composes after other CTEs; ends with CTE `w(doc_id, lw)`. */
+  private def dsirOracleFragment(from: String) =
+    s"""tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t
+       |  FROM $from),
        |g AS (SELECT doc_id, lang, list_concat(t,
        |    list_transform(range(1, len(t)), i ->
        |      t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])) AS gs
@@ -211,6 +212,8 @@ object SparkEntry {
        |  JOIN r ON ex.b = r.b GROUP BY ex.doc_id)
        |""".stripMargin
 
+  private lazy val dsirOracleCte = "WITH " + dsirOracleFragment("documents")
+
   /** q222/q226 shared selection oracle: Gumbel-top-50 over the DSIR
     * weights — one DuckDB answer, two engine paths (inline fit vs
     * persisted model). */
@@ -224,6 +227,69 @@ object SparkEntry {
       |s AS (SELECT doc_id, lang FROM k
       |  ORDER BY key DESC, doc_id LIMIT 50)
       |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin
+
+  /** q227: the full trio chain — SemDeDup survivors (CTEs e/u/c/
+    * dist/a/p/survd), DSIR weights over the survivors (the q221
+    * fragment, FROM survd), IPF + Hamilton quotas over the survivors
+    * (the q223/q224 fragments), winners per cell by rounded DSIR
+    * weight. Every stage's block is exactly the unit oracle that
+    * stage passes alone. */
+  private lazy val trioOracleSql: String =
+    """WITH e AS (SELECT d.doc_id, d.text, d.lang, d.source, em.label,
+      |    CAST(em.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+      |u AS (SELECT doc_id, text, lang, source, v FROM e
+      |  UNION ALL SELECT doc_id + 10000, text, lang, source,
+      |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+      |      * (1 + 0.01 * ((j % 3) - 1)))
+      |  FROM e WHERE doc_id < 40),
+      |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+      |  JOIN (SELECT label, min(doc_id) AS mv FROM e GROUP BY label) f0
+      |  ON e.doc_id = f0.mv),
+      |dist AS (SELECT u.doc_id, c.cl,
+      |    list_sum(list_transform(range(64), j ->
+      |      (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+      |      * (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+      |  FROM u, c),
+      |a AS (SELECT doc_id, cl FROM dist
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY d2, cl) = 1),
+      |p AS (SELECT y.doc_id AS ib
+      |  FROM a x JOIN a y ON x.cl = y.cl AND x.doc_id < y.doc_id
+      |  JOIN u ux ON ux.doc_id = x.doc_id
+      |  JOIN u uy ON uy.doc_id = y.doc_id
+      |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9),
+      |survd AS MATERIALIZED (SELECT u.doc_id, u.text, u.lang, u.source
+      |  FROM u WHERE u.doc_id NOT IN (SELECT ib FROM p)),
+      |""".stripMargin +
+      dsirOracleFragment("survd") + ",\n" +
+      ipfOracleFragment(5, Seq(("r", "lang", rakeRowTargets),
+        ("c", "source", rakeColTargets)), "survd") + ",\n" +
+      """base AS (SELECT r, c,
+        |   CAST(floor(100 * cell_frac + 1e-9) AS BIGINT) AS q,
+        |   round(100 * cell_frac
+        |     - floor(100 * cell_frac + 1e-9), 9) AS rem
+        |  FROM f),
+        |sh AS (SELECT 100 - sum(q) AS s FROM base),
+        |rk AS (SELECT r, c, q, row_number() OVER (
+        |   ORDER BY rem DESC, r, c) AS brn FROM base),
+        |tq AS (SELECT r, c, row_number() OVER (
+        |   ORDER BY rem ASC, r, c) AS trn FROM base WHERE q > 0),
+        |qn AS (SELECT rk.r, rk.c,
+        |   rk.q + (CASE WHEN sh.s > 0 AND rk.brn <= sh.s
+        |           THEN 1 ELSE 0 END)
+        |        - (CASE WHEN sh.s < 0 AND tq.trn <= -sh.s
+        |           THEN 1 ELSE 0 END) AS q
+        |  FROM rk LEFT JOIN tq ON rk.r = tq.r AND rk.c = tq.c, sh),
+        |rr AS (SELECT s2.doc_id, s2.lang, s2.source,
+        |   round(coalesce(w.lw, 0.0), 6) AS lw,
+        |   row_number() OVER (PARTITION BY s2.lang, s2.source
+        |     ORDER BY round(coalesce(w.lw, 0.0), 6) DESC, s2.doc_id)
+        |     AS rn
+        |  FROM survd s2 LEFT JOIN w ON s2.doc_id = w.doc_id)
+        |SELECT doc_id, lang, source, lw AS log_weight FROM rr
+        |JOIN qn ON lang = qn.r AND source = qn.c
+        |WHERE rn <= q ORDER BY doc_id""".stripMargin
 
   /** q223/q224 raking targets: english-heavy langs, uniform sources */
   private lazy val rakeRowTargets = Map("en" -> 0.4, "de" -> 0.15,
@@ -245,8 +311,16 @@ object SparkEntry {
     * `f(<names>, n, cell_frac)`. */
   private def ipfOracleCteN(
       iters: Int,
-      dims: Seq[(String, String, Map[String, Double])]): String = {
-    val sb = new StringBuilder("WITH ")
+      dims: Seq[(String, String, Map[String, Double])]): String =
+    "WITH " + ipfOracleFragment(iters, dims, "documents")
+
+  /** [[ipfOracleCteN]] as a composable FRAGMENT (no WITH) over an
+    * arbitrary source CTE/table. */
+  private def ipfOracleFragment(
+      iters: Int,
+      dims: Seq[(String, String, Map[String, Double])],
+      from: String): String = {
+    val sb = new StringBuilder
     dims.zipWithIndex.foreach { case ((_, _, t), d) =>
       val vals = t.toSeq.sortBy(_._1)
         .map { case (k, v) => s"('$k',$v)" }.mkString(",")
@@ -261,7 +335,7 @@ object SparkEntry {
     // opens, a too-many-open-files failure in the oracle engine)
     sb ++= s"""w0 AS MATERIALIZED (SELECT $keyDefs,
               |    CAST(count(*) AS DOUBLE) AS n, 1.0 AS w
-              |  FROM documents
+              |  FROM $from
               |  GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}),
               |""".stripMargin
     var prev = "w0"
@@ -6759,7 +6833,60 @@ object SparkEntry {
         ("len_bucket", lenBucketSql, rakeBucketTargets))) +
         """SELECT lang, source, len_bucket, n,
           | round(cell_frac, 6) AS cell_frac
-          |FROM f ORDER BY lang, source, len_bucket""".stripMargin))
+          |FROM f ORDER BY lang, source, len_bucket""".stripMargin)),
+
+    // The r12-trio FLAGSHIP recipe (r13, VERDICT item 6): SemDeDup ->
+    // DSIR weighting -> raked selection composed end-to-end in ONE
+    // SQL-oracled chain, each stage's CTE block the unit oracle of
+    // that stage. Corpus = documents joined to their embeddings plus
+    // one wave of near-dup copies (+10000 for doc_id < 40, the q220
+    // perturbation); stage 1 semantically dedups (centers = min-id
+    // embedding per label, tau 0.9, min_id keep), stage 2 fits DSIR
+    // on the SURVIVORS (target = their English slice, m = 512) and
+    // weights them, stage 3 rake-selects 100 docs at the lang x
+    // source targets with each cell's quota filled by HIGHEST DSIR
+    // weight (rakeSelectByN — the reason that face exists): dedup
+    // decides who may enter, DSIR decides who is most target-like,
+    // raking decides how many per cell. A regression in ANY stage
+    // shifts the final 100 ids and fails the hash.
+    Q("q227_training_recipe", (s, dir) => {
+      import graft.operators.Raking
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("label"), col("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val corpus = joined.drop("label").unionByName(
+        joined.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("lang"), col("source"),
+            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
+      // offline-fit centers: the min-doc_id embedding of each label
+      // (bounded + relationally expressible, the q220 discipline);
+      // ORDER BY label so center-index ties replay as label ties
+      val centers = joined
+        .join(joined.groupBy(col("label"))
+          .agg(min(col("doc_id")).as("doc_id")), Seq("doc_id", "label"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+      val kept = SemDedup.semDedup(corpus, "doc_id", "v", centers,
+        minCosine = 0.9, maxClusterSize = Int.MaxValue,
+        keep = "min_id").cache()
+      val ratios = Dsir.logRatioTable(
+        kept.filter(col("lang") === "en"), kept, "text", m = 512)
+      val weighted = Dsir.importanceWeights(kept, "text", ratios, 512)
+        .withColumn("prio", round(col("log_weight"), 6))
+      Raking.rakeSelectByN(weighted, "doc_id", Seq("lang", "source"),
+          Seq(rakeRowTargets, rakeColTargets), totalN = 100,
+          priorityCol = "prio", iters = 5)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("prio").as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+      Some(trioOracleSql))
   )
 
   // ---- driver contract ---------------------------------------------------
