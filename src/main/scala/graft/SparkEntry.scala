@@ -2478,10 +2478,19 @@ object SparkEntry {
       val corpusDir = tmp.resolve("corpus").toString
       val indexDir = tmp.resolve("index").toString
       base.write.mode("overwrite").parquet(corpusDir)
+      // numParts = 16 at the GATE (r13, VERDICT item 5): the
+      // partitioned fold's semantics (dirty-partition selection,
+      // clean partitions byte-identical) are exercised by ANY
+      // multi-partition layout, and a 2k-row fixture under 128
+      // partitions priced 128-task scans + 128-file dynamic
+      // overwrites into every cycle — pure gate overhead, not plan
+      // fat. Deployments size numParts to data (the knob is the
+      // operator's parameter; DedupSpec pins update == rebuild
+      // across layouts).
       Dedup.indexWritePartitioned(
         Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64,
           bands = 32),
-        indexDir, numParts = 128)
+        indexDir, numParts = 16)
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
         dedupWithinBatch = false, batchId = 1L, collectStats = false)
@@ -2575,9 +2584,10 @@ object SparkEntry {
       val corpusDir = tmp.resolve("corpus").toString
       val indexDir = tmp.resolve("index").toString
       base.write.mode("overwrite").parquet(corpusDir)
+      // numParts = 16 at the gate — same rationale as q129 (r13)
       Dedup.indexWritePartitioned(
         Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64),
-        indexDir, numParts = 128)
+        indexDir, numParts = 16)
       val b1 = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 30000).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
