@@ -95,8 +95,21 @@ private[graft] object Midrank {
 
   /** Census rows below this broadcast the join-back (≲ tens of MB
     * serialized at 2M × (value, mid)); above it the join shuffles —
-    * a billion-distinct-value corpus must never be broadcast. */
+    * a billion-distinct-value corpus must never be broadcast. The
+    * "tens of MB" arithmetic assumes a NARROW value (the numeric
+    * columns every in-repo caller ranks); [[perRow]] divides the
+    * limit by [[WideValueDivisor]] for string/binary/complex value
+    * types, whose per-row width is unbounded — a census over long
+    * strings can be hundreds of MB at the same row count. Callers
+    * ranking known-huge values should still lower
+    * `broadcastRowLimit` explicitly. */
   private val BroadcastCensusRows = 2000000L
+
+  /** Width-type discount on [[BroadcastCensusRows]]: 16× assumes a
+    * wide value averages ≲ 128 bytes where a double is 8 — a
+    * deliberately blunt guard (the census is RDD-backed, so no
+    * Catalyst size statistic exists to be precise with). */
+  private val WideValueDivisor = 16L
 
   /** Per-ROW midranks of `valueCol` (for statistics that need rank
     * pairs, e.g. Spearman): census + [[withMidranks]] + a join back
@@ -114,7 +127,21 @@ private[graft] object Midrank {
     val (ranked, censusRows) =
       withMidranksCounted(census, valueCol, "__t", out)
     val mids = ranked.drop("__t")
-    if (censusRows <= broadcastRowLimit)
+    // a fixed-width value is ≤ 8 bytes/row; string/binary/complex
+    // values have no width bound, so the row threshold alone could
+    // force-broadcast a multi-hundred-MB census — discount it by
+    // type (ADVICE r12)
+    val wide = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    }
+    val limit = if (wide) broadcastRowLimit / WideValueDivisor
+                else broadcastRowLimit
+    if (censusRows <= limit)
       df.join(broadcast(mids), Seq(valueCol))
     else df.join(mids, Seq(valueCol))
   }

@@ -58,6 +58,32 @@ class MidrankSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("wide (string) value columns get the discounted broadcast " +
+    "threshold; numeric values keep the full one") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // census = 40 distinct values; limit 320: numeric passes the
+      // row check outright, a STRING value is discounted 16x
+      // (320/16 = 20 < 40) and must fall back to the shuffled join
+      val num = (1 to 200).map(i => (i.toString, (i % 40).toDouble))
+        .toDF("id", "v").repartition(4)
+      val str = (1 to 200).map(i => (i.toString, s"val_${i % 40}"))
+        .toDF("id", "v").repartition(4)
+      val numPlan = Midrank.perRow(num, "v", "r",
+        broadcastRowLimit = 320L).queryExecution.executedPlan.toString
+      val strPlan = Midrank.perRow(str, "v", "r",
+        broadcastRowLimit = 320L).queryExecution.executedPlan.toString
+      assert(numPlan.contains("BroadcastHashJoin"))
+      assert(!strPlan.contains("BroadcastHashJoin"))
+      // under the discounted limit the string census still broadcasts
+      val strOk = Midrank.perRow(str, "v", "r",
+        broadcastRowLimit = 3200L).queryExecution.executedPlan.toString
+      assert(strOk.contains("BroadcastHashJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("empty census yields an empty frame, not a crash") {
     val empty = Seq.empty[Double].toDF("v")
       .groupBy($"v").agg(count(lit(1)).as("__t"))
