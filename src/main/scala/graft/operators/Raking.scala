@@ -199,9 +199,18 @@ object Raking {
       order.take((-short).toInt).foreach(i => q(i) -= 1)
     }
     short = totalN - q.sum
+    // tripwire, not a reachable branch: every overshoot unit comes
+    // from one cell whose floor rounded UP through the epsilon, and
+    // that cell then has q >= 1 AND the minimal (≈ -1e-9) remainder
+    // — so the rem-ascending trim always finds exactly the rounded-
+    // up cells first and exhaustion cannot occur. (The SQL oracles
+    // mirror only the trim arithmetic, not this assertion; that is
+    // sound precisely because the assertion cannot fire on any
+    // input — it exists to fail loudly if the quota arithmetic
+    // itself is ever broken.)
     require(short == 0,
-      s"Hamilton apportionment off by $short — unreachable unless " +
-        "the overshoot exceeded the positive-quota cell count")
+      s"Hamilton apportionment off by $short — impossible by the " +
+        "round-up/trim pairing argument above; quota arithmetic bug")
     q
   }
 

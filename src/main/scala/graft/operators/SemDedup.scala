@@ -220,9 +220,19 @@ object SemDedup {
     require(n > 0, "fitCenters: input has no rows")
     val k = math.max(1L, math.min(maxCenters.toLong,
       (n + targetClusterSize - 1) / targetClusterSize)).toInt
-    require(k <= fitCap,
-      s"k=$k centers exceed the fit sample cap $fitCap — raise " +
-        "fitCap or targetClusterSize (Lloyd needs >= k sample rows)")
+    // guard against the SAMPLE, not just the cap: with fitFraction
+    // < 1 the Bernoulli sample is ~n*fitFraction rows, and Lloyd
+    // with fewer sample rows than k returns degenerate centers
+    // silently (review r13). The expectation is a lower bound up to
+    // sampling variance — callers near the boundary should raise
+    // fitFraction rather than rely on luck.
+    val expectedSample = math.min(fitCap.toLong,
+      (n * fitFraction).toLong)
+    require(k <= expectedSample,
+      s"k=$k centers exceed the expected fit sample " +
+        s"($expectedSample rows = min(fitCap=$fitCap, n=$n x " +
+        s"fitFraction=$fitFraction)) — raise fitCap/fitFraction or " +
+        "targetClusterSize (Lloyd needs >= k sample rows)")
     Similarity.fitIvfQuantizer(df, vecCol, nCentroids = k,
         seed = seed, fitFraction = fitFraction, fitCap = fitCap)
       .clusterCenters.map(_.toArray.toSeq).toSeq

@@ -58,26 +58,66 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
-  test("hybrid salted join: cold right rows are NOT replicated, hot " +
-    "rows replicate salt-fold") {
-    // count the post-salt right cardinality through the join: each
-    // (left row, right row) match appears exactly once in the output
-    // whatever the salting, so replication is observed structurally —
-    // a cold key whose left row count is 1 meets exactly 1 copy of
-    // its right row. Pin via the exchange-input proxy instead: run
-    // the internal construction shapes and compare output multisets
-    // under a salt that would DUPLICATE rows if cold keys were
-    // exploded without a matching cold-left salt spread.
+  test("hybrid salted join STRUCTURE: cold right rows keep ONE copy, " +
+    "hot rows replicate exactly salt-fold; hot left rows spread, " +
+    "cold left rows ride salt 0") {
     val left = spark.range(1000)
       .select(when($"id" < 900, lit(0L)).otherwise($"id").as("k"),
         $"id".as("payload"))
-    val right = spark.range(1000).select($"id".as("k"),
+    val right = spark.range(50).select($"id".as("k"),
       concat(lit("v"), $"id").as("v"))
+    // hand-built hot frame: key 0 only (the __hk naming contract)
+    val hot = Seq((0L, true)).toDF("__hk0", "__hot")
+    val (l, r) = Skew.saltSides(left, right, Seq("k"), hot,
+      salt = 4, seed = 42L)
+    // right: hot key 0 appears exactly salt times, every cold key once
+    val rCounts = r.groupBy($"k").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rCounts(0L) == 4L)
+    assert(rCounts.filter(_._1 != 0L).values.forall(_ == 1L))
+    assert(r.count() == 49L + 4L)
+    // left: row count unchanged; hot rows spread over >1 salt value,
+    // cold rows all on salt 0
+    assert(l.count() == 1000L)
+    assert(l.filter($"k" === 0L).select($"__salt").distinct().count() > 1)
+    assert(l.filter($"k" =!= 0L).filter($"__salt" =!= 0).count() == 0)
+    // and the assembled join still equals the plain join
     val plain = left.join(right, Seq("k"), "inner")
     val hybrid = Skew.saltedJoin(left, right, Seq("k"), salt = 4,
       hotKeyThreshold = 500L)
     assert(hybrid.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(hybrid).count() == 0)
+  }
+
+  test("hybrid salted join: hot NULL-key group is salt-spread (the " +
+    "classic skew cause), answers preserved; salt=1 degenerates to " +
+    "the plain join") {
+    val left = spark.range(1000)
+      .select(when($"id" < 900, lit(null).cast("long"))
+        .otherwise($"id").as("k"), $"id".as("payload"))
+    val right = Seq((950L, "x"), (999L, "y")).toDF("k", "v")
+    val plain = left.join(right, Seq("k"), "inner")
+    val hybrid = Skew.saltedJoin(left, right, Seq("k"), salt = 8,
+      hotKeyThreshold = 500L)
+    assert(hybrid.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(hybrid).count() == 0)
+    // left mode: null-key rows survive exactly once each
+    val lj = Skew.saltedJoin(left, right, Seq("k"), salt = 8,
+      mode = "left", hotKeyThreshold = 500L)
+    assert(lj.count() == 1000L)
+    assert(lj.filter($"k".isNull).count() == 900L)
+    // the null group really is flagged hot and spread across salts
+    val hot = Seq((Option.empty[java.lang.Long], true))
+      .toDF("__hk0", "__hot")
+    val (lNull, _) = Skew.saltSides(left, right, Seq("k"), hot,
+      salt = 8, seed = 42L)
+    assert(lNull.filter($"k".isNull)
+      .select($"__salt").distinct().count() > 1)
+    // salt=1: plain join, no __salt machinery
+    val s1 = Skew.saltedJoin(left, right, Seq("k"), salt = 1)
+    assert(s1.columns.toSeq == plain.columns.toSeq)
+    assert(s1.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(s1).count() == 0)
   }
 
   test("bucketed tables join without an exchange") {
