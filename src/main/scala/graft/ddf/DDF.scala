@@ -943,11 +943,11 @@ class DDF(val df: DataFrame) {
     * al. 2023): hashed-n-gram importance weights of THIS DDF's rows
     * (the raw pool) against a target corpus; adds `log_weight`. */
   def dsirWeights(textCol: String, target: DDF, numBuckets: Int = 8192,
-                  alpha: Double = 1.0): DDF = {
+                  alpha: Double = 1.0, hash: String = "md5"): DDF = {
     val ratios = graft.operators.Dsir.logRatioTable(target.df, df,
-      textCol, numBuckets, alpha)
+      textCol, numBuckets, alpha, hash)
     wrap(graft.operators.Dsir.importanceWeights(df, textCol, ratios,
-      numBuckets))
+      numBuckets, hash))
   }
 
   /** [[graft.operators.Dsir.resampleGumbel]] — deterministic
@@ -966,6 +966,34 @@ class DDF(val df: DataFrame) {
                  iters: Int = 5, seed: Long = 42L): DDF =
     wrap(graft.operators.Raking.rakeSelect(df, idCol, rowCol, colCol,
       rowTargets, colTargets, totalN, iters, seed))
+
+  /** [[graft.operators.SemDedup.fitCenters]] — provision SemDeDup
+    * centers by the paper's k ∝ n rule from a bounded-sample Lloyd
+    * fit (r13). Returns the center literals [[semDedup]] takes. */
+  def semDedupFitCenters(vecCol: String,
+                         targetClusterSize: Long = 5000L,
+                         maxCenters: Int = 4096,
+                         seed: Long = 42L): Seq[Seq[Double]] =
+    graft.operators.SemDedup.fitCenters(df, vecCol, targetClusterSize,
+      maxCenters, seed)
+
+  /** [[graft.operators.Raking.rakeSelectN]] — k-marginal raked
+    * selection (r13): marginals of EVERY stratification column hit
+    * their targets simultaneously. */
+  def rakeSelectN(idCol: String, cols: Seq[String],
+                  targets: Seq[Map[String, Double]], totalN: Long,
+                  iters: Int = 5, seed: Long = 42L): DDF =
+    wrap(graft.operators.Raking.rakeSelectN(df, idCol, cols, targets,
+      totalN, iters, seed))
+
+  /** [[graft.operators.Raking.rakeSelectByN]] — raked selection with
+    * each cell's quota filled by a caller PRIORITY column (e.g. DSIR
+    * weights) instead of the md5 draw (r13). */
+  def rakeSelectBy(idCol: String, cols: Seq[String],
+                   targets: Seq[Map[String, Double]], totalN: Long,
+                   priorityCol: String, iters: Int = 5): DDF =
+    wrap(graft.operators.Raking.rakeSelectByN(df, idCol, cols, targets,
+      totalN, priorityCol, iters))
 
   /** [[graft.operators.AbTest.benford]] — first-significant-digit
     * census vs Benford's law (fabricated-data screen) */
