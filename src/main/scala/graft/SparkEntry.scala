@@ -228,6 +228,41 @@ object SparkEntry {
       |  ORDER BY key DESC, doc_id LIMIT 50)
       |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin
 
+  /** q220/q228 shared oracle: SemDeDup survivors over the
+    * perturbed-copies corpus — one DuckDB answer, two engine paths
+    * (inline centers vs persisted center table). */
+  private lazy val semDedupOracleSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id, v FROM e
+      |  UNION ALL SELECT vec_id + 10000,
+      |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+      |      * (1 + 0.01 * ((j % 3) - 1)))
+      |    FROM e WHERE vec_id < 60
+      |  UNION ALL SELECT vec_id + 20000,
+      |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+      |      * (1 - 0.005 * (j % 2)))
+      |    FROM e WHERE vec_id < 25),
+      |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+      |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+      |  ON e.vec_id = f.mv),
+      |d AS (SELECT u.vec_id, c.cl,
+      |    list_sum(list_transform(range(64), j ->
+      |      (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+      |      * (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+      |  FROM u, c),
+      |a AS (SELECT vec_id, cl FROM d
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d2, cl) = 1),
+      |p AS (SELECT y.vec_id AS ib
+      |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |  JOIN u ux ON ux.vec_id = x.vec_id
+      |  JOIN u uy ON uy.vec_id = y.vec_id
+      |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9)
+      |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
+      |WHERE a.vec_id NOT IN (SELECT ib FROM p)
+      |ORDER BY vec_id""".stripMargin
+
   /** q227: the full trio chain — SemDeDup survivors (CTEs e/u/c/
     * dist/a/p/survd), DSIR weights over the survivors (the q221
     * fragment, FROM survd), IPF + Hamilton quotas over the survivors
@@ -6652,36 +6687,7 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     },
-      Some("""WITH e AS (SELECT vec_id, label,
-             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |u AS (SELECT vec_id, v FROM e
-             |  UNION ALL SELECT vec_id + 10000,
-             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
-             |      * (1 + 0.01 * ((j % 3) - 1)))
-             |    FROM e WHERE vec_id < 60
-             |  UNION ALL SELECT vec_id + 20000,
-             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
-             |      * (1 - 0.005 * (j % 2)))
-             |    FROM e WHERE vec_id < 25),
-             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
-             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
-             |  ON e.vec_id = f.mv),
-             |d AS (SELECT u.vec_id, c.cl,
-             |    list_sum(list_transform(range(64), j ->
-             |      (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
-             |      * (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
-             |  FROM u, c),
-             |a AS (SELECT vec_id, cl FROM d
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id
-             |    ORDER BY d2, cl) = 1),
-             |p AS (SELECT y.vec_id AS ib
-             |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
-             |  JOIN u ux ON ux.vec_id = x.vec_id
-             |  JOIN u uy ON uy.vec_id = y.vec_id
-             |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9)
-             |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
-             |WHERE a.vec_id NOT IN (SELECT ib FROM p)
-             |ORDER BY vec_id""".stripMargin)),
+      Some(semDedupOracleSql)),
 
     // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169)
     // under the FULL hash gate: target = the English slice, raw =
@@ -6896,7 +6902,127 @@ object SparkEntry {
           col("prio").as("log_weight"))
         .orderBy(col("doc_id"))
     },
-      Some(trioOracleSql))
+      Some(trioOracleSql)),
+
+    // SemDeDup from a PERSISTED center table (r13, the q226/q117
+    // pattern in center space): q220's exact fixture and dedup, with
+    // the centers round-tripped through SemDedup.saveCenters /
+    // loadCenters (__fmt + (k, dim) stamps, 0..k-1 idx population
+    // validated — the center ORDER is part of the model, argmin ties
+    // break to the lowest index) — q220's oracle VERBATIM, so the
+    // persisted artifact provably carries the model exactly and the
+    // Lloyd fit becomes a one-time cost across dedup/screen cycles.
+    Q("q228_semdedup_persisted", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
+      val base = e.select(col("vec_id"), col("v"))
+      val corpus = base
+        .unionByName(base.filter(col("vec_id") < 60)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
+        .unionByName(base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
+      val centerRows = e
+        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0))
+      require(centerRows.map(_.getInt(0)).toSeq ==
+        centerRows.indices.toSeq,
+        s"q228 assumes contiguous 0..k-1 labels, got " +
+          centerRows.map(_.getInt(0)).mkString(","))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q228_centers").toString + "/centers"
+      SemDedup.saveCenters(s,
+        centerRows.map(_.getSeq[Double](1).toSeq).toSeq, path)
+      val centers = SemDedup.loadCenters(s, path)
+      val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
+        minCosine = 0.9, maxClusterSize = Int.MaxValue,
+        keep = "min_id")
+      SemDedup.assign(kept, "v", centers)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+      Some(semDedupOracleSql)),
+
+    // SemDeDup incremental SCREEN (r13, the q115/q118 discipline in
+    // cluster space): which batch rows near-dup the standing corpus?
+    // Batch = perturbed copies of vec_id < 40 (must hit their
+    // sources) + NEGATED vectors of vec_id < 10 (cosine -1 with
+    // their originals — genuinely fresh, must hit nothing). The
+    // blocking structure is the fixed center partition (recall 1
+    // within a cluster, 0 across — deterministic and auditable), the
+    // corpus is read ONCE (broadcast batch join on cluster, no
+    // self-join, no shuffle), and the oracle replays assignment of
+    // BOTH sides plus the exact cosine verify.
+    Q("q229_semdedup_screen", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val corpus = e.select(col("vec_id"), col("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val batch = corpus.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("v"), f1, (x, f) => x * f).as("v"))
+        .unionByName(corpus.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("v"), x => -x).as("v")))
+      val centerRows = e
+        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0))
+      require(centerRows.map(_.getInt(0)).toSeq ==
+        centerRows.indices.toSeq,
+        s"q229 assumes contiguous 0..k-1 labels, got " +
+          centerRows.map(_.getInt(0)).mkString(","))
+      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      SemDedup.screenPairs(corpus, batch, "vec_id", "v", centers,
+          minCosine = 0.9, maxClusterSize = Int.MaxValue)
+        .select(col("id_new"), col("id_corpus"), col("cluster"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |b AS (SELECT vec_id + 10000 AS id_new,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 + 0.01 * ((j % 3) - 1))) AS v
+             |  FROM e WHERE vec_id < 40
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(range(64), j -> -v[CAST(j+1 AS INT)])
+             |  FROM e WHERE vec_id < 10),
+             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+             |  ON e.vec_id = f.mv),
+             |ac AS (SELECT vec_id, cl FROM (
+             |  SELECT e.vec_id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM e, c)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, cl) = 1),
+             |ab AS (SELECT id_new, cl FROM (
+             |  SELECT b.id_new, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (b.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (b.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM b, c)
+             |  QUALIFY row_number() OVER (PARTITION BY id_new
+             |    ORDER BY d2, cl) = 1)
+             |SELECT ab.id_new, ac.vec_id AS id_corpus,
+             | CAST(ab.cl AS INT) AS cluster,
+             | round(list_cosine_similarity(b.v, e.v), 6) AS cosine
+             |FROM ab JOIN ac ON ab.cl = ac.cl
+             |JOIN b ON b.id_new = ab.id_new
+             |JOIN e ON e.vec_id = ac.vec_id
+             |WHERE list_cosine_similarity(b.v, e.v) >= 0.9
+             |ORDER BY ab.id_new, id_corpus""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

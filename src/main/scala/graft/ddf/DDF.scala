@@ -227,15 +227,17 @@ class DDF(val df: DataFrame) {
   def antiJoin(other: DDF, keys: Seq[String]): DDF =
     wrap(df.join(other.df, keys, "left_anti"))
 
-  /** [[graft.operators.Skew.saltedJoin]] fluent face (r12): the
-    * hot-key mitigation AQE's skew split cannot reach — splits ONE
-    * oversized key across `salt` reducers by salting this side and
-    * replicating `other` per salt value. Answer-preserving for
-    * inner/left (oracle-gated q215); `other` should be the small
-    * side. */
+  /** [[graft.operators.Skew.saltedJoin]] fluent face (r12; hybrid
+    * r13): salts ONLY census-hot keys — hot left rows spread across
+    * `salt` reducers, hot right rows replicate salt-fold, cold rows
+    * ride salt 0 (replication ∝ hot rows, never salt × right).
+    * Answer-preserving for inner/left (oracle-gated q215);
+    * `hotKeyThreshold = 0` self-sizes from the census. */
   def saltedJoin(other: DDF, keys: Seq[String], salt: Int,
-                 mode: String = "inner"): DDF =
-    wrap(graft.operators.Skew.saltedJoin(df, other.df, keys, salt, mode))
+                 mode: String = "inner", hotKeyThreshold: Long = 0L,
+                 maxHotKeys: Int = 10000): DDF =
+    wrap(graft.operators.Skew.saltedJoin(df, other.df, keys, salt,
+      mode, hotKeyThreshold = hotKeyThreshold, maxHotKeys = maxHotKeys))
 
   // ===== §2.4 aggregation ===============================================
 

@@ -237,4 +237,112 @@ object SemDedup {
         seed = seed, fitFraction = fitFraction, fitCap = fitCap)
       .clusterCenters.map(_.toArray.toSeq).toSeq
   }
+
+  /** Center-table FORMAT version stamped as `__fmt` into every
+    * persisted row (the PQ-codebook / DSIR-model discipline): the
+    * center ORDER is part of the model — argmin ties break to the
+    * lowest index — so a reordered or truncated file assigns
+    * differently, silently. v1 = (idx, center) rows, idx 0..k-1. */
+  private[graft] val CentersFormat = 1
+
+  /** Persist fitted centers: k rows of (idx, center) with `__fmt` +
+    * (k, dim) stamped constant on every row (free under parquet RLE,
+    * validated on load). Centers are driver-state by nature (they
+    * ride [[assign]]'s literal path); persisting them is what makes
+    * the fit a ONE-TIME cost across dedup/screen cycles — the q226
+    * DSIR precedent in center space. */
+  def saveCenters(spark: org.apache.spark.sql.SparkSession,
+                  centers: Seq[Seq[Double]], path: String): Unit = {
+    requireCenters(centers)
+    spark.createDataFrame(centers.zipWithIndex.map {
+        case (c, i) => (i, c) })
+      .toDF("idx", "center")
+      .withColumn("__fmt", lit(CentersFormat))
+      .withColumn("__k", lit(centers.length))
+      .withColumn("__dim", lit(centers.head.length))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centers persisted by [[saveCenters]], refusing format
+    * drift, foreign files, non-constant stamps, and gaps in the
+    * 0..k-1 index population — a silently reordered center table
+    * would re-cluster the corpus differently on every tie. */
+  def loadCenters(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[Seq[Double]] = {
+    val df = spark.read.parquet(path)
+    val need = Seq("idx", "center", "__fmt", "__k", "__dim")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a SemDedup centers file: missing columns $missing — " +
+        s"rebuild with SemDedup.saveCenters (format v$CentersFormat)")
+    val rows = df.select(col("idx").cast("int"),
+        col("center").cast("array<double>"),
+        col("__fmt"), col("__k"), col("__dim")).collect()
+    require(rows.nonEmpty, "SemDedup centers file is empty")
+    val fmts = rows.map(_.getInt(2)).distinct
+    require(fmts.sameElements(Array(CentersFormat)),
+      s"SemDedup centers format ${fmts.mkString(",")} does not match " +
+        s"this library's v$CentersFormat — refit and save again (an " +
+        "incompatible layout would assign WRONG, not just miss)")
+    val (k, dim) = (rows.map(_.getInt(3)).distinct,
+      rows.map(_.getInt(4)).distinct) match {
+      case (Array(kk), Array(dd)) => (kk, dd)
+      case other => sys.error(s"centers stamps not constant: $other")
+    }
+    require(rows.length == k,
+      s"centers file has ${rows.length} rows, expected k=$k — " +
+        "truncated write? rebuild with SemDedup.saveCenters")
+    val byIdx = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .toMap
+    require(byIdx.keySet == (0 until k).toSet,
+      s"centers idx population is not 0..${k - 1} — the order IS the " +
+        "model (argmin ties); rebuild with SemDedup.saveCenters")
+    val out = (0 until k).map(byIdx)
+    require(out.forall(_.length == dim),
+      s"centers carry mixed dimensions, expected $dim")
+    out
+  }
+
+  /** Incremental SCREEN face (the q115/q118 discipline in cluster
+    * space): which BATCH rows near-dup the standing corpus? Returns
+    * (id_new, id_corpus, cluster, cosine) with cosine >= `minCosine`
+    * and both ends in the same cluster — the blocking structure is
+    * the fixed center partition, so recall is exactly semDedup's
+    * (1 within a cluster, 0 across the boundary — the paper's trade,
+    * auditable, deterministic).
+    *
+    * Engine shape: both sides assign in one shuffle-free codegen
+    * pass each; the BATCH side is broadcast (a batch is small by
+    * contract — the admission screens' standing assumption) and the
+    * corpus is read ONCE with no self-join and no shuffle: candidate
+    * work is a broadcast hash join on `cluster` + the codegen'd
+    * cosine filter. Corpus clusters above `maxClusterSize` are
+    * refused count-first (no array ever materializes — they don't
+    * here anyway, but the refusal keeps the semDedupPairs contract:
+    * an over-cap cluster contributes NO candidates and the gap is
+    * visible in [[clusterSizes]], never silent). */
+  def screenPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
+                  vecCol: String, centers: Seq[Seq[Double]],
+                  minCosine: Double,
+                  maxClusterSize: Int = 10000): DataFrame = {
+    requireCenters(centers)
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val ca = assign(corpus.select(col(idCol).as("id_corpus"),
+        col(vecCol).as("__vc")), "__vc", centers)
+      .select(col("id_corpus"), col("__vc"), col("cluster"))
+    val ok = ca.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select(col("cluster"))
+    val ba = assign(batch.select(col(idCol).as("id_new"),
+        col(vecCol).as("__vb")), "__vb", centers)
+      .select(col("id_new"), col("__vb"), col("cluster"))
+    ca.join(broadcast(ok), Seq("cluster"), "left_semi")
+      .join(broadcast(ba), Seq("cluster"))
+      .select(col("id_new"), col("id_corpus"), col("cluster"),
+        VectorFunctions.cosine(col("__vb").cast("array<double>"),
+          col("__vc").cast("array<double>")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

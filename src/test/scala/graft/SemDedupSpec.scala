@@ -177,6 +177,65 @@ class SemDedupSpec extends SparkTestBase {
     }
   }
 
+  test("saveCenters/loadCenters: round-trip identity, order " +
+    "preserved, stamp-validated refusals") {
+    import graft.operators.SemDedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sem_centers").toString
+    SemDedup.saveCenters(spark, centers, s"$base/ok")
+    val loaded = SemDedup.loadCenters(spark, s"$base/ok")
+    assert(loaded == centers) // exact values, exact ORDER
+    // assignment from the loaded centers is bit-identical
+    val df = Seq((1L, vec(0.9, 0.1, 0.0)), (4L, vec(0.5, 0.5, 0.0)))
+      .toDF("id", "v")
+    val a = SemDedup.assign(df, "v", centers)
+      .select($"id", $"cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = SemDedup.assign(df, "v", loaded)
+      .select($"id", $"cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+    // foreign parquet refused
+    Seq((1, 2.0)).toDF("x", "y").write.parquet(s"$base/foreign")
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.loadCenters(spark, s"$base/foreign")
+    }
+    assert(e.getMessage.contains("not a SemDedup centers file"))
+    // a gap in the idx population is refused (order IS the model)
+    spark.read.parquet(s"$base/ok").filter($"idx" =!= 1)
+      .write.parquet(s"$base/gap")
+    val e2 = intercept[IllegalArgumentException] {
+      SemDedup.loadCenters(spark, s"$base/gap")
+    }
+    assert(e2.getMessage.contains("rows, expected k="))
+  }
+
+  test("screenPairs: batch near-dups of the corpus found within " +
+    "clusters, blocked across, over-cap corpus clusters refused") {
+    import graft.operators.SemDedup
+    val corpus = Seq(
+      (1L, vec(1.0, 0.05, 0.0)),  // cluster 0
+      (2L, vec(0.05, 1.0, 0.0)),  // cluster 1
+      (3L, vec(0.0, 0.04, 1.0))   // cluster 2
+    ).toDF("id", "v")
+    val batch = Seq(
+      (100L, vec(1.0, 0.06, 0.0)), // ~dup of 1, same cluster
+      (101L, vec(0.49, 0.51, 0.0)),// near 1 but lands cluster 1 -> blocked
+      (102L, vec(0.0, 1.0, 0.05))  // cluster 1, near-dup of 2
+    ).toDF("id", "v")
+    val got = SemDedup.screenPairs(corpus, batch, "id", "v", centers,
+        minCosine = 0.98)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L), (102L, 2L)))
+    // over-cap corpus cluster contributes NO candidates
+    val crowd = (1L to 20L).map(i => (i, vec(1.0, i * 1e-4, 0.0)))
+      .toDF("id", "v")
+    val probe = Seq((200L, vec(1.0, 0.001, 0.0))).toDF("id", "v")
+    assert(SemDedup.screenPairs(crowd, probe, "id", "v", centers,
+      0.9, maxClusterSize = 10).count() == 0)
+    assert(SemDedup.screenPairs(crowd, probe, "id", "v", centers,
+      0.9, maxClusterSize = 100).count() == 20)
+  }
+
   test("invalid keep policy throws BEFORE any job runs") {
     val df = Seq((1L, vec(1.0, 0.0, 0.0))).toDF("id", "v")
     val n = countJobs {
