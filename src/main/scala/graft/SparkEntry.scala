@@ -7022,7 +7022,88 @@ object SparkEntry {
              |JOIN b ON b.id_new = ab.id_new
              |JOIN e ON e.vec_id = ac.vec_id
              |WHERE list_cosine_similarity(b.v, e.v) >= 0.9
-             |ORDER BY ab.id_new, id_corpus""".stripMargin))
+             |ORDER BY ab.id_new, id_corpus""".stripMargin)),
+
+    // The paper's CENTROID keep rule under the full hash gate (r13):
+    // q220's exact fixture with keep = "centroid" — the pair member
+    // FARTHER from its cluster centroid survives (the paper keeps
+    // edge examples for diversity), ties to the lower id. This was
+    // spec-only in r12 ("FP priority stays within one engine"); the
+    // oracle replays the centroid-cosine comparison exactly, which
+    // is sound on THIS fixture because the minimum |cent_cos_a −
+    // cent_cos_b| gap over candidate pairs is MEASURED ≥ 8.9e-8 at
+    // all three scales (probed in DuckDB; cross-engine double drift
+    // on a 64-term fold is ~1e-14) — no boundary pair can flip.
+    Q("q230_semdedup_centroid", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
+      val base = e.select(col("vec_id"), col("v"))
+      val corpus = base
+        .unionByName(base.filter(col("vec_id") < 60)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
+        .unionByName(base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
+      val centerRows = e
+        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0))
+      require(centerRows.map(_.getInt(0)).toSeq ==
+        centerRows.indices.toSeq,
+        s"q230 assumes contiguous 0..k-1 labels, got " +
+          centerRows.map(_.getInt(0)).mkString(","))
+      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
+        minCosine = 0.9, maxClusterSize = Int.MaxValue,
+        keep = "centroid")
+      SemDedup.assign(kept, "v", centers)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |u AS (SELECT vec_id, v FROM e
+             |  UNION ALL SELECT vec_id + 10000,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 + 0.01 * ((j % 3) - 1)))
+             |    FROM e WHERE vec_id < 60
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 - 0.005 * (j % 2)))
+             |    FROM e WHERE vec_id < 25),
+             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+             |  ON e.vec_id = f.mv),
+             |d AS (SELECT u.vec_id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (u.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM u, c),
+             |a AS (SELECT vec_id, cl FROM d
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, cl) = 1),
+             |cc AS (SELECT a.vec_id, a.cl,
+             |    list_cosine_similarity(u.v, c.cv) AS ccos
+             |  FROM a JOIN u ON u.vec_id = a.vec_id
+             |  JOIN c ON c.cl = a.cl),
+             |p AS (SELECT CASE
+             |    WHEN cx.ccos < cy.ccos
+             |      OR (cx.ccos = cy.ccos AND x.vec_id < y.vec_id)
+             |    THEN y.vec_id ELSE x.vec_id END AS ib
+             |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+             |  JOIN u ux ON ux.vec_id = x.vec_id
+             |  JOIN u uy ON uy.vec_id = y.vec_id
+             |  JOIN cc cx ON cx.vec_id = x.vec_id
+             |  JOIN cc cy ON cy.vec_id = y.vec_id
+             |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9)
+             |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
+             |WHERE a.vec_id NOT IN (SELECT ib FROM p)
+             |ORDER BY vec_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
