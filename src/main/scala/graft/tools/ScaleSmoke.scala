@@ -1112,6 +1112,21 @@ object ScaleSmoke {
         println(f"[scale-smoke] sem k=$k%-2d n=$n%-6d " +
           f"semFitCenters     ${(System.nanoTime() - tFit) / 1e9}%7.2f s  " +
           f"kFit=${fitted.length}")
+        // the SCREEN face (r13): fixed 200-row batch vs the growing
+        // corpus under the fitted centers — wall must track the
+        // corpus scan (two assign passes + a broadcast cluster
+        // join), never corpus x batch
+        val batch = c.limit(200).select(
+          (col("vec_id") + 90000000L).as("vec_id"),
+          zip_with(col("v"), typedLit(Seq.fill(64)(1.001)),
+            (x, s) => x * s).as("v"))
+        val tScr = System.nanoTime()
+        val hits = SemDedup.screenPairs(c, batch, "vec_id", "v",
+          fitted, minCosine = 0.95, maxClusterSize = Int.MaxValue)
+          .count()
+        println(f"[scale-smoke] sem k=$k%-2d n=$n%-6d " +
+          f"semScreen200      ${(System.nanoTime() - tScr) / 1e9}%7.2f s  " +
+          f"hits=$hits")
         for ((label, cents) <- Seq(("semFixedCenters", fixed),
                                    ("semScaledCenters", scaled),
                                    ("semFittedCenters", fitted))) {
