@@ -45,7 +45,7 @@ object ProbeQ129 {
     }
     import graft.operators.Dedup
     // q129's fixture shape: documents-based admission fixture at
-    // numParts=128, two cycles, collectStats=false
+    // numParts=16 (the r13 gate layout), two cycles, collectStats=false
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") < 2000)
@@ -60,7 +60,7 @@ object ProbeQ129 {
     mark("build index")(Dedup.indexWritePartitioned(
       Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64,
         bands = 32),
-      indexDir, numParts = 128))
+      indexDir, numParts = 16))
     mark("cycle1 admitBatch")(
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
