@@ -7103,6 +7103,96 @@ object SparkEntry {
              |  WHERE list_cosine_similarity(ux.v, uy.v) >= 0.9)
              |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
              |WHERE a.vec_id NOT IN (SELECT ib FROM p)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // SEMANTIC admission (r13): one full admission cycle where the
+    // near screen is cluster-blocked cosine against a persisted
+    // SemDedup.assignmentIndex — the family's fifth space (minhash
+    // q122/q129, embedding-LSH q124/q216, substring q138, bloom
+    // q128, semantic HERE). Batch = perturbed copies of vec_id < 40
+    // (near-dups — rejected wherever their copy assigns to the
+    // source's cluster, which the oracle replays rather than
+    // assumes), NEGATED vectors of vec_id < 10 (cosine −1, genuinely
+    // fresh — admitted), and verbatim id replays of vec_id < 5
+    // (dropped by the exact id screen — the at-least-once-replay
+    // face). The oracle replays the whole cycle: id screen,
+    // assignment of both sides, cosine verify, and the final corpus
+    // id set.
+    Q("q231_admission_semantic", (s, dir) => {
+      import graft.streaming.Admission
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val base = e.select(col("vec_id"), col("v"))
+      val centerRows = e
+        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("v")).collect()
+        .sortBy(_.getInt(0))
+      require(centerRows.map(_.getInt(0)).toSeq ==
+        centerRows.indices.toSeq,
+        s"q231 assumes contiguous 0..k-1 labels, got " +
+          centerRows.map(_.getInt(0)).mkString(","))
+      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q231")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      base.write.mode("overwrite").parquet(corpusDir)
+      SemDedup.assignmentIndex(base, "vec_id", "v", centers)
+        .write.mode("overwrite").parquet(indexDir)
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val batch = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("v"), f1, (x, f) => x * f).as("v"))
+        .unionByName(base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("v"), x => -x).as("v")))
+        .unionByName(base.filter(col("vec_id") < 5))
+      Admission.admitBatchSemantic(batch, corpusDir, indexDir,
+        "vec_id", "v", centers, minCosine = 0.95,
+        dedupWithinBatch = false, batchId = 1L, collectStats = false)
+      s.read.parquet(corpusDir).select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |b AS (SELECT vec_id + 10000 AS id,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 + 0.01 * ((j % 3) - 1))) AS v
+             |  FROM e WHERE vec_id < 40
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(range(64), j -> -v[CAST(j+1 AS INT)])
+             |  FROM e WHERE vec_id < 10
+             |  UNION ALL SELECT vec_id, v FROM e WHERE vec_id < 5),
+             |fresh AS (SELECT id, v FROM b
+             |  WHERE id NOT IN (SELECT vec_id FROM e)),
+             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+             |  ON e.vec_id = f.mv),
+             |ac AS (SELECT vec_id, cl FROM (
+             |  SELECT e.vec_id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM e, c)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, cl) = 1),
+             |ab AS (SELECT id, cl FROM (
+             |  SELECT fresh.id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM fresh, c)
+             |  QUALIFY row_number() OVER (PARTITION BY id
+             |    ORDER BY d2, cl) = 1),
+             |m AS (SELECT DISTINCT ab.id FROM ab
+             |  JOIN ac ON ab.cl = ac.cl
+             |  JOIN fresh ON fresh.id = ab.id
+             |  JOIN e ON e.vec_id = ac.vec_id
+             |  WHERE list_cosine_similarity(fresh.v, e.v) >= 0.95)
+             |SELECT vec_id FROM e
+             |UNION ALL SELECT id FROM fresh
+             |  WHERE id NOT IN (SELECT id FROM m)
              |ORDER BY vec_id""".stripMargin))
   )
 

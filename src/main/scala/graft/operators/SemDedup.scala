@@ -303,6 +303,110 @@ object SemDedup {
     out
   }
 
+  /** Deterministic digest of a center table — the identity of a
+    * semantic model for stamp validation (an assignment index built
+    * under DIFFERENT centers screens silently wrong, not slow). */
+  private[graft] def centersDigest(centers: Seq[Seq[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = centers.map(_.mkString(",")).mkString(";")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Assignment-index format version (`__fmt`), bumped with any
+    * change to the row layout or the digest recipe. */
+  private[graft] val AssignIndexFormat = 1
+
+  /** Persisted-index face of [[assign]]: one (id, cluster) row per
+    * corpus row, stamped with `__fmt` + (k, dim, centers digest) —
+    * the admission loop's semantic index. Ids-only (vectors stay in
+    * the corpus), so the index is the cheapest possible corpus-
+    * proportional artifact and the per-batch screen never re-assigns
+    * the standing corpus. */
+  def assignmentIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      centers: Seq[Seq[Double]]): DataFrame = {
+    requireCenters(centers)
+    assign(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "__v", centers)
+      .select(col("id"), col("cluster"))
+      .withColumn("__fmt", lit(AssignIndexFormat))
+      .withColumn("__k", lit(centers.length))
+      .withColumn("__dim", lit(centers.head.length))
+      .withColumn("__digest", lit(centersDigest(centers)))
+  }
+
+  /** Validate an assignment index's stamps against the centers a
+    * caller is about to screen with — one head-row read (the
+    * Dedup-family head-stamp guard): format drift, a foreign file,
+    * or a DIFFERENT center table are refused before any screen work
+    * runs. */
+  private def validateAssignmentIndex(index: DataFrame,
+                                      centers: Seq[Seq[Double]]): Unit = {
+    val need = Seq("id", "cluster", "__fmt", "__k", "__dim", "__digest")
+    val missing = need.filterNot(index.columns.contains)
+    require(missing.isEmpty,
+      s"not a SemDedup assignment index: missing columns $missing — " +
+        s"rebuild with SemDedup.assignmentIndex (v$AssignIndexFormat)")
+    val h = index.select(col("__fmt"), col("__k"), col("__dim"),
+      col("__digest")).head()
+    require(h.getInt(0) == AssignIndexFormat,
+      s"assignment index format ${h.getInt(0)} does not match this " +
+        s"library's v$AssignIndexFormat — rebuild (an incompatible " +
+        "layout would screen WRONG, not just miss)")
+    require(h.getInt(1) == centers.length &&
+      h.getInt(2) == centers.head.length &&
+      h.getString(3) == centersDigest(centers),
+      s"assignment index was built under a DIFFERENT center table " +
+        s"(k=${h.getInt(1)}, dim=${h.getInt(2)}, digest=" +
+        s"${h.getString(3).take(8)}…) than the caller's " +
+        s"(k=${centers.length}, dim=${centers.head.length}, digest=" +
+        s"${centersDigest(centers).take(8)}…) — screening would be " +
+        "silently wrong; rebuild the index or load the matching centers")
+  }
+
+  /** Fold newly admitted rows into an assignment index: assign the
+    * batch (one codegen pass — batch-bounded, the corpus is never
+    * re-assigned) and append under the validated stamps. */
+  def assignmentIndexUpdate(index: DataFrame, admitted: DataFrame,
+                            idCol: String, vecCol: String,
+                            centers: Seq[Seq[Double]]): DataFrame = {
+    validateAssignmentIndex(index, centers)
+    index.unionByName(assignmentIndex(admitted, idCol, vecCol, centers))
+  }
+
+  /** [[screenPairs]] against a PERSISTED assignment index (the
+    * admission-loop face): the corpus side's cluster comes from the
+    * index (ids-only — the standing corpus is never re-assigned),
+    * vectors join back from the corpus frame by id, and the batch
+    * assigns + broadcasts exactly as in [[screenPairs]]. Stamps are
+    * validated against `centers` first. */
+  def screenPairsIndexed(batch: DataFrame, corpus: DataFrame,
+                         index: DataFrame, idCol: String,
+                         vecCol: String, centers: Seq[Seq[Double]],
+                         minCosine: Double,
+                         maxClusterSize: Int = 10000): DataFrame = {
+    requireCenters(centers)
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    validateAssignmentIndex(index, centers)
+    val ca = index.select(col("id").as("id_corpus"), col("cluster"))
+    val ok = ca.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select(col("cluster"))
+    val ba = assign(batch.select(col(idCol).as("id_new"),
+        col(vecCol).as("__vb")), "__vb", centers)
+      .select(col("id_new"), col("__vb"), col("cluster"))
+    ca.join(broadcast(ok), Seq("cluster"), "left_semi")
+      .join(broadcast(ba), Seq("cluster"))
+      .join(corpus.select(col(idCol).as("id_corpus"),
+        col(vecCol).as("__vc")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"), col("cluster"),
+        VectorFunctions.cosine(col("__vb").cast("array<double>"),
+          col("__vc").cast("array<double>")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Incremental SCREEN face (the q115/q118 discipline in cluster
     * space): which BATCH rows near-dup the standing corpus? Returns
     * (id_new, id_corpus, cluster, cosine) with cosine >= `minCosine`

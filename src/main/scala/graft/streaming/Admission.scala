@@ -240,6 +240,46 @@ object Admission {
           bitsPerTable = bitsPerTable, seed = seed,
           maxBucketSize = maxBucketSize, preRead = Some(idx)))
 
+  /** [[admitBatch]]'s SEMANTIC sibling (r13): the near screen is
+    * cluster-blocked cosine against a persisted
+    * [[graft.operators.SemDedup.assignmentIndex]] — the SemDeDup
+    * partition (fixed centers, deterministic recall: 1 within a
+    * cluster, 0 across) at admission time. The index is ids-only
+    * (id, cluster) under the __fmt + (k, dim, centers-digest) stamp
+    * discipline; a cycle whose `centers` differ from the index's is
+    * REFUSED before any screen work (screening under mismatched
+    * centers is silently wrong). The fold assigns only the admitted
+    * batch (one codegen pass — the standing corpus is never
+    * re-assigned) and swap-writes; the partitioned in-place layout is
+    * deliberately unsupported for this index (it is the cheapest
+    * corpus artifact in the family — one int per row — so the swap
+    * rewrite is not the cost center the minhash/embedding folds had
+    * to avoid). Within-batch stage: [[graft.operators.SemDedup
+    * .semDedup]] with the min_id keep rule. */
+  def admitBatchSemantic(batch: DataFrame, corpusPath: String,
+                         indexPath: String, idCol: String,
+                         vecCol: String, centers: Seq[Seq[Double]],
+                         minCosine: Double = 0.95,
+                         maxClusterSize: Int = 10000,
+                         dedupWithinBatch: Boolean = true,
+                         batchId: Long = -1L,
+                         collectStats: Boolean = true): AdmitStats =
+    admitCore(batch, corpusPath, indexPath, idCol, batchId,
+      dedupWithinBatch, collectStats,
+      screen = (fresh, corpus, index) =>
+        graft.operators.SemDedup.screenPairsIndexed(fresh, corpus,
+          index, idCol, vecCol, centers, minCosine, maxClusterSize),
+      dedupWithin = screened =>
+        graft.operators.SemDedup.semDedup(screened, idCol, vecCol,
+          centers, minCosine, maxClusterSize, keep = "min_id"),
+      fold = (index, admitted) =>
+        graft.operators.SemDedup.assignmentIndexUpdate(index, admitted,
+          idCol, vecCol, centers),
+      foldInPlace = (_, _, _) => sys.error(
+        "the SemDedup assignment index does not support the " +
+          "partitioned in-place layout — persist it swap-written " +
+          "(ids-only, the swap rewrite is cheap by construction)"))
+
   /** [[admitBatch]]'s substring sibling: the near screen is
     * SPAN-COVERAGE against a persisted
     * [[graft.operators.SubstringDedup.gramIndex]] — a batch doc is

@@ -238,6 +238,63 @@ class AdmissionSpec extends SparkTestBase {
       .forall(spark.read.parquet(indexDir).columns.contains))
   }
 
+  test("semantic admission loop: cluster-blocked screen, fold == " +
+    "rebuild, centers-stamp guard") {
+    import graft.operators.SemDedup
+    // unit-norm centers: argmin L2 == argmax dot, so scaled copies
+    // assign to the SAME cluster as their source (the fixture's
+    // near-dup construction depends on it)
+    val centers = (0 until 4).map(i =>
+      Seq.tabulate(8)(j => if (j == i) 1.0 else 0.0))
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpusVecs = (0L until 20L).map(i => (i, vec()))
+    val corpusDir = Files.createTempDirectory("graft_adm_s_c").toString
+    val indexDir = Files.createTempDirectory("graft_adm_s_i").toString + "/idx"
+    val corpus = corpusVecs.toDF("vec_id", "v")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    SemDedup.assignmentIndex(corpus, "vec_id", "v", centers)
+      .write.mode("overwrite").parquet(indexDir)
+    def adm(b: DataFrame, batchId: Long) = Admission.admitBatchSemantic(
+      b, corpusDir, indexDir, "vec_id", "v", centers,
+      minCosine = 0.95, batchId = batchId)
+    val fresh100 = vec(); val fresh102 = vec()
+    val b1 = Seq(
+      100L -> fresh100,                      // fresh -> admitted
+      101L -> corpusVecs(0)._2.map(_ * 2f),  // cos 1 w/ vec 0 -> near
+      0L -> corpusVecs(0)._2,                // id replay -> id screen
+      102L -> fresh102,                      // within-batch twins:
+      103L -> fresh102.clone()               //   102 kept, 103 dropped
+    ).toDF("vec_id", "v")
+    assert(adm(b1, 1L) == Admission.AdmitStats(1L, 5L, 4L, 2L))
+    // a scaled copy of a batch-1 ADMISSION drops only if the index
+    // fold happened
+    val b2 = Seq(200L -> fresh100.map(_ * 3f), 201L -> vec())
+      .toDF("vec_id", "v")
+    assert(adm(b2, 2L) == Admission.AdmitStats(2L, 2L, 2L, 1L))
+    val ids = spark.read.parquet(corpusDir)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 20L) ++ Seq(100L, 102L, 201L)))
+    // the folded index equals a from-scratch rebuild over the final
+    // corpus (same (id, cluster) multiset, stamps intact)
+    val idx = spark.read.parquet(indexDir)
+    assert(Seq("__fmt", "__k", "__dim", "__digest")
+      .forall(idx.columns.contains))
+    val rebuilt = SemDedup.assignmentIndex(
+      spark.read.parquet(corpusDir), "vec_id", "v", centers)
+    assert(idx.select($"id", $"cluster")
+      .exceptAll(rebuilt.select($"id", $"cluster")).count() == 0)
+    assert(rebuilt.select($"id", $"cluster")
+      .exceptAll(idx.select($"id", $"cluster")).count() == 0)
+    // a cycle under DIFFERENT centers is refused before any work
+    val other = centers.map(_.map(_ * 2.0))
+    val e = intercept[IllegalArgumentException] {
+      Admission.admitBatchSemantic(b2, corpusDir, indexDir,
+        "vec_id", "v", other, minCosine = 0.95)
+    }
+    assert(e.getMessage.contains("DIFFERENT center table"))
+  }
+
   test("substring admission loop: coverage screen, fold, id replay") {
     import graft.operators.SubstringDedup
     val corpusDir = Files.createTempDirectory("graft_adm_sc").toString
