@@ -228,6 +228,43 @@ object SparkEntry {
       |  ORDER BY key DESC, doc_id LIMIT 50)
       |SELECT doc_id, lang FROM s ORDER BY doc_id""".stripMargin
 
+  /** min-vec_id-per-label center fit shared by the SemDeDup gates
+    * (q220/q228/q229/q230/q231): bounded + relationally expressible
+    * (the serving path takes offline-fit centers the same way). The
+    * Spark side emits the center INDEX as `cluster`, the oracles emit
+    * the LABEL — equal only while labels are exactly 0..k-1 (true at
+    * all three gate scales); fail LOUDLY at construction if a
+    * regenerated fixture ever breaks that, instead of as a mystifying
+    * hash mismatch. */
+  private def semCenters(e: DataFrame, qname: String): Seq[Seq[Double]] = {
+    val rows = e
+      .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id")), Seq("vec_id"))
+      .select(col("label"), col("v")).collect()
+      .sortBy(_.getInt(0))
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"$qname assumes contiguous 0..k-1 labels, got " +
+        rows.map(_.getInt(0)).mkString(","))
+    rows.map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** q220/q228/q230 shared fixture corpus: embeddings plus two waves
+    * of per-component-perturbed copies (+10000 at f1 for vec_id < 60;
+    * +20000 at f2 for vec_id < 25 — triangles with BOTH copies below
+    * 25). tau = 0.9 sits in a measured gap: injected-dup cosines are
+    * >= 0.999 while the max NATURAL pair cosine is 0.60. */
+  private def semDupCorpus(base: DataFrame): DataFrame = {
+    val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+    val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
+    base
+      .unionByName(base.filter(col("vec_id") < 60)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("v"), f1, (x, f) => x * f).as("v")))
+      .unionByName(base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          zip_with(col("v"), f2, (x, f) => x * f).as("v")))
+  }
+
   /** q220/q228 shared oracle: SemDeDup survivors over the
     * perturbed-copies corpus — one DuckDB answer, two engine paths
     * (inline centers vs persisted center table). */
@@ -6650,31 +6687,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
-      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
-      val base = e.select(col("vec_id"), col("v"))
-      val corpus = base
-        .unionByName(base.filter(col("vec_id") < 60)
-          .select((col("vec_id") + 10000).as("vec_id"),
-            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
-        .unionByName(base.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 20000).as("vec_id"),
-            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
-      val centerRows = e
-        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id")), Seq("vec_id"))
-        .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0))
-      // the Spark side emits the center INDEX as `cluster`, the
-      // oracle emits the LABEL — equal only while labels are exactly
-      // 0..k-1 (true at all three gate scales); fail LOUDLY at
-      // construction if a regenerated fixture ever breaks that,
-      // instead of as a mystifying hash mismatch
-      require(centerRows.map(_.getInt(0)).toSeq ==
-        centerRows.indices.toSeq,
-        s"q220 assumes contiguous 0..k-1 labels, got " +
-          centerRows.map(_.getInt(0)).mkString(","))
-      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val corpus = semDupCorpus(e.select(col("vec_id"), col("v")))
+      val centers = semCenters(e, "q220")
       // maxClusterSize deliberately UNCAPPED (the oracle's pair CTE
       // has no size guard — the cap's refusal face is SemDedupSpec's
       // pin, not this gate's); +10000/+20000 copy offsets assume
@@ -6916,29 +6930,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
-      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
-      val base = e.select(col("vec_id"), col("v"))
-      val corpus = base
-        .unionByName(base.filter(col("vec_id") < 60)
-          .select((col("vec_id") + 10000).as("vec_id"),
-            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
-        .unionByName(base.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 20000).as("vec_id"),
-            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
-      val centerRows = e
-        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id")), Seq("vec_id"))
-        .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0))
-      require(centerRows.map(_.getInt(0)).toSeq ==
-        centerRows.indices.toSeq,
-        s"q228 assumes contiguous 0..k-1 labels, got " +
-          centerRows.map(_.getInt(0)).mkString(","))
+      val corpus = semDupCorpus(e.select(col("vec_id"), col("v")))
       val path = java.nio.file.Files
         .createTempDirectory("graft_q228_centers").toString + "/centers"
-      SemDedup.saveCenters(s,
-        centerRows.map(_.getSeq[Double](1).toSeq).toSeq, path)
+      SemDedup.saveCenters(s, semCenters(e, "q228"), path)
       val centers = SemDedup.loadCenters(s, path)
       val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
         minCosine = 0.9, maxClusterSize = Int.MaxValue,
@@ -6971,16 +6966,7 @@ object SparkEntry {
         .unionByName(corpus.filter(col("vec_id") < 10)
           .select((col("vec_id") + 20000).as("vec_id"),
             transform(col("v"), x => -x).as("v")))
-      val centerRows = e
-        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id")), Seq("vec_id"))
-        .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0))
-      require(centerRows.map(_.getInt(0)).toSeq ==
-        centerRows.indices.toSeq,
-        s"q229 assumes contiguous 0..k-1 labels, got " +
-          centerRows.map(_.getInt(0)).mkString(","))
-      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val centers = semCenters(e, "q229")
       SemDedup.screenPairs(corpus, batch, "vec_id", "v", centers,
           minCosine = 0.9, maxClusterSize = Int.MaxValue)
         .select(col("id_new"), col("id_corpus"), col("cluster"),
@@ -7038,26 +7024,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
-      val f2 = typedLit(Seq.tabulate(64)(j => 1.0 - 0.005 * (j % 2)))
-      val base = e.select(col("vec_id"), col("v"))
-      val corpus = base
-        .unionByName(base.filter(col("vec_id") < 60)
-          .select((col("vec_id") + 10000).as("vec_id"),
-            zip_with(col("v"), f1, (x, f) => x * f).as("v")))
-        .unionByName(base.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 20000).as("vec_id"),
-            zip_with(col("v"), f2, (x, f) => x * f).as("v")))
-      val centerRows = e
-        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id")), Seq("vec_id"))
-        .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0))
-      require(centerRows.map(_.getInt(0)).toSeq ==
-        centerRows.indices.toSeq,
-        s"q230 assumes contiguous 0..k-1 labels, got " +
-          centerRows.map(_.getInt(0)).mkString(","))
-      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val corpus = semDupCorpus(e.select(col("vec_id"), col("v")))
+      val centers = semCenters(e, "q230")
       val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
         minCosine = 0.9, maxClusterSize = Int.MaxValue,
         keep = "centroid")
@@ -7124,16 +7092,7 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
       val base = e.select(col("vec_id"), col("v"))
-      val centerRows = e
-        .join(e.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id")), Seq("vec_id"))
-        .select(col("label"), col("v")).collect()
-        .sortBy(_.getInt(0))
-      require(centerRows.map(_.getInt(0)).toSeq ==
-        centerRows.indices.toSeq,
-        s"q231 assumes contiguous 0..k-1 labels, got " +
-          centerRows.map(_.getInt(0)).mkString(","))
-      val centers = centerRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val centers = semCenters(e, "q231")
       val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q231")
       val corpusDir = tmp.resolve("corpus").toString
       val indexDir = tmp.resolve("index").toString
@@ -7148,8 +7107,12 @@ object SparkEntry {
           .select((col("vec_id") + 20000).as("vec_id"),
             transform(col("v"), x => -x).as("v")))
         .unionByName(base.filter(col("vec_id") < 5))
+      // maxClusterSize UNCAPPED like q220/q229: the oracle's m CTE
+      // has no cluster-size guard, and a regenerated fixture with an
+      // over-10000 label cluster would otherwise diverge silently
       Admission.admitBatchSemantic(batch, corpusDir, indexDir,
         "vec_id", "v", centers, minCosine = 0.95,
+        maxClusterSize = Int.MaxValue,
         dedupWithinBatch = false, batchId = 1L, collectStats = false)
       s.read.parquet(corpusDir).select(col("vec_id"))
         .orderBy(col("vec_id"))

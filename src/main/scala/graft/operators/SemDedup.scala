@@ -336,10 +336,13 @@ object SemDedup {
   }
 
   /** Validate an assignment index's stamps against the centers a
-    * caller is about to screen with — one head-row read (the
-    * Dedup-family head-stamp guard): format drift, a foreign file,
-    * or a DIFFERENT center table are refused before any screen work
-    * runs. */
+    * caller is about to screen with — EVERY distinct stamp tuple is
+    * checked (the Dedup.validateIndexParams discipline: a head-row
+    * read would pass an index accidentally assembled from two
+    * different center tables, the exact silently-wrong case this
+    * guard exists to refuse), and an EMPTY index passes (zero
+    * distinct tuples — the legitimate empty-corpus bootstrap; the
+    * screen then finds no candidates and everything admits). */
   private def validateAssignmentIndex(index: DataFrame,
                                       centers: Seq[Seq[Double]]): Unit = {
     val need = Seq("id", "cluster", "__fmt", "__k", "__dim", "__digest")
@@ -347,21 +350,29 @@ object SemDedup {
     require(missing.isEmpty,
       s"not a SemDedup assignment index: missing columns $missing — " +
         s"rebuild with SemDedup.assignmentIndex (v$AssignIndexFormat)")
-    val h = index.select(col("__fmt"), col("__k"), col("__dim"),
-      col("__digest")).head()
-    require(h.getInt(0) == AssignIndexFormat,
-      s"assignment index format ${h.getInt(0)} does not match this " +
-        s"library's v$AssignIndexFormat — rebuild (an incompatible " +
-        "layout would screen WRONG, not just miss)")
-    require(h.getInt(1) == centers.length &&
-      h.getInt(2) == centers.head.length &&
-      h.getString(3) == centersDigest(centers),
-      s"assignment index was built under a DIFFERENT center table " +
-        s"(k=${h.getInt(1)}, dim=${h.getInt(2)}, digest=" +
-        s"${h.getString(3).take(8)}…) than the caller's " +
-        s"(k=${centers.length}, dim=${centers.head.length}, digest=" +
-        s"${centersDigest(centers).take(8)}…) — screening would be " +
-        "silently wrong; rebuild the index or load the matching centers")
+    // distinct over four RLE-constant columns — one cheap aggregate
+    val stamps = index.select(col("__fmt"), col("__k"), col("__dim"),
+      col("__digest")).distinct().collect()
+    require(stamps.length <= 1,
+      s"assignment index stamps not constant (${stamps.length} " +
+        "distinct tuples) — the file mixes builds under different " +
+        "centers or formats; rebuild with SemDedup.assignmentIndex")
+    stamps.headOption.foreach { h =>
+      require(h.getInt(0) == AssignIndexFormat,
+        s"assignment index format ${h.getInt(0)} does not match this " +
+          s"library's v$AssignIndexFormat — rebuild (an incompatible " +
+          "layout would screen WRONG, not just miss)")
+      require(h.getInt(1) == centers.length &&
+        h.getInt(2) == centers.head.length &&
+        h.getString(3) == centersDigest(centers),
+        s"assignment index was built under a DIFFERENT center table " +
+          s"(k=${h.getInt(1)}, dim=${h.getInt(2)}, digest=" +
+          s"${h.getString(3).take(8)}…) than the caller's " +
+          s"(k=${centers.length}, dim=${centers.head.length}, digest=" +
+          s"${centersDigest(centers).take(8)}…) — screening would be " +
+          "silently wrong; rebuild the index or load the matching " +
+          "centers")
+    }
   }
 
   /** Fold newly admitted rows into an assignment index: assign the
@@ -374,24 +385,28 @@ object SemDedup {
     index.unionByName(assignmentIndex(admitted, idCol, vecCol, centers))
   }
 
-  /** [[screenPairs]] against a PERSISTED assignment index (the
-    * admission-loop face): the corpus side's cluster comes from the
-    * index (ids-only — the standing corpus is never re-assigned),
-    * vectors join back from the corpus frame by id, and the batch
-    * assigns + broadcasts exactly as in [[screenPairs]]. Stamps are
-    * validated against `centers` first. */
-  def screenPairsIndexed(batch: DataFrame, corpus: DataFrame,
-                         index: DataFrame, idCol: String,
-                         vecCol: String, centers: Seq[Seq[Double]],
-                         minCosine: Double,
-                         maxClusterSize: Int = 10000): DataFrame = {
+  private def requireScreenParams(centers: Seq[Seq[Double]],
+                                  minCosine: Double,
+                                  maxClusterSize: Int): Unit = {
     requireCenters(centers)
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
     require(maxClusterSize >= 1,
       s"maxClusterSize must be >= 1, got $maxClusterSize")
-    validateAssignmentIndex(index, centers)
-    val ca = index.select(col("id").as("id_corpus"), col("cluster"))
+  }
+
+  /** Shared screen pipeline for [[screenPairs]] /
+    * [[screenPairsIndexed]] (review r13: keeping the two faces on
+    * one core means a threshold/cap/join fix cannot silently miss
+    * one of them): `ca` supplies the corpus-side (id_corpus,
+    * cluster) — from a live [[assign]] or a persisted index — and
+    * `vecs` the (id_corpus, __vc) vectors. Count-first cap on the
+    * corpus clusters, batch assigned + broadcast, cosine verified. */
+  private def screenCore(ca: DataFrame, vecs: DataFrame,
+                         batch: DataFrame, idCol: String,
+                         vecCol: String, centers: Seq[Seq[Double]],
+                         minCosine: Double,
+                         maxClusterSize: Int): DataFrame = {
     val ok = ca.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxClusterSize).select(col("cluster"))
     val ba = assign(batch.select(col(idCol).as("id_new"),
@@ -399,12 +414,32 @@ object SemDedup {
       .select(col("id_new"), col("__vb"), col("cluster"))
     ca.join(broadcast(ok), Seq("cluster"), "left_semi")
       .join(broadcast(ba), Seq("cluster"))
-      .join(corpus.select(col(idCol).as("id_corpus"),
-        col(vecCol).as("__vc")), Seq("id_corpus"))
+      .join(vecs, Seq("id_corpus"))
       .select(col("id_new"), col("id_corpus"), col("cluster"),
         VectorFunctions.cosine(col("__vb").cast("array<double>"),
           col("__vc").cast("array<double>")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** [[screenPairs]] against a PERSISTED assignment index (the
+    * admission-loop face): the corpus side's cluster comes from the
+    * index (ids-only — the standing corpus is never re-assigned),
+    * vectors join back from the corpus frame by id, and the batch
+    * assigns + broadcasts exactly as in [[screenPairs]]. Stamps are
+    * validated against `centers` first (every distinct tuple; an
+    * empty index passes — the bootstrap). The index is read twice
+    * (cluster-count cap + the candidate join) — ids-only, the
+    * cheapest artifact in the family, deliberately not cached. */
+  def screenPairsIndexed(batch: DataFrame, corpus: DataFrame,
+                         index: DataFrame, idCol: String,
+                         vecCol: String, centers: Seq[Seq[Double]],
+                         minCosine: Double,
+                         maxClusterSize: Int = 10000): DataFrame = {
+    requireScreenParams(centers, minCosine, maxClusterSize)
+    validateAssignmentIndex(index, centers)
+    screenCore(index.select(col("id").as("id_corpus"), col("cluster")),
+      corpus.select(col(idCol).as("id_corpus"), col(vecCol).as("__vc")),
+      batch, idCol, vecCol, centers, minCosine, maxClusterSize)
   }
 
   /** Incremental SCREEN face (the q115/q118 discipline in cluster
@@ -429,24 +464,20 @@ object SemDedup {
                   vecCol: String, centers: Seq[Seq[Double]],
                   minCosine: Double,
                   maxClusterSize: Int = 10000): DataFrame = {
-    requireCenters(centers)
-    require(minCosine >= -1.0 && minCosine <= 1.0,
-      s"minCosine must be in [-1, 1], got $minCosine")
-    require(maxClusterSize >= 1,
-      s"maxClusterSize must be >= 1, got $maxClusterSize")
-    val ca = assign(corpus.select(col(idCol).as("id_corpus"),
+    requireScreenParams(centers, minCosine, maxClusterSize)
+    // assign + CACHE the corpus once: the cluster-count cap and the
+    // candidate join both read the cached assignment — without it
+    // the corpus would scan (and argmin) twice per screen (review
+    // r13), the dominant cost at admission scale. EAGER like
+    // semDedupPairs: the result is pair-set-sized and the cache is
+    // released before returning.
+    val asg = Partitioning.spread(
+      assign(corpus.select(col(idCol).as("id_corpus"),
         col(vecCol).as("__vc")), "__vc", centers)
-      .select(col("id_corpus"), col("__vc"), col("cluster"))
-    val ok = ca.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxClusterSize).select(col("cluster"))
-    val ba = assign(batch.select(col(idCol).as("id_new"),
-        col(vecCol).as("__vb")), "__vb", centers)
-      .select(col("id_new"), col("__vb"), col("cluster"))
-    ca.join(broadcast(ok), Seq("cluster"), "left_semi")
-      .join(broadcast(ba), Seq("cluster"))
-      .select(col("id_new"), col("id_corpus"), col("cluster"),
-        VectorFunctions.cosine(col("__vb").cast("array<double>"),
-          col("__vc").cast("array<double>")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+        .select(col("id_corpus"), col("__vc"), col("cluster"))).cache()
+    val out = screenCore(asg.select(col("id_corpus"), col("cluster")),
+      asg.select(col("id_corpus"), col("__vc")),
+      batch, idCol, vecCol, centers, minCosine, maxClusterSize)
+    Dedup.materializeAndRelease(out, asg)
   }
 }

@@ -263,7 +263,17 @@ object Admission {
                          maxClusterSize: Int = 10000,
                          dedupWithinBatch: Boolean = true,
                          batchId: Long = -1L,
-                         collectStats: Boolean = true): AdmitStats =
+                         collectStats: Boolean = true): AdmitStats = {
+    // layout refusal BEFORE any write (review r13): admitCore
+    // dispatches to foldInPlace only AFTER the corpus append — an
+    // error raised there would leave the corpus mutated with the
+    // index unfolded. The layout is knowable from the schema now,
+    // so the unsupported case refuses write-free.
+    require(!batch.sparkSession.read.parquet(indexPath)
+      .columns.contains("part"),
+      "the SemDedup assignment index does not support the " +
+        "partitioned in-place layout — persist it swap-written " +
+        "(ids-only, the swap rewrite is cheap by construction)")
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
       dedupWithinBatch, collectStats,
       screen = (fresh, corpus, index) =>
@@ -272,13 +282,16 @@ object Admission {
       dedupWithin = screened =>
         graft.operators.SemDedup.semDedup(screened, idCol, vecCol,
           centers, minCosine, maxClusterSize, keep = "min_id"),
-      fold = (index, admitted) =>
-        graft.operators.SemDedup.assignmentIndexUpdate(index, admitted,
-          idCol, vecCol, centers),
+      // fold WITHOUT re-validating: the screen already validated
+      // this exact index frame this cycle (single-writer contract —
+      // nothing can have changed between the two calls), so the
+      // fold is the plain assign-the-batch append
+      fold = (index, admitted) => index.unionByName(
+        graft.operators.SemDedup.assignmentIndex(admitted, idCol,
+          vecCol, centers)),
       foldInPlace = (_, _, _) => sys.error(
-        "the SemDedup assignment index does not support the " +
-          "partitioned in-place layout — persist it swap-written " +
-          "(ids-only, the swap rewrite is cheap by construction)"))
+        "unreachable: the partitioned layout is refused at entry"))
+  }
 
   /** [[admitBatch]]'s substring sibling: the near screen is
     * SPAN-COVERAGE against a persisted
