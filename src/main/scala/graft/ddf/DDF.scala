@@ -762,6 +762,28 @@ class DDF(val df: DataFrame) {
                     outCol: String = "bpe_count"): DDF =
     wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol))
 
+  /** [[graft.operators.Unigram.train]] — fit a unigram-LM piece
+    * table (Kudo 2018; the SentencePiece model) from `textCol` */
+  def unigramTrain(textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 6, seedSize: Int = 8192,
+                   emIters: Int = 2): DDF =
+    wrap(graft.operators.Unigram.train(df, textCol, vocabSize,
+      maxPieceLen, seedSize, emIters))
+
+  /** [[graft.operators.Unigram.encode]] — Viterbi max-likelihood
+    * subword tokens from a (piece, log_prob) vocabulary frame */
+  def unigramEncode(textCol: String, vocab: DDF,
+                    outCol: String = "ug_tokens"): DDF =
+    wrap(graft.operators.Unigram.encode(df, textCol, vocab.df,
+      out = outCol))
+
+  /** [[graft.operators.Unigram.tokenCount]] — unigram-LM piece count
+    * per row (the budgeting signal) */
+  def unigramTokenCount(textCol: String, vocab: DDF,
+                        outCol: String = "ug_count"): DDF =
+    wrap(graft.operators.Unigram.tokenCount(df, textCol, vocab.df,
+      out = outCol))
+
   /** [[graft.operators.SubstringDedup.duplicateSpans]] — maximal
     * duplicated ≥k-token spans (Lee et al. ExactSubstr) */
   def substringSpans(idCol: String, textCol: String, k: Int,

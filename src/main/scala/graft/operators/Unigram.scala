@@ -1,0 +1,470 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates", arXiv:1804.10959 — the SentencePiece unigram model).
+  * Completes the engine's tokenizer family: rank-greedy merge [[Bpe]]
+  * (GPT lineage), longest-match [[WordPiece]] (BERT lineage), and
+  * max-likelihood Viterbi segmentation over an explicit piece
+  * distribution (T5/ALBERT/XLNet lineage). Unlike the other two, the
+  * model here is a PROBABILITY table, so segmentation is a global
+  * optimum per word (dynamic programming), not a greedy scan.
+  *
+  * Shape at 100 TB — the [[Bpe.train]] discipline, stated per stage:
+  *   - the corpus is touched EXACTLY ONCE, by the word-count
+  *     aggregation (explode → partial-agg groupBy). Everything after
+  *     rides the DISTINCT-WORD table (Heaps' law: ~1e7–1e8 rows at
+  *     any corpus size, sublinear in corpus bytes);
+  *   - seed-candidate extraction is one substring-explode aggregation
+  *     over that word table — bounded by words × maxPieceLen, never
+  *     corpus-sized — finished by a distributed top-k
+  *     (TakeOrderedAndProject, no single-partition exchange);
+  *   - each EM iteration is ONE job over the word table: mapPartitions
+  *     computes per-word lattice posteriors against the broadcast
+  *     score map and pre-combines locally, a vocab-sized partial-agg
+  *     sum follows, and the vocab-sized result (≤ seedSize + alphabet)
+  *     is collected for the driver-side M-step — the same
+  *     vocab-to-driver bound class as BPE's 1-row argmax;
+  *   - below `driverCutover` distinct words the whole EM loop runs on
+  *     the driver over the collected word table (the CC/PageRank/BPE
+  *     cutover precedent) — zero Spark jobs per iteration.
+  *
+  * Determinism (what makes spec equality pins meaningful): expected
+  * counts are accumulated in MICRO-UNITS — each word's posterior mass
+  * per piece is rounded ONCE, word-locally, to `round(p·freq·1e6)` and
+  * summed as Longs, which is exactly associative — so the fitted vocab
+  * and every log-prob are a pure function of the corpus, independent of
+  * partitioning and summation order (UnigramSpec pins distributed ==
+  * driver-cutover EXACT equality). The micro-unit bound: a word
+  * contributes ≤ len·freq·1e6 units, so totals stay inside Long for
+  * any per-word frequency below ~9e12 — beyond any observed natural
+  * corpus (most-frequent-token mass ~5% of 1e13 tokens ≈ 5e11).
+  *
+  * Pruning follows the expected-count simplification of Kudo §3.2's
+  * likelihood-loss rule (drop the pieces the E-step assigns the least
+  * posterior mass, never the single-code-point alphabet — the paper's
+  * "subword occurrence" criterion without the per-piece re-Viterbi);
+  * documented as such, and the alphabet floor guarantees every
+  * training-corpus word stays segmentable at every step.
+  *
+  * Why the encoder is a UDF (the engine prefers Column math / native
+  * expressions): Viterbi over a per-word lattice is a data-dependent
+  * DP that Column algebra cannot express; the broadcast score map plus
+  * a size-capped per-task word memo (natural text repeats words, so
+  * the common case is a hash lookup) is the same exemption class as
+  * [[Bpe.encode]] / [[WordPiece.encode]] (SURVEY §5).
+  */
+object Unigram {
+
+  // ------------------------------------------------------------------
+  // encoding
+  // ------------------------------------------------------------------
+
+  /** Add `out` = array of unigram-LM pieces for `textCol`, given a
+    * vocab of (piece, log-prob) rows. Each word ([[TextFunctions
+    * .tokens]] semantics: lowercased whitespace tokens, so counts
+    * compose with every other token metric in the engine) becomes its
+    * max-total-log-prob segmentation (Viterbi). Code points absent
+    * from the vocab are emitted VERBATIM at `charFallback` score
+    * (SentencePiece's character-coverage fallback), so encoding is
+    * total and LOSSLESS by construction — concatenating a word's
+    * pieces always reproduces the word (q234's gate). Null text →
+    * null. Ties break deterministically: fewer pieces, then the
+    * longer final piece at each DP cell.
+    *
+    * Duplicate pieces in `vocab` resolve to their MAX log-prob
+    * (deterministic, and the only resolution under which adding a
+    * duplicate row can never worsen a segmentation). */
+  def encode(df: DataFrame, textCol: String, vocab: DataFrame,
+             pieceCol: String = "piece", logProbCol: String = "log_prob",
+             out: String = "ug_tokens",
+             charFallback: Double = -100.0): DataFrame = {
+    require(charFallback < 0.0 && !charFallback.isInfinite,
+      s"charFallback must be finite negative, got $charFallback")
+    val rows = vocab
+      .select(col(pieceCol).cast("string").as("p"),
+        col(logProbCol).cast("double").as("s"))
+      .filter(col("p").isNotNull && length(col("p")) > 0 &&
+        col("s").isNotNull)
+      .groupBy(col("p")).agg(max(col("s")).as("s"))
+      .collect()
+    val scores: Map[String, Double] =
+      rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxLen = math.max(1,
+      if (scores.isEmpty) 1 else scores.keysIterator.map(cpLen).max)
+    val bc = df.sparkSession.sparkContext.broadcast(scores)
+    val memoCap = 1 << 17
+    val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val v = bc.value
+        text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty)
+          .flatMap { w =>
+            var hit = cache.get(w)
+            if (hit == null) {
+              hit = viterbiWord(w, v, maxLen, charFallback)
+              if (cache.size < memoCap) cache.put(w, hit)
+            }
+            hit
+          }.toSeq
+      }
+    }
+    df.withColumn(out, enc(col(textCol)))
+  }
+
+  /** [[encode]] reduced to the budgeting signal: piece count. */
+  def tokenCount(df: DataFrame, textCol: String, vocab: DataFrame,
+                 pieceCol: String = "piece",
+                 logProbCol: String = "log_prob",
+                 out: String = "ug_count"): DataFrame = {
+    val enc = encode(df, textCol, vocab, pieceCol, logProbCol, "__ug_toks")
+    enc.withColumn(out, size(col("__ug_toks"))).drop("__ug_toks")
+  }
+
+  /** Viterbi max-sum segmentation of one word (lowercased,
+    * whitespace-free). Package-visible for the spec's equality pin
+    * against exhaustive segmentation enumeration. Tie rules, in
+    * order: higher score; fewer pieces; longer final piece (applied
+    * at every DP cell, so the whole path is deterministic). */
+  private[graft] def viterbiWord(w: String, scores: Map[String, Double],
+                                 maxLen: Int,
+                                 fallback: Double): Seq[String] = {
+    val cps = toCodePoints(w)
+    val n = cps.length
+    if (n == 0) return Seq.empty
+    // prefix char offsets so piece substrings are O(1) per edge
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < n) { off(k + 1) = off(k) + cps(k).length; k += 1 }
+    val score = new Array[Double](n + 1)
+    val count = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, Double.NegativeInfinity)
+    score(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (score(j) > Double.NegativeInfinity) {
+          val piece = w.substring(off(j), off(i))
+          val s = scores.get(piece) match {
+            case Some(x) => x
+            case None => if (l == 1) fallback else Double.NaN
+          }
+          if (!s.isNaN) {
+            val cand = score(j) + s
+            val cnt = count(j) + 1
+            // replace on strict improvement, then fewer pieces, then
+            // (l ascending) any exact tie — leaving the LONGEST piece
+            if (cand > score(i) ||
+                (cand == score(i) && (cnt < count(i) ||
+                  cnt == count(i))))
+              { score(i) = cand; count(i) = cnt; back(i) = j }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    // alphabet fallback makes every cell reachable
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val j = back(pos)
+      out += w.substring(off(j), off(pos))
+      pos = j
+    }
+    out.reverseIterator.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // seeding
+  // ------------------------------------------------------------------
+
+  /** Seed-candidate extraction — the one fully-relational stage of
+    * [[train]], exposed for the q233 oracle gate: positional
+    * substrings (up to `maxPieceLen` code points) of every distinct
+    * word, weighted by word frequency, top `seedSize` by
+    * (count desc, piece asc). Pure Column math end-to-end; the top-k
+    * is orderBy+limit (TakeOrderedAndProject — distributed, no
+    * single-partition window). Bounded by words × maxPieceLen ×
+    * avg-len rows — the word table again, never the corpus. */
+  def seedCandidates(df: DataFrame, textCol: String,
+                     maxPieceLen: Int = 6,
+                     seedSize: Int = 8192): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    seedFromWords(wordCountsDF(df, textCol), maxPieceLen)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedSize)
+  }
+
+  /** (word, freq) over the corpus — the single corpus-proportional
+    * pass everything else rides. */
+  private def wordCountsDF(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** positional substring counts of a (word, freq) table. Substring
+    * positions are CHARACTER positions (Spark `substr` counts code
+    * points, matching the DuckDB oracle; ASCII corpora are identical
+    * under both, and the JVM lattice below is code-point-based so
+    * supplementary-plane text never shears surrogate pairs). */
+  private def seedFromWords(wc: DataFrame, maxPieceLen: Int): DataFrame =
+    wc.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(
+            sequence(lit(1),
+              least(lit(maxPieceLen), length(col("word")) - i + lit(1))),
+            l => col("word").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  // ------------------------------------------------------------------
+  // training
+  // ------------------------------------------------------------------
+
+  /** Fit a unigram-LM piece table from the corpus: seed candidates
+    * (+ the full single-code-point alphabet, always retained so every
+    * word stays segmentable), `emIters` EM passes over the
+    * distinct-word table, an expected-count prune to `vocabSize`
+    * (alphabet never pruned), and one final EM pass to resettle the
+    * kept pieces' probabilities. Returns (piece string, log_prob
+    * double) ordered by (log_prob desc, piece asc).
+    *
+    * E-step per word: forward-backward over the segmentation lattice
+    * (edges = vocab pieces ≤ maxPieceLen code points), posterior
+    * occupancy per edge, accumulated in exactly-associative
+    * micro-units — see the object scaladoc for the determinism and
+    * cutover story. M-step: log-prob = log(mass / total-mass); a
+    * multi-cp piece whose mass rounds to zero leaves the vocab (it is
+    * unreachable at 1e-6 posterior resolution), an alphabet piece is
+    * floored at one micro-unit. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 6, seedSize: Int = 8192,
+            emIters: Int = 2,
+            driverCutover: Long = 1L << 20): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    require(driverCutover >= 0L,
+      s"driverCutover must be >= 0, got $driverCutover")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val wc: Dataset[(String, Long)] = wordCountsDF(df, textCol)
+      .as[(String, Long)]
+      .localCheckpoint() // corpus lineage ends here (one pass)
+
+    // ---- seed: top substrings + the alphabet ----
+    val seed: Array[(String, Long)] = seedFromWords(wc.toDF("word", "freq"),
+        maxPieceLen)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedSize)
+      .as[(String, Long)].collect()
+    val alphabet: Array[(String, Long)] = wc.toDF("word", "freq")
+      .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .as[(String, Long)].collect()
+    val alphaSet = alphabet.map(_._1).toSet
+    val seedMap = scala.collection.mutable.LinkedHashMap[String, Long]()
+    alphabet.sortBy(_._1).foreach { case (p, c) => seedMap(p) = c }
+    seed.foreach { case (p, c) =>
+      if (!seedMap.contains(p)) seedMap(p) = c }
+    var total = seedMap.valuesIterator.map(_.toDouble).sum
+    var scores: Map[String, Double] =
+      seedMap.iterator.map { case (p, c) =>
+        p -> math.log(c.toDouble / total) }.toMap
+
+    // ---- EM loop (driver cutover or distributed, same arithmetic) --
+    val nWords = wc.count()
+    val localWords: Array[(String, Long)] =
+      if (nWords <= driverCutover) wc.collect() else null
+    lastTrainPathDiag = if (localWords != null) "local" else "distributed"
+
+    def emPass(cur: Map[String, Double]): Map[String, Long] = {
+      val ml = math.max(1, cur.keysIterator.map(cpLen).max)
+      if (localWords != null) {
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        localWords.foreach { case (w, f) =>
+          wordExpectations(w, f, cur, ml).foreach { case (p, m) =>
+            acc(p) = acc.getOrElse(p, 0L) + m } }
+        acc.toMap
+      } else {
+        val bc = spark.sparkContext.broadcast(cur)
+        val out = wc.mapPartitions { it =>
+            val acc = scala.collection.mutable.HashMap.empty[String, Long]
+            val v = bc.value
+            it.foreach { case (w, f) =>
+              wordExpectations(w, f, v, ml).foreach { case (p, m) =>
+                acc(p) = acc.getOrElse(p, 0L) + m } }
+            acc.iterator
+          }.toDF("piece", "micro")
+          .groupBy(col("piece")).agg(sum(col("micro")).as("micro"))
+          .as[(String, Long)].collect() // vocab-sized by construction
+        out.toMap
+      }
+    }
+
+    def mStep(mass: Map[String, Long]): Map[String, Double] = {
+      val floored = scores.keysIterator.flatMap { p =>
+        val m = mass.getOrElse(p, 0L)
+        if (m > 0L) Some(p -> m)
+        else if (alphaSet.contains(p)) Some(p -> 1L) // alphabet floor
+        else None // unreachable multi-cp piece retires
+      }.toMap
+      val tot = floored.valuesIterator.map(_.toDouble).sum
+      floored.map { case (p, m) => p -> math.log(m / tot) }
+    }
+
+    var lastMass: Map[String, Long] =
+      seedMap.iterator.map { case (p, c) => p -> c }.toMap
+    var it = 0
+    while (it < emIters) {
+      lastMass = emPass(scores)
+      scores = mStep(lastMass)
+      it += 1
+    }
+
+    // ---- prune to vocabSize (alphabet kept), final EM resettle ----
+    val nAlpha = scores.keysIterator.count(alphaSet.contains)
+    val keepMulti = math.max(0, vocabSize - nAlpha)
+    val kept = scores.keysIterator
+      .filterNot(alphaSet.contains)
+      .map(p => (p, lastMass.getOrElse(p, 0L)))
+      .toArray
+      .sortWith { case ((pa, ma), (pb, mb)) =>
+        ma > mb || (ma == mb && utf8Lt(pa, pb)) }
+      .take(keepMulti).map(_._1).toSet
+    scores = scores.filter { case (p, _) =>
+      alphaSet.contains(p) || kept.contains(p) }
+    val finalMass = emPass(scores)
+    scores = mStep(finalMass)
+
+    scores.toSeq
+      .sortWith { case ((pa, sa), (pb, sb)) =>
+        sa > sb || (sa == sb && utf8Lt(pa, pb)) }
+      .toDF("piece", "log_prob")
+  }
+
+  /** which path [[train]] took last — ScalaTest diagnostic only. */
+  @volatile private[graft] var lastTrainPathDiag: String = ""
+
+  /** Forward-backward posterior edge occupancies for one word,
+    * emitted as word-locally-rounded micro-unit Longs (the exactness
+    * trick — see object doc). Package-visible for the spec's
+    * hand-computed lattice pins. */
+  private[graft] def wordExpectations(w: String, freq: Long,
+                                      scores: Map[String, Double],
+                                      maxLen: Int)
+  : Iterator[(String, Long)] = {
+    val cps = toCodePoints(w)
+    val n = cps.length
+    if (n == 0) return Iterator.empty
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < n) { off(k + 1) = off(k) + cps(k).length; k += 1 }
+    @inline def pieceAt(j: Int, i: Int): String = w.substring(off(j), off(i))
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+    java.util.Arrays.fill(beta, Double.NegativeInfinity)
+    alpha(0) = 0.0; beta(n) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val s = scores.getOrElse(pieceAt(i - l, i), Double.NaN)
+        if (!s.isNaN && alpha(i - l) > Double.NegativeInfinity)
+          alpha(i) = logAdd(alpha(i), alpha(i - l) + s)
+        l += 1
+      }
+      i += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxLen, n - i)
+      while (l <= lMax) {
+        val s = scores.getOrElse(pieceAt(i, i + l), Double.NaN)
+        if (!s.isNaN && beta(i + l) > Double.NegativeInfinity)
+          beta(i) = logAdd(beta(i), s + beta(i + l))
+        l += 1
+      }
+      i -= 1
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) return Iterator.empty // unsegmentable
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        val p = pieceAt(j, i)
+        val s = scores.getOrElse(p, Double.NaN)
+        if (!s.isNaN && alpha(j) > Double.NegativeInfinity &&
+            beta(i) > Double.NegativeInfinity) {
+          val post = math.exp(alpha(j) + s + beta(i) - z)
+          acc(p) = acc.getOrElse(p, 0.0) + post
+        }
+        l += 1
+      }
+      i += 1
+    }
+    acc.iterator.flatMap { case (p, mass) =>
+      val micro = math.round(mass * freq * 1e6)
+      if (micro > 0L) Iterator.single(p -> micro) else Iterator.empty
+    }
+  }
+
+  /** numerically-stable log(e^a + e^b) */
+  private def logAdd(a: Double, b: Double): Double = {
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+  }
+
+  /** split into Unicode code points (surrogate-pair safe — the
+    * [[Bpe]] seed discipline). */
+  private def toCodePoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** UTF-8 unsigned-byte order — Spark's native string sort order
+    * (the [[Bpe]] tie-break discipline). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+}
