@@ -200,6 +200,99 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- perceptual hashing ------------------------------------------------
+
+  /** grayscale grid luminances for a decodable image: gw×gh average
+    * pooling (the [[embedKernel]] resample), row-major in [0,1]. */
+  private def lumGrid(bytes: Array[Byte], gw: Int, gh: Int)
+      : Option[Array[Double]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null) {
+        val small = new java.awt.image.BufferedImage(gw, gh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.drawImage(img.getScaledInstance(gw, gh,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+        g.dispose()
+        val out = new Array[Double](gw * gh)
+        var i = 0
+        while (i < out.length) {
+          val p = small.getRGB(i % gw, i / gw)
+          out(i) = (((p >> 16) & 0xff) * 0.299 + ((p >> 8) & 0xff) * 0.587 +
+            (p & 0xff) * 0.114) / 255.0
+          i += 1
+        }
+        return Some(out)
+      }
+    } catch { case _: Throwable => }
+    None
+  }
+
+  /** average hash (aHash): 8×8 luminance grid, bit k set iff cell k's
+    * luminance exceeds the grid MEAN. Mean-relative thresholding makes
+    * the hash invariant to global brightness/contrast scaling, and the
+    * 8×8 pooling makes it invariant to resolution — the classic
+    * near-duplicate image fingerprint. None for non-decodable bytes. */
+  private[multimodal] def aHashKernel(bytes: Array[Byte]): Option[Long] =
+    lumGrid(bytes, 8, 8).map { g =>
+      val mean = g.sum / g.length
+      var h = 0L; var i = 0
+      while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+      h
+    }
+
+  /** difference hash (dHash): 9×8 luminance grid, bit (r*8+c) set iff
+    * cell (r,c) is darker than its right neighbour — a horizontal
+    * gradient fingerprint, more robust than aHash to smooth global
+    * lighting changes. None for non-decodable bytes. */
+  private[multimodal] def dHashKernel(bytes: Array[Byte]): Option[Long] =
+    lumGrid(bytes, 9, 8).map { g =>
+      var h = 0L; var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+  /** perceptual image hashes: (media_id, img_hash long). `kind` is
+    * "ahash" (mean-thresholded 8×8 grid) or "dhash" (9×8 horizontal
+    * gradient). Non-decodable payloads are DROPPED (generator shape —
+    * a hash-of-garbage would poison duplicate groups downstream;
+    * [[decodeImages]] is the face that surfaces decode failures).
+    *
+    * The dedup composition this exists for: exact duplicate groups
+    * via one hash-shuffle groupBy on `img_hash` (q235's gate), and
+    * NEAR-duplicate pairs via
+    * [[graft.operators.Dedup.signaturePairs]] — the 64-bit value
+    * rides the same pigeonhole band-bucketing machinery as text
+    * simhash, so image near-dup at 100 TB inherits the bucketed,
+    * never-all-pairs shape. Payload stays partition-local; only
+    * (id, long) rows ever shuffle. */
+  def imageHashes(media: DataFrame, kind: String = "ahash"): DataFrame = {
+    require(kind == "ahash" || kind == "dhash",
+      s"kind must be ahash|dhash, got $kind")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("img_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val useA = kind == "ahash"
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val h = if (useA) aHashKernel(bytes) else dHashKernel(bytes)
+          h.map(v => Row(r.getLong(0), v))
+        }
+      }(enc)
+  }
+
   /** REAL image resize: decode via ImageIO, downscale so
     * max(width, height) <= maxSide (aspect preserved, area-averaging
     * filter), re-encode as PNG. Non-decodable payloads and images

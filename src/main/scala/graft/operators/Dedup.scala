@@ -1090,6 +1090,20 @@ object Dedup {
       graft.functions.TextFunctions.simhashPortable(col(textCol)).as("sim")),
       maxDistance, maxBucketSize)
 
+  /** [[simhashPairs]]' band-bucket machinery over ANY precomputed
+    * 64-bit signature column — the retriever-agnostic face: text
+    * simhash, [[graft.multimodal.Multimodal.imageHashes]] perceptual
+    * hashes, or an external fingerprint all ride the same pigeonhole
+    * (maxDistance+1 chunks: a pair within the distance must agree on
+    * at least one chunk), bucket-collect, and exact hamming verify.
+    * Emits (id_a, id_b, hamming). Same recall contract as
+    * [[simhashPairs]]: complete up to `maxBucketSize` refusals. */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+                     maxDistance: Int = 3,
+                     maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsOn(df.select(col(idCol).as("id"),
+      col(sigCol).cast("long").as("sim")), maxDistance, maxBucketSize)
+
   /** shared pair machinery over a precomputed (id, sim) table. */
   private def simhashPairsOn(sh0: DataFrame, maxDistance: Int,
                              maxBucketSize: Int): DataFrame = {

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.multimodal.Multimodal
+
+/** Perceptual image-hash pins: real javax.imageio decode, the two
+  * classic fingerprints (aHash mean-threshold, dHash gradient), their
+  * invariance properties (resolution, global brightness scale), and
+  * the composition with [[graft.operators.Dedup.signaturePairs]] —
+  * image near-dup rides the text-simhash band machinery. */
+class MultimodalHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** render a gw-pattern image at pixel size side×side: column x is
+    * white iff pattern(x * cells / side) — block patterns survive
+    * area-average pooling exactly. */
+  private def png(pattern: Seq[Boolean], side: Int,
+                  white: Int = 0xffffff, black: Int = 0x000000)
+      : Array[Byte] = {
+    val cells = pattern.length
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until side; y <- 0 until side)
+      img.setRGB(x, y,
+        if (pattern(x * cells / side)) white else black)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val mediaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType)))
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, b) => Row(i, b) }),
+      mediaSchema)
+
+  private def hashes(rows: Seq[(Long, Array[Byte])],
+                     kind: String): Map[Long, Long] =
+    Multimodal.imageHashes(mediaDf(rows), kind)
+      .as[(Long, Long)].collect().toMap
+
+  private val p3 = Seq(true, true, false, false, true, false, true, false)
+  private val p5 = Seq(true, false, false, false, false, true, true, true)
+
+  test("aHash: identical content equal, different patterns differ, garbage dropped") {
+    val rows = Seq(1L -> png(p3, 32), 2L -> png(p3, 32), 3L -> png(p5, 32),
+      4L -> "not an image".getBytes)
+    val h = hashes(rows, "ahash")
+    assert(h.keySet == Set(1L, 2L, 3L), "garbage must be dropped")
+    assert(h(1L) == h(2L), "identical images must hash equal")
+    assert(h(1L) != h(3L), "different patterns must differ")
+  }
+
+  test("aHash: resolution-invariant and brightness-scale-invariant") {
+    val h = hashes(Seq(
+      1L -> png(p3, 32), 2L -> png(p3, 64), // same pattern, 2x pixels
+      3L -> png(p3, 32, white = 0xc8c8c8, black = 0x323232), // dimmed
+      4L -> png(p5, 64)), "ahash")
+    assert(h(1L) == h(2L), "8x8 pooling must absorb resolution")
+    assert(h(1L) == h(3L), "mean threshold must absorb brightness scale")
+    assert(h(1L) != h(4L))
+  }
+
+  test("dHash: hand-computed gradient on a left-dark right-bright ramp") {
+    // 9 vertical cells with strictly increasing luminance: every
+    // left<right comparison is true -> all 64 bits set
+    val img = new java.awt.image.BufferedImage(36, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 36; y <- 0 until 16) {
+      val cell = x * 9 / 36
+      val v = 20 + cell * 25
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val h = hashes(Seq(1L -> out.toByteArray), "dhash")
+    assert(h(1L) == -1L, s"all-ascending ramp must set all 64 bits, got ${h(1L).toBinaryString}")
+  }
+
+  test("near-dup: one flipped cell stays within hamming reach; signaturePairs finds it") {
+    val flipped = p3.updated(7, true) // flip one of 8 cells
+    val rows = Seq(1L -> png(p3, 32), 2L -> png(flipped, 32),
+      3L -> png(p5, 32))
+    val h = hashes(rows, "ahash")
+    // one flipped column of 8 changes at most that column's 8 bits
+    // plus mean-shift effects; measured: small
+    val d12 = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val d13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(d12 <= 16 && d12 < d13,
+      s"near-dup $d12 must be closer than distinct $d13")
+    val sig = Multimodal.imageHashes(mediaDf(rows), "ahash")
+    val pairs = graft.operators.Dedup.signaturePairs(sig, "media_id",
+        "img_hash", maxDistance = d12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)),
+      s"signaturePairs must surface the planted near-dup, got $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 1L)))
+  }
+
+  test("signaturePairs == simhashPairs on the text-simhash column") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely unrelated text about spark plans"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val direct = graft.operators.Dedup.simhashPairs(docs, "id", "text",
+      maxDistance = 8).select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sig = docs.select(col("id"),
+      graft.functions.TextFunctions.simhash(col("text")).as("sh"))
+    val viaFace = graft.operators.Dedup.signaturePairs(sig, "id", "sh",
+      maxDistance = 8).select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(direct == viaFace, "the public face must be the same machinery")
+    assert(direct.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
+  }
+}
