@@ -186,6 +186,72 @@ object TextFunctions {
         / total.cast("double"))
   }
 
+  /** Gopher quality-rule flags (Rae et al. 2021, arXiv:2112.11446,
+    * Appendix A1.1 — the published heuristic filter set), each rule a
+    * named boolean in a struct plus `pass` = their conjunction:
+    *   - `word_count_ok`: token count in [minWords, maxWords]
+    *   - `mean_word_len_ok`: mean token length in [3, 10]
+    *   - `symbol_ratio_ok`: (# '#' + # '...' + # '…') / words ≤ 0.1
+    *   - `bullet_ok`: ≤ 90% of non-blank lines start with a bullet
+    *   - `ellipsis_ok`: ≤ 30% of non-blank lines end with an ellipsis
+    *   - `alpha_word_ok`: ≥ 80% of tokens contain a letter
+    *   - `stopword_ok`: ≥ 2 distinct Gopher stopwords present
+    * Thresholds parameterized with the paper's defaults. Pure Column
+    * math — one tokens() pass, one line split, no UDFs, whole-stage
+    * codegen; every rule is an int-over-int IEEE ratio so the DuckDB
+    * oracle (q236) replays it bit-exactly. The paper's repetition
+    * rules are [[repetitionRatio]] (q75's gate). Null text → null
+    * flags (filter semantics: treat as fail). */
+  def gopherFlags(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaWordRatio: Double = 0.8,
+                  minStopwordHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val nw = size(toks)
+    val nwSafe = greatest(nw.cast("double"), lit(1.0))
+    val wordCountOk = nw.between(minWords, maxWords)
+    val meanLen = aggregate(toks, lit(0L),
+      (a, t) => a + length(t)).cast("double") / nwSafe
+    val meanLenOk = meanLen.between(3.0, 10.0)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val dots = (length(text) -
+      length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val uEll = length(text) - length(replace(text, lit("…"), lit("")))
+    val symbolOk =
+      (hashes.cast("double") + dots + uEll.cast("double")) / nwSafe <=
+        maxSymbolRatio
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nlSafe = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletOk = size(filter(lines, l =>
+        trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nlSafe <=
+      maxBulletRatio
+    val ellipsisOk = size(filter(lines, l =>
+        trim(l).endsWith("...") || trim(l).endsWith("…")))
+      .cast("double") / nlSafe <= maxEllipsisRatio
+    val alphaOk = size(filter(toks, t => t.rlike("\\p{L}")))
+      .cast("double") / nwSafe >= minAlphaWordRatio
+    val stopOk = size(array_intersect(array_distinct(toks),
+        array(gopherStopwords.map(lit): _*))) >= minStopwordHits
+    struct(
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ratio_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_word_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && meanLenOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopOk).as("pass"))
+  }
+
+  /** the paper's required-stopword list (Rae 2021 A1.1) */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // ===== MinHash =========================================================
 
   /** k independent MinHash values over a shingle array.

@@ -391,4 +391,36 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(trimmed.getLong(0) == 10L) // 1000/i >= 100 for i <= 10
     assert(math.abs(trimmed.getDouble(1) - (-1.0)) < 0.02)
   }
+
+  test("gopherFlags: every rule flips on its hand-built violator") {
+    import org.apache.spark.sql.Row
+    val good = ("the cat and dog sat with all of that fine crew " +
+      "and they have been well fed onto mats ") * 3 // 60 words, clean
+    val rows = Seq(
+      (1L, good),
+      (2L, "the of and " * 3),                        // 9 words: word_count fails
+      (3L, ("a b c d " * 15) + "the of"),             // mean word len 1.13 < 3
+      (4L, good + (" #tag" * 30)),                    // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- bullet $i with the of and that")
+        .mkString("\n")),                             // 100% bullet lines
+      (6L, (1 to 10).map(i => s"line $i with the of and trailing dots ...")
+        .mkString("\n")),                             // 100% ellipsis lines
+      (7L, good + (" 123456" * 40)),                  // alpha-word ratio < 0.8
+      (8L, "spark row hash " * 20))                   // zero gopher stopwords
+      .toDF("id", "text")
+    val f = rows.select(col("id"),
+      TF.gopherFlags(col("text"), minWords = 20).as("g"))
+      .orderBy("id").select("g.*").collect()
+    def flags(r: Row): Seq[Boolean] = (0 to 7).map(r.getBoolean)
+    assert(flags(f(0)).forall(identity), s"good doc must pass: ${f(0)}")
+    assert(!f(1).getBoolean(0) && !f(1).getBoolean(7)) // word_count_ok
+    assert(!f(2).getBoolean(1), s"mean_word_len must fail: ${f(2)}")
+    assert(!f(3).getBoolean(2), s"symbol_ratio must fail: ${f(3)}")
+    assert(!f(4).getBoolean(3), s"bullet must fail: ${f(4)}")
+    assert(!f(5).getBoolean(4), s"ellipsis must fail: ${f(5)}")
+    assert(!f(6).getBoolean(5), s"alpha_word must fail: ${f(6)}")
+    assert(!f(7).getBoolean(6), s"stopword must fail: ${f(7)}")
+    // each violator fails ONLY its own rule (plus pass) unless noted
+    assert(f(4).getBoolean(7) == false && f(4).getBoolean(0))
+  }
 }
