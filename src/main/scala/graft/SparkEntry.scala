@@ -7156,7 +7156,226 @@ object SparkEntry {
              |SELECT vec_id FROM e
              |UNION ALL SELECT id FROM fresh
              |  WHERE id NOT IN (SELECT id FROM m)
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
+    // SentencePiece unigram model), Viterbi face under the FULL hash
+    // gate. Vocab built in-query: every observed character at
+    // log-prob -10, every observed word-bigram at -15. Then a
+    // segmentation with b bigrams over a len-l word scores
+    // -10*l + 5*b, so Viterbi MUST discover the max-bigram tiling:
+    // piece count = ceil(len/2), single-char pieces = len % 2 —
+    // closed-form, and the oracle replays it per word. Every bigram
+    // of every word is in the vocab by construction (built from all
+    // words at all positions), so the tiling is always available;
+    // the general lattice (not SQL-expressible) is UnigramSpec's
+    // randomized-enumeration pin.
+    Q("q232_unigram_encode", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(TF.tokens(col("text"))).as("w"))
+        .distinct()
+      val chars = words.select(explode(transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-10.0))
+      val bigrams = words.filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-15.0))
+      graft.operators.Unigram.encode(docs, "text",
+          chars.unionByName(bigrams))
+        .filter(size(TF.tokens(col("text"))) > 0)
+        .select(col("lang"),
+          size(col("ug_tokens")).as("np"),
+          size(filter(col("ug_tokens"), p => length(p) === 1)).as("ns"),
+          size(TF.tokens(col("text"))).as("nw"))
+        .groupBy(col("lang"))
+        .agg(sum(col("np")).as("n_pieces"),
+          sum(col("ns")).as("n_single"),
+          sum(col("nw")).as("n_words"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH tok AS (SELECT lang,
+              |    unnest(${sqlTokens("text")}) AS w FROM documents)
+              |SELECT lang,
+              | CAST(sum((len(w) + 1) // 2) AS BIGINT) AS n_pieces,
+              | CAST(sum(len(w) % 2) AS BIGINT) AS n_single,
+              | CAST(count(*) AS BIGINT) AS n_words
+              |FROM tok GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The unigram trainer's one fully-relational stage under the FULL
+    // hash gate (the q132 seedPairCounts treatment): positional
+    // substring counts over the distinct-word table, weighted by word
+    // frequency, top-k by (count desc, piece asc). The oracle replays
+    // the substring enumeration with two unnest(range(...)) levels.
+    Q("q233_unigram_seed", (s, dir) =>
+      graft.operators.Unigram.seedCandidates(t(s, dir, "documents"),
+          "text", maxPieceLen = 4, seedSize = 200)
+        .orderBy(col("piece")),
+      Some(s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w
+              |    FROM documents),
+              |wc AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+              |pos AS (SELECT w, f, unnest(range(1, len(w) + 1)) AS i
+              |  FROM wc),
+              |ext AS (SELECT w, f, i,
+              |    unnest(range(1, least(4, len(w) - i + 1) + 1)) AS l
+              |  FROM pos),
+              |sub AS (SELECT substring(w, CAST(i AS INT),
+              |    CAST(l AS INT)) AS piece, f FROM ext),
+              |agg AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+              |  FROM sub GROUP BY piece),
+              |top AS (SELECT piece, cnt FROM agg
+              |  ORDER BY cnt DESC, piece ASC LIMIT 200)
+              |SELECT piece, cnt FROM top ORDER BY piece""".stripMargin)),
+
+    // Bounded sibling of the iterative EM trainer (the q219/q130
+    // pattern): whatever probabilities EM learns, unigram encoding is
+    // LOSSLESS by construction — the alphabet is always retained and
+    // OOV code points fall back verbatim — so concatenating every
+    // document's pieces must reproduce the normalized text. A memo
+    // bug, a dropped alphabet piece, or a lattice off-by-one fails
+    // the HASH gate; the oracle predicts every document survives.
+    Q("q234_unigram_roundtrip", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 400, maxPieceLen = 6, seedSize = 1000, emIters = 2)
+      val enc = graft.operators.Unigram.encode(docs, "text", vocab)
+      val recon = array_join(col("ug_tokens"), "")
+      val expect = regexp_replace(lower(col("text")), lit("\\s+"), lit(""))
+      enc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(recon === expect, 1L).otherwise(0L)).as("n_roundtrip"))
+        .select(col("lang"), col("n_docs"), col("n_roundtrip"),
+          (col("n_docs") === col("n_roundtrip")).as("lossless"))
+        .orderBy(col("lang"))
+    },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(count(*) AS BIGINT) AS n_roundtrip,
+             | TRUE AS lossless
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Perceptual image dedup under the FULL hash gate (the q64
+    // synthetic-media pattern): one deterministic PNG per doc whose
+    // pixel content is a pure function of doc_id % 7 — a 32×32 image
+    // with 4*(g+1) white columns, block-aligned to the 8×8 aHash
+    // grid, so each group's hash has exactly 8*(g+1) set bits in a
+    // distinct column pattern (groups CANNOT collide: different set-
+    // bit counts). Exact-dup groups = one groupBy on the hash; the
+    // oracle replays the planted partition (GROUP BY doc_id % 7).
+    // The hash VALUES are real javax.imageio decodes pinned in
+    // MultimodalHashSpec (resolution/brightness invariance, dHash
+    // gradient); near-dup pairs ride Dedup.signaturePairs — the text-
+    // simhash band machinery, spec-pinned equal.
+    Q("q235_image_dedup", (s, dir) => {
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val g = (id % 7).toInt
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < 32) {
+              val rgb = if (x < 4 * (g + 1)) 0xffffff else 0x000000
+              var y = 0
+              while (y < 32) { img.setRGB(x, y, rgb); y += 1 }
+              x += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            org.apache.spark.sql.Row(id, out.toByteArray)
+          }
+        }(enc)
+      Multimodal.imageHashes(media, "ahash")
+        .groupBy(col("img_hash"))
+        .agg(min(col("media_id")).as("rep_id"),
+          count(lit(1)).as("n_dups"))
+        .select(col("rep_id"), col("n_dups"))
+        .orderBy(col("rep_id"))
+    },
+      Some("""SELECT min(doc_id) AS rep_id,
+             | CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents GROUP BY doc_id % 7
+             |ORDER BY rep_id""".stripMargin)),
+
+    // The Gopher heuristic filter set (Rae et al. 2021,
+    // arXiv:2112.11446, Appendix A1.1) under the FULL hash gate:
+    // every named rule — word-count band, mean word length, symbol
+    // ratio, bullet/ellipsis line ratios, alpha-word fraction,
+    // required-stopword hits — is an int-over-int IEEE ratio against
+    // a literal threshold, so the oracle replays each rule AND the
+    // conjunction exactly. minWords lowered to 20 and
+    // minStopwordHits to 1 so the fixture's short synthetic-
+    // vocabulary docs (only "the" from the paper's list appears)
+    // exercise BOTH branches of the word-count and stopword rules —
+    // the paper thresholds stay the function defaults.
+    Q("q236_gopher_quality", (s, dir) => {
+      val g = TF.gopherFlags(col("text"), minWords = 20,
+        minStopwordHits = 1)
+      def n(flag: String, as: String) =
+        sum(when(col(s"g.$flag"), 1L).otherwise(0L)).as(as)
+      t(s, dir, "documents").select(col("lang"), g.as("g"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          n("word_count_ok", "n_word_count"),
+          n("mean_word_len_ok", "n_mean_len"),
+          n("symbol_ratio_ok", "n_symbol"),
+          n("bullet_ok", "n_bullet"),
+          n("ellipsis_ok", "n_ellipsis"),
+          n("alpha_word_ok", "n_alpha"),
+          n("stopword_ok", "n_stopword"),
+          n("pass", "n_pass"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH f AS (SELECT lang, ${sqlTokens("text")} AS toks,
+              |    text, list_filter(string_split(text, chr(10)),
+              |      l -> len(trim(l)) > 0) AS lines FROM documents),
+              |r AS (SELECT lang,
+              |  len(toks) BETWEEN 20 AND 100000 AS c1,
+              |  (coalesce(CAST(list_sum(list_transform(toks,
+              |      t -> len(t))) AS DOUBLE), 0)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0))
+              |    BETWEEN 3.0 AND 10.0 AS c2,
+              |  (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+              |    + CAST(len(text) - len(replace(text, '...', ''))
+              |        AS DOUBLE) / 3.0
+              |    + CAST(len(text) - len(replace(text, '…', ''))
+              |        AS DOUBLE))
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+              |    <= 0.1 AS c3,
+              |  CAST(len(list_filter(lines, l ->
+              |      starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+              |      OR starts_with(trim(l), '•'))) AS DOUBLE)
+              |    / greatest(CAST(len(lines) AS DOUBLE), 1.0)
+              |    <= 0.9 AS c4,
+              |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')
+              |      OR ends_with(trim(l), '…'))) AS DOUBLE)
+              |    / greatest(CAST(len(lines) AS DOUBLE), 1.0)
+              |    <= 0.3 AS c5,
+              |  CAST(len(list_filter(toks, t ->
+              |      regexp_matches(t, '\\p{L}'))) AS DOUBLE)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+              |    >= 0.8 AS c6,
+              |  len(list_intersect(list_distinct(toks),
+              |    ['the','be','to','of','and','that','have','with']))
+              |    >= 1 AS c7
+              |  FROM f)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              | CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+              | CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_len,
+              | CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+              | CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+              | CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis,
+              | CAST(sum(CASE WHEN c6 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+              | CAST(sum(CASE WHEN c7 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
+              | CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 AND c5
+              |   AND c6 AND c7 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+              |FROM r GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1277,6 +1277,33 @@ object ScaleSmoke {
       }
     }
 
+    // unigram tokenizer: train wall must track the DISTINCT-WORD
+    // table (the replica suffix grows it only by k tokens), NOT the
+    // corpus — the corpus-proportional work is the one word-count
+    // pass plus the linear encode map.
+    if (on("ug")) {
+      import graft.operators.Unigram
+      scales.foreach { k =>
+        val c = corpus(k)
+        val n = c.count()
+        var t0 = System.nanoTime()
+        val vocab = Unigram.train(c, "text", vocabSize = 400,
+          maxPieceLen = 6, seedSize = 1000, emIters = 2).cache()
+        val vRows = vocab.count()
+        val trainS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val toks = Unigram.tokenCount(c, "text", vocab)
+          .agg(sum(col("ug_count"))).head().getLong(0)
+        val encS = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-smoke] ug k=$k%-2d n=$n%-6d " +
+          f"train=$trainS%7.2f s (vocab=$vRows)  " +
+          f"encode=$encS%7.2f s  pieces=$toks")
+        vocab.unpersist()
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     spark.stop()
   }
 }
