@@ -7375,7 +7375,101 @@ object SparkEntry {
               | CAST(sum(CASE WHEN c7 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
               | CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 AND c5
               |   AND c6 AND c7 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-              |FROM r GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The image-dedup COMPOSITION (the q152 two-operators-one-oracle
+    // treatment): perceptual hashes → signaturePairs band machinery →
+    // connected components → cluster census. Fixture: docs < 196 get
+    // a PNG whose white columns are Fano-plane line (doc_id % 7) —
+    // any two lines share exactly one point, so distinct groups are
+    // ≥ 4 grid columns (32 hash bits) apart — and odd (doc_id/7)
+    // parity adds column 7, an 8-bit within-group perturbation. At
+    // maxDistance 8 the ONLY edges are within-group (even↔odd at
+    // hamming 8, same-parity at 0), so components = the planted
+    // groups exactly, with margin 32 vs 8 — no boundary pair can
+    // flip. The oracle replays the planted partition.
+    Q("q237_image_communities", (s, dir) => {
+      import org.apache.spark.sql.types._
+      val fano = Seq(Seq(0, 1, 2), Seq(0, 3, 4), Seq(0, 5, 6),
+        Seq(1, 3, 5), Seq(1, 4, 6), Seq(2, 3, 6), Seq(2, 4, 5))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 196)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val cols = fano((id % 7).toInt) ++
+              (if ((id / 7) % 2 == 1) Seq(7) else Nil)
+            val white = cols.toSet
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < 32) {
+              val rgb = if (white(x / 4)) 0xffffff else 0x000000
+              var y = 0
+              while (y < 32) { img.setRGB(x, y, rgb); y += 1 }
+              x += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            org.apache.spark.sql.Row(id, out.toByteArray)
+          }
+        }(enc)
+      val pairs = Dedup.signaturePairs(
+        Multimodal.imageHashes(media, "ahash"), "media_id", "img_hash",
+        maxDistance = 8)
+      Dedup.clusterSizes(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("rep"))
+    },
+      Some("""SELECT min(doc_id) AS rep,
+             | CAST(count(*) AS BIGINT) AS size
+             |FROM documents WHERE doc_id < 196
+             |GROUP BY doc_id % 7 ORDER BY rep""".stripMargin)),
+
+    // Tokenizer → budget COMPOSITION (the q152 pattern: two oracled
+    // operators, one oracle): per-doc cost = unigram tokenCount under
+    // q232's bigram-face vocab — whose Viterbi optimum is the closed
+    // form Σ ceil(len/2) — feeding q74's greedy per-stratum token
+    // budget. Token accounting in LEARNED units instead of whitespace
+    // words is exactly what the trained tokenizer exists for; the
+    // oracle replays the cost closed-form AND the budget window.
+    Q("q238_unigram_budget", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(TF.tokens(col("text"))).as("w"))
+        .distinct()
+      val chars = words.select(explode(transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-10.0))
+      val bigrams = words.filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-15.0))
+      val costed = graft.operators.Unigram.tokenCount(
+          docs, "text", chars.unionByName(bigrams), out = "n_tok")
+        .withColumn("quality", TF.qualityScore(col("text")))
+      Budget.tokenBudgetSelect(costed, "lang", "doc_id", "quality",
+          "n_tok", budget = 5000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("quality")), 4).as("min_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+              |  ${sqlQuality("text")} AS quality,
+              |  coalesce(list_sum(list_transform(${sqlTokens("text")},
+              |    w -> (len(w) + 1) // 2)), 0) AS n_tok
+              |FROM documents),
+              |c AS (SELECT *, sum(n_tok) OVER (
+              |   PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q)
+              |SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              | round(min(quality), 4) AS min_quality
+              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
