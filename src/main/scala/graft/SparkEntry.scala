@@ -7341,8 +7341,9 @@ object SparkEntry {
               |      t -> len(t))) AS DOUBLE), 0)
               |    / greatest(CAST(len(toks) AS DOUBLE), 1.0))
               |    BETWEEN 3.0 AND 10.0 AS c2,
-              |  (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
-              |    + CAST(len(text) - len(replace(text, '...', ''))
+              |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0) <= 0.1
+              |  AND (CAST(len(text) - len(replace(text, '...', ''))
               |        AS DOUBLE) / 3.0
               |    + CAST(len(text) - len(replace(text, '…', ''))
               |        AS DOUBLE))

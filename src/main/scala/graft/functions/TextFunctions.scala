@@ -191,7 +191,9 @@ object TextFunctions {
     * named boolean in a struct plus `pass` = their conjunction:
     *   - `word_count_ok`: token count in [minWords, maxWords]
     *   - `mean_word_len_ok`: mean token length in [3, 10]
-    *   - `symbol_ratio_ok`: (# '#' + # '...' + # '…') / words ≤ 0.1
+    *   - `symbol_ratio_ok`: # '#' / words ≤ 0.1 AND ellipsis
+    *     ('...' or '…') / words ≤ 0.1 — per-symbol, the paper's
+    *     "either the hash symbol or the ellipsis"
     *   - `bullet_ok`: ≤ 90% of non-blank lines start with a bullet
     *   - `ellipsis_ok`: ≤ 30% of non-blank lines end with an ellipsis
     *   - `alpha_word_ok`: ≥ 80% of tokens contain a letter
@@ -216,13 +218,15 @@ object TextFunctions {
     val meanLen = aggregate(toks, lit(0L),
       (a, t) => a + length(t)).cast("double") / nwSafe
     val meanLenOk = meanLen.between(3.0, 10.0)
+    // the paper thresholds EACH symbol's ratio separately ("either
+    // the hash symbol or the ellipsis"), not their pooled sum
     val hashes = length(text) - length(replace(text, lit("#"), lit("")))
     val dots = (length(text) -
       length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
     val uEll = length(text) - length(replace(text, lit("…"), lit("")))
     val symbolOk =
-      (hashes.cast("double") + dots + uEll.cast("double")) / nwSafe <=
-        maxSymbolRatio
+      hashes.cast("double") / nwSafe <= maxSymbolRatio &&
+        (dots + uEll.cast("double")) / nwSafe <= maxSymbolRatio
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nlSafe = greatest(size(lines).cast("double"), lit(1.0))
     val bulletOk = size(filter(lines, l =>

@@ -76,31 +76,14 @@ object Multimodal {
     * Non-decodable payloads fall back to hash-seeded pseudo-features
     * (FALLBACK — stands in for an encoder forward pass). */
   private[multimodal] def embedKernel(bytes: Array[Byte], dim: Int): Array[Float] = {
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img != null) {
-        val side = math.ceil(math.sqrt(dim.toDouble)).toInt
-        val small = new java.awt.image.BufferedImage(side, side,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = small.createGraphics()
-        g.drawImage(img.getScaledInstance(side, side,
-          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-        g.dispose()
-        val out = new Array[Float](dim)
-        var i = 0
-        while (i < dim) {
-          val p = small.getRGB(i % side, i / side)
-          val lum = (((p >> 16) & 0xff) * 0.299 + ((p >> 8) & 0xff) * 0.587 +
-            (p & 0xff) * 0.114) / 255.0
-          out(i) = (lum * 2 - 1).toFloat
-          i += 1
-        }
-        return out
-      }
-    } catch { case _: Throwable => }
-    val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
-    Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val side = math.ceil(math.sqrt(dim.toDouble)).toInt
+    lumGrid(bytes, side, side) match {
+      case Some(g) => Array.tabulate(dim)(i => (g(i) * 2 - 1).toFloat)
+      case None =>
+        val rnd = new scala.util.Random(
+          java.util.Arrays.hashCode(bytes).toLong)
+        Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
   }
 
   /** audio decode → (sampleRate, channels, frames) via the JDK's

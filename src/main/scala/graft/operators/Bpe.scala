@@ -274,8 +274,9 @@ object Bpe {
   /** a < b in UTF-8 unsigned-byte order — Spark's native string sort
     * order, so the local argmax tie-break matches `orderBy(asc)` in
     * the distributed loop (UTF-16 `String.compareTo` diverges for
-    * supplementary-plane code points). */
-  private def utf8Lt(a: String, b: String): Boolean = {
+    * supplementary-plane code points). Package-visible: [[Unigram]]
+    * shares the same tie-break discipline. */
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -346,7 +347,12 @@ object Bpe {
       if (text == null) null
       else {
         val ranks = bc.value
-        text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        // no JVM .trim: String.trim strips ALL control chars <= U+0020
+        // at the boundaries, diverging from TF.tokens (Spark trim strips
+        // only spaces) and breaking round-trip losslessness on
+        // control-char-edged text; split + nonEmpty filter handles
+        // leading/trailing whitespace identically
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>
             var hit = cache.get(w)

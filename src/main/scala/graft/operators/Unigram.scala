@@ -104,7 +104,12 @@ object Unigram {
       if (text == null) null
       else {
         val v = bc.value
-        text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        // no JVM .trim: String.trim strips ALL control chars <= U+0020
+        // at the boundaries, diverging from TF.tokens (Spark trim strips
+        // only spaces) and breaking round-trip losslessness on
+        // control-char-edged text; split + nonEmpty filter handles
+        // leading/trailing whitespace identically
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>
             var hit = cache.get(w)
@@ -163,11 +168,11 @@ object Unigram {
           if (!s.isNaN) {
             val cand = score(j) + s
             val cnt = count(j) + 1
-            // replace on strict improvement, then fewer pieces, then
-            // (l ascending) any exact tie — leaving the LONGEST piece
+            // replace on strict improvement, or on a score tie when
+            // the piece count does not increase — with l ascending
+            // that leaves the LONGEST final piece standing
             if (cand > score(i) ||
-                (cand == score(i) && (cnt < count(i) ||
-                  cnt == count(i))))
+                (cand == score(i) && cnt <= count(i)))
               { score(i) = cand; count(i) = cnt; back(i) = j }
           }
         }
@@ -303,17 +308,19 @@ object Unigram {
         acc.toMap
       } else {
         val bc = spark.sparkContext.broadcast(cur)
-        val out = wc.mapPartitions { it =>
-            val acc = scala.collection.mutable.HashMap.empty[String, Long]
-            val v = bc.value
-            it.foreach { case (w, f) =>
-              wordExpectations(w, f, v, ml).foreach { case (p, m) =>
-                acc(p) = acc.getOrElse(p, 0L) + m } }
-            acc.iterator
-          }.toDF("piece", "micro")
-          .groupBy(col("piece")).agg(sum(col("micro")).as("micro"))
-          .as[(String, Long)].collect() // vocab-sized by construction
-        out.toMap
+        try {
+          val out = wc.mapPartitions { it =>
+              val acc = scala.collection.mutable.HashMap.empty[String, Long]
+              val v = bc.value
+              it.foreach { case (w, f) =>
+                wordExpectations(w, f, v, ml).foreach { case (p, m) =>
+                  acc(p) = acc.getOrElse(p, 0L) + m } }
+              acc.iterator
+            }.toDF("piece", "micro")
+            .groupBy(col("piece")).agg(sum(col("micro")).as("micro"))
+            .as[(String, Long)].collect() // vocab-sized by construction
+          out.toMap
+        } finally bc.destroy() // one broadcast per pass, never leaked
       }
     }
 
@@ -351,6 +358,7 @@ object Unigram {
       alphaSet.contains(p) || kept.contains(p) }
     val finalMass = emPass(scores)
     scores = mStep(finalMass)
+    wc.unpersist() // release the localCheckpoint blocks (Bpe discipline)
 
     scores.toSeq
       .sortWith { case ((pa, sa), (pb, sb)) =>
@@ -453,18 +461,8 @@ object Unigram {
 
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
-  /** UTF-8 unsigned-byte order — Spark's native string sort order
-    * (the [[Bpe]] tie-break discipline). */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  /** UTF-8 unsigned-byte order — Spark's native string sort order;
+    * shared with [[Bpe]] so the two trainers' tie-break disciplines
+    * can never desynchronize. */
+  private def utf8Lt(a: String, b: String): Boolean = Bpe.utf8Lt(a, b)
 }

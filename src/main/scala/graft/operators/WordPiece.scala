@@ -48,7 +48,12 @@ object WordPiece {
       if (text == null) null
       else {
         val v = bc.value
-        text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        // no JVM .trim: String.trim strips ALL control chars <= U+0020
+        // at the boundaries, diverging from TF.tokens (Spark trim strips
+        // only spaces) and breaking round-trip losslessness on
+        // control-char-edged text; split + nonEmpty filter handles
+        // leading/trailing whitespace identically
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>
             var hit = cache.get(w)
