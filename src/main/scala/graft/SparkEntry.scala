@@ -7470,7 +7470,39 @@ object SparkEntry {
               |SELECT lang, count(*) AS n_docs,
               | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               | round(min(quality), 4) AS min_quality
-              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Unigram vocab PERSISTENCE (the q226/q228 pattern, completing
+    // the model-persistence square: PQ codebooks, DSIR ratios,
+    // SemDeDup centers, unigram vocab): train → saveVocab → loadVocab
+    // (__fmt + (vocabSize, maxPieceLen) stamps validated) → encode
+    // reproduces q234's round-trip oracle VERBATIM — a truncated
+    // write, stamp drift, or a lossy (piece, log_prob) round-trip
+    // fails the HASH gate.
+    Q("q239_unigram_persisted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fitted = graft.operators.Unigram.train(docs, "text",
+        vocabSize = 400, maxPieceLen = 6, seedSize = 1000, emIters = 2)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ug_vocab_q239").toString
+      graft.operators.Unigram.saveVocab(fitted, p, vocabSize = 400,
+        maxPieceLen = 6)
+      val vocab = graft.operators.Unigram.loadVocab(s, p,
+        vocabSize = 400, maxPieceLen = 6)
+      val enc = graft.operators.Unigram.encode(docs, "text", vocab)
+      val recon = array_join(col("ug_tokens"), "")
+      val expect = regexp_replace(lower(col("text")), lit("\\s+"), lit(""))
+      enc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(recon === expect, 1L).otherwise(0L)).as("n_roundtrip"))
+        .select(col("lang"), col("n_docs"), col("n_roundtrip"),
+          (col("n_docs") === col("n_roundtrip")).as("lossless"))
+        .orderBy(col("lang"))
+    },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(count(*) AS BIGINT) AS n_roundtrip,
+             | TRUE AS lossless
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -369,6 +369,75 @@ object Unigram {
   /** which path [[train]] took last — ScalaTest diagnostic only. */
   @volatile private[graft] var lastTrainPathDiag: String = ""
 
+  // ------------------------------------------------------------------
+  // model persistence (the PQ-codebook / DSIR-ratio / SemDeDup-center
+  // discipline: __fmt + fit params stamped constant, validated on load)
+  // ------------------------------------------------------------------
+
+  /** Model FORMAT version stamped as `__fmt` into every persisted
+    * vocab row: params alone cannot detect an incompatible layout
+    * change (normalization, fallback semantics), and a stale model
+    * segments WRONG, not slow. v1 = (piece, log_prob) rows as of
+    * r13. */
+  private[graft] val UnigramModelFormat = 1
+
+  /** Persist a fitted vocab: (piece, log_prob) rows with `__fmt` +
+    * the fit params (vocabSize, maxPieceLen) stamped constant on
+    * every row (free under parquet RLE, validated on load). The
+    * vocab is model-artifact-sized — one file. */
+  def saveVocab(vocab: DataFrame, path: String, vocabSize: Int,
+                maxPieceLen: Int): Unit = {
+    require(vocabSize >= 1 && maxPieceLen >= 1,
+      s"need vocabSize/maxPieceLen >= 1, got $vocabSize/$maxPieceLen")
+    vocab.select(col("piece").cast("string").as("piece"),
+        col("log_prob").cast("double").as("log_prob"))
+      .withColumn("__fmt", lit(UnigramModelFormat))
+      .withColumn("__vocab_size", lit(vocabSize))
+      .withColumn("__max_piece_len", lit(maxPieceLen))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocab persisted by [[saveVocab]], refusing format or
+    * param mismatches: the caller states the (vocabSize, maxPieceLen)
+    * it expects, and a model fit under any other combination throws
+    * with a refit message — a drifted maxPieceLen silently changes
+    * every segmentation (pieces longer than the caller assumes), the
+    * exact trap the stamps exist for. Pieces are validated distinct
+    * and non-empty (a duplicated piece would silently resolve to max
+    * log-prob in [[encode]] and hide a corrupted write). */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+                vocabSize: Int, maxPieceLen: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    val need = Seq("piece", "log_prob", "__fmt", "__vocab_size",
+      "__max_piece_len")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a unigram vocab file: missing columns $missing — rebuild " +
+        s"with Unigram.saveVocab (format v$UnigramModelFormat)")
+    val stamps = df.select(col("__fmt"), col("__vocab_size"),
+      col("__max_piece_len")).distinct().collect()
+    require(stamps.length == 1,
+      s"unigram vocab stamps not constant (${stamps.length} distinct)" +
+        " — the file mixes fits; rebuild with Unigram.saveVocab")
+    val st = stamps(0)
+    require(st.getInt(0) == UnigramModelFormat,
+      s"unigram vocab format ${st.getInt(0)} does not match this " +
+        s"library's v$UnigramModelFormat — refit and save again (an " +
+        "incompatible layout would segment WRONG, not just miss)")
+    require(st.getInt(1) == vocabSize && st.getInt(2) == maxPieceLen,
+      s"unigram vocab was fit with (vocabSize=${st.getInt(1)}, " +
+        s"maxPieceLen=${st.getInt(2)}) but the caller expects " +
+        s"(vocabSize=$vocabSize, maxPieceLen=$maxPieceLen) — every " +
+        "segmentation could silently change; refit or fix the params")
+    val out = df.select(col("piece"), col("log_prob"))
+    val n = out.count()
+    val distinctN = out.select(col("piece")).distinct().count()
+    require(n == distinctN && n > 0L,
+      s"unigram vocab file has $n rows, $distinctN distinct pieces — " +
+        "corrupted or empty write; rebuild with Unigram.saveVocab")
+    out
+  }
+
   /** Forward-backward posterior edge occupancies for one word,
     * emitted as word-locally-rounded micro-unit Longs (the exactness
     * trick — see object doc). Package-visible for the spec's

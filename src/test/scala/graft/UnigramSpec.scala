@@ -220,6 +220,33 @@ class UnigramSpec extends SparkTestBase {
     assert(l2 >= l0 - 1e-3, s"EM decreased likelihood: $l0 -> $l2")
   }
 
+  test("saveVocab/loadVocab: exact round-trip, stamp and corruption refusal") {
+    val df = corpus.toDF("text")
+    val fitted = Unigram.train(df, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 64, emIters = 1)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ug_spec").toString
+    Unigram.saveVocab(fitted, p, vocabSize = 40, maxPieceLen = 4)
+    val back = Unigram.loadVocab(spark, p, vocabSize = 40, maxPieceLen = 4)
+    assert(back.orderBy("piece").as[(String, Double)].collect().toSeq ==
+      fitted.orderBy("piece").as[(String, Double)].collect().toSeq,
+      "persisted vocab must round-trip exactly")
+    // param mismatch refused with a message naming both sides
+    val e1 = intercept[IllegalArgumentException] {
+      Unigram.loadVocab(spark, p, vocabSize = 40, maxPieceLen = 6) }
+    assert(e1.getMessage.contains("maxPieceLen"))
+    val e2 = intercept[IllegalArgumentException] {
+      Unigram.loadVocab(spark, p, vocabSize = 99, maxPieceLen = 4) }
+    assert(e2.getMessage.contains("vocabSize"))
+    // a param-less parquet is not a model file
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft_ug_spec_raw").toString
+    fitted.write.mode("overwrite").parquet(raw)
+    val e3 = intercept[IllegalArgumentException] {
+      Unigram.loadVocab(spark, raw, vocabSize = 40, maxPieceLen = 4) }
+    assert(e3.getMessage.contains("missing columns"))
+  }
+
   test("train + encode round-trips losslessly, OOV chars included") {
     val df = corpus.toDF("text")
     val vocab = Unigram.train(df, "text", vocabSize = 60,
