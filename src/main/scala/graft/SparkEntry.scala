@@ -626,6 +626,65 @@ object SparkEntry {
       p
     })
 
+  /** Fano-plane lines: the white-column patterns of the image-dedup
+    * fixtures (q237/q240/q241). Any two lines share exactly one
+    * point, so distinct groups sit ≥ 4 grid columns (32 aHash bits)
+    * apart; the parity/odd variant adds column 7 (+8 bits). */
+  private val fanoLines = Seq(Seq(0, 1, 2), Seq(0, 3, 4), Seq(0, 5, 6),
+    Seq(1, 3, 5), Seq(1, 4, 6), Seq(2, 3, 6), Seq(2, 4, 5))
+
+  /** render a 32×32 PNG with the given white grid columns (4 px per
+    * column — block-aligned to the 8×8 aHash grid, so area-average
+    * pooling reproduces the pattern exactly) */
+  private def columnPatternPng(white: Set[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < 32) {
+      val rgb = if (white(x / 4)) 0xffffff else 0x000000
+      var y = 0
+      while (y < 32) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (media_id, content) frame of column-pattern PNGs: one row per
+    * input id, pattern chosen by `pattern(id)` */
+  private def patternMedia(ids: DataFrame,
+                           pattern: Long => Set[Int]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType))))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, columnPatternPng(pattern(id)))
+      }
+    }(enc)
+  }
+
+  /** q241's persisted signature index over the q240 corpus hashes,
+    * cached per (JVM, sfDir) like q117's. */
+  private val sigIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sigIndexPath(s: SparkSession, dir: String): String =
+    sigIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sig_index_q241").toString
+      val corpus = patternMedia(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 196),
+        id => fanoLines((id % 7).toInt).toSet)
+      Dedup.signatureIndex(Multimodal.imageHashes(corpus, "ahash"),
+          "media_id", "img_hash", maxDistance = 8)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -7390,34 +7449,11 @@ object SparkEntry {
     // groups exactly, with margin 32 vs 8 — no boundary pair can
     // flip. The oracle replays the planted partition.
     Q("q237_image_communities", (s, dir) => {
-      import org.apache.spark.sql.types._
-      val fano = Seq(Seq(0, 1, 2), Seq(0, 3, 4), Seq(0, 5, 6),
-        Seq(1, 3, 5), Seq(1, 4, 6), Seq(2, 3, 6), Seq(2, 4, 5))
-      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("media_id", LongType, nullable = false),
-        StructField("content", BinaryType))))
-      val media = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 196)
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val cols = fano((id % 7).toInt) ++
-              (if ((id / 7) % 2 == 1) Seq(7) else Nil)
-            val white = cols.toSet
-            val img = new java.awt.image.BufferedImage(32, 32,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var x = 0
-            while (x < 32) {
-              val rgb = if (white(x / 4)) 0xffffff else 0x000000
-              var y = 0
-              while (y < 32) { img.setRGB(x, y, rgb); y += 1 }
-              x += 1
-            }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            org.apache.spark.sql.Row(id, out.toByteArray)
-          }
-        }(enc)
+      val media = patternMedia(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 196),
+        id => fanoLines((id % 7).toInt).toSet ++
+          (if ((id / 7) % 2 == 1) Set(7) else Set.empty[Int]))
       val pairs = Dedup.signaturePairs(
         Multimodal.imageHashes(media, "ahash"), "media_id", "img_hash",
         maxDistance = 8)
@@ -7502,7 +7538,91 @@ object SparkEntry {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              | CAST(count(*) AS BIGINT) AS n_roundtrip,
              | TRUE AS lossless
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Signature incremental screen, direct face (the SIXTH screen
+    // space: exact/jaccard/cosine/substring/semantic/signature) over
+    // image perceptual hashes: corpus = Fano-pattern PNGs
+    // (doc_id < 196), batch = odd-variant copies at +10000 (match
+    // their group at hamming exactly 8) plus ALIEN-pattern decoys at
+    // +20000 ({0,1,3} is ≥ 2 columns = 16 bits from every Fano line
+    // — the negated-decoy face, reported with ZERO matches). The
+    // oracle replays the planted relationships with one LEFT JOIN.
+    Q("q240_image_screen", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val corpus = patternMedia(docs.filter(col("doc_id") < 196),
+        id => fanoLines((id % 7).toInt).toSet)
+      val batch = patternMedia(
+        docs.filter(col("doc_id") < 28)
+          .select((col("doc_id") + 10000).as("doc_id"))
+          .unionByName(docs
+            .filter(col("doc_id") >= 28 && col("doc_id") < 56)
+            .select((col("doc_id") + 20000).as("doc_id"))),
+        id => if (id >= 20000) Set(0, 1, 3)
+              else fanoLines(((id - 10000) % 7).toInt).toSet + 7)
+      val bh = Multimodal.imageHashes(batch, "ahash")
+      val pairs = Dedup.signaturePairsAgainst(bh,
+        Multimodal.imageHashes(corpus, "ahash"),
+        "media_id", "img_hash", maxDistance = 8)
+      val agg = pairs.groupBy(col("id_b"))
+        .agg(count(lit(1)).as("nm"), min(col("id_c")).as("fm"))
+      bh.select(col("media_id").as("id_b")).join(agg, Seq("id_b"), "left")
+        .select(col("id_b").as("batch_id"),
+          coalesce(col("nm"), lit(0L)).as("n_matches"),
+          coalesce(col("fm"), lit(-1L)).as("first_match"))
+        .orderBy(col("batch_id"))
+    },
+      Some("""WITH c AS (SELECT doc_id FROM documents WHERE doc_id < 196),
+             |b AS (SELECT doc_id + 10000 AS batch_id, doc_id % 7 AS g
+             |    FROM documents WHERE doc_id < 28
+             |  UNION ALL SELECT doc_id + 20000, -1 FROM documents
+             |    WHERE doc_id >= 28 AND doc_id < 56)
+             |SELECT b.batch_id,
+             | CAST(count(c.doc_id) AS BIGINT) AS n_matches,
+             | coalesce(min(c.doc_id), -1) AS first_match
+             |FROM b LEFT JOIN c ON b.g = c.doc_id % 7
+             |GROUP BY b.batch_id ORDER BY b.batch_id""".stripMargin)),
+
+    // q240 through the PERSISTED index (the q115-vs-q117 pattern,
+    // same oracle VERBATIM): the index parquet round-trips with its
+    // __fmt + __max_distance stamps validated, and — uniquely in the
+    // screen family — the screen call takes ONLY the index: corpus
+    // signatures live in the index rows, so the corpus images are
+    // never re-read or re-decoded at screen time (the decode is paid
+    // once at build). A stamp drift, lossy round-trip, or bucket
+    // mismatch fails the HASH gate.
+    Q("q241_image_screen_indexed", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val batch = patternMedia(
+        docs.filter(col("doc_id") < 28)
+          .select((col("doc_id") + 10000).as("doc_id"))
+          .unionByName(docs
+            .filter(col("doc_id") >= 28 && col("doc_id") < 56)
+            .select((col("doc_id") + 20000).as("doc_id"))),
+        id => if (id >= 20000) Set(0, 1, 3)
+              else fanoLines(((id - 10000) % 7).toInt).toSet + 7)
+      val bh = Multimodal.imageHashes(batch, "ahash")
+      val pairs = Dedup.signaturePairsAgainstIndex(bh,
+        s.read.parquet(sigIndexPath(s, dir)),
+        "media_id", "img_hash", maxDistance = 8)
+      val agg = pairs.groupBy(col("id_b"))
+        .agg(count(lit(1)).as("nm"), min(col("id_c")).as("fm"))
+      bh.select(col("media_id").as("id_b")).join(agg, Seq("id_b"), "left")
+        .select(col("id_b").as("batch_id"),
+          coalesce(col("nm"), lit(0L)).as("n_matches"),
+          coalesce(col("fm"), lit(-1L)).as("first_match"))
+        .orderBy(col("batch_id"))
+    },
+      Some("""WITH c AS (SELECT doc_id FROM documents WHERE doc_id < 196),
+             |b AS (SELECT doc_id + 10000 AS batch_id, doc_id % 7 AS g
+             |    FROM documents WHERE doc_id < 28
+             |  UNION ALL SELECT doc_id + 20000, -1 FROM documents
+             |    WHERE doc_id >= 28 AND doc_id < 56)
+             |SELECT b.batch_id,
+             | CAST(count(c.doc_id) AS BIGINT) AS n_matches,
+             | coalesce(min(c.doc_id), -1) AS first_match
+             |FROM b LEFT JOIN c ON b.g = c.doc_id % 7
+             |GROUP BY b.batch_id ORDER BY b.batch_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1104,6 +1104,123 @@ object Dedup {
     simhashPairsOn(df.select(col(idCol).as("id"),
       col(sigCol).cast("long").as("sim")), maxDistance, maxBucketSize)
 
+  /** Signature-index format version (the minhash/gram/embedding
+    * index discipline): v1 = (chunk, key, id, sig) rows. */
+  private[graft] val SignatureIndexFormat = 1
+
+  /** Build the persistable signature-screen index — the SIXTH
+    * incremental screen space (exact / jaccard / cosine / substring /
+    * semantic / signature): every (id, 64-bit signature) row exploded
+    * into its maxDistance+1 pigeonhole chunk buckets, signature
+    * carried alongside. Uniquely in the family, the index is
+    * SELF-CONTAINED: the exact hamming verify needs only the stored
+    * signatures, so screening never re-reads (or re-decodes — the
+    * image case this exists for) the corpus. Build params are
+    * stamped and validated on every use. */
+  def signatureIndex(corpus: DataFrame, idCol: String, sigCol: String,
+                     maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 16,
+      s"maxDistance must be in [0,16], got $maxDistance")
+    val chunks = maxDistance + 1
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(sigCol).cast("long").as("sig"))
+      .select(col("id"), col("sig"),
+        explode(simhashChunks(col("sig"), chunks)).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"),
+        col("id"), col("sig"))
+      .withColumn("__fmt", lit(SignatureIndexFormat))
+      .withColumn("__max_distance", lit(maxDistance))
+  }
+
+  /** Fold a new batch into an existing signature index. The index is
+    * a distinct set of (chunk, key, id, sig) rows, so update ≡
+    * rebuild EXACTLY and replaying the same batch is a no-op
+    * (spec-pinned) — the gramIndexUpdate distinct-union discipline. */
+  def signatureIndexUpdate(index: DataFrame, newDf: DataFrame,
+                           idCol: String, sigCol: String,
+                           maxDistance: Int = 3,
+                           acceptUnvalidated: Boolean = false): DataFrame = {
+    val idx = validateIndexParams(index, "signatureIndexUpdate",
+      Seq("__fmt" -> SignatureIndexFormat, "__max_distance" -> maxDistance),
+      acceptUnvalidated)
+    idx.select(col("chunk"), col("key"), col("id"), col("sig"))
+      .unionByName(signatureIndex(newDf, idCol, sigCol, maxDistance)
+        .select(col("chunk"), col("key"), col("id"), col("sig")))
+      .distinct()
+      .withColumn("__fmt", lit(SignatureIndexFormat))
+      .withColumn("__max_distance", lit(maxDistance))
+  }
+
+  /** Screen a batch against a PREBUILT signature index: the batch is
+    * chunked and BROADCAST into the index's buckets (batch-bounded —
+    * the corpus side is never re-banded, re-scanned, or re-decoded),
+    * then candidates verify by exact hamming on the index-stored
+    * signatures. Emits (id_batch, id_corpus, hamming ≤ maxDistance).
+    *
+    * `maxBucketSize` guards the candidate join against degenerate
+    * buckets (e.g. the all-zero signature of blank media): a
+    * column-pruned (chunk, key) census over the index refuses
+    * over-populated buckets BEFORE the join — one partial-agg scan,
+    * cheap relative to the blow-up it prevents; recall then degrades
+    * only for pairs whose EVERY agreeing chunk is hot (the
+    * minhashPairs contract). The census-refusal keeps update ≡
+    * rebuild exact (nothing is dropped from the index itself). */
+  def signaturePairsAgainstIndex(newDf: DataFrame, index: DataFrame,
+                                 idCol: String, sigCol: String,
+                                 maxDistance: Int = 3,
+                                 maxBucketSize: Int = 1000,
+                                 acceptUnvalidated: Boolean = false)
+  : DataFrame = {
+    require(maxBucketSize >= 1,
+      s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val idx = validateIndexParams(index, "signaturePairsAgainstIndex",
+      Seq("__fmt" -> SignatureIndexFormat, "__max_distance" -> maxDistance),
+      acceptUnvalidated)
+      .select(col("chunk"), col("key"), col("id"), col("sig"))
+    signatureScreenCore(newDf, idx, idCol, sigCol, maxDistance,
+      maxBucketSize)
+  }
+
+  /** [[signaturePairsAgainstIndex]] with the index built inline —
+    * the one-shot face (no validation scan: the index never left this
+    * call — the minhashPairsAgainst precedent); persist
+    * [[signatureIndex]] once and use the index form at ingestion
+    * cadence. */
+  def signaturePairsAgainst(newDf: DataFrame, corpus: DataFrame,
+                            idCol: String, sigCol: String,
+                            maxDistance: Int = 3,
+                            maxBucketSize: Int = 1000): DataFrame =
+    signatureScreenCore(newDf,
+      signatureIndex(corpus, idCol, sigCol, maxDistance)
+        .select(col("chunk"), col("key"), col("id"), col("sig")),
+      idCol, sigCol, maxDistance, maxBucketSize)
+
+  /** shared screen core over a stripped (chunk, key, id, sig) index */
+  private def signatureScreenCore(newDf: DataFrame, idx: DataFrame,
+                                  idCol: String, sigCol: String,
+                                  maxDistance: Int,
+                                  maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 1,
+      s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val chunks = maxDistance + 1
+    val batch = newDf.select(col(idCol).cast("long").as("id_b"),
+      col(sigCol).cast("long").as("sig_b"))
+    val bChunks = batch.select(col("id_b"), col("sig_b"),
+        explode(simhashChunks(col("sig_b"), chunks)).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"),
+        col("id_b"), col("sig_b"))
+    val hot = idx.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("chunk"), col("key"))
+    idx.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
+      .join(broadcast(bChunks), Seq("chunk", "key"))
+      .select(col("id_b"), col("id").as("id_c"),
+        hammingDistance(col("sig_b"), col("sig")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .distinct()
+  }
+
   /** shared pair machinery over a precomputed (id, sim) table. */
   private def simhashPairsOn(sh0: DataFrame, maxDistance: Int,
                              maxBucketSize: Int): DataFrame = {

@@ -102,6 +102,93 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 1L)))
   }
 
+  test("signature screen: against == brute-force cross hamming, both paths") {
+    val rnd = new scala.util.Random(7L)
+    // random corpus signatures + planted near-dups in the batch
+    val corpusSigs = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val batchSigs = (0 until 12).map { i =>
+      val (cid, cs) = corpusSigs(rnd.nextInt(corpusSigs.length))
+      // flip up to 5 bits: some within maxDistance 3, some beyond
+      val flips = i % 6
+      val mutated = (0 until flips).foldLeft(cs)((s, j) =>
+        s ^ (1L << rnd.nextInt(64)))
+      (1000L + i, mutated)
+    }
+    val truth = (for {
+      (bId, bs) <- batchSigs; (cId, cs) <- corpusSigs
+      if java.lang.Long.bitCount(bs ^ cs) <= 3
+    } yield (bId, cId)).toSet
+    assert(truth.nonEmpty)
+    val corpusDf = corpusSigs.toDF("id", "sig")
+    val batchDf = batchSigs.toDF("id", "sig")
+    val direct = graft.operators.Dedup.signaturePairsAgainst(
+        batchDf, corpusDf, "id", "sig", maxDistance = 3)
+      .select("id_b", "id_c").as[(Long, Long)].collect().toSet
+    assert(direct == truth,
+      s"missing=${truth -- direct} extra=${direct -- truth}")
+    // parquet round-trip: the ingestion-cadence path answers identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sig_index").toString
+    graft.operators.Dedup.signatureIndex(corpusDf, "id", "sig",
+      maxDistance = 3).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val viaIndex = graft.operators.Dedup.signaturePairsAgainstIndex(
+        batchDf, idx, "id", "sig", maxDistance = 3)
+      .select("id_b", "id_c").as[(Long, Long)].collect().toSet
+    assert(viaIndex == truth)
+    // param mismatch and param-less indexes refuse
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.signaturePairsAgainstIndex(
+        batchDf, idx, "id", "sig", maxDistance = 2).collect() }
+    assert(e1.getMessage.contains("__max_distance"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.signaturePairsAgainstIndex(batchDf,
+        idx.drop("__fmt", "__max_distance"), "id", "sig",
+        maxDistance = 3).collect() }
+    assert(e2.getMessage.contains("no embedded __param"))
+  }
+
+  test("signature index: update == rebuild exactly, replay is a no-op") {
+    val a = Seq((1L, 11L), (2L, 22L)).toDF("id", "sig")
+    val b = Seq((3L, 33L), (4L, 44L)).toDF("id", "sig")
+    import graft.operators.Dedup
+    val rebuilt = Dedup.signatureIndex(a.union(b), "id", "sig", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val updated = Dedup.signatureIndexUpdate(
+        Dedup.signatureIndex(a, "id", "sig", 3), b, "id", "sig", 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(updated == rebuilt, "update must equal rebuild row-for-row")
+    val replayed = Dedup.signatureIndexUpdate(
+        Dedup.signatureIndexUpdate(
+          Dedup.signatureIndex(a, "id", "sig", 3), b, "id", "sig", 3),
+        b, "id", "sig", 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == rebuilt, "replaying a batch must be a no-op")
+  }
+
+  test("signature screen: hot buckets are refused, other chunks still match") {
+    import graft.operators.Dedup
+    // 50 corpus rows share signature 0 (a blank-media pile): the
+    // pile makes every key-0 bucket hot at cap 10. The probe
+    // (5<<16 | 1) is hamming-3 from the pile but only meets it in
+    // hot buckets (chunks 2,3 at key 0); the clean neighbour
+    // (5<<16 | 2, hamming 2) shares the UNPOLLUTED (chunk1, key 5)
+    // bucket, so the cap drops exactly the pile
+    val clean = (5L << 16) | 2L
+    val corpusDf = ((0L until 50L).map(i => (i, 0L)) :+ (99L, clean))
+      .toDF("id", "sig")
+    val batchDf = Seq((1000L, (5L << 16) | 1L)).toDF("id", "sig")
+    val got = Dedup.signaturePairsAgainst(batchDf, corpusDf, "id", "sig",
+        maxDistance = 3, maxBucketSize = 10)
+      .select("id_c").as[Long].collect().toSet
+    assert(got == Set(99L), s"got $got")
+    // uncapped, the pile is found too (hamming(probe, 0) = 3)
+    val uncapped = Dedup.signaturePairsAgainst(batchDf, corpusDf, "id",
+        "sig", maxDistance = 3, maxBucketSize = 1000)
+      .select("id_c").as[Long].collect().toSet
+    assert(uncapped.size == 51)
+  }
+
   test("signaturePairs == simhashPairs on the text-simhash column") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),
