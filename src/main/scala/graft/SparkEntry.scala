@@ -7622,7 +7622,52 @@ object SparkEntry {
              | CAST(count(c.doc_id) AS BIGINT) AS n_matches,
              | coalesce(min(c.doc_id), -1) AS first_match
              |FROM b LEFT JOIN c ON b.g = c.doc_id % 7
-             |GROUP BY b.batch_id ORDER BY b.batch_id""".stripMargin))
+             |GROUP BY b.batch_id ORDER BY b.batch_id""".stripMargin)),
+
+    // The admission family's SIXTH space (q231's pattern on the
+    // signature screen): corpus-of-record = the fingerprint table,
+    // index = the persisted signature index, one full cycle. The
+    // batch exercises all three stages: odd-variant near-dups at
+    // +10000 (rejected by the hamming screen), identical-pattern
+    // aliens at +20000 (cross-corpus clean — only the MIN id
+    // survives the within-batch min-id stage), and verbatim replays
+    // of docs < 5 (dropped by the exact id screen). The oracle
+    // replays the final corpus relationally.
+    Q("q242_admission_signature", (s, dir) => {
+      import graft.streaming.Admission
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val corpusH = Multimodal.imageHashes(
+        patternMedia(docs.filter(col("doc_id") < 196),
+          id => fanoLines((id % 7).toInt).toSet), "ahash")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q242")
+      val corpusDir = tmp.resolve("corpus").toString
+      val indexDir = tmp.resolve("index").toString
+      corpusH.write.mode("overwrite").parquet(corpusDir)
+      Dedup.signatureIndex(corpusH, "media_id", "img_hash",
+          maxDistance = 8)
+        .write.mode("overwrite").parquet(indexDir)
+      val batch = Multimodal.imageHashes(patternMedia(
+        docs.filter(col("doc_id") < 28)
+          .select((col("doc_id") + 10000).as("doc_id"))
+          .unionByName(docs
+            .filter(col("doc_id") >= 28 && col("doc_id") < 56)
+            .select((col("doc_id") + 20000).as("doc_id")))
+          .unionByName(docs.filter(col("doc_id") < 5)),
+        id => if (id >= 20000) Set(0, 1, 3)
+              else if (id >= 10000)
+                fanoLines(((id - 10000) % 7).toInt).toSet + 7
+              else fanoLines((id % 7).toInt).toSet), "ahash")
+      Admission.admitBatchSignature(batch, corpusDir, indexDir,
+        "media_id", "img_hash", maxDistance = 8,
+        dedupWithinBatch = true, batchId = 1L, collectStats = false)
+      s.read.parquet(corpusDir).select(col("media_id"))
+        .orderBy(col("media_id"))
+    },
+      Some("""SELECT doc_id AS media_id FROM documents WHERE doc_id < 196
+             |UNION ALL
+             |SELECT min(doc_id) + 20000 FROM documents
+             | WHERE doc_id >= 28 AND doc_id < 56
+             |ORDER BY media_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

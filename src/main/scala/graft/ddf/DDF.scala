@@ -714,6 +714,16 @@ class DDF(val df: DataFrame) {
       compactFileThreshold = compactFileThreshold,
       compactPartitions = compactPartitions)
 
+  /** [[graft.streaming.Admission.admitBatchSignature]] — the
+    * signature-space admission cycle (64-bit fingerprints: text
+    * simhash, image aHash/dHash), same contract as [[admitInto]]. */
+  def admitIntoSignature(corpusPath: String, indexPath: String,
+                         idCol: String, sigCol: String,
+                         maxDistance: Int = 3)
+  : graft.streaming.Admission.AdmitStats =
+    graft.streaming.Admission.admitBatchSignature(df, corpusPath,
+      indexPath, idCol, sigCol, maxDistance = maxDistance)
+
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */
   def decontaminate(evalSet: DDF, idCol: String, textCol: String,

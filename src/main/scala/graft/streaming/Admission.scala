@@ -293,6 +293,55 @@ object Admission {
         "unreachable: the partitioned layout is refused at entry"))
   }
 
+  /** [[admitBatch]]'s SIGNATURE sibling (r13) — the sixth admission
+    * space: the near screen is hamming distance against a persisted
+    * [[graft.operators.Dedup.signatureIndex]] over any 64-bit
+    * fingerprint column (text simhash, image aHash/dHash — the
+    * image-ingestion face this exists for). The batch carries
+    * PRECOMPUTED signatures (hash upstream, e.g.
+    * [[graft.multimodal.Multimodal.imageHashes]]); the corpus of
+    * record here is the fingerprint table itself, and because the
+    * index stores signatures inside its bucket rows, the screen
+    * touches ONLY the index — media bytes are never re-decoded at
+    * admission time. Within-batch stage: [[graft.operators.Dedup
+    * .signaturePairs]] with the min-id keep rule. The fold is
+    * [[graft.operators.Dedup.signatureIndexUpdate]] (distinct-union,
+    * ≡ rebuild); its validation is a session-memo hit (the screen
+    * validated the same files this cycle). The partitioned in-place
+    * layout is unsupported (the index is (chunk, key, id, sig) rows
+    * — the swap rewrite is not the cost center), refused at entry
+    * before any write. */
+  def admitBatchSignature(batch: DataFrame, corpusPath: String,
+                          indexPath: String, idCol: String,
+                          sigCol: String, maxDistance: Int = 3,
+                          maxBucketSize: Int = 1000,
+                          dedupWithinBatch: Boolean = true,
+                          batchId: Long = -1L,
+                          collectStats: Boolean = true): AdmitStats = {
+    require(!batch.sparkSession.read.parquet(indexPath)
+      .columns.contains("part"),
+      "the signature index does not support the partitioned " +
+        "in-place layout — persist it swap-written (narrow rows, " +
+        "the swap rewrite is cheap by construction)")
+    admitCore(batch, corpusPath, indexPath, idCol, batchId,
+      dedupWithinBatch, collectStats,
+      screen = (fresh, _, index) =>
+        Dedup.signaturePairsAgainstIndex(fresh, index, idCol, sigCol,
+            maxDistance, maxBucketSize)
+          .withColumnRenamed("id_b", "id_new"),
+      dedupWithin = screened => {
+        val drop = Dedup.signaturePairs(screened, idCol, sigCol,
+            maxDistance, maxBucketSize)
+          .select(col("id_b").as(idCol)).distinct()
+        screened.join(drop, Seq(idCol), "left_anti")
+      },
+      fold = (index, admitted) =>
+        Dedup.signatureIndexUpdate(index, admitted, idCol, sigCol,
+          maxDistance),
+      foldInPlace = (_, _, _) => sys.error(
+        "unreachable: the partitioned layout is refused at entry"))
+  }
+
   /** [[admitBatch]]'s substring sibling: the near screen is
     * SPAN-COVERAGE against a persisted
     * [[graft.operators.SubstringDedup.gramIndex]] — a batch doc is

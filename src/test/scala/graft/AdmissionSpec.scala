@@ -295,6 +295,58 @@ class AdmissionSpec extends SparkTestBase {
     assert(e.getMessage.contains("DIFFERENT center table"))
   }
 
+  test("signature admission loop: hamming screen, min-id within, fold") {
+    val corpusDir = Files.createTempDirectory("graft_adm_gc").toString
+    val indexDir = Files.createTempDirectory("graft_adm_gi").toString + "/idx"
+    // corpus fingerprints ride a DENSE base mask (popcount 24): every
+    // batch probe meant to be fresh is trivially > 3 bits from all of
+    // them, while planted nears differ in exactly 1 bit
+    val base = 0x5555555555550000L
+    val corpus = (0L until 20L).map(i => (i, base | (i << 8)))
+      .toDF("id", "sig")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    graft.operators.Dedup.signatureIndex(corpus, "id", "sig",
+        maxDistance = 3)
+      .write.mode("overwrite").parquet(indexDir)
+    def adm(b: DataFrame, batchId: Long) =
+      Admission.admitBatchSignature(b, corpusDir, indexDir, "id", "sig",
+        maxDistance = 3, batchId = batchId)
+    val b1 = Seq(
+      100L -> (base | (7L << 8) | 1L), // hamming 1 from corpus 7 -> near
+      101L -> 0L,                      // fresh (24+ from corpus) -> admitted
+      0L -> (base | 0L),               // id replay -> id screen
+      102L -> 2L,                      // within-batch near of 101 -> dropped
+      103L -> (0xFFL << 40)            // fresh -> admitted
+    ).toDF("id", "sig")
+    assert(adm(b1, 1L) == Admission.AdmitStats(1L, 5L, 4L, 2L))
+    // fold proof: a 1-bit neighbour of batch-1 ADMISSION 101 drops
+    // only if the index folded; replaying an admitted id is a no-op
+    val b2 = Seq(200L -> 1L, 101L -> 0L, 201L -> (0xFFL << 32))
+      .toDF("id", "sig")
+    assert(adm(b2, 2L) == Admission.AdmitStats(2L, 3L, 2L, 1L))
+    val ids = spark.read.parquet(corpusDir)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 20L) ++ Seq(101L, 103L, 201L)))
+    // the folded index equals a from-scratch rebuild over the final
+    // corpus (stamps intact, update == rebuild discipline)
+    val idx = spark.read.parquet(indexDir)
+    assert(Seq("__fmt", "__max_distance").forall(idx.columns.contains))
+    val rebuilt = graft.operators.Dedup.signatureIndex(
+      spark.read.parquet(corpusDir), "id", "sig", maxDistance = 3)
+    assert(idx.select($"chunk", $"key", $"id", $"sig")
+      .exceptAll(rebuilt.select($"chunk", $"key", $"id", $"sig"))
+      .count() == 0)
+    assert(rebuilt.select($"chunk", $"key", $"id", $"sig")
+      .exceptAll(idx.select($"chunk", $"key", $"id", $"sig"))
+      .count() == 0)
+    // a cycle under a different maxDistance is refused before any work
+    val e = intercept[IllegalArgumentException] {
+      Admission.admitBatchSignature(b2, corpusDir, indexDir, "id",
+        "sig", maxDistance = 2)
+    }
+    assert(e.getMessage.contains("__max_distance"))
+  }
+
   test("substring admission loop: coverage screen, fold, id replay") {
     import graft.operators.SubstringDedup
     val corpusDir = Files.createTempDirectory("graft_adm_sc").toString
