@@ -7667,7 +7667,46 @@ object SparkEntry {
              |UNION ALL
              |SELECT min(doc_id) + 20000 FROM documents
              | WHERE doc_id >= 28 AND doc_id < 56
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // Aho–Corasick phrase blocklist (the C4 bad-words filter shape,
+    // Raffel 2020 §2.2; automaton per Aho & Corasick 1975) under the
+    // FULL hash gate: the blocklist is the corpus's 30 most frequent
+    // tokens (the q233 top-k tie-break), matching is case-insensitive
+    // substring containment, and the oracle replays every
+    // (doc, phrase) containment with one LEFT JOIN on contains() —
+    // so the automaton's goto/fail/output walk is checked against
+    // the semantics it must implement, phrase by phrase.
+    Q("q243_phrase_tag", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30)
+        .select(col("w").as("phrase"))
+      graft.operators.Phrases.tagPhrases(docs, "text", phrases)
+        .select(col("lang"),
+          size(col("matched_phrases")).as("nm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nm") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("nm")).as("n_matches"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w
+              |    FROM documents),
+              |p AS (SELECT w AS phrase FROM (
+              |    SELECT w, count(*) AS c FROM tok GROUP BY w
+              |    ORDER BY c DESC, w ASC LIMIT 30)),
+              |m AS (SELECT d.lang, d.doc_id, count(p.phrase) AS nm
+              |  FROM documents d LEFT JOIN p
+              |    ON contains(lower(d.text), p.phrase)
+              |  GROUP BY 1, 2)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              | CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |   AS n_flagged,
+              | CAST(sum(nm) AS BIGINT) AS n_matches
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -772,6 +772,20 @@ class DDF(val df: DataFrame) {
                     outCol: String = "bpe_count"): DDF =
     wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol))
 
+  /** [[graft.operators.Phrases.tagPhrases]] — distinct blocklist
+    * phrases contained in each row (Aho–Corasick broadcast) */
+  def tagPhrases(textCol: String, phrases: DDF,
+                 outCol: String = "matched_phrases"): DDF =
+    wrap(graft.operators.Phrases.tagPhrases(df, textCol, phrases.df,
+      out = outCol))
+
+  /** [[graft.operators.Phrases.filterPhrases]] — drop (or keep) rows
+    * containing any blocklist phrase, the C4 filter */
+  def filterPhrases(textCol: String, phrases: DDF,
+                    keep: Boolean = false): DDF =
+    wrap(graft.operators.Phrases.filterPhrases(df, textCol, phrases.df,
+      keep = keep))
+
   /** [[graft.operators.Unigram.train]] — fit a unigram-LM piece
     * table (Kudo 2018; the SentencePiece model) from `textCol` */
   def unigramTrain(textCol: String, vocabSize: Int,

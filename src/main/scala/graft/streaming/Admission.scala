@@ -442,6 +442,21 @@ object Admission {
         numHashes, bands, shingleLen, seed, maxBucketSize, threshold,
         dedupWithinBatch, batchId = id, collectStats = collectStats))
 
+  /** [[admitStream]]'s signature sibling: [[admitBatchSignature]]
+    * per micro-batch (fingerprints computed upstream in the stream —
+    * e.g. a decode+hash stage over incoming media). */
+  def admitStreamSignature(stream: DataFrame, corpusPath: String,
+                           indexPath: String, checkpoint: String,
+                           idCol: String, sigCol: String,
+                           maxDistance: Int = 3,
+                           maxBucketSize: Int = 1000,
+                           dedupWithinBatch: Boolean = true,
+                           collectStats: Boolean = true): Seq[AdmitStats] =
+    streamCore(stream, checkpoint, (b, id) =>
+      admitBatchSignature(b, corpusPath, indexPath, idCol, sigCol,
+        maxDistance, maxBucketSize, dedupWithinBatch, batchId = id,
+        collectStats = collectStats))
+
   /** [[admitStream]]'s substring sibling: [[admitBatchSubstring]] per
     * micro-batch through foreachBatch + checkpoint, same replay
     * contract (the id screen makes an at-least-once replay a no-op). */

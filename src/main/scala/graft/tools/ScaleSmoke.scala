@@ -1277,6 +1277,46 @@ object ScaleSmoke {
       }
     }
 
+    // signature screen: a FIXED 200-row batch against a growing
+    // corpus index — the screen wall must track the batch side (the
+    // broadcast chunk join + per-screen census), with only the
+    // census and the bucket read growing in the corpus; never
+    // corpus × batch.
+    if (on("sig")) {
+      import graft.operators.Dedup
+      scales.foreach { k =>
+        val n = k * 100000L
+        // synthetic well-spread signatures: md5-derived, corpus-unique
+        val c = spark.range(n).select(col("id"),
+          org.apache.spark.sql.functions.xxhash64(col("id")).as("sig"))
+          .cache()
+        c.count()
+        var t0 = System.nanoTime()
+        val idx = Dedup.signatureIndex(c, "id", "sig", maxDistance = 3)
+          .cache()
+        val idxRows = idx.count()
+        val buildS = (System.nanoTime() - t0) / 1e9
+        // batch: 100 planted 1-bit neighbours + 100 fresh rows
+        val batch = spark.range(100).select((col("id") + 10000000L).as("id"),
+            org.apache.spark.sql.functions.xxhash64(col("id"))
+              .bitwiseXOR(lit(1L)).as("sig"))
+          .unionByName(spark.range(100)
+            .select((col("id") + 20000000L).as("id"),
+              org.apache.spark.sql.functions
+                .xxhash64(col("id") + 999999999L).as("sig")))
+        t0 = System.nanoTime()
+        val hits = Dedup.signaturePairsAgainstIndex(batch, idx,
+            "id", "sig", maxDistance = 3)
+          .count()
+        val screenS = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-smoke] sig k=$k%-2d n=$n%-7d " +
+          f"build=$buildS%7.2f s (index=$idxRows rows)  " +
+          f"screen=$screenS%7.2f s  hits=$hits")
+        idx.unpersist(); c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     // unigram tokenizer: train wall must track the DISTINCT-WORD
     // table (the replica suffix grows it only by k tokens), NOT the
     // corpus — the corpus-proportional work is the one word-count

@@ -443,6 +443,32 @@ class AdmissionSpec extends SparkTestBase {
     assert(s.admitted == 0L, "coverage vs compacted index must reject")
   }
 
+  test("signature streaming face drives the same hamming cycles") {
+    val corpusDir = Files.createTempDirectory("graft_adm_gsc").toString
+    val indexDir = Files.createTempDirectory("graft_adm_gsi").toString + "/idx"
+    val inDir = Files.createTempDirectory("graft_adm_gsin").toString
+    val chk = Files.createTempDirectory("graft_adm_gschk").toString
+    val base = 0x5555555555550000L
+    val corpus = (0L until 20L).map(i => (i, base | (i << 8)))
+      .toDF("id", "sig")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    graft.operators.Dedup.signatureIndex(corpus, "id", "sig",
+        maxDistance = 3)
+      .write.mode("overwrite").parquet(indexDir)
+    Seq(500L -> 0L,                       // fresh -> admitted
+        501L -> (base | (3L << 8) | 1L))  // hamming 1 of corpus 3 -> out
+      .toDF("id", "sig")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stats = Admission.admitStreamSignature(
+      spark.readStream.schema("id LONG, sig LONG")
+        .parquet(s"$inDir/*.parquet"),
+      corpusDir, indexDir, chk, "id", "sig", maxDistance = 3)
+    assert(stats.map(_.admitted).sum == 1L)
+    val ids = spark.read.parquet(corpusDir)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 20L) ++ Seq(500L)))
+  }
+
   test("substring streaming face drives the same coverage cycles") {
     import graft.operators.SubstringDedup
     val corpusDir = Files.createTempDirectory("graft_adm_ssc").toString
