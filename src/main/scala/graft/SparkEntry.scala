@@ -7552,21 +7552,23 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val corpus = patternMedia(docs.filter(col("doc_id") < 196),
         id => fanoLines((id % 7).toInt).toSet)
-      val batch = patternMedia(
-        docs.filter(col("doc_id") < 28)
-          .select((col("doc_id") + 10000).as("doc_id"))
-          .unionByName(docs
-            .filter(col("doc_id") >= 28 && col("doc_id") < 56)
-            .select((col("doc_id") + 20000).as("doc_id"))),
+      val batchIds = docs.filter(col("doc_id") < 28)
+        .select((col("doc_id") + 10000).as("doc_id"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 28 && col("doc_id") < 56)
+          .select((col("doc_id") + 20000).as("doc_id")))
+      val batch = patternMedia(batchIds,
         id => if (id >= 20000) Set(0, 1, 3)
               else fanoLines(((id - 10000) % 7).toInt).toSet + 7)
-      val bh = Multimodal.imageHashes(batch, "ahash")
-      val pairs = Dedup.signaturePairsAgainst(bh,
+      val pairs = Dedup.signaturePairsAgainst(
+        Multimodal.imageHashes(batch, "ahash"),
         Multimodal.imageHashes(corpus, "ahash"),
         "media_id", "img_hash", maxDistance = 8)
       val agg = pairs.groupBy(col("id_b"))
         .agg(count(lit(1)).as("nm"), min(col("id_c")).as("fm"))
-      bh.select(col("media_id").as("id_b")).join(agg, Seq("id_b"), "left")
+      // join base = the id frame (no image work): hashing the batch
+      // twice would re-render and re-decode every PNG
+      batchIds.select(col("doc_id").as("id_b")).join(agg, Seq("id_b"), "left")
         .select(col("id_b").as("batch_id"),
           coalesce(col("nm"), lit(0L)).as("n_matches"),
           coalesce(col("fm"), lit(-1L)).as("first_match"))
@@ -7593,21 +7595,22 @@ object SparkEntry {
     // mismatch fails the HASH gate.
     Q("q241_image_screen_indexed", (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val batch = patternMedia(
-        docs.filter(col("doc_id") < 28)
-          .select((col("doc_id") + 10000).as("doc_id"))
-          .unionByName(docs
-            .filter(col("doc_id") >= 28 && col("doc_id") < 56)
-            .select((col("doc_id") + 20000).as("doc_id"))),
+      val batchIds = docs.filter(col("doc_id") < 28)
+        .select((col("doc_id") + 10000).as("doc_id"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 28 && col("doc_id") < 56)
+          .select((col("doc_id") + 20000).as("doc_id")))
+      val batch = patternMedia(batchIds,
         id => if (id >= 20000) Set(0, 1, 3)
               else fanoLines(((id - 10000) % 7).toInt).toSet + 7)
-      val bh = Multimodal.imageHashes(batch, "ahash")
-      val pairs = Dedup.signaturePairsAgainstIndex(bh,
+      val pairs = Dedup.signaturePairsAgainstIndex(
+        Multimodal.imageHashes(batch, "ahash"),
         s.read.parquet(sigIndexPath(s, dir)),
         "media_id", "img_hash", maxDistance = 8)
       val agg = pairs.groupBy(col("id_b"))
         .agg(count(lit(1)).as("nm"), min(col("id_c")).as("fm"))
-      bh.select(col("media_id").as("id_b")).join(agg, Seq("id_b"), "left")
+      // join base = the id frame (no image work), the q240 treatment
+      batchIds.select(col("doc_id").as("id_b")).join(agg, Seq("id_b"), "left")
         .select(col("id_b").as("batch_id"),
           coalesce(col("nm"), lit(0L)).as("n_matches"),
           coalesce(col("fm"), lit(-1L)).as("first_match"))

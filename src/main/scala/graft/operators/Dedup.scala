@@ -1122,8 +1122,12 @@ object Dedup {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance must be in [0,16], got $maxDistance")
     val chunks = maxDistance + 1
+    // the index is a SET: duplicate (id, sig) corpus rows collapse at
+    // build, so update (distinct union) == rebuild holds verbatim on
+    // ANY input, and the hot-bucket census counts distinct members
     corpus.select(col(idCol).cast("long").as("id"),
         col(sigCol).cast("long").as("sig"))
+      .distinct()
       .select(col("id"), col("sig"),
         explode(simhashChunks(col("sig"), chunks)).as("ck"))
       .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"),
@@ -1171,8 +1175,6 @@ object Dedup {
                                  maxBucketSize: Int = 1000,
                                  acceptUnvalidated: Boolean = false)
   : DataFrame = {
-    require(maxBucketSize >= 1,
-      s"maxBucketSize must be >= 1, got $maxBucketSize")
     val idx = validateIndexParams(index, "signaturePairsAgainstIndex",
       Seq("__fmt" -> SignatureIndexFormat, "__max_distance" -> maxDistance),
       acceptUnvalidated)
@@ -1202,6 +1204,11 @@ object Dedup {
                                   maxBucketSize: Int): DataFrame = {
     require(maxBucketSize >= 1,
       s"maxBucketSize must be >= 1, got $maxBucketSize")
+    // guard the acceptUnvalidated path too: chunks = 0 divides by
+    // zero inside simhashChunks; maxDistance >= 64 makes every key 0
+    // and the single bucket census-refuses to silent zero recall
+    require(maxDistance >= 0 && maxDistance <= 16,
+      s"maxDistance must be in [0,16], got $maxDistance")
     val chunks = maxDistance + 1
     val batch = newDf.select(col(idCol).cast("long").as("id_b"),
       col(sigCol).cast("long").as("sig_b"))

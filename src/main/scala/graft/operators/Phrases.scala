@@ -35,9 +35,16 @@ object Phrases {
   def tagPhrases(df: DataFrame, textCol: String, phrases: DataFrame,
                  phraseCol: String = "phrase",
                  out: String = "matched_phrases"): DataFrame = {
-    val pats = phrases.select(lower(col(phraseCol)).cast("string"))
-      .filter(col(phraseCol).isNotNull && length(col(phraseCol)) > 0)
-      .distinct().collect().map(_.getString(0))
+    // lowercase on the DRIVER with Locale.ROOT — the same lowering the
+    // UDF applies to the text side. Spark's lower() falls back to the
+    // JVM default locale for non-ASCII strings, and a tr-TR default
+    // would build the automaton from a dotless-ı phrase the ROOT-
+    // lowered text can never contain.
+    val pats = phrases.select(col(phraseCol).cast("string"))
+      .filter(col(phraseCol).isNotNull)
+      .distinct().collect()
+      .map(_.getString(0).toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
     val bc = df.sparkSession.sparkContext.broadcast(Automaton.build(pats))
     val tag = udf { (text: String) =>
       if (text == null) null
@@ -47,12 +54,15 @@ object Phrases {
   }
 
   /** Drop (default) or keep the documents containing ANY blocklist
-    * phrase — the C4 filter faces. */
+    * phrase — the C4 filter faces. Null text contains no phrases, so
+    * it survives the drop face and is excluded by the keep face (the
+    * coalesce below; a bare `size(null) > 0` is NULL under ANSI mode
+    * and would silently drop the row from BOTH faces). */
   def filterPhrases(df: DataFrame, textCol: String, phrases: DataFrame,
                     phraseCol: String = "phrase",
                     keep: Boolean = false): DataFrame = {
     val tagged = tagPhrases(df, textCol, phrases, phraseCol, "__mp")
-    val flagged = size(col("__mp")) > 0
+    val flagged = coalesce(size(col("__mp")) > 0, lit(false))
     tagged.filter(if (keep) flagged else !flagged).drop("__mp")
   }
 

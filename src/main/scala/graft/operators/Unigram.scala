@@ -414,12 +414,19 @@ object Unigram {
     require(missing.isEmpty,
       s"not a unigram vocab file: missing columns $missing — rebuild " +
         s"with Unigram.saveVocab (format v$UnigramModelFormat)")
-    val stamps = df.select(col("__fmt"), col("__vocab_size"),
-      col("__max_piece_len")).distinct().collect()
+    // ALL validation facts in ONE job (review r13: three separate
+    // jobs — stamp distinct, count, distinct count — were scheduler
+    // overhead at load cadence on a one-file artifact)
+    val facts = df.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("piece")).as("nd"),
+      collect_set(struct(col("__fmt"), col("__vocab_size"),
+        col("__max_piece_len"))).as("stamps")).head()
+    val stamps = facts.getSeq[org.apache.spark.sql.Row](2)
     require(stamps.length == 1,
       s"unigram vocab stamps not constant (${stamps.length} distinct)" +
         " — the file mixes fits; rebuild with Unigram.saveVocab")
-    val st = stamps(0)
+    val st = stamps.head
     require(st.getInt(0) == UnigramModelFormat,
       s"unigram vocab format ${st.getInt(0)} does not match this " +
         s"library's v$UnigramModelFormat — refit and save again (an " +
@@ -429,13 +436,12 @@ object Unigram {
         s"maxPieceLen=${st.getInt(2)}) but the caller expects " +
         s"(vocabSize=$vocabSize, maxPieceLen=$maxPieceLen) — every " +
         "segmentation could silently change; refit or fix the params")
-    val out = df.select(col("piece"), col("log_prob"))
-    val n = out.count()
-    val distinctN = out.select(col("piece")).distinct().count()
+    val n = facts.getLong(0)
+    val distinctN = facts.getLong(1)
     require(n == distinctN && n > 0L,
       s"unigram vocab file has $n rows, $distinctN distinct pieces — " +
         "corrupted or empty write; rebuild with Unigram.saveVocab")
-    out
+    df.select(col("piece"), col("log_prob"))
   }
 
   /** Forward-backward posterior edge occupancies for one word,

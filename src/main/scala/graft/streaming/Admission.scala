@@ -117,6 +117,22 @@ object Admission {
     * until an index rebuild), the same degrade-recall-never-corrupt
     * class as the swap's append-then-crash window; a replay is still
     * a no-op (the id screen) and does NOT repair the partial fold. */
+  /** Layout refusal BEFORE any write (review r13, shared by the
+    * semantic and signature spaces): admitCore dispatches to
+    * foldInPlace only AFTER the corpus append — an error raised
+    * there would leave the corpus mutated with the index unfolded.
+    * The layout is knowable from the schema now, so the unsupported
+    * case refuses write-free. This pays one extra index read
+    * (schema/listing only) per cycle — the accepted price for the
+    * write-free refusal contract. */
+  private def refusePartitionedLayout(batch: DataFrame, indexPath: String,
+                                      what: String, why: String): Unit =
+    require(!batch.sparkSession.read.parquet(indexPath)
+      .columns.contains("part"),
+      s"$what does not support the partitioned in-place layout — " +
+        s"persist it swap-written ($why, the swap rewrite is cheap " +
+        "by construction)")
+
   private def admitCore(batch: DataFrame, corpusPath: String,
                         indexPath: String, idCol: String, batchId: Long,
                         within: Boolean, collectStats: Boolean,
@@ -264,16 +280,8 @@ object Admission {
                          dedupWithinBatch: Boolean = true,
                          batchId: Long = -1L,
                          collectStats: Boolean = true): AdmitStats = {
-    // layout refusal BEFORE any write (review r13): admitCore
-    // dispatches to foldInPlace only AFTER the corpus append — an
-    // error raised there would leave the corpus mutated with the
-    // index unfolded. The layout is knowable from the schema now,
-    // so the unsupported case refuses write-free.
-    require(!batch.sparkSession.read.parquet(indexPath)
-      .columns.contains("part"),
-      "the SemDedup assignment index does not support the " +
-        "partitioned in-place layout — persist it swap-written " +
-        "(ids-only, the swap rewrite is cheap by construction)")
+    refusePartitionedLayout(batch, indexPath,
+      "the SemDedup assignment index", "ids-only")
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
       dedupWithinBatch, collectStats,
       screen = (fresh, corpus, index) =>
@@ -318,11 +326,8 @@ object Admission {
                           dedupWithinBatch: Boolean = true,
                           batchId: Long = -1L,
                           collectStats: Boolean = true): AdmitStats = {
-    require(!batch.sparkSession.read.parquet(indexPath)
-      .columns.contains("part"),
-      "the signature index does not support the partitioned " +
-        "in-place layout — persist it swap-written (narrow rows, " +
-        "the swap rewrite is cheap by construction)")
+    refusePartitionedLayout(batch, indexPath,
+      "the signature index", "narrow rows")
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
       dedupWithinBatch, collectStats,
       screen = (fresh, _, index) =>
