@@ -866,6 +866,32 @@ object Dedup {
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** [[minhashDedup]]'s contract over ANY 64-bit fingerprint column
+    * (text simhash, image aHash/dHash): near-dup groups = connected
+    * components of [[signaturePairs]], keep the min id per component
+    * (or the best `keepCol` row, ties to lower id) — so transitive
+    * chains (a~b, b~c without a~c) collapse to ONE survivor, the
+    * same closure the pairwise min-id rule cannot give. */
+  def signatureDedup(df: DataFrame, idCol: String, sigCol: String,
+                     maxDistance: Int = 3, maxBucketSize: Int = 1000,
+                     maxIter: Int = 50, keepCol: String = ""): DataFrame = {
+    val pairs = signaturePairs(df, idCol, sigCol, maxDistance,
+      maxBucketSize).select(col("id_a"), col("id_b"))
+    val reps = connectedComponentMinLabel(pairs, maxIter)
+    val toDrop =
+      if (keepCol.isEmpty) reps.filter(col("id") =!= col("rep")).select(col("id"))
+      else {
+        val scored = reps.join(
+          df.select(col(idCol).as("id"), col(keepCol).as("__s")), Seq("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rep"))
+          .orderBy(col("__s").desc, col("id").asc)
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1).select(col("id"))
+      }
+    df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Near-dup cluster audit: component representative → member count
     * over an undirected pair list — the standard dedup report (how
     * big are the duplicate clusters this corpus carries?). Only nodes

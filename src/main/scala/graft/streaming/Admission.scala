@@ -312,7 +312,9 @@ object Admission {
     * index stores signatures inside its bucket rows, the screen
     * touches ONLY the index — media bytes are never re-decoded at
     * admission time. Within-batch stage: [[graft.operators.Dedup
-    * .signaturePairs]] with the min-id keep rule. The fold is
+    * .signatureDedup]] (connected-component closure, min id per
+    * component — transitive chains collapse to one survivor). The
+    * fold is
     * [[graft.operators.Dedup.signatureIndexUpdate]] (distinct-union,
     * ≡ rebuild); its validation is a session-memo hit (the screen
     * validated the same files this cycle). The partitioned in-place
@@ -334,12 +336,9 @@ object Admission {
         Dedup.signaturePairsAgainstIndex(fresh, index, idCol, sigCol,
             maxDistance, maxBucketSize)
           .withColumnRenamed("id_b", "id_new"),
-      dedupWithin = screened => {
-        val drop = Dedup.signaturePairs(screened, idCol, sigCol,
-            maxDistance, maxBucketSize)
-          .select(col("id_b").as(idCol)).distinct()
-        screened.join(drop, Seq(idCol), "left_anti")
-      },
+      dedupWithin = screened =>
+        Dedup.signatureDedup(screened, idCol, sigCol, maxDistance,
+          maxBucketSize),
       fold = (index, admitted) =>
         Dedup.signatureIndexUpdate(index, admitted, idCol, sigCol,
           maxDistance),

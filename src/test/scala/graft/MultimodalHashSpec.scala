@@ -189,6 +189,23 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(uncapped.size == 51)
   }
 
+  test("signatureDedup: component closure, min-id and keep-best faces") {
+    import graft.operators.Dedup
+    // transitive chain at maxDistance 1: 0~1~3 but hamming(0,3)=2 —
+    // only the CC closure collapses all three to one survivor
+    val df = Seq((1L, 0L, 0.1), (2L, 1L, 0.9), (3L, 3L, 0.5),
+      (9L, 0xFF00L, 0.2)).toDF("id", "sig", "score")
+    val minKept = Dedup.signatureDedup(df, "id", "sig", maxDistance = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(minKept == Seq(1L, 9L), s"got $minKept")
+    // keep-best: the chain's survivor is the top-score member (id 2),
+    // which the pairwise min-id rule could never pick
+    val bestKept = Dedup.signatureDedup(df, "id", "sig",
+        maxDistance = 1, keepCol = "score")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(bestKept == Seq(2L, 9L), s"got $bestKept")
+  }
+
   test("signaturePairs == simhashPairs on the text-simhash column") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),
