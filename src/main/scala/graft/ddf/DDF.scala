@@ -674,6 +674,23 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Dedup.embeddingPairsAgainst(df, corpus.df,
       idCol, vecCol, dim, threshold = threshold))
 
+  /** [[graft.operators.Dedup.signatureDedup]] — component-closure
+    * dedup over a 64-bit fingerprint column (text simhash, image
+    * aHash/dHash) */
+  def dedupSignature(idCol: String, sigCol: String,
+                     maxDistance: Int = 3, keepCol: String = ""): DDF =
+    wrap(graft.operators.Dedup.signatureDedup(df, idCol, sigCol,
+      maxDistance, keepCol = keepCol))
+
+  /** [[graft.operators.Dedup.signaturePairsAgainst]] — hamming
+    * near-dup pairs of this frame (the NEW batch) against `corpus`
+    * on a 64-bit fingerprint column */
+  def dedupSignaturePairsAgainst(corpus: DDF, idCol: String,
+                                 sigCol: String,
+                                 maxDistance: Int = 3): DDF =
+    wrap(graft.operators.Dedup.signaturePairsAgainst(df, corpus.df,
+      idCol, sigCol, maxDistance))
+
   /** [[graft.streaming.Admission.admitBatch]] — run one full
     * admission cycle with this frame as the arriving batch: id screen
     * → near-dup screen against the persisted index at `indexPath` →
