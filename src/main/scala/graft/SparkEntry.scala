@@ -7709,7 +7709,97 @@ object SparkEntry {
               | CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
               |   AS n_flagged,
               | CAST(sum(nm) AS BIGINT) AS n_matches
-              |FROM m GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The C4-style CLEANING RECIPE composed end-to-end (the
+    // q107/q227 flagship treatment for the r13 text-quality family):
+    // Gopher rule pass (q236's parameterization) → Aho–Corasick
+    // phrase blocklist (tokens ranked 31–35 by frequency — a real
+    // split, unlike the top tokens which appear everywhere) → exact
+    // text dedup (min-id keep) → per-lang token budget (q74's greedy
+    // window). FOUR oracled operators under ONE oracle; each CTE is
+    // the unit oracle of its stage.
+    Q("q244_clean_recipe", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val passed = docs.filter(TF.gopherFlags(col("text"),
+        minWords = 20, minStopwordHits = 1).getField("pass"))
+      val wc = docs.select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val top35 = wc.orderBy(col("c").desc, col("w").asc).limit(35)
+        .select(col("w").as("phrase"))
+      val top30 = wc.orderBy(col("c").desc, col("w").asc).limit(30)
+        .select(col("w").as("phrase"))
+      val clean = graft.operators.Phrases.filterPhrases(passed, "text",
+        top35.exceptAll(top30))
+      val deduped = Dedup.exact(clean, Seq("text"), "doc_id")
+      val costed = deduped
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("n_tok", TF.tokenCount(col("text")))
+      Budget.tokenBudgetSelect(costed, "lang", "doc_id", "quality",
+          "n_tok", budget = 3000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("quality")), 4).as("min_quality"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH f AS (SELECT doc_id, lang, text,
+              |    ${sqlTokens("text")} AS toks,
+              |    list_filter(string_split(text, chr(10)),
+              |      l -> len(trim(l)) > 0) AS lines FROM documents),
+              |r AS (SELECT doc_id, lang, text,
+              |  len(toks) BETWEEN 20 AND 100000 AS c1,
+              |  (coalesce(CAST(list_sum(list_transform(toks,
+              |      t -> len(t))) AS DOUBLE), 0)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0))
+              |    BETWEEN 3.0 AND 10.0 AS c2,
+              |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0) <= 0.1
+              |  AND (CAST(len(text) - len(replace(text, '...', ''))
+              |        AS DOUBLE) / 3.0
+              |    + CAST(len(text) - len(replace(text, '…', ''))
+              |        AS DOUBLE))
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+              |    <= 0.1 AS c3,
+              |  CAST(len(list_filter(lines, l ->
+              |      starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+              |      OR starts_with(trim(l), '•'))) AS DOUBLE)
+              |    / greatest(CAST(len(lines) AS DOUBLE), 1.0)
+              |    <= 0.9 AS c4,
+              |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')
+              |      OR ends_with(trim(l), '…'))) AS DOUBLE)
+              |    / greatest(CAST(len(lines) AS DOUBLE), 1.0)
+              |    <= 0.3 AS c5,
+              |  CAST(len(list_filter(toks, t ->
+              |      regexp_matches(t, '\\p{L}'))) AS DOUBLE)
+              |    / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+              |    >= 0.8 AS c6,
+              |  len(list_intersect(list_distinct(toks),
+              |    ['the','be','to','of','and','that','have','with']))
+              |    >= 1 AS c7
+              |  FROM f),
+              |pass AS (SELECT doc_id, lang, text FROM r
+              |  WHERE c1 AND c2 AND c3 AND c4 AND c5 AND c6 AND c7),
+              |tok AS (SELECT unnest(${sqlTokens("text")}) AS w
+              |  FROM documents),
+              |agg AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+              |t35 AS (SELECT w FROM agg ORDER BY c DESC, w ASC LIMIT 35),
+              |t30 AS (SELECT w FROM agg ORDER BY c DESC, w ASC LIMIT 30),
+              |p AS (SELECT w FROM t35 EXCEPT SELECT w FROM t30),
+              |clean AS (SELECT * FROM pass d WHERE NOT EXISTS (
+              |  SELECT 1 FROM p WHERE contains(lower(d.text), p.w))),
+              |ded AS (SELECT doc_id, lang, text FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY text
+              |    ORDER BY doc_id) AS rn FROM clean) WHERE rn = 1),
+              |q AS (SELECT doc_id, lang, ${sqlQuality("text")} AS quality,
+              |  len(${sqlTokens("text")}) AS n_tok FROM ded),
+              |cum AS (SELECT *, sum(n_tok) OVER (
+              |  PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+              |  FROM q)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              | round(min(quality), 4) AS min_quality
+              |FROM cum WHERE cum <= 3000
+              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
