@@ -206,6 +206,24 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(bestKept == Seq(2L, 9L), s"got $bestKept")
   }
 
+  test("signature screen plan: equi broadcast joins, map-side census, no loops") {
+    import graft.operators.Dedup
+    val corpus = spark.range(1000).select(col("id"),
+      xxhash64(col("id")).as("sig"))
+    val batch = spark.range(10).select((col("id") + 100000L).as("id"),
+      xxhash64(col("id")).bitwiseXOR(lit(1L)).as("sig"))
+    val plan = Dedup.signaturePairsAgainst(batch, corpus, "id", "sig",
+      maxDistance = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "the screen must never plan a loop join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch chunks must broadcast into the index buckets")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the hot-bucket census must partial-agg map-side")
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined)
+  }
+
   test("signaturePairs == simhashPairs on the text-simhash column") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),

@@ -220,6 +220,18 @@ class UnigramSpec extends SparkTestBase {
     assert(l2 >= l0 - 1e-3, s"EM decreased likelihood: $l0 -> $l2")
   }
 
+  test("seedCandidates plan: distributed top-k, no single-partition funnel") {
+    val df = corpus.toDF("text")
+    val plan = Unigram.seedCandidates(df, "text", maxPieceLen = 4,
+      seedSize = 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the seed top-k must be a distributed TakeOrderedAndProject")
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      "no window rank (a global window would funnel one task)")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "no single-partition exchange in the seed pass")
+  }
+
   test("saveVocab/loadVocab: exact round-trip, stamp and corruption refusal") {
     val df = corpus.toDF("text")
     val fitted = Unigram.train(df, "text", vocabSize = 40,
