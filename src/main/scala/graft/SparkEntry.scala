@@ -7799,7 +7799,97 @@ object SparkEntry {
               | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               | round(min(quality), 4) AS min_quality
               |FROM cum WHERE cum <= 3000
-              |GROUP BY lang ORDER BY lang""".stripMargin))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SemDeDup through the IVF-ROUTED assignment face (r14 — the
+    // scale path past the 4096 flat-argmin center ceiling VERDICT
+    // r13 flagged): q220's exact fixture and dedup, but every
+    // assignment (corpus, pair verify, final labeling) rides
+    // assignRouted's coarse-cell broadcast join instead of the flat
+    // literal fold. nCells = k with the default exhaustive probe, so
+    // distances, tie-breaks and the centroid cosine are BIT-IDENTICAL
+    // to the flat face (SemDedupSpec pins it) — which is exactly why
+    // q220's oracle replays VERBATIM: the routed plan is a different
+    // physical strategy for the same algebra, not a different answer.
+    Q("q245_semdedup_routed", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val corpus = semDupCorpus(e.select(col("vec_id"), col("v")))
+      val centers = semCenters(e, "q245")
+      val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
+        minCosine = 0.9, maxClusterSize = Int.MaxValue,
+        keep = "min_id", nCells = centers.length)
+      SemDedup.assignRouted(kept, "vec_id", "v", centers,
+          nCells = centers.length)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+      Some(semDedupOracleSql)),
+
+    // The incremental SCREEN through the routed face (r14): q229's
+    // exact fixture — batch of perturbed copies (must hit their
+    // sources) + negated vectors (must hit nothing) — with both the
+    // corpus and batch assignment routed (nCells = k, exhaustive
+    // probe). Same oracle as q229 verbatim: the screen's candidate
+    // structure (fixed center partition, broadcast batch, count-first
+    // cap) is unchanged; only the argmin's physical plan differs.
+    Q("q246_semdedup_screen_routed", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val corpus = e.select(col("vec_id"), col("v"))
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val batch = corpus.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("v"), f1, (x, f) => x * f).as("v"))
+        .unionByName(corpus.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("v"), x => -x).as("v")))
+      val centers = semCenters(e, "q246")
+      SemDedup.screenPairs(corpus, batch, "vec_id", "v", centers,
+          minCosine = 0.9, maxClusterSize = Int.MaxValue,
+          nCells = centers.length)
+        .select(col("id_new"), col("id_corpus"), col("cluster"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |b AS (SELECT vec_id + 10000 AS id_new,
+             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+             |      * (1 + 0.01 * ((j % 3) - 1))) AS v
+             |  FROM e WHERE vec_id < 40
+             |  UNION ALL SELECT vec_id + 20000,
+             |    list_transform(range(64), j -> -v[CAST(j+1 AS INT)])
+             |  FROM e WHERE vec_id < 10),
+             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+             |  ON e.vec_id = f.mv),
+             |ac AS (SELECT vec_id, cl FROM (
+             |  SELECT e.vec_id, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM e, c)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d2, cl) = 1),
+             |ab AS (SELECT id_new, cl FROM (
+             |  SELECT b.id_new, c.cl,
+             |    list_sum(list_transform(range(64), j ->
+             |      (b.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+             |      * (b.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+             |  FROM b, c)
+             |  QUALIFY row_number() OVER (PARTITION BY id_new
+             |    ORDER BY d2, cl) = 1)
+             |SELECT ab.id_new, ac.vec_id AS id_corpus,
+             | CAST(ab.cl AS INT) AS cluster,
+             | round(list_cosine_similarity(b.v, e.v), 6) AS cosine
+             |FROM ab JOIN ac ON ab.cl = ac.cl
+             |JOIN b ON b.id_new = ab.id_new
+             |JOIN e ON e.vec_id = ac.vec_id
+             |WHERE list_cosine_similarity(b.v, e.v) >= 0.9
+             |ORDER BY ab.id_new, id_corpus""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

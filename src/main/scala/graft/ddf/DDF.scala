@@ -678,18 +678,22 @@ class DDF(val df: DataFrame) {
     * dedup over a 64-bit fingerprint column (text simhash, image
     * aHash/dHash) */
   def dedupSignature(idCol: String, sigCol: String,
-                     maxDistance: Int = 3, keepCol: String = ""): DDF =
+                     maxDistance: Int = 3, keepCol: String = "",
+                     maxBucketSize: Int = 1000, maxIter: Int = 50): DDF =
     wrap(graft.operators.Dedup.signatureDedup(df, idCol, sigCol,
-      maxDistance, keepCol = keepCol))
+      maxDistance, maxBucketSize, maxIter, keepCol = keepCol))
 
   /** [[graft.operators.Dedup.signaturePairsAgainst]] — hamming
     * near-dup pairs of this frame (the NEW batch) against `corpus`
-    * on a 64-bit fingerprint column */
+    * on a 64-bit fingerprint column. `maxBucketSize` tunes the
+    * hot-bucket refusal that governs recall on degenerate buckets
+    * (e.g. the all-zero signature of blank media — review r13). */
   def dedupSignaturePairsAgainst(corpus: DDF, idCol: String,
                                  sigCol: String,
-                                 maxDistance: Int = 3): DDF =
+                                 maxDistance: Int = 3,
+                                 maxBucketSize: Int = 1000): DDF =
     wrap(graft.operators.Dedup.signaturePairsAgainst(df, corpus.df,
-      idCol, sigCol, maxDistance))
+      idCol, sigCol, maxDistance, maxBucketSize))
 
   /** [[graft.streaming.Admission.admitBatch]] — run one full
     * admission cycle with this frame as the arriving batch: id screen
@@ -736,10 +740,12 @@ class DDF(val df: DataFrame) {
     * simhash, image aHash/dHash), same contract as [[admitInto]]. */
   def admitIntoSignature(corpusPath: String, indexPath: String,
                          idCol: String, sigCol: String,
-                         maxDistance: Int = 3)
+                         maxDistance: Int = 3,
+                         maxBucketSize: Int = 1000)
   : graft.streaming.Admission.AdmitStats =
     graft.streaming.Admission.admitBatchSignature(df, corpusPath,
-      indexPath, idCol, sigCol, maxDistance = maxDistance)
+      indexPath, idCol, sigCol, maxDistance = maxDistance,
+      maxBucketSize = maxBucketSize)
 
   /** [[graft.operators.Dedup.decontaminate]] — drop docs overlapping
     * an eval suite */

@@ -202,8 +202,11 @@ object TextFunctions {
     * math — one tokens() pass, one line split, no UDFs, whole-stage
     * codegen; every rule is an int-over-int IEEE ratio so the DuckDB
     * oracle (q236) replays it bit-exactly. The paper's repetition
-    * rules are [[repetitionRatio]] (q75's gate). Null text → null
-    * flags (filter semantics: treat as fail). */
+    * rules are [[repetitionRatio]] (q75's gate). Null text → every
+    * flag false (fail-safe filter semantics, the
+    * [[graft.operators.Phrases.filterPhrases]] treatment; under
+    * non-ANSI defaults the raw rules would yield a MIX of false and
+    * null — review r13 — so the null case is pinned explicitly). */
   def gopherFlags(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000,
                   maxSymbolRatio: Double = 0.1,
@@ -240,7 +243,7 @@ object TextFunctions {
       .cast("double") / nwSafe >= minAlphaWordRatio
     val stopOk = size(array_intersect(array_distinct(toks),
         array(gopherStopwords.map(lit): _*))) >= minStopwordHits
-    struct(
+    val flags = struct(
       wordCountOk.as("word_count_ok"),
       meanLenOk.as("mean_word_len_ok"),
       symbolOk.as("symbol_ratio_ok"),
@@ -250,6 +253,11 @@ object TextFunctions {
       stopOk.as("stopword_ok"),
       (wordCountOk && meanLenOk && symbolOk && bulletOk &&
         ellipsisOk && alphaOk && stopOk).as("pass"))
+    val allFalse = struct(
+      Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_word_ok", "stopword_ok",
+        "pass").map(f => lit(false).as(f)): _*)
+    when(text.isNull, allFalse).otherwise(flags)
   }
 
   /** the paper's required-stopword list (Rae 2021 A1.1) */

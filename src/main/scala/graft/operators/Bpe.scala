@@ -351,7 +351,14 @@ object Bpe {
         // at the boundaries, diverging from TF.tokens (Spark trim strips
         // only spaces) and breaking round-trip losslessness on
         // control-char-edged text; split + nonEmpty filter handles
-        // leading/trailing whitespace identically
+        // leading/trailing whitespace identically. Lowering is
+        // Locale.ROOT, but train()'s word counts ride Spark lower(),
+        // which falls back to the JVM DEFAULT locale for non-ASCII —
+        // parity between the trained vocab and this encoder therefore
+        // assumes a ROOT-equivalent default locale (e.g. en/POSIX; a
+        // tr-TR JVM maps 'I' to dotless ı on the train side only).
+        // Run fit and encode under the same, ROOT-like locale — the
+        // Phrases blocklist documents the identical requirement.
         text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>

@@ -51,14 +51,19 @@ import graft.functions.VectorFunctions
   */
 object SemDedup {
 
-  /** squared L2 to one literal center, folded in index order (the
-    * q214 arithmetic — bit-stable across engines for a given fold
-    * order, which is what lets an oracle replay the argmin). */
-  private def d2ToCenter(vecCol: Column, center: Seq[Double]): Column =
+  /** squared L2 between a vector column and a center column, folded
+    * in index order (the q214 arithmetic — bit-stable across engines
+    * for a given fold order, which is what lets an oracle replay the
+    * argmin, and what makes the routed face's distances BIT-IDENTICAL
+    * to the flat face's: same lambda, same fold). */
+  private def d2To(vecCol: Column, centerCol: Column): Column =
     aggregate(
-      zip_with(vecCol, typedLit(center),
+      zip_with(vecCol, centerCol,
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
+
+  private def d2ToCenter(vecCol: Column, center: Seq[Double]): Column =
+    d2To(vecCol, typedLit(center))
 
   private def requireCenters(centers: Seq[Seq[Double]]): Unit = {
     require(centers.nonEmpty, "semDedup needs at least one center")
@@ -87,13 +92,217 @@ object SemDedup {
           element_at(centArr, col("cluster") + 1)))
   }
 
+  /** Flat-literal argmin ceiling: [[assign]] folds one squared-L2
+    * expression PER CENTER into the plan, so past a few thousand
+    * centers the expression tree itself (analysis, codegen, task
+    * binary) is the binding cost — the documented reason
+    * [[fitCenters]] used to clamp k at 4096. Past this ceiling the
+    * dispatching faces ([[semDedupPairs]], [[screenPairs]],
+    * [[assignmentIndex]], …) hand assignment to the IVF-routed path
+    * ([[assignRouted]]) automatically, with IDENTICAL results: the
+    * exhaustive-probe routed argmin scores every center exactly once
+    * through a broadcast join instead of a literal fold
+    * (SemDedupSpec pins flat == routed bit-for-bit). */
+  private[graft] val FlatAssignMaxCenters = 4096
+
+  /** Coarse routing model for [[assignRouted]], built DRIVER-SIDE
+    * from the fine-center table (k centers is model-sized by
+    * contract — the same boundedness that lets [[saveCenters]]
+    * collect them): a deterministic Lloyd (stride init over the fine
+    * centers, 10 rounds, ties to the lowest index — no RNG, so the
+    * same center table always routes the same way) clusters the k
+    * fine centers into ≤ `nCells` coarse cells. Empty cells are
+    * compacted away so every probed cell owns ≥ 1 fine center —
+    * that is what guarantees every corpus row gets ≥ 1 candidate
+    * and the routed argmin never silently drops a row.
+    *
+    * Cost: 10 · k · nCells · dim driver flops — seconds at k = 10⁵
+    * (one-time per center table; at serving cadence fit once next to
+    * the centers, the [[saveCenters]] discipline).
+    *
+    * Returns (coarse centers, cellOf) with cellOf(i) = the compacted
+    * coarse cell owning fine center i. */
+  private[graft] def coarseRouting(centers: Seq[Seq[Double]],
+                                   nCells: Int): (IndexedSeq[Seq[Double]], Array[Int]) = {
+    val k = centers.length
+    val dim = centers.head.length
+    val pts = centers.map(_.toArray).toArray
+    val nc = math.max(1, math.min(nCells, k))
+    // stride init: coarse j seeds from fine center ⌊j·k/nc⌋ —
+    // deterministic and spread across the table's order
+    val coarse = Array.tabulate(nc)(j => pts(((j.toLong * k) / nc).toInt).clone())
+    val cellOf = new Array[Int](k)
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.PositiveInfinity; var j = 0
+      while (j < coarse.length) {
+        var d = 0.0; var t = 0
+        while (t < dim) { val diff = p(t) - coarse(j)(t); d += diff * diff; t += 1 }
+        if (d < bd) { bd = d; best = j } // strict < ⇒ ties to lowest j
+        j += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < 10) {
+      var i = 0
+      while (i < k) { cellOf(i) = nearest(pts(i)); i += 1 }
+      val sums = Array.fill(nc)(new Array[Double](dim))
+      val cnt = new Array[Int](nc)
+      i = 0
+      while (i < k) {
+        val a = cellOf(i); cnt(a) += 1
+        var t = 0
+        while (t < dim) { sums(a)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < nc) { // empty cell keeps its seed (harmless: compacted below)
+        if (cnt(j) > 0) {
+          var t = 0
+          while (t < dim) { coarse(j)(t) = sums(j)(t) / cnt(j); t += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    var i = 0
+    while (i < k) { cellOf(i) = nearest(pts(i)); i += 1 }
+    val used = cellOf.distinct.sorted
+    val remap = used.zipWithIndex.toMap
+    (used.map(j => coarse(j).toSeq).toIndexedSeq, cellOf.map(remap))
+  }
+
+  /** Routed-assignment core over (id, `vecName`) rows: coarse-probe →
+    * explode probed cells → broadcast-join the fine centers of those
+    * cells → per-id struct-min argmin. Returns (id, vecName, cluster,
+    * centroid_cosine). See [[assignRouted]] for the contract. */
+  private def routedCore(rows: DataFrame, vecName: String,
+                         centers: Seq[Seq[Double]],
+                         nProbe: Int, nCells: Int): DataFrame = {
+    requireCenters(centers)
+    require(nProbe >= 0 && nCells >= 0,
+      s"nProbe/nCells must be >= 0 (0 = self-size), got $nProbe/$nCells")
+    val spark = rows.sparkSession
+    val k = centers.length
+    val ncReq = if (nCells > 0) math.min(nCells, k)
+                else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    require(ncReq <= FlatAssignMaxCenters,
+      s"nCells=$ncReq exceeds the coarse literal-argmin ceiling " +
+        s"($FlatAssignMaxCenters) — the coarse stage rides the flat " +
+        "fold; pick nCells <= the ceiling (the default √k stays under " +
+        "it through k ≈ 16.7M centers)")
+    val (coarse, cellOf) = coarseRouting(centers, ncReq)
+    val nc = coarse.length
+    val np = if (nProbe > 0) math.min(nProbe, nc) else nc
+    val fine = broadcast(spark.createDataFrame(
+        centers.zipWithIndex.map { case (c, i) => (cellOf(i), i, c) })
+      .toDF("__cell", "__i", "__c"))
+    // probed cells: exhaustive probe explodes every cell id without
+    // scoring (exactness shortcut — candidates are then ALL k fine
+    // centers, each exactly once, which is why exhaustive == flat);
+    // partial probe scores the nc coarse centers with the SAME d2
+    // fold and keeps the np nearest (ties to the lowest cell id)
+    val cells: Column =
+      if (np >= nc) typedLit((0 until nc).toList)
+      else transform(
+        slice(array_sort(array(coarse.zipWithIndex.map { case (cc, j) =>
+          struct(d2ToCenter(col(vecName), cc).as("d"), lit(j).as("j"))
+        }: _*)), 1, np),
+        s => s.getField("j"))
+    val scored = rows
+      .withColumn("__cell", explode(cells))
+      .join(fine, Seq("__cell"))
+      .select(col("id"), col(vecName),
+        struct(
+          d2To(col(vecName), col("__c")).as("d"),
+          col("__i").as("i"),
+          VectorFunctions.cosine(col(vecName).cast("array<double>"),
+            col("__c")).as("cc")).as("__s"))
+    // broadcast join ⇒ the fan-out rows stay task-local; partial
+    // aggregation collapses them map-side, so the ONE shuffle here
+    // carries n (id, struct, vec) rows — corpus-linear, never
+    // candidate-linear
+    scored.groupBy(col("id"))
+      .agg(min(col("__s")).as("__m"), first(col(vecName)).as(vecName))
+      .select(col("id"), col(vecName),
+        col("__m").getField("i").as("cluster"),
+        col("__m").getField("cc").as("centroid_cosine"))
+  }
+
+  /** IVF-ROUTED face of [[assign]] — the at-scale assignment path
+    * past [[FlatAssignMaxCenters]] (the ceiling VERDICT r13 flagged):
+    * instead of folding k literal squared-L2 expressions into the
+    * plan, the k fine centers are grouped into ~√k coarse cells
+    * ([[coarseRouting]], driver-side, deterministic) and each row
+    * (a) picks its `nProbe` nearest coarse cells via the SAME
+    * flat-literal argmin (only √k expressions now), then (b) argmins
+    * over just the fine centers owned by those cells via a broadcast
+    * join + per-id struct-min. Distances and the centroid cosine use
+    * the identical fold arithmetic as [[assign]], so with
+    * `nProbe = nCells` (the default when both are 0 … i.e. an
+    * exhaustive probe) the result is BIT-IDENTICAL to the flat face
+    * — SemDedupSpec pins it — while the expression tree stays O(√k).
+    * With `nProbe < nCells` assignment is the standard IVF
+    * approximation: a row near a cell boundary may assign to the
+    * best center of a probed cell rather than the global argmin —
+    * the recall/cost knob that makes 10⁸-doc corpora (k ~ 10⁴–10⁵
+    * centers) affordable: candidate work per row drops from k to
+    * ~nProbe·k/nCells.
+    *
+    * Contract: `idCol` must be unique (exact dedup is upstream's
+    * job — the routed argmin groups by id, so duplicate ids would
+    * collapse; the flat face instead preserves them). Returns
+    * (idCol, cluster, centroid_cosine) — the [[assignmentIndex]]
+    * shape; vectors stay in the caller's frame.
+    *
+    * Engine shape at 100 TB: one corpus pass (coarse probe is
+    * row-local), one broadcast of the k-row center table
+    * (k·dim·8 B — 10 MB at k = 2·10⁴, dim = 64), one corpus-linear
+    * shuffle for the per-id argmin. No center ever rides a shuffle
+    * row; no corpus vector is ever collected. */
+  def assignRouted(df: DataFrame, idCol: String, vecCol: String,
+                   centers: Seq[Seq[Double]],
+                   nProbe: Int = 0, nCells: Int = 0): DataFrame =
+    routedCore(df.select(col(idCol).as("id"), col(vecCol).as("__rv")),
+        "__rv", centers, nProbe, nCells)
+      .select(col("id").as(idCol), col("cluster"), col("centroid_cosine"))
+
+  /** Internal dispatch shared by every id-carrying face: flat literal
+    * argmin while it is the cheapest correct plan (exact requested,
+    * k within [[FlatAssignMaxCenters]]), IVF-routed otherwise —
+    * exhaustive (exact) when nProbe/nCells are 0, approximate when a
+    * caller sets them. Returns (idName, vecName, cluster,
+    * centroid_cosine) either way. */
+  private def assignWithVec(rows: DataFrame, idName: String,
+                            vecName: String, centers: Seq[Seq[Double]],
+                            nProbe: Int, nCells: Int): DataFrame =
+    if (nProbe == 0 && nCells == 0 &&
+        centers.length <= FlatAssignMaxCenters)
+      assign(rows, vecName, centers)
+        .select(col(idName), col(vecName), col("cluster"),
+          col("centroid_cosine"))
+    else
+      routedCore(rows.select(col(idName).as("id"),
+          col(vecName).as("__rv")), "__rv", centers, nProbe, nCells)
+        .select(col("id").as(idName), col("__rv").as(vecName),
+          col("cluster"), col("centroid_cosine"))
+
   /** Per-cluster member counts — the audit surface for the
     * `maxClusterSize` refusal (a cluster above the cap generates no
-    * candidates; this is where that shows). */
+    * candidates; this is where that shows). Dispatches to the routed
+    * face past [[FlatAssignMaxCenters]] (ids are synthesized — a
+    * count audit needs none from the caller). */
   def clusterSizes(df: DataFrame, vecCol: String,
-                   centers: Seq[Seq[Double]]): DataFrame =
-    assign(df, vecCol, centers)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+                   centers: Seq[Seq[Double]],
+                   nProbe: Int = 0, nCells: Int = 0): DataFrame =
+    if (nProbe == 0 && nCells == 0 &&
+        centers.length <= FlatAssignMaxCenters)
+      assign(df, vecCol, centers)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    else
+      routedCore(df.select(monotonically_increasing_id().as("id"),
+          col(vecCol).as("__rv")), "__rv", centers, nProbe, nCells)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
   /** Admitted-cluster id buckets: (cluster, ids) for clusters whose
     * COUNT is in [2, maxClusterSize]. Count-first by construction:
@@ -122,15 +331,16 @@ object SemDedup {
     * [[candidateBuckets]]), then cosine-verified via id joins. */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     centers: Seq[Seq[Double]], minCosine: Double,
-                    maxClusterSize: Int = 10000): DataFrame = {
+                    maxClusterSize: Int = 10000,
+                    nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     requireCenters(centers)
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
     require(maxClusterSize >= 2,
       s"maxClusterSize must be >= 2, got $maxClusterSize")
     val asg = Partitioning.spread(
-      assign(df.select(col(idCol).as("id"), col(vecCol).as("v")),
-        "v", centers)).cache()
+      assignWithVec(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "v", centers, nProbe, nCells)).cache()
     // duplicated ids would otherwise self-pair (least==greatest) and
     // make a row its own loser — a duplicated-id GROUP must dedup
     // against OTHERS, not against itself (collapsing id copies is
@@ -161,13 +371,14 @@ object SemDedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                centers: Seq[Seq[Double]], minCosine: Double,
                maxClusterSize: Int = 10000,
-               keep: String = "min_id"): DataFrame = {
+               keep: String = "min_id",
+               nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     // validate the policy BEFORE the eager pair pipeline runs — a
     // typo'd keep must not cost a full corpus pass first
     require(keep == "min_id" || keep == "centroid",
       s"keep must be min_id or centroid, got $keep")
     val pairs = semDedupPairs(df, idCol, vecCol, centers, minCosine,
-      maxClusterSize)
+      maxClusterSize, nProbe, nCells)
     val losers = (keep match {
       case "min_id" =>
         // pairsFromBuckets emits id_a < id_b, so the loser is id_b
@@ -195,20 +406,23 @@ object SemDedup {
     * k = clamp(⌈n / targetClusterSize⌉, 1, maxCenters); the fit is
     * the bounded-sample Lloyd recipe shared with the IVF quantizer
     * ([[Similarity.fitIvfQuantizer]] — random init, 10 rounds,
-    * ≤ fitCap sample rows, never a full-corpus iteration). The
-    * returned centers ride [[assign]]'s codegen literal path, which
-    * is why `maxCenters` exists: past a few thousand centers the
-    * literal argmin should hand over to IVF routing
-    * ([[Similarity.ivfTopK]]'s model path) rather than grow the
-    * expression tree without bound — at that point per-cluster size
-    * grows again and [[semDedupPairs]]' count-first cap is the
-    * documented refusal backstop.
+    * ≤ fitCap sample rows, never a full-corpus iteration). Centers
+    * within [[FlatAssignMaxCenters]] ride [[assign]]'s codegen
+    * literal path; past it every id-carrying face dispatches to the
+    * IVF-routed argmin ([[assignRouted]]) automatically, so since
+    * r14 `maxCenters` no longer clamps at the flat ceiling — its
+    * default (65536, k ∝ n through ~3·10⁸ docs at the default
+    * target) bounds the FIT cost instead: spark.ml Lloyd is
+    * O(k · sample · dim) per round, and k can never exceed the fit
+    * sample anyway (the require below). Raise `targetClusterSize`
+    * before raising `maxCenters` past that — per-cluster verify work
+    * is quadratic in the target, linear in k.
     *
     * At 100 TB pass `fitFraction ≈ fitCap / n` so the sample is
     * uniform rather than a prefix (the quantizer-fit discipline). */
   def fitCenters(df: DataFrame, vecCol: String,
                  targetClusterSize: Long = 5000L,
-                 maxCenters: Int = 4096, seed: Long = 42L,
+                 maxCenters: Int = 65536, seed: Long = 42L,
                  fitFraction: Double = 1.0,
                  fitCap: Int = 100000): Seq[Seq[Double]] = {
     require(targetClusterSize >= 1,
@@ -324,10 +538,11 @@ object SemDedup {
     * proportional artifact and the per-batch screen never re-assigns
     * the standing corpus. */
   def assignmentIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                      centers: Seq[Seq[Double]]): DataFrame = {
+                      centers: Seq[Seq[Double]],
+                      nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     requireCenters(centers)
-    assign(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
-        "__v", centers)
+    assignWithVec(corpus.select(col(idCol).as("id"),
+        col(vecCol).as("__v")), "id", "__v", centers, nProbe, nCells)
       .select(col("id"), col("cluster"))
       .withColumn("__fmt", lit(AssignIndexFormat))
       .withColumn("__k", lit(centers.length))
@@ -380,9 +595,11 @@ object SemDedup {
     * re-assigned) and append under the validated stamps. */
   def assignmentIndexUpdate(index: DataFrame, admitted: DataFrame,
                             idCol: String, vecCol: String,
-                            centers: Seq[Seq[Double]]): DataFrame = {
+                            centers: Seq[Seq[Double]],
+                            nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     validateAssignmentIndex(index, centers)
-    index.unionByName(assignmentIndex(admitted, idCol, vecCol, centers))
+    index.unionByName(assignmentIndex(admitted, idCol, vecCol, centers,
+      nProbe, nCells))
   }
 
   private def requireScreenParams(centers: Seq[Seq[Double]],
@@ -405,12 +622,13 @@ object SemDedup {
   private def screenCore(ca: DataFrame, vecs: DataFrame,
                          batch: DataFrame, idCol: String,
                          vecCol: String, centers: Seq[Seq[Double]],
-                         minCosine: Double,
-                         maxClusterSize: Int): DataFrame = {
+                         minCosine: Double, maxClusterSize: Int,
+                         nProbe: Int, nCells: Int): DataFrame = {
     val ok = ca.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxClusterSize).select(col("cluster"))
-    val ba = assign(batch.select(col(idCol).as("id_new"),
-        col(vecCol).as("__vb")), "__vb", centers)
+    val ba = assignWithVec(batch.select(col(idCol).as("id_new"),
+        col(vecCol).as("__vb")), "id_new", "__vb", centers,
+        nProbe, nCells)
       .select(col("id_new"), col("__vb"), col("cluster"))
     ca.join(broadcast(ok), Seq("cluster"), "left_semi")
       .join(broadcast(ba), Seq("cluster"))
@@ -434,12 +652,14 @@ object SemDedup {
                          index: DataFrame, idCol: String,
                          vecCol: String, centers: Seq[Seq[Double]],
                          minCosine: Double,
-                         maxClusterSize: Int = 10000): DataFrame = {
+                         maxClusterSize: Int = 10000,
+                         nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     requireScreenParams(centers, minCosine, maxClusterSize)
     validateAssignmentIndex(index, centers)
     screenCore(index.select(col("id").as("id_corpus"), col("cluster")),
       corpus.select(col(idCol).as("id_corpus"), col(vecCol).as("__vc")),
-      batch, idCol, vecCol, centers, minCosine, maxClusterSize)
+      batch, idCol, vecCol, centers, minCosine, maxClusterSize,
+      nProbe, nCells)
   }
 
   /** Incremental SCREEN face (the q115/q118 discipline in cluster
@@ -463,7 +683,8 @@ object SemDedup {
   def screenPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
                   vecCol: String, centers: Seq[Seq[Double]],
                   minCosine: Double,
-                  maxClusterSize: Int = 10000): DataFrame = {
+                  maxClusterSize: Int = 10000,
+                  nProbe: Int = 0, nCells: Int = 0): DataFrame = {
     requireScreenParams(centers, minCosine, maxClusterSize)
     // assign + CACHE the corpus once: the cluster-count cap and the
     // candidate join both read the cached assignment — without it
@@ -472,12 +693,14 @@ object SemDedup {
     // semDedupPairs: the result is pair-set-sized and the cache is
     // released before returning.
     val asg = Partitioning.spread(
-      assign(corpus.select(col(idCol).as("id_corpus"),
-        col(vecCol).as("__vc")), "__vc", centers)
+      assignWithVec(corpus.select(col(idCol).as("id_corpus"),
+          col(vecCol).as("__vc")), "id_corpus", "__vc", centers,
+          nProbe, nCells)
         .select(col("id_corpus"), col("__vc"), col("cluster"))).cache()
     val out = screenCore(asg.select(col("id_corpus"), col("cluster")),
       asg.select(col("id_corpus"), col("__vc")),
-      batch, idCol, vecCol, centers, minCosine, maxClusterSize)
+      batch, idCol, vecCol, centers, minCosine, maxClusterSize,
+      nProbe, nCells)
     Dedup.materializeAndRelease(out, asg)
   }
 }

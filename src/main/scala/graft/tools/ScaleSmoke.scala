@@ -1148,6 +1148,56 @@ object ScaleSmoke {
       }
     }
 
+    // ---- SemDeDup ROUTED assignment past the flat ceiling (r14):
+    // k = 8192 centers — double the 4096 flat-literal-argmin ceiling
+    // VERDICT r13 flagged, a regime where the flat face's 8192-term
+    // expression tree is not even analyzable in reasonable time. The
+    // routed face must (a) run at all, (b) price per-row candidate
+    // work at ~nProbe·k/nCells instead of k (nProbe=1 vs exhaustive
+    // walls), and (c) stay ~linear in the corpus at fixed k (block
+    // scaling). Centers are 10 block-0 seeds under 820 distinct
+    // period-1021 sign patterns — 8192 distinct model rows, the
+    // operator never told which are "real".
+    if (on("semr")) {
+      import graft.operators.SemDedup
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def signs(i: Int): Seq[Double] =
+        if (i == 0) Seq.fill(64)(1.0)
+        else Seq.tabulate(64)(j =>
+          if ((j * 41 + i * 17) % 97 < 39) -1.0 else 1.0)
+      def block(i: Int) = e0.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        zip_with(col("v"), typedLit(signs(i)), (x, s) => x * s).as("v"))
+      val seeds0 = e0.orderBy(col("vec_id")).limit(10).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      def pat(p: Int): Seq[Double] = Seq.tabulate(64)(j =>
+        if ((j * 41 + p * 29) % 1021 < 408) -1.0 else 1.0)
+      val bigK = 8192
+      val centers = (0 until (bigK + 9) / 10).flatMap { p =>
+        val s = pat(p)
+        seeds0.map(cv => cv.zip(s).map { case (x, sg) => x * sg })
+      }.take(bigK)
+      scales.foreach { k =>
+        val c = (0 until k).map(block).reduce(_ unionByName _).cache()
+        val n = c.count()
+        for (np <- Seq(1, 4, 0)) { // 0 = exhaustive probe (exact)
+          val t0 = System.nanoTime()
+          val assigned = SemDedup.assignRouted(c, "vec_id", "v",
+              centers, nProbe = np)
+            .agg(count(lit(1)), countDistinct(col("cluster"))).head()
+          val lbl = if (np == 0) "exh" else np.toString
+          println(f"[scale-smoke] semr k=$k%-2d n=$n%-6d " +
+            f"routedK8192/np=$lbl%-4s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"rows=${assigned.getLong(0)} " +
+            f"clustersHit=${assigned.getLong(1)}")
+        }
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- hybrid salted join: replicated shuffle volume must track
     // the HOT subset only. Fixture: ~half the left rows land on ONE
     // hot key, the rest are a near-unique tail; the right side is one

@@ -262,4 +262,129 @@ class SemDedupSpec extends SparkTestBase {
         maxClusterSize = 1)
     }
   }
+
+  // ---- IVF-routed assignment (the r14 face past the flat ceiling) --
+
+  /** mixed fixture: rows scattered across the three spec centers,
+    * including the flat suite's tie row (equidistant to 0 and 1). */
+  private def routedFixture = Seq(
+    (1L, vec(0.9, 0.1, 0.0)),
+    (2L, vec(0.0, 1.1, 0.1)),
+    (3L, vec(0.1, 0.0, 0.8)),
+    (4L, vec(0.5, 0.5, 0.0)),   // exact tie 0/1 -> must stay 0
+    (5L, vec(0.33, 0.33, 0.34)),
+    (6L, vec(-1.0, -1.0, -1.0)),
+    (7L, vec(0.0, 0.0, 0.0))    // zero vector: d2 ties everywhere
+  ).toDF("id", "v")
+
+  test("assignRouted exhaustive == flat assign, bit-for-bit " +
+    "(cluster AND centroid_cosine), at every nCells") {
+    val df = routedFixture
+    val flat = SemDedup.assign(df, "v", centers)
+      .select($"id", $"cluster", $"centroid_cosine").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    for (nc <- Seq(0, 1, 2, 3)) {
+      val routed = SemDedup.assignRouted(df, "id", "v", centers,
+          nProbe = 0, nCells = nc)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(routed == flat, s"nCells=$nc diverged from flat")
+    }
+  }
+
+  test("assignRouted partial probe: exact on cell-separated data, " +
+    "and nProbe trades recall exactly as documented") {
+    // centers are near-orthogonal; with nCells = 3 each coarse cell
+    // owns one fine center, so nProbe = 1 routes every clean row to
+    // its true cluster
+    val df = Seq(
+      (1L, vec(0.9, 0.1, 0.0)),
+      (2L, vec(0.0, 1.1, 0.1)),
+      (3L, vec(0.1, 0.0, 0.8))).toDF("id", "v")
+    val got = SemDedup.assignRouted(df, "id", "v", centers,
+        nProbe = 1, nCells = 3)
+      .select($"id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("dispatch past FlatAssignMaxCenters: semDedupPairs runs routed " +
+    "and still finds exactly the planted dups") {
+    // k = ceiling + 4 centers along a line — the flat literal face
+    // would fold 4100 aggregate expressions into one plan; the
+    // dispatch must hand this to the routed join instead
+    val k = SemDedup.FlatAssignMaxCenters + 4
+    val cents = Seq.tabulate(k)(i => Seq(i.toDouble, 0.0, 0.0, 0.0))
+    val rows = Seq(
+      (10L, vec(7.0, 0.001, 0.0, 0.0)),   // cluster 7, dup pair...
+      (11L, vec(7.0, 0.0011, 0.0, 0.0)),  // ...with 10
+      (20L, vec(2000.0, 1.0, 0.0, 0.0)),  // lone, cluster 2000
+      (30L, vec(4099.0, 0.5, 0.0, 0.0))   // lone, last cluster
+    ).toDF("id", "v")
+    val pairs = SemDedup.semDedupPairs(rows, "id", "v", cents,
+      minCosine = 0.999)
+    val got = pairs.select($"id_a", $"id_b", $"cluster").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 11L)))
+    assert(got.head.getInt(2) == 7)
+    // and the survivor rule rides the routed assignment unchanged
+    val kept = SemDedup.semDedup(rows, "id", "v", cents,
+      minCosine = 0.999).select($"id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L))
+  }
+
+  test("screenPairs under explicit routing (exhaustive) equals the " +
+    "flat screen; assignmentIndex dispatch round-trips the screen") {
+    val corpus = Seq(
+      (1L, vec(1.0, 0.05, 0.0)),
+      (2L, vec(0.05, 1.0, 0.0)),
+      (3L, vec(0.0, 0.06, 1.0))).toDF("id", "v")
+    val batch = Seq(
+      (10L, vec(1.0, 0.06, 0.0)),
+      (11L, vec(0.0, 0.0, -1.0))).toDF("id", "v")
+    val flat = SemDedup.screenPairs(corpus, batch, "id", "v", centers,
+        minCosine = 0.99)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = SemDedup.screenPairs(corpus, batch, "id", "v", centers,
+        minCosine = 0.99, nProbe = 2, nCells = 2)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == flat && flat == Set((10L, 1L)))
+    // indexed face: an index built under routed dispatch screens
+    // identically (same stamps — routing is not part of the model)
+    val idx = SemDedup.assignmentIndex(corpus, "id", "v", centers,
+      nProbe = 2, nCells = 2)
+    val viaIdx = SemDedup.screenPairsIndexed(batch, corpus, idx, "id",
+        "v", centers, minCosine = 0.99)
+      .select($"id_new", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIdx == flat)
+  }
+
+  test("clusterSizes routed == flat; coarseRouting compacts empty " +
+    "cells and refuses an over-ceiling nCells") {
+    val df = routedFixture
+    val flat = SemDedup.clusterSizes(df, "v", centers)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val routed = SemDedup.clusterSizes(df, "v", centers,
+        nProbe = 3, nCells = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(routed == flat)
+    // duplicate centers collapse their Lloyd cells; compaction must
+    // leave only non-empty cells and in-range cellOf values
+    val dup = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val (coarse, cellOf) = SemDedup.coarseRouting(dup, 3)
+    assert(cellOf.forall(c => c >= 0 && c < coarse.length))
+    assert(cellOf.toSet.size == coarse.length) // every cell non-empty
+    // the coarse stage rides the flat fold, so nCells past the
+    // ceiling is refused (nCells clamps to k, so k must exceed the
+    // ceiling for the guard to be reachable at all)
+    val big = SemDedup.FlatAssignMaxCenters + 2
+    intercept[IllegalArgumentException] {
+      SemDedup.assignRouted(routedFixture.limit(1), "id", "v",
+        Seq.tabulate(big)(i => Seq(i.toDouble, 0.0, 0.0)),
+        nCells = big)
+    }
+  }
 }
