@@ -7889,7 +7889,65 @@ object SparkEntry {
              |JOIN b ON b.id_new = ab.id_new
              |JOIN e ON e.vec_id = ac.vec_id
              |WHERE list_cosine_similarity(b.v, e.v) >= 0.9
-             |ORDER BY ab.id_new, id_corpus""".stripMargin))
+             |ORDER BY ab.id_new, id_corpus""".stripMargin)),
+
+    // Salted RIGHT-outer join (r14 — the mirrored construction
+    // VERDICT r13 flagged as missing): the skewed fact side sits on
+    // the RIGHT (every one of its rows must be kept), so the census
+    // moves there, hot RIGHT rows take the random salt and the small
+    // dim side replicates salt-fold. Answer-preserving like q215: the
+    // oracle is the PLAIN right-join SQL. Fixture: 25-row nation dim
+    // RIGHT-joined to lineitem keyed mod 30 (~2k rows per key at
+    // sf0.01 — every key census-hot), keys 25..29 unmatched on the
+    // right (null dim columns must survive exactly once per row).
+    Q("q247_salted_right", (s, dir) => {
+      import graft.operators.Skew
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 30).as("k"), col("l_quantity"))
+      Skew.saltedJoin(dim, li, Seq("k"), salt = 8, mode = "right")
+        .groupBy(col("k"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("k"))
+    },
+      Some("""SELECT l_orderkey % 30 AS k, n_name,
+             | CAST(count(*) AS BIGINT) AS n,
+             | round(sum(l_quantity), 2) AS sum_qty
+             |FROM nation RIGHT JOIN lineitem
+             |  ON n_nationkey = l_orderkey % 30
+             |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin)),
+
+    // Salted FULL-outer join (r14): left-outer salted ∪ the right
+    // rows whose key has no left match, null-padded (exact because a
+    // replicated right key that exists on the left ALWAYS matches —
+    // the replicas cover every salt). Fixture: lineitem mod 30 (keys
+    // 0..29, all hot) FULL-joined to nation shifted +10 (keys
+    // 10..34): keys 0..9 survive null-padded on the left side, keys
+    // 30..34 on the right, 10..29 match hot. Oracle is the plain
+    // full-join SQL.
+    Q("q248_salted_full", (s, dir) => {
+      import graft.operators.Skew
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 30).as("k"), col("l_quantity"))
+      val dim = t(s, dir, "nation")
+        .select((col("n_nationkey") + 10).cast("long").as("k"),
+          col("n_name"))
+      Skew.saltedJoin(li, dim, Seq("k"), salt = 8, mode = "full")
+        .groupBy(col("k"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("k"), col("n_name"))
+    },
+      Some("""WITH l AS (SELECT l_orderkey % 30 AS k, l_quantity
+             |  FROM lineitem),
+             |r AS (SELECT n_nationkey + 10 AS k, n_name FROM nation)
+             |SELECT coalesce(l.k, r.k) AS k, n_name,
+             | CAST(count(*) AS BIGINT) AS n,
+             | round(sum(l_quantity), 2) AS sum_qty
+             |FROM l FULL JOIN r ON l.k = r.k
+             |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

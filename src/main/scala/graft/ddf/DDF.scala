@@ -228,11 +228,13 @@ class DDF(val df: DataFrame) {
     wrap(df.join(other.df, keys, "left_anti"))
 
   /** [[graft.operators.Skew.saltedJoin]] fluent face (r12; hybrid
-    * r13): salts ONLY census-hot keys — hot left rows spread across
-    * `salt` reducers, hot right rows replicate salt-fold, cold rows
-    * ride salt 0 (replication ∝ hot rows, never salt × right).
-    * Answer-preserving for inner/left (oracle-gated q215);
-    * `hotKeyThreshold = 0` self-sizes from the census. */
+    * r13; right/full r14): salts ONLY census-hot keys — hot
+    * random-side rows spread across `salt` reducers, hot
+    * replicated-side rows replicate salt-fold, cold rows ride salt 0
+    * (replication ∝ hot rows, never salt × dim side).
+    * Answer-preserving for inner/left/right/full (oracle-gated
+    * q215/q247/q248); `hotKeyThreshold = 0` self-sizes from the
+    * census (left for inner/left/full, right for right mode). */
   def saltedJoin(other: DDF, keys: Seq[String], salt: Int,
                  mode: String = "inner", hotKeyThreshold: Long = 0L,
                  maxHotKeys: Int = 10000): DDF =

@@ -38,8 +38,29 @@ import org.apache.spark.storage.StorageLevel
   * broadcast) and is joined back as a broadcast flag on both sides,
   * which keys of any arity or type ride for free.
   *
-  * Inner and left joins preserve semantics exactly; right/full would
-  * need the mirrored construction.
+  * All four equi-join modes preserve semantics exactly (r14):
+  *  - inner/left: left rows salted randomly, hot right rows
+  *    replicated salt-fold (the original construction).
+  *  - right: the MIRRORED construction — the census moves to the
+  *    right side (in a right join it is the right rows that must all
+  *    be kept, so it is their pile-up that stalls a reducer), hot
+  *    RIGHT rows take the random salt, hot LEFT rows replicate.
+  *    Every matched pair still meets exactly once (the replicated
+  *    side covers all salts), and an unmatched right row exists
+  *    exactly once because it carries ONE salt.
+  *  - full/outer: left-outer salted (above) ∪ the right rows whose
+  *    key has NO left match, null-padded. The union is exact because
+  *    a right row's key either exists on the left — then the
+  *    replicas cover every left salt and the row matches in the
+  *    left-outer part exactly as in the plain join — or it does not,
+  *    and the left_anti term emits it exactly once (null keys never
+  *    equal anything, so they land in the anti term, matching SQL
+  *    full-join semantics). The anti join is keyed on the DISTINCT
+  *    left key set (one row per key — never the raw left), and a
+  *    hot right key in the anti term is an oversized but
+  *    independent sort-merge partition, exactly what AQE's skew
+  *    split handles; the part AQE cannot do (split one hot KEY of a
+  *    row-producing join) stays with the salted left-outer term.
   */
 object Skew {
 
@@ -49,7 +70,7 @@ object Skew {
     * flag join broadcasts a LITERAL frame. Key columns are renamed
     * `__hk*` so the null-safe flag join never collides with caller
     * column names. */
-  private def hotKeyFlags(left: DataFrame, census: DataFrame,
+  private def hotKeyFlags(side: DataFrame, census: DataFrame,
                           keys: Seq[String], threshold: Long,
                           maxHotKeys: Int): Option[DataFrame] = {
     val rows = census.filter(col("__n") >= threshold)
@@ -62,10 +83,10 @@ object Skew {
         "repartition instead")
     if (rows.isEmpty) None
     else {
-      val spark = left.sparkSession
+      val spark = side.sparkSession
       val schema = org.apache.spark.sql.types.StructType(
         keys.zipWithIndex.map { case (k, i) =>
-          left.schema(k).copy(name = s"__hk$i") })
+          side.schema(k).copy(name = s"__hk$i") })
       Some(spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toSeq, 1), schema)
         .withColumn("__hot", lit(true)))
@@ -73,13 +94,17 @@ object Skew {
   }
 
   /** Both salted sides against a hot-flag frame — exposed for the
-    * ScaleSpec structural pin (cold right rows keep ONE copy, hot
-    * rows replicate exactly salt-fold; hot left rows spread across
-    * salts, cold left rows ride salt 0). The flag joins are
-    * NULL-SAFE so a hot null group spreads like any other hot key. */
+    * ScaleSpec structural pin (cold replicated-side rows keep ONE
+    * copy, hot rows replicate exactly salt-fold; hot random-side
+    * rows spread across salts, cold rows ride salt 0). The flag
+    * joins are NULL-SAFE so a hot null group spreads like any other
+    * hot key. `mirror = false` (inner/left): left random, right
+    * replicated. `mirror = true` (right): left replicated, right
+    * random. */
   private[graft] def saltSides(left: DataFrame, right: DataFrame,
                                keys: Seq[String], hot: DataFrame,
-                               salt: Int, seed: Long)
+                               salt: Int, seed: Long,
+                               mirror: Boolean = false)
   : (DataFrame, DataFrame) = {
     def flagged(df: DataFrame): DataFrame = {
       val cond = keys.zipWithIndex
@@ -88,44 +113,87 @@ object Skew {
       df.join(broadcast(hot), cond, "left")
         .drop(keys.indices.map(i => s"__hk$i"): _*)
     }
-    val l = flagged(left)
+    def randomSalted(df: DataFrame): DataFrame = flagged(df)
       .withColumn("__salt", when(col("__hot"),
         (rand(seed) * salt).cast("int")).otherwise(0))
       .drop("__hot")
-    val r = flagged(right)
+    def replicated(df: DataFrame): DataFrame = flagged(df)
       .withColumn("__salt", explode(when(col("__hot"),
         sequence(lit(0), lit(salt - 1)))
         .otherwise(array(lit(0)))))
       .drop("__hot")
-    (l, r)
+    if (mirror) (replicated(left), randomSalted(right))
+    else (randomSalted(left), replicated(right))
   }
 
-  /** Hybrid salted equi-join. `hotKeyThreshold = 0` (default)
-    * self-sizes: a key is hot when its left row count exceeds what
-    * one even shuffle partition would hold (n_left /
+  /** Hybrid salted equi-join — inner, left, right and full modes
+    * (see object doc for each construction). `hotKeyThreshold = 0`
+    * (default) self-sizes: a key is hot when its censused row count
+    * exceeds what one even shuffle partition would hold (n /
     * spark.sql.shuffle.partitions) — the point past which that key
-    * alone stalls a reducer. The auto path derives n_left from the
-    * census itself (persisted around its two reads — ONE scan of the
-    * left side either way); pass an explicit threshold to skip the
-    * total-sum read entirely (e.g. from a prior
-    * [[Profile.joinCardinality]] run — the at-scale habit).
-    * `salt = 1` (or no key above the threshold) degenerates to the
-    * plain join: zero replication, zero extra columns. */
+    * alone stalls a reducer. The census side is the RANDOM-salted
+    * side: left for inner/left/full, right for right (its rows are
+    * the kept multitude in that mode). The auto path derives n from
+    * the census itself (persisted around its two reads — ONE scan
+    * either way); pass an explicit threshold to skip the total-sum
+    * read entirely (e.g. from a prior [[Profile.joinCardinality]]
+    * run — the at-scale habit). `salt = 1` (or no key above the
+    * threshold) degenerates to the plain join: zero replication,
+    * zero extra columns. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int, mode: String = "inner",
                  seed: Long = 42L, hotKeyThreshold: Long = 0L,
                  maxHotKeys: Int = 10000): DataFrame = {
-    require(mode == "inner" || mode == "left" || mode == "left_outer",
-      "salted join preserves semantics for inner/left modes")
+    val m = mode match {
+      case "inner"                            => "inner"
+      case "left" | "left_outer"              => "left"
+      case "right" | "right_outer"            => "right"
+      case "full" | "outer" | "full_outer"    => "full"
+      case other => throw new IllegalArgumentException(
+        s"salted join supports inner/left/right/full equi-joins, " +
+          s"got $other")
+    }
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(hotKeyThreshold >= 0L,
       s"hotKeyThreshold must be >= 0, got $hotKeyThreshold")
     require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
-    if (salt == 1) return left.join(right, keys, mode)
-    // one partial-aggregated pass over the left builds the census;
-    // persist only on the auto path, where the total-sum read and
-    // the hot-key read would otherwise each recompute it
-    val census = left.groupBy(keys.map(col): _*)
+    if (salt == 1) return left.join(right, keys, m)
+
+    if (m == "full") {
+      // left-outer salted ∪ right rows whose key never matches,
+      // null-padded. POSITIONAL union: both terms are built in the
+      // using-join column order (keys, left non-keys, right
+      // non-keys), and left/right may legally share non-key names —
+      // unionByName would be ambiguous where positions are not.
+      // The union is position-typed, so the key dtypes must agree
+      // EXACTLY (a plain join would implicitly upcast int/bigint;
+      // the union cannot — refuse loudly instead of mis-typing).
+      keys.foreach { k =>
+        require(left.schema(k).dataType == right.schema(k).dataType,
+          s"full-mode salted join needs identical key dtypes on both " +
+            s"sides; '$k' is ${left.schema(k).dataType.simpleString} " +
+            s"vs ${right.schema(k).dataType.simpleString} — cast one " +
+            "side explicitly")
+      }
+      val lo = saltedJoin(left, right, keys, salt, "left", seed,
+        hotKeyThreshold, maxHotKeys)
+      val leftKeys = left.select(keys.map(col): _*).distinct()
+      val unmatched = right.join(leftKeys, keys, "left_anti")
+      val keySet = keys.toSet
+      val padded = unmatched.select(
+        keys.map(col) ++
+          left.schema.fields.filterNot(f => keySet.contains(f.name))
+            .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          right.columns.filterNot(keySet.contains).map(col): _*)
+      return lo.union(padded)
+    }
+
+    val mirror = m == "right"
+    val censusSide = if (mirror) right else left
+    // one partial-aggregated pass over the census side; persist only
+    // on the auto path, where the total-sum read and the hot-key
+    // read would otherwise each recompute it
+    val census = censusSide.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))
     val auto = hotKeyThreshold == 0L
     if (auto) census.persist(StorageLevel.MEMORY_AND_DISK)
@@ -136,18 +204,19 @@ object Skew {
           val total = census.agg(sum(col("__n"))).head().getLong(0)
           // numeric parse of the conf is guarded: some platforms set
           // spark.sql.shuffle.partitions to "auto"
-          val parts = scala.util.Try(left.sparkSession.conf
+          val parts = scala.util.Try(censusSide.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toLong)
             .getOrElse(200L)
           math.max(1L, total / math.max(1L, parts))
         }
-      hotKeyFlags(left, census, keys, threshold, maxHotKeys) match {
+      hotKeyFlags(censusSide, census, keys, threshold, maxHotKeys) match {
         case None =>
           // nothing hot: the plain join IS the answer — zero replication
-          left.join(right, keys, mode)
+          left.join(right, keys, m)
         case Some(hot) =>
-          val (l, r) = saltSides(left, right, keys, hot, salt, seed)
-          l.join(r, keys :+ "__salt", mode).drop("__salt")
+          val (l, r) = saltSides(left, right, keys, hot, salt, seed,
+            mirror)
+          l.join(r, keys :+ "__salt", m).drop("__salt")
       }
     } finally if (auto) census.unpersist(false): Unit
   }

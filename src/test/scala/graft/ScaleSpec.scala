@@ -120,6 +120,51 @@ class ScaleSpec extends SparkTestBase {
     assert(plain.exceptAll(s1).count() == 0)
   }
 
+  test("salted RIGHT and FULL outer joins (r14): multiset equality " +
+    "vs the plain join in every hotness regime, null keys and " +
+    "unmatched rows on both sides") {
+    // left: hot key 1, hot null group, near-unique tail (mostly
+    // unmatched); right: hot key 2 (right-side skew — the mirrored
+    // census's reason to exist), its own null group, a tail that
+    // half-overlaps the left ids and half sits above them
+    val left = spark.range(6000)
+      .select(when($"id" % 3 === 0, lit(1L))
+        .when($"id" % 3 === 1, lit(null).cast("long"))
+        .otherwise($"id").as("k"), $"id".as("lp"))
+    val right = spark.range(4000)
+      .select(when($"id" % 2 === 0, lit(2L))
+        .when($"id" % 7 === 1, lit(null).cast("long"))
+        .otherwise($"id" + 3000).as("k"), ($"id" + 100000).as("rp"))
+    for (mode <- Seq("right", "full")) {
+      val plain = left.join(right, Seq("k"), mode)
+      def same(got: org.apache.spark.sql.DataFrame, regime: String): Unit = {
+        assert(got.exceptAll(plain).count() == 0,
+          s"$mode/$regime emitted extra rows")
+        assert(plain.exceptAll(got).count() == 0,
+          s"$mode/$regime lost rows")
+      }
+      same(Skew.saltedJoin(left, right, Seq("k"), salt = 8, mode),
+        "auto")
+      same(Skew.saltedJoin(left, right, Seq("k"), salt = 8, mode,
+        hotKeyThreshold = 10000000L), "none-hot")
+      same(Skew.saltedJoin(left, right, Seq("k"), salt = 8, mode,
+        hotKeyThreshold = 1L, maxHotKeys = 100000), "all-hot")
+      // salt=1 degenerates to the plain join for the new modes too
+      same(Skew.saltedJoin(left, right, Seq("k"), salt = 1, mode),
+        "salt1")
+    }
+    // full mode refuses mismatched key dtypes loudly (the positional
+    // union cannot upcast the way a plain join would)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left,
+        right.withColumn("k", $"k".cast("int")), Seq("k"),
+        salt = 8, mode = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), salt = 8, mode = "cross")
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     val a = spark.range(1000).select($"id", ($"id" * 2).as("x"))
     val b = spark.range(1000).select($"id", ($"id" * 3).as("y"))
