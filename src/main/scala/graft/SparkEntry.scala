@@ -667,6 +667,54 @@ object SparkEntry {
     }(enc)
   }
 
+  /** synthesize a REAL RIFF/WAVE payload (PCM16 mono) whose 17-window
+    * × 4-band energy image follows the phase-alternating group
+    * pattern: band b of group g alternates HIGH/LOW per window with
+    * phase bit (g >> b) & 1 — every window transition is decisive
+    * (64× energy margin), so [[Multimodal.audioHashes]] maps group
+    * → hash as a pure function, independent of `rate` and `gain`
+    * (the invariances q249 plants its duplicate waves on). */
+  private def toneWav(g: Int, rate: Float, gain: Double): Array[Byte] = {
+    val bands = Seq(400.0, 800.0, 1600.0, 3200.0)
+    val n = (rate * 0.85).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val t = (i.toLong * 17 / n).toInt
+      val tau = i / rate.toDouble
+      var x = 0.0
+      var b = 0
+      while (b < 4) {
+        val hi = (t + ((g >> b) & 1)) % 2 == 0
+        x += (if (hi) 0.2 else 0.025) *
+          math.sin(2 * math.Pi * bands(b) * tau)
+        b += 1
+      }
+      samples(i) = math.max(-32767, math.min(32767,
+        math.round(x * gain * 32767))).toShort
+      i += 1
+    }
+    Multimodal.wavBytes(samples, rate)
+  }
+
+  /** (media_id, content) frame of group-pattern WAVs: group, sample
+    * rate and gain all derived from the id. */
+  private def toneMedia(ids: DataFrame, group: Long => Int,
+                        rate: Long => Float,
+                        gain: Long => Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType))))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          toneWav(group(id), rate(id), gain(id)))
+      }
+    }(enc)
+  }
+
   /** q241's persisted signature index over the q240 corpus hashes,
     * cached per (JVM, sfDir) like q117's. */
   private val sigIndexCache =
@@ -7947,7 +7995,37 @@ object SparkEntry {
              | CAST(count(*) AS BIGINT) AS n,
              | round(sum(l_quantity), 2) AS sum_qty
              |FROM l FULL JOIN r ON l.k = r.k
-             |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin)),
+
+    // Perceptual AUDIO dedup (r14 — completes the multimodal dedup
+    // triangle VERDICT r13 flagged as ⅔ done: text simhash, image
+    // aHash/dHash, now audio band-energy): every doc renders a REAL
+    // RIFF/WAVE payload (PCM16 mono) whose planted 17-window × 4-band
+    // energy image encodes group = doc_id % 8; sample rate (8 vs
+    // 16 kHz) and gain (1.0 vs 0.35) vary WITHIN each group, so the
+    // exact-group collapse proves the fingerprint's gain invariance
+    // (energies scale by gain², comparisons frozen) and resample
+    // robustness (duration-proportional windows, absolute-Hz probes)
+    // on the real javax.sound decode path. Oracle replays the
+    // planted group structure relationally — q235's discipline in
+    // audio space.
+    Q("q249_audio_dedup", (s, dir) => {
+      val media = toneMedia(
+        t(s, dir, "documents").select(col("doc_id")),
+        group = id => (id % 8).toInt,
+        rate = id => if ((id / 8) % 2 == 0) 8000f else 16000f,
+        gain = id => if ((id / 8) % 3 == 0) 1.0 else 0.35)
+      Multimodal.audioHashes(media)
+        .groupBy(col("audio_hash"))
+        .agg(min(col("media_id")).as("rep_id"),
+          count(lit(1)).as("n_dups"))
+        .select(col("rep_id"), col("n_dups"))
+        .orderBy(col("rep_id"))
+    },
+      Some("""SELECT min(doc_id) AS rep_id,
+             | CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents GROUP BY doc_id % 8
+             |ORDER BY rep_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -276,6 +276,177 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decoded mono PCM in [-1, 1] plus the sample rate, via the JDK
+    * codec set (WAV/AIFF/AU): the stream is converted to 16-bit
+    * signed PCM when it is not already, channels are averaged down
+    * to mono. None for payloads no JDK codec accepts. */
+  private[multimodal] def pcmMono(bytes: Array[Byte])
+      : Option[(Array[Double], Float)] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in0 = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in0.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val in =
+        if (src.matches(target)) in0
+        else AudioSystem.getAudioInputStream(target, in0)
+      val data = in.readAllBytes()
+      in.close()
+      val ch = math.max(1, target.getChannels)
+      val n = data.length / (2 * ch)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val idx = (i * ch + c) * 2
+          val lo = data(idx) & 0xff
+          val hi = data(idx + 1)
+          s += ((hi << 8) | lo).toShort.toDouble / 32768.0
+          c += 1
+        }
+        out(i) = s / ch
+        i += 1
+      }
+      Some((out, target.getSampleRate))
+    } catch { case _: Throwable => None }
+
+  /** Goertzel power of the frequency-`f` component over
+    * `x[a, a+len)`: |X(f)|² / len² — the len² normalization makes a
+    * pure tone's power ≈ (amplitude/2)² independent of window length
+    * and sample rate, which is what buys the resample robustness the
+    * spec pins. */
+  private def goertzelPower(x: Array[Double], a: Int, len: Int,
+                            f: Double, sr: Double): Double = {
+    val w = 2.0 * math.Pi * f / sr
+    val cw = 2.0 * math.cos(w)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < len) {
+      val s0 = x(a + i) + cw * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    (s1 * s1 + s2 * s2 - cw * s1 * s2) / (len.toDouble * len)
+  }
+
+  /** spectral band-energy probe frequencies (Hz) — absolute, so the
+    * fingerprint measures CONTENT, not container sample rate; the
+    * highest band bounds the minimum decodable rate at 8 kHz
+    * (Nyquist 4 kHz > 3.2 kHz). */
+  private[multimodal] val AudioHashBands =
+    Array(400.0, 800.0, 1600.0, 3200.0)
+
+  /** perceptual audio hash kernel (chromaprint-SHAPED, not the
+    * chromaprint algorithm: same published structure — a
+    * time × frequency energy image reduced to sign-of-difference
+    * bits): the clip is split into 17 duration-proportional windows,
+    * each probed at the 4 [[AudioHashBands]] via Goertzel, and bit
+    * (t·4 + b) is set iff band b's energy RISES from window t to
+    * t+1 — 16 transitions × 4 bands = 64 bits.
+    *
+    * Invariances, by construction:
+    *  - gain: scaling every sample by g scales every energy by g²,
+    *    so the > comparisons — and the hash — are EXACTLY unchanged;
+    *  - resample: windows are duration-proportional and the probe
+    *    frequencies absolute, so the energy image describes the
+    *    analog content (leakage differences only — the spec pins a
+    *    tight Hamming bound on resampled copies).
+    *
+    * Degenerate faces: silence hashes to 0L (the all-zero signature
+    * — the band screen's `maxBucketSize` refusal is the documented
+    * guard for blank-media floods); clips shorter than 8 samples per
+    * window and rates below 8 kHz return None (too short / too
+    * narrow to fingerprint honestly). */
+  private[multimodal] def audioHashKernel(bytes: Array[Byte])
+      : Option[Long] =
+    pcmMono(bytes).flatMap { case (x, sr) =>
+      val nWin = 17
+      if (sr < 8000f || x.length < nWin * 8) None
+      else {
+        val nb = AudioHashBands.length
+        val e = Array.ofDim[Double](nWin, nb)
+        var t = 0
+        while (t < nWin) {
+          val a = (t.toLong * x.length / nWin).toInt
+          val b = ((t + 1).toLong * x.length / nWin).toInt
+          var bi = 0
+          while (bi < nb) {
+            e(t)(bi) = goertzelPower(x, a, b - a, AudioHashBands(bi), sr)
+            bi += 1
+          }
+          t += 1
+        }
+        var h = 0L
+        t = 0
+        while (t < nWin - 1) {
+          var bi = 0
+          while (bi < nb) {
+            if (e(t + 1)(bi) > e(t)(bi)) h |= 1L << (t * nb + bi)
+            bi += 1
+          }
+          t += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** perceptual audio hashes: (media_id, audio_hash long) — the
+    * audio face of [[imageHashes]], completing the multimodal dedup
+    * triangle (text simhash / image aHash-dHash / audio band-energy,
+    * VERDICT r13 #2). Non-decodable, too-short and sub-8 kHz
+    * payloads are DROPPED (generator shape — a hash of garbage would
+    * poison duplicate groups; [[decodeAudio]] is the face that
+    * surfaces decode metadata).
+    *
+    * Dedup composition: exact groups via one hash-shuffle groupBy
+    * (q249's gate); NEAR-dup pairs via
+    * [[graft.operators.Dedup.signaturePairs]] and the admission
+    * loop via [[graft.streaming.Admission.admitBatchSignature]] —
+    * the 64-bit value rides the same pigeonhole band machinery as
+    * text simhash and image hashes, UNCHANGED. Payload stays
+    * partition-local; only (id, long) rows ever shuffle. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("audio_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          audioHashKernel(r.getAs[Array[Byte]](1))
+            .map(v => Row(r.getLong(0), v))
+        }
+      }(enc)
+  }
+
+  /** PCM16 mono WAV bytes for a sample array — the synthesized-
+    * fixture generator (the [[fromText]] discipline in audio space:
+    * real RIFF/WAVE payloads so gates and specs drive the REAL
+    * decode path, not a stub). */
+  private[graft] def wavBytes(samples: Array[Short],
+                              rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** REAL image resize: decode via ImageIO, downscale so
     * max(width, height) <= maxSide (aspect preserved, area-averaging
     * filter), re-encode as PNG. Non-decodable payloads and images

@@ -44,12 +44,16 @@ import graft.functions.TextFunctions
   * any per-word frequency below ~9e12 — beyond any observed natural
   * corpus (most-frequent-token mass ~5% of 1e13 tokens ≈ 5e11).
   *
-  * Pruning follows the expected-count simplification of Kudo §3.2's
-  * likelihood-loss rule (drop the pieces the E-step assigns the least
-  * posterior mass, never the single-code-point alphabet — the paper's
-  * "subword occurrence" criterion without the per-piece re-Viterbi);
-  * documented as such, and the alphabet floor guarantees every
-  * training-corpus word stays segmentable at every step.
+  * Pruning (`pruneMode`, r14): `"expected"` keeps the pieces the
+  * E-step assigns the most posterior mass — the expected-count
+  * simplification of Kudo §3.2; `"loss"` implements the paper rule
+  * itself — rank each piece by the likelihood loss of removing it
+  * (its Viterbi count × the score gap to its own best re-segmentation
+  * without it, the SentencePiece prune recipe), computed on the same
+  * bounded word table. Either way the single-code-point alphabet is
+  * never pruned, so every training-corpus word stays segmentable at
+  * every step. UnigramSpec pins a fixture where the two rules
+  * genuinely disagree.
   *
   * Why the encoder is a UDF (the engine prefers Column math / native
   * expressions): Viterbi over a per-word lattice is a data-dependent
@@ -263,13 +267,16 @@ object Unigram {
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 6, seedSize: Int = 8192,
             emIters: Int = 2,
-            driverCutover: Long = 1L << 20): DataFrame = {
+            driverCutover: Long = 1L << 20,
+            pruneMode: String = "expected"): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
     require(emIters >= 0, s"emIters must be >= 0, got $emIters")
     require(driverCutover >= 0L,
       s"driverCutover must be >= 0, got $driverCutover")
+    require(pruneMode == "expected" || pruneMode == "loss",
+      s"pruneMode must be expected or loss, got $pruneMode")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -352,15 +359,78 @@ object Unigram {
     }
 
     // ---- prune to vocabSize (alphabet kept), final EM resettle ----
+    // Two published rules, selected by `pruneMode`:
+    //  - "expected" (default, r13 behavior): drop the multi-cp
+    //    pieces with the least E-step posterior mass — the
+    //    expected-count simplification of Kudo §3.2.
+    //  - "loss" (r14, the paper rule): Viterbi-segment the word
+    //    table once under the current model, count each piece's
+    //    Viterbi occurrences, and score piece p by the LIKELIHOOD
+    //    LOSS of removing it — count_p · (score(p) − altScore(p)),
+    //    where altScore is p's own best re-segmentation WITHOUT p
+    //    (driver-side DP per piece: vocab × len² lookups, the
+    //    SentencePiece prune recipe). Pieces the Viterbi path never
+    //    uses lose nothing and are dropped first. Both rules ride
+    //    the same bounded word table; counts are exact Longs, so
+    //    the loss ranking is partition-independent like everything
+    //    else here.
     val nAlpha = scores.keysIterator.count(alphaSet.contains)
     val keepMulti = math.max(0, vocabSize - nAlpha)
-    val kept = scores.keysIterator
-      .filterNot(alphaSet.contains)
-      .map(p => (p, lastMass.getOrElse(p, 0L)))
-      .toArray
-      .sortWith { case ((pa, ma), (pb, mb)) =>
-        ma > mb || (ma == mb && utf8Lt(pa, pb)) }
-      .take(keepMulti).map(_._1).toSet
+    def viterbiCounts(cur: Map[String, Double]): Map[String, Long] = {
+      val ml = math.max(1, cur.keysIterator.map(cpLen).max)
+      if (localWords != null) {
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        localWords.foreach { case (w, f) =>
+          viterbiWord(w, cur, ml, -1e9).foreach { p =>
+            acc(p) = acc.getOrElse(p, 0L) + f } }
+        acc.toMap
+      } else {
+        val bc = spark.sparkContext.broadcast(cur)
+        try {
+          wc.mapPartitions { it =>
+              val acc = scala.collection.mutable.HashMap.empty[String, Long]
+              val v = bc.value
+              it.foreach { case (w, f) =>
+                viterbiWord(w, v, ml, -1e9).foreach { p =>
+                  acc(p) = acc.getOrElse(p, 0L) + f } }
+              acc.iterator
+            }.toDF("piece", "cnt")
+            .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+            .as[(String, Long)].collect().toMap
+        } finally bc.destroy()
+      }
+    }
+    val kept: Set[String] = pruneMode match {
+      case "expected" =>
+        scores.keysIterator
+          .filterNot(alphaSet.contains)
+          .map(p => (p, lastMass.getOrElse(p, 0L)))
+          .toArray
+          .sortWith { case ((pa, ma), (pb, mb)) =>
+            ma > mb || (ma == mb && utf8Lt(pa, pb)) }
+          .take(keepMulti).map(_._1).toSet
+      case "loss" =>
+        val ml = math.max(1, scores.keysIterator.map(cpLen).max)
+        val vc = viterbiCounts(scores)
+        scores.keysIterator
+          .filterNot(alphaSet.contains)
+          .map { p =>
+            val c = vc.getOrElse(p, 0L)
+            val loss =
+              if (c == 0L) Double.NegativeInfinity // unused: free to drop
+              else {
+                val without = scores - p
+                val alt = viterbiWord(p, without, ml, -1e9)
+                  .map(q => without.getOrElse(q, -1e9)).sum
+                c.toDouble * (scores(p) - alt) // ≥ 0: alt is without-p best
+              }
+            (p, loss)
+          }
+          .toArray
+          .sortWith { case ((pa, la), (pb, lb)) =>
+            la > lb || (la == lb && utf8Lt(pa, pb)) }
+          .take(keepMulti).map(_._1).toSet
+    }
     scores = scores.filter { case (p, _) =>
       alphaSet.contains(p) || kept.contains(p) }
     val finalMass = emPass(scores)

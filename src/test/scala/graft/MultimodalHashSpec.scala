@@ -241,4 +241,94 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(direct == viaFace, "the public face must be the same machinery")
     assert(direct.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
   }
+
+  // ---- r14: perceptual AUDIO hash (band-energy transitions) -------
+
+  /** synthesize a WAV: 17 duration-proportional windows, band b's
+    * tone amplitude HIGH (0.2) or LOW (0.025) per window according
+    * to `hi(t, b)` — the energy image the hash reads, planted
+    * directly. */
+  private def toneWav(hi: (Int, Int) => Boolean, rate: Float,
+                      gain: Double = 1.0,
+                      seconds: Double = 0.85): Array[Byte] = {
+    val bands = Seq(400.0, 800.0, 1600.0, 3200.0)
+    val n = (rate * seconds).toInt
+    val samples = new Array[Short](n)
+    for (i <- 0 until n) {
+      val t = (i.toLong * 17 / n).toInt
+      val tau = i / rate.toDouble
+      var x = 0.0
+      for (b <- bands.indices) {
+        val a = if (hi(t, b)) 0.2 else 0.025
+        x += a * math.sin(2 * math.Pi * bands(b) * tau)
+      }
+      samples(i) = math.max(-32767, math.min(32767,
+        math.round(x * gain * 32767))).toShort
+    }
+    Multimodal.wavBytes(samples, rate)
+  }
+
+  /** phase-alternating pattern per (group, band): every window
+    * transition is decisive (0.2 vs 0.025 — a 64× energy margin), so
+    * the hash is a pure function of the group with no tie flutter. */
+  private def groupPattern(g: Int)(t: Int, b: Int): Boolean =
+    (t + ((g >> b) & 1)) % 2 == 0
+
+  private def audioHash(rows: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+    Multimodal.audioHashes(mediaDf(rows)).as[(Long, Long)]
+      .collect().toMap
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("audioHash: gain-invariant EXACTLY, resample-robust, groups " +
+    "distinct, silence hashes to 0, garbage/short/narrow dropped") {
+    val g0 = toneWav(groupPattern(0), 8000f)
+    val g0Gain = toneWav(groupPattern(0), 8000f, gain = 0.35)
+    val g0Rate = toneWav(groupPattern(0), 16000f)
+    val g1 = toneWav(groupPattern(1), 8000f)
+    val g5 = toneWav(groupPattern(5), 8000f)
+    val silent = Multimodal.wavBytes(new Array[Short](8000), 8000f)
+    val short = Multimodal.wavBytes(new Array[Short](100), 8000f)
+    val narrow = toneWav(groupPattern(0), 4000f) // Nyquist < top band
+    val garbage = "not audio at all".getBytes("UTF-8")
+    val h = audioHash(Seq(
+      (1L, g0), (2L, g0Gain), (3L, g0Rate), (4L, g1), (5L, g5),
+      (6L, silent), (7L, short), (8L, narrow), (9L, garbage)))
+    // gain: exact (every energy scales by gain^2, comparisons frozen)
+    assert(h(2L) == h(1L), "gain must not change the hash")
+    // resample: the 64x planted margins swamp leakage differences
+    assert(hamming(h(3L), h(1L)) <= 2,
+      s"resampled copy drifted ${hamming(h(3L), h(1L))} bits")
+    // distinct groups differ in exactly the planted band phases
+    assert(h(1L) != h(4L) && h(1L) != h(5L) && h(4L) != h(5L))
+    assert(h(6L) == 0L, "silence is the all-zero signature")
+    assert(!h.contains(7L), "too-short clip must be dropped")
+    assert(!h.contains(8L), "sub-8kHz clip must be dropped")
+    assert(!h.contains(9L), "non-audio payload must be dropped")
+  }
+
+  test("audio near-dup rides the generic signature machinery " +
+    "unchanged: pairs via signaturePairs, screen via " +
+    "signaturePairsAgainst") {
+    // two dup groups (gain/rate variants) + one loner
+    val rows = Seq(
+      (10L, toneWav(groupPattern(0), 8000f)),
+      (11L, toneWav(groupPattern(0), 16000f, gain = 0.5)),
+      (20L, toneWav(groupPattern(3), 8000f)),
+      (21L, toneWav(groupPattern(3), 8000f, gain = 0.25)),
+      (30L, toneWav(groupPattern(6), 8000f)))
+    val sigs = Multimodal.audioHashes(mediaDf(rows))
+    val pairs = graft.operators.Dedup.signaturePairs(sigs, "media_id",
+        "audio_hash", maxDistance = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (20L, 21L)))
+    // screen face: a resampled batch copy finds its corpus source
+    val batch = mediaDf(Seq((99L, toneWav(groupPattern(0), 16000f))))
+    val hits = graft.operators.Dedup.signaturePairsAgainst(
+        Multimodal.audioHashes(batch), sigs, "media_id", "audio_hash",
+        maxDistance = 4)
+      .select($"id_b", $"id_c").as[(Long, Long)].collect().toSet
+    assert(hits == Set((99L, 10L), (99L, 11L)))
+  }
 }

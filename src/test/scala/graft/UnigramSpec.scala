@@ -269,4 +269,35 @@ class UnigramSpec extends SparkTestBase {
       .getSeq[String](2)
     assert(enc.mkString == "thecatsawzebras😀leap")
   }
+
+  test("pruneMode loss vs expected: the two published rules disagree " +
+    "on the designed fixture, loss path is cutover-invariant") {
+    // 'ab' carries the most posterior MASS (10 occurrences, and the
+    // 6+6 standalone a's and b's keep the split segmentation live
+    // but subdominant) — the expected-count rule keeps it. Removing
+    // it is still CHEAP (the [a, b] alternative costs ~1 nat per
+    // occurrence), while 'cd''s characters exist ONLY inside it, so
+    // its removal forces two floored-alphabet pieces — a ~30-nat
+    // per-occurrence gap × 4 occurrences. The likelihood-loss rule
+    // therefore keeps 'cd'. vocabSize = 4 alphabet + 1 multi slot.
+    val words = Seq.fill(6)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(10)("ab") ++ Seq.fill(4)("cd")
+    val df = words.map(Tuple1(_)).toDF("text")
+    def multiPieces(mode: String, cutover: Long = 1L << 20): Set[String] =
+      Unigram.train(df, "text", vocabSize = 5, maxPieceLen = 2,
+          seedSize = 64, emIters = 2, driverCutover = cutover,
+          pruneMode = mode)
+        .collect().map(_.getString(0)).filter(_.length > 1).toSet
+    val expected = multiPieces("expected")
+    val loss = multiPieces("loss")
+    assert(expected == Set("ab"),
+      s"expected-count rule should keep the mass leader, got $expected")
+    assert(loss == Set("cd"),
+      s"likelihood-loss rule should keep the irreplaceable piece, got $loss")
+    // exact-integer Viterbi counts: distributed == driver cutover
+    assert(multiPieces("loss", cutover = 0L) == loss)
+    intercept[IllegalArgumentException] {
+      Unigram.train(df, "text", vocabSize = 5, pruneMode = "both")
+    }
+  }
 }
