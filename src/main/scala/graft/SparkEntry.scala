@@ -8025,7 +8025,51 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS rep_id,
              | CAST(count(*) AS BIGINT) AS n_dups
              |FROM documents GROUP BY doc_id % 8
-             |ORDER BY rep_id""".stripMargin))
+             |ORDER BY rep_id""".stripMargin)),
+
+    // Phrase blocklist PERSISTENCE (r14 — the q226/q228/q239 pattern
+    // closing VERDICT r13 #3): the q243 blocklist is saved in
+    // canonical form under __fmt + count + set-digest stamps
+    // (savePhrases), loaded back (digest recomputed and validated —
+    // a truncated or edited blocklist refuses to load, because it
+    // would filter LESS, not slower), and tagging reproduces q243's
+    // oracle VERBATIM — proving the persisted artifact carries the
+    // phrase set exactly, so production filter cycles compile one
+    // vetted blocklist instead of re-deriving it per run.
+    Q("q250_phrase_persisted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30)
+        .select(col("w").as("phrase"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q250_phrases").toString + "/block"
+      graft.operators.Phrases.savePhrases(s, phrases, path)
+      val loaded = graft.operators.Phrases.loadPhrases(s, path)
+      graft.operators.Phrases.tagPhrases(docs, "text", loaded)
+        .select(col("lang"),
+          size(col("matched_phrases")).as("nm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nm") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("nm")).as("n_matches"))
+        .orderBy(col("lang"))
+    },
+      Some(s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w
+              |    FROM documents),
+              |p AS (SELECT w AS phrase FROM (
+              |    SELECT w, count(*) AS c FROM tok GROUP BY w
+              |    ORDER BY c DESC, w ASC LIMIT 30)),
+              |m AS (SELECT d.lang, d.doc_id, count(p.phrase) AS nm
+              |  FROM documents d LEFT JOIN p
+              |    ON contains(lower(d.text), p.phrase)
+              |  GROUP BY 1, 2)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              | CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |   AS n_flagged,
+              | CAST(sum(nm) AS BIGINT) AS n_matches
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
