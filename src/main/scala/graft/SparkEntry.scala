@@ -100,18 +100,55 @@ object SparkEntry {
     (base, b1, b2)
   }
 
-  /** fresh durable admission state (corpus parquet + persisted
-    * minhash index) in a new temp dir — per INVOCATION, so bench
-    * passes and verify reruns are deterministic. */
-  private def admissionState(base: DataFrame, tag: String) = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_adm_$tag")
-    val corpusDir = tmp.resolve("corpus").toString
-    val indexDir = tmp.resolve("index").toString
-    base.write.mode("overwrite").parquet(corpusDir)
-    Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64, bands = 32)
-      .write.mode("overwrite").parquet(indexDir)
-    (corpusDir, indexDir, tmp)
+  /** r15 admission gate diet (VERDICT r14 item 1, ProbeQ123b): the
+    * family's eight gate queries each rebuilt their initial durable
+    * state (corpus parquet + persisted index) on EVERY invocation —
+    * ~1.5–2.5 s of pure fixture setup per pass, and the family
+    * priced ~16% of the quiet gate. The initial state is a pure
+    * function of (sfDir, layout params), so it is built ONCE per
+    * (JVM, sfDir) into a read-only TEMPLATE dir and file-copied into
+    * a fresh temp dir per invocation — the cycles MUTATE the state,
+    * so handing out the template dir itself would corrupt later
+    * passes. A recursive copy of the few-MB state is ~50 ms vs the
+    * ~2 s rebuild; answers are byte-identical because the copied
+    * state is. Same per-(JVM, sfDir) memo pattern as q241's
+    * sigIndexPath (fixture cost, not operator cost — admitBatch/
+    * admitStream still run their full cycles live every pass). */
+  private val admTemplateCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), java.nio.file.Path]
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
   }
+  private def admissionStateMemo(tag: String, dir: String)
+                                (build: (String, String) => Unit)
+  : (String, String, java.nio.file.Path) = {
+    val template = admTemplateCache.getOrElseUpdate((tag, dir), {
+      val t = java.nio.file.Files.createTempDirectory(s"graft_admtpl_$tag")
+      build(t.resolve("corpus").toString, t.resolve("index").toString)
+      t
+    })
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_adm_$tag")
+    copyTree(template, tmp)
+    (tmp.resolve("corpus").toString, tmp.resolve("index").toString, tmp)
+  }
+
+  /** fresh durable admission state (corpus parquet + persisted
+    * minhash index) in a new temp dir per INVOCATION, template-
+    * memoized per (JVM, sfDir) — shared by q122/q123 (identical
+    * initial state by construction). */
+  private def admissionState(base: DataFrame, dir: String) =
+    admissionStateMemo("mh64x32", dir) { (corpusDir, indexDir) =>
+      base.write.mode("overwrite").parquet(corpusDir)
+      Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(indexDir)
+    }
 
   /** sequential SQL replay of both EMBEDDING admission cycles with
     * exact cosine — shared verbatim by q124 (plain index) and q216
@@ -674,7 +711,17 @@ object SparkEntry {
     * (64× energy margin), so [[Multimodal.audioHashes]] maps group
     * → hash as a pure function, independent of `rate` and `gain`
     * (the invariances q249 plants its duplicate waves on). */
-  private def toneWav(g: Int, rate: Float, gain: Double): Array[Byte] = {
+  private val toneWavMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, Float, Double), Array[Byte]]
+  private def toneWav(g: Int, rate: Float, gain: Double): Array[Byte] =
+    // q249's id-space maps to only 8×2×2 = 32 distinct (g, rate, gain)
+    // tuples, but 5,000 rows; memoizing per executor JVM cuts the
+    // per-sample sin() synthesis ~150× (r14 verdict finding 1). The
+    // payload is immutable downstream (hash kernels only read it), so
+    // sharing one array across rows is safe.
+    toneWavMemo.getOrElseUpdate((g, rate, gain), toneWavCompute(g, rate, gain))
+  private def toneWavCompute(g: Int, rate: Float, gain: Double): Array[Byte] = {
     val bands = Seq(400.0, 800.0, 1600.0, 3200.0)
     val n = (rate * 0.85).toInt
     val samples = new Array[Short](n)
@@ -2632,7 +2679,7 @@ object SparkEntry {
     // cycles sequentially with exact shingle jaccard.
     Q("q122_admission_loop", (s, dir) => {
       val (base, b1, b2) = admissionFixture(s, dir)
-      val (corpusDir, indexDir, _) = admissionState(base, "q122")
+      val (corpusDir, indexDir, _) = admissionState(base, dir)
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
         dedupWithinBatch = false, batchId = 1L, collectStats = false)
@@ -2653,10 +2700,6 @@ object SparkEntry {
     // storage layout decides the write cost, never the answer.
     Q("q129_admission_partitioned", (s, dir) => {
       val (base, b1, b2) = admissionFixture(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q129")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
       // numParts = 16 at the GATE (r13, VERDICT item 5): the
       // partitioned fold's semantics (dirty-partition selection,
       // clean partitions byte-identical) are exercised by ANY
@@ -2666,10 +2709,14 @@ object SparkEntry {
       // fat. Deployments size numParts to data (the knob is the
       // operator's parameter; DedupSpec pins update == rebuild
       // across layouts).
-      Dedup.indexWritePartitioned(
-        Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64,
-          bands = 32),
-        indexDir, numParts = 16)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("mh64x32p16", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          Dedup.indexWritePartitioned(
+            Dedup.minhashIndex(base, "doc_id", "text", numHashes = 64,
+              bands = 32),
+            i, numParts = 16)
+        }
       graft.streaming.Admission.admitBatch(b1, corpusDir, indexDir,
         "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.6,
         dedupWithinBatch = false, batchId = 1L, collectStats = false)
@@ -2689,7 +2736,7 @@ object SparkEntry {
     // same answer through the production streaming path).
     Q("q123_admission_stream", (s, dir) => {
       val (base, b1, b2) = admissionFixture(s, dir)
-      val (corpusDir, indexDir, tmp) = admissionState(base, "q123")
+      val (corpusDir, indexDir, tmp) = admissionState(base, dir)
       val inDir = tmp.resolve("in").toString
       def parts = new java.io.File(inDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).toSet
@@ -2721,12 +2768,12 @@ object SparkEntry {
     Q("q124_admission_embed", (s, dir) => {
       val base = t(s, dir, "embeddings")
         .filter(col("vec_id") < 2000).select(col("vec_id"), col("embedding"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q124")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
-      Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64)
-        .write.mode("overwrite").parquet(indexDir)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("emb64", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64)
+            .write.mode("overwrite").parquet(i)
+        }
       val b1 = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 30000).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
@@ -2759,14 +2806,14 @@ object SparkEntry {
     Q("q216_admission_embed_partitioned", (s, dir) => {
       val base = t(s, dir, "embeddings")
         .filter(col("vec_id") < 2000).select(col("vec_id"), col("embedding"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q216")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
       // numParts = 16 at the gate — same rationale as q129 (r13)
-      Dedup.indexWritePartitioned(
-        Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64),
-        indexDir, numParts = 16)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("emb64p16", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          Dedup.indexWritePartitioned(
+            Dedup.embeddingIndex(base, "vec_id", "embedding", dim = 64),
+            i, numParts = 16)
+        }
       val b1 = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 30000).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
@@ -3671,13 +3718,13 @@ object SparkEntry {
     // — sequentially in SQL.
     Q("q138_admission_substring", (s, dir) => {
       val (base, b1, b2) = admissionFixture(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q138")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
-      SubstringDedup.gramIndex(base, "doc_id", "text", k = 8,
-          hashKeys = false)
-        .write.mode("overwrite").parquet(indexDir)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("sub8", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          SubstringDedup.gramIndex(base, "doc_id", "text", k = 8,
+              hashKeys = false)
+            .write.mode("overwrite").parquet(i)
+        }
       graft.streaming.Admission.admitBatchSubstring(b1, corpusDir,
         indexDir, "doc_id", "text", k = 8, maxDupCoverage = 0.5,
         hashKeys = false, batchId = 1L, collectStats = false)
@@ -7200,12 +7247,12 @@ object SparkEntry {
           col("embedding").cast("array<double>").as("v"))
       val base = e.select(col("vec_id"), col("v"))
       val centers = semCenters(e, "q231")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q231")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      base.write.mode("overwrite").parquet(corpusDir)
-      SemDedup.assignmentIndex(base, "vec_id", "v", centers)
-        .write.mode("overwrite").parquet(indexDir)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("sem", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          SemDedup.assignmentIndex(base, "vec_id", "v", centers)
+            .write.mode("overwrite").parquet(i)
+        }
       val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
       val batch = base.filter(col("vec_id") < 40)
         .select((col("vec_id") + 10000).as("vec_id"),
@@ -7687,16 +7734,16 @@ object SparkEntry {
     Q("q242_admission_signature", (s, dir) => {
       import graft.streaming.Admission
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val corpusH = Multimodal.imageHashes(
-        patternMedia(docs.filter(col("doc_id") < 196),
-          id => fanoLines((id % 7).toInt).toSet), "ahash")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_q242")
-      val corpusDir = tmp.resolve("corpus").toString
-      val indexDir = tmp.resolve("index").toString
-      corpusH.write.mode("overwrite").parquet(corpusDir)
-      Dedup.signatureIndex(corpusH, "media_id", "img_hash",
-          maxDistance = 8)
-        .write.mode("overwrite").parquet(indexDir)
+      val (corpusDir, indexDir, _) =
+        admissionStateMemo("sig", dir) { (c, i) =>
+          val corpusH = Multimodal.imageHashes(
+            patternMedia(docs.filter(col("doc_id") < 196),
+              id => fanoLines((id % 7).toInt).toSet), "ahash")
+          corpusH.write.mode("overwrite").parquet(c)
+          Dedup.signatureIndex(corpusH, "media_id", "img_hash",
+              maxDistance = 8)
+            .write.mode("overwrite").parquet(i)
+        }
       val batch = Multimodal.imageHashes(patternMedia(
         docs.filter(col("doc_id") < 28)
           .select((col("doc_id") + 10000).as("doc_id"))

@@ -64,7 +64,7 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       if (img != null)
         return (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
     val h = java.util.Arrays.hashCode(bytes)
     (math.abs(h % 1920) + 1, math.abs((h >> 8) % 1080) + 1, 3)
   }
@@ -98,7 +98,7 @@ object Multimodal {
       val r = (fmt.getSampleRate, fmt.getChannels, in.getFrameLength)
       in.close()
       Some(r)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- partition-batched transforms ------------------------------------
 
@@ -209,7 +209,7 @@ object Multimodal {
         }
         return Some(out)
       }
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
     None
   }
 
@@ -313,7 +313,12 @@ object Multimodal {
         i += 1
       }
       Some((out, target.getSampleRate))
-    } catch { case _: Throwable => None }
+      // NonFatal only (ADVICE r14): an undecodable payload is a data
+      // condition and the row drops, but OutOfMemoryError /
+      // InterruptedException are resource failures that must
+      // propagate — swallowing them here would mask an executor
+      // problem as "undecodable media"
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Goertzel power of the frequency-`f` component over
     * `x[a, a+len)`: |X(f)|² / len² — the len² normalization makes a
@@ -467,7 +472,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Throwable => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide)
             Row(r.getLong(0), bytes,
               if (img == null) null else Integer.valueOf(img.getWidth),

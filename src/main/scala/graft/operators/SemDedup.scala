@@ -221,12 +221,33 @@ object SemDedup {
     // broadcast join ⇒ the fan-out rows stay task-local; partial
     // aggregation collapses them map-side, so the ONE shuffle here
     // carries n (id, struct, vec) rows — corpus-linear, never
-    // candidate-linear
+    // candidate-linear.
+    //
+    // Duplicate-id guard (ADVICE r14): this argmin GROUPS BY id, so a
+    // non-unique id column — tolerated by the flat face, which maps
+    // row-wise — would silently collapse to ONE nondeterministically
+    // chosen row. Rather than pay a separate count/countDistinct pass
+    // (an extra corpus scan at 100 TB), the guard rides the SAME
+    // aggregation: min/max of a 64-bit vector hash per id are
+    // partial-agg-friendly, and a mismatch (same id, DIFFERING
+    // vectors — the nondeterministic case) raises at action time.
+    // Duplicate ids with BYTE-IDENTICAL vectors remain deterministic
+    // (every candidate struct is equal) and dedup to one output row —
+    // the documented divergence from the flat face, which preserves
+    // multiplicity.
     scored.groupBy(col("id"))
-      .agg(min(col("__s")).as("__m"), first(col(vecName)).as(vecName))
+      .agg(min(col("__s")).as("__m"), first(col(vecName)).as(vecName),
+        min(xxhash64(col(vecName))).as("__h0"),
+        max(xxhash64(col(vecName))).as("__h1"))
       .select(col("id"), col(vecName),
         col("__m").getField("i").as("cluster"),
-        col("__m").getField("cc").as("centroid_cosine"))
+        when(col("__h0") === col("__h1"), col("__m").getField("cc"))
+          .otherwise(raise_error(concat(
+            lit("assignRouted: duplicate id with differing vectors " +
+              "(id="), col("id").cast("string"),
+            lit(") — the routed argmin groups by id; make ids unique " +
+              "upstream (the flat face preserves duplicate rows)"))))
+          .as("centroid_cosine"))
   }
 
   /** IVF-ROUTED face of [[assign]] — the at-scale assignment path
@@ -250,10 +271,18 @@ object SemDedup {
     * ~nProbe·k/nCells.
     *
     * Contract: `idCol` must be unique (exact dedup is upstream's
-    * job — the routed argmin groups by id, so duplicate ids would
-    * collapse; the flat face instead preserves them). Returns
-    * (idCol, cluster, centroid_cosine) — the [[assignmentIndex]]
-    * shape; vectors stay in the caller's frame.
+    * job). The routed argmin groups by id, so this is ENFORCED, not
+    * assumed (ADVICE r14): a duplicate id carrying differing vectors
+    * raises at action time — the guard rides the argmin's own
+    * aggregation (min/max vector hash), costing no extra corpus
+    * pass. Duplicate ids with byte-identical vectors dedup to one
+    * output row (deterministically); the flat face instead preserves
+    * duplicate rows — the one documented divergence between the two
+    * faces, inherited by every auto-dispatching caller
+    * (semDedupPairs / screenPairs / assign*-family) once k crosses
+    * [[FlatAssignMaxCenters]]. Returns (idCol, cluster,
+    * centroid_cosine) — the [[assignmentIndex]] shape; vectors stay
+    * in the caller's frame.
     *
     * Engine shape at 100 TB: one corpus pass (coarse probe is
     * row-local), one broadcast of the k-row center table

@@ -177,6 +177,16 @@ object Skew {
       }
       val lo = saltedJoin(left, right, keys, salt, "left", seed,
         hotKeyThreshold, maxHotKeys)
+      // Accepted extra pass (ADVICE r14): this distinct is a second
+      // left-side scan on top of the recursive left-join's census.
+      // Sharing the census frame would not actually save it — the
+      // census persist window closes inside that call (finally
+      // unpersist), and the plan returned here is LAZY, so by the
+      // time a caller runs an action the census would recompute
+      // anyway; the distinct and the census groupBy are the same
+      // shuffle class. Crucially only KEY columns ride this shuffle
+      // (keys-only distinct), never payload rows — at 100 TB the
+      // cost is one column-pruned scan + a keys-only exchange.
       val leftKeys = left.select(keys.map(col): _*).distinct()
       val unmatched = right.join(leftKeys, keys, "left_anti")
       val keySet = keys.toSet

@@ -90,9 +90,11 @@ object Admission {
   /** per-batch admission telemetry: rows in the arriving batch, rows
     * surviving the exact id screen, rows admitted after all screens
     * (== rows appended to the corpus and folded into the index).
-    * `batchRows`/`afterIdScreen` are -1 when the cycle ran with
-    * `collectStats = false` (each costs one extra Spark job; the
-    * admitted count is always real — it gates the writes). */
+    * `batchRows` is -1 when the cycle ran with `collectStats = false`
+    * (it costs one extra Spark job); `afterIdScreen` and `admitted`
+    * are always real — the former's count is the cycle's cache-
+    * materialization barrier (see admitCore), the latter gates the
+    * writes. */
   case class AdmitStats(batchId: Long, batchRows: Long, afterIdScreen: Long,
                         admitted: Long)
 
@@ -153,7 +155,17 @@ object Admission {
     // the id-namespace contract; a null id would bypass this screen.
     val fresh = Dedup.exactAgainst(batch.dropDuplicates(idCol), corpus,
       Seq(idCol), hashKeys = false).cache()
-    val nFresh = if (collectStats) fresh.count() else -1L
+    // materialize the cache BEFORE the screen fans out over it —
+    // unconditionally, not just under collectStats. `fresh` feeds
+    // three plan branches (the near screen's banding, its
+    // verification join, and the final left_anti), and an UNFILLED
+    // cache makes each branch recompute the id screen, re-scanning
+    // the CORPUS once per branch — at 100 TB that triples the
+    // cycle's dominant cost (r15 ProbeQ123c: streaming
+    // numInputRows showed the batch source read twice per cycle
+    // with collectStats = false). One batch-bounded count job buys
+    // corpus-scan-once; afterIdScreen is therefore always real now.
+    val nFresh = fresh.count()
     val matched = screen(fresh, corpus, index)
       .select(col("id_new").as(idCol)).distinct()
     val screened = fresh.join(matched, Seq(idCol), "left_anti")

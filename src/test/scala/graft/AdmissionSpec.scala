@@ -185,7 +185,10 @@ class AdmissionSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val s = Admission.admitBatch(batch, c, i, "doc_id", "text",
       numHashes = 64, bands = 32, threshold = 0.6, collectStats = false)
-    assert(s.batchRows == -1L && s.afterIdScreen == -1L)
+    // batchRows is the only skipped count; afterIdScreen is always
+    // real since r15 — its count doubles as the cache-materialization
+    // barrier that keeps the corpus scanned once per cycle
+    assert(s.batchRows == -1L && s.afterIdScreen == 1L)
     assert(s.admitted == 1L)
     assert(corpusIds(c) == ((0L until 40L) :+ 100L))
   }

@@ -387,4 +387,29 @@ class SemDedupSpec extends SparkTestBase {
         nCells = big)
     }
   }
+
+  test("assignRouted duplicate-id guard (ADVICE r14): differing " +
+    "vectors under one id raise; identical vectors dedup to one row") {
+    // same id, DIFFERING vectors: the routed argmin groups by id, so
+    // this would collapse nondeterministically — must raise instead
+    val bad = Seq((1L, vec(0.9, 0.1, 0.0)), (1L, vec(0.0, 1.1, 0.1)),
+      (2L, vec(0.1, 0.0, 0.8))).toDF("id", "v")
+    val e = intercept[Exception] {
+      SemDedup.assignRouted(bad, "id", "v", centers, nCells = 2).collect()
+    }
+    assert(e.getMessage != null && (
+        e.getMessage.contains("duplicate id") ||
+        Option(e.getCause).exists(_.getMessage.contains("duplicate id"))),
+      s"wrong error: ${e.getMessage}")
+    // same id, BYTE-IDENTICAL vectors: deterministic — dedups to one
+    // row with the same assignment the flat face gives that row
+    val dup = Seq((1L, vec(0.9, 0.1, 0.0)), (1L, vec(0.9, 0.1, 0.0)),
+      (2L, vec(0.1, 0.0, 0.8))).toDF("id", "v")
+    val got = SemDedup.assignRouted(dup, "id", "v", centers, nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = SemDedup.assign(dup.dropDuplicates("id"), "v", centers)
+      .select($"id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == flat && got.size == 2)
+  }
 }
