@@ -19,6 +19,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** [[tokens]] with Locale.ROOT lowering — the TRAIN-side twin of
+    * the tokenizer encoders' `toLowerCase(Locale.ROOT)` (r15): Spark
+    * `lower()` lowers non-ASCII under the JVM default locale, so the
+    * trilogy's trainers ride this instead — train and encode now
+    * agree on every JVM locale (TokenizerLocaleSpec pins tr-TR).
+    * Identical to [[tokens]] on any ROOT-like locale (only tr/az/lt
+    * defaults diverge), so DuckDB `lower()` oracle parity is
+    * unchanged. */
+  def tokensRoot(text: Column): Column =
+    filter(split(graft.expressions.TextExpressions.rootLower(trim(text)),
+      "\\s+"), t => length(t) > 0)
+
   /** whitespace token count — cheap scan-side metric */
   def tokenCount(text: Column): Column = size(tokens(text))
 

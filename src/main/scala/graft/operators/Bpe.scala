@@ -50,9 +50,9 @@ object Bpe {
   val EndOfWord = "</w>"
 
   /** Learn `numMerges` BPE merges from `textCol` over the corpus.
-    * Words are [[TextFunctions.tokens]] (lowercased whitespace
-    * tokens) so learned units agree with every other token metric in
-    * the engine. Returns (rank int, left string, right string,
+    * Words are [[TextFunctions.tokensRoot]] (ROOT-lowercased whitespace
+    * tokens — the encoder's exact lowering) so learned units agree
+    * with every other token metric in the engine. Returns (rank int, left string, right string,
     * freq long) ordered by rank — `freq` is the corpus-wide count of
     * the merged pair at the moment it won. Stops early when no
     * remaining pair reaches `minFreq` (so ranks are dense but the
@@ -177,7 +177,10 @@ object Bpe {
   : Dataset[(Seq[String], Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    // tokensRoot, not tokens (r15): encode() lowers with Locale.ROOT,
+    // so the trained merges must too — on tr/az/lt-default JVMs the
+    // Spark lower() twin would count different words than encode sees
+    df.select(explode(TextFunctions.tokensRoot(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (toSymbols(w), f) }
@@ -352,13 +355,10 @@ object Bpe {
         // only spaces) and breaking round-trip losslessness on
         // control-char-edged text; split + nonEmpty filter handles
         // leading/trailing whitespace identically. Lowering is
-        // Locale.ROOT, but train()'s word counts ride Spark lower(),
-        // which falls back to the JVM DEFAULT locale for non-ASCII —
-        // parity between the trained vocab and this encoder therefore
-        // assumes a ROOT-equivalent default locale (e.g. en/POSIX; a
-        // tr-TR JVM maps 'I' to dotless ı on the train side only).
-        // Run fit and encode under the same, ROOT-like locale — the
-        // Phrases blocklist documents the identical requirement.
+        // Locale.ROOT on BOTH sides since r15: the trainers count
+        // words through TextFunctions.tokensRoot (the shared
+        // ROOT-lower expression), so train == encode on every JVM
+        // locale — TokenizerLocaleSpec pins tr-TR.
         text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>

@@ -113,13 +113,10 @@ object Unigram {
         // only spaces) and breaking round-trip losslessness on
         // control-char-edged text; split + nonEmpty filter handles
         // leading/trailing whitespace identically. Lowering is
-        // Locale.ROOT, but train()'s word counts ride Spark lower(),
-        // which falls back to the JVM DEFAULT locale for non-ASCII —
-        // parity between the trained vocab and this encoder therefore
-        // assumes a ROOT-equivalent default locale (e.g. en/POSIX; a
-        // tr-TR JVM maps 'I' to dotless ı on the train side only).
-        // Run fit and encode under the same, ROOT-like locale — the
-        // Phrases blocklist documents the identical requirement.
+        // Locale.ROOT on BOTH sides since r15: the trainers count
+        // words through TextFunctions.tokensRoot (the shared
+        // ROOT-lower expression), so train == encode on every JVM
+        // locale — TokenizerLocaleSpec pins tr-TR.
         text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>
@@ -227,7 +224,10 @@ object Unigram {
   /** (word, freq) over the corpus — the single corpus-proportional
     * pass everything else rides. */
   private def wordCountsDF(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    // tokensRoot, not tokens (r15): encode() lowers with Locale.ROOT,
+    // so the trained vocab must too — on tr/az/lt-default JVMs the
+    // Spark lower() twin would count different words than encode sees
+    df.select(explode(TextFunctions.tokensRoot(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** positional substring counts of a (word, freq) table. Substring

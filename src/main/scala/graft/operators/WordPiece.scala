@@ -53,13 +53,10 @@ object WordPiece {
         // only spaces) and breaking round-trip losslessness on
         // control-char-edged text; split + nonEmpty filter handles
         // leading/trailing whitespace identically. Lowering is
-        // Locale.ROOT, but train()'s word counts ride Spark lower(),
-        // which falls back to the JVM DEFAULT locale for non-ASCII —
-        // parity between the trained vocab and this encoder therefore
-        // assumes a ROOT-equivalent default locale (e.g. en/POSIX; a
-        // tr-TR JVM maps 'I' to dotless ı on the train side only).
-        // Run fit and encode under the same, ROOT-like locale — the
-        // Phrases blocklist documents the identical requirement.
+        // Locale.ROOT on BOTH sides since r15: the trainers count
+        // words through TextFunctions.tokensRoot (the shared
+        // ROOT-lower expression), so train == encode on every JVM
+        // locale — TokenizerLocaleSpec pins tr-TR.
         text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty)
           .flatMap { w =>
