@@ -366,7 +366,25 @@ object Multimodal {
     * — the band screen's `maxBucketSize` refusal is the documented
     * guard for blank-media floods); clips shorter than 8 samples per
     * window and rates below 8 kHz return None (too short / too
-    * narrow to fingerprint honestly). */
+    * narrow to fingerprint honestly).
+    *
+    * NON-goals (r15, VERDICT r14 item 7 — stated so callers size
+    * recall expectations correctly):
+    *  - clip/time-shift invariance: windows are proportional to the
+    *    WHOLE clip, so trimming or padding re-phases every window
+    *    boundary and the hash moves arbitrarily (spec-pinned:
+    *    MultimodalHashSpec asserts a trimmed copy lands OUTSIDE the
+    *    dedup screen's Hamming radius). This kernel is for
+    *    exact-content dedup under re-encoding (gain/resample);
+    *    shift-robust matching is chromaprint's overlapping
+    *    fixed-length sliding windows + subsequence search — a
+    *    different index shape (per-clip hash SEQUENCES, not one
+    *    64-bit row), the documented extension path.
+    *  - formats beyond the JDK codec set: [[pcmMono]] decodes what
+    *    javax.sound ships (WAV/AIFF/AU); mp3/flac/ogg would need
+    *    external decoder dependencies absent from this build, so
+    *    such payloads return None and drop from [[audioHashes]]
+    *    rather than fingerprinting container bytes. */
   private[multimodal] def audioHashKernel(bytes: Array[Byte])
       : Option[Long] =
     pcmMono(bytes).flatMap { case (x, sr) =>

@@ -448,7 +448,19 @@ object SemDedup {
     * is quadratic in the target, linear in k.
     *
     * At 100 TB pass `fitFraction ≈ fitCap / n` so the sample is
-    * uniform rather than a prefix (the quantizer-fit discipline). */
+    * uniform rather than a prefix (the quantizer-fit discipline).
+    *
+    * Fit-cost sizing at 10⁸-doc scale (r15, measured in ScaleSmoke
+    * `semf` — the curve is in BENCH_NOTES): Lloyd is
+    * O(k · sample · dim · rounds), ~linear in k at fixed sample
+    * (measured 29.5 s at k = 16384 over a 20k-row dim-64 sample on
+    * 32 threads; extrapolated ~10 min single-node at the k = 65536 /
+    * fitCap = 1e5 ceiling). The sample must satisfy k ≤ sample (the
+    * require below), so at the default ceiling fitCap must stay
+    * ≥ 65536 — and raising fitCap beyond ~2·k buys representation,
+    * not speed. The fit is ONE-TIME per corpus snapshot: persist the
+    * result with [[saveCenters]] and amortize it across every
+    * dedup/screen cycle (the q228 pattern); never re-fit per batch. */
   def fitCenters(df: DataFrame, vecCol: String,
                  targetClusterSize: Long = 5000L,
                  maxCenters: Int = 65536, seed: Long = 42L,

@@ -1198,6 +1198,39 @@ object ScaleSmoke {
       }
     }
 
+    // ---- SemDeDup FIT wall (r15, VERDICT r14 item 6): `semr` prices
+    // routed ASSIGNMENT past the flat ceiling; this prices the other
+    // half of provisioning — fitCenters itself (spark.ml Lloyd over
+    // the bounded sample, random init, 10 rounds) as k grows with the
+    // sample held fixed. The model is O(k · sample · dim · rounds),
+    // so the curve should be ~linear in k at fixed sample — the
+    // measured points plus that model are the BENCH_NOTES sizing
+    // recipe for fitCap/fitFraction at 10⁸-doc scale (where k hits
+    // the 65536 default ceiling and sample = fitCap = 1e5).
+    if (on("semf")) {
+      import graft.operators.SemDedup
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def signs(i: Int): Seq[Double] =
+        if (i == 0) Seq.fill(64)(1.0)
+        else Seq.tabulate(64)(j =>
+          if ((j * 41 + i * 17) % 97 < 39) -1.0 else 1.0)
+      def block(i: Int) = e0.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        zip_with(col("v"), typedLit(signs(i)), (x, s) => x * s).as("v"))
+      val c = (0 until 10).map(block).reduce(_ unionByName _).cache()
+      val n = c.count() // 10 × embeddings rows (20k at sf0.1)
+      Seq(512, 2048, 8192, 16384).foreach { k =>
+        val t0 = System.nanoTime()
+        val fitted = SemDedup.fitCenters(c, "v",
+          targetClusterSize = math.max(1L, n / k), maxCenters = k)
+        println(f"[scale-smoke] semf n=$n%-6d k=${fitted.length}%-6d " +
+          f"fit ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- hybrid salted join: replicated shuffle volume must track
     // the HOT subset only. Fixture: ~half the left rows land on ONE
     // hot key, the rest are a near-unique tail; the right side is one

@@ -308,6 +308,40 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(!h.contains(9L), "non-audio payload must be dropped")
   }
 
+  test("audioHash NON-goal is executable (r15): a trimmed copy is NOT " +
+    "a near-dup — time-shift invariance is out of contract") {
+    // trim one window's worth of leading samples: windows are
+    // duration-proportional to the WHOLE clip, so every boundary
+    // re-phases and the energy image no longer matches. The kernel
+    // is deliberately NOT shift-robust (chromaprint's overlapping
+    // sliding windows would be — the documented extension); this pin
+    // keeps the contract executable rather than a scaladoc promise.
+    val full = toneWav(groupPattern(0), 8000f)
+    val fullSamples = (8000f * 0.85).toInt
+    val oneWindow = fullSamples / 17
+    val trimmedSamples = new Array[Short](fullSamples - oneWindow)
+    // re-render rather than byte-slice (WAV header carries lengths):
+    // same tone program, one window shorter, starting mid-pattern
+    for (i <- trimmedSamples.indices) {
+      val src = i + oneWindow
+      val t = (src.toLong * 17 / fullSamples).toInt
+      val tau = src / 8000.0
+      var x = 0.0
+      for (b <- Seq(400.0, 800.0, 1600.0, 3200.0).zipWithIndex) {
+        val a = if (groupPattern(0)(t, b._2)) 0.2 else 0.025
+        x += a * math.sin(2 * math.Pi * b._1 * tau)
+      }
+      trimmedSamples(i) = math.max(-32767,
+        math.min(32767, math.round(x * 32767))).toShort
+    }
+    val trimmed = Multimodal.wavBytes(trimmedSamples, 8000f)
+    val h = audioHash(Seq((1L, full), (2L, trimmed)))
+    val d = hamming(h(1L), h(2L))
+    // far outside any dedup screen radius (the audio screens run at
+    // maxDistance 3-8); gain/resample copies sit at <= 2 bits
+    assert(d > 8, s"trimmed copy unexpectedly near: $d bits")
+  }
+
   test("audio near-dup rides the generic signature machinery " +
     "unchanged: pairs via signaturePairs, screen via " +
     "signaturePairsAgainst") {
