@@ -182,6 +182,54 @@ object SparkEntry {
       |  WHERE vec_id NOT IN (SELECT vec_id FROM m2)
       |ORDER BY vec_id""".stripMargin
 
+  /** SQL replay of the one SEMANTIC admission cycle (assignment of
+    * both sides to the label-derived centers, cosine verify within
+    * the assigned cluster, exact id screen) — shared verbatim by
+    * q231 (batch face) and q251 (streaming face, r15): same answer
+    * through the production streaming path, the q123-vs-q122
+    * pattern in semantic space. */
+  private lazy val admissionSemanticOracleSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id + 10000 AS id,
+      |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
+      |      * (1 + 0.01 * ((j % 3) - 1))) AS v
+      |  FROM e WHERE vec_id < 40
+      |  UNION ALL SELECT vec_id + 20000,
+      |    list_transform(range(64), j -> -v[CAST(j+1 AS INT)])
+      |  FROM e WHERE vec_id < 10
+      |  UNION ALL SELECT vec_id, v FROM e WHERE vec_id < 5),
+      |fresh AS (SELECT id, v FROM b
+      |  WHERE id NOT IN (SELECT vec_id FROM e)),
+      |c AS (SELECT e.label AS cl, e.v AS cv FROM e
+      |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
+      |  ON e.vec_id = f.mv),
+      |ac AS (SELECT vec_id, cl FROM (
+      |  SELECT e.vec_id, c.cl,
+      |    list_sum(list_transform(range(64), j ->
+      |      (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+      |      * (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+      |  FROM e, c)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d2, cl) = 1),
+      |ab AS (SELECT id, cl FROM (
+      |  SELECT fresh.id, c.cl,
+      |    list_sum(list_transform(range(64), j ->
+      |      (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
+      |      * (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
+      |  FROM fresh, c)
+      |  QUALIFY row_number() OVER (PARTITION BY id
+      |    ORDER BY d2, cl) = 1),
+      |m AS (SELECT DISTINCT ab.id FROM ab
+      |  JOIN ac ON ab.cl = ac.cl
+      |  JOIN fresh ON fresh.id = ab.id
+      |  JOIN e ON e.vec_id = ac.vec_id
+      |  WHERE list_cosine_similarity(fresh.v, e.v) >= 0.95)
+      |SELECT vec_id FROM e
+      |UNION ALL SELECT id FROM fresh
+      |  WHERE id NOT IN (SELECT id FROM m)
+      |ORDER BY vec_id""".stripMargin
+
   /** exact cosine top-5 for queries vec_id &lt; 10 — shared verbatim
     * by q49 (bruteForceTopK) and q218 (ivfTopK at nProbe ==
     * nCentroids, where the pruned path must degrade to exact). */
@@ -7271,46 +7319,7 @@ object SparkEntry {
       s.read.parquet(corpusDir).select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
-      Some("""WITH e AS (SELECT vec_id, label,
-             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |b AS (SELECT vec_id + 10000 AS id,
-             |    list_transform(range(64), j -> v[CAST(j+1 AS INT)]
-             |      * (1 + 0.01 * ((j % 3) - 1))) AS v
-             |  FROM e WHERE vec_id < 40
-             |  UNION ALL SELECT vec_id + 20000,
-             |    list_transform(range(64), j -> -v[CAST(j+1 AS INT)])
-             |  FROM e WHERE vec_id < 10
-             |  UNION ALL SELECT vec_id, v FROM e WHERE vec_id < 5),
-             |fresh AS (SELECT id, v FROM b
-             |  WHERE id NOT IN (SELECT vec_id FROM e)),
-             |c AS (SELECT e.label AS cl, e.v AS cv FROM e
-             |  JOIN (SELECT label, min(vec_id) AS mv FROM e GROUP BY label) f
-             |  ON e.vec_id = f.mv),
-             |ac AS (SELECT vec_id, cl FROM (
-             |  SELECT e.vec_id, c.cl,
-             |    list_sum(list_transform(range(64), j ->
-             |      (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
-             |      * (e.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
-             |  FROM e, c)
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id
-             |    ORDER BY d2, cl) = 1),
-             |ab AS (SELECT id, cl FROM (
-             |  SELECT fresh.id, c.cl,
-             |    list_sum(list_transform(range(64), j ->
-             |      (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)])
-             |      * (fresh.v[CAST(j+1 AS INT)] - c.cv[CAST(j+1 AS INT)]))) AS d2
-             |  FROM fresh, c)
-             |  QUALIFY row_number() OVER (PARTITION BY id
-             |    ORDER BY d2, cl) = 1),
-             |m AS (SELECT DISTINCT ab.id FROM ab
-             |  JOIN ac ON ab.cl = ac.cl
-             |  JOIN fresh ON fresh.id = ab.id
-             |  JOIN e ON e.vec_id = ac.vec_id
-             |  WHERE list_cosine_similarity(fresh.v, e.v) >= 0.95)
-             |SELECT vec_id FROM e
-             |UNION ALL SELECT id FROM fresh
-             |  WHERE id NOT IN (SELECT id FROM m)
-             |ORDER BY vec_id""".stripMargin)),
+      Some(admissionSemanticOracleSql)),
 
     // Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
     // SentencePiece unigram model), Viterbi face under the FULL hash
@@ -8116,7 +8125,47 @@ object SparkEntry {
               | CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
               |   AS n_flagged,
               | CAST(sum(nm) AS BIGINT) AS n_matches
-              |FROM m GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The STREAMING face of the semantic admission loop (r15,
+    // Admission.admitStreamSemantic — closes the six-space symmetry:
+    // every batch admission face now has its foreachBatch +
+    // checkpoint twin). Identical fixture and cycle as q231, driven
+    // through the production streaming path; gated against q231's
+    // oracle VERBATIM (the q123-vs-q122 pattern in semantic space).
+    Q("q251_admission_semantic_stream", (s, dir) => {
+      import graft.streaming.Admission
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val base = e.select(col("vec_id"), col("v"))
+      val centers = semCenters(e, "q251")
+      val (corpusDir, indexDir, tmp) =
+        admissionStateMemo("sem", dir) { (c, i) =>
+          base.write.mode("overwrite").parquet(c)
+          SemDedup.assignmentIndex(base, "vec_id", "v", centers)
+            .write.mode("overwrite").parquet(i)
+        }
+      val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
+      val batch = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("v"), f1, (x, f) => x * f).as("v"))
+        .unionByName(base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("v"), x => -x).as("v")))
+        .unionByName(base.filter(col("vec_id") < 5))
+      val inDir = tmp.resolve("in").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+        .parquet(inDir)
+      Admission.admitStreamSemantic(stream, corpusDir, indexDir,
+        tmp.resolve("ckpt").toString, "vec_id", "v", centers,
+        minCosine = 0.95, maxClusterSize = Int.MaxValue,
+        dedupWithinBatch = false, collectStats = false)
+      s.read.parquet(corpusDir).select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+      Some(admissionSemanticOracleSql))
   )
 
   // ---- driver contract ---------------------------------------------------

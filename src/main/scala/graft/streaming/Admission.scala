@@ -492,6 +492,31 @@ object Admission {
         compactFileThreshold = compactFileThreshold,
         compactPartitions = compactPartitions))
 
+  /** [[admitStream]]'s SEMANTIC sibling (r15 — closes the six-space
+    * symmetry: every batch admission face now has its streaming
+    * twin): [[admitBatchSemantic]] per micro-batch through
+    * foreachBatch + checkpoint, same replay contract (the id screen
+    * makes an at-least-once replay a no-op). `centers` are
+    * driver-state by nature (they ride the assignment's literal /
+    * routed argmin), so they are fixed for the life of the query —
+    * re-fitting centers mid-stream would silently re-cluster the
+    * corpus; stop the query, re-fit, rebuild the assignment index,
+    * restart (the [[graft.operators.SemDedup.fitCenters]] one-time
+    * discipline). */
+  def admitStreamSemantic(stream: DataFrame, corpusPath: String,
+                          indexPath: String, checkpoint: String,
+                          idCol: String, vecCol: String,
+                          centers: Seq[Seq[Double]],
+                          minCosine: Double = 0.95,
+                          maxClusterSize: Int = 10000,
+                          dedupWithinBatch: Boolean = true,
+                          collectStats: Boolean = true)
+  : Seq[AdmitStats] =
+    streamCore(stream, checkpoint, (b, id) =>
+      admitBatchSemantic(b, corpusPath, indexPath, idCol, vecCol,
+        centers, minCosine, maxClusterSize, dedupWithinBatch,
+        batchId = id, collectStats = collectStats))
+
   /** [[admitStream]]'s embedding sibling. */
   def admitStreamEmbedding(stream: DataFrame, corpusPath: String,
                            indexPath: String, checkpoint: String,

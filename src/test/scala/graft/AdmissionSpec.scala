@@ -494,6 +494,46 @@ class AdmissionSpec extends SparkTestBase {
     assert(corpusIds(corpusDir) == ((0L until 40L) ++ Seq(500L)))
   }
 
+  test("semantic streaming face drives the same assignment cycles " +
+    "(r15 — the sixth space's foreachBatch twin)") {
+    import graft.operators.SemDedup
+    val centers = (0 until 4).map(i =>
+      Seq.tabulate(8)(j => if (j == i) 1.0 else 0.0))
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpusVecs = (0L until 20L).map(i => (i, vec()))
+    val corpusDir = Files.createTempDirectory("graft_adm_sem_c").toString
+    val indexDir = Files.createTempDirectory("graft_adm_sem_i").toString + "/idx"
+    val inDir = Files.createTempDirectory("graft_adm_sem_in").toString
+    val chk = Files.createTempDirectory("graft_adm_sem_chk").toString
+    val corpus = corpusVecs.toDF("vec_id", "v")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    SemDedup.assignmentIndex(corpus, "vec_id", "v", centers)
+      .write.mode("overwrite").parquet(indexDir)
+    val dupOf0 = corpusVecs.head._2.map(_ * 2.0f) // scaled copy: cosine 1
+    Seq((100L, vec()),        // fresh -> admitted
+        (101L, dupOf0),       // near-dup of corpus vec 0 -> rejected
+        (5L, vec()))          // id replay -> exact screen drops it
+      .toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stats = Admission.admitStreamSemantic(
+      spark.readStream.schema("vec_id LONG, v ARRAY<FLOAT>")
+        .parquet(s"$inDir/*.parquet"),
+      corpusDir, indexDir, chk, "vec_id", "v", centers,
+      minCosine = 0.95)
+    assert(stats.map(_.admitted).sum == 1L)
+    val ids = spark.read.parquet(corpusDir).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 20L) :+ 100L))
+    // restart on the same checkpoint: no replay into the corpus
+    val stats2 = Admission.admitStreamSemantic(
+      spark.readStream.schema("vec_id LONG, v ARRAY<FLOAT>")
+        .parquet(s"$inDir/*.parquet"),
+      corpusDir, indexDir, chk, "vec_id", "v", centers,
+      minCosine = 0.95)
+    assert(stats2.map(_.admitted).sum == 0L)
+  }
+
   test("streaming face: foreachBatch loop + checkpoint restart") {
     val (c, i) = setup()
     val base = Files.createTempDirectory("graft_adm_s").toString
