@@ -8165,7 +8165,183 @@ object SparkEntry {
       s.read.parquet(corpusDir).select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
-      Some(admissionSemanticOracleSql))
+      Some(admissionSemanticOracleSql)),
+
+    // Gopher repetition suite part 1 (r15, Rae 2021 A1.2 —
+    // Repetition.dupUnitFractions): duplicate line / paragraph
+    // fractions and their character fractions. The testdata text is
+    // single-line, so the fixture synthesizes multi-line docs
+    // IDENTICALLY on both sides (the q122 fixture discipline): three
+    // lines with the first planted twice, then a second paragraph
+    // that duplicates the first for every third doc. All four
+    // fractions are single int-over-int IEEE divisions, so the hash
+    // gate compares them bit-exactly (the q236 treatment).
+    Q("q252_rep_units", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val l3 = substring(col("text"), 81, 40)
+      val para1 = concat_ws("\n", l1, l2, l1)
+      val multi = docs.select(col("doc_id"),
+        concat(para1, lit("\n\n"),
+          when(col("doc_id") % 3 === 0, para1).otherwise(l3)).as("text"))
+      graft.operators.Repetition
+        .dupUnitFractions(multi, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH m AS (SELECT doc_id,
+             |    substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2,
+             |    substr(text, 81, 40) AS l3 FROM documents),
+             |d AS (SELECT doc_id,
+             |    l1 || chr(10) || l2 || chr(10) || l1
+             |    || chr(10) || chr(10) ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN l1 || chr(10) || l2 || chr(10) || l1
+             |      ELSE l3 END AS text FROM m),
+             |lu AS (SELECT doc_id, trim(u) AS u FROM (
+             |    SELECT doc_id, unnest(string_split_regex(text, '\n')) AS u
+             |    FROM d) WHERE len(trim(u)) > 0),
+             |lc AS (SELECT doc_id, u, count(*) AS k FROM lu GROUP BY 1, 2),
+             |lf AS (SELECT doc_id,
+             |    CAST(sum(k - 1) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+             |      AS dup_line_frac,
+             |    CAST(sum((k - 1) * len(u)) AS DOUBLE)
+             |      / CAST(sum(k * len(u)) AS DOUBLE) AS dup_line_char_frac
+             |  FROM lc GROUP BY 1),
+             |pu AS (SELECT doc_id, trim(u) AS u FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(text, '\n{2,}')) AS u
+             |    FROM d) WHERE len(trim(u)) > 0),
+             |pc AS (SELECT doc_id, u, count(*) AS k FROM pu GROUP BY 1, 2),
+             |pf AS (SELECT doc_id,
+             |    CAST(sum(k - 1) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+             |      AS dup_para_frac,
+             |    CAST(sum((k - 1) * len(u)) AS DOUBLE)
+             |      / CAST(sum(k * len(u)) AS DOUBLE) AS dup_para_char_frac
+             |  FROM pc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(lf.dup_line_frac, 0.0) AS dup_line_frac,
+             |  coalesce(lf.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             |  coalesce(pf.dup_para_frac, 0.0) AS dup_para_frac,
+             |  coalesce(pf.dup_para_char_frac, 0.0) AS dup_para_char_frac
+             |FROM d LEFT JOIN lf USING (doc_id)
+             |LEFT JOIN pf USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition suite part 2 (r15 — topNgramFractions):
+    // characters covered by the single most frequent word n-gram
+    // (n = 2, 3, 4), struct-max tie-break (count desc, length desc,
+    // gram desc) replayed by the oracle's QUALIFY window.
+    Q("q253_rep_topngrams", (s, dir) =>
+      graft.operators.Repetition
+        .topNgramFractions(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t
+              |    FROM documents),
+              |tot AS (SELECT doc_id, len(array_to_string(t, ' ')) AS total
+              |  FROM tk),
+              |g AS (SELECT doc_id, n,
+              |    array_to_string(t[s : s + n - 1], ' ') AS gram
+              |  FROM (SELECT doc_id, t, n,
+              |      unnest(generate_series(1, len(t) - n + 1)) AS s
+              |    FROM tk, (SELECT unnest([2, 3, 4]) AS n)
+              |    WHERE len(t) >= n)),
+              |c AS (SELECT doc_id, n, gram, count(*) AS k
+              |  FROM g GROUP BY 1, 2, 3),
+              |top AS (SELECT doc_id, n,
+              |    CAST(k * len(gram) AS DOUBLE) AS num FROM c
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+              |    ORDER BY k DESC, len(gram) DESC, gram DESC) = 1)
+              |SELECT tot.doc_id,
+              |  coalesce(t2.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top2_char_frac,
+              |  coalesce(t3.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top3_char_frac,
+              |  coalesce(t4.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top4_char_frac
+              |FROM tot
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 2) t2
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 3) t3
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 4) t4
+              |  USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition suite part 3 (r15 — dupNgramCoverage): the
+    // overlap-aware duplicated 5..10-gram character coverage — the
+    // q138 island-merge arithmetic in CHARACTER space, replayed
+    // interval by interval. The fixture appends each doc's first 60
+    // chars to itself (both sides identically) so duplicated long
+    // n-grams exist by construction.
+    Q("q254_rep_dupcoverage", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          substring(col("text"), 1, 60)).as("text"))
+      graft.operators.Repetition
+        .dupNgramCoverage(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    text || ' ' || substr(text, 1, 60) AS text
+              |  FROM documents),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM base),
+              |tot AS (SELECT doc_id, len(array_to_string(t, ' ')) AS total
+              |  FROM tk),
+              |g AS (SELECT doc_id, n, s,
+              |    array_to_string(t[s : s + n - 1], ' ') AS gram,
+              |    CASE WHEN s = 1 THEN 0
+              |      ELSE len(array_to_string(t[1 : s - 1], ' ')) + 1
+              |    END AS cs
+              |  FROM (SELECT doc_id, t, n,
+              |      unnest(generate_series(1, len(t) - n + 1)) AS s
+              |    FROM tk, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n)
+              |    WHERE len(t) >= n)),
+              |gg AS (SELECT doc_id, n, cs, cs + len(gram) - 1 AS ce, gram
+              |  FROM g),
+              |dup AS (SELECT doc_id, n, cs, ce FROM (
+              |    SELECT doc_id, n, cs, ce,
+              |      count(*) OVER (PARTITION BY doc_id, n, gram) AS k
+              |    FROM gg) WHERE k > 1),
+              |isl AS (SELECT doc_id, n, cs, ce,
+              |    sum(ni) OVER (PARTITION BY doc_id, n
+              |      ORDER BY cs, ce) AS island
+              |  FROM (SELECT doc_id, n, cs, ce,
+              |      CASE WHEN cs > coalesce(max(ce) OVER (
+              |          PARTITION BY doc_id, n ORDER BY cs, ce
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |        -10) + 1 THEN 1 ELSE 0 END AS ni
+              |    FROM dup)),
+              |cov AS (SELECT doc_id, n, sum(e - s2 + 1) AS covered FROM (
+              |    SELECT doc_id, n, island, min(cs) AS s2, max(ce) AS e
+              |    FROM isl GROUP BY 1, 2, 3) GROUP BY 1, 2)
+              |SELECT tot.doc_id,
+              |  coalesce(c5.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup5_char_frac,
+              |  coalesce(c6.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup6_char_frac,
+              |  coalesce(c7.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup7_char_frac,
+              |  coalesce(c8.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup8_char_frac,
+              |  coalesce(c9.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup9_char_frac,
+              |  coalesce(c10.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup10_char_frac
+              |FROM tot
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 5) c5
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 6) c6
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 7) c7
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 8) c8
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 9) c9
+              |  USING (doc_id)
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 10) c10
+              |  USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

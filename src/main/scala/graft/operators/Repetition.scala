@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The FULL Gopher repetition-filter suite (Rae et al. 2021,
+  * arXiv:2112.11446, Appendix A1.2 — the half of the published filter
+  * [[TextFunctions.gopherFlags]] (A1.1) deliberately left to the
+  * simplified [[TextFunctions.repetitionRatio]] until r15): per
+  * document,
+  *
+  *   - duplicate LINE / PARAGRAPH fractions — the share of unit
+  *     occurrences beyond each value's first (a unit appearing k
+  *     times contributes k−1 duplicates), and the share of unit
+  *     CHARACTERS those duplicate occurrences carry;
+  *   - TOP n-gram character fractions (n = 2, 3, 4) — characters
+  *     covered by all occurrences of the single most frequent word
+  *     n-gram;
+  *   - DUPLICATED n-gram character fractions (n = 5..10) — characters
+  *     covered by ANY occurrence of any n-gram that occurs more than
+  *     once, counted ONCE per character ("taking care not to count
+  *     characters that occur in overlapping n-grams more than once",
+  *     §A1.2) — interval-union coverage, the q138 island-merge shape.
+  *
+  * Conventions (each is a choice the paper leaves open; all are
+  * pinned by the SQL oracles and stated here so a user can map them
+  * to their own reproduction):
+  *   - lines split on single newlines, paragraphs on blank-line runs
+  *     (`\n{2,}`); units are trimmed, empty units dropped;
+  *   - n-grams are over [[TextFunctions.tokens]] words (lowercased
+  *     whitespace tokens — the engine-wide token metric), and a
+  *     gram's character extent is its extent in the single-space
+  *     JOINED token text (internal spaces counted, the join
+  *     normalization the paper's repro implementations use);
+  *   - fractions with an empty denominator (no units / too few
+  *     tokens) are 0.0 — fail-open, matching gopherFlags' treatment
+  *     of rules whose inputs are absent; null text → all fractions
+  *     0.0.
+  *
+  * Shape at 100 TB: every stage is explode → partial-aggregated
+  * groupBy keyed on (doc, unit|gram) then (doc) — shuffle rows are
+  * corpus-linear (Σ_n grams ≈ 6 × tokens for the dup band), no
+  * window over anything bigger than one document's duplicated-gram
+  * spans, no driver state, no UDFs. The interval-union coverage is
+  * a per-doc sort of DUPLICATED spans only (bounded by the doc's own
+  * gram count), not a corpus-wide window.
+  */
+object Repetition {
+
+  /** Duplicate line/paragraph fractions (4 of the 12 A1.2 rules):
+    * (idCol, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    * dup_para_char_frac). A unit value appearing k times contributes
+    * k−1 duplicate occurrences (and (k−1)·len duplicate characters);
+    * denominators are total occurrences / total characters of all
+    * units. Rows with no units (blank/null text) get 0.0 across. */
+  def dupUnitFractions(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val id = col(idCol)
+    def units(pattern: String): Column =
+      filter(transform(split(coalesce(col(textCol), lit("")), pattern),
+        u => trim(u)), u => length(u) > 0)
+    def fracs(pattern: String, prefix: String): DataFrame = {
+      val occ = df.select(id, explode(units(pattern)).as("__u"))
+        .groupBy(id, col("__u"))
+        .agg(count(lit(1)).as("__k"))
+        .withColumn("__len", length(col("__u")))
+      occ.groupBy(id).agg(
+        (sum(col("__k") - 1).cast("double") /
+          sum(col("__k")).cast("double")).as(s"dup_${prefix}_frac"),
+        (sum((col("__k") - 1) * col("__len")).cast("double") /
+          sum(col("__k") * col("__len")).cast("double"))
+          .as(s"dup_${prefix}_char_frac"))
+    }
+    val lines = fracs("\n", "line")
+    val paras = fracs("\n{2,}", "para")
+    // left joins + 0.0 fill: a doc with no units appears in neither
+    // aggregate; char denominators can never be 0 for a doc that has
+    // units (units are non-empty), so the only null source is absence
+    df.select(id).distinct()
+      .join(lines, Seq(idCol), "left")
+      .join(paras, Seq(idCol), "left")
+      .select(id +:
+        Seq("dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac")
+          .map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+  }
+
+  /** TOP n-gram character fractions (3 of the 12 rules; n = 2, 3, 4
+    * by default): characters covered by every occurrence of the
+    * single most frequent word n-gram, over the length of the
+    * single-space joined token text — count × (gram length) /
+    * joined length. The argmax tie-breaks deterministically: highest
+    * count, then longest gram, then lexicographically largest.
+    * Output: (idCol, top2_char_frac, top3_char_frac, top4_char_frac
+    * — one column per requested n). Docs with fewer than n tokens
+    * get 0.0. */
+  def topNgramFractions(df: DataFrame, idCol: String, textCol: String,
+                        ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ns: $ns")
+    val id = col(idCol)
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = df.select(id,
+        (length(concat_ws(" ", toks))).as("__total"),
+        // sequence(1, stop) with stop < 1 would generate a DESCENDING
+        // sequence (Spark's default step is sign-of-range) — docs with
+        // fewer than n tokens must explode to nothing, not to [1, 0]
+        explode(flatten(transform(typedLit(ns.toArray), n =>
+          transform(
+            when(size(toks) >= n, sequence(lit(1), size(toks) - n + lit(1)))
+              .otherwise(array().cast("array<int>")),
+            s => struct(n.as("n"),
+              length(concat_ws(" ", slice(toks, s, n))).as("len"),
+              concat_ws(" ", slice(toks, s, n)).as("gram"))))))
+          .as("__g"))
+      .select(id, col("__total"), col("__g.n").as("__n"),
+        col("__g.len").as("__len"), col("__g.gram").as("__gram"))
+    val counted = grams
+      .groupBy(id, col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__k"), first(col("__total")).as("__total"))
+      .withColumn("__len", length(col("__gram")))
+    // per (doc, n): deterministic argmax via struct-max — highest
+    // count, then longest, then lexicographically LARGEST gram (the
+    // direction struct-max gives for free; any fixed rule works, the
+    // oracle replays this one) — partial-aggregable, no window
+    val top = counted
+      .select(id, col("__n"),
+        struct(col("__k"), col("__len"),
+          col("__gram")).as("__cand"),
+        col("__total"))
+      .groupBy(id, col("__n"))
+      .agg(max(col("__cand")).as("__top"),
+        first(col("__total")).as("__total"))
+      .select(id, col("__n"),
+        (col("__top.__k") * col("__top.__len")).cast("double")
+          ./(col("__total").cast("double")).as("__frac"))
+    val wide = ns.foldLeft(df.select(id).distinct()) { (acc, n) =>
+      acc.join(
+        top.filter(col("__n") === n)
+          .select(id, col("__frac").as(s"top${n}_char_frac")),
+        Seq(idCol), "left")
+    }
+    wide.select(id +: ns.map(n =>
+      coalesce(col(s"top${n}_char_frac"), lit(0.0))
+        .as(s"top${n}_char_frac")): _*)
+  }
+
+  /** DUPLICATED n-gram character coverage (six of the 12 rules:
+    * n = 5..10 by default): for each n, the fraction of the joined
+    * token text's characters lying inside ANY occurrence of an
+    * n-gram that occurs MORE THAN ONCE in the document — counted
+    * once per character via interval union (sorted duplicated spans,
+    * q138's island merge, per (doc, n)). Output: (idCol,
+    * dup5_char_frac .. dup10_char_frac). Docs with fewer than n+1
+    * tokens (can't duplicate) get 0.0. */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                       ns: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ns: $ns")
+    val id = col(idCol)
+    val toks = TextFunctions.tokens(col(textCol))
+    // char offsets of each token in the single-space joined text:
+    // offs(i) = start of token i (0-based); offs has nTok+1 entries
+    // (the sentinel simplifies span ends). aggregate() keeps this a
+    // single Column pass — no positional window.
+    val offs = aggregate(toks, array(lit(0)),
+      (acc, t) => concat(acc,
+        array(element_at(acc, -1) + length(t) + 1)))
+    val spans = df.select(id,
+        (length(concat_ws(" ", toks))).as("__total"),
+        offs.as("__offs"),
+        toks.as("__toks"))
+      .select(id, col("__total"),
+        explode(flatten(transform(typedLit(ns.toArray), n =>
+          transform(
+            when(size(col("__toks")) >= n,
+              sequence(lit(1), size(col("__toks")) - n + lit(1)))
+              .otherwise(array().cast("array<int>")),
+            s => struct(n.as("n"),
+              concat_ws(" ", slice(col("__toks"), s, n)).as("gram"),
+              element_at(col("__offs"), s).as("cs"),
+              (element_at(col("__offs"), s + n) - 2).as("ce"))))))
+          .as("__g"))
+      .select(id, col("__total"), col("__g.n").as("__n"),
+        col("__g.gram").as("__gram"), col("__g.cs").as("__cs"),
+        col("__g.ce").as("__ce"))
+    // duplicated grams only: spans of grams whose (doc, n, gram)
+    // count > 1 — the only rows the per-doc sort below ever sees
+    val dupSpans = spans
+      .withColumn("__k", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(id, col("__n"), col("__gram"))))
+      .filter(col("__k") > 1)
+      .select(id, col("__total"), col("__n"), col("__cs"), col("__ce"))
+    // interval union per (doc, n): collect the doc's duplicated spans
+    // (bounded by the doc's own gram count), sort, one linear fold.
+    // aggregate() emits (covered, curEnd); adjacent-or-overlapping
+    // intervals merge — union cardinality either way.
+    val covered = dupSpans
+      .groupBy(id, col("__n"))
+      .agg(first(col("__total")).as("__total"),
+        sort_array(collect_list(struct(col("__cs"), col("__ce"))))
+          .as("__spans"))
+      .select(id, col("__n"), col("__total"),
+        aggregate(col("__spans"),
+          struct(lit(0L).as("cov"), lit(-1L).as("end")),
+          (acc, sp) => struct(
+            (acc.getField("cov") +
+              greatest(lit(0L),
+                sp.getField("__ce").cast("long") -
+                  greatest(sp.getField("__cs").cast("long"),
+                    acc.getField("end") + 1L) + 1L)).as("cov"),
+            greatest(acc.getField("end"),
+              sp.getField("__ce").cast("long")).as("end")),
+          acc => acc.getField("cov")).as("__cov"))
+      .select(id, col("__n"),
+        (col("__cov").cast("double") / col("__total").cast("double"))
+          .as("__frac"))
+    val wide = ns.foldLeft(df.select(id).distinct()) { (acc, n) =>
+      acc.join(
+        covered.filter(col("__n") === n)
+          .select(id, col("__frac").as(s"dup${n}_char_frac")),
+        Seq(idCol), "left")
+    }
+    wide.select(id +: ns.map(n =>
+      coalesce(col(s"dup${n}_char_frac"), lit(0.0))
+        .as(s"dup${n}_char_frac")): _*)
+  }
+
+  /** All 12 A1.2 rules as one frame: the four unit fractions, three
+    * top n-gram fractions, six duplicated n-gram coverages, plus
+    * `rep_pass` — true iff EVERY fraction is at or under its
+    * published threshold (Table A1: lines/paras 0.30, their char
+    * fractions 0.20; top 2/3/4-gram 0.20/0.18/0.16; dup 5..10-gram
+    * 0.15/0.14/0.13/0.12/0.11/0.10). Thresholds parameterized;
+    * compose with [[TextFunctions.gopherFlags]]' `pass` for the
+    * complete published Gopher filter. */
+  def gopherRepetitionFlags(df: DataFrame, idCol: String, textCol: String,
+                            maxDupUnitFrac: Double = 0.30,
+                            maxDupUnitCharFrac: Double = 0.20,
+                            maxTopNgramFrac: Seq[(Int, Double)] =
+                              Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                            maxDupNgramFrac: Seq[(Int, Double)] =
+                              Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+                                  8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
+  : DataFrame = {
+    val units = dupUnitFractions(df, idCol, textCol)
+    val tops = topNgramFractions(df, idCol, textCol,
+      maxTopNgramFrac.map(_._1))
+    val dups = dupNgramCoverage(df, idCol, textCol,
+      maxDupNgramFrac.map(_._1))
+    val joined = units.join(tops, Seq(idCol)).join(dups, Seq(idCol))
+    val unitChecks = Seq(
+      col("dup_line_frac") <= maxDupUnitFrac,
+      col("dup_para_frac") <= maxDupUnitFrac,
+      col("dup_line_char_frac") <= maxDupUnitCharFrac,
+      col("dup_para_char_frac") <= maxDupUnitCharFrac)
+    val topChecks = maxTopNgramFrac.map { case (n, t) =>
+      col(s"top${n}_char_frac") <= t }
+    val dupChecks = maxDupNgramFrac.map { case (n, t) =>
+      col(s"dup${n}_char_frac") <= t }
+    joined.withColumn("rep_pass",
+      (unitChecks ++ topChecks ++ dupChecks).reduce(_ && _))
+  }
+}

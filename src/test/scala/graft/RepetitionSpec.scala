@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Repetition
+
+/** Gopher repetition suite (Rae 2021 A1.2) — hand-computed fixtures
+  * for all three stages plus the 12-rule conjunction. */
+class RepetitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def row1[A](df: org.apache.spark.sql.DataFrame, id: Long)
+  : org.apache.spark.sql.Row =
+    df.filter($"doc_id" === id).head()
+
+  test("dupUnitFractions: hand-computed line/paragraph fractions, " +
+    "null and single-unit docs are 0.0") {
+    val docs = Seq(
+      (1L, "a\nb\na\n\nc"),      // lines a,b,a,c; paras "a\nb\na","c"
+      (2L, "x\n\nx"),            // lines x,x; paras x,x
+      (3L, null.asInstanceOf[String]),
+      (4L, "unique line only")
+    ).toDF("doc_id", "text")
+    val f = Repetition.dupUnitFractions(docs, "doc_id", "text")
+    val r1 = row1(f, 1L)
+    // 4 line occurrences, 3 distinct -> 1/4; dup chars 1 of 4
+    assert(r1.getDouble(1) == 0.25 && r1.getDouble(2) == 0.25)
+    // paragraphs distinct -> 0
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 0.0)
+    val r2 = row1(f, 2L)
+    assert(r2.getDouble(1) == 0.5 && r2.getDouble(2) == 0.5 &&
+      r2.getDouble(3) == 0.5 && r2.getDouble(4) == 0.5)
+    Seq(3L, 4L).foreach { i =>
+      val r = row1(f, i)
+      (1 to 4).foreach(j => assert(r.getDouble(j) == 0.0, s"doc $i col $j"))
+    }
+    assert(f.count() == 4) // every input doc present exactly once
+  }
+
+  test("topNgramFractions: hand-computed top 2/3/4-gram coverage " +
+    "with the (count, len, gram) struct-max tie-break") {
+    val docs = Seq(
+      (1L, "a b a b c"), // joined len 9
+      (2L, "a")          // too short for any n
+    ).toDF("doc_id", "text")
+    val f = Repetition.topNgramFractions(docs, "doc_id", "text")
+    val r1 = row1(f, 1L)
+    // top 2-gram "a b" x2, len 3 -> 6/9
+    assert(math.abs(r1.getDouble(1) - 6.0 / 9) < 1e-12)
+    // 3-grams all count 1 len 5; tie -> largest gram "b a b" -> 5/9
+    assert(math.abs(r1.getDouble(2) - 5.0 / 9) < 1e-12)
+    // 4-grams count 1 len 7 -> 7/9
+    assert(math.abs(r1.getDouble(3) - 7.0 / 9) < 1e-12)
+    val r2 = row1(f, 2L)
+    (1 to 3).foreach(j => assert(r2.getDouble(j) == 0.0))
+  }
+
+  test("dupNgramCoverage: interval-union coverage — overlapping " +
+    "occurrences never double-count, non-duplicated n stay 0.0") {
+    val docs = Seq(
+      // "a b c d e" duplicated (tokens 1-5 and 9-13), nothing longer:
+      // joined len 37, covered 9 + 9 = 18
+      (1L, "a b c d e x1 x2 x3 a b c d e y1 y2 y3"),
+      // all-same tokens: every 5-gram duplicated, spans overlap —
+      // union must be the WHOLE string exactly (13 chars), never more
+      (2L, "w w w w w w w"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val f = Repetition.dupNgramCoverage(docs, "doc_id", "text")
+    val r1 = row1(f, 1L)
+    assert(math.abs(r1.getDouble(1) - 18.0 / 37) < 1e-12, "dup5")
+    (2 to 6).foreach(j => assert(r1.getDouble(j) == 0.0, s"dup${j + 4}"))
+    val r2 = row1(f, 2L)
+    assert(r2.getDouble(1) == 1.0, "overlap union must cap at 1.0")
+    // 6-gram "w w w w w w" at s=1,2 -> also full coverage; 7-gram
+    // occurs once -> 0
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 0.0)
+    val r3 = row1(f, 3L)
+    (1 to 6).foreach(j => assert(r3.getDouble(j) == 0.0))
+  }
+
+  test("gopherRepetitionFlags: published thresholds gate the " +
+    "conjunction; clean docs pass, repetitive docs fail") {
+    // doc 1 must be LONG to pass: with all-distinct words the top
+    // n-gram fraction is (single occurrence length)/(doc length), so
+    // a short doc fails the 2/3/4-gram caps on sheer brevity — the
+    // published thresholds presume documents past the A1.1 50-word
+    // floor (a real composition note: run gopherFlags first)
+    val docs = Seq(
+      (1L, (1 to 60).map(i => f"w$i%02d").mkString(" ")),
+      (2L, "a b c d e x1 x2 x3 a b c d e y1 y2 y3") // dup5 .486 > .15
+    ).toDF("doc_id", "text")
+    val f = Repetition.gopherRepetitionFlags(docs, "doc_id", "text")
+    assert(f.columns.length == 1 + 13 + 1) // id + 13 fractions + pass
+    assert(row1(f, 1L).getAs[Boolean]("rep_pass"))
+    assert(!row1(f, 2L).getAs[Boolean]("rep_pass"))
+    // threshold parameterization: loosen dup-ngram caps -> doc 2 passes
+    val loose = Repetition.gopherRepetitionFlags(docs, "doc_id", "text",
+      maxTopNgramFrac = Seq(2 -> 1.0, 3 -> 1.0, 4 -> 1.0),
+      maxDupNgramFrac = Seq(5 -> 1.0, 6 -> 1.0, 7 -> 1.0, 8 -> 1.0,
+        9 -> 1.0, 10 -> 1.0))
+    assert(row1(loose, 2L).getAs[Boolean]("rep_pass"))
+  }
+}
