@@ -811,6 +811,22 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Phrases.filterPhrases(df, textCol, phrases.df,
       keep = keep))
 
+  /** [[graft.functions.TextFunctions.gopherFlags]] — the Gopher
+    * A1.1 heuristic rules as a boolean struct column + their
+    * conjunction (paper-default thresholds). */
+  def gopherFlags(textCol: String, outCol: String = "gopher"): DDF =
+    wrap(df.withColumn(outCol,
+      graft.functions.TextFunctions.gopherFlags(col(textCol))))
+
+  /** [[graft.operators.Repetition.gopherRepetitionFlags]] — the full
+    * 12-rule Gopher repetition suite (Rae 2021 A1.2) joined onto
+    * this frame by `idCol`: 13 fraction columns + `rep_pass` at the
+    * published thresholds. Compose with [[gopherFlags]]' `pass` for
+    * the complete Gopher filter. */
+  def gopherRepetition(idCol: String, textCol: String): DDF =
+    wrap(df.join(graft.operators.Repetition
+      .gopherRepetitionFlags(df, idCol, textCol), Seq(idCol)))
+
   /** [[graft.operators.Unigram.train]] — fit a unigram-LM piece
     * table (Kudo 2018; the SentencePiece model) from `textCol` */
   def unigramTrain(textCol: String, vocabSize: Int,

@@ -779,6 +779,25 @@ class DDFSpec extends SparkTestBase {
         "src", "dst")))
   }
 
+  test("gopherFlags and gopherRepetition fluent faces delegate " +
+    "to the operators (r15)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val docs = Seq((1L, (1 to 60).map(i => f"w$i%02d").mkString(" ")),
+      (2L, "a b a b a b a b a b a b")).toDF("doc_id", "text")
+    val flagged = DDF(docs).gopherFlags("text").toDF
+    assert(flagged.columns.contains("gopher"))
+    assert(rows(flagged.select($"doc_id", $"gopher"))
+      == rows(docs.select($"doc_id",
+        graft.functions.TextFunctions.gopherFlags($"text").as("gopher"))))
+    val rep = DDF(docs).gopherRepetition("doc_id", "text").toDF
+    assert(rep.columns.contains("rep_pass") && rep.count() == 2)
+    // doc 2 is one repeated bigram — every repetition rule trips
+    assert(!rep.filter($"doc_id" === 2).head().getAs[Boolean]("rep_pass"))
+    assert(rep.filter($"doc_id" === 1).head().getAs[Boolean]("rep_pass"))
+  }
+
   test("empty DataFrame no-ops cleanly through operators") {
     val empty = DDF(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
