@@ -8341,7 +8341,79 @@ object SparkEntry {
               |  USING (doc_id)
               |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 10) c10
               |  USING (doc_id)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // C4 line+page cleaning (r15, Raffel 2020 §2.2 —
+    // TextFunctions.c4CleanLines/c4PageFlags): the synthesized
+    // multi-line fixture plants one line per rule (good /
+    // too-few-words / no-terminal-punct / javascript / conditional
+    // fifth sentence) plus page-level lorem-ipsum and curly-brace
+    // lines on residue classes, so every rule fires on a real subset;
+    // the oracle replays the whole clean in DuckDB list lambdas and
+    // the flags over original + cleaned text.
+    Q("q255_c4_clean", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val l1 = concat(substring(col("text"), 1, 40), lit("."))
+      val l2 = concat(substring(col("text"), 41, 10), lit("."))
+      val l3 = when(col("doc_id") % 2 === 0,
+        concat(substring(col("text"), 81, 40), lit("!")))
+        .otherwise(substring(col("text"), 81, 40))
+      val l4 = lit("please enable javascript now then reload.")
+      val l5 = when(col("doc_id") % 4 === 0,
+        concat(substring(col("text"), 121, 40), lit("?")))
+        .otherwise(lit("tiny."))
+      val l6 = when(col("doc_id") % 5 === 0,
+        lit("lorem ipsum filler")).otherwise(lit("clean filler"))
+      val l7 = when(col("doc_id") % 7 === 0,
+        lit("brace { line")).otherwise(lit("no brace line"))
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n", l1, l2, l3, l4, l5, l6, l7).as("text"))
+      val cleaned = multi.select(col("doc_id"), col("text"),
+        TF.c4CleanLines(col("text")).as("cleaned"))
+      cleaned.select(col("doc_id"), col("cleaned"),
+          TF.c4PageFlags(col("text"), col("cleaned")).as("f"))
+        .select(col("doc_id"), col("cleaned"),
+          col("f.sentences_ok").as("sentences_ok"),
+          col("f.no_lorem").as("no_lorem"),
+          col("f.no_brace").as("no_brace"),
+          col("f.pass").as("page_pass"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH m AS (SELECT doc_id,
+             |    substr(text, 1, 40) || '.' || chr(10) ||
+             |    substr(text, 41, 10) || '.' || chr(10) ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN substr(text, 81, 40) || '!'
+             |      ELSE substr(text, 81, 40) END || chr(10) ||
+             |    'please enable javascript now then reload.' || chr(10) ||
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN substr(text, 121, 40) || '?' ELSE 'tiny.' END
+             |    || chr(10) ||
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN 'lorem ipsum filler' ELSE 'clean filler' END
+             |    || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN 'brace { line' ELSE 'no brace line' END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id, text, array_to_string(
+             |    list_filter(
+             |      list_transform(string_split_regex(text, '\n'),
+             |        l -> trim(l)),
+             |      l -> len(l) > 0
+             |        AND regexp_matches(l, '[.!?"]$')
+             |        AND len(list_filter(string_split_regex(l, '\s+'),
+             |              w -> len(w) > 0)) >= 5
+             |        AND NOT contains(lower(l), 'javascript')),
+             |    chr(10)) AS cleaned FROM m)
+             |SELECT doc_id, cleaned,
+             |  len(regexp_extract_all(cleaned, '[.!?"]')) >= 3
+             |    AS sentences_ok,
+             |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+             |  NOT contains(text, '{') AS no_brace,
+             |  (len(regexp_extract_all(cleaned, '[.!?"]')) >= 3
+             |    AND NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(text, '{')) AS page_pass
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -187,6 +187,55 @@ object TextFunctions {
   def lineDedup(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
+  /** C4 LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the published rule set, reference constants from the
+    * public c4_utils): keep only lines that, after trimming,
+    *   - end in a terminal punctuation mark ('.', '!', '?', '"');
+    *   - contain at least `minWordsPerLine` whitespace words
+    *     (paper/reference default 5);
+    *   - do not contain the word "javascript" (case-insensitive —
+    *     the cookie/JS-warning boilerplate rule).
+    * Retained lines re-join with '\n' in original order. Null text →
+    * empty string (fail-safe: nothing survives). Pure Column math —
+    * one split, per-line HOF predicates, codegen. Compose with
+    * [[lineDedup]], [[graft.operators.Phrases.filterPhrases]] (the
+    * bad-words page rule) and [[c4PageFlags]] for the full §2.2
+    * recipe. */
+  def c4CleanLines(text: Column, minWordsPerLine: Int = 5): Column =
+    array_join(
+      filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+        l => length(l) > 0 &&
+          l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), w => length(w) > 0))
+            >= minWordsPerLine &&
+          !lower(l).contains("javascript")),
+      "\n")
+
+  /** C4 PAGE-level flags (the §2.2 whole-page rules), evaluated over
+    * the ORIGINAL text and its [[c4CleanLines]] output: a struct of
+    *   - `sentences_ok`: the cleaned text carries at least
+    *     `minSentences` sentences (counted as terminal-punctuation
+    *     marks — the documented divergence from the reference's
+    *     nltk sentence splitter: deterministic and SQL-replayable);
+    *   - `no_lorem`: "lorem ipsum" absent (case-insensitive);
+    *   - `no_brace`: no '{' anywhere (the code-page rule);
+    * plus `pass` = their conjunction. Null original text → all
+    * false (the gopherFlags fail-safe treatment). */
+  def c4PageFlags(text: Column, cleaned: Column,
+                  minSentences: Int = 3): Column = {
+    val sentencesOk =
+      regexp_count(coalesce(cleaned, lit("")), lit("[.!?\"]")) >=
+        minSentences
+    val noLorem = !lower(text).contains("lorem ipsum")
+    val noBrace = !text.contains("{")
+    struct(
+      coalesce(sentencesOk && text.isNotNull, lit(false))
+        .as("sentences_ok"),
+      coalesce(noLorem, lit(false)).as("no_lorem"),
+      coalesce(noBrace, lit(false)).as("no_brace"),
+      coalesce(sentencesOk && noLorem && noBrace, lit(false)).as("pass"))
+  }
+
   /** n-gram repetition ratio (Gopher-style rule): fraction of word
     * n-gram occurrences that are repeats of an earlier n-gram —
     * 1 - distinct/total, 0 for docs shorter than n tokens. High

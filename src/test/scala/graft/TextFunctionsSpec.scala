@@ -423,4 +423,50 @@ class TextFunctionsSpec extends SparkTestBase {
     // each violator fails ONLY its own rule (plus pass) unless noted
     assert(f(4).getBoolean(7) == false && f(4).getBoolean(0))
   }
+
+  test("c4CleanLines: terminal punctuation, min words, javascript " +
+    "rule — retained lines only, order preserved (r15)") {
+    import spark.implicits._
+    val text = Seq(
+      "This line has enough words and ends well.",
+      "short.",                                      // < 5 words
+      "This line has no terminal punctuation at all", // no end mark
+      "Please enable JavaScript to view this page.",  // javascript
+      "  A trimmed line with five words here!  ",     // trims, keeps
+      "\"A quoted line with enough words here.\""     // ends in quote
+    ).mkString("\n")
+    val got = Seq(text).toDF("t")
+      .select(TF.c4CleanLines($"t").as("c")).head().getString(0)
+    assert(got == Seq(
+      "This line has enough words and ends well.",
+      "A trimmed line with five words here!",
+      "\"A quoted line with enough words here.\"").mkString("\n"))
+    // null text -> empty
+    assert(Seq(null.asInstanceOf[String]).toDF("t")
+      .select(TF.c4CleanLines($"t")).head().getString(0) == "")
+  }
+
+  test("c4PageFlags: sentence floor, lorem ipsum, curly brace, " +
+    "null fail-safe (r15)") {
+    import spark.implicits._
+    def flags(t: String) = {
+      val df = Seq(t).toDF("t")
+      df.select(TF.c4PageFlags($"t", TF.c4CleanLines($"t")).as("f"))
+        .select("f.*").head()
+    }
+    val good = (1 to 3).map(i =>
+      s"Sentence number $i has exactly enough words.").mkString("\n")
+    val g = flags(good)
+    assert(g.getBoolean(0) && g.getBoolean(1) && g.getBoolean(2) &&
+      g.getBoolean(3))
+    val few = flags("Only one good sentence lives right here.")
+    assert(!few.getBoolean(0) && !few.getBoolean(3))
+    val lorem = flags(good + "\nAlso some Lorem Ipsum filler text here.")
+    assert(!lorem.getBoolean(1) && !lorem.getBoolean(3))
+    val brace = flags(good + "\nfunction f() { return 1; }")
+    assert(!brace.getBoolean(2) && !brace.getBoolean(3))
+    val n = flags(null)
+    assert(!n.getBoolean(0) && !n.getBoolean(1) && !n.getBoolean(2) &&
+      !n.getBoolean(3))
+  }
 }
