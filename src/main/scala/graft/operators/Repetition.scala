@@ -229,6 +229,11 @@ object Repetition {
 
   /** All 12 A1.2 rules as one frame: the four unit fractions, three
     * top n-gram fractions, six duplicated n-gram coverages, plus
+    * (cost shape: the three stages each scan and re-tokenize the
+    * corpus — 3 scans, joined on doc-keyed 13-double rows, measured
+    * ~linear in ScaleSmoke `rep`; the bands don't share grams
+    * (2-4 vs 5-10 vs raw lines), so fusing would save the scans but
+    * not the explodes — cache the input if scans dominate)
     * `rep_pass` — true iff EVERY fraction is at or under its
     * published threshold (Table A1: lines/paras 0.30, their char
     * fractions 0.20; top 2/3/4-gram 0.20/0.18/0.16; dup 5..10-gram

@@ -1231,6 +1231,39 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // ---- Gopher repetition suite (r15): the full 12-rule A1.2 set
+    // is explode + partial-agg Column math — the wall must track the
+    // CORPUS linearly (shuffle rows ≈ Σ_n grams ≈ 9 × tokens across
+    // the three stages) with per-doc work flat. Corpus = documents
+    // replicated k× with multi-line synthesis (the q252 fixture
+    // shape) so the line/para stages see real units.
+    if (on("rep")) {
+      import graft.operators.Repetition
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def corpus(k: Int) = (0 until k).map(i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"),
+          concat_ws("\n",
+            substring(col("text"), 1, 60),
+            substring(col("text"), 61, 60),
+            substring(col("text"), 1, 60)).as("text")))
+        .reduce(_ unionByName _)
+      Seq(1, 4, 8).foreach { k =>
+        val c = corpus(k).cache()
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val out = Repetition.gopherRepetitionFlags(c, "doc_id", "text")
+          .agg(count(lit(1)), sum(when(col("rep_pass"), 1L)
+            .otherwise(0L))).head()
+        println(f"[scale-smoke] rep  n=$n%-7d full 12-rule suite " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+          f"rows=${out.getLong(0)} pass=${out.getLong(1)}")
+        c.unpersist()
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- hybrid salted join: replicated shuffle volume must track
     // the HOT subset only. Fixture: ~half the left rows land on ONE
     // hot key, the rest are a near-unique tail; the right side is one

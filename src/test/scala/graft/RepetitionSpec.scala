@@ -77,6 +77,96 @@ class RepetitionSpec extends SparkTestBase {
     (1 to 6).foreach(j => assert(r3.getDouble(j) == 0.0))
   }
 
+  test("randomized equality vs a naive in-memory reference " +
+    "(small alphabet, the PhrasesSpec discipline)") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    def randDoc(): String = {
+      val lines = (1 to (1 + rnd.nextInt(4))).map { _ =>
+        (1 to (1 + rnd.nextInt(12))).map(_ =>
+          words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      lines.mkString(if (rnd.nextBoolean()) "\n" else "\n\n")
+    }
+    val docs = (1L to 40L).map(i => (i, randDoc()))
+    val df = docs.toDF("doc_id", "text")
+
+    // ---- naive reference, straight from the definitions ----
+    def naiveUnits(t: String, para: Boolean): Seq[String] = {
+      val sep = if (para) "\n{2,}" else "\n"
+      t.split(sep).map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    def naiveDupFracs(t: String, para: Boolean): (Double, Double) = {
+      val u = naiveUnits(t, para)
+      if (u.isEmpty) (0.0, 0.0)
+      else {
+        val g = u.groupBy(identity).view.mapValues(_.size)
+        val dups = g.values.map(_ - 1).sum
+        val dupCh = g.map { case (v, k) => (k - 1) * v.length }.sum
+        val totCh = g.map { case (v, k) => k * v.length }.sum
+        (dups.toDouble / u.size, dupCh.toDouble / totCh)
+      }
+    }
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def naiveTop(t: String, n: Int): Double = {
+      val tk = toks(t)
+      if (tk.size < n) 0.0
+      else {
+        val joined = tk.mkString(" ")
+        val grams = tk.sliding(n).map(_.mkString(" ")).toSeq
+        val byGram = grams.groupBy(identity).view.mapValues(_.size)
+        val best = byGram.toSeq
+          .maxBy { case (g, k) => (k, g.length, g) }
+        best._2.toDouble * best._1.length / joined.length
+      }
+    }
+    def naiveDupCov(t: String, n: Int): Double = {
+      val tk = toks(t)
+      if (tk.size < n) 0.0
+      else {
+        val joined = tk.mkString(" ")
+        val offs = tk.scanLeft(0)((o, w) => o + w.length + 1)
+        val grams = (0 to tk.size - n).map(s =>
+          (tk.slice(s, s + n).mkString(" "), s))
+        val dupG = grams.groupBy(_._1).filter(_._2.size > 1)
+        val covered = Array.fill(joined.length)(false)
+        dupG.values.flatten.foreach { case (g, s) =>
+          (offs(s) until (offs(s) + g.length)).foreach(covered(_) = true)
+        }
+        covered.count(identity).toDouble / joined.length
+      }
+    }
+
+    val units = Repetition.dupUnitFractions(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val tops = Repetition.topNgramFractions(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val covs = Repetition.dupNgramCoverage(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(j => r.getDouble(j))).toMap
+    docs.foreach { case (i, t) =>
+      val (lf, lcf) = naiveDupFracs(t, para = false)
+      val (pf, pcf) = naiveDupFracs(t, para = true)
+      val (glf, glcf, gpf, gpcf) = units(i)
+      assert(math.abs(glf - lf) < 1e-12 && math.abs(glcf - lcf) < 1e-12,
+        s"doc $i line fracs: got ($glf,$glcf) want ($lf,$lcf)\n$t")
+      assert(math.abs(gpf - pf) < 1e-12 && math.abs(gpcf - pcf) < 1e-12,
+        s"doc $i para fracs\n$t")
+      Seq(2, 3, 4).zipWithIndex.foreach { case (n, j) =>
+        assert(math.abs(tops(i)(j) - naiveTop(t, n)) < 1e-12,
+          s"doc $i top$n: got ${tops(i)(j)} want ${naiveTop(t, n)}\n$t")
+      }
+      (5 to 10).zipWithIndex.foreach { case (n, j) =>
+        assert(math.abs(covs(i)(j) - naiveDupCov(t, n)) < 1e-12,
+          s"doc $i dup$n: got ${covs(i)(j)} want ${naiveDupCov(t, n)}\n$t")
+      }
+    }
+  }
+
   test("gopherRepetitionFlags: published thresholds gate the " +
     "conjunction; clean docs pass, repetitive docs fail") {
     // doc 1 must be LONG to pass: with all-distinct words the top
