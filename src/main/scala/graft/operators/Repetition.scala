@@ -100,19 +100,26 @@ object Repetition {
                         ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ns: $ns")
     val id = col(idCol)
-    val toks = TextFunctions.tokens(col(textCol))
-    val grams = df.select(id,
-        (length(concat_ws(" ", toks))).as("__total"),
+    // tokens() MUST be materialized as a column before the per-gram
+    // lambdas reference it: Catalyst does no CSE inside HOF lambdas
+    // (the TextFunctions.bound pitfall), so an inline tokens()
+    // expression would re-run the regex split ONCE PER GRAM —
+    // O(L²) per doc (caught live: q253 priced 27 s at sf0.1 before
+    // this, 1-2 s after)
+    val base = df.select(id, TextFunctions.tokens(col(textCol)).as("__toks"))
+    val tk = col("__toks")
+    val grams = base.select(id,
+        (length(concat_ws(" ", tk))).as("__total"),
         // sequence(1, stop) with stop < 1 would generate a DESCENDING
         // sequence (Spark's default step is sign-of-range) — docs with
         // fewer than n tokens must explode to nothing, not to [1, 0]
         explode(flatten(transform(typedLit(ns.toArray), n =>
           transform(
-            when(size(toks) >= n, sequence(lit(1), size(toks) - n + lit(1)))
+            when(size(tk) >= n, sequence(lit(1), size(tk) - n + lit(1)))
               .otherwise(array().cast("array<int>")),
             s => struct(n.as("n"),
-              length(concat_ws(" ", slice(toks, s, n))).as("len"),
-              concat_ws(" ", slice(toks, s, n)).as("gram"))))))
+              length(concat_ws(" ", slice(tk, s, n))).as("len"),
+              concat_ws(" ", slice(tk, s, n)).as("gram"))))))
           .as("__g"))
       .select(id, col("__total"), col("__g.n").as("__n"),
         col("__g.len").as("__len"), col("__g.gram").as("__gram"))
@@ -135,15 +142,18 @@ object Repetition {
       .select(id, col("__n"),
         (col("__top.__k") * col("__top.__len")).cast("double")
           ./(col("__total").cast("double")).as("__frac"))
-    val wide = ns.foldLeft(df.select(id).distinct()) { (acc, n) =>
-      acc.join(
-        top.filter(col("__n") === n)
-          .select(id, col("__frac").as(s"top${n}_char_frac")),
-        Seq(idCol), "left")
-    }
-    wide.select(id +: ns.map(n =>
-      coalesce(col(s"top${n}_char_frac"), lit(0.0))
-        .as(s"top${n}_char_frac")): _*)
+    // ONE map-pivot, not one join per n: a join-per-n fan-out would
+    // re-execute the whole gram pipeline once per band (caught live
+    // on the dup-coverage sibling — 6 re-runs priced most of its
+    // wall); collect (n -> frac) into a map per doc instead
+    val byDoc = top.groupBy(id)
+      .agg(map_from_entries(collect_list(
+        struct(col("__n"), col("__frac")))).as("__m"))
+    df.select(id).distinct()
+      .join(byDoc, Seq(idCol), "left")
+      .select(id +: ns.map(n =>
+        coalesce(element_at(col("__m"), lit(n)), lit(0.0))
+          .as(s"top${n}_char_frac")): _*)
   }
 
   /** DUPLICATED n-gram character coverage (six of the 12 rules:
@@ -158,18 +168,20 @@ object Repetition {
                        ns: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ns: $ns")
     val id = col(idCol)
-    val toks = TextFunctions.tokens(col(textCol))
+    // tokens materialized ONCE as a column (the q253 HOF-CSE lesson —
+    // see topNgramFractions); offsets and total derive from it.
     // char offsets of each token in the single-space joined text:
     // offs(i) = start of token i (0-based); offs has nTok+1 entries
     // (the sentinel simplifies span ends). aggregate() keeps this a
     // single Column pass — no positional window.
-    val offs = aggregate(toks, array(lit(0)),
-      (acc, t) => concat(acc,
-        array(element_at(acc, -1) + length(t) + 1)))
-    val spans = df.select(id,
-        (length(concat_ws(" ", toks))).as("__total"),
-        offs.as("__offs"),
-        toks.as("__toks"))
+    val spans = df
+      .select(id, TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(id,
+        (length(concat_ws(" ", col("__toks")))).as("__total"),
+        aggregate(col("__toks"), array(lit(0)),
+          (acc, t) => concat(acc,
+            array(element_at(acc, -1) + length(t) + 1))).as("__offs"),
+        col("__toks"))
       .select(id, col("__total"),
         explode(flatten(transform(typedLit(ns.toArray), n =>
           transform(
@@ -184,22 +196,26 @@ object Repetition {
       .select(id, col("__total"), col("__g.n").as("__n"),
         col("__g.gram").as("__gram"), col("__g.cs").as("__cs"),
         col("__g.ce").as("__ce"))
-    // duplicated grams only: spans of grams whose (doc, n, gram)
-    // count > 1 — the only rows the per-doc sort below ever sees
+    // duplicated grams only: ONE partial-aggregable groupBy on
+    // (doc, n, gram) collects each gram's spans and count together —
+    // a count-window here would buy the same filter at the price of
+    // a full sort of every gram row (measured 2x the whole query's
+    // wall at gate scale, r15); grams occurring once drop before any
+    // further shuffle.
     val dupSpans = spans
-      .withColumn("__k", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(id, col("__n"), col("__gram"))))
+      .groupBy(id, col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__k"),
+        first(col("__total")).as("__total"),
+        collect_list(struct(col("__cs"), col("__ce"))).as("__sp"))
       .filter(col("__k") > 1)
-      .select(id, col("__total"), col("__n"), col("__cs"), col("__ce"))
-    // interval union per (doc, n): collect the doc's duplicated spans
-    // (bounded by the doc's own gram count), sort, one linear fold.
-    // aggregate() emits (covered, curEnd); adjacent-or-overlapping
-    // intervals merge — union cardinality either way.
+    // interval union per (doc, n): flatten the duplicated grams'
+    // span lists (bounded by the doc's own gram count), sort, one
+    // linear fold. aggregate() emits (covered, curEnd); adjacent-or-
+    // overlapping intervals merge — union cardinality either way.
     val covered = dupSpans
       .groupBy(id, col("__n"))
       .agg(first(col("__total")).as("__total"),
-        sort_array(collect_list(struct(col("__cs"), col("__ce"))))
+        sort_array(flatten(collect_list(col("__sp"))))
           .as("__spans"))
       .select(id, col("__n"), col("__total"),
         aggregate(col("__spans"),
@@ -216,15 +232,15 @@ object Repetition {
       .select(id, col("__n"),
         (col("__cov").cast("double") / col("__total").cast("double"))
           .as("__frac"))
-    val wide = ns.foldLeft(df.select(id).distinct()) { (acc, n) =>
-      acc.join(
-        covered.filter(col("__n") === n)
-          .select(id, col("__frac").as(s"dup${n}_char_frac")),
-        Seq(idCol), "left")
-    }
-    wide.select(id +: ns.map(n =>
-      coalesce(col(s"dup${n}_char_frac"), lit(0.0))
-        .as(s"dup${n}_char_frac")): _*)
+    // ONE map-pivot, not one join per n (see topNgramFractions)
+    val byDoc = covered.groupBy(id)
+      .agg(map_from_entries(collect_list(
+        struct(col("__n"), col("__frac")))).as("__m"))
+    df.select(id).distinct()
+      .join(byDoc, Seq(idCol), "left")
+      .select(id +: ns.map(n =>
+        coalesce(element_at(col("__m"), lit(n)), lit(0.0))
+          .as(s"dup${n}_char_frac")): _*)
   }
 
   /** All 12 A1.2 rules as one frame: the four unit fractions, three
