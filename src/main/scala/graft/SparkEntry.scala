@@ -8413,7 +8413,59 @@ object SparkEntry {
              |  (len(regexp_extract_all(cleaned, '[.!?"]')) >= 3
              |    AND NOT contains(lower(text), 'lorem ipsum')
              |    AND NOT contains(text, '{')) AS page_pass
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-global boilerplate line removal (r15,
+    // Repetition.dropCommonLines — the RefinedWeb line-wise
+    // correction / CCNet paragraph-dedup shape): lines planted at
+    // three corpus frequencies — all docs (dropped), every third doc
+    // (dropped), every fiftieth doc (kept at maxDocs = 20) — plus a
+    // blank line and per-doc substrings; the oracle replays the
+    // doc-frequency census, the trimmed-key anti-join and the
+    // order-preserving reassembly with zipped unnests + string_agg.
+    Q("q256_common_lines", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = lit("subscribe to our newsletter today")
+      val l3 = when(col("doc_id") % 3 === 0,
+        lit("accept all cookies to continue"))
+        .otherwise(substring(col("text"), 41, 40))
+      val l4 = when(col("doc_id") % 50 === 0, lit("rare promo line"))
+        .otherwise(substring(col("text"), 81, 40))
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n", l1, l2, lit(""), l3, l4).as("text"))
+      graft.operators.Repetition
+        .dropCommonLines(multi, "doc_id", "text", maxDocs = 20L)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH d AS (SELECT doc_id,
+             |    substr(text, 1, 40) || chr(10) ||
+             |    'subscribe to our newsletter today' || chr(10) ||
+             |    '' || chr(10) ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN 'accept all cookies to continue'
+             |      ELSE substr(text, 41, 40) END || chr(10) ||
+             |    CASE WHEN doc_id % 50 = 0 THEN 'rare promo line'
+             |      ELSE substr(text, 81, 40) END AS text
+             |  FROM documents),
+             |ln AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS line,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM d),
+             |cm AS (SELECT trim(line) AS key FROM ln
+             |  WHERE len(trim(line)) > 0
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 20),
+             |kept AS (SELECT doc_id, pos, line FROM ln
+             |  WHERE len(trim(line)) = 0
+             |    OR trim(line) NOT IN (SELECT key FROM cm)),
+             |o AS (SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY pos) AS text
+             |  FROM kept GROUP BY 1)
+             |SELECT d.doc_id, coalesce(o.text, '') AS text
+             |FROM d LEFT JOIN o USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -243,6 +243,52 @@ object Repetition {
           .as(s"dup${n}_char_frac")): _*)
   }
 
+  /** CORPUS-global boilerplate line removal (the RefinedWeb
+    * "line-wise corrections" / CCNet paragraph-dedup shape — Penedo
+    * et al. 2023, arXiv:2306.01116 §3.3; Wenzek et al. 2020,
+    * arXiv:1911.00359 §3: navigation bars, cookie banners and
+    * footers repeat VERBATIM across many documents and survive every
+    * within-document filter): remove every line whose trimmed
+    * content occurs in MORE THAN `maxDocs` distinct documents.
+    * Returns the input frame with `textCol` rewritten (line order
+    * preserved, original untrimmed line text kept; blank/whitespace
+    * lines are never "common" and always survive; null text → empty
+    * string, the [[TextFunctions.c4CleanLines]] convention).
+    *
+    * Shape at 100 TB: one explode → (trimmed-line, doc) distinct →
+    * line doc-frequency partial-agg (the only corpus-wide shuffle,
+    * keyed on line content); the common set is boilerplate-sized —
+    * orders of magnitude smaller than the line table — and AQE
+    * broadcasts the anti-join when it fits. Reassembly is one
+    * per-doc groupBy (sort_array over the doc's own lines, no
+    * corpus-wide window). */
+  def dropCommonLines(df: DataFrame, idCol: String, textCol: String,
+                      maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val id = col(idCol)
+    val lines = df.select(id,
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val common = lines.filter(length(col("__key")) > 0)
+      .select(col("__key"), id).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("__key"))
+    val kept = lines.join(common, Seq("__key"), "left_anti")
+    val rebuilt = kept.groupBy(id)
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__clean"))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .select(df.columns.map {
+        case c if c == textCol => coalesce(col("__clean"), lit(""))
+          .as(textCol)
+        case c => col(c)
+      }: _*) // original column order, textCol rewritten in place
+  }
+
   /** All 12 A1.2 rules as one frame: the four unit fractions, three
     * top n-gram fractions, six duplicated n-gram coverages, plus
     * (cost shape: the three stages each scan and re-tokenize the

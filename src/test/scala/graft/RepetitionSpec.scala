@@ -167,6 +167,28 @@ class RepetitionSpec extends SparkTestBase {
     }
   }
 
+  test("dropCommonLines: corpus-common lines removed everywhere, " +
+    "rare and blank lines survive, order and columns preserved") {
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner here\n\nbody one", "en"),
+      (2L, "cookie banner here\nunique beta\nbody two", "de"),
+      (3L, "unique gamma\n  cookie banner here  \nbody three", "en"),
+      (4L, null.asInstanceOf[String], "fr")
+    ).toDF("doc_id", "text", "lang")
+    // "cookie banner here" occurs (trimmed) in 3 docs > maxDocs=2
+    val out = Repetition.dropCommonLines(docs, "doc_id", "text", 2L)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "unique alpha\n\nbody one") // blank line survives
+    assert(m(2L) == "unique beta\nbody two")
+    assert(m(3L) == "unique gamma\nbody three") // trimmed-key match
+    assert(m(4L) == "")                          // null -> empty
+    // raise the threshold: nothing is common, docs unchanged
+    val loose = Repetition.dropCommonLines(docs, "doc_id", "text", 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "unique alpha\ncookie banner here\n\nbody one")
+  }
+
   test("gopherRepetitionFlags: published thresholds gate the " +
     "conjunction; clean docs pass, repetitive docs fail") {
     // doc 1 must be LONG to pass: with all-distinct words the top
