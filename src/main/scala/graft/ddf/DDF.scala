@@ -827,6 +827,27 @@ class DDF(val df: DataFrame) {
     wrap(df.join(graft.operators.Repetition
       .gopherRepetitionFlags(df, idCol, textCol), Seq(idCol)))
 
+  /** [[graft.functions.TextFunctions.c4CleanLines]] +
+    * [[graft.functions.TextFunctions.c4PageFlags]] — the C4 §2.2
+    * line rules applied in place (textCol rewritten) with the page
+    * flags struct appended as `outCol`. */
+  def c4Clean(textCol: String, minWordsPerLine: Int = 5,
+              minSentences: Int = 3, outCol: String = "c4"): DDF = {
+    val cleaned = graft.functions.TextFunctions
+      .c4CleanLines(col(textCol), minWordsPerLine)
+    wrap(df
+      .withColumn(outCol, graft.functions.TextFunctions
+        .c4PageFlags(col(textCol), cleaned, minSentences))
+      .withColumn(textCol, cleaned))
+  }
+
+  /** [[graft.operators.Repetition.dropCommonLines]] — corpus-global
+    * boilerplate line removal (lines in > maxDocs distinct docs). */
+  def dropCommonLines(idCol: String, textCol: String,
+                      maxDocs: Long): DDF =
+    wrap(graft.operators.Repetition
+      .dropCommonLines(df, idCol, textCol, maxDocs))
+
   /** [[graft.operators.Unigram.train]] — fit a unigram-LM piece
     * table (Kudo 2018; the SentencePiece model) from `textCol` */
   def unigramTrain(textCol: String, vocabSize: Int,

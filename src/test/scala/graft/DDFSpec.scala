@@ -798,6 +798,25 @@ class DDFSpec extends SparkTestBase {
     assert(rep.filter($"doc_id" === 1).head().getAs[Boolean]("rep_pass"))
   }
 
+  test("c4Clean and dropCommonLines fluent faces delegate to the " +
+    "operators (r15)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A good first sentence with words.\nshort.\ncommon footer line"),
+      (2L, "Another good sentence with many words.\ncommon footer line"),
+      (3L, "A third good sentence with words here.\ncommon footer line")
+    ).toDF("doc_id", "text")
+    val c4 = DDF(docs).c4Clean("text").toDF
+    assert(c4.columns.toSeq == Seq("doc_id", "text", "c4"))
+    // line rules applied in place; flags derive from the ORIGINAL text
+    val r1 = c4.filter($"doc_id" === 1).head()
+    assert(r1.getString(1) == "A good first sentence with words.")
+    val common = DDF(docs).dropCommonLines("doc_id", "text", 2L).toDF
+    val m = common.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "A good first sentence with words.\nshort.")
+    assert(m(2L) == "Another good sentence with many words.")
+  }
+
   test("empty DataFrame no-ops cleanly through operators") {
     val empty = DDF(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
