@@ -163,8 +163,14 @@ object Bench {
     // identical profile (deterministic 58 jobs/654 tasks, first
     // post-warmup run 2.6x JIT-cold at 9.4-9.7 s, steady 3.7-4.6 s)
     // — attribution table in BENCH_NOTES r11.
+    // q182_pagerank_personalized joined in r16 (VERDICT r15 item 3):
+    // 10 unrolled CTE rounds with lineage cuts — the same
+    // deterministic many-small-jobs shape — swung 2.2 <-> 5.4 s
+    // across QUIET windows on byte-identical bytecode (plan unchanged
+    // since r11), polluting every cross-round comparison.
     val medianOf3 =
-      Set("q62_dbscan", "q80_dedup_keep_best", "q124_admission_embed")
+      Set("q62_dbscan", "q80_dedup_keep_best", "q124_admission_embed",
+        "q182_pagerank_personalized")
     val timings = SparkEntry.queries.map { case (name, fn) =>
       val cold = timeOne(fn)
       val rep = timeOne(fn)
