@@ -196,14 +196,20 @@ object TextFunctions {
     *   - do not contain the word "javascript" (case-insensitive —
     *     the cookie/JS-warning boilerplate rule).
     * Retained lines re-join with '\n' in original order. Null text →
-    * empty string (fail-safe: nothing survives). Pure Column math —
+    * empty string (fail-safe: nothing survives). Lines split on
+    * `\r?\n` (ADVICE r15): Spark `trim()` strips only 0x20 spaces, so
+    * a '\n'-only split would leave every CRLF line carrying a
+    * trailing '\r' and the terminal-punctuation rule would drop the
+    * whole page — the C4 reference strips '\r' via Python strip();
+    * CRLF documents therefore clean like LF ones (and re-join with
+    * '\n'). Pure Column math —
     * one split, per-line HOF predicates, codegen. Compose with
     * [[lineDedup]], [[graft.operators.Phrases.filterPhrases]] (the
     * bad-words page rule) and [[c4PageFlags]] for the full §2.2
     * recipe. */
   def c4CleanLines(text: Column, minWordsPerLine: Int = 5): Column =
     array_join(
-      filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      filter(transform(split(coalesce(text, lit("")), "\r?\n"), l => trim(l)),
         l => length(l) > 0 &&
           l.rlike("[.!?\"]$") &&
           size(filter(split(l, "\\s+"), w => length(w) > 0))

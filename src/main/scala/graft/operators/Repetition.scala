@@ -27,8 +27,11 @@ import graft.functions.TextFunctions
   * Conventions (each is a choice the paper leaves open; all are
   * pinned by the SQL oracles and stated here so a user can map them
   * to their own reproduction):
-  *   - lines split on single newlines, paragraphs on blank-line runs
-  *     (`\n{2,}`); units are trimmed, empty units dropped;
+  *   - lines split on single newlines (`\r?\n` — CRLF corpora clean
+  *     like LF ones, the [[TextFunctions.c4CleanLines]] ADVICE-r15
+  *     rule; Spark trim() strips only spaces, so the '\r' must die
+  *     at the split), paragraphs on blank-line runs
+  *     (`(\r?\n){2,}`); units are trimmed, empty units dropped;
   *   - n-grams are over [[TextFunctions.tokens]] words (lowercased
   *     whitespace tokens — the engine-wide token metric), and a
   *     gram's character extent is its extent in the single-space
@@ -73,8 +76,8 @@ object Repetition {
           sum(col("__k") * col("__len")).cast("double"))
           .as(s"dup_${prefix}_char_frac"))
     }
-    val lines = fracs("\n", "line")
-    val paras = fracs("\n{2,}", "para")
+    val lines = fracs("\r?\n", "line")
+    val paras = fracs("(\r?\n){2,}", "para")
     // left joins + 0.0 fill: a doc with no units appears in neither
     // aggregate; char denominators can never be 0 for a doc that has
     // units (units are non-empty), so the only null source is absence
@@ -253,7 +256,12 @@ object Repetition {
     * Returns the input frame with `textCol` rewritten (line order
     * preserved, original untrimmed line text kept; blank/whitespace
     * lines are never "common" and always survive; null text → empty
-    * string, the [[TextFunctions.c4CleanLines]] convention).
+    * string, the [[TextFunctions.c4CleanLines]] convention). Lines
+    * split on `\r?\n` and re-join with '\n' (ADVICE r15): CRLF
+    * corpora get the same doc-frequency census as LF ones — a
+    * '\n'-only split would leave '\r' inside every trimmed key (trim
+    * strips only spaces) and no CRLF line would ever match its LF
+    * twin; line endings normalize to LF on reassembly.
     *
     * Shape at 100 TB: one explode → (trimmed-line, doc) distinct →
     * line doc-frequency partial-agg (the only corpus-wide shuffle,
@@ -267,7 +275,7 @@ object Repetition {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val id = col(idCol)
     val lines = df.select(id,
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
           .as(Seq("__pos", "__line")))
       .withColumn("__key", trim(col("__line")))
     val common = lines.filter(length(col("__key")) > 0)

@@ -235,19 +235,25 @@ object SemDedup {
     // (every candidate struct is equal) and dedup to one output row —
     // the documented divergence from the flat face, which preserves
     // multiplicity.
+    // the guard rides EVERY output column (ADVICE r15): if it lived
+    // only on centroid_cosine, a caller selecting just (id, cluster)
+    // would let Catalyst prune the guarded column and the duplicate-id
+    // collapse would proceed silently again — "ENFORCED" must survive
+    // column pruning, so both projections raise on a hash mismatch
+    def guarded(v: Column): Column =
+      when(col("__h0") === col("__h1"), v)
+        .otherwise(raise_error(concat(
+          lit("assignRouted: duplicate id with differing vectors " +
+            "(id="), col("id").cast("string"),
+          lit(") — the routed argmin groups by id; make ids unique " +
+            "upstream (the flat face preserves duplicate rows)"))))
     scored.groupBy(col("id"))
       .agg(min(col("__s")).as("__m"), first(col(vecName)).as(vecName),
         min(xxhash64(col(vecName))).as("__h0"),
         max(xxhash64(col(vecName))).as("__h1"))
       .select(col("id"), col(vecName),
-        col("__m").getField("i").as("cluster"),
-        when(col("__h0") === col("__h1"), col("__m").getField("cc"))
-          .otherwise(raise_error(concat(
-            lit("assignRouted: duplicate id with differing vectors " +
-              "(id="), col("id").cast("string"),
-            lit(") — the routed argmin groups by id; make ids unique " +
-              "upstream (the flat face preserves duplicate rows)"))))
-          .as("centroid_cosine"))
+        guarded(col("__m").getField("i")).as("cluster"),
+        guarded(col("__m").getField("cc")).as("centroid_cosine"))
   }
 
   /** IVF-ROUTED face of [[assign]] — the at-scale assignment path

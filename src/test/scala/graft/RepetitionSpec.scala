@@ -81,20 +81,35 @@ class RepetitionSpec extends SparkTestBase {
     "(small alphabet, the PhrasesSpec discipline)") {
     val rnd = new scala.util.Random(42)
     val words = Seq("a", "bb", "ccc", "dd", "e")
+    // tab/CR-edged fixture (ADVICE r15): the engine trims SPACES only
+    // (Spark trim), so a tab-edged line keeps its tab inside the unit
+    // key — the fixture must reach that edge and the naive reference
+    // must replay space-only trimming (Java String.trim strips every
+    // char <= 0x20 and would silently diverge); CRLF separators pin
+    // the r16 `\r?\n` split on both sides
+    def randLine(): String = {
+      val core = (1 to (1 + rnd.nextInt(12))).map(_ =>
+        words(rnd.nextInt(words.length))).mkString(" ")
+      val pre = rnd.nextInt(5) match {
+        case 0 => "\t" case 1 => "  " case _ => "" }
+      val suf = if (rnd.nextInt(5) == 0) "\t" else ""
+      pre + core + suf
+    }
     def randDoc(): String = {
-      val lines = (1 to (1 + rnd.nextInt(4))).map { _ =>
-        (1 to (1 + rnd.nextInt(12))).map(_ =>
-          words(rnd.nextInt(words.length))).mkString(" ")
-      }
-      lines.mkString(if (rnd.nextBoolean()) "\n" else "\n\n")
+      val lines = (1 to (1 + rnd.nextInt(4))).map(_ => randLine())
+      val sep = rnd.nextInt(4) match {
+        case 0 => "\n" case 1 => "\n\n" case 2 => "\r\n"
+        case _ => "\r\n\r\n" }
+      lines.mkString(sep)
     }
     val docs = (1L to 40L).map(i => (i, randDoc()))
     val df = docs.toDF("doc_id", "text")
 
     // ---- naive reference, straight from the definitions ----
+    def trimSpaces(s: String): String = s.replaceAll("^ +| +$", "")
     def naiveUnits(t: String, para: Boolean): Seq[String] = {
-      val sep = if (para) "\n{2,}" else "\n"
-      t.split(sep).map(_.trim).filter(_.nonEmpty).toSeq
+      val sep = if (para) "(\r?\n){2,}" else "\r?\n"
+      t.split(sep).map(trimSpaces).filter(_.nonEmpty).toSeq
     }
     def naiveDupFracs(t: String, para: Boolean): (Double, Double) = {
       val u = naiveUnits(t, para)
@@ -165,6 +180,31 @@ class RepetitionSpec extends SparkTestBase {
           s"doc $i dup$n: got ${covs(i)(j)} want ${naiveDupCov(t, n)}\n$t")
       }
     }
+  }
+
+  test("CRLF documents behave like their LF twins (ADVICE r15): " +
+    "dupUnitFractions and dropCommonLines split on \\r?\\n") {
+    val lf = Seq((1L, "a\nb\na\n\nc"), (2L, "x\n\nx"))
+    val crlf = lf.map { case (i, t) => (i, t.replace("\n", "\r\n")) }
+    val fLf = Repetition.dupUnitFractions(lf.toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getDouble)).toMap
+    val fCr = Repetition.dupUnitFractions(crlf.toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getDouble)).toMap
+    assert(fLf == fCr)
+    // a CRLF doc's common line matches its LF twin's in the corpus
+    // census, and endings normalize to '\n' on reassembly
+    val docs = Seq(
+      (1L, "unique alpha\r\ncommon banner\r\nbody one"),
+      (2L, "common banner\nunique beta"),
+      (3L, "unique gamma\ncommon banner")
+    ).toDF("doc_id", "text")
+    val out = Repetition.dropCommonLines(docs, "doc_id", "text", 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique alpha\nbody one")
+    assert(out(2L) == "unique beta")
+    assert(out(3L) == "unique gamma")
   }
 
   test("dropCommonLines: corpus-common lines removed everywhere, " +

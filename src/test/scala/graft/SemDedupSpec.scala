@@ -401,6 +401,17 @@ class SemDedupSpec extends SparkTestBase {
         e.getMessage.contains("duplicate id") ||
         Option(e.getCause).exists(_.getMessage.contains("duplicate id"))),
       s"wrong error: ${e.getMessage}")
+    // the guard must survive column pruning (ADVICE r15): selecting
+    // only (id, cluster) lets Catalyst prune centroid_cosine, so the
+    // raise must also live in the cluster projection
+    val e2 = intercept[Exception] {
+      SemDedup.assignRouted(bad, "id", "v", centers, nCells = 2)
+        .select("id", "cluster").collect()
+    }
+    assert(e2.getMessage != null && (
+        e2.getMessage.contains("duplicate id") ||
+        Option(e2.getCause).exists(_.getMessage.contains("duplicate id"))),
+      s"pruned-column guard missing: ${e2.getMessage}")
     // same id, BYTE-IDENTICAL vectors: deterministic — dedups to one
     // row with the same assignment the flat face gives that row
     val dup = Seq((1L, vec(0.9, 0.1, 0.0)), (1L, vec(0.9, 0.1, 0.0)),

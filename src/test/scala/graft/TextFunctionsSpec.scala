@@ -446,6 +446,23 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.c4CleanLines($"t")).head().getString(0) == "")
   }
 
+  test("c4CleanLines: CRLF documents clean like LF ones (ADVICE " +
+    "r15 — trim() strips only spaces, the \\r must die at the split)") {
+    import spark.implicits._
+    val lines = Seq(
+      "This line has enough words and ends well.",
+      "short.",
+      "Another keeper line with plenty of words here!")
+    def clean(sep: String): String =
+      Seq(lines.mkString(sep)).toDF("t")
+        .select(TF.c4CleanLines($"t")).head().getString(0)
+    val want = Seq(lines(0), lines(2)).mkString("\n")
+    assert(clean("\n") == want)
+    // pre-fix, CRLF left '\r' on every line, the [.!?"]$ rule failed
+    // for all of them, and whole pages cleaned to empty
+    assert(clean("\r\n") == want)
+  }
+
   test("c4PageFlags: sentence floor, lorem ipsum, curly brace, " +
     "null fail-safe (r15)") {
     import spark.implicits._
