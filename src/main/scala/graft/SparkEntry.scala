@@ -116,6 +116,34 @@ object SparkEntry {
     * admitStream still run their full cycles live every pass). */
   private val admTemplateCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), java.nio.file.Path]
+
+  /** Session-scoped scratch root for every temp dir the catalog's
+    * fixtures create (ADVICE r15): previously each createTempDirectory
+    * (admission templates, per-invocation state copies, persisted
+    * index/model fixtures) landed directly under java.io.tmpdir and
+    * was never deleted — repeated bench/verify passes accumulated
+    * unbounded state. All of them now nest under ONE root per JVM,
+    * removed by a shutdown hook (reverse-order walk, so files go
+    * before their dirs; best-effort — a live mmap on a hot file must
+    * never turn JVM exit into a crash). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(r)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => })
+        finally walk.close()
+      } catch { case _: Throwable => }
+    }))
+    r
+  }
+  private def scratchTemp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   private def copyTree(src: java.nio.file.Path,
                        dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
@@ -130,11 +158,11 @@ object SparkEntry {
                                 (build: (String, String) => Unit)
   : (String, String, java.nio.file.Path) = {
     val template = admTemplateCache.getOrElseUpdate((tag, dir), {
-      val t = java.nio.file.Files.createTempDirectory(s"graft_admtpl_$tag")
+      val t = scratchTemp(s"graft_admtpl_$tag")
       build(t.resolve("corpus").toString, t.resolve("index").toString)
       t
     })
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_adm_$tag")
+    val tmp = scratchTemp(s"graft_adm_$tag")
     copyTree(template, tmp)
     (tmp.resolve("corpus").toString, tmp.resolve("index").toString, tmp)
   }
@@ -620,8 +648,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def mhIndexPath(s: SparkSession, dir: String): String =
     mhIndexCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_mh_index_q117").toString
+      val p = scratchTemp("graft_mh_index_q117").toString
       Dedup.minhashIndex(
           docsWithDups(s, dir).filter(col("doc_id") < 10000),
           "doc_id", "text", numHashes = 64, bands = 32)
@@ -635,8 +662,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def gramIndexPath(s: SparkSession, dir: String): String =
     gramIndexCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_gram_index_q137").toString
+      val p = scratchTemp("graft_gram_index_q137").toString
       SubstringDedup.gramIndex(
           docsWithDups(s, dir).filter(col("doc_id") < 10000),
           "doc_id", "text", k = 8, hashKeys = false)
@@ -683,8 +709,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def embIndexPath(s: SparkSession, dir: String): String =
     embIndexCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_emb_index_q119").toString
+      val p = scratchTemp("graft_emb_index_q119").toString
       Dedup.embeddingIndex(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64)
         .write.mode("overwrite").parquet(p)
@@ -699,8 +724,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def mhUpdIndexPath(s: SparkSession, dir: String): String =
     mhUpdIndexCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_mh_index_q120").toString
+      val p = scratchTemp("graft_mh_index_q120").toString
       val corpus = docsWithDups(s, dir).filter(col("doc_id") < 10000)
       Dedup.minhashIndexUpdate(
           Dedup.minhashIndex(corpus.filter(col("doc_id") % 2 === 0),
@@ -816,8 +840,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def sigIndexPath(s: SparkSession, dir: String): String =
     sigIndexCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_sig_index_q241").toString
+      val p = scratchTemp("graft_sig_index_q241").toString
       val corpus = patternMedia(
         t(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") < 196),
@@ -827,6 +850,136 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  // ---- q257/q258 HTML-extraction fixture (r16) --------------------------
+
+  /** stopword-dense pad (~104 chars, density 20/28 ≈ 0.71): GOOD when
+    * doubled around a doc slice (> 200 chars), NEARGOOD alone */
+  private val extractStopPad =
+    "the cat is in the hat and it is a fine day for the dog to nap " +
+      "on the mat by the door and this is of it"
+
+  /** 13 stopwords + 29 filler words: density 13/42 ≈ 0.310 — lands in
+    * the (stopwordsLow, stopwordsHigh] = (0.30, 0.32] band, firing
+    * the second NEARGOOD branch the other blocks never reach */
+  private val extractMidPad =
+    "the a an and or of to in is it that for on " +
+      (1 to 29).map(i => f"filler$i%02d").mkString(" ")
+
+  /** the synthesized per-doc HTML: title + (linkful on doc_id%5=0)
+    * heading, an all-anchor menu (link-density BAD), a GOOD paragraph
+    * (stopPad + doc slice + stopPad), a kept neighbor (NEARGOOD pad on
+    * doc_id%4=0, SHORT prose otherwise), the mid-band NEARGOOD pad
+    * (isolated → dropped), a ©-rule block, an isolated NEARGOOD pad,
+    * and a raw doc-text trailer (low stopword density → BAD; SHORT for
+    * the shortest docs). Mirrored verbatim in [[extractHtmlSql]]. */
+  private def extractHtml(s: SparkSession, dir: String): DataFrame = {
+    val sp = lit(extractStopPad)
+    val b0 = when(col("doc_id") % 5 === 0,
+      concat(lit("<h1><a href=\"/h\">"), substring(col("text"), 1, 20),
+        lit("</a></h1>")))
+      .otherwise(concat(lit("<h1>"), substring(col("text"), 1, 20),
+        lit("</h1>")))
+    val menu = concat(lit("<div><a href=\"/\">"),
+      substring(col("text"), 1, 30), lit("</a> <a href=\"/x\">"),
+      substring(col("text"), 11, 30), lit("</a> <a href=\"/y\">"),
+      substring(col("text"), 21, 30), lit("</a></div>"))
+    val goodP = concat(lit("<p>"), sp, lit(" "),
+      substring(col("text"), 1, 40), lit(" "), sp, lit("</p>"))
+    val b3 = when(col("doc_id") % 4 === 0,
+      concat(lit("<p>"), sp, lit("</p>")))
+      .otherwise(concat(lit("<p>Read "), substring(col("text"), 41, 15),
+        lit("</p>")))
+    val mid = concat(lit("<p>"), lit(extractMidPad), lit("</p>"))
+    val b4 = concat(lit("<div>© "), substring(col("text"), 1, 30),
+      lit("</div>"))
+    val b5 = concat(lit("<p>"), sp, lit("</p>"))
+    val b6 = concat(lit("<div>"), substring(col("text"), 1, 100),
+      lit("</div>"))
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("<html><head><title>T</title><style>p{c:red}</style>" +
+          "<script>var q = 1;</script></head><body><!-- nav -->"),
+        b0, menu, goodP, b3, mid, b4, b5, b6,
+        lit("</body></html>")).as("html"))
+  }
+
+  /** DuckDB construction of the SAME html — CTE `h(doc_id, html)` */
+  private lazy val extractHtmlSql =
+    s"""h AS (SELECT doc_id,
+       |    '<html><head><title>T</title><style>p{c:red}</style>' ||
+       |    '<script>var q = 1;</script></head><body><!-- nav -->' ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN '<h1><a href="/h">' || substr(text, 1, 20) || '</a></h1>'
+       |      ELSE '<h1>' || substr(text, 1, 20) || '</h1>' END ||
+       |    '<div><a href="/">' || substr(text, 1, 30) ||
+       |    '</a> <a href="/x">' || substr(text, 11, 30) ||
+       |    '</a> <a href="/y">' || substr(text, 21, 30) ||
+       |    '</a></div>' ||
+       |    '<p>$extractStopPad ' || substr(text, 1, 40) ||
+       |    ' $extractStopPad</p>' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '<p>$extractStopPad</p>'
+       |      ELSE '<p>Read ' || substr(text, 41, 15) || '</p>' END ||
+       |    '<p>$extractMidPad</p>' ||
+       |    '<div>© ' || substr(text, 1, 30) || '</div>' ||
+       |    '<p>$extractStopPad</p>' ||
+       |    '<div>' || substr(text, 1, 100) || '</div>' ||
+       |    '</body></html>' AS html
+       |  FROM documents)""".stripMargin
+
+  /** full DuckDB replay of [[graft.operators.Extract.mainContent]]
+    * from CTE `h(doc_id, html)` to CTE `x(doc_id, text)`: invisible-
+    * element drop, block-tag split, per-block tag strip + whitespace
+    * collapse, link/stopword densities, the jusText CASE at the
+    * published thresholds, and the one-step neighbor smoothing via
+    * list lambdas over the class array. (Entity decode is identity on
+    * this fixture — no '&' anywhere — and is pinned in ExtractSpec.) */
+  private lazy val sqlExtractCtes: String = {
+    val stops = graft.functions.TextFunctions.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    def dens(t: String) =
+      s"""CAST(len(list_filter(${sqlTokens(t)},
+         |      y -> list_contains($stops, y))) AS DOUBLE)
+         |      / greatest(CAST(len(${sqlTokens(t)}) AS DOUBLE), 1.0)""".stripMargin
+    val blockTagSplit =
+      "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tfoot|tr|td|" +
+        "th|section|article|header|footer|nav|aside|blockquote|pre|" +
+        "form|br|hr|body|html|head|title|main|figure|figcaption|dl|" +
+        "dt|dd)\\b[^>]*>"
+    s"""xd AS (SELECT doc_id, regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<!--.*?-->', ' ', 'g'),
+       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+       |      '(?is)<template[^>]*>.*?</template>', ' ', 'g') AS c
+       |  FROM h),
+       |xb AS (SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(c, '$blockTagSplit'),
+       |    b -> struct_pack(
+       |      txt := trim(regexp_replace(regexp_replace(b,
+       |        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+       |      noa := trim(regexp_replace(regexp_replace(regexp_replace(b,
+       |        '(?is)<a[^>]*>.*?</a>', ' ', 'g'),
+       |        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))),
+       |    s -> len(s.txt) > 0) AS bl FROM xd),
+       |xf AS (SELECT doc_id, bl, list_transform(bl, s -> CASE
+       |    WHEN CAST(greatest(len(s.txt) - len(s.noa), 0) AS DOUBLE)
+       |      / greatest(CAST(len(s.txt) AS DOUBLE), 1.0) > 0.2 THEN 0
+       |    WHEN contains(s.txt, '©') OR contains(s.txt, '&copy;') THEN 0
+       |    WHEN len(s.txt) < 70 THEN
+       |      (CASE WHEN greatest(len(s.txt) - len(s.noa), 0) > 0
+       |        THEN 0 ELSE 1 END)
+       |    WHEN ${dens("s.txt")} > 0.32 THEN
+       |      (CASE WHEN len(s.txt) > 200 THEN 3 ELSE 2 END)
+       |    WHEN ${dens("s.txt")} > 0.30 THEN 2
+       |    ELSE 0 END) AS cls FROM xb),
+       |x AS (SELECT doc_id, array_to_string(list_transform(
+       |    list_filter(range(1, len(cls) + 1),
+       |      i -> cls[i] = 3 OR ((cls[i] = 2 OR cls[i] = 1) AND
+       |        ((i > 1 AND cls[i - 1] = 3) OR
+       |          (i < len(cls) AND cls[i + 1] = 3)))),
+       |    i -> bl[i].txt), chr(10)) AS text FROM xf)""".stripMargin
+  }
 
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
@@ -3934,8 +4087,7 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           length(col("text")).cast("double").as("score"),
           TF.tokenCount(col("text")).cast("long").as("toks"))
-      val led = java.nio.file.Files
-        .createTempDirectory("graft_ledger_q141").resolve("led").toString
+      val led = scratchTemp("graft_ledger_q141").resolve("led").toString
       val c1 = Budget.tokenBudgetSelectAndBank(
         docs.filter(col("doc_id") % 2 === 0), led,
         "lang", "doc_id", "score", "toks", budget = 3000L)
@@ -6775,8 +6927,7 @@ object SparkEntry {
     // append fixture as q169, fresh digest dir.
     Q("q217_kll_bounded", (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q217_kll").toString + "/digest"
+      val path = scratchTemp("graft_q217_kll").toString + "/digest"
       val cols = Seq("l_extendedprice", "l_quantity")
       graft.operators.Profile.appendKllDigest(
         li.filter(col("l_orderkey") % 2 === 0), cols, path)
@@ -6956,8 +7107,7 @@ object SparkEntry {
     // pool per run (BENCH_NOTES prices the inline refit q222 pays).
     Q("q226_dsir_persisted", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q226_dsir").toString + "/model"
+      val path = scratchTemp("graft_q226_dsir").toString + "/model"
       Dsir.saveModel(Dsir.logRatioTable(
         docs.filter(col("lang") === "en"), docs, "text", m = 512),
         path, m = 512, alpha = 1.0)
@@ -7133,8 +7283,7 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
       val corpus = semDupCorpus(e.select(col("vec_id"), col("v")))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q228_centers").toString + "/centers"
+      val path = scratchTemp("graft_q228_centers").toString + "/centers"
       SemDedup.saveCenters(s, semCenters(e, "q228"), path)
       val centers = SemDedup.loadCenters(s, path)
       val kept = SemDedup.semDedup(corpus, "vec_id", "v", centers,
@@ -7623,8 +7772,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val fitted = graft.operators.Unigram.train(docs, "text",
         vocabSize = 400, maxPieceLen = 6, seedSize = 1000, emIters = 2)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ug_vocab_q239").toString
+      val p = scratchTemp("graft_ug_vocab_q239").toString
       graft.operators.Unigram.saveVocab(fitted, p, vocabSize = 400,
         maxPieceLen = 6)
       val vocab = graft.operators.Unigram.loadVocab(s, p,
@@ -8099,8 +8247,7 @@ object SparkEntry {
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w").asc).limit(30)
         .select(col("w").as("phrase"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q250_phrases").toString + "/block"
+      val path = scratchTemp("graft_q250_phrases").toString + "/block"
       graft.operators.Phrases.savePhrases(s, phrases, path)
       val loaded = graft.operators.Phrases.loadPhrases(s, path)
       graft.operators.Phrases.tagPhrases(docs, "text", loaded)
@@ -8199,7 +8346,7 @@ object SparkEntry {
              |      THEN l1 || chr(10) || l2 || chr(10) || l1
              |      ELSE l3 END AS text FROM m),
              |lu AS (SELECT doc_id, trim(u) AS u FROM (
-             |    SELECT doc_id, unnest(string_split_regex(text, '\n')) AS u
+             |    SELECT doc_id, unnest(string_split_regex(text, '\r?\n')) AS u
              |    FROM d) WHERE len(trim(u)) > 0),
              |lc AS (SELECT doc_id, u, count(*) AS k FROM lu GROUP BY 1, 2),
              |lf AS (SELECT doc_id,
@@ -8210,7 +8357,7 @@ object SparkEntry {
              |  FROM lc GROUP BY 1),
              |pu AS (SELECT doc_id, trim(u) AS u FROM (
              |    SELECT doc_id,
-             |      unnest(string_split_regex(text, '\n{2,}')) AS u
+             |      unnest(string_split_regex(text, '(\r?\n){2,}')) AS u
              |    FROM d) WHERE len(trim(u)) > 0),
              |pc AS (SELECT doc_id, u, count(*) AS k FROM pu GROUP BY 1, 2),
              |pf AS (SELECT doc_id,
@@ -8397,7 +8544,7 @@ object SparkEntry {
              |  FROM documents),
              |c AS (SELECT doc_id, text, array_to_string(
              |    list_filter(
-             |      list_transform(string_split_regex(text, '\n'),
+             |      list_transform(string_split_regex(text, '\r?\n'),
              |        l -> trim(l)),
              |      l -> len(l) > 0
              |        AND regexp_matches(l, '[.!?"]$')
@@ -8450,9 +8597,9 @@ object SparkEntry {
              |      ELSE substr(text, 81, 40) END AS text
              |  FROM documents),
              |ln AS (SELECT doc_id,
-             |    unnest(string_split(text, chr(10))) AS line,
-             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
-             |      AS pos
+             |    unnest(string_split_regex(text, '\r?\n')) AS line,
+             |    unnest(range(1,
+             |      len(string_split_regex(text, '\r?\n')) + 1)) AS pos
              |  FROM d),
              |cm AS (SELECT trim(line) AS key FROM ln
              |  WHERE len(trim(line)) > 0
@@ -8465,7 +8612,59 @@ object SparkEntry {
              |  FROM kept GROUP BY 1)
              |SELECT d.doc_id, coalesce(o.text, '') AS text
              |FROM d LEFT JOIN o USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Raw-HTML main-content extraction (r16, Extract.mainContent —
+    // jusText block-density classification, Pomikálek 2011; VERDICT
+    // r15 item 1): the synthesized per-doc page plants one block per
+    // rule — invisible script/style/comment, all-anchor menu (link
+    // density), linkful-short heading (doc_id%5), a GOOD paragraph, a
+    // kept SHORT/NEARGOOD neighbor (doc_id%4), the (0.30,0.32]
+    // mid-band NEARGOOD, the © rule, an isolated NEARGOOD, and a
+    // low-stopword trailer — every rule fires both directions on a
+    // real subset; the oracle replays tag-strip, densities, the
+    // jusText CASE and the neighbor smoothing in DuckDB list lambdas.
+    Q("q257_extract_main", (s, dir) =>
+      graft.operators.Extract.extract(extractHtml(s, dir), "html")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $extractHtmlSql,
+              |$sqlExtractCtes
+              |SELECT doc_id, text FROM x ORDER BY doc_id"""
+        .stripMargin)),
+
+    // The WARC-to-clean-text recipe (r16): extractMain →
+    // dropCommonLines — the boilerplate pad planted in every
+    // doc_id%4=0 page survives extraction as a kept NEARGOOD line
+    // (it sits next to a GOOD block) and only the CORPUS-global
+    // census can remove it; per-doc prose lines survive. The DDF
+    // fluent chain is the engine face; the oracle pipes the q257
+    // extraction replay into the q256 census replay.
+    Q("q258_extract_recipe", (s, dir) =>
+      graft.ddf.DDF(extractHtml(s, dir))
+        .extractMain("html")
+        .dropCommonLines("doc_id", "text", maxDocs = 20L)
+        .df.select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $extractHtmlSql,
+              |$sqlExtractCtes,
+              |ln AS (SELECT doc_id,
+              |    unnest(string_split_regex(text, '\\r?\\n')) AS line,
+              |    unnest(range(1,
+              |      len(string_split_regex(text, '\\r?\\n')) + 1)) AS pos
+              |  FROM x),
+              |cm AS (SELECT trim(line) AS key FROM ln
+              |  WHERE len(trim(line)) > 0
+              |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 20),
+              |kept AS (SELECT doc_id, pos, line FROM ln
+              |  WHERE len(trim(line)) = 0
+              |    OR trim(line) NOT IN (SELECT key FROM cm)),
+              |o AS (SELECT doc_id,
+              |    string_agg(line, chr(10) ORDER BY pos) AS text
+              |  FROM kept GROUP BY 1)
+              |SELECT x.doc_id, coalesce(o.text, '') AS text
+              |FROM x LEFT JOIN o USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -848,6 +848,14 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Repetition
       .dropCommonLines(df, idCol, textCol, maxDocs))
 
+  /** [[graft.operators.Extract.mainContent]] — raw-HTML main-content
+    * extraction (jusText-style block-density classification, r16):
+    * `htmlCol` extracted into `outCol` ('text' by default, the
+    * downstream-cleaning convention — compose with [[c4Clean]] /
+    * [[dropCommonLines]] / [[gopherRepetition]]). */
+  def extractMain(htmlCol: String, outCol: String = "text"): DDF =
+    wrap(graft.operators.Extract.extract(df, htmlCol, outCol))
+
   /** [[graft.operators.Unigram.train]] — fit a unigram-LM piece
     * table (Kudo 2018; the SentencePiece model) from `textCol` */
   def unigramTrain(textCol: String, vocabSize: Int,
