@@ -8664,7 +8664,150 @@ object SparkEntry {
               |  FROM kept GROUP BY 1)
               |SELECT x.doc_id, coalesce(o.text, '') AS text
               |FROM x LEFT JOIN o USING (doc_id)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The FUSED 12-rule Gopher repetition frame (r16, VERDICT r15
+    // item 4): gopherRepetitionFlags no longer joins the three
+    // standalone stages (7 corpus scans+tokenizes between them) —
+    // one tagged explode serves lines, paragraphs and all nine gram
+    // bands in a single scan. This query puts the FUSED plan itself
+    // under the hash gate on the q252 fixture (para/line dups AND
+    // duplicated long grams by construction): all 13 fractions plus
+    // the Table-A1 threshold conjunction, replayed by one oracle
+    // combining the q252/q253/q254 SQL with the thresholds.
+    Q("q259_rep_flags_fused", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val l3 = substring(col("text"), 81, 40)
+      val para1 = concat_ws("\n", l1, l2, l1)
+      val multi = docs.select(col("doc_id"),
+        concat(para1, lit("\n\n"),
+          when(col("doc_id") % 3 === 0, para1).otherwise(l3)).as("text"))
+      graft.operators.Repetition
+        .gopherRepetitionFlags(multi, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH m AS (SELECT doc_id,
+              |    substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2,
+              |    substr(text, 81, 40) AS l3 FROM documents),
+              |d AS (SELECT doc_id,
+              |    l1 || chr(10) || l2 || chr(10) || l1
+              |    || chr(10) || chr(10) ||
+              |    CASE WHEN doc_id % 3 = 0
+              |      THEN l1 || chr(10) || l2 || chr(10) || l1
+              |      ELSE l3 END AS text FROM m),
+              |lu AS (SELECT doc_id, trim(u) AS u FROM (
+              |    SELECT doc_id, unnest(string_split_regex(text, '\\r?\\n')) AS u
+              |    FROM d) WHERE len(trim(u)) > 0),
+              |lc AS (SELECT doc_id, u, count(*) AS k FROM lu GROUP BY 1, 2),
+              |lf AS (SELECT doc_id,
+              |    CAST(sum(k - 1) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+              |      AS dup_line_frac,
+              |    CAST(sum((k - 1) * len(u)) AS DOUBLE)
+              |      / CAST(sum(k * len(u)) AS DOUBLE) AS dup_line_char_frac
+              |  FROM lc GROUP BY 1),
+              |pu AS (SELECT doc_id, trim(u) AS u FROM (
+              |    SELECT doc_id,
+              |      unnest(string_split_regex(text, '(\\r?\\n){2,}')) AS u
+              |    FROM d) WHERE len(trim(u)) > 0),
+              |pc AS (SELECT doc_id, u, count(*) AS k FROM pu GROUP BY 1, 2),
+              |pf AS (SELECT doc_id,
+              |    CAST(sum(k - 1) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+              |      AS dup_para_frac,
+              |    CAST(sum((k - 1) * len(u)) AS DOUBLE)
+              |      / CAST(sum(k * len(u)) AS DOUBLE) AS dup_para_char_frac
+              |  FROM pc GROUP BY 1),
+              |tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM d),
+              |tot AS (SELECT doc_id, len(array_to_string(t, ' ')) AS total
+              |  FROM tk),
+              |g AS (SELECT doc_id, n, s,
+              |    array_to_string(t[s : s + n - 1], ' ') AS gram,
+              |    CASE WHEN s = 1 THEN 0
+              |      ELSE len(array_to_string(t[1 : s - 1], ' ')) + 1
+              |    END AS cs
+              |  FROM (SELECT doc_id, t, n,
+              |      unnest(generate_series(1, len(t) - n + 1)) AS s
+              |    FROM tk, (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n)
+              |    WHERE len(t) >= n)),
+              |c AS (SELECT doc_id, n, gram, count(*) AS k
+              |  FROM g WHERE n <= 4 GROUP BY 1, 2, 3),
+              |top AS (SELECT doc_id, n,
+              |    CAST(k * len(gram) AS DOUBLE) AS num FROM c
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+              |    ORDER BY k DESC, len(gram) DESC, gram DESC) = 1),
+              |gg AS (SELECT doc_id, n, cs, cs + len(gram) - 1 AS ce, gram
+              |  FROM g WHERE n >= 5),
+              |dup AS (SELECT doc_id, n, cs, ce FROM (
+              |    SELECT doc_id, n, cs, ce,
+              |      count(*) OVER (PARTITION BY doc_id, n, gram) AS k
+              |    FROM gg) WHERE k > 1),
+              |isl AS (SELECT doc_id, n, cs, ce,
+              |    sum(ni) OVER (PARTITION BY doc_id, n
+              |      ORDER BY cs, ce) AS island
+              |  FROM (SELECT doc_id, n, cs, ce,
+              |      CASE WHEN cs > coalesce(max(ce) OVER (
+              |          PARTITION BY doc_id, n ORDER BY cs, ce
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |        -10) + 1 THEN 1 ELSE 0 END AS ni
+              |    FROM dup)),
+              |cov AS (SELECT doc_id, n, sum(e - s2 + 1) AS covered FROM (
+              |    SELECT doc_id, n, island, min(cs) AS s2, max(ce) AS e
+              |    FROM isl GROUP BY 1, 2, 3) GROUP BY 1, 2),
+              |f AS (SELECT d.doc_id,
+              |  coalesce(lf.dup_line_frac, 0.0) AS dup_line_frac,
+              |  coalesce(lf.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+              |  coalesce(pf.dup_para_frac, 0.0) AS dup_para_frac,
+              |  coalesce(pf.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+              |  coalesce(t2.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top2_char_frac,
+              |  coalesce(t3.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top3_char_frac,
+              |  coalesce(t4.num / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS top4_char_frac,
+              |  coalesce(c5.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup5_char_frac,
+              |  coalesce(c6.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup6_char_frac,
+              |  coalesce(c7.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup7_char_frac,
+              |  coalesce(c8.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup8_char_frac,
+              |  coalesce(c9.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup9_char_frac,
+              |  coalesce(c10.covered / CAST(tot.total AS DOUBLE), 0.0)
+              |    AS dup10_char_frac
+              |FROM d LEFT JOIN lf USING (doc_id)
+              |LEFT JOIN pf USING (doc_id)
+              |LEFT JOIN tot ON d.doc_id = tot.doc_id
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 2) t2
+              |  ON d.doc_id = t2.doc_id
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 3) t3
+              |  ON d.doc_id = t3.doc_id
+              |LEFT JOIN (SELECT doc_id, num FROM top WHERE n = 4) t4
+              |  ON d.doc_id = t4.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 5) c5
+              |  ON d.doc_id = c5.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 6) c6
+              |  ON d.doc_id = c6.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 7) c7
+              |  ON d.doc_id = c7.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 8) c8
+              |  ON d.doc_id = c8.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 9) c9
+              |  ON d.doc_id = c9.doc_id
+              |LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 10) c10
+              |  ON d.doc_id = c10.doc_id)
+              |SELECT *,
+              |  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+              |    AND dup_line_char_frac <= 0.20
+              |    AND dup_para_char_frac <= 0.20
+              |    AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+              |    AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+              |    AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+              |    AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
+              |    AND dup10_char_frac <= 0.10) AS rep_pass
+              |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

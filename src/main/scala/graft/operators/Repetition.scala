@@ -52,6 +52,24 @@ import graft.functions.TextFunctions
   */
 object Repetition {
 
+  /** union cardinality of SORTED (cs, ce) char intervals — one linear
+    * aggregate() fold emitting (covered, curEnd); adjacent-or-
+    * overlapping intervals merge (union cardinality either way).
+    * Shared by [[dupNgramCoverage]] and the fused
+    * [[gopherRepetitionFlags]] pipeline. */
+  private def spanUnion(sortedSpans: Column): Column =
+    aggregate(sortedSpans,
+      struct(lit(0L).as("cov"), lit(-1L).as("end")),
+      (acc, sp) => struct(
+        (acc.getField("cov") +
+          greatest(lit(0L),
+            sp.getField("__ce").cast("long") -
+              greatest(sp.getField("__cs").cast("long"),
+                acc.getField("end") + 1L) + 1L)).as("cov"),
+        greatest(acc.getField("end"),
+          sp.getField("__ce").cast("long")).as("end")),
+      acc => acc.getField("cov"))
+
   /** Duplicate line/paragraph fractions (4 of the 12 A1.2 rules):
     * (idCol, dup_line_frac, dup_line_char_frac, dup_para_frac,
     * dup_para_char_frac). A unit value appearing k times contributes
@@ -213,25 +231,14 @@ object Repetition {
       .filter(col("__k") > 1)
     // interval union per (doc, n): flatten the duplicated grams'
     // span lists (bounded by the doc's own gram count), sort, one
-    // linear fold. aggregate() emits (covered, curEnd); adjacent-or-
-    // overlapping intervals merge — union cardinality either way.
+    // linear fold ([[spanUnion]]).
     val covered = dupSpans
       .groupBy(id, col("__n"))
       .agg(first(col("__total")).as("__total"),
         sort_array(flatten(collect_list(col("__sp"))))
           .as("__spans"))
       .select(id, col("__n"), col("__total"),
-        aggregate(col("__spans"),
-          struct(lit(0L).as("cov"), lit(-1L).as("end")),
-          (acc, sp) => struct(
-            (acc.getField("cov") +
-              greatest(lit(0L),
-                sp.getField("__ce").cast("long") -
-                  greatest(sp.getField("__cs").cast("long"),
-                    acc.getField("end") + 1L) + 1L)).as("cov"),
-            greatest(acc.getField("end"),
-              sp.getField("__ce").cast("long")).as("end")),
-          acc => acc.getField("cov")).as("__cov"))
+        spanUnion(col("__spans")).as("__cov"))
       .select(id, col("__n"),
         (col("__cov").cast("double") / col("__total").cast("double"))
           .as("__frac"))
@@ -299,17 +306,31 @@ object Repetition {
 
   /** All 12 A1.2 rules as one frame: the four unit fractions, three
     * top n-gram fractions, six duplicated n-gram coverages, plus
-    * (cost shape: the three stages each scan and re-tokenize the
-    * corpus — 3 scans, joined on doc-keyed 13-double rows, measured
-    * ~linear in ScaleSmoke `rep`; the bands don't share grams
-    * (2-4 vs 5-10 vs raw lines), so fusing would save the scans but
-    * not the explodes — cache the input if scans dominate)
     * `rep_pass` — true iff EVERY fraction is at or under its
     * published threshold (Table A1: lines/paras 0.30, their char
     * fractions 0.20; top 2/3/4-gram 0.20/0.18/0.16; dup 5..10-gram
     * 0.15/0.14/0.13/0.12/0.11/0.10). Thresholds parameterized;
     * compose with [[TextFunctions.gopherFlags]]' `pass` for the
-    * complete published Gopher filter. */
+    * complete published Gopher filter.
+    *
+    * FUSED pipeline (r16 — VERDICT r15 item 4; semantics identical to
+    * the three standalone stages, pinned fraction-by-fraction in
+    * RepetitionSpec): instead of three corpus scans + tokenizes
+    * (units / top 2-4 grams / dup 5-10 grams joined on doc-keyed
+    * rows), ONE scan tokenizes once and one generator explodes lines,
+    * paragraphs and every gram band together as tagged
+    * (band, key, cs, ce) entries — band 0 = lines, 1 = paragraphs,
+    * n >= 2 = word n-grams. One (doc, band, key) partial-agg counts
+    * occurrences (spans collected ONLY for the dup bands, and only
+    * k > 1 groups keep them — map-side `when` + collect_list's
+    * null-skip, so the top/unit bands shuffle counts, never spans);
+    * one (doc, band) agg computes all three fraction families
+    * band-appropriately (unit sums / struct-max argmax / sorted
+    * interval union); one (doc) map-pivot emits the 13-column row.
+    * Shuffle rows stay corpus-linear (Σ_n grams + units ≈ 9.2 ×
+    * tokens — the same volume the three stages shuffled COMBINED,
+    * now carried once), and the two saved corpus scans + tokenizes
+    * are the measured win (ScaleSmoke `rep`, BENCH_NOTES r16). */
   def gopherRepetitionFlags(df: DataFrame, idCol: String, textCol: String,
                             maxDupUnitFrac: Double = 0.30,
                             maxDupUnitCharFrac: Double = 0.20,
@@ -319,12 +340,119 @@ object Repetition {
                               Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
                                   8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
   : DataFrame = {
-    val units = dupUnitFractions(df, idCol, textCol)
-    val tops = topNgramFractions(df, idCol, textCol,
-      maxTopNgramFrac.map(_._1))
-    val dups = dupNgramCoverage(df, idCol, textCol,
-      maxDupNgramFrac.map(_._1))
-    val joined = units.join(tops, Seq(idCol)).join(dups, Seq(idCol))
+    val topNs = maxTopNgramFrac.map(_._1)
+    val dupNs = maxDupNgramFrac.map(_._1)
+    require((topNs ++ dupNs).forall(_ >= 2),
+      "fused pipeline reserves bands 0/1 for line/paragraph units — " +
+        s"n-gram sizes must be >= 2, got top=$topNs dup=$dupNs")
+    require(topNs.intersect(dupNs).isEmpty,
+      s"top and dup gram bands must be disjoint, got top=$topNs dup=$dupNs")
+    val gramNs = (topNs ++ dupNs).distinct.sorted
+    val id = col(idCol)
+
+    def unitEntries(pattern: String, band: Int): Column =
+      transform(
+        filter(transform(split(coalesce(col(textCol), lit("")), pattern),
+          u => trim(u)), u => length(u) > 0),
+        u => struct(lit(band).as("band"), u.as("key"),
+          lit(0).as("cs"), lit(0).as("ce")))
+
+    // ONE scan: tokens + char offsets materialized as columns (the
+    // q253 HOF-CSE lesson), then a single explode over the tagged
+    // union of line units, paragraph units and every gram band
+    val entries = df
+      .select(id, TextFunctions.tokens(col(textCol)).as("__toks"),
+        unitEntries("\r?\n", 0).as("__lineE"),
+        unitEntries("(\r?\n){2,}", 1).as("__paraE"))
+      .select(id,
+        length(concat_ws(" ", col("__toks"))).as("__total"),
+        aggregate(col("__toks"), array(lit(0)),
+          (acc, t) => concat(acc,
+            array(element_at(acc, -1) + length(t) + 1))).as("__offs"),
+        col("__toks"), col("__lineE"), col("__paraE"))
+      .select(id, col("__total"),
+        explode(concat(col("__lineE"), col("__paraE"),
+          flatten(transform(typedLit(gramNs.toArray), n =>
+            transform(
+              when(size(col("__toks")) >= n,
+                sequence(lit(1), size(col("__toks")) - n + lit(1)))
+                .otherwise(array().cast("array<int>")),
+              s => struct(n.as("band"),
+                concat_ws(" ", slice(col("__toks"), s, n)).as("key"),
+                element_at(col("__offs"), s).as("cs"),
+                (element_at(col("__offs"), s + n) - 2).as("ce")))))))
+          .as("__e"))
+      .select(id, col("__total"), col("__e.band").as("__band"),
+        col("__e.key").as("__key"), col("__e.cs").as("__cs"),
+        col("__e.ce").as("__ce"))
+
+    // (doc, band, key): occurrence count; spans ride ONLY for dup
+    // bands (collect_list skips the when()'s nulls map-side)
+    val counted = entries
+      .groupBy(id, col("__band"), col("__key"))
+      .agg(count(lit(1)).as("__k"),
+        first(col("__total")).as("__total"),
+        collect_list(when(col("__band").isInCollection(dupNs),
+          struct(col("__cs"), col("__ce")))).as("__sp"))
+      .withColumn("__len", length(col("__key")))
+
+    // (doc, band): every family's aggregate at once — the unit sums
+    // and the argmax are scalar-cheap on gram/unit rows they don't
+    // serve. Dup-band rows with __k = 1 (the DOMINANT class — most
+    // grams are unique) drop BEFORE this second shuffle: they
+    // contribute nothing to the interval union, and a (doc, band)
+    // group losing all its rows correctly reads 0.0 through the
+    // spine join. (First fused cut skipped this and re-shuffled
+    // every unique 5-10-gram — measured 1.6x the whole suite's wall
+    // at ScaleSmoke scale.)
+    val perBand = counted
+      .filter(col("__band") <= 1 ||
+        col("__band").isInCollection(topNs) || col("__k") > 1)
+      .groupBy(id, col("__band"))
+      .agg(first(col("__total")).as("__total"),
+        sum(col("__k") - 1).as("__dups"),
+        sum(col("__k")).as("__occ"),
+        sum((col("__k") - 1) * col("__len")).as("__dupch"),
+        sum(col("__k") * col("__len")).as("__ch"),
+        max(struct(col("__k"), col("__len"), col("__key"))).as("__top"),
+        sort_array(flatten(collect_list(
+          when(col("__k") > 1, col("__sp"))))).as("__spans"))
+
+    // band-appropriate fraction(s): units carry two (occurrence +
+    // char), grams one
+    val fracs = perBand.select(id, col("__band"),
+      when(col("__band") <= 1, struct(
+          (col("__dups").cast("double") / col("__occ").cast("double"))
+            .as("a"),
+          (col("__dupch").cast("double") / col("__ch").cast("double"))
+            .as("b")))
+        .when(col("__band").isInCollection(topNs), struct(
+          ((col("__top.__k") * col("__top.__len")).cast("double") /
+            col("__total").cast("double")).as("a"),
+          lit(0.0).as("b")))
+        .otherwise(struct(
+          (spanUnion(col("__spans")).cast("double") /
+            col("__total").cast("double")).as("a"),
+          lit(0.0).as("b")))
+        .as("__f"))
+
+    // (doc): ONE map-pivot for all bands, then the spine join fills
+    // absent bands (blank docs / too-few-token bands) with 0.0
+    val byDoc = fracs.groupBy(id)
+      .agg(map_from_entries(collect_list(
+        struct(col("__band"), col("__f")))).as("__m"))
+    def m(band: Int, field: String): Column =
+      coalesce(element_at(col("__m"), lit(band)).getField(field), lit(0.0))
+    val out = df.select(id).distinct()
+      .join(byDoc, Seq(idCol), "left")
+      .select(id +: (Seq(
+        m(0, "a").as("dup_line_frac"),
+        m(0, "b").as("dup_line_char_frac"),
+        m(1, "a").as("dup_para_frac"),
+        m(1, "b").as("dup_para_char_frac")) ++
+        topNs.map(n => m(n, "a").as(s"top${n}_char_frac")) ++
+        dupNs.map(n => m(n, "a").as(s"dup${n}_char_frac"))): _*)
+
     val unitChecks = Seq(
       col("dup_line_frac") <= maxDupUnitFrac,
       col("dup_para_frac") <= maxDupUnitFrac,
@@ -334,7 +462,7 @@ object Repetition {
       col(s"top${n}_char_frac") <= t }
     val dupChecks = maxDupNgramFrac.map { case (n, t) =>
       col(s"dup${n}_char_frac") <= t }
-    joined.withColumn("rep_pass",
+    out.withColumn("rep_pass",
       (unitChecks ++ topChecks ++ dupChecks).reduce(_ && _))
   }
 }

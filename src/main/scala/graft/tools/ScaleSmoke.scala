@@ -1231,12 +1231,17 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
-    // ---- Gopher repetition suite (r15): the full 12-rule A1.2 set
-    // is explode + partial-agg Column math — the wall must track the
-    // CORPUS linearly (shuffle rows ≈ Σ_n grams ≈ 9 × tokens across
-    // the three stages) with per-doc work flat. Corpus = documents
+    // ---- Gopher repetition suite (r15; fused r16): the full 12-rule
+    // A1.2 set is explode + partial-agg Column math — the wall must
+    // track the CORPUS linearly (shuffle rows ≈ Σ_n grams + units ≈
+    // 9.2 × tokens) with per-doc work flat. Corpus = documents
     // replicated k× with multi-line synthesis (the q252 fixture
-    // shape) so the line/para stages see real units.
+    // shape) so the line/para stages see real units. UNCACHED on
+    // purpose (r16): the 100 TB input is parquet, not a warm cache —
+    // the r15 plan scanned + tokenized the corpus once per stage, and
+    // caching the probe corpus hid exactly that cost; the probe also
+    // prints the PLAN's parquet-scan count (3 per gate pass pre-r16,
+    // 1 fused) so the scan drop is visible independent of wall noise.
     if (on("rep")) {
       import graft.operators.Repetition
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -1250,17 +1255,51 @@ object ScaleSmoke {
             substring(col("text"), 1, 60)).as("text")))
         .reduce(_ unionByName _)
       Seq(1, 4, 8).foreach { k =>
-        val c = corpus(k).cache()
+        val c = corpus(k)
         val n = c.count()
-        val t0 = System.nanoTime()
-        val out = Repetition.gopherRepetitionFlags(c, "doc_id", "text")
-          .agg(count(lit(1)), sum(when(col("rep_pass"), 1L)
-            .otherwise(0L))).head()
-        println(f"[scale-smoke] rep  n=$n%-7d full 12-rule suite " +
-          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
-          f"rows=${out.getLong(0)} pass=${out.getLong(1)}")
-        c.unpersist()
-        spark.catalog.clearCache()
+        def run(tag: String, frame: org.apache.spark.sql.DataFrame)
+        : Unit = {
+          val t0 = System.nanoTime()
+          val q = frame.agg(count(lit(1)),
+            sum(when(col("rep_pass"), 1L).otherwise(0L)))
+          val out = q.head()
+          // simple mode prints the tree once — one line per scan
+          val scans = q.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+            .split("Scan parquet").length - 1
+          println(f"[scale-smoke] rep  n=$n%-7d $tag%-6s 12-rule " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"rows=${out.getLong(0)} pass=${out.getLong(1)} " +
+            f"parquet_scans=${scans / k} x$k")
+          spark.catalog.clearCache()
+        }
+        // the pre-r16 shape: three standalone stages joined — each
+        // scans + tokenizes the corpus independently. rep_pass MUST
+        // be the real conjunction over the 13 columns: a literal
+        // would let Catalyst prune every fraction computation and
+        // the arm would measure nothing (caught live, r16).
+        val staged = Repetition
+          .dupUnitFractions(c, "doc_id", "text")
+          .join(Repetition.topNgramFractions(c, "doc_id", "text"),
+            Seq("doc_id"))
+          .join(Repetition.dupNgramCoverage(c, "doc_id", "text"),
+            Seq("doc_id"))
+        val stagedPass = staged.withColumn("rep_pass", Seq(
+          col("dup_line_frac") <= 0.30, col("dup_para_frac") <= 0.30,
+          col("dup_line_char_frac") <= 0.20,
+          col("dup_para_char_frac") <= 0.20,
+          col("top2_char_frac") <= 0.20, col("top3_char_frac") <= 0.18,
+          col("top4_char_frac") <= 0.16, col("dup5_char_frac") <= 0.15,
+          col("dup6_char_frac") <= 0.14, col("dup7_char_frac") <= 0.13,
+          col("dup8_char_frac") <= 0.12, col("dup9_char_frac") <= 0.11,
+          col("dup10_char_frac") <= 0.10).reduce(_ && _))
+        run("staged", stagedPass)
+        run("staged2", stagedPass)
+        run("fused",
+          Repetition.gopherRepetitionFlags(c, "doc_id", "text"))
+        run("fused2",
+          Repetition.gopherRepetitionFlags(c, "doc_id", "text"))
       }
     }
 

@@ -153,6 +153,18 @@ class RepetitionSpec extends SparkTestBase {
       }
     }
 
+    // the FUSED 12-rule pipeline must agree with the naive reference
+    // on all 13 fractions (r16: gopherRepetitionFlags no longer joins
+    // the three standalone stages — one tagged explode serves all
+    // bands, so its equality here is a separate claim)
+    val fusedCols = Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac",
+      "top2_char_frac", "top3_char_frac", "top4_char_frac") ++
+      (5 to 10).map(n => s"dup${n}_char_frac")
+    val fused = Repetition.gopherRepetitionFlags(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        fusedCols.map(c => r.getAs[Double](c))).toMap
+
     val units = Repetition.dupUnitFractions(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
@@ -178,6 +190,13 @@ class RepetitionSpec extends SparkTestBase {
       (5 to 10).zipWithIndex.foreach { case (n, j) =>
         assert(math.abs(covs(i)(j) - naiveDupCov(t, n)) < 1e-12,
           s"doc $i dup$n: got ${covs(i)(j)} want ${naiveDupCov(t, n)}\n$t")
+      }
+      val want = Seq(lf, lcf, pf, pcf) ++
+        Seq(2, 3, 4).map(naiveTop(t, _)) ++
+        (5 to 10).map(naiveDupCov(t, _))
+      fused(i).zip(want).zipWithIndex.foreach { case ((g, w), j) =>
+        assert(math.abs(g - w) < 1e-12,
+          s"doc $i fused col $j: got $g want $w\n$t")
       }
     }
   }
