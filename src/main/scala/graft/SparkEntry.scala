@@ -816,6 +816,71 @@ object SparkEntry {
     Multimodal.wavBytes(samples, rate)
   }
 
+  /** absolute-time slot-pattern WAV for the SHIFT-TOLERANT frame
+    * fingerprints (q260, r16): every 31.25 ms slot (= one frame
+    * subwindow at the default frameMs=500/16) sets each band
+    * decisively hi/lo (64× energy margin) by an avalanche-mixed seed
+    * bit, XOR-paired so each 16-slot frame carries exactly 8 hi + 8
+    * lo per band — the mean threshold is always decisive, so
+    * frame_hash is a pure function of (seed, absolute slot window):
+    * ~32 seed bits per frame (no cross-seed collisions), and a
+    * hop-aligned trim reproduces the base clip's frames bit-exactly
+    * at the shifted index. The mixer MUST avalanche: a bare affine*K
+    * hash nearly alternates its high bits with the pair index and
+    * every clip collapsed into one near-dup family (caught live,
+    * MultimodalHashSpec r16). */
+  private val slotWavMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, Double, Int), Array[Byte]]
+  private def slotWav(seed: Int, gain: Double, trimSlots: Int)
+  : Array[Byte] =
+    slotWavMemo.getOrElseUpdate((seed, gain, trimSlots), {
+      val bands = Seq(400.0, 800.0, 1600.0, 3200.0)
+      val rate = 8000f
+      val slotSamples = (rate * 0.03125).toInt
+      val n = (rate * 2.0).toInt - trimSlots * slotSamples
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val abs = i + trimSlots * slotSamples
+        val slot = abs / slotSamples
+        val tau = abs / rate.toDouble
+        var x = 0.0
+        var b = 0
+        while (b < 4) {
+          var z = seed * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL +
+            (slot / 2) * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          val hi = ((z & 1L) == 1L) ^ (slot % 2 == 1)
+          x += (if (hi) 0.2 else 0.025) *
+            math.sin(2 * math.Pi * bands(b) * tau)
+          b += 1
+        }
+        samples(i) = math.max(-32767, math.min(32767,
+          math.round(x * gain * 32767))).toShort
+        i += 1
+      }
+      Multimodal.wavBytes(samples, rate)
+    })
+
+  /** (media_id, content) frame of slot-pattern WAVs: seed, gain and
+    * trim (in 125 ms hops) derived from the id. */
+  private def slotMedia(ids: DataFrame, seed: Long => Int,
+                        gain: Long => Double,
+                        trimHops: Long => Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType))))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          slotWav(seed(id), gain(id), trimHops(id) * 4))
+      }
+    }(enc)
+  }
+
   /** (media_id, content) frame of group-pattern WAVs: group, sample
     * rate and gain all derived from the id. */
   private def toneMedia(ids: DataFrame, group: Long => Int,
@@ -8807,7 +8872,40 @@ object SparkEntry {
               |    AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
               |    AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
               |    AND dup10_char_frac <= 0.10) AS rep_pass
-              |FROM f ORDER BY doc_id""".stripMargin))
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Shift-tolerant audio alignment (r16, VERDICT r15 item 6 — the
+    // extension path the r15 non-goal named): overlapping-window
+    // frame fingerprints (Haitsma & Kalker 2002 shape) + offset
+    // voting over the pigeonhole/Hamming candidate machinery. The
+    // fixture plants 60 distinct 2 s clips (absolute-time slot
+    // patterns — frame hashes are pure functions of (seed, window))
+    // and, for the first 30, a GAIN-SCALED copy TRIMMED by 1-3 hops;
+    // audioAlignPairs must recover exactly those 30 pairs with the
+    // planted hop offset and the full overlap as the match count —
+    // base-base and variant-variant pairs (distinct seeds) must stay
+    // silent. The exact-content face (q249) is untouched. Oracle =
+    // the construction's id arithmetic.
+    Q("q260_audio_align", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val base = slotMedia(ids.filter(col("doc_id") < 60),
+        seed = _.toInt, gain = _ => 1.0, trimHops = _ => 0)
+      val variants = slotMedia(
+        ids.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 300).as("doc_id")),
+        seed = id => (id - 300).toInt,
+        gain = _ => 0.35,
+        trimHops = id => ((id - 300) % 3 + 1).toInt)
+      Multimodal
+        .audioAlignPairs(
+          Multimodal.audioFrameHashes(base.unionByName(variants)))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+      Some("""SELECT doc_id AS id_a, doc_id + 300 AS id_b,
+             |  CAST(doc_id % 3 + 1 AS INTEGER) AS offset,
+             |  CAST(13 - (doc_id % 3 + 1) AS BIGINT) AS matches
+             |FROM documents WHERE doc_id < 30
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

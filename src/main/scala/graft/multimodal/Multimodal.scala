@@ -376,10 +376,10 @@ object Multimodal {
     *    MultimodalHashSpec asserts a trimmed copy lands OUTSIDE the
     *    dedup screen's Hamming radius). This kernel is for
     *    exact-content dedup under re-encoding (gain/resample);
-    *    shift-robust matching is chromaprint's overlapping
-    *    fixed-length sliding windows + subsequence search — a
-    *    different index shape (per-clip hash SEQUENCES, not one
-    *    64-bit row), the documented extension path.
+    *    shift-robust matching needs overlapping fixed-length sliding
+    *    windows + alignment search — a different index shape
+    *    (per-clip hash SEQUENCES, not one 64-bit row), implemented
+    *    since r16 as [[audioFrameHashes]] + [[audioAlignPairs]].
     *  - formats beyond the JDK codec set: [[pcmMono]] decodes what
     *    javax.sound ships (WAV/AIFF/AU); mp3/flac/ogg would need
     *    external decoder dependencies absent from this build, so
@@ -445,6 +445,173 @@ object Multimodal {
             .map(v => Row(r.getLong(0), v))
         }
       }(enc)
+  }
+
+  /** OVERLAPPING-WINDOW audio frame hashes — the shift-tolerant
+    * extension path [[audioHashKernel]]'s non-goals named (r16,
+    * VERDICT r15 item 6): the chromaprint / Philips-fingerprint
+    * published SHAPE (Haitsma & Kalker 2002, "A Highly Robust Audio
+    * Fingerprint System" — overlapping fixed-length frames, each
+    * reduced to sign bits of band energies; matching = counting
+    * frame agreements at a consistent alignment), not either exact
+    * algorithm.
+    *
+    * Kernel: frames of `frameMs` advancing by `hopMs`; each frame is
+    * split into 16 equal subwindows probed at the 4
+    * [[AudioHashBands]] via Goertzel, and bit (w·4 + b) is set iff
+    * band b's energy in subwindow w exceeds the frame's MEAN energy
+    * for that band — 64 bits per frame. Mean-threshold (not the
+    * whole-clip kernel's transitions) because it is gain-invariant
+    * (all energies and the mean scale by g² together) and every bit
+    * is decided by a within-frame RATIO, so re-encoded copies move
+    * bits only where energies hug the mean.
+    *
+    * Shift tolerance — the contract, stated precisely: a clip
+    * trimmed by k·hop yields frames BIT-IDENTICAL to the original's
+    * frames k positions later (identical sample ranges), so
+    * [[audioAlignPairs]] recovers trimmed/padded copies by exact or
+    * near-exact frame matches voting a consistent offset. Trims at
+    * sub-hop granularity land between frame phases and match only
+    * through the Hamming tolerance — shrink `hopMs` to tighten the
+    * quantum (cost: rows scale 1/hop). Frames shorter than
+    * 16 × 8 samples or rates under 8 kHz yield no rows (the
+    * [[audioHashKernel]] guards). */
+  private[multimodal] def audioFrameHashKernel(
+      bytes: Array[Byte], frameMs: Int, hopMs: Int)
+      : Seq[(Int, Long)] =
+    pcmMono(bytes) match {
+      case None => Seq.empty
+      case Some((x, sr)) =>
+        val nSub = 16
+        val frame = (sr * frameMs / 1000f).toInt
+        val hop = math.max(1, (sr * hopMs / 1000f).toInt)
+        if (sr < 8000f || frame < nSub * 8 || x.length < frame) Seq.empty
+        else {
+          val nb = AudioHashBands.length
+          val out = Seq.newBuilder[(Int, Long)]
+          var f = 0
+          var start = 0
+          while (start + frame <= x.length) {
+            val e = Array.ofDim[Double](nSub, nb)
+            var w = 0
+            while (w < nSub) {
+              val a = start + (w.toLong * frame / nSub).toInt
+              val b = start + ((w + 1).toLong * frame / nSub).toInt
+              var bi = 0
+              while (bi < nb) {
+                e(w)(bi) = goertzelPower(x, a, b - a, AudioHashBands(bi), sr)
+                bi += 1
+              }
+              w += 1
+            }
+            var h = 0L
+            var bi = 0
+            while (bi < nb) {
+              var mean = 0.0
+              var w2 = 0
+              while (w2 < nSub) { mean += e(w2)(bi); w2 += 1 }
+              mean /= nSub
+              w2 = 0
+              while (w2 < nSub) {
+                if (e(w2)(bi) > mean) h |= 1L << (w2 * nb + bi)
+                w2 += 1
+              }
+              bi += 1
+            }
+            out += ((f, h))
+            f += 1
+            start += hop
+          }
+          out.result()
+        }
+    }
+
+  /** per-frame fingerprints: (media_id, frame_idx, frame_hash) — one
+    * row per overlapping window. Non-decodable / too-short / sub-8kHz
+    * payloads yield no rows (the [[audioHashes]] drop convention).
+    * Payload stays partition-local; only (id, int, long) rows ever
+    * leave the scan. At 100 TB rows scale with audio-hours / hop —
+    * the standard fingerprint-index footprint. */
+  def audioFrameHashes(media: DataFrame, frameMs: Int = 500,
+                       hopMs: Int = 125): DataFrame = {
+    require(frameMs > 0 && hopMs > 0 && hopMs <= frameMs,
+      s"need 0 < hopMs <= frameMs, got frameMs=$frameMs hopMs=$hopMs")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          audioFrameHashKernel(r.getAs[Array[Byte]](1), frameMs, hopMs)
+            .map { case (f, h) => Row(r.getLong(0), f, h) }
+        }
+      }(enc)
+  }
+
+  /** Offset-voting alignment over a frame table (the Haitsma match
+    * stage, Spark-shaped): candidate frame pairs via the simhash
+    * pigeonhole chunk machinery (maxDistance+1 chunks — any pair
+    * within the Hamming radius shares a chunk), verified by exact
+    * [[graft.functions.TextFunctions.hammingDistance]], then votes
+    * grouped by (id_a, id_b, offset = frame_a − frame_b): a pair of
+    * clips sharing ≥ minMatches frames at ONE consistent offset is a
+    * shifted-duplicate group. Output: (id_a, id_b, offset, matches)
+    * with id_a < id_b, the single best (most votes; ties to the
+    * smallest offset) alignment per pair.
+    *
+    * Hot-hash census (the LSH bucket discipline): frame hashes
+    * occurring more than `maxHashFreq` times corpus-wide — silence,
+    * test tones, boilerplate jingles — are REFUSED from candidate
+    * generation (one partial-agg census pass; the refusal is the
+    * same all-pairs guard every screen in this engine carries).
+    * Shape at 100 TB: census partial-agg, chunk-keyed equi-join (no
+    * all-pairs), per-(pair, offset) counts partial-aggregate
+    * map-side; nothing corpus-quadratic anywhere. */
+  def audioAlignPairs(frames: DataFrame, maxDistance: Int = 2,
+                      minMatches: Int = 3,
+                      maxHashFreq: Long = 1000L): DataFrame = {
+    require(maxDistance >= 0 && minMatches >= 1 && maxHashFreq >= 1,
+      s"bad params: maxDistance=$maxDistance minMatches=$minMatches " +
+        s"maxHashFreq=$maxHashFreq")
+    import graft.functions.TextFunctions
+    val cold = frames
+      .join(broadcast(frames.groupBy(col("frame_hash"))
+          .agg(count(lit(1)).as("__freq"))
+          .filter(col("__freq") > maxHashFreq)
+          .select(col("frame_hash"))),
+        Seq("frame_hash"), "left_anti")
+    val chunked = cold.select(col("media_id"), col("frame_idx"),
+        col("frame_hash"),
+        explode(TextFunctions.simhashChunks(col("frame_hash"),
+          maxDistance + 1)).as("__c"))
+      .select(col("media_id"), col("frame_idx"), col("frame_hash"),
+        col("__c.chunk").as("__chunk"), col("__c.key").as("__key"))
+    val a = chunked.select(col("__chunk"), col("__key"),
+      col("media_id").as("id_a"), col("frame_idx").as("fa"),
+      col("frame_hash").as("ha"))
+    val b = chunked.select(col("__chunk"), col("__key"),
+      col("media_id").as("id_b"), col("frame_idx").as("fb"),
+      col("frame_hash").as("hb"))
+    val cand = a.join(b, Seq("__chunk", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("fa"), col("ha"),
+        col("id_b"), col("fb"), col("hb"))
+      .distinct() // a pair can collide in several chunks — vote once
+      .filter(TextFunctions.hammingDistance(col("ha"), col("hb"))
+        <= maxDistance)
+    cand
+      .groupBy(col("id_a"), col("id_b"),
+        (col("fa") - col("fb")).as("offset"))
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minMatches)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("matches"),
+        (-col("offset")).as("__no"), col("offset"))).as("__best"))
+      .select(col("id_a"), col("id_b"),
+        col("__best.offset").as("offset"),
+        col("__best.matches").as("matches"))
   }
 
   /** PCM16 mono WAV bytes for a sample array — the synthesized-

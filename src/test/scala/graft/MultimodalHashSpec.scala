@@ -342,6 +342,130 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(d > 8, s"trimmed copy unexpectedly near: $d bits")
   }
 
+  // ---- shift-tolerant frame fingerprints (r16) -------------------------
+
+  /** absolute-time slot-pattern WAV: each 31.25 ms slot (= one frame
+    * subwindow at frameMs=500/16) sets each band decisively hi/lo by
+    * a seeded hash bit, XOR-paired so every 16-slot frame has exactly
+    * 8 hi + 8 lo per band (the mean threshold is always decisive).
+    * `trimSlots` drops leading slots while keeping ABSOLUTE phase, so
+    * a trimmed render equals the base render's suffix up to sample
+    * quantization. */
+  private def slotWav(seed: Int, seconds: Double, rate: Float,
+                      gain: Double = 1.0, trimSlots: Int = 0): Array[Byte] = {
+    val bands = Seq(400.0, 800.0, 1600.0, 3200.0)
+    val slotSamples = (rate * 0.03125).toInt
+    val n = (rate * seconds).toInt - trimSlots * slotSamples
+    val samples = new Array[Short](n)
+    for (i <- 0 until n) {
+      val abs = i + trimSlots * slotSamples
+      val slot = abs / slotSamples
+      val tau = abs / rate.toDouble
+      var x = 0.0
+      for (b <- bands.indices) {
+        // full-avalanche mix (Murmur3 finalizer): a bare affine*K hash
+        // nearly ALTERNATES its high bits with `pair` (131·K mod 2^44
+        // sits by 2^43), which made the pattern quasi-seed-independent
+        // and every clip a near-dup of every other (caught live, r16)
+        var z = seed * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL +
+          (slot / 2) * 0x165667B19E3779F9L
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+        val hi = ((z & 1L) == 1L) ^ (slot % 2 == 1)
+        x += (if (hi) 0.2 else 0.025) * math.sin(2 * math.Pi * bands(b) * tau)
+      }
+      samples(i) = math.max(-32767, math.min(32767,
+        math.round(x * gain * 32767))).toShort
+    }
+    Multimodal.wavBytes(samples, rate)
+  }
+
+  private def frames(rows: Seq[(Long, Array[Byte])]) =
+    Multimodal.audioFrameHashes(mediaDf(rows))
+
+  test("audioFrameHashes: a hop-aligned trim yields BIT-IDENTICAL " +
+    "frames at the shifted index; audioAlignPairs recovers the pair " +
+    "with the exact offset (the r15 non-goal, closed)") {
+    val rate = 8000f
+    val baseBytes = slotWav(7, 2.0, rate)               // 13 frames
+    // byte-true suffix: decode-slice the SAME samples (2 hops = 2000)
+    val basePcm = {
+      val n = (rate * 2.0).toInt
+      val s = new Array[Short](n)
+      val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(baseBytes))
+      val buf = dec.readAllBytes()
+      for (i <- 0 until n)
+        s(i) = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+      s
+    }
+    val trimmed = Multimodal.wavBytes(basePcm.drop(2000), rate)
+    val f = frames(Seq((1L, baseBytes), (2L, trimmed)))
+    val m = f.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(m(1L).size == 13 && m(2L).size == 11)
+    (0 until 11).foreach { j =>
+      assert(m(2L)(j) == m(1L)(j + 2), s"frame $j not shift-identical")
+    }
+    val pairs = Multimodal.audioAlignPairs(f)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 2, 11L)))
+  }
+
+  test("audioAlignPairs: gain-scaled re-rendered trim matches within " +
+    "the Hamming tolerance; unrelated seeds never pair; sub-minMatches " +
+    "overlaps are refused") {
+    val f = frames(Seq(
+      (1L, slotWav(7, 2.0, 8000f)),
+      (2L, slotWav(7, 2.0, 8000f, gain = 0.35, trimSlots = 12)), // 3 hops
+      (3L, slotWav(8, 2.0, 8000f)),                              // unrelated
+      (4L, slotWav(9, 0.75, 8000f))))                            // 3 frames
+    val got = Multimodal.audioAlignPairs(f)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3, 10L)),
+      s"unexpected alignment set: $got")
+    // demand more matches than the 10-frame overlap can give: silent
+    val none = Multimodal.audioAlignPairs(f, minMatches = 11)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(none.isEmpty)
+  }
+
+  test("audioAlignPairs frame-table semantics: hamming radius is " +
+    "exact, offset votes pick the best alignment, hot hashes are " +
+    "census-refused") {
+    import spark.implicits._
+    def fdf(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("media_id", "frame_idx", "frame_hash")
+    val h = Seq(0x1111222233334444L, 0x5555666677778888L,
+      0x9999aaaabbbbccccL, 0xdeadbeefcafef00dL)
+    // id 2 = id 1 shifted by 1 with 2 bits flipped per frame
+    val t = fdf(
+      h.zipWithIndex.map { case (v, i) => (1L, i, v) } ++
+        h.take(3).zipWithIndex.map { case (v, i) =>
+          (2L, i, v ^ 0x3L) })
+    val at2 = Multimodal.audioAlignPairs(t, maxDistance = 2,
+      minMatches = 2).as[(Long, Long, Int, Long)].collect().toSeq
+    assert(at2 == Seq((1L, 2L, 0, 3L)))
+    // radius 1 cannot reach the 2-bit flips
+    assert(Multimodal.audioAlignPairs(t, maxDistance = 1,
+      minMatches = 2).count() == 0)
+    // best-offset argmax: 3 votes at offset 1 beat 2 votes at 0
+    val multi = fdf(
+      Seq((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L),
+        (2L, 0, 20L), (2L, 1, 30L), (2L, 2, 40L),
+        (3L, 0, 10L), (3L, 1, 20L)))
+    val best = Multimodal.audioAlignPairs(multi, maxDistance = 0,
+        minMatches = 2).as[(Long, Long, Int, Long)].collect().toSet
+    assert(best == Set((1L, 2L, 1, 3L), (1L, 3L, 0, 2L)))
+    // hot-hash census: a hash carried by > maxHashFreq frames
+    // (silence, jingles) never generates candidates
+    val hot = fdf((0 until 40).map(i => (i.toLong, 0, 77L)) ++
+      Seq((100L, 0, 5L), (100L, 1, 6L), (101L, 0, 5L), (101L, 1, 6L)))
+    val screened = Multimodal.audioAlignPairs(hot, maxDistance = 0,
+      minMatches = 2, maxHashFreq = 10)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(screened == Set((100L, 101L, 0, 2L)))
+  }
+
   test("audio near-dup rides the generic signature machinery " +
     "unchanged: pairs via signaturePairs, screen via " +
     "signaturePairsAgainst") {
