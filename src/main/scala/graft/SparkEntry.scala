@@ -4831,43 +4831,11 @@ object SparkEntry {
              |  round(quantile_cont(lat, 0.9), 1) FROM l3
              |ORDER BY step_idx""".stripMargin)),
 
-    // Persisted HLL cardinality digest (Profile.appendHllDigest /
-    // hllEstimates): two append cycles (documents split by id
-    // parity) into one digest file, estimates unioned at read — the
-    // approximation IS the measurement, so the row carries estimate
-    // vs exact vs relative error per column (q50/q145 contract; the
-    // sketch internals are not SQL-replayable). Deterministic: HLL
-    // sketching has no RNG, so this row is rerun-stable.
-    Q("q160_hll_digest", (s, dir) => {
-      val docs = t(s, dir, "documents")
-      // fixed scratch location, cleared per invocation — repeated
-      // bench/verify runs must not leak a temp dir each time
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q160_hll")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (root.exists()) rm(root)
-      val path = root.toString + "/digest"
-      val cols = Seq("doc_id", "lang", "source")
-      graft.operators.Profile.appendHllDigest(
-        docs.filter(col("doc_id") % 2 === 0), cols, path)
-      graft.operators.Profile.appendHllDigest(
-        docs.filter(col("doc_id") % 2 === 1), cols, path)
-      val est = graft.operators.Profile.hllEstimates(s, path)
-      val exact = graft.operators.Profile.profile(docs, cols)
-        .select(col("col_name"), col("n_distinct"))
-      est.join(exact, Seq("col_name"))
-        .select(col("col_name"), round(col("n_distinct_est"), 1)
-            .as("est"),
-          col("n_distinct"),
-          round(abs(col("n_distinct_est") - col("n_distinct"))
-            / col("n_distinct"), 4).as("rel_err"))
-        .orderBy(col("col_name"))
-    },
-      None), // sketch internals are engine-specific; the emitted
-             // rel_err column is the gate signal (spec floor 5%)
+    // NOTE (r16): the rows-only q160_hll_digest gate entry is
+    // RETIRED — q192_hll_digest_bounded runs the identical two-append
+    // digest pipeline under the hash gate; see the q172 retirement
+    // note. The rel_err measurement face is OperatorsSpec's "hll
+    // digest" floor.
 
     // Nearest-center assignment (Geo.nearestCenter): q154's fixture,
     // each customer assigned to its closest supplier hub within
@@ -5331,41 +5299,13 @@ object SparkEntry {
              |FROM ex LEFT JOIN o USING (digit), tot
              |ORDER BY digit""".stripMargin)),
 
-    // HLL set-overlap telemetry (Profile.hllOverlap): two digests
-    // over OVERLAPPING document subsets (doc_id thirds: [0, 2/3) vs
-    // [1/3, n)), intersection estimated by inclusion-exclusion over
-    // sketch unions — no corpus scan. Rows-only (q160's sketch
-    // contract); the row carries est vs exact overlap so the gate
-    // sees the error numerically (spec floor in OperatorsSpec).
-    Q("q172_hll_overlap", (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q172_hll")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (root.exists()) rm(root)
-      val n = docs.count()
-      val aSet = docs.filter(col("doc_id") < lit(2 * n / 3))
-      val bSet = docs.filter(col("doc_id") >= lit(n / 3))
-      graft.operators.Profile.appendHllDigest(aSet, Seq("doc_id"),
-        root + "/a")
-      graft.operators.Profile.appendHllDigest(bSet, Seq("doc_id"),
-        root + "/b")
-      val est = graft.operators.Profile.hllOverlap(s, root + "/a",
-        root + "/b")
-      val exact = aSet.select(col("doc_id"))
-        .intersect(bSet.select(col("doc_id"))).count()
-      est.select(col("col_name"), round(col("est_a"), 1).as("est_a"),
-        round(col("est_b"), 1).as("est_b"),
-        round(col("est_intersect"), 1).as("est_intersect"),
-        lit(exact).as("exact_intersect"),
-        round(abs(col("est_intersect") - lit(exact.toDouble))
-          / lit(exact.toDouble), 4).as("rel_err"))
-    },
-      None), // sketch internals are engine-specific; rel_err is the
-             // gate signal (spec floor 10% — three HLL reads compound)
+    // NOTE (r16, VERDICT r15 item 7): the rows-only q172_hll_overlap
+    // gate entry is RETIRED — q193_hll_overlap_bounded runs the
+    // IDENTICAL two-digest inclusion-exclusion pipeline under the
+    // hash gate (exact intersect + within_bound TRUE), and the
+    // numeric rel_err face stays pinned in OperatorsSpec ("hll
+    // digest" floors). Same for q160 vs q192 below. No coverage
+    // lost; two no_oracle rows gone.
 
     // Equi-width histogram (Profile.histogram): 20 bins over
     // l_extendedprice with auto-derived bounds, empty bins included.
@@ -6091,7 +6031,8 @@ object SparkEntry {
               |LEFT JOIN nov USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
-    // FULL-oracle siblings of q160/q172 (VERDICT r10 item 7): the
+    // FULL-oracle HLL gates (VERDICT r10 item 7; since r16 the SOLE
+    // gate faces — the rows-only q160/q172 twins are retired): the
     // sketch ESTIMATES are engine-specific ([R] forever), but the
     // claim "the estimate sits within the documented floor of the
     // exact value" is itself SQL-expressible — the Spark side emits

@@ -101,9 +101,10 @@ object Profile {
   // time (sketch union is the associative merge HLL exists for), so
   // cycle cost is one batch scan + a few-KB append, never a corpus
   // read. Same `__fmt`+params storage discipline as every other
-  // persisted digest; estimates are gated rows-only (q160 emits
-  // estimate vs exact vs relative error — the sketch internals are
-  // not SQL-replayable) with the error floor pinned in the spec.
+  // persisted digest; the sketch internals are not SQL-replayable,
+  // so the gate face is the BOUNDED query (q192: exact distincts +
+  // within_bound TRUE under the hash gate) with the numeric error
+  // floor pinned in the spec.
 
   private[graft] val HllDigestFormat = 1
 
@@ -431,8 +432,9 @@ object Profile {
   // at read — KLL merge is the associative operation the sketch is
   // built around. Same `__fmt`+param discipline as every digest;
   // quantile estimates gate rows-only with the rank-error floor
-  // spec-pinned (the q160 contract: the emitted row carries estimate
-  // vs exact so the gate sees the error numerically).
+  // spec-pinned, plus the BOUNDED sibling q217 under the hash gate
+  // (the emitted row carries estimate vs exact so the gate sees the
+  // error numerically).
 
   private[graft] val KllDigestFormat = 1
 
