@@ -1046,6 +1046,44 @@ object SparkEntry {
        |    i -> bl[i].txt), chr(10)) AS text FROM xf)""".stripMargin
   }
 
+  /** the q257 extraction oracle — shared VERBATIM by q261, which
+    * must reach the same answer through the WARC + HTTP envelope
+    * (the q117-pattern: same oracle, different cost path) */
+  private lazy val extractOracleSql: String =
+    s"""WITH $extractHtmlSql,
+       |$sqlExtractCtes
+       |SELECT doc_id, text FROM x ORDER BY doc_id""".stripMargin
+
+  /** q261's WARC fixture: the q257 per-doc HTML pages wrapped in
+    * HTTP/1.1 response envelopes inside real WARC/1.0 records across
+    * four .warc part files (the Common Crawl layout in miniature),
+    * written once per (JVM, sfDir). The collect is gate-fixture-
+    * bounded (500 rows × ~1.5 KB html). */
+  private val warcFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcFixture(s: SparkSession, dir: String): String =
+    warcFixtureCache.getOrElseUpdate(dir, {
+      val out = scratchTemp("graft_warc_q261")
+      val rows = extractHtml(s, dir).collect()
+      val nFiles = 4
+      (0 until nFiles).foreach { f =>
+        val recs = rows.zipWithIndex
+          .filter(_._2 % nFiles == f).map(_._1).toSeq.map { r =>
+            (Seq("WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:${r.getLong(0)}>",
+              "WARC-Date" -> "2026-08-16T00:00:00Z",
+              "WARC-Target-URI" ->
+                s"http://example.com/doc/${r.getLong(0)}",
+              "Content-Type" -> "application/http; msgtype=response"),
+              graft.sources.Warc.httpBytes(r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
+          graft.sources.Warc.warcBytes(recs))
+      }
+      out.toString
+    })
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -8634,10 +8672,7 @@ object SparkEntry {
       graft.operators.Extract.extract(extractHtml(s, dir), "html")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH $extractHtmlSql,
-              |$sqlExtractCtes
-              |SELECT doc_id, text FROM x ORDER BY doc_id"""
-        .stripMargin)),
+      Some(extractOracleSql)),
 
     // The WARC-to-clean-text recipe (r16): extractMain →
     // dropCommonLines — the boilerplate pad planted in every
@@ -8846,7 +8881,26 @@ object SparkEntry {
              |  CAST(doc_id % 3 + 1 AS INTEGER) AS offset,
              |  CAST(13 - (doc_id % 3 + 1) AS BIGINT) AS matches
              |FROM documents WHERE doc_id < 30
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // WARC ingest end to end (r16, sources/Warc.scala — ISO 28500
+    // clean-room): the q257 pages wrapped in HTTP/1.1 envelopes
+    // inside real WARC/1.0 records across four .warc files, read
+    // through the binaryFile-based record parser, HTTP-unwrapped,
+    // and main-content-extracted — and the answer must equal q257's
+    // oracle VERBATIM (the q117 same-oracle-different-path pattern):
+    // container + envelope handling provably content-transparent.
+    Q("q261_warc_extract", (s, dir) => {
+      val path = warcFixture(s, dir)
+      val bodies = graft.sources.Warc.httpResponses(
+        graft.sources.Warc.read(s, path + "/*.warc"))
+      bodies.select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Extract.mainContent(col("body")).as("text"))
+        .orderBy(col("doc_id"))
+    },
+      Some(extractOracleSql))
   )
 
   // ---- driver contract ---------------------------------------------------
