@@ -65,6 +65,16 @@ class DDFContext(val spark: SparkSession) {
       * [[graft.sources.Shapefile]]. Result feeds Geo.geoWithin. */
     def shapefile(shpPath: String, dbfPath: Option[String] = None): DDF =
       DDF(graft.sources.Shapefile.read(spark, shpPath, dbfPath))
+
+    /** WARC web-archive records (r16, engine ext — see
+      * [[graft.sources.Warc]]); `httpBodies = true` unwraps response
+      * records' HTTP envelopes into UTF-8 bodies ready for
+      * [[DDF.extractMain]]. */
+    def warc(path: String, httpBodies: Boolean = false): DDF = {
+      val records = graft.sources.Warc.read(spark, path)
+      DDF(if (httpBodies) graft.sources.Warc.httpResponses(records)
+      else records)
+    }
   }
 }
 
