@@ -116,7 +116,8 @@ object Extract {
 
   /** per-block feature struct: (text, len, link_chars, stop_density)
     * over a RAW html block (tags still inside) */
-  private def blockFeatures(b: Column): Column =
+  private def blockFeatures(b: Column,
+                            stopwords: Seq[String]): Column =
     // anchor-text chars = stripped len minus stripped len with the
     // whole <a>...</a> elements deleted — simpler than extracting and
     // summing the anchor bodies, and identical arithmetic. txt and
@@ -130,7 +131,7 @@ object Extract {
             regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " "),
             "<[^>]*>", " "))
           val stopHits = filter(toks,
-            t => t.isin(TextFunctions.defaultStopwords.map(lit): _*))
+            t => t.isin(stopwords.map(lit): _*))
           struct(
             txt.as("text"),
             length(txt).as("len"),
@@ -164,13 +165,18 @@ object Extract {
   }
 
   /** main-content extraction as a SCALAR column: html in, extracted
-    * text out (GOOD blocks joined with '\n'). Null html → ''. */
+    * text out (GOOD blocks joined with '\n'). Null html → ''.
+    * `stopwords` is the language knob (jusText ships per-language
+    * lists — the density thresholds presume one that matches the
+    * corpus language; the default is the engine's English list). */
   def mainContent(html: Column,
                   maxLinkDensity: Double = MaxLinkDensity,
                   lengthLow: Int = LengthLow,
                   lengthHigh: Int = LengthHigh,
                   stopwordsLow: Double = StopwordsLow,
-                  stopwordsHigh: Double = StopwordsHigh): Column = {
+                  stopwordsHigh: Double = StopwordsHigh,
+                  stopwords: Seq[String] =
+                    TextFunctions.defaultStopwords): Column = {
     // segment on block-tag boundaries; features per non-empty block.
     // the split pattern eats the boundary tags themselves — inline
     // tags (<a>, <b>, <span>, …) stay inside their block for the
@@ -178,7 +184,7 @@ object Extract {
     val rawBlocks = filter(
       transform(
         split(dropInvisible(html), s"(?i)</?(?:$blockTags)\\b[^>]*>"),
-        b => blockFeatures(b)),
+        b => blockFeatures(b, stopwords)),
       f => f.getField("len") > 0)
     // one bound pass (TextFunctions.bound — no CSE inside HOF
     // lambdas): classify context-free, then the one-step neighbor
@@ -214,12 +220,14 @@ object Extract {
              lengthLow: Int = LengthLow,
              lengthHigh: Int = LengthHigh,
              stopwordsLow: Double = StopwordsLow,
-             stopwordsHigh: Double = StopwordsHigh): DataFrame = {
+             stopwordsHigh: Double = StopwordsHigh,
+             stopwords: Seq[String] =
+               TextFunctions.defaultStopwords): DataFrame = {
     val feats = filter(
       transform(
         split(dropInvisible(col(htmlCol)),
           s"(?i)</?(?:$blockTags)\\b[^>]*>"),
-        b => blockFeatures(b)),
+        b => blockFeatures(b, stopwords)),
       f => f.getField("len") > 0)
     df.select(col(idCol), feats.as("__blocks"))
       .select(col(idCol),
@@ -256,7 +264,9 @@ object Extract {
               lengthLow: Int = LengthLow,
               lengthHigh: Int = LengthHigh,
               stopwordsLow: Double = StopwordsLow,
-              stopwordsHigh: Double = StopwordsHigh): DataFrame =
+              stopwordsHigh: Double = StopwordsHigh,
+              stopwords: Seq[String] =
+                TextFunctions.defaultStopwords): DataFrame =
     df.withColumn(outCol, mainContent(col(htmlCol), maxLinkDensity,
-      lengthLow, lengthHigh, stopwordsLow, stopwordsHigh))
+      lengthLow, lengthHigh, stopwordsLow, stopwordsHigh, stopwords))
 }

@@ -112,6 +112,15 @@ class ExtractSpec extends SparkTestBase {
       df.select(Extract.mainContent($"html")).head().getString(0))
   }
 
+  test("stopwords parameter is the language knob: a block that is " +
+    "BAD under the English list is GOOD under a matching list") {
+    val got = Seq(s"<p>$badLong</p>").toDF("h")
+      .select(Extract.mainContent($"h",
+        stopwords = Seq("alpha", "beta", "gamma", "delta", "epsilon")))
+      .head().getString(0)
+    assert(got == badLong) // 20/40 tokens hit -> 0.5 > 0.32, len > 200
+  }
+
   test("extract face rewrites into the downstream text column and " +
     "composes with c4CleanLines") {
     val html = s"<p>$good</p><div>© footer</div>"
