@@ -70,11 +70,15 @@ object Warc {
   /** `response` records unwrapped from their HTTP envelope:
     * (warc_file, record_idx, target_uri, http_status, body). The
     * HTTP payload of a WARC response is a full HTTP/1.x message —
-    * status line + headers + CRLF CRLF + body (RFC 9112); the body
-    * decodes as UTF-8 with replacement (charset sniffing is a
-    * downstream concern — language ID and the cleaning rules all
-    * operate on decoded text). Records without a parsable HTTP
-    * envelope are dropped. Feeds
+    * status line + headers + CRLF CRLF + body (RFC 9112). The body
+    * decodes with the `charset=` the response's own Content-Type
+    * header declares (legacy corpora are full of ISO-8859-1 /
+    * windows-1252 — UTF-8-only decoding garbles every non-ASCII
+    * page); missing, unknown or unsupported charsets fall back to
+    * UTF-8 with replacement. (In-body `<meta charset>` sniffing is
+    * deliberately out of scope — the header is the transport-level
+    * truth the spec assigns precedence when present.) Records
+    * without a parsable HTTP envelope are dropped. Feeds
     * [[graft.operators.Extract.mainContent]] directly. */
   def httpResponses(records: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -90,13 +94,27 @@ object Warc {
         col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          splitHttp(r.getAs[Array[Byte]](3)).map { case (status, body) =>
-            Row(r.getString(0), r.getInt(1), r.getString(2),
-              Integer.valueOf(status),
-              new String(body, java.nio.charset.StandardCharsets.UTF_8))
+          splitHttpFull(r.getAs[Array[Byte]](3)).map {
+            case (status, headers, body) =>
+              Row(r.getString(0), r.getInt(1), r.getString(2),
+                Integer.valueOf(status),
+                new String(body, headers.get("content-type")
+                  .flatMap(charsetOf)
+                  .getOrElse(java.nio.charset.StandardCharsets.UTF_8)))
           }
         }
       }(enc)
+  }
+
+  /** the charset a Content-Type header value declares, when the JVM
+    * supports it */
+  private[graft] def charsetOf(contentType: String)
+  : Option[java.nio.charset.Charset] = {
+    val m = "(?i)charset=\"?([A-Za-z0-9_.:\\-]+)\"?".r
+    m.findFirstMatchIn(contentType).flatMap { g =>
+      try Some(java.nio.charset.Charset.forName(g.group(1)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   private[graft] final case class Record(
@@ -180,17 +198,28 @@ object Warc {
   /** split an HTTP/1.x message into (status, body); None if the
     * payload is not an HTTP response */
   private[graft] def splitHttp(payload: Array[Byte])
-  : Option[(Int, Array[Byte])] = {
+  : Option[(Int, Array[Byte])] =
+    splitHttpFull(payload).map { case (s, _, b) => (s, b) }
+
+  /** [[splitHttp]] plus the lowercased response headers */
+  private[graft] def splitHttpFull(payload: Array[Byte])
+  : Option[(Int, Map[String, String], Array[Byte])] = {
     val headEnd = indexOfDoubleCrlf(payload, 0)
     if (headEnd < 0) None
     else {
       val head = new String(payload, 0, headEnd,
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val statusLine = head.split("\r\n").headOption.getOrElse("")
+      val lines = head.split("\r\n")
       val m = "^HTTP/\\d\\.\\d (\\d{3}).*$".r
-      statusLine match {
+      lines.headOption.getOrElse("") match {
         case m(code) =>
-          Some((code.toInt, java.util.Arrays.copyOfRange(
+          val headers = lines.tail.iterator.flatMap { l =>
+            val i = l.indexOf(':')
+            if (i <= 0) None
+            else Some(l.substring(0, i).trim.toLowerCase ->
+              l.substring(i + 1).trim)
+          }.toMap
+          Some((code.toInt, headers, java.util.Arrays.copyOfRange(
             payload, headEnd + 4, payload.length)))
         case _ => None
       }

@@ -1303,6 +1303,49 @@ object ScaleSmoke {
       }
     }
 
+    // ---- raw-HTML main-content extraction (r16): mainContent is
+    // pure per-row Column math — the wall must track the corpus
+    // LINEARLY and the plan must stay SHUFFLE-FREE below the probe's
+    // own count aggregate (exactly ONE Exchange, the partial->final
+    // agg; an extraction that exchanged would be a scale bug). Page
+    // synthesis mirrors the q257 fixture shape.
+    if (on("ext")) {
+      import graft.operators.Extract
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pad = lit("the cat is in the hat and it is a fine day for " +
+        "the dog to nap on the mat by the door and this is of it")
+      def corpus(k: Int) = (0 until k).map(i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"),
+          concat(lit("<html><head><script>var x=1;</script></head>" +
+              "<body><div><a href=\"/\">"),
+            substring(col("text"), 1, 30),
+            lit("</a> <a href=\"/b\">"), substring(col("text"), 11, 30),
+            lit("</a></div><p>"), pad, lit(" "),
+            substring(col("text"), 1, 40), lit(" "), pad,
+            lit("</p><p>Read "), substring(col("text"), 41, 15),
+            lit("</p><div>© footer</div></body></html>")).as("html")))
+        .reduce(_ unionByName _)
+      Seq(1, 4, 8).foreach { k =>
+        val c = corpus(k)
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val q = Extract.extract(c, "html")
+          .agg(count(lit(1)), sum(length(col("text"))))
+        val out = q.head()
+        val exchanges = q.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode
+              .fromString("simple"))
+          .split("Exchange").length - 1
+        println(f"[scale-smoke] ext  n=$n%-7d mainContent " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+          f"rows=${out.getLong(0)} chars=${out.getLong(1)} " +
+          f"exchanges=$exchanges")
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- hybrid salted join: replicated shuffle volume must track
     // the HOT subset only. Fixture: ~half the left rows land on ONE
     // hot key, the rest are a near-unique tail; the right side is one

@@ -76,4 +76,36 @@ class WarcSpec extends SparkTestBase {
       ("http://x/b", 200, "second")))
     dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
   }
+
+  test("httpResponses decodes with the Content-Type charset; " +
+    "missing/unknown charsets fall back to UTF-8") {
+    val latin = "café crème"
+    val latinBytes = latin.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    def resp(ct: String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+        "\r\n\r\n").getBytes)
+      out.write(latinBytes)
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("warc_cs")
+    java.nio.file.Files.write(dir.resolve("c.warc"), Warc.warcBytes(Seq(
+      rec("response", "http://x/1",
+        resp("text/html; charset=ISO-8859-1")),
+      rec("response", "http://x/2", resp("text/html")),
+      rec("response", "http://x/3",
+        resp("text/html; charset=no-such-charset-xyz")))))
+    val got = Warc.httpResponses(Warc.read(spark, dir.toString))
+      .select($"target_uri", $"body").as[(String, String)]
+      .collect().toMap
+    assert(got("http://x/1") == latin) // declared charset honored
+    // é as Latin-1 0xE9 is invalid UTF-8 -> replacement char
+    assert(got("http://x/2").contains('�'))
+    assert(got("http://x/3").contains('�')) // unknown -> UTF-8
+    assert(Warc.charsetOf("text/html; charset=\"utf-8\"")
+      .contains(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Warc.charsetOf("text/plain").isEmpty)
+    dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+  }
 }
