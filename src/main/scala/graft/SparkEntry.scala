@@ -2452,7 +2452,7 @@ object SparkEntry {
               |SELECT doc_id,
               | round(CASE WHEN total <= 0 THEN 0.0
               |   ELSE 1.0 - CAST(dist AS DOUBLE) / total END, 6) AS rep3,
-              | CAST(length(array_to_string(list_distinct(string_split(text, chr(10))), chr(10))) AS INT) AS dedup_len,
+              | CAST(length(array_to_string(list_distinct(string_split_regex(text, '\\r?\\n')), chr(10))) AS INT) AS dedup_len,
               | CAST(length(text) AS INT) AS raw_len
               |FROM s ORDER BY doc_id""".stripMargin)),
 
@@ -7689,7 +7689,7 @@ object SparkEntry {
         .orderBy(col("lang"))
     },
       Some(s"""WITH f AS (SELECT lang, ${sqlTokens("text")} AS toks,
-              |    text, list_filter(string_split(text, chr(10)),
+              |    text, list_filter(string_split_regex(text, '\\r?\\n'),
               |      l -> len(trim(l)) > 0) AS lines FROM documents),
               |r AS (SELECT lang,
               |  len(toks) BETWEEN 20 AND 100000 AS c1,

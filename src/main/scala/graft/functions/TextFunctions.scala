@@ -183,9 +183,12 @@ object TextFunctions {
     sort_array(langScores(text)).getItem(0).getField("lang")
 
   /** within-document line dedup (C4-style rule): keep each distinct
-    * line's first occurrence, preserving order. Pure column math. */
+    * line's first occurrence, preserving order. Pure column math.
+    * Lines split on `\r?\n` (the r16 CRLF rule — a '\n'-only split
+    * left '\r' in every key, so CRLF lines never matched their LF
+    * twins); endings normalize to '\n' on rejoin. */
   def lineDedup(text: Column): Column =
-    array_join(array_distinct(split(text, "\n")), "\n")
+    array_join(array_distinct(split(text, "\r?\n")), "\n")
 
   /** C4 LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the published rule set, reference constants from the
@@ -297,7 +300,9 @@ object TextFunctions {
     val symbolOk =
       hashes.cast("double") / nwSafe <= maxSymbolRatio &&
         (dots + uEll.cast("double")) / nwSafe <= maxSymbolRatio
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    // \r?\n (r16): trim() strips only spaces, so a '\n'-only split
+    // left '\r' on every CRLF line and the ellipsis endsWith never hit
+    val lines = filter(split(text, "\r?\n"), l => length(trim(l)) > 0)
     val nlSafe = greatest(size(lines).cast("double"), lit(1.0))
     val bulletOk = size(filter(lines, l =>
         trim(l).startsWith("-") || trim(l).startsWith("*") ||

@@ -446,6 +446,20 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.c4CleanLines($"t")).head().getString(0) == "")
   }
 
+  test("CRLF twins behave like LF ones in gopherFlags' line rules " +
+    "and lineDedup (the r16 \\r?\\n rule)") {
+    import spark.implicits._
+    val lf = "line one...\nline two\nline one...\nbody text here"
+    val crlf = lf.replace("\n", "\r\n")
+    val flags = Seq(lf, crlf).toDF("t")
+      .select(TF.gopherFlags($"t").as("g")).select("g.*").collect()
+    assert(flags(0) == flags(1)) // every rule identical on the twin
+    val dedup = Seq(lf, crlf).toDF("t")
+      .select(TF.lineDedup($"t")).as[String].collect()
+    assert(dedup(0) == "line one...\nline two\nbody text here")
+    assert(dedup(1) == dedup(0)) // CRLF dedups AND normalizes to LF
+  }
+
   test("c4CleanLines: CRLF documents clean like LF ones (ADVICE " +
     "r15 — trim() strips only spaces, the \\r must die at the split)") {
     import spark.implicits._
