@@ -120,10 +120,16 @@ object Extract {
                             stopwords: Seq[String]): Column =
     // anchor-text chars = stripped len minus stripped len with the
     // whole <a>...</a> elements deleted — simpler than extracting and
-    // summing the anchor bodies, and identical arithmetic. txt and
-    // toks are BOUND (no CSE inside HOF lambdas — the q253 lesson):
-    // unbound, the tag-strip regex chain would re-run once per struct
-    // field referencing it.
+    // summing the anchor bodies. NOT identical arithmetic to summing
+    // anchor bodies: deleting an inter-word anchor also absorbs the
+    // one separator space whitespace-collapse would have kept, so
+    // each such anchor counts +1 char ("foo <a>bar</a> baz" -> 4,
+    // not 3) and link_density sits slightly above the strict jusText
+    // anchor-char ratio. Documented convention, pinned by the q257
+    // oracle (which replays this same length difference in SQL) and
+    // by ExtractSpec. txt and toks are BOUND (no CSE inside HOF
+    // lambdas — the q253 lesson): unbound, the tag-strip regex chain
+    // would re-run once per struct field referencing it.
     TextFunctions.bound(normText(regexp_replace(b, "<[^>]*>", " "))) {
       txt =>
         TextFunctions.bound(TextFunctions.tokens(txt)) { toks =>

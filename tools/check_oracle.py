@@ -8,7 +8,7 @@ ints/strings, tolerance report for floats).
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -48,8 +48,8 @@ def main(sfdir, outdir):
         # a FILTERED Verify dump (third arg, r16) omits most queries;
         # skip their oracles instead of paying every DuckDB replay —
         # at sf0.1 the full oracle set is minutes of cross joins
-        import os
         if not os.path.exists(f"{outdir}/{name}"):
+            print(f"FAIL {name}: dump missing (filtered run?)")
             n_fail += 1  # still counted: a filtered run must never
             continue     # read as a full green sweep
         try:
