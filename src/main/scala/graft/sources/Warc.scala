@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.util.control.NonFatal
+
 /** WARC (Web ARChive) reader — the container format upstream of the
-  * r16 HTML main-content extractor: C4, RefinedWeb and every Common
+  * HTML main-content extractor: C4, RefinedWeb and every Common
   * Crawl derivative start from `.warc`/`.warc.gz` files, and a user
   * of this engine's cleaning stack meets them before any HTML.
   * Clean-room from the PUBLIC format spec (ISO 28500 / IIPC
@@ -14,21 +16,30 @@ import org.apache.spark.sql.types._
   * + exactly `Content-Length` payload octets + CRLF CRLF), no
   * third-party parser.
   *
-  * Reading rides Spark's `binaryFile` source: one task per WARC
-  * file, record parsing partition-local — the Common Crawl layout
+  * Reading is STREAMING, record at a time (r17): one task per WARC
+  * file via `sparkContext.binaryFiles`' [[org.apache.spark.input
+  * .PortableDataStream]] — the file is never materialized as a byte
+  * array, gzip members inflate through `GZIPInputStream`'s native
+  * multi-member handling (the `.warc.gz` record-per-member
+  * convention) directly off the file stream, and each record's
+  * payload is the only allocation. **Per-member memory contract:
+  * O(one record) = O(header + min(Content-Length, maxPayloadBytes))
+  * — NOT O(member)**: a ~1 GB Common Crawl member that inflates to
+  * 4–5 GB streams through in 64 KiB buffers. Records whose declared
+  * Content-Length exceeds `maxPayloadBytes` (default 1 GiB — far
+  * above any real crawl document, safely under the JVM's 2 GiB
+  * array ceiling) keep their headers and get a NULL payload; the
+  * parse skips their octets and continues. The Common Crawl layout
   * (many ~1 GB members) parallelizes across files, which is how
-  * every published WARC pipeline shards; per-record gzip members
-  * (the `.warc.gz` convention) decompress through
-  * `GZIPInputStream`'s native multi-member handling. Only header
-  * fields and the payload leave the parser; nothing ever shuffles
-  * at read time.
+  * every published WARC pipeline shards; only header fields and the
+  * payload leave the parser, and nothing ever shuffles at read time.
   *
   * Fail-soft contract: a malformed record (missing/unparsable
-  * Content-Length, truncated payload, missing version line) stops
-  * the parse of THAT FILE at the malformation — records already
-  * parsed are kept, the rest of the file is skipped (a torn tail
-  * must not poison the records before it; a thrown error would
-  * poison the whole corpus read).
+  * Content-Length, truncated payload, missing version line, corrupt
+  * gzip, mid-stream I/O error) stops the parse of THAT FILE at the
+  * malformation — records already parsed are kept, the rest of the
+  * file is skipped (a torn tail must not poison the records before
+  * it; a thrown error would poison the whole corpus read).
   */
 object Warc {
 
@@ -43,43 +54,60 @@ object Warc {
     StructField("content_length", LongType),
     StructField("payload", BinaryType)))
 
-  /** read every record of every WARC file under `path` (glob ok). */
+  /** payload ceiling: records declaring more octets than this keep
+    * their metadata but carry a NULL payload (octets skipped). */
+  val DefaultMaxPayloadBytes: Long = 1L << 30
+
+  /** WARC/HTTP header blocks larger than this are malformed. */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** read every record of every WARC file under `path` (glob ok).
+    * Streaming per task: the file bytes never co-reside in memory —
+    * see the object scaladoc for the per-member memory contract. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val file = r.getString(0)
-          parse(r.getAs[Array[Byte]](1)).zipWithIndex.map {
-            case (rec, i) =>
-              Row(file, i, rec.headers.get("warc-type").orNull,
-                rec.headers.get("warc-record-id").orNull,
-                rec.headers.get("warc-target-uri").orNull,
-                rec.headers.get("warc-date").orNull,
-                rec.headers.get("content-type").orNull,
-                rec.headers.get("content-length")
-                  .flatMap(_.toLongOption)
-                  .map(java.lang.Long.valueOf).orNull,
-                rec.payload)
-          }
+    val rdd = spark.sparkContext.binaryFiles(path).flatMap {
+      case (file, pds) =>
+        val in = pds.open()
+        closeOnExhaustion(recordIterator(in), in).zipWithIndex.map {
+          case (rec, i) =>
+            Row(file, i, rec.headers.get("warc-type").orNull,
+              rec.headers.get("warc-record-id").orNull,
+              rec.headers.get("warc-target-uri").orNull,
+              rec.headers.get("warc-date").orNull,
+              rec.headers.get("content-type").orNull,
+              rec.headers.get("content-length")
+                .flatMap(_.toLongOption)
+                .map(java.lang.Long.valueOf).orNull,
+              rec.payload)
         }
-      }(enc)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** `response` records unwrapped from their HTTP envelope:
     * (warc_file, record_idx, target_uri, http_status, body). The
     * HTTP payload of a WARC response is a full HTTP/1.x message —
-    * status line + headers + CRLF CRLF + body (RFC 9112). The body
-    * decodes with the `charset=` the response's own Content-Type
-    * header declares (legacy corpora are full of ISO-8859-1 /
-    * windows-1252 — UTF-8-only decoding garbles every non-ASCII
-    * page); missing, unknown or unsupported charsets fall back to
-    * UTF-8 with replacement. (In-body `<meta charset>` sniffing is
-    * deliberately out of scope — the header is the transport-level
-    * truth the spec assigns precedence when present.) Records
-    * without a parsable HTTP envelope are dropped. Feeds
-    * [[graft.operators.Extract.mainContent]] directly. */
+    * status line + headers + CRLF CRLF + body (RFC 9112). WARC
+    * stores the raw captured message, so the body is undone in
+    * transport order (r17): `Transfer-Encoding: chunked` framing is
+    * removed first (RFC 9112 §7.1 — otherwise hex chunk-size lines
+    * leak into the text), then `Content-Encoding` gzip/x-gzip/
+    * deflate decompresses (RFC 9110 §8.4; `deflate` tries the
+    * zlib wrapper the RFC specifies, then raw DEFLATE — raw-deflate
+    * servers are legion). Records with a transfer or content coding
+    * the JVM cannot decode (br, zstd, compress) or whose coded body
+    * is corrupt are DROPPED, like envelope-less records — emitting
+    * mojibake or framing bytes would silently poison the extractor
+    * downstream. The decoded bytes then decode to text with the
+    * `charset=` the response's own Content-Type header declares
+    * (legacy corpora are full of ISO-8859-1 / windows-1252 —
+    * UTF-8-only decoding garbles every non-ASCII page); missing,
+    * unknown or unsupported charsets fall back to UTF-8 with
+    * replacement. (In-body `<meta charset>` sniffing is deliberately
+    * out of scope — the header is the transport-level truth the spec
+    * assigns precedence when present.) Records without a parsable
+    * HTTP envelope, or with a NULL (oversized) payload, are dropped.
+    * Feeds [[graft.operators.Extract.mainContent]] directly. */
   def httpResponses(records: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("warc_file", StringType, nullable = false),
@@ -94,13 +122,18 @@ object Warc {
         col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          splitHttpFull(r.getAs[Array[Byte]](3)).map {
-            case (status, headers, body) =>
-              Row(r.getString(0), r.getInt(1), r.getString(2),
-                Integer.valueOf(status),
-                new String(body, headers.get("content-type")
-                  .flatMap(charsetOf)
-                  .getOrElse(java.nio.charset.StandardCharsets.UTF_8)))
+          val payload = r.getAs[Array[Byte]](3)
+          if (payload == null) None
+          else splitHttpFull(payload).flatMap {
+            case (status, headers, raw) =>
+              decodeBody(headers, raw).map { body =>
+                Row(r.getString(0), r.getInt(1), r.getString(2),
+                  Integer.valueOf(status),
+                  new String(body, headers.get("content-type")
+                    .flatMap(charsetOf)
+                    .getOrElse(
+                      java.nio.charset.StandardCharsets.UTF_8)))
+              }
           }
         }
       }(enc)
@@ -113,76 +146,138 @@ object Warc {
     val m = "(?i)charset=\"?([A-Za-z0-9_.:\\-]+)\"?".r
     m.findFirstMatchIn(contentType).flatMap { g =>
       try Some(java.nio.charset.Charset.forName(g.group(1)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch { case NonFatal(_) => None }
     }
   }
 
   private[graft] final case class Record(
       headers: Map[String, String], payload: Array[Byte])
 
-  /** parse a (possibly multi-member-gzipped) WARC byte stream */
-  private[graft] def parse(bytes: Array[Byte]): Seq[Record] = {
-    val raw =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-        (bytes(1) & 0xff) == 0x8b) gunzipAll(bytes)
-      else bytes
-    val out = Seq.newBuilder[Record]
-    var pos = 0
-    var ok = true
-    while (ok && pos < raw.length) {
-      // tolerate inter-record CRLF runs (the record terminator)
-      while (pos < raw.length &&
-        (raw(pos) == '\r' || raw(pos) == '\n')) pos += 1
-      if (pos >= raw.length) ok = false
-      else {
-        val headEnd = indexOfDoubleCrlf(raw, pos)
-        if (headEnd < 0) ok = false
-        else {
-          val head = new String(raw, pos, headEnd - pos,
-            java.nio.charset.StandardCharsets.ISO_8859_1)
-          val lines = head.split("\r\n")
-          if (!lines.headOption.exists(_.startsWith("WARC/"))) ok = false
-          else {
-            val headers = lines.tail.iterator.flatMap { l =>
-              val i = l.indexOf(':')
-              if (i <= 0) None
-              else Some(l.substring(0, i).trim.toLowerCase ->
-                l.substring(i + 1).trim)
-            }.toMap
-            headers.get("content-length").flatMap(_.toLongOption) match {
-              case Some(len)
-                if headEnd + 4 + len <= raw.length && len >= 0 =>
-                val start = headEnd + 4
-                out += Record(headers,
-                  java.util.Arrays.copyOfRange(raw, start,
-                    start + len.toInt))
-                pos = start + len.toInt
-              case _ => ok = false // malformed: stop this file here
-            }
+  /** convenience wrapper over [[recordIterator]] for byte-array
+    * inputs (specs, small fixtures): same streaming parser, fed from
+    * a ByteArrayInputStream. */
+  private[graft] def parse(bytes: Array[Byte]): Seq[Record] =
+    recordIterator(new java.io.ByteArrayInputStream(bytes)).toVector
+
+  /** STREAMING record-at-a-time WARC parser — the only parse path.
+    * Sniffs the gzip magic and, when present, inflates through
+    * `GZIPInputStream` (multi-member native) without ever holding
+    * the decompressed image: there is no whole-member byte array and
+    * no size arithmetic anywhere, so neither the JVM's 2 GiB array
+    * ceiling nor any Int sizing applies to member size. Per-record
+    * memory is O(header + min(Content-Length, maxPayloadBytes));
+    * oversized payloads are skipped octet-exactly and surface as
+    * Records with a null payload. Fail-soft: any malformation or
+    * I/O error ends the iterator, keeping records already emitted.
+    * The caller owns closing the underlying stream. */
+  private[graft] def recordIterator(
+      in0: java.io.InputStream,
+      maxPayloadBytes: Long = DefaultMaxPayloadBytes)
+  : Iterator[Record] = {
+    val in: java.io.InputStream =
+      try {
+        val buffered = new java.io.BufferedInputStream(in0, 1 << 16)
+        buffered.mark(2)
+        val b0 = buffered.read(); val b1 = buffered.read()
+        buffered.reset()
+        if (b0 == 0x1f && b1 == 0x8b)
+          new java.io.BufferedInputStream(
+            new java.util.zip.GZIPInputStream(buffered, 1 << 16),
+            1 << 16)
+        else buffered
+      } catch { case NonFatal(_) => return Iterator.empty }
+
+    val payloadCap = math.min(maxPayloadBytes, (Int.MaxValue - 8).toLong)
+
+    new Iterator[Record] {
+      private var nextRec: Record = _
+      private var done = false
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+
+      override def next(): Record = {
+        if (!hasNext) throw new NoSuchElementException("WARC iterator")
+        val r = nextRec; nextRec = null; r
+      }
+
+      private def advance(): Unit =
+        try {
+          // tolerate inter-record CRLF runs (the record terminator)
+          var b = in.read()
+          while (b == '\r' || b == '\n') b = in.read()
+          if (b < 0) { done = true; return }
+          // header block: accumulate until CRLF CRLF (or give up at
+          // MaxHeaderBytes / EOF — malformed)
+          val head = new java.io.ByteArrayOutputStream(512)
+          head.write(b)
+          val CrlfCrlf = 0x0d0a0d0a
+          var window = b & 0xff
+          var n = 1
+          while (window != CrlfCrlf) {
+            val c = in.read()
+            if (c < 0 || n >= MaxHeaderBytes) { done = true; return }
+            head.write(c)
+            n += 1
+            window = (window << 8) | (c & 0xff)
           }
+          val headArr = head.toByteArray
+          val headStr = new String(headArr, 0, headArr.length - 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val lines = headStr.split("\r\n")
+          if (!lines.headOption.exists(_.startsWith("WARC/"))) {
+            done = true; return
+          }
+          val headers = lines.tail.iterator.flatMap { l =>
+            val i = l.indexOf(':')
+            if (i <= 0) None
+            else Some(l.substring(0, i).trim.toLowerCase ->
+              l.substring(i + 1).trim)
+          }.toMap
+          headers.get("content-length").flatMap(_.toLongOption) match {
+            case Some(len) if len >= 0 && len <= payloadCap =>
+              val payload = in.readNBytes(len.toInt)
+              if (payload.length < len) done = true // truncated tail
+              else nextRec = Record(headers, payload)
+            case Some(len) if len >= 0 =>
+              // oversized: keep metadata, null the payload, continue
+              if (skipExactly(len)) nextRec = Record(headers, null)
+              else done = true
+            case _ => done = true // malformed: stop this file here
+          }
+        } catch { case NonFatal(_) => done = true }
+
+      private def skipExactly(n: Long): Boolean = {
+        var remaining = n
+        val buf = new Array[Byte](65536)
+        while (remaining > 0) {
+          val r = in.read(buf, 0,
+            math.min(remaining, buf.length.toLong).toInt)
+          if (r < 0) return false
+          remaining -= r
         }
+        true
       }
     }
-    out.result()
   }
 
-  /** decompress ALL gzip members (GZIPInputStream consumes
-    * concatenated members natively — the .warc.gz record-per-member
-    * convention) */
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] =
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } catch {
-      // fail-soft to empty on a corrupt stream: GZIPInputStream
-      // buffers internally, so a half-inflated prefix cannot be
-      // trusted as record-aligned bytes
-      case scala.util.control.NonFatal(_) => Array.emptyByteArray
+  /** close `c` the moment `it` reports exhaustion (task streams must
+    * not wait for partition GC) */
+  private def closeOnExhaustion[A](it: Iterator[A],
+                                   c: java.io.Closeable): Iterator[A] =
+    new Iterator[A] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) {
+          closed = true
+          try c.close() catch { case NonFatal(_) => () }
+        }
+        h
+      }
+      override def next(): A = it.next()
     }
 
   private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
@@ -226,6 +321,87 @@ object Warc {
     }
   }
 
+  /** undo the transport codings a captured HTTP message declares:
+    * chunked framing first, then gzip/deflate content coding. None =
+    * the record must be dropped (unsupported or corrupt coding) —
+    * see [[httpResponses]]. Record-sized allocations only. */
+  private[graft] def decodeBody(headers: Map[String, String],
+                                raw: Array[Byte])
+  : Option[Array[Byte]] = {
+    val te = headers.get("transfer-encoding")
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val deChunked = te match {
+      case None | Some("identity") => Some(raw)
+      case Some(v)
+        if v.split(",").map(_.trim).lastOption.contains("chunked") =>
+        dechunk(raw)
+      case _ => None // gzip-as-transfer-coding etc: not decodable here
+    }
+    deChunked.flatMap { b =>
+      headers.get("content-encoding")
+        .map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+        case None | Some("identity") => Some(b)
+        case Some("gzip") | Some("x-gzip") => gunzipBody(b)
+        case Some("deflate") => inflateBody(b)
+        case _ => None // br / zstd / compress: no JVM-stdlib codec
+      }
+    }
+  }
+
+  /** remove chunked transfer framing (RFC 9112 §7.1): hex-size line
+    * [; extensions] CRLF, that many octets, CRLF, repeated; a 0-size
+    * chunk ends the body (trailer section ignored). None on any
+    * framing malformation — chunk boundaries can't be trusted. */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var pos = 0
+    def readLine(): String = { // bytes until CRLF, null if none
+      val start = pos
+      while (pos + 1 < b.length &&
+        !(b(pos) == '\r' && b(pos + 1) == '\n')) pos += 1
+      if (pos + 1 >= b.length) null
+      else {
+        val s = new String(b, start, pos - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        pos += 2
+        s
+      }
+    }
+    var size = -1L
+    while (size != 0) {
+      val line = readLine()
+      if (line == null) return None
+      size =
+        try java.lang.Long.parseLong(line.split(";")(0).trim, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 ||
+        (size > 0 && pos + size + 2 > b.length)) return None // torn
+      if (size > 0) {
+        out.write(b, pos, size.toInt)
+        pos += size.toInt
+        if (!(b(pos) == '\r' && b(pos + 1) == '\n')) return None
+        pos += 2
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  private def gunzipBody(b: Array[Byte]): Option[Array[Byte]] =
+    try Some(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)).readAllBytes())
+    catch { case NonFatal(_) => None }
+
+  private def inflateBody(b: Array[Byte]): Option[Array[Byte]] =
+    try Some(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b)).readAllBytes())
+    catch {
+      case NonFatal(_) =>
+        try Some(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b),
+          new java.util.zip.Inflater(true)).readAllBytes())
+        catch { case NonFatal(_) => None }
+    }
+
   /** serialize records to WARC bytes — the fixture/spec writer (the
     * wavBytes discipline: real container bytes so gates drive the
     * REAL parse path). `headers` keys are written as given. */
@@ -244,13 +420,18 @@ object Warc {
     out.toByteArray
   }
 
-  /** an HTTP/1.1 200 response envelope around `body` */
+  /** an HTTP/1.1 200 response envelope around `body`; extra headers
+    * (e.g. Transfer-Encoding / Content-Encoding fixtures) appended
+    * after Content-Type. */
   private[graft] def httpBytes(body: Array[Byte],
-                               contentType: String = "text/html")
+                               contentType: String = "text/html",
+                               extraHeaders: Seq[(String, String)] = Nil)
   : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    val extra = extraHeaders
+      .map { case (k, v) => s"$k: $v\r\n" }.mkString
     out.write(("HTTP/1.1 200 OK\r\nContent-Type: " + contentType +
-      s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes)
+      s"\r\n${extra}Content-Length: ${body.length}\r\n\r\n").getBytes)
     out.write(body)
     out.toByteArray
   }

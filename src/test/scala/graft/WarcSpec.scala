@@ -2,8 +2,10 @@ package graft
 
 import graft.sources.Warc
 
-/** WARC reader (r16) — round-trip, gzip multi-member, fail-soft
-  * malformation, the binaryFile Spark path, and HTTP unwrapping. */
+/** WARC reader (r16; streaming r17) — round-trip, gzip multi-member,
+  * fail-soft malformation, the oversized-payload sizing path, the
+  * binaryFiles streaming Spark path, HTTP unwrapping, chunked
+  * transfer framing and gzip/deflate content codings. */
 class WarcSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -74,6 +76,144 @@ class WarcSpec extends SparkTestBase {
     // the envelope-less response drops; both real ones unwrap
     assert(bodies == Set(("http://x/a", 200, html),
       ("http://x/b", 200, "second")))
+    dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+  }
+
+  test("recordIterator: oversized Content-Length keeps metadata, " +
+    "nulls the payload, and the parse CONTINUES (the 512 MiB-member " +
+    "sizing path, exercised via the maxPayloadBytes knob)") {
+    val big = Array.fill[Byte](64)('x')
+    val bytes = Warc.warcBytes(Seq(
+      rec("response", "http://x/small1", "tiny payload a".getBytes),
+      rec("response", "http://x/huge", big),
+      rec("response", "http://x/small2", "tiny payload b".getBytes)))
+    val got = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(bytes),
+      maxPayloadBytes = 32).toVector
+    assert(got.map(_.headers("warc-target-uri")) ==
+      Seq("http://x/small1", "http://x/huge", "http://x/small2"))
+    assert(got(0).payload != null && got(2).payload != null)
+    assert(got(1).payload == null) // skipped octet-exactly, kept row
+    assert(got(1).headers("content-length").toInt == 64)
+    // and an oversized TORN tail (declared > cap, fewer octets on
+    // the wire) fail-softs: prior records kept, nothing fabricated
+    val torn = Warc.warcBytes(Seq(
+      rec("response", "http://x/small1", "tiny payload a".getBytes))) ++
+      Warc.warcBytes(Seq(rec("response", "http://x/huge", big)))
+        .dropRight(big.length / 2)
+    val got2 = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(torn),
+      maxPayloadBytes = 32).toVector
+    assert(got2.map(_.headers("warc-target-uri")) ==
+      Seq("http://x/small1"))
+  }
+
+  test("recordIterator: consumes the stream record-at-a-time — an " +
+    "I/O error mid-file keeps every record before it") {
+    val full = Warc.warcBytes(threeRecords)
+    val firstTwo = Warc.warcBytes(threeRecords.take(2)).length
+    // a stream that dies after the first two records' bytes
+    val dying = new java.io.InputStream {
+      private var pos = 0
+      override def read(): Int = {
+        if (pos >= firstTwo) throw new java.io.IOException("torn wire")
+        val b = full(pos) & 0xff; pos += 1; b
+      }
+    }
+    val got = Warc.recordIterator(dying).toVector
+    assert(got.map(_.headers("warc-type")) == Seq("warcinfo", "request"))
+  }
+
+  private def gzBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(b); g.close(); out.toByteArray
+  }
+
+  private def chunked(body: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    sizes.foreach { n =>
+      out.write(f"$n%x\r\n".getBytes)
+      out.write(body, pos, n); pos += n
+      out.write("\r\n".getBytes)
+    }
+    assert(pos == body.length)
+    out.write("0\r\n\r\n".getBytes)
+    out.toByteArray
+  }
+
+  test("decodeBody: chunked framing removed (extensions tolerated), " +
+    "malformed framing drops the record") {
+    val body = "hello chunked transfer world".getBytes
+    val framed = chunked(body, Seq(5, 16, 7))
+    val h = Map("transfer-encoding" -> "chunked")
+    assert(Warc.decodeBody(h, framed).exists(_.sameElements(body)))
+    // chunk extension after the hex size (RFC 9112 §7.1.1)
+    val withExt = new String(framed,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("^5", "5;name=val")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Warc.decodeBody(h, withExt).exists(_.sameElements(body)))
+    // identity / absent pass through
+    assert(Warc.decodeBody(Map.empty, body).exists(_.sameElements(body)))
+    // torn mid-chunk or garbage size line: drop
+    assert(Warc.decodeBody(h, framed.take(10)).isEmpty)
+    assert(Warc.decodeBody(h, "zz\r\nnope".getBytes).isEmpty)
+    // unsupported transfer coding: drop
+    assert(Warc.decodeBody(
+      Map("transfer-encoding" -> "gzip"), framed).isEmpty)
+  }
+
+  test("decodeBody: Content-Encoding gzip + deflate (zlib AND raw) " +
+    "decode; br/zstd and corrupt streams drop") {
+    val body = "compressed page body".getBytes
+    assert(Warc.decodeBody(Map("content-encoding" -> "gzip"),
+      gzBytes(body)).exists(_.sameElements(body)))
+    assert(Warc.decodeBody(Map("content-encoding" -> "x-gzip"),
+      gzBytes(body)).exists(_.sameElements(body)))
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    assert(Warc.decodeBody(Map("content-encoding" -> "deflate"),
+      deflate(raw = false)).exists(_.sameElements(body))) // zlib per RFC
+    assert(Warc.decodeBody(Map("content-encoding" -> "deflate"),
+      deflate(raw = true)).exists(_.sameElements(body))) // legacy raw
+    assert(Warc.decodeBody(Map("content-encoding" -> "br"),
+      body).isEmpty)
+    assert(Warc.decodeBody(Map("content-encoding" -> "gzip"),
+      "not gzip".getBytes).isEmpty)
+    // chunked THEN gzip: transport order — unframe, then decompress
+    assert(Warc.decodeBody(
+      Map("transfer-encoding" -> "chunked",
+        "content-encoding" -> "gzip"),
+      chunked(gzBytes(body), Seq(gzBytes(body).length)))
+      .exists(_.sameElements(body)))
+  }
+
+  test("read + httpResponses end-to-end: chunked+gzip responses " +
+    "unwrap to clean text; an undecodable coding drops its record") {
+    val page = "<html><body><p>chunked gzip page</p></body></html>"
+    val coded = chunked(gzBytes(page.getBytes), Seq(11, 29,
+      gzBytes(page.getBytes).length - 40))
+    val dir = java.nio.file.Files.createTempDirectory("warc_te")
+    java.nio.file.Files.write(dir.resolve("d.warc"), Warc.warcBytes(Seq(
+      rec("response", "http://x/coded", Warc.httpBytes(coded,
+        extraHeaders = Seq("Transfer-Encoding" -> "chunked",
+          "Content-Encoding" -> "gzip"))),
+      rec("response", "http://x/plain", Warc.httpBytes("plain".getBytes)),
+      rec("response", "http://x/brotli", Warc.httpBytes("xx".getBytes,
+        extraHeaders = Seq("Content-Encoding" -> "br"))))))
+    val got = Warc.httpResponses(Warc.read(spark, dir.toString))
+      .select($"target_uri", $"body").as[(String, String)]
+      .collect().toMap
+    assert(got == Map("http://x/coded" -> page,
+      "http://x/plain" -> "plain")) // brotli record dropped
     dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
   }
 
