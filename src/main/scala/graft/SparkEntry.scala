@@ -1084,6 +1084,79 @@ object SparkEntry {
       out.toString
     })
 
+  /** q262's planted multilingual fixture: three separable
+    * pseudo-languages (en/fr/de-flavored 10-word pools), text = 30
+    * words chosen by (doc_id + position) % 10 — fully deterministic
+    * and replayed verbatim by the SQL CTE below. documents.lang is
+    * NOT usable here: the driver's synthetic text is drawn from one
+    * shared English-ish pool regardless of its lang column, so a
+    * language signal must be planted to have anything to learn. */
+  private val langIdPools: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dogs", "while", "night"),
+    "fr" -> Seq("le", "renard", "brun", "saute", "chien",
+      "paresseux", "pendant", "nuit", "toujours", "belle"),
+    "de" -> Seq("der", "schnelle", "braune", "fuchs", "springt",
+      "faulen", "hund", "immer", "nacht", "zwischen"))
+
+  /** (doc_id, true_lang, text) for doc_id < 300 — the langid gate
+    * corpus (train: doc_id % 5 != 0, held-out: % 5 == 0) */
+  private def langIdFixture(s: SparkSession, dir: String): DataFrame = {
+    val li = col("doc_id") % 3
+    val pool = when(li === 0, typedLit(langIdPools("en")))
+      .when(li === 1, typedLit(langIdPools("fr")))
+      .otherwise(typedLit(langIdPools("de")))
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        when(li === 0, "en").when(li === 1, "fr").otherwise("de")
+          .as("true_lang"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => element_at(pool,
+            ((col("doc_id") + j) % 10 + 1).cast("int"))), " ")
+          .as("text"))
+  }
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** the fixture + char-2/3-gram + md5-bucket CTEs shared by the
+    * langid oracles (m = 512, alpha = 1 — the engine's exact
+    * arithmetic: ln((cnt+1)/(tot+512)), unseen ln(1/(tot+512))) */
+  private lazy val langIdCtesSql: String =
+    s"""lf AS (SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+       |      ELSE 'de' END AS true_lang,
+       |    array_to_string(list_transform(range(0, 30), j ->
+       |      (CASE doc_id % 3
+       |        WHEN 0 THEN ${sqlList(langIdPools("en"))}
+       |        WHEN 1 THEN ${sqlList(langIdPools("fr"))}
+       |        ELSE ${sqlList(langIdPools("de"))}
+       |      END)[(doc_id + j) % 10 + 1]), ' ') AS text
+       |  FROM documents WHERE doc_id < 300),
+       |lg AS (SELECT doc_id, true_lang, CAST(CAST('0x' ||
+       |      substr(md5(u.g), 1, 15) AS BIGINT) % 512 AS BIGINT)
+       |      AS bucket
+       |  FROM lf, UNNEST(
+       |    list_transform(range(1, len(text)),
+       |      i -> substr(text, i, 2)) ||
+       |    list_transform(range(1, len(text) - 1),
+       |      i -> substr(text, i, 3))) AS u(g)),
+       |lcnt AS (SELECT true_lang AS lang, bucket, count(*) AS cnt
+       |  FROM lg WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+       |ltot AS (SELECT lang, sum(cnt) AS tot FROM lcnt GROUP BY 1),
+       |lsc AS (SELECT g.doc_id, tt.lang,
+       |    sum(CASE WHEN c.cnt IS NULL
+       |      THEN ln(1.0 / (tt.tot + 512.0))
+       |      ELSE ln((c.cnt + 1.0) / (tt.tot + 512.0)) END) AS s
+       |  FROM lg g CROSS JOIN ltot tt
+       |  LEFT JOIN lcnt c ON c.lang = tt.lang AND c.bucket = g.bucket
+       |  WHERE g.doc_id % 5 = 0 GROUP BY 1, 2),
+       |lrk AS (SELECT doc_id, lang, s,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, lang DESC) AS rn,
+       |    lead(s) OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, lang DESC) AS s2 FROM lsc)""".stripMargin
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -8900,7 +8973,33 @@ object SparkEntry {
           graft.operators.Extract.mainContent(col("body")).as("text"))
         .orderBy(col("doc_id"))
     },
-      Some(extractOracleSql))
+      Some(extractOracleSql)),
+
+    // Language identification (r17, operators/LangId.scala —
+    // clean-room Dunning-1994 char-n-gram Naive Bayes, the CCNet
+    // §3.1 post-extraction step): train on the planted-multilingual
+    // fixture's % 5 != 0 docs, classify the held-out % 5 == 0 docs.
+    // The oracle replays the WHOLE pipeline — fixture construction,
+    // char 2/3-grams of lower(text), md5 bucket hash (m = 512),
+    // add-1 smoothing, per-language log-score sums, argmax with
+    // ties to the larger language — so the gate hashes the shipped
+    // train AND serve arithmetic end to end.
+    Q("q262_langid", (s, dir) => {
+      val fix = langIdFixture(s, dir)
+      val model = graft.operators.LangId.train(
+        fix.filter(col("doc_id") % 5 =!= 0), "text", "true_lang",
+        m = 512)
+      graft.operators.LangId.classify(
+          fix.filter(col("doc_id") % 5 === 0), "text", model, m = 512)
+        .select(col("doc_id"), col("true_lang"), col("lang"),
+          col("lang_margin").as("margin"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH $langIdCtesSql
+             |SELECT f.doc_id, f.true_lang, r.lang,
+             |  round(r.s - r.s2, 6) AS margin
+             |FROM lrk r JOIN lf f USING (doc_id)
+             |WHERE r.rn = 1 ORDER BY f.doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Language identification from raw text (DRIVER-EXT, SURVEY.md
+  * §2.12) — the step every CCNet/C4-style pipeline runs immediately
+  * after HTML extraction (CCNet, Wenzek et al. 2020 §3.1 runs a
+  * fastText language classifier; C4, Raffel et al. 2020 §2.2 runs
+  * langdetect): the corpus arrives with NO `lang` column, and every
+  * downstream rule (stopword lists, quality thresholds, per-language
+  * dedup) is language-scoped. Clean-room char-n-gram Naive Bayes in
+  * the Cavnar–Trenkle / Dunning shape (Dunning 1994, "Statistical
+  * Identification of Language": byte/char n-gram multinomial models
+  * with add-alpha smoothing; the fastText linear head over char
+  * n-grams, Joulin et al. 2017, is the same serving arithmetic) —
+  * trainABLE, not pre-trained: ship-a-frozen-binary is the one thing
+  * a clean-room library cannot do, so the operator trains on any
+  * labeled (text, lang) table and serves at corpus scale.
+  *
+  * Features: the char n-gram MULTISET (lengths `nMin..nMax`,
+  * default 2..3) of `lower(text)`, hashed to `m` buckets on the
+  * engine's portable md5 chain (the q45 discipline — hex prefix →
+  * 60-bit int → mod m), so the ENTIRE train→classify pipeline
+  * replays in ANSI SQL and the gate hashes the shipped arithmetic.
+  * Model: per (lang, bucket), log((cnt + α) / (tot_lang + α·m)) —
+  * stored SPARSE (observed buckets only) plus one `bucket = -1` row
+  * per language carrying the unseen-bucket smoothing floor
+  * log(α / (tot_lang + α·m)): at m = 2^20 a dense model would be
+  * m×L rows of mostly-floor values; sparse keeps the persisted
+  * model proportional to observed vocabulary.
+  *
+  * Shape at 100 TB: training is one explode + partial-aggregated
+  * groupBy (the corpus never reshuffles by anything but the gram
+  * bucket) plus a languages-sized totals join; CLASSIFY is zero
+  * shuffles and zero joins — the model collects to the driver
+  * (bounded: langs × m ≤ [[LangId.MaxServedCells]] cells), becomes
+  * per-language literal arrays, and every document scores in one
+  * whole-stage-codegen projection over the scan: score(l) =
+  * Σ_grams log_prob[l][bucket(gram)], argmax with ties to the
+  * lexicographically largest language (array_max over (score, lang)
+  * structs — deterministic, SQL-replayable). Prediction is the
+  * per-doc argmax of a shared gram multiset, so no per-language
+  * length normalization is needed.
+  */
+object LangId {
+
+  /** bucket-count ceiling (matches the DSIR hashing-trick bound) */
+  val MaxBuckets: Int = 1 << 20
+
+  /** classify() materializes langs × m doubles as literals on the
+    * driver; refuse models past this (lower m or shard languages) */
+  val MaxServedCells: Long = 1L << 22
+
+  /** model format v1: sparse (lang, bucket, log_prob) + bucket = -1
+    * floor rows, md5 bucket chain, char n-grams of lower(text) */
+  private[graft] val LangIdModelFormat = 1
+
+  private def requireM(m: Int): Unit =
+    require(m >= 2 && m <= MaxBuckets,
+      s"numBuckets must be in [2, $MaxBuckets], got $m")
+
+  private def requireN(nMin: Int, nMax: Int): Unit =
+    require(nMin >= 1 && nMin <= nMax && nMax <= 8,
+      s"char n-gram lengths must satisfy 1 <= nMin <= nMax <= 8, " +
+        s"got [$nMin, $nMax]")
+
+  /** char n-gram MULTISET (array<string>, lengths nMin..nMax) over
+    * lower(text) — counts, not a shingle set: repeated grams are
+    * repeated multinomial evidence (Dunning 1994 §4). Null/short
+    * text yields an empty array. The lowered text is BOUND (no CSE
+    * inside HOF lambdas) so the per-gram substr reads an evaluated
+    * value instead of re-lowering the document per gram. */
+  private[graft] def charGrams(text: Column, nMin: Int,
+                               nMax: Int): Column =
+    TextFunctions.bound(lower(text)) { t =>
+      val per = (nMin to nMax).map { n =>
+        // when() guards the sequence: length < n would DESCEND
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - (n - 1)),
+            i => substr(t, i, lit(n))))
+          .otherwise(array().cast("array<string>"))
+      }
+      if (per.size == 1) per.head else concat(per: _*)
+    }
+
+  /** gram → bucket in [0, m): the engine's portable md5 chain (hex
+    * prefix → 60-bit int → mod m), SQL-replayable so the oracle
+    * covers the shipped hashing. */
+  private def bucketOf(g: Column, m: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      lit(m.toLong))
+
+  private[graft] def bucketArr(text: Column, m: Int, nMin: Int,
+                               nMax: Int): Column =
+    transform(charGrams(text, nMin, nMax), g => bucketOf(g, m))
+
+  /** Fit the model: (lang, bucket, log_prob, __fmt) rows — observed
+    * buckets sparse, plus one `bucket = -1` floor row per language
+    * with the unseen-bucket log-probability. Rows with null text or
+    * null lang are ignored. One explode + partial-agg groupBy; the
+    * per-language totals ride a broadcast join (languages are few). */
+  def train(df: DataFrame, textCol: String, langCol: String,
+            m: Int = 4096, alpha: Double = 1.0,
+            nMin: Int = 2, nMax: Int = 3): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val cnt = df
+      .filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).cast("string").as("lang"),
+        explode(bucketArr(col(textCol), m, nMin, nMax)).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("cnt")).as("__tot"))
+    val am = lit(alpha * m)
+    val observed = cnt.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        log((col("cnt") + alpha) / (col("__tot") + am)).as("log_prob"))
+    val floor = tot.select(col("lang"), lit(-1L).as("bucket"),
+      log(lit(alpha) / (col("__tot") + am)).as("log_prob"))
+    observed.unionAll(floor)
+      .withColumn("__fmt", lit(LangIdModelFormat))
+  }
+
+  /** Adds `out` (predicted language; null for null/empty text) and
+    * `marginOut` (best minus second-best log-score, rounded to 6 —
+    * the CCNet-style confidence knob; null with `out`) to every row.
+    * The model collects once (bounded by [[MaxServedCells]]) and
+    * every row scores in ONE shuffle-free codegen projection. `m`,
+    * `nMin`, `nMax` must match training — bucket ids past m are
+    * refused as the train/serve mismatch they are. */
+  def classify(df: DataFrame, textCol: String, model: DataFrame,
+               m: Int = 4096, nMin: Int = 2, nMax: Int = 3,
+               out: String = "lang",
+               marginOut: String = "lang_margin"): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    val rows = model.select(col("lang").cast("string"),
+      col("bucket").cast("long"), col("log_prob").cast("double"),
+      col("__fmt").cast("int")).collect()
+    require(rows.nonEmpty, "langid: empty model")
+    rows.foreach(r => require(!r.isNullAt(3) &&
+      r.getInt(3) == LangIdModelFormat,
+      s"langid model format ${if (r.isNullAt(3)) "null" else r.getInt(3)} " +
+        s"does not match this library's v$LangIdModelFormat — refit " +
+        "with LangId.train"))
+    val langs = rows.map(_.getString(0)).distinct.sorted
+    require(langs.length >= 2,
+      s"langid needs >= 2 languages, model has ${langs.length}")
+    require(langs.length.toLong * m <= MaxServedCells,
+      s"langid model too large to serve as literals: ${langs.length} " +
+        s"langs x $m buckets > $MaxServedCells cells — lower m")
+    val floors = rows.filter(_.getLong(1) == -1L)
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    langs.foreach(l => require(floors.contains(l),
+      s"langid model missing the bucket = -1 smoothing-floor row " +
+        s"for language '$l' — not a LangId.train output"))
+    val dense: Map[String, Array[Double]] =
+      langs.map(l => l -> Array.fill(m)(floors(l))).toMap
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      if (b >= 0) {
+        require(b < m, s"langid model bucket $b >= m=$m — the model " +
+          "was trained under a different m; refit or pass its m")
+        dense(r.getString(0))(b.toInt) = r.getDouble(2)
+      }
+    }
+    val pred = TextFunctions.bound(
+      bucketArr(col(textCol), m, nMin, nMax)) { bs =>
+      val scored = langs.map { l =>
+        val arrLit = typedLit(dense(l).toSeq)
+        struct(
+          aggregate(bs, lit(0.0),
+            (acc, b) => acc + element_at(arrLit, b.cast("int") + 1))
+            .as("s"),
+          lit(l).as("l"))
+      }
+      // sort desc by (score, lang): element 1 = argmax (ties to the
+      // lexicographically largest language), element 2 = runner-up.
+      // BOUND: the sorted array feeds two fields — unbound it would
+      // re-score every language per field (no CSE inside lambdas)
+      TextFunctions.bound(
+        sort_array(array(scored: _*), asc = false)) { sorted =>
+        when(size(bs) > 0, struct(
+          element_at(sorted, 1).getField("l").as("l"),
+          round(element_at(sorted, 1).getField("s") -
+            element_at(sorted, 2).getField("s"), 6).as("m")))
+      }
+    }
+    df.withColumn("__langid", pred)
+      .withColumn(out, col("__langid").getField("l"))
+      .withColumn(marginOut, col("__langid").getField("m"))
+      .drop("__langid")
+  }
+
+  /** Persist a fitted model: sparse rows + floor rows with `__fmt`
+    * and the fit params stamped constant on every row (free under
+    * parquet RLE, validated on load — the DSIR discipline: a model
+    * scored under drifted params is WRONG, not slow). */
+  def saveModel(model: DataFrame, path: String, m: Int,
+                alpha: Double, nMin: Int = 2, nMax: Int = 3): Unit = {
+    requireM(m); requireN(nMin, nMax)
+    model.select(col("lang").cast("string").as("lang"),
+        col("bucket").cast("long").as("bucket"),
+        col("log_prob").cast("double").as("log_prob"),
+        col("__fmt").cast("int").as("__fmt"))
+      .withColumn("__m", lit(m))
+      .withColumn("__alpha", lit(alpha))
+      .withColumn("__nmin", lit(nMin))
+      .withColumn("__nmax", lit(nMax))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]], refusing format or
+    * param mismatches against the (m, alpha, nMin, nMax) the caller
+    * will classify with. */
+  def loadModel(spark: SparkSession, path: String, m: Int,
+                alpha: Double, nMin: Int = 2,
+                nMax: Int = 3): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    val df = spark.read.parquet(path)
+    val need = Seq("lang", "bucket", "log_prob", "__fmt", "__m",
+      "__alpha", "__nmin", "__nmax")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a LangId model file: missing columns $missing — rebuild " +
+        s"with LangId.saveModel (format v$LangIdModelFormat)")
+    val stamps = df.select(col("__fmt"), col("__m"), col("__alpha"),
+      col("__nmin"), col("__nmax")).distinct().collect()
+    require(stamps.length == 1,
+      s"LangId model stamps not constant (${stamps.length} distinct)" +
+        " — the file mixes fits; rebuild with LangId.saveModel")
+    val st = stamps(0)
+    require(st.getInt(0) == LangIdModelFormat,
+      s"LangId model format ${st.getInt(0)} does not match this " +
+        s"library's v$LangIdModelFormat — refit and save again")
+    require(st.getInt(1) == m && st.getDouble(2) == alpha &&
+      st.getInt(3) == nMin && st.getInt(4) == nMax,
+      s"LangId model params (m=${st.getInt(1)}, alpha=${st.getDouble(2)}, " +
+        s"n=[${st.getInt(3)},${st.getInt(4)}]) do not match the " +
+        s"requested (m=$m, alpha=$alpha, n=[$nMin,$nMax]) — a model " +
+        "scored under drifted params is wrong, not slow; refit")
+    df.select(col("lang"), col("bucket"), col("log_prob"), col("__fmt"))
+  }
+}
