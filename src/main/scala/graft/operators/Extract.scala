@@ -77,6 +77,29 @@ object Extract {
   val StopwordsLow = 0.30
   val StopwordsHigh = 0.32
 
+  /** Per-language stopword lists for the `stopwords` knob — the
+    * published companion to the thresholds: jusText ships one list
+    * per language (generated from corpus word frequency, Pomikálek
+    * 2011 §5.2), and stop_density is meaningless under a list from
+    * the wrong language (a French page scores ~0 English stopwords
+    * and every block classifies BAD). Clean-room lists of each
+    * language's highest-frequency function words, the same
+    * construction; "en" is the engine's default list. Pick with
+    * [[stopwordsFor]] — downstream of [[graft.operators.LangId]]
+    * when the corpus carries no language column. */
+  val stopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> TextFunctions.defaultStopwords,
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "un", "une",
+      "et", "ou", "que", "qui", "dans", "pour", "sur", "avec",
+      "est", "ce", "il", "elle", "au", "aux", "pas", "par", "plus"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "in", "von",
+      "zu", "den", "mit", "ist", "auf", "für", "nicht", "ein",
+      "eine", "dem", "des", "an", "auch", "als", "bei", "aus"))
+
+  /** the stopword list for `lang` (fallback: the English default) */
+  def stopwordsFor(lang: String): Seq[String] =
+    stopwordLists.getOrElse(lang, TextFunctions.defaultStopwords)
+
   private val blockTags =
     "p|div|h[1-6]|li|ul|ol|table|thead|tbody|tfoot|tr|td|th|section|" +
       "article|header|footer|nav|aside|blockquote|pre|form|br|hr|" +

@@ -121,6 +121,27 @@ class ExtractSpec extends SparkTestBase {
     assert(got == badLong) // 20/40 tokens hit -> 0.5 > 0.32, len > 200
   }
 
+  test("shipped per-language lists: a French paragraph is BAD under " +
+    "the English default and GOOD under stopwordsFor(\"fr\")") {
+    // > 200 chars, ~half the tokens French function words, no links
+    val fr = ("le renard et la nuit dans les bois avec le chien " +
+      "de la ferme qui marche sur les collines pour une promenade " +
+      "du soir et la lumiere qui tombe sur les arbres dans un " +
+      "silence que le monde entier attend avec une grande joie " +
+      "pour la fin de la journee").trim
+    assert(fr.length > Extract.LengthHigh)
+    val df = Seq(Tuple1(s"<html><body><p>$fr</p></body></html>"))
+      .toDF("html")
+    val en = df.select(Extract.mainContent($"html")).head().getString(0)
+    val gotFr = df.select(Extract.mainContent($"html",
+      stopwords = Extract.stopwordsFor("fr"))).head().getString(0)
+    assert(en == "")     // ~0 English-stopword density -> BAD
+    assert(gotFr == fr)  // French list -> stop_density > 0.32 -> GOOD
+    // unknown language falls back to the English default list
+    assert(Extract.stopwordsFor("xx") ==
+      graft.functions.TextFunctions.defaultStopwords)
+  }
+
   test("extract face rewrites into the downstream text column and " +
     "composes with c4CleanLines") {
     val html = s"<p>$good</p><div>© footer</div>"
