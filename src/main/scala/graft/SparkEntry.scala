@@ -998,9 +998,14 @@ object SparkEntry {
     * published thresholds, and the one-step neighbor smoothing via
     * list lambdas over the class array. (Entity decode is identity on
     * this fixture — no '&' anywhere — and is pinned in ExtractSpec.) */
-  private lazy val sqlExtractCtes: String = {
-    val stops = graft.functions.TextFunctions.defaultStopwords
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+  private lazy val sqlExtractCtes: String =
+    sqlExtractCtesFor(graft.functions.TextFunctions.defaultStopwords)
+
+  /** [[sqlExtractCtes]] under an arbitrary stopword list — the SQL
+    * face of mainContent's `stopwords` knob (q263 extracts with the
+    * multilingual union list) */
+  private def sqlExtractCtesFor(stopwords: Seq[String]): String = {
+    val stops = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     def dens(t: String) =
       s"""CAST(len(list_filter(${sqlTokens(t)},
          |      y -> list_contains($stops, y))) AS DOUBLE)
@@ -1156,6 +1161,165 @@ object SparkEntry {
        |      ORDER BY s DESC, lang DESC) AS rn,
        |    lead(s) OVER (PARTITION BY doc_id
        |      ORDER BY s DESC, lang DESC) AS s2 FROM lsc)""".stripMargin
+
+  // ---- q263 web-ingest fixture: multilingual pages + dups ---------------
+
+  /** q263's per-language function-word pools — every word is IN the
+    * multilingual stopword union below, so the mixed paragraphs'
+    * stop_density sits safely above jusText's 0.32 under the union
+    * list, and the language signal LangId learns is the function
+    * words (content words are the shared documents.text vocabulary,
+    * which is language-neutral by construction). */
+  private val webFuncPools: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "with", "that", "this", "for", "on",
+      "as"),
+    "fr" -> Seq("le", "la", "les", "des", "avec", "pour", "dans",
+      "que"),
+    "de" -> Seq("der", "die", "und", "mit", "von", "den", "das",
+      "auch"))
+
+  /** the multilingual extraction stoplist: the union of the shipped
+    * per-language jusText lists (Extract.stopwordLists) — the
+    * pre-langid extraction pass of a mixed-language crawl, where no
+    * single-language list can be chosen yet */
+  private lazy val webStops: Seq[String] =
+    (graft.functions.TextFunctions.defaultStopwords ++
+      graft.operators.Extract.stopwordLists("fr") ++
+      graft.operators.Extract.stopwordLists("de")).distinct
+
+  /** corpus-global footer (appears on EVERY page → dropCommonLines
+    * removes it at maxDocs = 20): a proper sentence so it SURVIVES
+    * extraction (210 chars, union-stop density 0.39 → GOOD) and
+    * c4CleanLines (terminal period, > 5 words) — only the
+    * corpus-frequency census can kill it, which is the point. */
+  private val webFooterText =
+    "please subscribe to our newsletter for all of the latest " +
+      "updates from the team and enjoy all of the new articles that " +
+      "we publish every week with a lot of care for all of our " +
+      "readers around the world and beyond."
+
+  /** (doc_id, base_id, true_lang, html) for doc_id < 300: mixed
+    * content-word/function-word paragraphs (language planted via the
+    * function words), a link-menu block and a copyright block
+    * (extraction drops), a no-punctuation paragraph (c4 drops), the
+    * corpus-global footer (dropCommonLines drops), docs 230–249 a
+    * one-token near-dup of 0–19 (minhash drops), docs 250–299 an
+    * exact copy of 0–49 (exact dedup drops). Mirrored VERBATIM in
+    * [[webIngestSqlCtes]]. */
+  private def webIngestHtml(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ids = docs.filter(col("doc_id") < 300).select(col("doc_id"),
+      when(col("doc_id") >= 250, col("doc_id") - 250)
+        .when(col("doc_id") >= 230, col("doc_id") - 230)
+        .otherwise(col("doc_id")).as("base_id"))
+    val base = docs.select(col("doc_id").as("base_id"),
+      col("text").as("base_text"))
+    val li = col("base_id") % 3
+    val func = when(li === 0, typedLit(webFuncPools("en")))
+      .when(li === 1, typedLit(webFuncPools("fr")))
+      .otherwise(typedLit(webFuncPools("de")))
+    // content word j = the base doc's token (j*3 mod ntok), function
+    // word j = pool[(base_id + j) mod 8]; toks and pool are BOUND
+    // (no CSE inside HOF lambdas)
+    def mixed(from: Int, until: Int): Column =
+      TF.bound(TF.tokens(col("base_text"))) { toks =>
+        TF.bound(func) { f =>
+          array_join(transform(
+            sequence(lit(from), lit(until - 1)),
+            j => concat(
+              element_at(toks,
+                (pmod(j * 3, size(toks)) + 1).cast("int")),
+              lit(" "),
+              element_at(f,
+                ((col("base_id") + j) % 8 + 1).cast("int")))), " ")
+        }
+      }
+    val main = concat(mixed(0, 40),
+      when(col("doc_id").between(230, 249), lit(" zzz"))
+        .otherwise(lit("")),
+      lit("."))
+    val html = concat(
+      lit("<html><head><title>W</title><style>p{x:1}</style>" +
+        "<script>var w=2;</script></head><body>" +
+        "<div><a href=\"/\">home page links</a> " +
+        "<a href=\"/x\">more links here</a></div><p>"),
+      main,
+      lit("</p><p>"), mixed(40, 60),
+      lit(s"</p><p>$webFooterText</p>" +
+        "<div>© 2026 example site</div></body></html>"))
+    ids.join(base, "base_id")
+      .select(col("doc_id"), col("base_id"),
+        when(li === 0, "en").when(li === 1, "fr").otherwise("de")
+          .as("true_lang"),
+        html.as("html"))
+  }
+
+  /** q263's WARC fixture: the multilingual pages in HTTP envelopes
+    * across four .warc files (the warcFixture discipline — the gate
+    * drives the REAL container + envelope parse). */
+  private val webWarcCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def webWarcFixture(s: SparkSession, dir: String): String =
+    webWarcCache.getOrElseUpdate(dir, {
+      val out = scratchTemp("graft_warc_q263")
+      val rows = webIngestHtml(s, dir)
+        .select(col("doc_id"), col("html")).collect()
+      val nFiles = 4
+      (0 until nFiles).foreach { f =>
+        val recs = rows.zipWithIndex
+          .filter(_._2 % nFiles == f).map(_._1).toSeq.map { r =>
+            (Seq("WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:w${r.getLong(0)}>",
+              "WARC-Date" -> "2026-08-16T00:00:00Z",
+              "WARC-Target-URI" ->
+                s"http://example.com/doc/${r.getLong(0)}",
+              "Content-Type" -> "application/http; msgtype=response"),
+              graft.sources.Warc.httpBytes(r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
+          graft.sources.Warc.warcBytes(recs))
+      }
+      out.toString
+    })
+
+  /** DuckDB construction of the SAME pages — CTE chain ending in
+    * `h(doc_id, html)` (feeds [[sqlExtractCtesFor]]) plus
+    * `wm(doc_id, base_id, true_lang, ...)` for the labels */
+  private lazy val webIngestSqlCtes: String = {
+    def pool(l: String) = sqlList(webFuncPools(l))
+    def mixedSql(from: Int, until: Int) =
+      s"""array_to_string(list_transform(range($from, $until), j ->
+         |      toks[(j*3) % len(toks) + 1] || ' ' ||
+         |      (CASE true_lang WHEN 'en' THEN ${pool("en")}
+         |        WHEN 'fr' THEN ${pool("fr")} ELSE ${pool("de")}
+         |      END)[(base_id + j) % 8 + 1]), ' ')""".stripMargin
+    s"""wb AS (SELECT doc_id,
+       |    CASE WHEN doc_id >= 250 THEN doc_id - 250
+       |      WHEN doc_id >= 230 THEN doc_id - 230
+       |      ELSE doc_id END AS base_id
+       |  FROM documents WHERE doc_id < 300),
+       |wt AS (SELECT wb.doc_id, wb.base_id,
+       |    CASE wb.base_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+       |      ELSE 'de' END AS true_lang,
+       |    ${sqlTokens("b.text")} AS toks
+       |  FROM wb JOIN documents b ON b.doc_id = wb.base_id),
+       |wm AS (SELECT doc_id, base_id, true_lang,
+       |    ${mixedSql(0, 40)} ||
+       |    CASE WHEN doc_id BETWEEN 230 AND 249 THEN ' zzz'
+       |      ELSE '' END || '.' AS main,
+       |    ${mixedSql(40, 60)} AS block2
+       |  FROM wt),
+       |h AS (SELECT doc_id,
+       |    '<html><head><title>W</title><style>p{x:1}</style>' ||
+       |    '<script>var w=2;</script></head><body>' ||
+       |    '<div><a href="/">home page links</a> ' ||
+       |    '<a href="/x">more links here</a></div><p>' || main ||
+       |    '</p><p>' || block2 ||
+       |    '</p><p>$webFooterText</p>' ||
+       |    '<div>© 2026 example site</div></body></html>' AS html
+       |  FROM wm)""".stripMargin
+  }
 
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
@@ -8999,7 +9163,130 @@ object SparkEntry {
              |SELECT f.doc_id, f.true_lang, r.lang,
              |  round(r.s - r.s2, 6) AS margin
              |FROM lrk r JOIN lf f USING (doc_id)
-             |WHERE r.rn = 1 ORDER BY f.doc_id""".stripMargin))
+             |WHERE r.rn = 1 ORDER BY f.doc_id""".stripMargin)),
+
+    // The END-TO-END web-corpus ingest recipe (r17, VERDICT r16
+    // item 5): WARC container → HTTP unwrap → jusText extraction
+    // under the multilingual union stoplist → language id (trained
+    // on the recipe's own train split) → C4 line rules →
+    // corpus-global common-line removal → quality gate → exact
+    // dedup → minhash near-dup dedup, ONE oracled query in the q107
+    // composition discipline — each CTE is the unit oracle of its
+    // stage (q261/q257 extraction, q262 langid, q255 c4, q256
+    // common lines, q43 quality, q46 exact, q47 minhash-as-
+    // exhaustive-jaccard). The fixture plants one casualty per
+    // stage: a link menu and a copyright line (extraction), a
+    // no-punctuation paragraph (c4), an all-pages footer
+    // (dropCommonLines), docs 250-299 exact copies of 0-49 (exact
+    // dedup), docs 230-249 one-token near-dups of 0-19 (minhash;
+    // components are disjoint PAIRS by construction, so the
+    // oracle's has-a-lower-id-partner rule IS the connected-
+    // component min-label rule). gopher/repetition flags keep their
+    // own oracles (q236/q259) — their replay is a page of SQL each
+    // and adds no composition coverage here.
+    Q("q263_web_ingest_pipeline", (s, dir) => {
+      val path = webWarcFixture(s, dir)
+      val meta = webIngestHtml(s, dir)
+        .select(col("doc_id"), col("true_lang"))
+      val bodies = graft.sources.Warc.httpResponses(
+        graft.sources.Warc.read(s, path + "/*.warc"))
+      val extracted = bodies.select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Extract.mainContent(col("body"),
+            stopwords = webStops).as("text"))
+        .join(meta, Seq("doc_id"))
+      val model = graft.operators.LangId.train(
+        extracted.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") < 230),
+        "text", "true_lang", m = 512)
+      val labeled = graft.operators.LangId.classify(
+        extracted, "text", model, m = 512)
+      val cleaned = labeled.select(col("doc_id"), col("lang"),
+        TF.c4CleanLines(col("text")).as("text"))
+      val decommon = graft.operators.Repetition.dropCommonLines(
+        cleaned, "doc_id", "text", maxDocs = 20)
+      val quality = decommon.filter(
+        TF.qualityScore(col("text")) >= 0.5)
+      val exact = Dedup.exact(quality, Seq("text"), "doc_id")
+      Dedup.minhashDedup(exact, "doc_id", "text",
+          numHashes = 64, bands = 32, shingleLen = 3, threshold = 0.6)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH $webIngestSqlCtes,
+             |${sqlExtractCtesFor(webStops)},
+             |xx AS (SELECT x.doc_id, wm.true_lang, x.text
+             |  FROM x JOIN wm USING (doc_id)),
+             |gg AS (SELECT doc_id, true_lang, CAST(CAST('0x' ||
+             |      substr(md5(u.g), 1, 15) AS BIGINT) % 512
+             |      AS BIGINT) AS bucket
+             |  FROM xx, UNNEST(
+             |    list_transform(range(1, len(lower(text))),
+             |      i -> substr(lower(text), i, 2)) ||
+             |    list_transform(range(1, len(lower(text)) - 1),
+             |      i -> substr(lower(text), i, 3))) AS u(g)),
+             |gcnt AS (SELECT true_lang AS lang, bucket,
+             |    count(*) AS cnt FROM gg
+             |  WHERE doc_id % 5 != 0 AND doc_id < 230 GROUP BY 1, 2),
+             |gtot AS (SELECT lang, sum(cnt) AS tot
+             |  FROM gcnt GROUP BY 1),
+             |gsc AS (SELECT g.doc_id, tt.lang,
+             |    sum(CASE WHEN c.cnt IS NULL
+             |      THEN ln(1.0 / (tt.tot + 512.0))
+             |      ELSE ln((c.cnt + 1.0) / (tt.tot + 512.0)) END) AS s
+             |  FROM gg g CROSS JOIN gtot tt
+             |  LEFT JOIN gcnt c ON c.lang = tt.lang
+             |    AND c.bucket = g.bucket
+             |  GROUP BY 1, 2),
+             |gl AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY s DESC, lang DESC) AS rn FROM gsc)
+             |  WHERE rn = 1),
+             |cc AS (SELECT xx.doc_id, gl.lang, array_to_string(
+             |    list_filter(
+             |      list_transform(string_split_regex(xx.text, '\\r?\\n'),
+             |        l -> trim(l)),
+             |      l -> len(l) > 0
+             |        AND regexp_matches(l, '[.!?"]$$')
+             |        AND len(list_filter(string_split_regex(l, '\\s+'),
+             |              w -> len(w) > 0)) >= 5
+             |        AND NOT contains(lower(l), 'javascript')),
+             |    chr(10)) AS text
+             |  FROM xx JOIN gl USING (doc_id)),
+             |dlin AS (SELECT doc_id, lang,
+             |    string_split_regex(text, '\\r?\\n') AS ls FROM cc),
+             |dexp AS (SELECT doc_id, i, ls[i] AS l
+             |  FROM dlin, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+             |dcom AS (SELECT trim(l) AS k FROM dexp
+             |  WHERE len(trim(l)) > 0 GROUP BY 1
+             |  HAVING count(DISTINCT doc_id) > 20),
+             |dre AS (SELECT e.doc_id,
+             |    string_agg(e.l, chr(10) ORDER BY e.i) AS text
+             |  FROM dexp e LEFT JOIN dcom ON trim(e.l) = dcom.k
+             |  WHERE dcom.k IS NULL GROUP BY e.doc_id),
+             |dcl AS (SELECT d.doc_id, d.lang,
+             |    coalesce(r.text, '') AS text
+             |  FROM dlin d LEFT JOIN dre r USING (doc_id)),
+             |qf AS (SELECT * FROM dcl
+             |  WHERE ${sqlQuality("text")} >= 0.5),
+             |ex AS (SELECT qf.* FROM qf JOIN (SELECT text,
+             |    min(doc_id) AS k FROM qf GROUP BY text) m
+             |  ON qf.doc_id = m.k),
+             |msh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(${sqlTokens("text")}) - 1, 1)),
+             |    i -> ${sqlTokens("text")}[i] || ' ' ||
+             |      ${sqlTokens("text")}[i+1] || ' ' ||
+             |      ${sqlTokens("text")}[i+2])) AS sh
+             |  FROM ex WHERE len(${sqlTokens("text")}) >= 3),
+             |mdrop AS (SELECT DISTINCT b.doc_id FROM msh a, msh b
+             |  WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh)))
+             |      >= 0.6)
+             |SELECT doc_id, lang, text FROM ex
+             |WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------
