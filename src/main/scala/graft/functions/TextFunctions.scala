@@ -15,7 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** whitespace tokenization (reference Tokenizer: lowercase + split) */
+  /** whitespace tokenization (reference Tokenizer: lowercase + split).
+    *
+    * SCOPE (r17, CjkScopeSpec): whitespace-DELIMITED languages only —
+    * a space-free script (Chinese/Japanese/Thai) run is ONE token, so
+    * every word-count/word-length/stopword rule built on this
+    * degenerates there by design, matching the published pipelines
+    * (Gopher A1 and C4 §2.2 define their rules over English). The
+    * documented recipe for mixed corpora: segregate with
+    * [[graft.operators.LangId]] (char-n-gram, tokenization-free)
+    * FIRST, apply the whitespace rules to whitespace-delimited
+    * languages only. The per-rule behavior on spaceless text is
+    * pinned in CjkScopeSpec: gopherFlags/c4CleanLines DROP spaceless
+    * docs (fail-closed), gopherRepetitionFlags passes them
+    * (repetition inside an unsegmented line is invisible). */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
@@ -209,7 +222,10 @@ object TextFunctions {
     * one split, per-line HOF predicates, codegen. Compose with
     * [[lineDedup]], [[graft.operators.Phrases.filterPhrases]] (the
     * bad-words page rule) and [[c4PageFlags]] for the full §2.2
-    * recipe. */
+    * recipe. Whitespace-delimited languages only (see [[tokens]]):
+    * a spaceless line is one "word" below `minWordsPerLine`, and
+    * '。' is not in the terminal set — spaceless docs clean to ''
+    * (fail-closed, CjkScopeSpec). */
   def c4CleanLines(text: Column, minWordsPerLine: Int = 5): Column =
     array_join(
       filter(transform(split(coalesce(text, lit("")), "\r?\n"), l => trim(l)),
@@ -276,7 +292,10 @@ object TextFunctions {
     * flag false (fail-safe filter semantics, the
     * [[graft.operators.Phrases.filterPhrases]] treatment; under
     * non-ANSI defaults the raw rules would yield a MIX of false and
-    * null — review r13 — so the null case is pinned explicitly). */
+    * null — review r13 — so the null case is pinned explicitly).
+    * Whitespace-delimited languages only (see [[tokens]]): spaceless
+    * docs fail word-count/mean-word-len/stopword and DROP
+    * (fail-closed, CjkScopeSpec) — langid-gate mixed corpora first. */
   def gopherFlags(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000,
                   maxSymbolRatio: Double = 0.1,

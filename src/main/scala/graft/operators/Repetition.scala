@@ -330,7 +330,15 @@ object Repetition {
     * Shuffle rows stay corpus-linear (Σ_n grams + units ≈ 9.2 ×
     * tokens — the same volume the three stages shuffled COMBINED,
     * now carried once), and the two saved corpus scans + tokenizes
-    * are the measured win (ScaleSmoke `rep`, BENCH_NOTES r16). */
+    * are the measured win (ScaleSmoke `rep`, BENCH_NOTES r16).
+    *
+    * Whitespace-delimited languages only (r17, see
+    * [[graft.functions.TextFunctions.tokens]]): a spaceless (CJK)
+    * doc has no word grams and no repeated lines, so every fraction
+    * is 0 and `rep_pass` is TRUE — repetition inside an unsegmented
+    * line is INVISIBLE to these rules (pinned in CjkScopeSpec).
+    * Unlike the fail-closed gopher/C4 gates this one fails OPEN on
+    * spaceless text; langid-gate mixed corpora first. */
   def gopherRepetitionFlags(df: DataFrame, idCol: String, textCol: String,
                             maxDupUnitFrac: Double = 0.30,
                             maxDupUnitCharFrac: Double = 0.20,
