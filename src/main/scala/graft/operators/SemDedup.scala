@@ -209,10 +209,17 @@ object SemDedup {
           struct(d2ToCenter(col(vecName), cc).as("d"), lit(j).as("j"))
         }: _*)), 1, np),
         s => s.getField("j"))
+    // the guard hash is computed ONCE per corpus row, BEFORE the
+    // cell fan-out (r17, VERDICT r16 item 3): computed inside the
+    // aggregation it was 2 × candidates array hashes per row — the
+    // fan-out carries the 8-byte hash instead, min/max below see the
+    // identical per-id multiset, so the enforced contract is
+    // unchanged at a fraction of the cost
     val scored = rows
+      .withColumn("__vh", xxhash64(col(vecName)))
       .withColumn("__cell", explode(cells))
       .join(fine, Seq("__cell"))
-      .select(col("id"), col(vecName),
+      .select(col("id"), col(vecName), col("__vh"),
         struct(
           d2To(col(vecName), col("__c")).as("d"),
           col("__i").as("i"),
@@ -249,8 +256,8 @@ object SemDedup {
             "upstream (the flat face preserves duplicate rows)"))))
     scored.groupBy(col("id"))
       .agg(min(col("__s")).as("__m"), first(col(vecName)).as(vecName),
-        min(xxhash64(col(vecName))).as("__h0"),
-        max(xxhash64(col(vecName))).as("__h1"))
+        min(col("__vh")).as("__h0"),
+        max(col("__vh")).as("__h1"))
       .select(col("id"), col(vecName),
         guarded(col("__m").getField("i")).as("cluster"),
         guarded(col("__m").getField("cc")).as("centroid_cosine"))
