@@ -144,6 +144,15 @@ object SparkEntry {
   private def scratchTemp(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
+  /** one gzip member around `b` — the .warc.gz record-per-member
+    * convention for the WARC fixtures */
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(b); g.close()
+    out.toByteArray
+  }
+
   private def copyTree(src: java.nio.file.Path,
                        dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
@@ -1061,7 +1070,9 @@ object SparkEntry {
 
   /** q261's WARC fixture: the q257 per-doc HTML pages wrapped in
     * HTTP/1.1 response envelopes inside real WARC/1.0 records across
-    * four .warc part files (the Common Crawl layout in miniature),
+    * four part files — two plain .warc, two record-per-member
+    * .warc.gz (r17: the gate drives BOTH streaming parse paths;
+    * the Common Crawl layout in miniature),
     * written once per (JVM, sfDir). The collect is gate-fixture-
     * bounded (500 rows × ~1.5 KB html). */
   private val warcFixtureCache =
@@ -1083,8 +1094,17 @@ object SparkEntry {
               graft.sources.Warc.httpBytes(r.getString(1)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           }
-        java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
-          graft.sources.Warc.warcBytes(recs))
+        // parts 0-1 plain .warc, parts 2-3 .warc.gz in the
+        // record-per-member convention — the gate drives BOTH the
+        // plain and the multi-member-gzip streaming parse paths
+        if (f < 2)
+          java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
+            graft.sources.Warc.warcBytes(recs))
+        else
+          java.nio.file.Files.write(out.resolve(f"part$f%02d.warc.gz"),
+            recs.map(r => gzipMember(
+              graft.sources.Warc.warcBytes(Seq(r))))
+              .foldLeft(Array.emptyByteArray)(_ ++ _))
       }
       out.toString
     })
@@ -1255,8 +1275,9 @@ object SparkEntry {
   }
 
   /** q263's WARC fixture: the multilingual pages in HTTP envelopes
-    * across four .warc files (the warcFixture discipline — the gate
-    * drives the REAL container + envelope parse). */
+    * across four part files, two plain + two record-per-member
+    * .warc.gz (the warcFixture discipline — the gate drives the REAL
+    * container + envelope parse on both paths). */
   private val webWarcCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def webWarcFixture(s: SparkSession, dir: String): String =
@@ -1277,8 +1298,17 @@ object SparkEntry {
               graft.sources.Warc.httpBytes(r.getString(1)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           }
-        java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
-          graft.sources.Warc.warcBytes(recs))
+        // parts 0-1 plain .warc, parts 2-3 .warc.gz in the
+        // record-per-member convention — the gate drives BOTH the
+        // plain and the multi-member-gzip streaming parse paths
+        if (f < 2)
+          java.nio.file.Files.write(out.resolve(f"part$f%02d.warc"),
+            graft.sources.Warc.warcBytes(recs))
+        else
+          java.nio.file.Files.write(out.resolve(f"part$f%02d.warc.gz"),
+            recs.map(r => gzipMember(
+              graft.sources.Warc.warcBytes(Seq(r))))
+              .foldLeft(Array.emptyByteArray)(_ ++ _))
       }
       out.toString
     })
@@ -9130,7 +9160,7 @@ object SparkEntry {
     Q("q261_warc_extract", (s, dir) => {
       val path = warcFixture(s, dir)
       val bodies = graft.sources.Warc.httpResponses(
-        graft.sources.Warc.read(s, path + "/*.warc"))
+        graft.sources.Warc.read(s, path + "/*.warc*"))
       bodies.select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
@@ -9189,7 +9219,7 @@ object SparkEntry {
       val meta = webIngestHtml(s, dir)
         .select(col("doc_id"), col("true_lang"))
       val bodies = graft.sources.Warc.httpResponses(
-        graft.sources.Warc.read(s, path + "/*.warc"))
+        graft.sources.Warc.read(s, path + "/*.warc*"))
       val extracted = bodies.select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
