@@ -1182,6 +1182,12 @@ object SparkEntry {
        |    lead(s) OVER (PARTITION BY doc_id
        |      ORDER BY s DESC, lang DESC) AS s2 FROM lsc)""".stripMargin
 
+  /** q264's cross-language boilerplate line: 12 words from the en
+    * pool — inside every fixture page regardless of its language,
+    * the thing per-line LID exists to strip */
+  private lazy val langIdBoiler: String =
+    (0 until 12).map(j => langIdPools("en")(j % 10)).mkString(" ")
+
   // ---- q263 web-ingest fixture: multilingual pages + dups ---------------
 
   /** q263's per-language function-word pools — every word is IN the
@@ -9316,7 +9322,78 @@ object SparkEntry {
              |      >= 0.6)
              |SELECT doc_id, lang, text FROM ex
              |WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PER-LINE language id (r17, LangId.lineLangs/keepLinesInLang —
+    // CCNet §3.1's refinement: pages mix languages, so LID runs per
+    // paragraph). Fixture: the q262 planted pages with an
+    // English-pool boilerplate line appended to EVERY page; the
+    // model is q262's (trained on the % 5 != 0 split). Output pins
+    // the per-line labels ("fr,en" on a French page) AND the
+    // keepLinesInLang('fr') rewrite (French pages keep their planted
+    // line, everything else strips to ''). Oracle: the q262 model
+    // CTEs verbatim + per-(doc, line) scoring, argmax and ordered
+    // re-joins in SQL.
+    Q("q264_langid_lines", (s, dir) => {
+      val fix = langIdFixture(s, dir)
+      val model = graft.operators.LangId.train(
+        fix.filter(col("doc_id") % 5 =!= 0), "text", "true_lang",
+        m = 512)
+      val mixed = fix.filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("true_lang"),
+          concat(col("text"), lit("\n" + langIdBoiler)).as("text"))
+      val labeled = graft.operators.LangId.lineLangs(
+        mixed, "text", model, m = 512)
+      val kept = graft.operators.LangId.keepLinesInLang(
+        mixed, "text", model, "fr", m = 512)
+      labeled.select(col("doc_id"), col("true_lang"),
+          array_join(expr("transform(line_langs, s -> s.lang)"), ",")
+            .as("line_langs"))
+        .join(kept.select(col("doc_id"), col("text").as("fr_text")),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH $langIdCtesSql,
+             |bf AS (SELECT doc_id, true_lang,
+             |    text || chr(10) || '$langIdBoiler' AS t2
+             |  FROM lf WHERE doc_id < 120),
+             |bl AS (SELECT doc_id, true_lang, t.i, ls[t.i] AS line
+             |  FROM (SELECT doc_id, true_lang,
+             |      string_split_regex(t2, '\\r?\\n') AS ls FROM bf),
+             |    UNNEST(range(1, len(ls) + 1)) AS t(i)),
+             |bg AS (SELECT doc_id, i, CAST(CAST('0x' ||
+             |      substr(md5(u.g), 1, 15) AS BIGINT) % 512
+             |      AS BIGINT) AS bucket
+             |  FROM bl, UNNEST(
+             |    list_transform(range(1, len(lower(line))),
+             |      x -> substr(lower(line), x, 2)) ||
+             |    list_transform(range(1, len(lower(line)) - 1),
+             |      x -> substr(lower(line), x, 3))) AS u(g)),
+             |bsc AS (SELECT g.doc_id, g.i, tt.lang,
+             |    sum(CASE WHEN c.cnt IS NULL
+             |      THEN ln(1.0 / (tt.tot + 512.0))
+             |      ELSE ln((c.cnt + 1.0) / (tt.tot + 512.0)) END) AS s
+             |  FROM bg g CROSS JOIN ltot tt
+             |  LEFT JOIN lcnt c ON c.lang = tt.lang
+             |    AND c.bucket = g.bucket
+             |  GROUP BY 1, 2, 3),
+             |bpl AS (SELECT doc_id, i, lang FROM (SELECT doc_id, i,
+             |    lang, row_number() OVER (PARTITION BY doc_id, i
+             |      ORDER BY s DESC, lang DESC) AS rn FROM bsc)
+             |  WHERE rn = 1),
+             |bagg AS (SELECT doc_id,
+             |    string_agg(lang, ',' ORDER BY i) AS line_langs
+             |  FROM bpl GROUP BY doc_id),
+             |bfr AS (SELECT b.doc_id,
+             |    string_agg(b.line, chr(10) ORDER BY b.i) AS fr_text
+             |  FROM bl b JOIN bpl p ON p.doc_id = b.doc_id
+             |    AND p.i = b.i AND p.lang = 'fr'
+             |  GROUP BY b.doc_id)
+             |SELECT f.doc_id, f.true_lang, a.line_langs,
+             |  coalesce(x.fr_text, '') AS fr_text
+             |FROM bf f JOIN bagg a USING (doc_id)
+             |LEFT JOIN bfr x USING (doc_id)
+             |ORDER BY f.doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -124,18 +124,10 @@ object LangId {
       .withColumn("__fmt", lit(LangIdModelFormat))
   }
 
-  /** Adds `out` (predicted language; null for null/empty text) and
-    * `marginOut` (best minus second-best log-score, rounded to 6 —
-    * the CCNet-style confidence knob; null with `out`) to every row.
-    * The model collects once (bounded by [[MaxServedCells]]) and
-    * every row scores in ONE shuffle-free codegen projection. `m`,
-    * `nMin`, `nMax` must match training — bucket ids past m are
-    * refused as the train/serve mismatch they are. */
-  def classify(df: DataFrame, textCol: String, model: DataFrame,
-               m: Int = 4096, nMin: Int = 2, nMax: Int = 3,
-               out: String = "lang",
-               marginOut: String = "lang_margin"): DataFrame = {
-    requireM(m); requireN(nMin, nMax)
+  /** collect + validate a [[train]] model into per-language dense
+    * arrays (floor-filled), bounded by [[MaxServedCells]] */
+  private def collectModel(model: DataFrame, m: Int)
+  : (Seq[String], Map[String, Array[Double]]) = {
     val rows = model.select(col("lang").cast("string"),
       col("bucket").cast("long"), col("log_prob").cast("double"),
       col("__fmt").cast("int")).collect()
@@ -145,7 +137,7 @@ object LangId {
       s"langid model format ${if (r.isNullAt(3)) "null" else r.getInt(3)} " +
         s"does not match this library's v$LangIdModelFormat — refit " +
         "with LangId.train"))
-    val langs = rows.map(_.getString(0)).distinct.sorted
+    val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
     require(langs.length >= 2,
       s"langid needs >= 2 languages, model has ${langs.length}")
     require(langs.length.toLong * m <= MaxServedCells,
@@ -166,8 +158,17 @@ object LangId {
         dense(r.getString(0))(b.toInt) = r.getDouble(2)
       }
     }
-    val pred = TextFunctions.bound(
-      bucketArr(col(textCol), m, nMin, nMax)) { bs =>
+    (langs, dense)
+  }
+
+  /** struct(l = argmax language, m = rounded margin) for ONE text
+    * expression — null for null/empty text. The scoring core shared
+    * by [[classify]] (whole documents) and [[lineLangs]] /
+    * [[keepLinesInLang]] (per line). */
+  private def predOver(text: Column, langs: Seq[String],
+                       dense: Map[String, Array[Double]], m: Int,
+                       nMin: Int, nMax: Int): Column =
+    TextFunctions.bound(bucketArr(text, m, nMin, nMax)) { bs =>
       val scored = langs.map { l =>
         val arrLit = typedLit(dense(l).toSeq)
         struct(
@@ -188,10 +189,71 @@ object LangId {
             element_at(sorted, 2).getField("s"), 6).as("m")))
       }
     }
-    df.withColumn("__langid", pred)
+
+  /** Adds `out` (predicted language; null for null/empty text) and
+    * `marginOut` (best minus second-best log-score, rounded to 6 —
+    * the CCNet-style confidence knob; null with `out`) to every row.
+    * The model collects once (bounded by [[MaxServedCells]]) and
+    * every row scores in ONE shuffle-free codegen projection. `m`,
+    * `nMin`, `nMax` must match training — bucket ids past m are
+    * refused as the train/serve mismatch they are. */
+  def classify(df: DataFrame, textCol: String, model: DataFrame,
+               m: Int = 4096, nMin: Int = 2, nMax: Int = 3,
+               out: String = "lang",
+               marginOut: String = "lang_margin"): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    val (langs, dense) = collectModel(model, m)
+    df.withColumn("__langid",
+        predOver(col(textCol), langs, dense, m, nMin, nMax))
       .withColumn(out, col("__langid").getField("l"))
       .withColumn(marginOut, col("__langid").getField("m"))
       .drop("__langid")
+  }
+
+  /** PER-LINE language id (the CCNet §3.1 refinement: web pages mix
+    * languages — boilerplate in one, content in another — so LID
+    * runs per paragraph, not per page). Adds `out` =
+    * array<struct<line, lang, margin>> over the `\r?\n` lines of
+    * `textCol` (lang/margin null for blank lines). Still ZERO
+    * shuffles and zero joins — the per-line argmax runs inside one
+    * codegen projection's line transform; null text behaves like
+    * empty text (one blank entry with null lang/margin — split's
+    * one-empty-line contract). */
+  def lineLangs(df: DataFrame, textCol: String, model: DataFrame,
+                m: Int = 4096, nMin: Int = 2, nMax: Int = 3,
+                out: String = "line_langs"): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    val (langs, dense) = collectModel(model, m)
+    df.withColumn(out,
+      transform(split(coalesce(col(textCol), lit("")), "\r?\n"),
+        l => TextFunctions.bound(
+          predOver(l, langs, dense, m, nMin, nMax)) { p =>
+          struct(l.as("line"), p.getField("l").as("lang"),
+            p.getField("m").as("margin"))
+        }))
+  }
+
+  /** Keep only the `\r?\n` lines of `textCol` whose per-line argmax
+    * is `lang`, re-joined with '\n' IN PLACE (the CCNet per-language
+    * corpus split: strip the other-language boilerplate, keep the
+    * target-language content). Blank lines carry no evidence and are
+    * dropped; null text → ''. Zero shuffles — one line transform in
+    * one codegen projection. */
+  def keepLinesInLang(df: DataFrame, textCol: String,
+                      model: DataFrame, lang: String,
+                      m: Int = 4096, nMin: Int = 2,
+                      nMax: Int = 3): DataFrame = {
+    requireM(m); requireN(nMin, nMax)
+    val (langs, dense) = collectModel(model, m)
+    require(langs.contains(lang),
+      s"langid model has no language '$lang' (has: " +
+        s"${langs.mkString(", ")})")
+    df.withColumn(textCol,
+      array_join(
+        filter(split(coalesce(col(textCol), lit("")), "\r?\n"),
+          l => predOver(l, langs, dense, m, nMin, nMax)
+            .getField("l") === lit(lang)),
+        "\n"))
   }
 
   /** Persist a fitted model: sparse rows + floor rows with `__fmt`

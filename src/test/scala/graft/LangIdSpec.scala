@@ -123,6 +123,40 @@ class LangIdSpec extends SparkTestBase {
     assert(got == (("bb", 0.0)))
   }
 
+  test("lineLangs labels each line independently; blank lines and " +
+    "null text are null/empty") {
+    val mixed = Seq(
+      (1L, mkText("fr", 3) + "\n" + mkText("en", 5)),
+      (2L, mkText("de", 7) + "\n\n" + mkText("de", 9)),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = LangId.lineLangs(mixed, "text", model, m = 512)
+      .select($"id", expr("transform(line_langs, s -> s.lang)"))
+      .as[(Long, Seq[Option[String]])].collect().toMap
+    assert(got(1L) == Seq(Some("fr"), Some("en")))
+    assert(got(2L) == Seq(Some("de"), None, Some("de"))) // blank -> null
+    assert(got(3L) == Seq(None)) // null text == empty text: one blank line
+  }
+
+  test("keepLinesInLang keeps only the target language's lines, in " +
+    "order, rewriting the column in place") {
+    val mixed = Seq(
+      (1L, mkText("fr", 3) + "\n" + mkText("en", 5) + "\n" +
+        mkText("fr", 11)),
+      (2L, mkText("en", 1)),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = LangId.keepLinesInLang(mixed, "text", model, "fr",
+        m = 512)
+      .select($"id", $"text").as[(Long, String)].collect().toMap
+    assert(got(1L) == mkText("fr", 3) + "\n" + mkText("fr", 11))
+    assert(got(2L) == "") // no french lines
+    assert(got(3L) == "") // null text fail-safe
+    intercept[IllegalArgumentException] {
+      LangId.keepLinesInLang(mixed, "text", model, "zz", m = 512)
+    }
+  }
+
   test("classify is one shuffle-free projection (no Exchange)") {
     val plan = LangId.classify(labeled, "text", model, m = 512)
       .queryExecution.executedPlan.toString
