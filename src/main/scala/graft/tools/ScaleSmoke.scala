@@ -14,8 +14,8 @@ object ScaleSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
     // upd/adm/bkt/cc/ntile/rank/sub/suba/hh/bpe/ivf/lpa/cont/contd/
-    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir); numeric args
-    // override the replication scales.
+    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir/lid); numeric
+    // args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
     def on(s: String): Boolean = sections.isEmpty || sections(s)
@@ -56,6 +56,55 @@ object ScaleSmoke {
         .minhashPairs(c, "doc_id", "text", threshold = 0.8).count())
       time("jaccardExact(0.5)")(graft.operators.Dedup
         .jaccardPairsExact(c, "doc_id", "text", threshold = 0.5).count())
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- language id (r17): train = one explode + partial-agg
+    // groupBy (corpus-linear shuffle of gram buckets); classify and
+    // the per-line face are ZERO-shuffle codegen projections, so
+    // both must scale linearly with the scan — any superlinearity
+    // here means the literal-array serving broke codegen.
+    if (on("lid")) scales.foreach { k =>
+      val pools = Seq(
+        Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+          "dogs", "while", "night"),
+        Seq("le", "renard", "brun", "saute", "chien", "paresseux",
+          "pendant", "nuit", "toujours", "belle"),
+        Seq("der", "schnelle", "braune", "fuchs", "springt", "faulen",
+          "hund", "immer", "nacht", "zwischen"))
+      val li = col("doc_id") % 3
+      val pool = when(li === 0, typedLit(pools(0)))
+        .when(li === 1, typedLit(pools(1)))
+        .otherwise(typedLit(pools(2)))
+      val c = corpus(k).select(col("doc_id"),
+        when(li === 0, "en").when(li === 1, "fr").otherwise("de")
+          .as("lang"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => element_at(pool,
+            ((col("doc_id") + j) % 10 + 1).cast("int"))), " ")
+          .as("text")).cache()
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("lid-train")(graft.operators.LangId
+        .train(c, "text", "lang", m = 4096).count())
+      // cache + materialize the model so the serve timings don't
+      // re-run the (lazy) training aggregation inside collectModel
+      val model = graft.operators.LangId
+        .train(c, "text", "lang", m = 4096).cache()
+      model.count()
+      time("lid-classify")(graft.operators.LangId
+        .classify(c, "text", model, m = 4096,
+          out = "pred", marginOut = "pm")
+        .filter(col("pred").isNotNull).count())
+      time("lid-lines")(graft.operators.LangId
+        .lineLangs(c, "text", model, m = 4096)
+        .select(explode(col("line_langs"))).count())
       c.unpersist()
       spark.catalog.clearCache()
     }
