@@ -68,6 +68,13 @@ object Warc {
     val rdd = spark.sparkContext.binaryFiles(path).flatMap {
       case (file, pds) =>
         val in = pds.open()
+        // belt and braces: exhaustion closes eagerly below, but an
+        // ABANDONED iterator (limit/take stops consuming mid-file)
+        // would otherwise hold the file stream until GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case NonFatal(_) => () }
+          })
         closeOnExhaustion(recordIterator(in), in).zipWithIndex.map {
           case (rec, i) =>
             Row(file, i, rec.headers.get("warc-type").orNull,
@@ -95,8 +102,9 @@ object Warc {
     * deflate decompresses (RFC 9110 §8.4; `deflate` tries the
     * zlib wrapper the RFC specifies, then raw DEFLATE — raw-deflate
     * servers are legion). Records with a transfer or content coding
-    * the JVM cannot decode (br, zstd, compress) or whose coded body
-    * is corrupt are DROPPED, like envelope-less records — emitting
+    * the JVM cannot decode (br, zstd, compress), a STACKED transfer
+    * coding ("gzip, chunked" — the de-chunked bytes would still be
+    * transfer-gzip'd), or a corrupt coded body are DROPPED, like envelope-less records — emitting
     * mojibake or framing bytes would silently poison the extractor
     * downstream. The decoded bytes then decode to text with the
     * `charset=` the response's own Content-Type header declares
@@ -332,10 +340,13 @@ object Warc {
       .map(_.trim.toLowerCase).filter(_.nonEmpty)
     val deChunked = te match {
       case None | Some("identity") => Some(raw)
-      case Some(v)
-        if v.split(",").map(_.trim).lastOption.contains("chunked") =>
-        dechunk(raw)
-      case _ => None // gzip-as-transfer-coding etc: not decodable here
+      // ONLY the bare "chunked" coding is undone: a stacked list
+      // ("gzip, chunked") means another transfer coding wraps the
+      // de-chunked bytes — passing that through would hand gzip
+      // frames to the charset decoder as text, so the record drops
+      // with the other undecodable codings
+      case Some("chunked") => dechunk(raw)
+      case _ => None // stacked / gzip-as-transfer-coding: drop
     }
     deChunked.flatMap { b =>
       headers.get("content-encoding")

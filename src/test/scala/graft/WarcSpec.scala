@@ -163,6 +163,12 @@ class WarcSpec extends SparkTestBase {
     // unsupported transfer coding: drop
     assert(Warc.decodeBody(
       Map("transfer-encoding" -> "gzip"), framed).isEmpty)
+    // STACKED transfer codings ("gzip, chunked") drop too: the
+    // de-chunked bytes would still be transfer-gzip'd — passing them
+    // through would hand gzip frames to the charset decoder as text
+    assert(Warc.decodeBody(
+      Map("transfer-encoding" -> "gzip, chunked"),
+      chunked(gzBytes(body), Seq(gzBytes(body).length))).isEmpty)
   }
 
   test("decodeBody: Content-Encoding gzip + deflate (zlib AND raw) " +
