@@ -97,11 +97,17 @@ object LangId {
                                nMax: Int): Column =
     transform(charGrams(text, nMin, nMax), g => bucketOf(g, m))
 
-  /** Fit the model: (lang, bucket, log_prob, __fmt) rows — observed
-    * buckets sparse, plus one `bucket = -1` floor row per language
-    * with the unseen-bucket log-probability. Rows with null text or
-    * null lang are ignored. One explode + partial-agg groupBy; the
-    * per-language totals ride a broadcast join (languages are few). */
+  /** Fit the model: (lang, bucket, log_prob, __fmt, __m, __nmin,
+    * __nmax) rows — observed buckets sparse, plus one `bucket = -1`
+    * floor row per language with the unseen-bucket log-probability.
+    * The fit params ride EVERY row as constant stamps (free under
+    * parquet RLE) so serving can refuse a train/serve param mismatch
+    * in BOTH directions — a model trained under a SMALLER m than the
+    * serve-time m would otherwise pass the bucket < m range check
+    * and silently hash grams into buckets the model never saw
+    * (ADVICE r17). Rows with null text or null lang are ignored.
+    * One explode + partial-agg groupBy; the per-language totals ride
+    * a broadcast join (languages are few). */
   def train(df: DataFrame, textCol: String, langCol: String,
             m: Int = 4096, alpha: Double = 1.0,
             nMin: Int = 2, nMax: Int = 3): DataFrame = {
@@ -122,21 +128,38 @@ object LangId {
       log(lit(alpha) / (col("__tot") + am)).as("log_prob"))
     observed.unionAll(floor)
       .withColumn("__fmt", lit(LangIdModelFormat))
+      .withColumn("__m", lit(m))
+      .withColumn("__nmin", lit(nMin))
+      .withColumn("__nmax", lit(nMax))
   }
 
   /** collect + validate a [[train]] model into per-language dense
-    * arrays (floor-filled), bounded by [[MaxServedCells]] */
-  private def collectModel(model: DataFrame, m: Int)
+    * arrays (floor-filled), bounded by [[MaxServedCells]]. The
+    * (m, nMin, nMax) stamps on every model row must equal the
+    * serve-time params — the stamp catches the trained-smaller-m
+    * case the bucket < m range check cannot (ADVICE r17). */
+  private def collectModel(model: DataFrame, m: Int, nMin: Int,
+                           nMax: Int)
   : (Seq[String], Map[String, Array[Double]]) = {
     val rows = model.select(col("lang").cast("string"),
       col("bucket").cast("long"), col("log_prob").cast("double"),
-      col("__fmt").cast("int")).collect()
+      col("__fmt").cast("int"), col("__m").cast("int"),
+      col("__nmin").cast("int"), col("__nmax").cast("int")).collect()
     require(rows.nonEmpty, "langid: empty model")
     rows.foreach(r => require(!r.isNullAt(3) &&
       r.getInt(3) == LangIdModelFormat,
       s"langid model format ${if (r.isNullAt(3)) "null" else r.getInt(3)} " +
         s"does not match this library's v$LangIdModelFormat — refit " +
         "with LangId.train"))
+    rows.foreach(r => require(!r.isNullAt(4) && !r.isNullAt(5) &&
+      !r.isNullAt(6) && r.getInt(4) == m && r.getInt(5) == nMin &&
+      r.getInt(6) == nMax,
+      s"langid model params (m=${if (r.isNullAt(4)) "null" else r.getInt(4)}, " +
+        s"n=[${if (r.isNullAt(5)) "null" else r.getInt(5)}," +
+        s"${if (r.isNullAt(6)) "null" else r.getInt(6)}]) do not " +
+        s"match the serve-time (m=$m, n=[$nMin,$nMax]) — scoring " +
+        "under drifted params is wrong, not slow; refit or pass the " +
+        "model's own params"))
     val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
     require(langs.length >= 2,
       s"langid needs >= 2 languages, model has ${langs.length}")
@@ -202,7 +225,7 @@ object LangId {
                out: String = "lang",
                marginOut: String = "lang_margin"): DataFrame = {
     requireM(m); requireN(nMin, nMax)
-    val (langs, dense) = collectModel(model, m)
+    val (langs, dense) = collectModel(model, m, nMin, nMax)
     df.withColumn("__langid",
         predOver(col(textCol), langs, dense, m, nMin, nMax))
       .withColumn(out, col("__langid").getField("l"))
@@ -223,7 +246,7 @@ object LangId {
                 m: Int = 4096, nMin: Int = 2, nMax: Int = 3,
                 out: String = "line_langs"): DataFrame = {
     requireM(m); requireN(nMin, nMax)
-    val (langs, dense) = collectModel(model, m)
+    val (langs, dense) = collectModel(model, m, nMin, nMax)
     df.withColumn(out,
       transform(split(coalesce(col(textCol), lit("")), "\r?\n"),
         l => TextFunctions.bound(
@@ -244,7 +267,7 @@ object LangId {
                       m: Int = 4096, nMin: Int = 2,
                       nMax: Int = 3): DataFrame = {
     requireM(m); requireN(nMin, nMax)
-    val (langs, dense) = collectModel(model, m)
+    val (langs, dense) = collectModel(model, m, nMin, nMax)
     require(langs.contains(lang),
       s"langid model has no language '$lang' (has: " +
         s"${langs.mkString(", ")})")
@@ -263,11 +286,22 @@ object LangId {
   def saveModel(model: DataFrame, path: String, m: Int,
                 alpha: Double, nMin: Int = 2, nMax: Int = 3): Unit = {
     requireM(m); requireN(nMin, nMax)
+    // the model's own train-time stamps must agree with the caller's
+    // claim — persisting a wrong param stamp would defeat the load-
+    // time validation entirely
+    val claimed = model.select(col("__m").cast("int"),
+      col("__nmin").cast("int"), col("__nmax").cast("int"))
+      .distinct().collect()
+    require(claimed.length == 1 && claimed(0).getInt(0) == m &&
+      claimed(0).getInt(1) == nMin && claimed(0).getInt(2) == nMax,
+      s"saveModel params (m=$m, n=[$nMin,$nMax]) do not match the " +
+        "model's own train-time stamps — pass the params the model " +
+        "was trained with")
     model.select(col("lang").cast("string").as("lang"),
         col("bucket").cast("long").as("bucket"),
         col("log_prob").cast("double").as("log_prob"),
-        col("__fmt").cast("int").as("__fmt"))
-      .withColumn("__m", lit(m))
+        col("__fmt").cast("int").as("__fmt"),
+        col("__m").cast("int").as("__m"))
       .withColumn("__alpha", lit(alpha))
       .withColumn("__nmin", lit(nMin))
       .withColumn("__nmax", lit(nMax))
@@ -303,6 +337,7 @@ object LangId {
         s"n=[${st.getInt(3)},${st.getInt(4)}]) do not match the " +
         s"requested (m=$m, alpha=$alpha, n=[$nMin,$nMax]) — a model " +
         "scored under drifted params is wrong, not slow; refit")
-    df.select(col("lang"), col("bucket"), col("log_prob"), col("__fmt"))
+    df.select(col("lang"), col("bucket"), col("log_prob"),
+      col("__fmt"), col("__m"), col("__nmin"), col("__nmax"))
   }
 }

@@ -33,6 +33,23 @@ import scala.util.control.NonFatal
   * (many ~1 GB members) parallelizes across files, which is how
   * every published WARC pipeline shards; only header fields and the
   * payload leave the parser, and nothing ever shuffles at read time.
+  * **Parallelism is per FILE** (gzip members are not splittable, so
+  * one task streams one file end to end): a corpus of many WARCs —
+  * the only layout crawls ship — saturates a cluster, but a single
+  * multi-TB WARC would serialize into one task; re-shard such a
+  * file into the standard ~1 GB pieces before reading.
+  *
+  * **Codec scope (pinned, r18)**: this reader decodes exactly what
+  * the JVM standard library ships — gzip/x-gzip, deflate (zlib and
+  * raw), chunked framing, identity. `br` (RFC 7932) and `zstd`
+  * (RFC 8878) content/transfer codings, and `.warc.zst` containers
+  * (Common Crawl ships these alongside .warc.gz since 2019), have
+  * NO JVM-stdlib codec and this library adds no third-party
+  * dependencies, so those records/files are DROPPED BY DESIGN —
+  * dropping beats emitting mojibake. The loss is MEASURED, not
+  * silent: run [[codingCoverage]] over the same records a
+  * [[httpResponses]] call reads to count kept vs dropped records
+  * per coding before committing a corpus to this path.
   *
   * Fail-soft contract: a malformed record (missing/unparsable
   * Content-Length, truncated payload, missing version line, corrupt
@@ -68,14 +85,22 @@ object Warc {
     val rdd = spark.sparkContext.binaryFiles(path).flatMap {
       case (file, pds) =>
         val in = pds.open()
+        // close the OUTERMOST stream (the gzip decorator when one
+        // was stacked) — closing only the raw file stream would
+        // leave each GZIPInputStream's native Inflater buffers to
+        // GC finalization, accumulating off-heap memory on a
+        // long-lived executor scanning many .warc.gz files
+        // (ADVICE r17). GZIPInputStream.close ends the Inflater and
+        // closes the chain down to `in`.
+        val (records, stream) = openRecords(in)
         // belt and braces: exhaustion closes eagerly below, but an
         // ABANDONED iterator (limit/take stops consuming mid-file)
         // would otherwise hold the file stream until GC
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case NonFatal(_) => () }
+            try stream.close() catch { case NonFatal(_) => () }
           })
-        closeOnExhaustion(recordIterator(in), in).zipWithIndex.map {
+        closeOnExhaustion(records, stream).zipWithIndex.map {
           case (rec, i) =>
             Row(file, i, rec.headers.get("warc-type").orNull,
               rec.headers.get("warc-record-id").orNull,
@@ -147,6 +172,54 @@ object Warc {
       }(enc)
   }
 
+  /** Coverage census for the codec-scope exclusions (see the object
+    * scaladoc): for every `response` record of [[read]]'s output,
+    * classifies what [[httpResponses]] would do with it and counts
+    * per (transfer_coding, content_coding, outcome) — `kept`,
+    * `dropped_unsupported_coding` (br/zstd/compress/stacked —
+    * the pinned no-third-party-codec exclusion), `dropped_corrupt`
+    * (a supported coding whose bytes do not decode),
+    * `dropped_no_http_envelope`, `dropped_oversized_payload`.
+    * Missing codings print as 'identity'. One scan + one tiny
+    * shuffle (distinct codings × 5 outcomes); run it before
+    * committing a crawl corpus so the br/zstd loss is a NUMBER in
+    * the pipeline report, never a silent hole. */
+  def codingCoverage(records: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("transfer_coding", StringType, nullable = false),
+      StructField("content_coding", StringType, nullable = false),
+      StructField("outcome", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records
+      .filter(lower(col("warc_type")) === "response")
+      .select(col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](0)
+          if (payload == null) Row("?", "?", "dropped_oversized_payload")
+          else splitHttpFull(payload) match {
+            case None => Row("?", "?", "dropped_no_http_envelope")
+            case Some((_, headers, raw)) =>
+              def norm(h: String): String = headers.get(h)
+                .map(_.trim.toLowerCase).filter(_.nonEmpty)
+                .getOrElse("identity")
+              val te = norm("transfer-encoding")
+              val ce = norm("content-encoding")
+              val supported = Set("identity", "chunked")(te) &&
+                Set("identity", "gzip", "x-gzip", "deflate")(ce)
+              val outcome =
+                if (!supported) "dropped_unsupported_coding"
+                else if (decodeBody(headers, raw).isDefined) "kept"
+                else "dropped_corrupt"
+              Row(te, ce, outcome)
+          }
+        }
+      }(enc)
+      .groupBy(col("transfer_coding"), col("content_coding"),
+        col("outcome"))
+      .agg(count(lit(1)).as("records"))
+  }
+
   /** the charset a Content-Type header value declares, when the JVM
     * supports it */
   private[graft] def charsetOf(contentType: String)
@@ -177,11 +250,23 @@ object Warc {
     * oversized payloads are skipped octet-exactly and surface as
     * Records with a null payload. Fail-soft: any malformation or
     * I/O error ends the iterator, keeping records already emitted.
-    * The caller owns closing the underlying stream. */
+    * The caller owns closing the underlying stream; when the input
+    * is gzip, prefer [[openRecords]] and close ITS Closeable so the
+    * Inflater's native buffers end deterministically. */
   private[graft] def recordIterator(
       in0: java.io.InputStream,
       maxPayloadBytes: Long = DefaultMaxPayloadBytes)
-  : Iterator[Record] = {
+  : Iterator[Record] = openRecords(in0, maxPayloadBytes)._1
+
+  /** [[recordIterator]] paired with the OUTERMOST stream as the
+    * Closeable the caller must close: for `.warc.gz` input that is
+    * the GZIPInputStream decorator, whose close() ends the native
+    * zlib Inflater immediately instead of at GC finalization
+    * (ADVICE r17) and closes the chain down to `in0`. */
+  private[graft] def openRecords(
+      in0: java.io.InputStream,
+      maxPayloadBytes: Long = DefaultMaxPayloadBytes)
+  : (Iterator[Record], java.io.Closeable) = {
     val in: java.io.InputStream =
       try {
         val buffered = new java.io.BufferedInputStream(in0, 1 << 16)
@@ -193,11 +278,11 @@ object Warc {
             new java.util.zip.GZIPInputStream(buffered, 1 << 16),
             1 << 16)
         else buffered
-      } catch { case NonFatal(_) => return Iterator.empty }
+      } catch { case NonFatal(_) => return (Iterator.empty, in0) }
 
     val payloadCap = math.min(maxPayloadBytes, (Int.MaxValue - 8).toLong)
 
-    new Iterator[Record] {
+    val it: Iterator[Record] = new Iterator[Record] {
       private var nextRec: Record = _
       private var done = false
 
@@ -269,6 +354,7 @@ object Warc {
         true
       }
     }
+    (it, in)
   }
 
   /** close `c` the moment `it` reports exhaustion (task streams must
@@ -335,7 +421,7 @@ object Warc {
     * see [[httpResponses]]. Record-sized allocations only. */
   private[graft] def decodeBody(headers: Map[String, String],
                                 raw: Array[Byte])
-  : Option[Array[Byte]] = {
+  : Option[Array[Byte]] = try {
     val te = headers.get("transfer-encoding")
       .map(_.trim.toLowerCase).filter(_.nonEmpty)
     val deChunked = te match {
@@ -357,6 +443,12 @@ object Warc {
         case _ => None // br / zstd / compress: no JVM-stdlib codec
       }
     }
+  } catch {
+    // belt-and-braces backstop for the fail-soft drop-the-record
+    // contract: untrusted crawl bytes must never escalate a decode
+    // bug into a task failure (ADVICE r17 — the pre-fix dechunk
+    // overflow threw IndexOutOfBoundsException through here)
+    case NonFatal(_) => None
   }
 
   /** remove chunked transfer framing (RFC 9112 §7.1): hex-size line
@@ -385,8 +477,15 @@ object Warc {
       size =
         try java.lang.Long.parseLong(line.split(";")(0).trim, 16)
         catch { case _: NumberFormatException => return None }
+      // torn-chunk guard in SUBTRACTION form: the addition form
+      // (pos + size + 2 > b.length) overflows Long for a crafted
+      // hex size near Long.MaxValue, wrapping negative and letting
+      // the write run with a negative length (ADVICE r17). The
+      // right side is Long arithmetic over Ints — no overflow — and
+      // any size past it also exceeds Int.MaxValue, so the
+      // size.toInt below stays exact.
       if (size < 0 ||
-        (size > 0 && pos + size + 2 > b.length)) return None // torn
+        (size > 0 && size > b.length.toLong - pos - 2)) return None
       if (size > 0) {
         out.write(b, pos, size.toInt)
         pos += size.toInt

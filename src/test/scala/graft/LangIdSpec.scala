@@ -100,14 +100,28 @@ class LangIdSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       LangId.loadModel(spark, dir, m = 512, alpha = 0.5)
     }
-    // a model with a bucket past m is a train/serve mismatch
+    // a model trained under a different m is refused in BOTH
+    // directions by the train-time param stamp (ADVICE r17: the old
+    // bucket < m range check alone passed a model trained with a
+    // SMALLER m, silently scoring buckets it never saw)
     intercept[IllegalArgumentException] {
       LangId.classify(labeled, "text", model, m = 256)
+    }
+    intercept[IllegalArgumentException] {
+      LangId.classify(labeled, "text", model, m = 1024)
+    }
+    // ... and n-gram length drift is a mismatch too
+    intercept[IllegalArgumentException] {
+      LangId.classify(labeled, "text", model, m = 512, nMin = 1)
     }
     // missing floor rows: not a train() output
     intercept[IllegalArgumentException] {
       LangId.classify(labeled, "text",
         model.filter($"bucket" >= 0), m = 512)
+    }
+    // saveModel under params the model was not trained with: refused
+    intercept[IllegalArgumentException] {
+      LangId.saveModel(model, dir, m = 1024, alpha = 1.0)
     }
   }
 

@@ -223,6 +223,87 @@ class WarcSpec extends SparkTestBase {
     dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
   }
 
+  test("dechunk: a crafted hex chunk size near Long.MaxValue is a " +
+    "torn chunk (None), never an overflow into a negative-length " +
+    "write (ADVICE r18)") {
+    val h = Map("transfer-encoding" -> "chunked")
+    // Long.MaxValue: the old addition-form guard (pos + size + 2)
+    // wrapped negative, passed, and write(b, pos, -1) threw IOOBE
+    assert(Warc.dechunk("7fffffffffffffff\r\nxx".getBytes).isEmpty)
+    assert(Warc.decodeBody(h, "7fffffffffffffff\r\nxx".getBytes).isEmpty)
+    // just past Int.MaxValue: must also refuse (size.toInt would lie)
+    assert(Warc.dechunk("80000000\r\nxx".getBytes).isEmpty)
+    // > Long.MaxValue hex: NumberFormatException path, same drop
+    assert(Warc.dechunk("ffffffffffffffff\r\nxx".getBytes).isEmpty)
+    // and the whole family is a RECORD drop, not a task failure,
+    // even through the end-to-end path
+    val dir = java.nio.file.Files.createTempDirectory("warc_ovf")
+    java.nio.file.Files.write(dir.resolve("o.warc"), Warc.warcBytes(Seq(
+      rec("response", "http://x/evil", Warc.httpBytes(
+        "7fffffffffffffff\r\nxx".getBytes,
+        extraHeaders = Seq("Transfer-Encoding" -> "chunked"))),
+      rec("response", "http://x/fine", Warc.httpBytes("ok".getBytes)))))
+    val got = Warc.httpResponses(Warc.read(spark, dir.toString))
+      .select($"target_uri", $"body").as[(String, String)]
+      .collect().toMap
+    assert(got == Map("http://x/fine" -> "ok"))
+    dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+  }
+
+  test("codingCoverage: the pinned br/zstd exclusion is MEASURED — " +
+    "kept vs dropped record counts per coding") {
+    val body = "coverage census body".getBytes
+    val dir = java.nio.file.Files.createTempDirectory("warc_cov")
+    java.nio.file.Files.write(dir.resolve("m.warc"), Warc.warcBytes(Seq(
+      rec("response", "http://x/p1", Warc.httpBytes(body)),
+      rec("response", "http://x/p2", Warc.httpBytes(body)),
+      rec("response", "http://x/gz", Warc.httpBytes(gzBytes(body),
+        extraHeaders = Seq("Content-Encoding" -> "gzip"))),
+      rec("response", "http://x/zstd", Warc.httpBytes("zz".getBytes,
+        extraHeaders = Seq("Content-Encoding" -> "zstd"))),
+      rec("response", "http://x/br", Warc.httpBytes("bb".getBytes,
+        extraHeaders = Seq("Content-Encoding" -> "br"))),
+      rec("response", "http://x/corrupt", Warc.httpBytes(
+        "not gzip at all".getBytes,
+        extraHeaders = Seq("Content-Encoding" -> "gzip"))),
+      rec("response", "http://x/noenv", "no http envelope".getBytes),
+      rec("request", "http://x/req", "GET / HTTP/1.1\r\n\r\n".getBytes))))
+    val cov = Warc.codingCoverage(Warc.read(spark, dir.toString))
+      .as[(String, String, String, Long)].collect()
+      .map { case (te, ce, o, n) => ((te, ce, o), n) }.toMap
+    assert(cov == Map(
+      ("identity", "identity", "kept") -> 2L,
+      ("identity", "gzip", "kept") -> 1L,
+      ("identity", "zstd", "dropped_unsupported_coding") -> 1L,
+      ("identity", "br", "dropped_unsupported_coding") -> 1L,
+      ("identity", "gzip", "dropped_corrupt") -> 1L,
+      ("?", "?", "dropped_no_http_envelope") -> 1L))
+    // the kept census equals what httpResponses actually emits
+    assert(Warc.httpResponses(Warc.read(spark, dir.toString)).count()
+      == cov.collect { case ((_, _, "kept"), n) => n }.sum)
+    dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+  }
+
+  test("openRecords: closing the returned Closeable ends the gzip " +
+    "decorator AND the underlying stream (no Inflater left to GC)") {
+    var innerClosed = false
+    val inner = new java.io.FilterInputStream(
+      new java.io.ByteArrayInputStream(
+        gzBytes(Warc.warcBytes(threeRecords)))) {
+      override def close(): Unit = { innerClosed = true; super.close() }
+    }
+    val (it, closeable) = Warc.openRecords(inner)
+    assert(it.size == 3)
+    assert(!innerClosed) // exhaustion alone doesn't close: caller owns
+    closeable.close()
+    assert(innerClosed) // the decorator chain closed down to in0
+    // and a further read through the decorator is refused (Inflater
+    // ended, not merely dereferenced)
+    intercept[java.io.IOException] {
+      closeable.asInstanceOf[java.io.InputStream].read()
+    }
+  }
+
   test("httpResponses decodes with the Content-Type charset; " +
     "missing/unknown charsets fall back to UTF-8") {
     val latin = "café crème"
