@@ -1182,6 +1182,64 @@ object SparkEntry {
        |    lead(s) OVER (PARTITION BY doc_id
        |      ORDER BY s DESC, lang DESC) AS s2 FROM lsc)""".stripMargin
 
+  /** q265/q266's planted CJK sentence pool (r18, VERDICT r17
+    * item 1): ten distinct zh sentences, each ending in the CJK
+    * sentence terminal 。 and 13–16 chars long, so four concatenated
+    * clear the 50-char band while one alone sits under it — the
+    * char-rule fixtures compose casualties deterministically from
+    * doc_id exactly like [[langIdPools]]. */
+  private val cjkPool: Seq[String] = Seq(
+    "今天的天气很好我们去公园散步。",
+    "他在图书馆里读了一本历史书。",
+    "孩子们在学校学习数学和科学。",
+    "她每天早上喝一杯热牛奶再出门。",
+    "这家餐厅的菜做得非常好吃。",
+    "火车站前面有一条很长的街道。",
+    "夏天的夜晚可以看到很多星星。",
+    "老师给学生们讲了一个有趣的故事。",
+    "那座山顶上的风景美得让人惊叹。",
+    "工程师正在设计一座新的大桥。")
+
+  /** q265's planted CJK corpus: doc_id % 6 selects the casualty —
+    * 1 = character spam (one hanzi × 60), 2 = one sentence repeated
+    * 6× (high char-gram repetition, healthy entropy), 3 = too short
+    * (one sentence), 4 = terminal punctuation stripped, else four
+    * distinct sentences (passes everything). Fully deterministic,
+    * replayed verbatim by the oracle CTE. */
+  private def cjkFixture(s: SparkSession, dir: String): DataFrame = {
+    val pool = typedLit(cjkPool)
+    def sent(off: Int): Column =
+      element_at(pool, ((col("doc_id") + off) % 10 + 1).cast("int"))
+    val good = concat(sent(0), sent(1), sent(2), sent(3))
+    val m = col("doc_id") % 6
+    t(s, dir, "documents").filter(col("doc_id") < 240)
+      .select(col("doc_id"),
+        when(m === 1, lit("好" * 60 + "。"))
+          .when(m === 2, repeat(sent(0), 6))
+          .when(m === 3, sent(0))
+          .when(m === 4, regexp_replace(good, "。", ""))
+          .otherwise(good).as("text"))
+  }
+
+  /** the q265 fixture replayed in SQL (shared by q265/q266) */
+  private lazy val cjkFixtureSql: String =
+    s"""cp AS (SELECT ${sqlList(cjkPool)} AS pool),
+       |cf AS (SELECT doc_id,
+       |    CASE doc_id % 6
+       |      WHEN 1 THEN repeat('好', 60) || '。'
+       |      WHEN 2 THEN repeat(pool[doc_id % 10 + 1], 6)
+       |      WHEN 3 THEN pool[doc_id % 10 + 1]
+       |      WHEN 4 THEN replace(pool[doc_id % 10 + 1] ||
+       |        pool[(doc_id + 1) % 10 + 1] ||
+       |        pool[(doc_id + 2) % 10 + 1] ||
+       |        pool[(doc_id + 3) % 10 + 1], '。', '')
+       |      ELSE pool[doc_id % 10 + 1] ||
+       |        pool[(doc_id + 1) % 10 + 1] ||
+       |        pool[(doc_id + 2) % 10 + 1] ||
+       |        pool[(doc_id + 3) % 10 + 1]
+       |    END AS text
+       |  FROM documents CROSS JOIN cp WHERE doc_id < 240)""".stripMargin
+
   /** q264's cross-language boilerplate line: 12 words from the en
     * pool — inside every fixture page regardless of its language,
     * the thing per-line LID exists to strip */
@@ -9393,7 +9451,151 @@ object SparkEntry {
              |  coalesce(x.fr_text, '') AS fr_text
              |FROM bf f JOIN bagg a USING (doc_id)
              |LEFT JOIN bfr x USING (doc_id)
-             |ORDER BY f.doc_id""".stripMargin))
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    // CJK character-level quality rules (r18, VERDICT r17 item 1 —
+    // functions/CjkQuality.scala): char entropy by run-length
+    // grouping of the sorted char array, char-5-gram repetition,
+    // and the four-rule flag struct, on a planted zh corpus with
+    // one casualty per rule (char spam -> entropy, repeated
+    // sentence -> char repetition — the spam word-gram rules are
+    // BLIND to, CjkScopeSpec —, short doc -> char count, stripped
+    // terminals -> punctuation). The oracle replays the WHOLE
+    // arithmetic in DuckDB list lambdas (the q262 discipline):
+    // substr char extraction, list_sort, run starts, p*log2(p)
+    // sums, gram distinct counts — so the gate hashes the shipped
+    // entropy/repetition math end to end.
+    Q("q265_cjk_quality", (s, dir) => {
+      val CQ = graft.functions.CjkQuality
+      cjkFixture(s, dir)
+        .select(col("doc_id"),
+          CQ.charEntropy(col("text")).as("entropy"),
+          CQ.charRepetitionRatio(col("text"), 5).as("rep5"),
+          CQ.cjkQualityFlags(col("text")).as("f"),
+          col("text"))
+        .select(col("doc_id"), col("entropy"), col("rep5"),
+          col("f.char_count_ok").as("char_count_ok"),
+          col("f.entropy_ok").as("entropy_ok"),
+          col("f.char_rep_ok").as("char_rep_ok"),
+          col("f.punct_ok").as("punct_ok"),
+          col("f.pass").as("q_pass"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH $cjkFixtureSql,
+             |cq1 AS (SELECT doc_id, text,
+             |    regexp_replace(text, '[\\s　]+', '', 'g') AS t
+             |  FROM cf),
+             |cq2 AS (SELECT *, length(t) AS n,
+             |    list_sort(list_transform(range(1, length(t) + 1),
+             |      i -> substr(t, i, 1))) AS srt FROM cq1),
+             |cq3 AS (SELECT *, list_filter(range(1, n + 1),
+             |      i -> i = 1 OR srt[i - 1] != srt[i]) AS starts
+             |  FROM cq2),
+             |cq4 AS (SELECT *, len(starts) AS k FROM cq3),
+             |cq5 AS (SELECT *, list_transform(range(1, k + 1),
+             |      j -> (CASE WHEN j = k THEN n + 1
+             |            ELSE starts[j + 1] END) - starts[j]) AS runs
+             |  FROM cq4),
+             |cq6 AS (SELECT doc_id, text, n,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE round(-list_sum(list_transform(runs,
+             |        r -> r / CAST(n AS DOUBLE) *
+             |          log2(r / CAST(n AS DOUBLE)))) + 0.0, 6)
+             |    END AS entropy,
+             |    CASE WHEN n - 4 <= 0 THEN 0.0
+             |      ELSE round(1.0 - CAST(len(list_distinct(
+             |        list_transform(range(1, n - 3),
+             |          i -> substr(t, i, 5)))) AS DOUBLE) / (n - 4), 6)
+             |    END AS rep5
+             |  FROM cq5)
+             |SELECT doc_id, entropy, rep5,
+             |  n BETWEEN 50 AND 100000 AS char_count_ok,
+             |  entropy >= 3.0 AS entropy_ok,
+             |  rep5 <= 0.2 AS char_rep_ok,
+             |  regexp_matches(text, '[。！？．.!?"]') AS punct_ok,
+             |  (n BETWEEN 50 AND 100000 AND entropy >= 3.0
+             |    AND rep5 <= 0.2
+             |    AND regexp_matches(text, '[。！？．.!?"]')) AS q_pass
+             |FROM cq6 ORDER BY doc_id""".stripMargin)),
+
+    // The LangId-script DISPATCH (r18, CjkQuality.c4CleanByScript):
+    // zh/ja pages clean under the character-based C4 line rules
+    // (terminal 。！？, >= 10 non-whitespace chars incl. U+3000,
+    // no 'javascript'), en pages under the published word-based
+    // rules — one mixed corpus, both cleaners, the router that
+    // turned the CjkScopeSpec fail-closed contract into
+    // flow-through processing. Every page plants one casualty per
+    // line rule on its script's side.
+    Q("q266_cjk_c4_dispatch", (s, dir) => {
+      val CQ = graft.functions.CjkQuality
+      val pool = typedLit(cjkPool)
+      val li = col("doc_id") % 3
+      val g1 = element_at(pool, (col("doc_id") % 10 + 1).cast("int"))
+      val g2 = element_at(pool,
+        ((col("doc_id") + 5) % 10 + 1).cast("int"))
+      val zhText = concat_ws("\n", g1, lit("短。"),
+        lit("菜单 导航 登录"),
+        lit("这个页面使用javascript才能正常工作。"), g2)
+      val enText = concat_ws("\n",
+        lit("the quick brown fox jumps over the lazy dog today."),
+        lit("short line."),
+        lit("cookies and javascript must be enabled to continue."),
+        lit("no terminal punctuation on this line of text"),
+        lit("a second clean english sentence appears right here now."))
+      t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          when(li === 0, "zh").when(li === 1, "en").otherwise("ja")
+            .as("lang"),
+          when(li === 1, enText).otherwise(zhText).as("text"))
+        .select(col("doc_id"), col("lang"),
+          CQ.scriptOf(col("lang")).as("script"),
+          CQ.c4CleanByScript(col("text"), col("lang")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH cp AS (SELECT ${sqlList(cjkPool)} AS pool),
+             |df AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'zh' WHEN 1 THEN 'en'
+             |      ELSE 'ja' END AS lang,
+             |    CASE WHEN doc_id % 3 = 1 THEN
+             |      'the quick brown fox jumps over the lazy dog today.'
+             |      || chr(10) || 'short line.' || chr(10) ||
+             |      'cookies and javascript must be enabled to continue.'
+             |      || chr(10) ||
+             |      'no terminal punctuation on this line of text'
+             |      || chr(10) ||
+             |      'a second clean english sentence appears right here now.'
+             |    ELSE pool[doc_id % 10 + 1] || chr(10) || '短。'
+             |      || chr(10) || '菜单 导航 登录' || chr(10) ||
+             |      '这个页面使用javascript才能正常工作。' || chr(10) ||
+             |      pool[(doc_id + 5) % 10 + 1]
+             |    END AS text
+             |  FROM documents CROSS JOIN cp WHERE doc_id < 120)
+             |SELECT doc_id, lang,
+             |  CASE WHEN lang IN ('zh', 'ja', 'ko') THEN 'cjk'
+             |    ELSE 'ws' END AS script,
+             |  CASE WHEN lang IN ('zh', 'ja', 'ko') THEN
+             |    array_to_string(list_filter(
+             |      list_transform(string_split_regex(text, '\\r?\\n'),
+             |        l -> regexp_replace(regexp_replace(l,
+             |          '^[\\s　]+', ''), '[\\s　]+$$', '')),
+             |      l -> len(l) > 0
+             |        AND regexp_matches(l, '[。！？．.!?"]$$')
+             |        AND len(regexp_replace(l, '[\\s　]+', '', 'g'))
+             |          >= 10
+             |        AND NOT contains(lower(l), 'javascript')),
+             |      chr(10))
+             |  ELSE
+             |    array_to_string(list_filter(
+             |      list_transform(string_split_regex(text, '\\r?\\n'),
+             |        l -> trim(l)),
+             |      l -> len(l) > 0 AND regexp_matches(l, '[.!?"]$$')
+             |        AND len(list_filter(
+             |          string_split_regex(l, '\\s+'),
+             |          w -> len(w) > 0)) >= 5
+             |        AND NOT contains(lower(l), 'javascript')),
+             |      chr(10))
+             |  END AS cleaned
+             |FROM df ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -21,9 +21,17 @@ import graft.operators.{LangId, Repetition}
   *    repeated lines → every fraction 0): it cannot see repetition
   *    inside an unsegmented line, so it must not be the only gate
   *    for CJK corpora;
-  *  - the documented recipe: LangId (char-n-gram, whitespace-free by
-  *    construction) segregates the corpus FIRST, the whitespace
-  *    rules then apply to whitespace-delimited languages only.
+  *  - r18 FLIP: the fail-closed dead end is now a ROUTE — LangId
+  *    (char-n-gram, whitespace-free by construction) segregates the
+  *    corpus first, and [[graft.functions.CjkQuality]]'s script
+  *    dispatch sends zh/ja/ko through character-level siblings of
+  *    the quality/repetition/C4 rules (entropy, char-gram
+  *    repetition, char-count band, CJK terminal punctuation) while
+  *    whitespace-delimited languages keep the published word rules.
+  *    The per-rule CJK behavior pinned below is UNCHANGED — the
+  *    word rules still fail closed on spaceless text, which is
+  *    exactly why the dispatcher routes around them (CjkQualitySpec
+  *    owns the char-rule pins; the last test here pins the route).
   */
 class CjkScopeSpec extends SparkTestBase {
   import spark.implicits._
@@ -88,5 +96,27 @@ class CjkScopeSpec extends SparkTestBase {
     val got = LangId.classify(test, "text", model, m = 512)
       .select($"true", $"lang").as[(String, String)].collect()
     assert(got.forall { case (t, p) => t == p })
+  }
+
+  test("r18: the LID-then-dispatch route processes the CJK slice " +
+    "instead of dropping it — the repetitive zh doc drops for its " +
+    "REPETITION (visible to the char rules), a clean zh doc passes") {
+    val zhClean = "今天的天气很好我们决定去公园散步。他在图书馆里读了一本" +
+      "关于历史的书。孩子们在学校学习数学和科学知识。"
+    val df = Seq((1L, "zh", zhClean), (2L, "zh", zh),
+      (3L, "en", Seq.fill(8)("the dogs run fast to be near the " +
+        "house and that is fine with everyone here have fun.")
+        .mkString(" ")))
+      .toDF("id", "lang", "text")
+    val got = df.select($"id",
+        graft.functions.CjkQuality
+          .qualityPassByScript($"text", $"lang").as("pass"),
+        graft.functions.CjkQuality
+          .charRepetitionRatio($"text", 5).as("rep"))
+      .as[(Long, Boolean, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L)._1 == true)
+    assert(got(2L)._1 == false && got(2L)._2 > 0.8) // seen, and judged
+    assert(got(3L)._1 == true) // ws languages keep the word rules
   }
 }
