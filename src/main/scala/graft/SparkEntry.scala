@@ -9595,7 +9595,61 @@ object SparkEntry {
              |        AND NOT contains(lower(l), 'javascript')),
              |      chr(10))
              |  END AS cleaned
-             |FROM df ORDER BY doc_id""".stripMargin))
+             |FROM df ORDER BY doc_id""".stripMargin)),
+
+    // Order-n hashed per-language LM (r18, VERDICT r17 item 2 —
+    // LanguageModel.trainNgram/scoreNgram, the CCNet §3.2 5-gram
+    // KenLM signal under the DSIR hashing trick): trigram model,
+    // m = 256 buckets, two pseudo-languages split by doc_id parity
+    // over the REAL documents text. The oracle RETRAINS the model
+    // in SQL — token split, space-joined trigram/context strings,
+    // md5 bucket chain, per-(lang, bucket) counts — and re-scores
+    // every document with the same add-k arithmetic, so the gate
+    // hashes train AND serve end to end (q87's pattern at order 3
+    // with hashed contexts). Spark-side serving is a shuffle-free
+    // literal-array projection; the SQL serves by join — same math,
+    // two shapes.
+    Q("q267_ngram_lm", (s, dir) => {
+      val LM = graft.operators.LanguageModel
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "en").otherwise("fr")
+            .as("lang"),
+          col("text"))
+      val model = LM.trainNgram(docs, "text", "lang", n = 3, m = 256)
+      LM.scoreNgram(docs, "text", "lang", model, n = 3, m = 256,
+          k = 0.5)
+        .filter(col("n_ngrams").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_ngrams"),
+          col("nll"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END
+             |      AS lang,
+             |    ${sqlTokens("text")} AS t FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |    CAST(CAST('0x' || substr(md5(
+             |      t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)
+             |      AS BIGINT) % 256 AS BIGINT) AS bng,
+             |    CAST(CAST('0x' || substr(md5(
+             |      t[i] || ' ' || t[i+1]), 1, 15)
+             |      AS BIGINT) % 256 AS BIGINT) AS bctx
+             |  FROM (SELECT doc_id, lang, t,
+             |      unnest(range(1, len(t) - 1)) AS i
+             |    FROM tk WHERE len(t) >= 3)),
+             |cn AS (SELECT lang, bng AS b, count(*) AS c
+             |  FROM g GROUP BY 1, 2),
+             |cc AS (SELECT lang, bctx AS b, count(*) AS c
+             |  FROM g GROUP BY 1, 2),
+             |sc AS (SELECT g.doc_id, g.lang,
+             |    -ln((n.c + 0.5) / (x.c + 0.5 * 256)) AS nll
+             |  FROM g JOIN cn n ON n.lang = g.lang AND n.b = g.bng
+             |  JOIN cc x ON x.lang = g.lang AND x.b = g.bctx)
+             |SELECT doc_id, lang,
+             |  CAST(count(*) AS INT) AS n_ngrams,
+             |  round(sum(nll) / count(*), 6) AS nll
+             |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -14,7 +14,8 @@ object ScaleSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
     // upd/adm/bkt/cc/ntile/rank/sub/suba/hh/bpe/ivf/lpa/cont/contd/
-    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir/lid); numeric
+    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir/lid/lm/web);
+    // numeric
     // args override the replication scales.
     // No sections = run all.
     val sections = args.drop(1).filterNot(_.forall(_.isDigit)).toSet
@@ -107,6 +108,132 @@ object ScaleSmoke {
         .select(explode(col("line_langs"))).count())
       c.unpersist()
       spark.catalog.clearCache()
+    }
+
+    // ---- order-n hashed LM (r18): train = one explode + ONE
+    // partial-agg groupBy whose output is bounded by langs x m x 2
+    // rows whatever the corpus (the hashing-trick fit — must scale
+    // linearly in the scan); score = a zero-shuffle literal-array
+    // codegen projection (the lid-classify shape). Model cached +
+    // materialized before serve timings (the lazy-model lesson).
+    if (on("lm")) scales.foreach { k =>
+      val c = corpus(k).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "en")
+          .when(col("doc_id") % 3 === 1, "fr").otherwise("de")
+          .as("lang"),
+        col("text")).cache()
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("lm-train")(graft.operators.LanguageModel
+        .trainNgram(c, "text", "lang", n = 3, m = 4096).count())
+      val model = graft.operators.LanguageModel
+        .trainNgram(c, "text", "lang", n = 3, m = 4096).cache()
+      model.count()
+      time("lm-score")(graft.operators.LanguageModel
+        .scoreNgram(c, "text", "lang", model, n = 3, m = 4096)
+        .filter(col("nll").isNotNull).count())
+      model.unpersist()
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- web-ingest spine (r18, VERDICT r17 item 3): the q263
+    // pipeline's WARC stages, scaled by FILE COUNT (the unit WARC
+    // corpora actually shard by — the reader parallelizes per file).
+    // k x 4 single-member .warc.gz files of 500 synthetic HTML
+    // responses each; walls published for parse (record-at-a-time
+    // streaming read), unwrap (HTTP envelope + codings), extract
+    // (fused jusText projection) and dedup (exact + minhash over the
+    // extracted text). All four must track file count linearly.
+    if (on("web")) {
+      import graft.sources.Warc
+      val pad = "the cat is in the hat and it is a fine day for " +
+        "the dog to nap on the mat by the door and this is of it"
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(b); g.close(); out.toByteArray
+      }
+      // main paragraphs interleave stopwords (jusText keeps them as
+      // main content) with per-id pseudo-random words (documents are
+      // mostly DISTINCT — dup minorities are planted, not emergent,
+      // so LSH buckets stay small and the probe measures the linear
+      // path, not an everything-collides pathology)
+      val stops = Seq("the", "is", "of", "and", "to", "in", "that",
+        "it")
+      // full-avalanche word ids (MurmurHash3): an affine id*31+j*7
+      // formula here produced near-periodic cross-document word
+      // overlaps that chained unrelated docs into emergent near-dup
+      // components (the avalanche-seed lesson) — hashed ids keep
+      // unrelated documents' shingle sets disjoint
+      def para(id: Long): String = (0 until 30)
+        .map(j => s"${stops(j % 8)} w${math.abs(
+          scala.util.hashing.MurmurHash3.stringHash(id + "-" + j))}")
+        .mkString(" ")
+      def mkDir(k: Int): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_smoke_web_$k")
+        (0 until 4 * k).foreach { f =>
+          val recs = (0 until 500).map { r =>
+            val id = f * 100000 + r
+            // r % 10 == 0: EXACT copy of its neighbor's content;
+            // r % 10 == 5: near-dup (neighbor + a few extra tokens)
+            val baseId: Long =
+              if (r % 10 == 0 && r > 0) id - 1
+              else if (r % 10 == 5) id - 1 else id
+            val extra =
+              if (r % 10 == 5) " nearly the same but not quite it"
+              else ""
+            val body = "<html><head><script>var x=1;</script></head>" +
+              s"""<body><div><a href="/">menu item $id</a> """ +
+              s"""<a href="/b">nav $id</a></div>""" +
+              s"<p>$pad</p><p>${para(baseId)}$extra</p>" +
+              "<div>(c) footer</div></body></html>"
+            (Seq("WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:$id>",
+              "WARC-Target-URI" -> s"http://x/doc/$id",
+              "Content-Type" -> "application/http; msgtype=response"),
+              Warc.httpBytes(body.getBytes("UTF-8")))
+          }
+          java.nio.file.Files.write(dir.resolve(f"f$f%03d.warc.gz"),
+            gz(Warc.warcBytes(recs)))
+        }
+        dir.toString
+      }
+      scales.foreach { k =>
+        val dir = mkDir(k)
+        val n = 4 * k * 500
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+            f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+        }
+        time("web-parse")(Warc.read(spark, dir + "/*.warc.gz").count())
+        time("web-unwrap")(Warc.httpResponses(
+          Warc.read(spark, dir + "/*.warc.gz")).count())
+        def extracted = Warc.httpResponses(
+            Warc.read(spark, dir + "/*.warc.gz"))
+          .select(col("target_uri").as("doc_id"),
+            graft.operators.Extract.mainContent(col("body"))
+              .as("text"))
+        time("web-extract")(extracted
+          .agg(count(lit(1)), sum(length(col("text"))))
+          .head().getLong(0))
+        time("web-dedup")(graft.operators.Dedup.minhashDedup(
+          graft.operators.Dedup.exact(extracted, Seq("text"),
+            "doc_id"),
+          "doc_id", "text", numHashes = 64, bands = 32,
+          shingleLen = 3, threshold = 0.6).count())
+        new java.io.File(dir).listFiles().foreach(_.delete())
+        new java.io.File(dir).delete()
+        spark.catalog.clearCache()
+      }
     }
 
     // ---- token-budget mega-stratum: replicate ONE language k× (ids
