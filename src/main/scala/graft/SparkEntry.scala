@@ -9649,7 +9649,53 @@ object SparkEntry {
              |SELECT doc_id, lang,
              |  CAST(count(*) AS INT) AS n_ngrams,
              |  round(sum(nll) / count(*), 6) AS nll
-             |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
+             |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
+    // DCT pHash near-dup recovery (r18, VERDICT r17 item 4 —
+    // Multimodal.pHashKernel): 42 docs per scene class render as
+    // REAL container bytes in three variants — original PNG, JPEG
+    // recompressed at quality 0.4, rescaled 64→40 PNG — and the
+    // pHash → signaturePairs(≤6) → connected-components chain must
+    // recover exactly the five planted classes (aHash cannot: its
+    // 8×8 cell means collide across these scenes —
+    // MultimodalHashSpec pins that failure case; recompression and
+    // rescaling are exactly what the DCT low-frequency crop
+    // survives). Oracle: the abstract class structure (q235's
+    // construction — the image arithmetic itself is pinned by
+    // MultimodalHashSpec's closed forms, not SQL-expressible).
+    Q("q268_phash_dedup", (s, dir) => {
+      import org.apache.spark.sql.types._
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 210)
+        .select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val orig = Multimodal.syntheticImage((id % 5).toInt)
+            val bytes = (id / 5) % 3 match {
+              case 0 => Multimodal.pngBytes(orig)
+              case 1 => Multimodal.jpegBytes(orig, 0.4f)
+              case _ => Multimodal.pngBytes(
+                Multimodal.rescaled(orig, 40, 40))
+            }
+            org.apache.spark.sql.Row(id, bytes)
+          }
+        }(enc)
+      val hashed = Multimodal.imageHashes(media, "phash")
+        .withColumnRenamed("media_id", "id")
+      graft.operators.Dedup.clusterSizes(
+          graft.operators.Dedup.signaturePairs(hashed, "id",
+            "img_hash", maxDistance = 6)
+            .select(col("id_a"), col("id_b")))
+        .select(col("rep").as("rep_id"), col("size").as("n_dups"))
+        .orderBy(col("rep_id"))
+    },
+      Some("""SELECT min(doc_id) AS rep_id,
+             | CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents WHERE doc_id < 210 GROUP BY doc_id % 5
+             |ORDER BY rep_id""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -244,9 +244,65 @@ object Multimodal {
       h
     }
 
+  /** DCT pHash (r18, VERDICT r17 item 4): 32×32 luminance grid →
+    * 2D DCT-II (orthonormal α(u)α(v) scaling) → the top-left 8×8
+    * low-frequency block → threshold each of the 63 NON-DC
+    * coefficients at their median — bit k (k = 0..62, row-major over
+    * the block skipping (0,0)) set iff its coefficient exceeds the
+    * median; bit 63 is always 0. Excluding the DC term makes the
+    * hash EXACTLY invariant to uniform brightness shifts (a constant
+    * offset moves only C(0,0): Σ_x cos((2x+1)uπ/2N) = 0 for u ≥ 1)
+    * and median thresholding makes it invariant to contrast scaling;
+    * the low-frequency crop is what survives recompression and
+    * rescaling far better than aHash's cell-vs-mean bits (Haitsma–
+    * Kalker-style robust hashing applied to images; the widely
+    * published pHash construction). Cost: the 8×16 cosine table ×
+    * separable partial DCT = O(8·32·32 + 8·8·32) mults per image —
+    * decode-dominated in practice. None for non-decodable bytes. */
+  private[multimodal] def pHashKernel(bytes: Array[Byte]): Option[Long] =
+    lumGrid(bytes, 32, 32).map { g =>
+      val n = 32
+      val cosT = Array.tabulate(8, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      def alpha(u: Int): Double =
+        if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      // separable: tmp(u)(y) = Σ_x g(y·32+x)·cos(u,x), then
+      // d(u)(v) = α(u)α(v) Σ_y tmp(u)(y)·cos(v,y)
+      val tmp = Array.ofDim[Double](8, n)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < n) {
+          var s = 0.0; var x = 0
+          while (x < n) { s += g(y * n + x) * cosT(u)(x); x += 1 }
+          tmp(u)(y) = s; y += 1
+        }
+        u += 1
+      }
+      val d = Array.ofDim[Double](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var y = 0
+          while (y < n) { s += tmp(u)(y) * cosT(v)(y); y += 1 }
+          d(v * 8 + u) = alpha(u) * alpha(v) * s; v += 1
+        }
+        u += 1
+      }
+      val nonDc = java.util.Arrays.copyOfRange(d, 1, 64)
+      val sorted = nonDc.clone(); java.util.Arrays.sort(sorted)
+      val med = sorted(31) // median of 63
+      var h = 0L; var i = 0
+      while (i < 63) { if (nonDc(i) > med) h |= (1L << i); i += 1 }
+      h
+    }
+
   /** perceptual image hashes: (media_id, img_hash long). `kind` is
-    * "ahash" (mean-thresholded 8×8 grid) or "dhash" (9×8 horizontal
-    * gradient). Non-decodable payloads are DROPPED (generator shape —
+    * "ahash" (mean-thresholded 8×8 grid), "dhash" (9×8 horizontal
+    * gradient) or "phash" (32×32 DCT low-frequency median bits —
+    * the recompression/rescale-robust choice, [[pHashKernel]]).
+    * Non-decodable payloads are DROPPED (generator shape —
     * a hash-of-garbage would poison duplicate groups downstream;
     * [[decodeImages]] is the face that surfaces decode failures).
     *
@@ -259,18 +315,21 @@ object Multimodal {
     * never-all-pairs shape. Payload stays partition-local; only
     * (id, long) rows ever shuffle. */
   def imageHashes(media: DataFrame, kind: String = "ahash"): DataFrame = {
-    require(kind == "ahash" || kind == "dhash",
-      s"kind must be ahash|dhash, got $kind")
+    require(Set("ahash", "dhash", "phash")(kind),
+      s"kind must be ahash|dhash|phash, got $kind")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("img_hash", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val useA = kind == "ahash"
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val h = if (useA) aHashKernel(bytes) else dHashKernel(bytes)
+          val h = kind match {
+            case "ahash" => aHashKernel(bytes)
+            case "dhash" => dHashKernel(bytes)
+            case _ => pHashKernel(bytes)
+          }
           h.map(v => Row(r.getLong(0), v))
         }
       }(enc)
@@ -618,6 +677,68 @@ object Multimodal {
     * fixture generator (the [[fromText]] discipline in audio space:
     * real RIFF/WAVE payloads so gates and specs drive the REAL
     * decode path, not a stub). */
+  /** fixture image kernels (the wavBytes discipline: REAL container
+    * bytes — PNG/JPEG through javax.imageio — so gates drive the
+    * real decode path): a deterministic grayscale scene per class
+    * (diagonal gradient + a class-positioned rectangle), and the
+    * recompress / rescale / brighten transforms pHash must survive. */
+  private[graft] def syntheticImage(cls: Int, w: Int = 64, h: Int = 64,
+                                    bright: Int = 0)
+  : java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val base = math.min(255, math.max(0,
+          (x * 255 / w + y * 128 / h) / 2 + bright))
+        val rx = 8 + (cls * 9) % 40; val ry = 6 + (cls * 13) % 40
+        val inRect = x >= rx && x < rx + 14 && y >= ry && y < ry + 10
+        val v = if (inRect)
+          math.min(255, math.max(0, 235 - cls * 17 + bright))
+        else base
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        y += 1
+      }
+      x += 1
+    }
+    im
+  }
+
+  private[graft] def pngBytes(im: java.awt.image.BufferedImage)
+  : Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", o)
+    o.toByteArray
+  }
+
+  private[graft] def jpegBytes(im: java.awt.image.BufferedImage,
+                               quality: Float): Array[Byte] = {
+    val wr = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val o = new java.io.ByteArrayOutputStream()
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(o))
+    wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    wr.dispose()
+    o.toByteArray
+  }
+
+  private[graft] def rescaled(im: java.awt.image.BufferedImage,
+                              w: Int, h: Int)
+  : java.awt.image.BufferedImage = {
+    val s = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = s.createGraphics()
+    g.drawImage(im.getScaledInstance(w, h,
+      java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+    g.dispose()
+    s
+  }
+
   private[graft] def wavBytes(samples: Array[Short],
                               rate: Float): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,

@@ -82,6 +82,59 @@ class MultimodalHashSpec extends SparkTestBase {
     assert(h(1L) == -1L, s"all-ascending ramp must set all 64 bits, got ${h(1L).toBinaryString}")
   }
 
+  test("pHash (r18): exactly brightness-shift-invariant (DC excluded " +
+    "by construction), within hamming 6 of the original under JPEG " +
+    "recompression and rescaling; garbage dropped") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    (0 until 5).foreach { cls =>
+      val orig = Multimodal.syntheticImage(cls)
+      val h = hashes(Seq(
+        0L -> Multimodal.pngBytes(orig),
+        1L -> Multimodal.jpegBytes(orig, 0.4f),
+        2L -> Multimodal.pngBytes(Multimodal.rescaled(orig, 40, 40)),
+        3L -> Multimodal.pngBytes(
+          Multimodal.syntheticImage(cls, bright = 20))), "phash")
+      assert(ham(h(0L), h(1L)) <= 6, s"jpeg cls=$cls")
+      assert(ham(h(0L), h(2L)) <= 6, s"rescale cls=$cls")
+      // uniform +20 moves ONLY the DC coefficient (no clipping in
+      // this scene): the 63 non-DC bits are IDENTICAL
+      assert(h(0L) == h(3L), s"brightness cls=$cls")
+    }
+    assert(hashes(Seq(9L -> "not an image".getBytes), "phash").isEmpty)
+  }
+
+  test("pHash vs aHash failure case (r18): scenes whose 8x8 cell " +
+    "means collide under aHash stay >= 20 bits apart under pHash") {
+    // classes 3 and 4 of the synthetic scene family: the gradient
+    // dominates every 8x8 cell mean, so aHash cannot see the
+    // rectangle move — pHash's low-frequency DCT bits can
+    val imgs = Seq(
+      3L -> Multimodal.pngBytes(Multimodal.syntheticImage(3)),
+      4L -> Multimodal.pngBytes(Multimodal.syntheticImage(4)))
+    val a = hashes(imgs, "ahash"); val p = hashes(imgs, "phash")
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a(3L), a(4L)) <= 2)   // aHash: (near-)collision
+    assert(ham(p(3L), p(4L)) >= 20)  // pHash: clean separation
+  }
+
+  test("pHash rides signatureDedup unchanged (r18): recompressed + " +
+    "rescaled variants collapse to one survivor per scene") {
+    val media = (0 until 5).flatMap { cls =>
+      val orig = Multimodal.syntheticImage(cls)
+      Seq(
+        (cls * 10L) -> Multimodal.pngBytes(orig),
+        (cls * 10L + 1) -> Multimodal.jpegBytes(orig, 0.4f),
+        (cls * 10L + 2) -> Multimodal.pngBytes(
+          Multimodal.rescaled(orig, 40, 40)))
+    }
+    val hashed = Multimodal.imageHashes(mediaDf(media), "phash")
+      .withColumnRenamed("media_id", "id")
+    val kept = graft.operators.Dedup.signatureDedup(
+        hashed, "id", "img_hash", maxDistance = 6)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(0L, 10L, 20L, 30L, 40L))
+  }
+
   test("near-dup: one flipped cell stays within hamming reach; signaturePairs finds it") {
     val flipped = p3.updated(7, true) // flip one of 8 cells
     val rows = Seq(1L -> png(p3, 32), 2L -> png(flipped, 32),
