@@ -9695,7 +9695,66 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS rep_id,
              | CAST(count(*) AS BIGINT) AS n_dups
              |FROM documents WHERE doc_id < 210 GROUP BY doc_id % 5
-             |ORDER BY rep_id""".stripMargin))
+             |ORDER BY rep_id""".stripMargin)),
+
+    // SentencePiece ▁-marker mode (r18, VERDICT r17 item 6 —
+    // Unigram marker=true): whitespace is piece-internal, the
+    // convention T5/Llama vocabularies assume. q232's bigram-face
+    // closed form replayed on the MARKED tokens (chars −10 / 2-grams
+    // −15 ⇒ exactly ceil(len/2) pieces, len % 2 singles — marker
+    // chars included in len), the marked-token census, AND the
+    // markerDecode round trip (every document must reconstruct its
+    // ROOT-lowercased, whitespace-normalized self INCLUDING space
+    // multiplicity — one ▁ per whitespace char, dummy prefix
+    // dropped). The oracle re-derives the marked tokens with the
+    // same regex chain and predicts the closed forms.
+    Q("q269_unigram_marker", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(explode(TF.markerTokens(col("text"))).as("w"))
+        .distinct()
+      val chars = words.select(explode(transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-10.0))
+      val bigrams = words.filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("piece"))
+        .distinct().withColumn("log_prob", lit(-15.0))
+      val enc = graft.operators.Unigram.encode(docs, "text",
+        chars.unionByName(bigrams), marker = true)
+      enc.select(col("lang"),
+          size(col("ug_tokens")).as("np"),
+          size(filter(col("ug_tokens"), p => length(p) === 1))
+            .as("ns"),
+          size(TF.markerTokens(col("text"))).as("nw"),
+          when(graft.operators.Unigram.markerDecode(col("ug_tokens"))
+            === regexp_replace(graft.expressions.TextExpressions
+              .rootLower(col("text")), "\\s", " "), 1L)
+            .otherwise(0L).as("rt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("np")).as("n_pieces"),
+          sum(col("ns")).as("n_single"),
+          sum(col("nw")).as("n_words"),
+          count(lit(1)).as("n_docs"),
+          sum(col("rt")).as("n_roundtrip"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH mk AS (SELECT lang, regexp_extract_all(
+             |    regexp_replace(' ' || lower(text), '\s', '▁', 'g'),
+             |    '▁+[^▁]*') AS ts FROM documents),
+             |tok AS (SELECT lang, unnest(ts) AS w FROM mk),
+             |ta AS (SELECT lang,
+             |    CAST(sum((len(w) + 1) // 2) AS BIGINT) AS n_pieces,
+             |    CAST(sum(len(w) % 2) AS BIGINT) AS n_single,
+             |    CAST(count(*) AS BIGINT) AS n_words
+             |  FROM tok GROUP BY lang),
+             |dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_pieces, n_single, n_words, n_docs,
+             |  n_docs AS n_roundtrip
+             |FROM ta JOIN dc USING (lang) ORDER BY lang""".stripMargin))
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -44,6 +44,21 @@ object TextFunctions {
     filter(split(graft.expressions.TextExpressions.rootLower(trim(text)),
       "\\s+"), t => length(t) > 0)
 
+  /** SentencePiece ▁-marker pre-tokenization (r18) — the column twin
+    * of [[graft.operators.Unigram.markerWordsJvm]], used by the
+    * marker-mode trainer so train == encode exactly: Locale.ROOT
+    * lower, one dummy leading space, each ASCII-whitespace char → ▁
+    * (U+2581; multi-space preserved one marker per char), tokens =
+    * the maximal `▁+[^▁]*` runs. "it  is" → ["▁it", "▁▁is"]; a
+    * trailing space yields a bare "▁". Null text → null. */
+  def markerTokens(text: Column): Column =
+    regexp_extract_all(
+      regexp_replace(
+        concat(lit(" "),
+          graft.expressions.TextExpressions.rootLower(text)),
+        "\\s", "▁"),
+      lit("▁+[^▁]*"), lit(0))
+
   /** whitespace token count — cheap scan-side metric */
   def tokenCount(text: Column): Column = size(tokens(text))
 

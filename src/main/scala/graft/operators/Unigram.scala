@@ -65,6 +65,37 @@ import graft.functions.TextFunctions
 object Unigram {
 
   // ------------------------------------------------------------------
+  // SentencePiece ▁-marker mode (r18, VERDICT r17 item 6)
+  // ------------------------------------------------------------------
+
+  /** U+2581 LOWER ONE EIGHTH BLOCK — the SentencePiece whitespace
+    * marker (Kudo & Richardson 2018, arXiv:1808.06226 §3.1). */
+  val Marker = "▁"
+
+  /** Marker-mode pre-tokenization (`marker = true` on
+    * [[train]]/[[encode]]): whitespace is PIECE-INTERNAL, the
+    * convention T5/Llama vocabularies assume — word-split vocabs are
+    * not drop-in comparable. The text lowers (Locale.ROOT), gains
+    * one dummy leading space (SentencePiece's add_dummy_prefix),
+    * every ASCII-whitespace char becomes one ▁ (remove_extra_
+    * whitespaces=false semantics: multi-space is PRESERVED, one
+    * marker per char; tab/newline normalize to the space marker —
+    * the documented normalizer divergence), and tokens are the
+    * maximal `▁+[^▁]*` runs — so "it  is" → ["▁it", "▁▁is"] and a
+    * trailing space yields a bare "▁" token. Decoding is exact:
+    * concatenate, map ▁ → space, drop the one dummy — round-trip
+    * losslessness INCLUDING space multiplicity (UnigramSpec).
+    * Segmentation stays per-token (split_by_whitespace=true, the
+    * T5/Llama default), so the bounded word-table training shape is
+    * unchanged; ▁ enters the alphabet like any code point. */
+  private[graft] def markerWordsJvm(text: String): Array[String] =
+    MarkerTokenRe.findAllIn(
+      (" " + text.toLowerCase(java.util.Locale.ROOT))
+        .replaceAll("\\s", Marker)).toArray
+
+  private val MarkerTokenRe = (Marker + "+[^" + Marker + "]*").r
+
+  // ------------------------------------------------------------------
   // encoding
   // ------------------------------------------------------------------
 
@@ -86,7 +117,8 @@ object Unigram {
   def encode(df: DataFrame, textCol: String, vocab: DataFrame,
              pieceCol: String = "piece", logProbCol: String = "log_prob",
              out: String = "ug_tokens",
-             charFallback: Double = -100.0): DataFrame = {
+             charFallback: Double = -100.0,
+             marker: Boolean = false): DataFrame = {
     require(charFallback < 0.0 && !charFallback.isInfinite,
       s"charFallback must be finite negative, got $charFallback")
     val rows = vocab
@@ -117,27 +149,40 @@ object Unigram {
         // words through TextFunctions.tokensRoot (the shared
         // ROOT-lower expression), so train == encode on every JVM
         // locale — TokenizerLocaleSpec pins tr-TR.
-        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          .filter(_.nonEmpty)
-          .flatMap { w =>
-            var hit = cache.get(w)
-            if (hit == null) {
-              hit = viterbiWord(w, v, maxLen, charFallback)
-              if (cache.size < memoCap) cache.put(w, hit)
-            }
-            hit
-          }.toSeq
+        val words =
+          if (marker) markerWordsJvm(text)
+          else text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .filter(_.nonEmpty)
+        words.flatMap { w =>
+          var hit = cache.get(w)
+          if (hit == null) {
+            hit = viterbiWord(w, v, maxLen, charFallback)
+            if (cache.size < memoCap) cache.put(w, hit)
+          }
+          hit
+        }.toSeq
       }
     }
     df.withColumn(out, enc(col(textCol)))
   }
 
+  /** exact inverse of marker-mode [[encode]] as a Column: concatenate
+    * the pieces, map ▁ → space, drop the one dummy prefix — yields
+    * the Locale.ROOT-lowercased, tab/newline-normalized original
+    * INCLUDING space multiplicity. */
+  def markerDecode(pieces: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    substring(translate(array_join(pieces, ""), Marker, " "),
+      2, Int.MaxValue)
+
   /** [[encode]] reduced to the budgeting signal: piece count. */
   def tokenCount(df: DataFrame, textCol: String, vocab: DataFrame,
                  pieceCol: String = "piece",
                  logProbCol: String = "log_prob",
-                 out: String = "ug_count"): DataFrame = {
-    val enc = encode(df, textCol, vocab, pieceCol, logProbCol, "__ug_toks")
+                 out: String = "ug_count",
+                 marker: Boolean = false): DataFrame = {
+    val enc = encode(df, textCol, vocab, pieceCol, logProbCol,
+      "__ug_toks", marker = marker)
     enc.withColumn(out, size(col("__ug_toks"))).drop("__ug_toks")
   }
 
@@ -213,22 +258,30 @@ object Unigram {
     * avg-len rows — the word table again, never the corpus. */
   def seedCandidates(df: DataFrame, textCol: String,
                      maxPieceLen: Int = 6,
-                     seedSize: Int = 8192): DataFrame = {
+                     seedSize: Int = 8192,
+                     marker: Boolean = false): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
-    seedFromWords(wordCountsDF(df, textCol), maxPieceLen)
+    seedFromWords(wordCountsDF(df, textCol, marker), maxPieceLen)
       .orderBy(col("cnt").desc, col("piece").asc)
       .limit(seedSize)
   }
 
   /** (word, freq) over the corpus — the single corpus-proportional
-    * pass everything else rides. */
-  private def wordCountsDF(df: DataFrame, textCol: String): DataFrame =
+    * pass everything else rides. In marker mode the words carry
+    * their ▁ prefixes ([[markerWordsJvm]]'s column twin —
+    * [[TextFunctions.markerTokens]] — so train == encode exactly). */
+  private def wordCountsDF(df: DataFrame, textCol: String,
+                           marker: Boolean = false): DataFrame = {
     // tokensRoot, not tokens (r15): encode() lowers with Locale.ROOT,
     // so the trained vocab must too — on tr/az/lt-default JVMs the
     // Spark lower() twin would count different words than encode sees
-    df.select(explode(TextFunctions.tokensRoot(col(textCol))).as("word"))
+    val toks =
+      if (marker) TextFunctions.markerTokens(col(textCol))
+      else TextFunctions.tokensRoot(col(textCol))
+    df.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  }
 
   /** positional substring counts of a (word, freq) table. Substring
     * positions are CHARACTER positions (Spark `substr` counts code
@@ -268,7 +321,8 @@ object Unigram {
             maxPieceLen: Int = 6, seedSize: Int = 8192,
             emIters: Int = 2,
             driverCutover: Long = 1L << 20,
-            pruneMode: String = "expected"): DataFrame = {
+            pruneMode: String = "expected",
+            marker: Boolean = false): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
@@ -280,7 +334,7 @@ object Unigram {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val wc: Dataset[(String, Long)] = wordCountsDF(df, textCol)
+    val wc: Dataset[(String, Long)] = wordCountsDF(df, textCol, marker)
       .as[(String, Long)]
       .localCheckpoint() // corpus lineage ends here (one pass)
 
@@ -455,15 +509,17 @@ object Unigram {
     * vocab row: params alone cannot detect an incompatible layout
     * change (normalization, fallback semantics), and a stale model
     * segments WRONG, not slow. v1 = (piece, log_prob) rows as of
-    * r13. */
-  private[graft] val UnigramModelFormat = 1
+    * r13; v2 (r18) adds the `__marker` pre-tokenization stamp — a
+    * ▁-marker vocab served in word-split mode (or vice versa) would
+    * segment every document wrong, the exact trap the stamp closes. */
+  private[graft] val UnigramModelFormat = 2
 
   /** Persist a fitted vocab: (piece, log_prob) rows with `__fmt` +
-    * the fit params (vocabSize, maxPieceLen) stamped constant on
-    * every row (free under parquet RLE, validated on load). The
+    * the fit params (vocabSize, maxPieceLen, marker) stamped constant
+    * on every row (free under parquet RLE, validated on load). The
     * vocab is model-artifact-sized — one file. */
   def saveVocab(vocab: DataFrame, path: String, vocabSize: Int,
-                maxPieceLen: Int): Unit = {
+                maxPieceLen: Int, marker: Boolean = false): Unit = {
     require(vocabSize >= 1 && maxPieceLen >= 1,
       s"need vocabSize/maxPieceLen >= 1, got $vocabSize/$maxPieceLen")
     vocab.select(col("piece").cast("string").as("piece"),
@@ -471,6 +527,7 @@ object Unigram {
       .withColumn("__fmt", lit(UnigramModelFormat))
       .withColumn("__vocab_size", lit(vocabSize))
       .withColumn("__max_piece_len", lit(maxPieceLen))
+      .withColumn("__marker", lit(marker))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -483,10 +540,11 @@ object Unigram {
     * and non-empty (a duplicated piece would silently resolve to max
     * log-prob in [[encode]] and hide a corrupted write). */
   def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String,
-                vocabSize: Int, maxPieceLen: Int): DataFrame = {
+                vocabSize: Int, maxPieceLen: Int,
+                marker: Boolean = false): DataFrame = {
     val df = spark.read.parquet(path)
     val need = Seq("piece", "log_prob", "__fmt", "__vocab_size",
-      "__max_piece_len")
+      "__max_piece_len", "__marker")
     val missing = need.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"not a unigram vocab file: missing columns $missing — rebuild " +
@@ -498,7 +556,7 @@ object Unigram {
       count(lit(1)).as("n"),
       count_distinct(col("piece")).as("nd"),
       collect_set(struct(col("__fmt"), col("__vocab_size"),
-        col("__max_piece_len"))).as("stamps")).head()
+        col("__max_piece_len"), col("__marker"))).as("stamps")).head()
     val stamps = facts.getSeq[org.apache.spark.sql.Row](2)
     require(stamps.length == 1,
       s"unigram vocab stamps not constant (${stamps.length} distinct)" +
@@ -513,6 +571,11 @@ object Unigram {
         s"maxPieceLen=${st.getInt(2)}) but the caller expects " +
         s"(vocabSize=$vocabSize, maxPieceLen=$maxPieceLen) — every " +
         "segmentation could silently change; refit or fix the params")
+    require(st.getBoolean(3) == marker,
+      s"unigram vocab was fit with marker=${st.getBoolean(3)} but the " +
+        s"caller will encode with marker=$marker — a ▁-marker vocab " +
+        "served word-split (or vice versa) segments every document " +
+        "wrong; refit or fix the mode")
     val n = facts.getLong(0)
     val distinctN = facts.getLong(1)
     require(n == distinctN && n > 0L,

@@ -270,6 +270,77 @@ class UnigramSpec extends SparkTestBase {
     assert(enc.mkString == "thecatsawzebras😀leap")
   }
 
+  test("marker mode (r18): pre-tokenization shapes — dummy prefix, " +
+    "one ▁ per whitespace char, trailing-space token, tab/newline " +
+    "normalize, JVM == column twin") {
+    val cases = Seq(
+      "it is" -> Seq("▁it", "▁is"),
+      "it  is" -> Seq("▁it", "▁▁is"),     // multi-space preserved
+      " a" -> Seq("▁▁a"),                  // leading space + dummy
+      "a " -> Seq("▁a", "▁"),              // trailing space token
+      "a\tb\nc" -> Seq("▁a", "▁b", "▁c"),  // tab/newline -> marker
+      "" -> Seq("▁"),                      // empty: the bare dummy
+      "MiXeD Case" -> Seq("▁mixed", "▁case"))
+    cases.foreach { case (in, want) =>
+      assert(Unigram.markerWordsJvm(in).toSeq == want, s"jvm: '$in'")
+    }
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) =>
+      (i.toLong, s) }.toDF("id", "text")
+      .select($"id", graft.functions.TextFunctions
+        .markerTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want, s"column twin case $i") }
+    // null text -> null (no phantom dummy token)
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(graft.functions.TextFunctions.markerTokens($"text"))
+      .head().isNullAt(0))
+  }
+
+  test("marker mode: train + encode round-trips losslessly INCLUDING " +
+    "space multiplicity; ▁ enters the alphabet; markerDecode is the " +
+    "exact inverse") {
+    val docs = (corpus ++ Seq("double  space  here", " leading",
+      "trailing ", "tabs\there")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val vocab = Unigram.train(docs, "text", vocabSize = 80,
+      maxPieceLen = 5, seedSize = 128, emIters = 1, marker = true)
+    val pieces = vocab.select($"piece").as[String].collect().toSet
+    assert(pieces.contains("▁")) // the marker is alphabet
+    assert(pieces.exists(p => p.startsWith("▁") && p.length > 1),
+      "no ▁-prefixed multi-char piece learned")
+    val enc = Unigram.encode(docs, "text", vocab, marker = true)
+    val bad = enc.select($"text",
+        Unigram.markerDecode($"ug_tokens").as("rt"),
+        regexp_replace(graft.expressions.TextExpressions
+          .rootLower($"text"), "\\s", " ").as("want"))
+      .filter($"rt" =!= $"want").collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+    // and an OOV probe round-trips too (char fallback + markers)
+    val probe = Seq((1L, "NEW  zebras 😀  twice ")).toDF("id", "text")
+    val rt = Unigram.encode(probe, "text", vocab, marker = true)
+      .select(Unigram.markerDecode($"ug_tokens")).head().getString(0)
+    assert(rt == "new  zebras 😀  twice ")
+  }
+
+  test("marker mode: persistence stamps the mode; serving the vocab " +
+    "in the other mode is refused") {
+    val df = corpus.toDF("text")
+    val vocab = Unigram.train(df, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 64, emIters = 1, marker = true)
+    val p = java.nio.file.Files
+      .createTempDirectory("ug_marker_vocab").toString
+    Unigram.saveVocab(vocab, p, vocabSize = 40, maxPieceLen = 4,
+      marker = true)
+    val back = Unigram.loadVocab(spark, p, vocabSize = 40,
+      maxPieceLen = 4, marker = true)
+    assert(back.collect().toSet == vocab.collect().toSet)
+    intercept[IllegalArgumentException] {
+      Unigram.loadVocab(spark, p, vocabSize = 40, maxPieceLen = 4,
+        marker = false)
+    }
+  }
+
   test("pruneMode loss vs expected: the two published rules disagree " +
     "on the designed fixture, loss path is cutover-invariant") {
     // 'ab' carries the most posterior MASS (10 occurrences, and the
