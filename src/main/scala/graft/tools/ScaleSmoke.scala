@@ -14,7 +14,7 @@ object ScaleSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // non-numeric args select sections (dedup/budget/incr/exact/emb/
     // upd/adm/bkt/cc/ntile/rank/sub/suba/hh/bpe/ivf/lpa/cont/contd/
-    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir/lid/lm/web);
+    // attr/lp/tri/snm/kcore/zorder/lnk/sem/salt/dsir/lid/lm/web/cjkq);
     // numeric
     // args override the replication scales.
     // No sections = run all.
@@ -138,6 +138,40 @@ object ScaleSmoke {
         .scoreNgram(c, "text", "lang", model, n = 3, m = 4096)
         .filter(col("nll").isNotNull).count())
       model.unpersist()
+      c.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- CJK char-level quality rules (r18): everything is one
+    // shuffle-free codegen projection (entropy's per-doc sort is
+    // O(L log L) inside the projection), so the wall must track the
+    // scan linearly — any superlinearity means the HOF lambdas broke
+    // codegen. Corpus: the replicated documents text re-labeled so
+    // the dispatcher exercises both script branches.
+    if (on("cjkq")) scales.foreach { k =>
+      val CQ = graft.functions.CjkQuality
+      val c = corpus(k).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "zh").otherwise("en").as("lang"),
+        col("text")).cache()
+      val n = c.count()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      }
+      time("cjk-entropy")(c
+        .select(CQ.charEntropy(col("text")).as("h"))
+        .filter(col("h") >= 0.0).count())
+      time("cjk-flags")(c
+        .filter(CQ.cjkQualityFlags(col("text")).getField("pass"))
+        .count())
+      time("cjk-dispatch")(c
+        .filter(CQ.qualityPassByScript(col("text"), col("lang")))
+        .count())
+      time("cjk-c4")(c.select(sum(length(
+          CQ.c4CleanByScript(col("text"), col("lang")))))
+        .head().getLong(0))
       c.unpersist()
       spark.catalog.clearCache()
     }
