@@ -9754,7 +9754,39 @@ object SparkEntry {
              |  FROM documents GROUP BY lang)
              |SELECT lang, n_pieces, n_single, n_words, n_docs,
              |  n_docs AS n_roundtrip
-             |FROM ta JOIN dc USING (lang) ORDER BY lang""".stripMargin))
+             |FROM ta JOIN dc USING (lang) ORDER BY lang""".stripMargin)),
+
+    // BPE in SentencePiece ▁-marker mode (r18, the BPE half of
+    // VERDICT r17 item 6): same pre-tokenizer as q269 (whitespace
+    // piece-internal, one ▁ per whitespace char, dummy prefix), and
+    // — the convention delta — NO </w> sentinel (▁ already marks
+    // every word start). The q132 discipline: the oracle replays the
+    // SQL-expressible fragment (the one corpus pass + the pair-count
+    // aggregation whose (f desc, l, r) argmax is train()'s first
+    // merge — train rides the SAME seedWords/pairCounts code); the
+    // iterative tail, the encoder, markerDecode round-trip
+    // losslessness, and the __marker mode-mismatch refusal are all
+    // pinned in BpeSpec against a clean-room marker trainer.
+    Q("q270_bpe_marker", (s, dir) =>
+      Bpe.seedPairCounts(t(s, dir, "documents"), "text", marker = true)
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(20)
+        .select(col("l"), col("r"), col("f")),
+      Some("""WITH mk AS (SELECT regexp_extract_all(
+             |    regexp_replace(' ' || lower(text), '\s', '▁', 'g'),
+             |    '▁+[^▁]*') AS ts FROM documents),
+             |wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(ts) AS w FROM mk) GROUP BY 1),
+             |syms AS (SELECT regexp_extract_all(word, '.') AS s, freq
+             |  FROM wc),
+             |idx AS (SELECT s, freq,
+             |    unnest(generate_series(1, len(s) - 1)) AS i
+             |  FROM syms WHERE len(s) >= 2)
+             |SELECT s[i] AS l, s[i + 1] AS r,
+             |  CAST(sum(freq) AS BIGINT) AS f
+             |FROM idx GROUP BY 1, 2
+             |ORDER BY f DESC, l, r LIMIT 20""".stripMargin)),
+
   )
 
   // ---- driver contract ---------------------------------------------------

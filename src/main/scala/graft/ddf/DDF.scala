@@ -780,22 +780,31 @@ class DDF(val df: DataFrame) {
     wrap(graft.operators.Vocabulary.topKeywords(df, idCol, textCol, k))
 
   /** [[graft.operators.Bpe.train]] — learn a BPE merge table from
-    * `textCol` over this frame */
-  def bpeTrain(textCol: String, numMerges: Int, minFreq: Long = 2L): DDF =
+    * `textCol` over this frame. `marker = true` trains in the
+    * SentencePiece ▁-marker convention (whitespace piece-internal,
+    * no end-of-word sentinel — the T5/Llama vocab shape); the mode
+    * is stamped on the table and validated at encode time. */
+  def bpeTrain(textCol: String, numMerges: Int, minFreq: Long = 2L,
+               marker: Boolean = false): DDF =
     wrap(graft.operators.Bpe.train(df, textCol, numMerges,
-      minFreq = minFreq))
+      minFreq = minFreq, marker = marker))
 
   /** [[graft.operators.Bpe.encode]] — subword-tokenize `textCol` with
-    * a trained merge table */
+    * a trained merge table (`marker` must match the training mode —
+    * refused otherwise) */
   def bpeEncode(textCol: String, merges: DDF,
-                outCol: String = "bpe_tokens"): DDF =
-    wrap(graft.operators.Bpe.encode(df, textCol, merges.df, outCol))
+                outCol: String = "bpe_tokens",
+                marker: Boolean = false): DDF =
+    wrap(graft.operators.Bpe.encode(df, textCol, merges.df, outCol,
+      marker))
 
   /** [[graft.operators.Bpe.tokenCount]] — learned-unit token count
     * per row (the budgeting signal) */
   def bpeTokenCount(textCol: String, merges: DDF,
-                    outCol: String = "bpe_count"): DDF =
-    wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol))
+                    outCol: String = "bpe_count",
+                    marker: Boolean = false): DDF =
+    wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol,
+      marker))
 
   /** [[graft.operators.Phrases.tagPhrases]] — distinct blocklist
     * phrases contained in each row (Aho–Corasick broadcast) */

@@ -46,8 +46,38 @@ object Bpe {
 
   /** end-of-word marker appended to every word's symbol sequence
     * before training/encoding (standard BPE: lets merges distinguish
-    * word-final units, e.g. "est&lt;/w&gt;" vs mid-word "est"). */
+    * word-final units, e.g. "est&lt;/w&gt;" vs mid-word "est").
+    * Word-split mode only — marker mode has no end sentinel (the ▁
+    * word-START marker plays the boundary role, the SentencePiece
+    * convention). */
   val EndOfWord = "</w>"
+
+  /** SentencePiece ▁-marker mode (`marker = true` on
+    * [[train]]/[[encode]]/[[tokenCount]]/[[seedPairCounts]]) — the
+    * BPE half of VERDICT r17 item 6, sharing [[Unigram]]'s r18
+    * pre-tokenizer exactly ([[Unigram.markerWordsJvm]] /
+    * [[TextFunctions.markerTokens]]): Locale.ROOT lower, one dummy
+    * leading space, each ASCII-whitespace char → ▁ (U+2581,
+    * multi-space preserved), words = maximal `▁+[^▁]*` runs. Two
+    * deltas vs word-split mode, both the Kudo & Richardson 2018
+    * (arXiv:1808.06226) BPE convention that T5/Llama-style vocabs
+    * assume: whitespace is PIECE-INTERNAL (so "▁the" can become one
+    * unit and decoding is exact — [[Unigram.markerDecode]] works on
+    * BPE pieces unchanged: concatenate, ▁ → space, drop the dummy),
+    * and there is NO [[EndOfWord]] sentinel (▁ already marks every
+    * word start, so word-final units are distinguishable as
+    * next-piece-starts-with-▁; an end sentinel would double-mark).
+    * The training shape is untouched: same one corpus pass, same
+    * bounded distinct-word table (▁ enters the alphabet like any
+    * code point), same argmax tie-break.
+    *
+    * Mode safety (the LangId-stamp discipline, ADVICE r17): train()
+    * stamps `__marker` constant on every output row, and encode()
+    * REFUSES a table whose stamp contradicts its `marker` flag — a
+    * marker table served word-split (or vice versa) would segment
+    * every document wrong, not slow. Unstamped tables (pre-r18, or
+    * hand-built) are accepted as caller-asserted. */
+  private val MarkerStampCol = "__marker"
 
   /** Learn `numMerges` BPE merges from `textCol` over the corpus.
     * Words are [[TextFunctions.tokensRoot]] (ROOT-lowercased whitespace
@@ -86,7 +116,8 @@ object Bpe {
     * big-memory driver (1e8 words ≈ GBs) is the practical lever. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minFreq: Long = 2L, checkpointEvery: Int = 10,
-            driverCutover: Long = 1L << 20): DataFrame = {
+            driverCutover: Long = 1L << 20,
+            marker: Boolean = false): DataFrame = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
     require(checkpointEvery >= 1,
@@ -96,8 +127,17 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // merge list → stamped output table (all three return paths; the
+    // __marker stamp is what encode() validates — constant column,
+    // free under parquet RLE if the caller persists the table)
+    def out(ms: Seq[(String, String, Long)]): DataFrame =
+      ms.zipWithIndex
+        .map { case ((l, r, f), i) => (i, l, r, f) }
+        .toSeq.toDF("rank", "left", "right", "freq")
+        .withColumn(MarkerStampCol, lit(marker))
+
     var words: Dataset[(Seq[String], Long)] =
-      seedWords(df, textCol)
+      seedWords(df, textCol, marker)
         .localCheckpoint() // materialize once; corpus lineage ends here
 
     if (words.count() <= driverCutover) {
@@ -105,9 +145,7 @@ object Bpe {
       words.unpersist()
       val merges = trainLocal(local, numMerges, minFreq)
       lastTrainPathDiag = "local"
-      return merges.zipWithIndex
-        .map { case ((l, r, f), i) => (i, l, r, f) }
-        .toSeq.toDF("rank", "left", "right", "freq")
+      return out(merges)
     }
 
     var lastCheckpoint = words
@@ -146,18 +184,14 @@ object Bpe {
             lastCheckpoint.unpersist()
             merges ++= trainLocal(local, numMerges - merges.length, minFreq)
             lastTrainPathDiag = "distributed+midCutover"
-            return merges.zipWithIndex
-              .map { case ((ml, mr, mf), i) => (i, ml, mr, mf) }
-              .toSeq.toDF("rank", "left", "right", "freq")
+            return out(merges.toSeq)
           }
         } else words = next
       }
     }
     lastCheckpoint.unpersist()
     lastTrainPathDiag = "distributed"
-    merges.zipWithIndex
-      .map { case ((l, r, f), i) => (i, l, r, f) }
-      .toSeq.toDF("rank", "left", "right", "freq")
+    out(merges.toSeq)
   }
 
   /** which path the last [[train]] call on this JVM took — DIAGNOSTIC
@@ -173,17 +207,23 @@ object Bpe {
     * cheap to guard) can never contribute a pair and are dropped;
     * train()'s loop re-applies the same filter to retire fully-merged
     * words after each round. */
-  private def seedWords(df: DataFrame, textCol: String)
+  private def seedWords(df: DataFrame, textCol: String,
+                        marker: Boolean = false)
   : Dataset[(Seq[String], Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     // tokensRoot, not tokens (r15): encode() lowers with Locale.ROOT,
     // so the trained merges must too — on tr/az/lt-default JVMs the
-    // Spark lower() twin would count different words than encode sees
-    df.select(explode(TextFunctions.tokensRoot(col(textCol))).as("word"))
+    // Spark lower() twin would count different words than encode sees.
+    // Marker mode rides markerTokens, the column twin of encode's
+    // markerWordsJvm — same train == encode discipline.
+    val toks =
+      if (marker) TextFunctions.markerTokens(col(textCol))
+      else TextFunctions.tokensRoot(col(textCol))
+    df.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (toSymbols(w), f) }
+      .map { case (w, f) => (toSymbols(w, marker), f) }
       .filter((t: (Seq[String], Long)) => t._1.length >= 2)
   }
 
@@ -206,8 +246,9 @@ object Bpe {
     * (BpeSpec's clean-room equality); this puts the corpus-pass and
     * first-argmax semantics under the same DuckDB discipline as
     * every other aggregation family. */
-  def seedPairCounts(df: DataFrame, textCol: String): DataFrame =
-    pairCounts(seedWords(df, textCol))
+  def seedPairCounts(df: DataFrame, textCol: String,
+                     marker: Boolean = false): DataFrame =
+    pairCounts(seedWords(df, textCol, marker))
 
   /** driver-side merge loop for a collected distinct-word table.
     * Incremental pair-count maintenance: only words CONTAINING the
@@ -295,8 +336,11 @@ object Bpe {
   /** seed symbols for a word: one per Unicode CODE POINT (a
     * char-level split would shear surrogate pairs — emoji and
     * supplementary-plane CJK would train/encode as broken halves),
-    * plus the end-of-word marker. */
-  private def toSymbols(w: String): Seq[String] = {
+    * plus the end-of-word marker — word-split mode only: in ▁-marker
+    * mode the word-START marker is already a symbol of the word
+    * itself and there is no end sentinel (SentencePiece convention;
+    * see the marker-mode scaladoc at the top of this object). */
+  private def toSymbols(w: String, marker: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < w.length) {
@@ -304,7 +348,7 @@ object Bpe {
       out += new String(Character.toChars(cp))
       i += Character.charCount(cp)
     }
-    out += EndOfWord
+    if (!marker) out += EndOfWord
     out.toSeq
   }
 
@@ -334,9 +378,29 @@ object Bpe {
     * to replaying merges in rank order — pinned in BpeSpec against
     * the naive replay. */
   def encode(df: DataFrame, textCol: String, merges: DataFrame,
-             outCol: String = "bpe_tokens"): DataFrame = {
-    val ranked = merges.select(col("rank"), col("left"), col("right"))
+             outCol: String = "bpe_tokens",
+             marker: Boolean = false): DataFrame = {
+    // __marker stamp validation (the LangId-stamp discipline): a
+    // marker-trained table served word-split — or vice versa — would
+    // segment every document WRONG, so refuse loudly. The table is
+    // vocabulary-sized and collected below anyway; the stamp check
+    // rides the same collect. Unstamped tables (pre-r18/hand-built)
+    // pass as caller-asserted.
+    val rows = (if (merges.columns.contains(MarkerStampCol))
+        merges.select(col("rank"), col("left"), col("right"),
+          col(MarkerStampCol).cast("boolean"))
+      else merges.select(col("rank"), col("left"), col("right"),
+        lit(marker).as(MarkerStampCol)))
       .collect()
+    rows.foreach { r =>
+      require(r.isNullAt(3) || r.getBoolean(3) == marker,
+        s"merge-table $MarkerStampCol stamp is ${r.getBoolean(3)} but " +
+          s"encode was called with marker = $marker — a " +
+          (if (marker) "word-split" else "▁-marker") +
+          "-trained table cannot be served in this mode (every " +
+          "document would segment wrong); re-train or flip the flag")
+    }
+    val ranked = rows
       .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
     val bc = df.sparkSession.sparkContext.broadcast(ranked)
     // per-task word memo, SIZE-CAPPED: natural text obeys Heaps' law
@@ -359,12 +423,14 @@ object Bpe {
         // words through TextFunctions.tokensRoot (the shared
         // ROOT-lower expression), so train == encode on every JVM
         // locale — TokenizerLocaleSpec pins tr-TR.
-        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          .filter(_.nonEmpty)
-          .flatMap { w =>
+        val words =
+          if (marker) Unigram.markerWordsJvm(text)
+          else text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .filter(_.nonEmpty)
+        words.flatMap { w =>
             var hit = cache.get(w)
             if (hit == null) {
-              hit = encodeWord(w, ranks)
+              hit = encodeWord(w, ranks, marker)
               if (cache.size < memoCap) cache.put(w, hit)
             }
             hit
@@ -377,8 +443,9 @@ object Bpe {
   /** [[encode]] reduced to the budgeting signal: token count per row
     * (null text → null, matching tokenCount's null behavior). */
   def tokenCount(df: DataFrame, textCol: String, merges: DataFrame,
-                 outCol: String = "bpe_count"): DataFrame = {
-    val enc = encode(df, textCol, merges, "__bpe_toks")
+                 outCol: String = "bpe_count",
+                 marker: Boolean = false): DataFrame = {
+    val enc = encode(df, textCol, merges, "__bpe_toks", marker)
     enc.withColumn(outCol, size(col("__bpe_toks"))).drop("__bpe_toks")
   }
 
@@ -386,8 +453,9 @@ object Bpe {
     * whitespace-free): merge the lowest-rank adjacent pair until no
     * adjacent pair is in the table. */
   private def encodeWord(w: String,
-                         ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Seq[String] = toSymbols(w)
+                         ranks: Map[(String, String), Int],
+                         marker: Boolean = false): Seq[String] = {
+    var syms: Seq[String] = toSymbols(w, marker)
     var continue = syms.length >= 2
     while (continue) {
       var best = Int.MaxValue

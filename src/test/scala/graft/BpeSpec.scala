@@ -270,6 +270,166 @@ class BpeSpec extends SparkTestBase {
     assert(out(3) == null)
   }
 
+  // ---- SentencePiece ▁-marker mode (r18, VERDICT r17 item 6) ------------
+
+  /** clean-room marker-mode pre-tokenizer + trainer: same loop as
+    * [[Naive.train]] but words carry their ▁ prefixes (one per
+    * ASCII-whitespace char, dummy leading space) and symbol sequences
+    * have NO end-of-word sentinel. */
+  private object NaiveMarker {
+    def words(t: String): Seq[String] =
+      "▁+[^▁]*".r.findAllIn(
+        (" " + t.toLowerCase(java.util.Locale.ROOT))
+          .replaceAll("\\s", "▁")).toSeq
+
+    def symbols(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+
+    def train(texts: Seq[String], numMerges: Int,
+              minFreq: Long): Seq[(Int, String, String, Long)] = {
+      var tbl = texts.flatMap(words).groupBy(identity)
+        .map { case (w, o) => (symbols(w), o.size.toLong) }.toSeq
+        .filter(_._1.length >= 2)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- tbl; i <- 0 until syms.length - 1)
+          counts(syms(i) -> syms(i + 1)) =
+            counts.getOrElse(syms(i) -> syms(i + 1), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+          if (f < minFreq) done = true
+          else {
+            merges += ((rank, l, r, f))
+            rank += 1
+            tbl = tbl.map { case (s, fr) => (Naive.mergeOne(s, l, r), fr) }
+              .filter(_._1.length >= 2)
+          }
+        }
+      }
+      merges.result()
+    }
+  }
+
+  test("marker mode: hand-computed micro corpus, no </w> sentinel") {
+    // words are "▁ab" ×3; syms (▁, a, b). Pairs (▁,a)=3 and (a,b)=3
+    // tie on freq; UTF-8 left-asc breaks to (a,b) — 'a' (0x61) sorts
+    // before '▁' (0xE2 0x96 0x81). Then (▁,ab)=3 merges and the word
+    // retires. No merge ever touches </w> (marker mode has none).
+    val df = Seq("ab ab", "ab").toDF("text")
+    val got = Bpe.train(df, "text", 10, marker = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0, "a", "b", 3L), (1, "▁", "ab", 3L)))
+    assert(got.forall(m => !m._2.contains(Bpe.EndOfWord)
+      && !m._3.contains(Bpe.EndOfWord)))
+  }
+
+  test("marker randomized: BOTH train paths == clean-room naive, " +
+      "multi-space preserved") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val lexicon = Seq.fill(25)(
+        (1 + rnd.nextInt(6)).times(() => ('a' + rnd.nextInt(4)).toChar)
+          .mkString).distinct
+      // random 1-3 space separators: marker mode must count "▁▁word"
+      // and "▁word" as DIFFERENT words (space multiplicity is signal)
+      val texts = Seq.fill(50)(
+        Seq.fill(4 + rnd.nextInt(12))(lexicon(rnd.nextInt(lexicon.size)))
+          .mkString(" " * (1 + rnd.nextInt(3))))
+      val expected = NaiveMarker.train(texts, 25, minFreq = 2L)
+      val df = texts.toDF("text").repartition(7)
+      val dist = Bpe.train(df, "text", 25, minFreq = 2L,
+          driverCutover = 0L, marker = true)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      assert(dist == expected, s"trial $trial (distributed)")
+      val local = Bpe.train(df, "text", 25, minFreq = 2L, marker = true)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      assert(local == expected, s"trial $trial (local)")
+    }
+  }
+
+  test("marker encode: markerDecode round-trips incl. multi-space; " +
+      "piece stream is space-lossless") {
+    import graft.operators.Unigram
+    val texts = Seq("The  quick brown", "fox corp fox  fox",
+      " lead space", "trail space ", "tab\there")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val merges = Bpe.train(df, "text", 30, minFreq = 1L, marker = true)
+    val out = Bpe.encode(df, "text", merges, marker = true)
+      .select($"id", $"bpe_tokens",
+        Unigram.markerDecode($"bpe_tokens").as("rt"))
+      .as[(Int, Seq[String], String)].collect()
+    for ((i, toks, rt) <- out) {
+      // exact inverse of the normalizer: ROOT-lower, every ASCII
+      // whitespace char → one space (multiplicity preserved)
+      val norm = texts(i).toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s", " ")
+      assert(rt == norm, s"doc $i")
+      // markers are conserved exactly: total ▁ chars across pieces =
+      // dummy prefix + one per whitespace char (NOT one per word —
+      // "▁▁fox" may encode as ["▁","▁fox"], two ▁-initial pieces for
+      // one word, so ▁-prefix counting is not a word count)
+      assert(toks.map(_.count(_ == '▁')).sum ==
+        1 + texts(i).count(_.toString.matches("\\s")),
+        s"doc $i marker conservation")
+      assert(toks.forall(!_.contains(Bpe.EndOfWord)), s"doc $i sentinel")
+    }
+    val counted = Bpe.tokenCount(df, "text", merges, marker = true)
+      .select($"id", $"bpe_count").as[(Int, Int)].collect().toMap
+    for ((i, toks, _) <- out) assert(counted(i) == toks.size)
+  }
+
+  test("marker stamp: mode mismatch refused both ways; unstamped " +
+      "table passes as caller-asserted") {
+    val df = Seq("ab ab", "ab").toDF("text")
+    val mk = Bpe.train(df, "text", 5, marker = true)
+    val ws = Bpe.train(df, "text", 5)
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.encode(df, "text", mk) // marker table, word-split serve
+    }
+    assert(e1.getMessage.contains("__marker"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.encode(df, "text", ws, marker = true)
+    }
+    assert(e2.getMessage.contains("__marker"))
+    // pre-r18 tables have no stamp column: accepted as asserted
+    val unstamped = ws.drop("__marker")
+    assert(Bpe.encode(df, "text", unstamped).select($"bpe_tokens")
+      .as[Seq[String]].head().nonEmpty)
+  }
+
+  test("marker seedPairCounts argmax IS marker train's first merge") {
+    val rng = new scala.util.Random(991)
+    val words = Vector("ab", "abc", "bcd", "aa", "ba", "cab", "dab")
+    val docs = (0 until 40)
+      .map(_ => (0 until (1 + rng.nextInt(8)))
+        .map(_ => words(rng.nextInt(words.length)))
+        .mkString(" " * (1 + rng.nextInt(2))))
+      .toDF("text")
+    val top = Bpe.seedPairCounts(docs, "text", marker = true)
+      .orderBy($"f".desc, $"l".asc, $"r".asc).limit(1)
+      .collect().head
+    val first = Bpe.train(docs, "text", numMerges = 1, minFreq = 1L,
+        marker = true)
+      .collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2))
+      == (first.getString(1), first.getString(2), first.getLong(3)))
+  }
+
   // ---- WordPiece (the greedy longest-match sibling) ---------------------
 
   test("wordpiece: BERT textbook cases, longest-first, whole-word unk") {
