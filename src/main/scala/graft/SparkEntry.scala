@@ -9852,6 +9852,51 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM documents WHERE doc_id < 600
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Encoding quality + guarded mojibake repair (r18,
+    // functions/Mojibake.scala — the ftfy-class fix as pure column
+    // math). The corpus is ASCII, so the query PLANTS non-ASCII via
+    // translate(a→á, e→é) — replayable verbatim in DuckDB — then
+    // corrupts it with the REAL latin-1 misdecode
+    // (decode(encode(pt,'UTF-8'),'ISO-8859-1')) and repairs with
+    // fixDoubleUtf8. The oracle's four claims: each misdecoded code
+    // point yields EXACTLY one detection signature (n_moji = planted
+    // non-ASCII count), detection fires iff the doc had any planted
+    // accent, the guarded repair inverts the corruption on EVERY doc
+    // (n_roundtrip = n_docs — ASCII docs corrupt to themselves and
+    // pass through), and the planted text itself raises ZERO
+    // detections (á/é are lead-class chars but never followed by a
+    // continuation-class char — the false-positive control). The
+    // torn-byte totality + CP1252 detect-not-repair faces are
+    // spec-pinned (MojibakeSpec).
+    Q("q272_mojibake_repair", (s, dir) => {
+      val M = graft.functions.Mojibake
+      t(s, dir, "documents")
+        .withColumn("pt", translate(col("text"), "ae", "áé"))
+        .withColumn("bad", M.latin1Misdecode(col("pt")))
+        .withColumn("mc", M.mojibakeCount(col("bad")))
+        .withColumn("fixed", M.fixDoubleUtf8(col("bad")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mc").cast("long")).as("n_moji"),
+          sum(when(col("mc") > 0, 1L).otherwise(0L)).as("n_detected"),
+          sum(when(col("fixed") === col("pt"), 1L).otherwise(0L))
+            .as("n_roundtrip"),
+          sum(when(M.mojibakeCount(col("pt")) === 0, 1L).otherwise(0L))
+            .as("n_clean_raw"))
+        .orderBy(col("lang"))
+    },
+      Some("""WITH p AS (SELECT lang, translate(text, 'ae', 'áé') AS pt
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(pt, '[^\x00-\x7F]')))
+             |    AS BIGINT) AS n_moji,
+             |  CAST(count(*) FILTER (
+             |    WHERE regexp_matches(pt, '[^\x00-\x7F]')) AS BIGINT)
+             |    AS n_detected,
+             |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+             |  CAST(count(*) AS BIGINT) AS n_clean_raw
+             |FROM p GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 
   // ---- driver contract ---------------------------------------------------
