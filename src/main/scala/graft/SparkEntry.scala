@@ -9897,6 +9897,43 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS n_roundtrip,
              |  CAST(count(*) AS BIGINT) AS n_clean_raw
              |FROM p GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Byte-level BPE (r18 — the GPT-2/RoBERTa convention, completing
+    // the pre-tokenization trilogy: </w> word-split, ▁-marker,
+    // byte-level): GPT-2 regex pre-tokens (case PRESERVED), UTF-8
+    // bytes through the bytes→unicode table (space→Ġ), merges over
+    // 256 seed symbols, no sentinel. The q132/q270 discipline: the
+    // oracle replays the SQL-expressible fragment — pre-tokenize,
+    // map, pair-count — whose (f desc, l, r) argmax is train()'s
+    // first merge. The RE2 replay is EXACT here because the corpus
+    // is single-space ASCII (profiled: no tab/newline/multi-space/
+    // leading/trailing whitespace at any SF), so the Java-only
+    // \s+(?!\S) lookahead branch never fires and [a-zA-Z]/[0-9]
+    // equal \p{L}/\p{N}; the lookahead faces, the cased trainer
+    // equality, the byteDecode EXACT round trip (incl. emoji +
+    // controls), and the __byte stamp refusals are pinned in
+    // BpeSpec against a clean-room byte-level trainer.
+    Q("q273_bpe_bytelevel", (s, dir) =>
+      Bpe.seedPairCounts(t(s, dir, "documents"), "text",
+          byteLevel = true)
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(20)
+        .select(col("l"), col("r"), col("f")),
+      Some("""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+             |    $$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +$$)) AS w
+             |  FROM documents),
+             |wc AS (SELECT replace(w, ' ', 'Ġ') AS word,
+             |    CAST(count(*) AS BIGINT) AS freq
+             |  FROM pt GROUP BY 1),
+             |syms AS (SELECT regexp_extract_all(word, '.') AS s, freq
+             |  FROM wc),
+             |idx AS (SELECT s, freq,
+             |    unnest(generate_series(1, len(s) - 1)) AS i
+             |  FROM syms WHERE len(s) >= 2)
+             |SELECT s[i] AS l, s[i + 1] AS r,
+             |  CAST(sum(freq) AS BIGINT) AS f
+             |FROM idx GROUP BY 1, 2
+             |ORDER BY f DESC, l, r LIMIT 20""".stripMargin)),
   )
 
   // ---- driver contract ---------------------------------------------------

@@ -785,26 +785,27 @@ class DDF(val df: DataFrame) {
     * no end-of-word sentinel — the T5/Llama vocab shape); the mode
     * is stamped on the table and validated at encode time. */
   def bpeTrain(textCol: String, numMerges: Int, minFreq: Long = 2L,
-               marker: Boolean = false): DDF =
+               marker: Boolean = false, byteLevel: Boolean = false): DDF =
     wrap(graft.operators.Bpe.train(df, textCol, numMerges,
-      minFreq = minFreq, marker = marker))
+      minFreq = minFreq, marker = marker, byteLevel = byteLevel))
 
   /** [[graft.operators.Bpe.encode]] — subword-tokenize `textCol` with
-    * a trained merge table (`marker` must match the training mode —
-    * refused otherwise) */
+    * a trained merge table (`marker`/`byteLevel` must match the
+    * training mode — refused otherwise) */
   def bpeEncode(textCol: String, merges: DDF,
                 outCol: String = "bpe_tokens",
-                marker: Boolean = false): DDF =
+                marker: Boolean = false, byteLevel: Boolean = false): DDF =
     wrap(graft.operators.Bpe.encode(df, textCol, merges.df, outCol,
-      marker))
+      marker, byteLevel))
 
   /** [[graft.operators.Bpe.tokenCount]] — learned-unit token count
     * per row (the budgeting signal) */
   def bpeTokenCount(textCol: String, merges: DDF,
                     outCol: String = "bpe_count",
-                    marker: Boolean = false): DDF =
+                    marker: Boolean = false,
+                    byteLevel: Boolean = false): DDF =
     wrap(graft.operators.Bpe.tokenCount(df, textCol, merges.df, outCol,
-      marker))
+      marker, byteLevel))
 
   /** [[graft.operators.Phrases.tagPhrases]] — distinct blocklist
     * phrases contained in each row (Aho–Corasick broadcast) */

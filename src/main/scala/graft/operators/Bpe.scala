@@ -79,6 +79,97 @@ object Bpe {
     * hand-built) are accepted as caller-asserted. */
   private val MarkerStampCol = "__marker"
 
+  /** Byte-level mode (`byteLevel = true` — the GPT-2/RoBERTa
+    * convention, Radford et al. 2019 §2.2, clean-room from the
+    * published algorithm description): BPE runs over UTF-8 BYTES
+    * mapped to a 256-char printable alphabet, so any string —
+    * any script, any emoji, any mojibake — tokenizes with ZERO
+    * out-of-vocabulary outcomes and no char fallback. Three deltas
+    * vs the other modes:
+    *
+    *  - Pre-tokenization is the GPT-2 regex ([[ByteLevelPattern]]):
+    *    contractions, optional-leading-space letter/digit/punct
+    *    runs, and whitespace runs (the `\s+(?!\S)` lookahead keeps
+    *    the LAST space of a run attached to the following word).
+    *    Case is PRESERVED — GPT-2 vocabs are cased; the ROOT
+    *    lowering of the other modes does not apply (documented
+    *    divergence, spec-pinned).
+    *  - Each pre-token becomes its UTF-8 bytes mapped through
+    *    [[byteToChar]] (printable bytes map to themselves; the 68
+    *    others to U+0100+n in byte order — space→Ġ, newline→Ċ, the
+    *    published table reconstructed from its generation rule).
+    *    Merges then ride 256 seed symbols; no [[EndOfWord]] sentinel
+    *    (the Ġ space-prefix marks word starts, as ▁ does in marker
+    *    mode).
+    *  - [[byteDecode]] is the exact inverse as COLUMN math: pieces
+    *    concatenate, chars translate back to their latin-1 byte
+    *    view, and the encode/decode pair re-reads the bytes as
+    *    UTF-8 — guarded by [[graft.functions.Mojibake]]'s validity
+    *    grammar (ANSI decode throws on malformed input), null on a
+    *    corrupt piece stream.
+    *
+    * Training shape is untouched: the same one corpus pass, the same
+    * Heaps-bounded distinct-pretoken table, the same argmax
+    * tie-break; `__byte` is stamped next to `__marker` and encode
+    * refuses any mode mismatch. */
+  val ByteLevelPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  private val ByteStampCol = "__byte"
+
+  /** byte → mapped char (256 entries): printable bytes 0x21–0x7E,
+    * 0xA1–0xAC, 0xAE–0xFF keep their own code point; the remaining
+    * 68 map to U+0100+n counting excluded bytes in ascending order —
+    * the GPT-2 bytes_to_unicode rule (so 0x20→U+0120 Ġ, 0x0A→U+010A
+    * Ċ; BpeSpec pins the anchors). */
+  private[graft] val byteToChar: Array[Char] = {
+    val keep = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (0x100 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  private val ByteLevelRe =
+    java.util.regex.Pattern.compile(ByteLevelPattern)
+
+  /** GPT-2 pre-tokens of `text` (RAW — mapping to the byte alphabet
+    * happens per-symbol in [[toSymbols]]); the JVM twin of the
+    * column-side `regexp_extract_all` over the SAME Java pattern, so
+    * train == encode exactly. */
+  private[graft] def byteLevelWordsJvm(text: String): Array[String] = {
+    val m = ByteLevelRe.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** exact inverse of byte-level [[encode]] as a Column: concatenate
+    * the pieces, translate each mapped char back to its raw byte's
+    * latin-1 view, re-read the bytes as UTF-8. Null (fail-soft) when
+    * the piece stream is not a valid byte sequence — a foreign char
+    * in a corrupted vocab, or pieces that decode to malformed UTF-8;
+    * the validity grammar runs BEFORE the decode because ANSI decode
+    * throws, it does not replace. */
+  def byteDecode(pieces: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    val from = new String(byteToChar)
+    val to = new String(Array.tabulate[Char](256)(_.toChar))
+    val latin1 = translate(array_join(pieces, ""), from, to)
+    when(graft.functions.Mojibake.latin1Representable(latin1) &&
+      graft.functions.Mojibake.utf8ValidLatin1View(latin1),
+      org.apache.spark.sql.functions.decode(
+        org.apache.spark.sql.functions.encode(latin1, "ISO-8859-1"),
+        "UTF-8"))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Learn `numMerges` BPE merges from `textCol` over the corpus.
     * Words are [[TextFunctions.tokensRoot]] (ROOT-lowercased whitespace
     * tokens — the encoder's exact lowering) so learned units agree
@@ -117,7 +208,10 @@ object Bpe {
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minFreq: Long = 2L, checkpointEvery: Int = 10,
             driverCutover: Long = 1L << 20,
-            marker: Boolean = false): DataFrame = {
+            marker: Boolean = false,
+            byteLevel: Boolean = false): DataFrame = {
+    require(!(marker && byteLevel),
+      "marker and byteLevel are mutually exclusive pre-tokenizations")
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
     require(checkpointEvery >= 1,
@@ -135,9 +229,10 @@ object Bpe {
         .map { case ((l, r, f), i) => (i, l, r, f) }
         .toSeq.toDF("rank", "left", "right", "freq")
         .withColumn(MarkerStampCol, lit(marker))
+        .withColumn(ByteStampCol, lit(byteLevel))
 
     var words: Dataset[(Seq[String], Long)] =
-      seedWords(df, textCol, marker)
+      seedWords(df, textCol, marker, byteLevel)
         .localCheckpoint() // materialize once; corpus lineage ends here
 
     if (words.count() <= driverCutover) {
@@ -208,7 +303,8 @@ object Bpe {
     * train()'s loop re-applies the same filter to retire fully-merged
     * words after each round. */
   private def seedWords(df: DataFrame, textCol: String,
-                        marker: Boolean = false)
+                        marker: Boolean = false,
+                        byteLevel: Boolean = false)
   : Dataset[(Seq[String], Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -216,14 +312,18 @@ object Bpe {
     // so the trained merges must too — on tr/az/lt-default JVMs the
     // Spark lower() twin would count different words than encode sees.
     // Marker mode rides markerTokens, the column twin of encode's
-    // markerWordsJvm — same train == encode discipline.
+    // markerWordsJvm; byte-level rides the SAME Java regex as
+    // byteLevelWordsJvm (Spark regexp_* are Java regex, lookahead
+    // included) and preserves case — same train == encode discipline.
     val toks =
-      if (marker) TextFunctions.markerTokens(col(textCol))
+      if (byteLevel)
+        regexp_extract_all(col(textCol), lit(ByteLevelPattern), lit(0))
+      else if (marker) TextFunctions.markerTokens(col(textCol))
       else TextFunctions.tokensRoot(col(textCol))
     df.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (toSymbols(w, marker), f) }
+      .map { case (w, f) => (toSymbols(w, marker, byteLevel), f) }
       .filter((t: (Seq[String], Long)) => t._1.length >= 2)
   }
 
@@ -247,8 +347,9 @@ object Bpe {
     * first-argmax semantics under the same DuckDB discipline as
     * every other aggregation family. */
   def seedPairCounts(df: DataFrame, textCol: String,
-                     marker: Boolean = false): DataFrame =
-    pairCounts(seedWords(df, textCol, marker))
+                     marker: Boolean = false,
+                     byteLevel: Boolean = false): DataFrame =
+    pairCounts(seedWords(df, textCol, marker, byteLevel))
 
   /** driver-side merge loop for a collected distinct-word table.
     * Incremental pair-count maintenance: only words CONTAINING the
@@ -340,7 +441,14 @@ object Bpe {
     * mode the word-START marker is already a symbol of the word
     * itself and there is no end sentinel (SentencePiece convention;
     * see the marker-mode scaladoc at the top of this object). */
-  private def toSymbols(w: String, marker: Boolean = false): Seq[String] = {
+  private def toSymbols(w: String, marker: Boolean = false,
+                        byteLevel: Boolean = false): Seq[String] = {
+    if (byteLevel)
+      // one symbol per UTF-8 BYTE, through the 256-char map — no
+      // sentinel (Ġ marks word starts), no surrogate concern (every
+      // mapped char is a single BMP char)
+      return w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => byteToChar(b & 0xFF).toString).toSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < w.length) {
@@ -379,26 +487,32 @@ object Bpe {
     * the naive replay. */
   def encode(df: DataFrame, textCol: String, merges: DataFrame,
              outCol: String = "bpe_tokens",
-             marker: Boolean = false): DataFrame = {
-    // __marker stamp validation (the LangId-stamp discipline): a
-    // marker-trained table served word-split — or vice versa — would
-    // segment every document WRONG, so refuse loudly. The table is
-    // vocabulary-sized and collected below anyway; the stamp check
-    // rides the same collect. Unstamped tables (pre-r18/hand-built)
-    // pass as caller-asserted.
-    val rows = (if (merges.columns.contains(MarkerStampCol))
-        merges.select(col("rank"), col("left"), col("right"),
-          col(MarkerStampCol).cast("boolean"))
-      else merges.select(col("rank"), col("left"), col("right"),
-        lit(marker).as(MarkerStampCol)))
+             marker: Boolean = false,
+             byteLevel: Boolean = false): DataFrame = {
+    require(!(marker && byteLevel),
+      "marker and byteLevel are mutually exclusive pre-tokenizations")
+    // __marker/__byte stamp validation (the LangId-stamp discipline):
+    // a table trained in one pre-tokenization served in another
+    // would segment every document WRONG, so refuse loudly. The
+    // table is vocabulary-sized and collected below anyway; the
+    // stamp check rides the same collect. Unstamped tables
+    // (pre-r18/hand-built) pass as caller-asserted.
+    def stamp(name: String, asserted: Boolean) =
+      if (merges.columns.contains(name)) col(name).cast("boolean")
+      else lit(asserted).as(name)
+    val rows = merges.select(col("rank"), col("left"), col("right"),
+        stamp(MarkerStampCol, marker), stamp(ByteStampCol, byteLevel))
       .collect()
     rows.foreach { r =>
-      require(r.isNullAt(3) || r.getBoolean(3) == marker,
-        s"merge-table $MarkerStampCol stamp is ${r.getBoolean(3)} but " +
-          s"encode was called with marker = $marker — a " +
-          (if (marker) "word-split" else "▁-marker") +
-          "-trained table cannot be served in this mode (every " +
-          "document would segment wrong); re-train or flip the flag")
+      def check(i: Int, name: String, asserted: Boolean): Unit =
+        require(r.isNullAt(i) || r.getBoolean(i) == asserted,
+          s"merge-table $name stamp is ${r.getBoolean(i)} but encode " +
+            s"was called with $name mode = $asserted — a table cannot " +
+            "be served in a pre-tokenization it was not trained in " +
+            "(every document would segment wrong); re-train or flip " +
+            "the flag")
+      check(3, MarkerStampCol, marker)
+      check(4, ByteStampCol, byteLevel)
     }
     val ranked = rows
       .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
@@ -424,13 +538,14 @@ object Bpe {
         // ROOT-lower expression), so train == encode on every JVM
         // locale — TokenizerLocaleSpec pins tr-TR.
         val words =
-          if (marker) Unigram.markerWordsJvm(text)
+          if (byteLevel) byteLevelWordsJvm(text)
+          else if (marker) Unigram.markerWordsJvm(text)
           else text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
             .filter(_.nonEmpty)
         words.flatMap { w =>
             var hit = cache.get(w)
             if (hit == null) {
-              hit = encodeWord(w, ranks, marker)
+              hit = encodeWord(w, ranks, marker, byteLevel)
               if (cache.size < memoCap) cache.put(w, hit)
             }
             hit
@@ -444,8 +559,9 @@ object Bpe {
     * (null text → null, matching tokenCount's null behavior). */
   def tokenCount(df: DataFrame, textCol: String, merges: DataFrame,
                  outCol: String = "bpe_count",
-                 marker: Boolean = false): DataFrame = {
-    val enc = encode(df, textCol, merges, "__bpe_toks", marker)
+                 marker: Boolean = false,
+                 byteLevel: Boolean = false): DataFrame = {
+    val enc = encode(df, textCol, merges, "__bpe_toks", marker, byteLevel)
     enc.withColumn(outCol, size(col("__bpe_toks"))).drop("__bpe_toks")
   }
 
@@ -454,8 +570,9 @@ object Bpe {
     * adjacent pair is in the table. */
   private def encodeWord(w: String,
                          ranks: Map[(String, String), Int],
-                         marker: Boolean = false): Seq[String] = {
-    var syms: Seq[String] = toSymbols(w, marker)
+                         marker: Boolean = false,
+                         byteLevel: Boolean = false): Seq[String] = {
+    var syms: Seq[String] = toSymbols(w, marker, byteLevel)
     var continue = syms.length >= 2
     while (continue) {
       var best = Int.MaxValue

@@ -430,6 +430,180 @@ class BpeSpec extends SparkTestBase {
       == (first.getString(1), first.getString(2), first.getLong(3)))
   }
 
+  // ---- byte-level (GPT-2) mode (r18) ------------------------------------
+
+  /** clean-room byte-level reference: independent reconstruction of
+    * the bytes→unicode rule + the same published pre-tokenizer
+    * pattern, feeding [[Naive]]'s loop shape. */
+  private object NaiveByte {
+    val b2c: Map[Int, Char] = {
+      val printable = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++
+        (0xAE to 0xFF)).toSet
+      var n = 0
+      (0 until 256).map { b =>
+        if (printable(b)) b -> b.toChar
+        else { val c = (0x100 + n).toChar; n += 1; b -> c }
+      }.toMap
+    }
+
+    def words(t: String): Seq[String] = {
+      val m = java.util.regex.Pattern.compile(Bpe.ByteLevelPattern)
+        .matcher(t)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+
+    def symbols(w: String): Vector[String] =
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => b2c(b & 0xFF).toString).toVector
+
+    def train(texts: Seq[String], numMerges: Int,
+              minFreq: Long): Seq[(Int, String, String, Long)] = {
+      var tbl = texts.flatMap(words).groupBy(identity)
+        .map { case (w, o) => (symbols(w), o.size.toLong) }.toSeq
+        .filter(_._1.length >= 2)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- tbl; i <- 0 until syms.length - 1)
+          counts(syms(i) -> syms(i + 1)) =
+            counts.getOrElse(syms(i) -> syms(i + 1), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+          if (f < minFreq) done = true
+          else {
+            merges += ((rank, l, r, f))
+            rank += 1
+            tbl = tbl.map { case (s, fr) => (Naive.mergeOne(s, l, r), fr) }
+              .filter(_._1.length >= 2)
+          }
+        }
+      }
+      merges.result()
+    }
+  }
+
+  test("byte-level: bytes→unicode table anchors and bijection") {
+    assert(Bpe.byteToChar(0x20) == 'Ġ') // space → Ġ
+    assert(Bpe.byteToChar(0x0A) == 'Ċ') // newline → Ċ
+    assert(Bpe.byteToChar('A'.toInt) == 'A')
+    assert(Bpe.byteToChar(0xFF) == 'ÿ')
+    assert(Bpe.byteToChar.distinct.length == 256) // bijection
+    assert(Bpe.byteToChar.count(_ >= 0x100) == 68) // 68 excluded bytes
+    assert(Bpe.byteToChar.toSeq == (0 until 256).map(NaiveByte.b2c))
+  }
+
+  test("byte-level: GPT-2 pre-tokenizer textbook cases incl. the " +
+      "whitespace lookahead") {
+    def w(t: String) = Bpe.byteLevelWordsJvm(t).toSeq
+    assert(w("Hello world") == Seq("Hello", " world"))
+    // the \s+(?!\S) lookahead: a 2-space run keeps its LAST space
+    // attached to the following word
+    assert(w("it's  ok ") == Seq("it", "'s", " ", " ok", " "))
+    assert(w("abc123!? x") == Seq("abc", "123", "!?", " x"))
+    assert(w("héllo 中文") ==
+      Seq("héllo", " 中文")) // \p{L} is not ASCII-bound
+    // only a literal SPACE attaches to a following word; a newline
+    // stays its own token (first \n via the lookahead branch, the
+    // second via plain \s+)
+    assert(w("a\n\nb") == Seq("a", "\n", "\n", "b"))
+    assert(w("") == Seq.empty)
+  }
+
+  test("byte-level randomized: BOTH train paths == clean-room naive, " +
+      "case PRESERVED") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val lexicon = Seq.fill(25)(
+        (1 + rnd.nextInt(6)).times(() => {
+          val c = ('a' + rnd.nextInt(4)).toChar
+          if (rnd.nextBoolean()) c.toUpper else c
+        }).mkString).distinct
+      val texts = Seq.fill(50)(
+        Seq.fill(4 + rnd.nextInt(12))(lexicon(rnd.nextInt(lexicon.size)))
+          .mkString(" "))
+      val expected = NaiveByte.train(texts, 25, minFreq = 2L)
+      // mixed case must survive: at least one merge carries an
+      // upper-case char in some trial corpus (sanity that the mode
+      // really is cased)
+      val df = texts.toDF("text").repartition(7)
+      val dist = Bpe.train(df, "text", 25, minFreq = 2L,
+          driverCutover = 0L, byteLevel = true)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      assert(dist == expected, s"trial $trial (distributed)")
+      val local = Bpe.train(df, "text", 25, minFreq = 2L,
+          byteLevel = true)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      assert(local == expected, s"trial $trial (local)")
+    }
+  }
+
+  test("byte-level encode: byteDecode round-trips EXACTLY (cased, " +
+      "multi-byte UTF-8, controls), fail-soft on corrupt pieces") {
+    val texts = Seq("MiXeD CaSe text", "café 中文",
+      "emoji 😀!", "tabs\tand\nnewlines", "", "x")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val merges = Bpe.train(df, "text", 30, minFreq = 1L,
+      byteLevel = true)
+    val out = Bpe.encode(df, "text", merges, byteLevel = true)
+      .select($"id", $"bpe_tokens",
+        Bpe.byteDecode($"bpe_tokens").as("rt"))
+      .as[(Int, Seq[String], String)].collect()
+    for ((i, toks, rt) <- out) {
+      assert(rt == texts(i), s"doc $i") // EXACT — no lowering
+      assert(toks.forall(!_.contains(Bpe.EndOfWord)), s"doc $i sentinel")
+    }
+    val counted = Bpe.tokenCount(df, "text", merges, byteLevel = true)
+      .select($"id", $"bpe_count").as[(Int, Int)].collect().toMap
+    for ((i, toks, _) <- out) assert(counted(i) == toks.size)
+    // corrupt piece stream (char outside the byte alphabet) → null,
+    // and a torn multi-byte sequence → null, neither throws
+    val bad = Seq(Seq("ok", "中"), Seq("Ã")).toDF("p")
+      .select(Bpe.byteDecode($"p").as("rt")).as[String].collect()
+    assert(bad.forall(_ == null))
+  }
+
+  test("byte-level stamp: cross-mode serving refused in all " +
+      "directions") {
+    val df = Seq("ab ab", "ab").toDF("text")
+    val bl = Bpe.train(df, "text", 5, byteLevel = true)
+    val ws = Bpe.train(df, "text", 5)
+    val mk = Bpe.train(df, "text", 5, marker = true)
+    for ((tbl, m, b) <- Seq((bl, false, false), (ws, false, true),
+        (mk, false, true), (bl, true, false))) {
+      val e = intercept[IllegalArgumentException] {
+        Bpe.encode(df, "text", tbl, marker = m, byteLevel = b)
+      }
+      assert(e.getMessage.contains("__"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.encode(df, "text", bl, marker = true, byteLevel = true)
+    }
+  }
+
+  test("byte-level seedPairCounts argmax IS train's first merge") {
+    val rng = new scala.util.Random(313)
+    val words = Vector("ab", "Abc", "bcd", "aa", "Ba", "cab", "dab")
+    val docs = (0 until 40)
+      .map(_ => (0 until (1 + rng.nextInt(8)))
+        .map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      .toDF("text")
+    val top = Bpe.seedPairCounts(docs, "text", byteLevel = true)
+      .orderBy($"f".desc, $"l".asc, $"r".asc).limit(1)
+      .collect().head
+    val first = Bpe.train(docs, "text", numMerges = 1, minFreq = 1L,
+        byteLevel = true)
+      .collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2))
+      == (first.getString(1), first.getString(2), first.getLong(3)))
+  }
+
   // ---- WordPiece (the greedy longest-match sibling) ---------------------
 
   test("wordpiece: BERT textbook cases, longest-first, whole-word unk") {
