@@ -8,7 +8,7 @@ import graft.ddf.{DDF, GroupedDDF}
 import graft.ddf.DDF._
 import graft.ml.{DBSCAN, Feature, KNN, Models}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Dsir, Frequent, Geo, KolmogorovSmirnov, PageRank, SemDedup, Similarity, SubstringDedup, Zip}
+import graft.operators.{AsOfJoin, Bpe, Budget, Dedup, Dsir, Frequent, Geo, KolmogorovSmirnov, PageRank, SemDedup, Similarity, SubstringDedup, WordPiece, Zip}
 import graft.streaming.EventStream
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -9934,6 +9934,58 @@ object SparkEntry {
              |  CAST(sum(freq) AS BIGINT) AS f
              |FROM idx GROUP BY 1, 2
              |ORDER BY f DESC, l, r LIMIT 20""".stripMargin)),
+
+    // WordPiece TRAINER (r18 — completes the trilogy's trainer set:
+    // BPE and Unigram train, WordPiece only encoded until now). The
+    // likelihood-gain criterion (Schuster & Nakajima 2012): merge
+    // argmax of score = (pairCount / count(left)) / count(right) —
+    // double division in THAT association order on every path.
+    // The q132 discipline again: the oracle replays the
+    // SQL-expressible fragment (seed symbol counts, pair counts,
+    // scores — whose (score desc, f desc, l, r) argmax is train()'s
+    // first merge by construction, spec-pinned); the iterative tail,
+    // the alphabet-covers-corpus zero-[UNK] property, and the
+    // likelihood-beats-frequency delta vs BPE are pinned in BpeSpec
+    // against a clean-room per-iteration-recount trainer. The score
+    // is an int-over-int IEEE quotient chain — exact cross-engine
+    // (the q236 ratio precedent).
+    Q("q274_wordpiece_train", (s, dir) =>
+      WordPiece.seedPairScores(t(s, dir, "documents"), "text")
+        .orderBy(col("score").desc, col("f").desc, col("l").asc,
+          col("r").asc)
+        .limit(20)
+        .select(col("l"), col("r"), col("f"), col("cl"), col("cr"),
+          col("score")),
+      Some(s"""WITH wc AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(${sqlTokens("text")}) AS word
+             |        FROM documents)
+             |  GROUP BY word
+             |), syms AS (
+             |  SELECT list_prepend(word[1:1],
+             |      list_transform(regexp_extract_all(word[2:], '.'),
+             |        c -> '##' || c)) AS s,
+             |    freq
+             |  FROM wc
+             |), symc AS (
+             |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+             |  FROM (SELECT unnest(s) AS sym, freq FROM syms)
+             |  GROUP BY sym
+             |), idx AS (
+             |  SELECT s, freq,
+             |    unnest(generate_series(1, len(s) - 1)) AS i
+             |  FROM syms WHERE len(s) >= 2
+             |), pc AS (
+             |  SELECT s[i] AS l, s[i + 1] AS r,
+             |    CAST(sum(freq) AS BIGINT) AS f
+             |  FROM idx GROUP BY 1, 2
+             |)
+             |SELECT l, r, f, sl.c AS cl, sr.c AS cr,
+             |  (CAST(f AS DOUBLE) / sl.c) / sr.c AS score
+             |FROM pc
+             |JOIN symc sl ON pc.l = sl.sym
+             |JOIN symc sr ON pc.r = sr.sym
+             |ORDER BY score DESC, f DESC, l, r LIMIT 20""".stripMargin)),
   )
 
   // ---- driver contract ---------------------------------------------------

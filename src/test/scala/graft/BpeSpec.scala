@@ -660,6 +660,161 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  /** clean-room WordPiece trainer reference: per-iteration full
+    * recount (no incremental index — the independence that matters),
+    * same published score `(f / cl) / cr` in the same association
+    * order, same tie-break. */
+  private object NaiveWp {
+    def symbols(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val c = new String(Character.toChars(cp))
+        out += (if (i == 0) c else "##" + c)
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+
+    def train(texts: Seq[String], numMerges: Int, minFreq: Long)
+    : Seq[(String, String, String, Double, Long)] = {
+      var tbl = Naive.wordCounts(texts).toSeq
+        .map { case (w, f) => (symbols(w), f) } // 1-symbol words KEPT
+      val merges =
+        Seq.newBuilder[(String, String, String, Double, Long)]
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- tbl) {
+          syms.foreach(s => sc(s) = sc.getOrElse(s, 0L) + f)
+          for (i <- 0 until syms.length - 1)
+            pc(syms(i) -> syms(i + 1)) =
+              pc.getOrElse(syms(i) -> syms(i + 1), 0L) + f
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), f) = pc.minBy { case ((l, r), f) =>
+            (-(f.toDouble / sc(l).toDouble / sc(r).toDouble), -f, l, r) }
+          if (f < minFreq) done = true
+          else {
+            val score = f.toDouble / sc(l).toDouble / sc(r).toDouble
+            merges += ((l + r.stripPrefix("##"), l, r, score, f))
+            rank += 1
+            tbl = tbl.map { case (s, fr) =>
+              (Naive.mergeOne(s, l, r).map(x =>
+                if (x == l + r) l + r.stripPrefix("##") else x), fr) }
+          }
+        }
+      }
+      merges.result()
+    }
+  }
+
+  private def wpTrained(df: org.apache.spark.sql.DataFrame, n: Int,
+                        minFreq: Long = 2L, cutover: Long = 1L << 20) = {
+    import graft.operators.WordPiece
+    WordPiece.train(df, "text", n, minFreq = minFreq,
+        driverCutover = cutover)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3))).toSeq
+  }
+
+  test("wordpiece train: hand-computed micro corpus — alphabet then " +
+      "the one merge, likelihood score exact") {
+    val df = Seq("ab ab", "ab").toDF("text")
+    // word "ab" ×3 → syms (a, ##b); counts a:3, ##b:3; pair
+    // (a,##b):3 → score (3/3)/3 = 1/3; after the merge every word is
+    // one symbol — no pairs, loop ends. Alphabet UTF-8 order: '#'
+    // (0x23) sorts before 'a'.
+    assert(wpTrained(df, 10, minFreq = 1L) == Seq(
+      (0, "##b", None, 3L),
+      (1, "a", None, 3L),
+      (2, "ab", Some(1.0 / 3.0), 3L)))
+  }
+
+  test("wordpiece train: likelihood beats raw frequency (the " +
+      "criterion delta vs BPE)") {
+    // (x,##y) is MORE frequent (10 > 9) but x and y also occur alone
+    // 20× each, so its score 10/30/30 loses to (a,##b)'s 9/9/9 —
+    // BPE would merge xy first, WordPiece must merge ab first
+    val texts = Seq.fill(10)("xy") ++ Seq.fill(9)("ab") ++
+      Seq.fill(20)("x") ++ Seq.fill(20)("y")
+    val df = texts.mkString(" ").split(" ").grouped(12)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = wpTrained(df, 1, minFreq = 1L).filter(_._3.isDefined)
+    assert(merges.map(_._2) == Seq("ab"))
+    // same corpus under BPE's raw-frequency rule: (y,</w>) wins at
+    // freq 30 (word-final y across "xy"-less words) — NOT ab
+    val bpe = Bpe.train(df, "text", 1, minFreq = 1L)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(bpe == Seq(("y", "</w>")))
+  }
+
+  test("wordpiece train randomized: BOTH paths == clean-room naive " +
+      "(merge sequence AND scores)") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 0 until 3) {
+      val lexicon = Seq.fill(25)(
+        (1 + rnd.nextInt(5)).times(() => ('a' + rnd.nextInt(4)).toChar)
+          .mkString).distinct
+      val texts = Seq.fill(50)(
+        Seq.fill(4 + rnd.nextInt(10))(lexicon(rnd.nextInt(lexicon.size)))
+          .mkString(" "))
+      val expected = NaiveWp.train(texts, 20, minFreq = 2L)
+      val df = texts.toDF("text").repartition(7)
+      for ((cut, label) <- Seq(0L -> "distributed",
+          (1L << 20) -> "local")) {
+        val got = wpTrained(df, 20, minFreq = 2L, cutover = cut)
+          .filter(_._3.isDefined)
+          .map(t => (t._2, t._3.get, t._4))
+        assert(got == expected.map(t => (t._1, t._4, t._5)),
+          s"trial $trial ($label)")
+        assert(graft.operators.WordPiece.lastTrainPathDiag == label)
+      }
+    }
+  }
+
+  test("wordpiece train: the vocab encodes its own corpus with ZERO " +
+      "[UNK] and reassembles every word (single-char words included)") {
+    import graft.operators.WordPiece
+    val df = Seq("a ab abc bced zz", "ab abc a zz bced").toDF("text")
+    val vocab = WordPiece.train(df, "text", 8, minFreq = 2L)
+    val enc = WordPiece.encode(df, "text", vocab)
+      .select($"text", $"wp_tokens").as[(String, Seq[String])].collect()
+    for ((text, toks) <- enc) {
+      assert(!toks.contains("[UNK]"), s"<$text>")
+      // greedy pieces reassemble the lowered text word-by-word
+      val rebuilt = toks.foldLeft(Seq.empty[String]) { (acc, p) =>
+        if (p.startsWith("##")) acc.init :+ (acc.last + p.drop(2))
+        else acc :+ p
+      }
+      assert(rebuilt == text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq, s"<$text>")
+    }
+  }
+
+  test("wordpiece seedPairScores argmax IS train's first merge") {
+    import graft.operators.WordPiece
+    val rng = new scala.util.Random(733)
+    val words = Vector("ab", "abc", "bcd", "aa", "ba", "cab", "a")
+    val docs = (0 until 40)
+      .map(_ => (0 until (1 + rng.nextInt(8)))
+        .map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      .toDF("text")
+    val top = WordPiece.seedPairScores(docs, "text")
+      .orderBy($"score".desc, $"f".desc, $"l".asc, $"r".asc).limit(1)
+      .collect().head
+    val first = WordPiece.train(docs, "text", 1, minFreq = 1L)
+      .collect().filter(r => !r.isNullAt(2)).head
+    assert(top.getString(0) + top.getString(1).stripPrefix("##")
+      == first.getString(1))
+    assert(top.getDouble(5) == first.getDouble(2))
+  }
+
   test("wordpiece: maxInputChars guard, counts, null text") {
     import graft.operators.WordPiece
     val vocab = Seq("a", "##a").toDF("piece")
