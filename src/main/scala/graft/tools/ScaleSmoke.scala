@@ -921,6 +921,40 @@ object ScaleSmoke {
         collectMerges(graft.operators.Bpe.train(c, "text", 40))
       }
       require(mDist == mLocal, s"k=$k: train paths diverged")
+      // r18 siblings on the same corpus/scale axis: byte-level BPE
+      // (GPT-2 pre-tokens ≈ the word inventory on this single-space
+      // corpus — same flat-in-k claim) and the WordPiece trainer
+      // (two aggs per distributed merge instead of one; still
+      // word-table-sized, so still flat in k)
+      val bDist = timeMerges("byteBpeDist") {
+        collectMerges(graft.operators.Bpe.train(c, "text", 40,
+          driverCutover = 0L, byteLevel = true))
+      }
+      val bLocal = timeMerges("byteBpeLocal") {
+        collectMerges(graft.operators.Bpe.train(c, "text", 40,
+          byteLevel = true))
+      }
+      require(bDist == bLocal, s"k=$k: byte-level train paths diverged")
+      def collectWp(df: org.apache.spark.sql.DataFrame) =
+        df.collect().filter(r => !r.isNullAt(2))
+          .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+            r.getLong(3))).toSeq
+      def timeWp(label: String)(f: => Seq[(Int, String, Double, Long)])
+          : Seq[(Int, String, Double, Long)] = {
+        val t0 = System.nanoTime()
+        val m = f
+        println(f"[scale-smoke] k=$k%-2d n=$n%-6d $label%-18s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  merges=${m.size}")
+        m
+      }
+      val wDist = timeWp("wpTrainDist") {
+        collectWp(graft.operators.WordPiece.train(c, "text", 40,
+          driverCutover = 0L))
+      }
+      val wLocal = timeWp("wpTrainLocal") {
+        collectWp(graft.operators.WordPiece.train(c, "text", 40))
+      }
+      require(wDist == wLocal, s"k=$k: wordpiece train paths diverged")
       c.unpersist()
       spark.catalog.clearCache()
     }
