@@ -172,7 +172,12 @@ object WordPiece {
       val symc = words.toDF("syms", "freq")
         .select(explode(col("syms")).as("sym"), col("freq"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
-      val pc = pairCounts(words)
+      // minFreq is a CANDIDATE filter, not a stop test: pairs below
+      // it can never merge, but the loop continues with the best
+      // eligible pair (the published min-frequency semantics — a
+      // rare-but-high-score pair must not halt training while
+      // frequent pairs remain)
+      val pc = pairCounts(words).filter(col("f") >= minFreq)
       val top = pc
         .join(broadcast(symc.select(col("sym").as("l"),
           col("c").as("cl"))), "l")
@@ -184,7 +189,7 @@ object WordPiece {
         .orderBy(col("score").desc, col("f").desc, col("l").asc,
           col("r").asc)
         .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      if (top.isEmpty) done = true
       else {
         val (l, r, f, sc) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2), top(0).getDouble(3))
@@ -339,13 +344,17 @@ object WordPiece {
     while (merges.length < numMerges && !done) {
       var bs = -1.0; var bf = 0L; var bl: String = null; var br: String = null
       pairs.foreach { case ((l, r), f) =>
-        val sc = f.toDouble / scnt(l).toDouble / scnt(r).toDouble
-        if (sc > bs || (sc == bs &&
-            (f > bf || (f == bf &&
-              (Bpe.utf8Lt(l, bl) || (l == bl && Bpe.utf8Lt(r, br)))))))
-          { bs = sc; bf = f; bl = l; br = r }
+        // minFreq as a candidate filter (matches the distributed
+        // loop's pre-argmax filter exactly)
+        if (f >= minFreq) {
+          val sc = f.toDouble / scnt(l).toDouble / scnt(r).toDouble
+          if (sc > bs || (sc == bs &&
+              (f > bf || (f == bf &&
+                (Bpe.utf8Lt(l, bl) || (l == bl && Bpe.utf8Lt(r, br)))))))
+            { bs = sc; bf = f; bl = l; br = r }
+        }
       }
-      if (bf < minFreq || bl == null) done = true
+      if (bl == null) done = true
       else {
         merges += ((bl + br.stripPrefix(cont), bl, br, bs, bf))
         where.remove((bl, br)).foreach(_.foreach { w =>

@@ -694,19 +694,20 @@ class BpeSpec extends SparkTestBase {
             pc(syms(i) -> syms(i + 1)) =
               pc.getOrElse(syms(i) -> syms(i + 1), 0L) + f
         }
-        if (pc.isEmpty) done = true
+        // minFreq = candidate filter, not a stop test (matches
+        // production: a rare-but-high-score pair must not halt
+        // training while eligible pairs remain)
+        val eligible = pc.filter { case (_, f) => f >= minFreq }
+        if (eligible.isEmpty) done = true
         else {
-          val ((l, r), f) = pc.minBy { case ((l, r), f) =>
+          val ((l, r), f) = eligible.minBy { case ((l, r), f) =>
             (-(f.toDouble / sc(l).toDouble / sc(r).toDouble), -f, l, r) }
-          if (f < minFreq) done = true
-          else {
-            val score = f.toDouble / sc(l).toDouble / sc(r).toDouble
-            merges += ((l + r.stripPrefix("##"), l, r, score, f))
-            rank += 1
-            tbl = tbl.map { case (s, fr) =>
-              (Naive.mergeOne(s, l, r).map(x =>
-                if (x == l + r) l + r.stripPrefix("##") else x), fr) }
-          }
+          val score = f.toDouble / sc(l).toDouble / sc(r).toDouble
+          merges += ((l + r.stripPrefix("##"), l, r, score, f))
+          rank += 1
+          tbl = tbl.map { case (s, fr) =>
+            (Naive.mergeOne(s, l, r).map(x =>
+              if (x == l + r) l + r.stripPrefix("##") else x), fr) }
         }
       }
       merges.result()
@@ -752,6 +753,23 @@ class BpeSpec extends SparkTestBase {
     val bpe = Bpe.train(df, "text", 1, minFreq = 1L)
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(bpe == Seq(("y", "</w>")))
+  }
+
+  test("wordpiece train: minFreq filters CANDIDATES, it does not " +
+      "halt — a rare top-score pair is skipped, not terminal") {
+    // (q,##z) scores 1.0 (unique everything) but f=1; (a,##b) is
+    // f=5 at score 0.1. Under minFreq=2 the rare pair is INELIGIBLE
+    // and training must continue with ab — a stop-test
+    // implementation would learn nothing here.
+    val texts = Seq("qz") ++ Seq.fill(5)("ab") ++
+      Seq.fill(5)("a") ++ Seq.fill(5)("b")
+    val df = texts.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    for (cut <- Seq(0L, 1L << 20)) {
+      val merged = wpTrained(df, 3, minFreq = 2L, cutover = cut)
+        .filter(_._3.isDefined).map(_._2)
+      assert(merged.contains("ab") && !merged.contains("qz"),
+        s"cutover=$cut got $merged")
+    }
   }
 
   test("wordpiece train randomized: BOTH paths == clean-room naive " +
