@@ -54,11 +54,22 @@ object Multimodal {
   // accepts (e.g. the synthetic text-byte fixtures, or formats that
   // would need external libs: webp, mp3, video containers).
 
+  /** r18 opt (guide §1.2 per-task work): ImageIO's stream cache
+    * defaults to DISK — every read/write of an in-memory byte-array
+    * image creates and deletes a temp FILE, pure filesystem-metadata
+    * overhead that also serializes parallel decode. Our payloads are
+    * always in-memory byte arrays, so flip the process-global flag
+    * once per JVM, lazily from every media kernel (executor JVMs
+    * included — the kernels are where the codecs run). */
+  private[graft] lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** image decode → (width, height, channels). JDK ImageIO first;
     * non-decodable bytes fall back to a deterministic hash-derived
     * shape (FALLBACK, not a real decode — kept so synthetic fixtures
     * flow through the same plumbing). */
   private[multimodal] def decodeKernel(bytes: Array[Byte]): (Int, Int, Int) = {
+    imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -189,6 +200,7 @@ object Multimodal {
     * pooling (the [[embedKernel]] resample), row-major in [0,1]. */
   private def lumGrid(bytes: Array[Byte], gw: Int, gh: Int)
       : Option[Array[Double]] = {
+    imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -789,6 +801,7 @@ object Multimodal {
 
   private[graft] def pngBytes(im: java.awt.image.BufferedImage)
   : Array[Byte] = {
+    imageIoNoDiskCache
     val o = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "png", o)
     o.toByteArray
@@ -796,6 +809,7 @@ object Multimodal {
 
   private[graft] def jpegBytes(im: java.awt.image.BufferedImage,
                                quality: Float): Array[Byte] = {
+    imageIoNoDiskCache
     val wr = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpeg").next()
     val p = wr.getDefaultWriteParam
@@ -854,6 +868,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val img =

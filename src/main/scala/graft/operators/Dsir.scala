@@ -99,8 +99,12 @@ object Dsir {
                         hash: String = "md5"): DataFrame = {
     requireM(m)
     requireHash(hash)
-    val cnt = df
-      .select(explode(bucketArr(col(textCol), m, hash)).as("bucket"))
+    // r18 opt: spread the fit's gram explosion (guide §2.5 — a
+    // single-file scan is ONE partition; md5-per-gram hashing would
+    // serialize). Weighting stays a shuffle-free projection.
+    val cnt = Partitioning.spread(
+        df.select(col(textCol).as("__txt")))
+      .select(explode(bucketArr(col("__txt"), m, hash)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     df.sparkSession.range(m).select(col("id").as("bucket"))
       .join(cnt, Seq("bucket"), "left")

@@ -196,13 +196,54 @@ object EventAnalytics {
     * fully SQL-replayable by unrolling rounds (q210). */
   def stationaryDistribution(events: DataFrame, userCol: String,
                              tsCol: String, typeCol: String,
-                             iters: Int = 10): DataFrame = {
+                             iters: Int = 10,
+                             driverThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 1 && iters <= 100,
       s"iters must be in [1,100], got $iters")
     val edges = transitions(events, userCol, tsCol, typeCol)
       .select(col("from_type"), col("to_type"),
         col("n").cast("double").as("__n"))
       .localCheckpoint()
+    // r18 opt: adaptive driver cutover (the PageRank.run /
+    // connectedComponentMinLabel pattern). The transition matrix is
+    // bounded by (#distinct event types)^2 — already aggregated, so
+    // when it fits comfortably on the driver the power iteration is a
+    // tight local loop instead of iters x (join + two aggregations +
+    // rescale) jobs, whose per-job overhead dominates on small state
+    // spaces (q210's stage profile: 85 jobs for a handful of states).
+    // Identical recurrence — step, mass-normalize, absent states get
+    // 0 mass; string states only (the event-type case); anything else
+    // takes the distributed loop below. Summation order may differ at
+    // ~1 ulp, as between any two executions of a distributed sum.
+    if (edges.schema("from_type").dataType ==
+          org.apache.spark.sql.types.StringType &&
+        edges.count() <= driverThreshold) {
+      val spark = events.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("from_type"), col("to_type"), col("__n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val states = es.iterator.flatMap(t => Iterator(t._1, t._2))
+        .toArray.distinct.sorted
+      require(states.nonEmpty,
+        "no transitions — need at least two events per key")
+      val idx = states.zipWithIndex.toMap
+      val out = new Array[Double](states.length)
+      es.foreach { case (f, _, n) => out(idx(f)) += n }
+      // sink states self-loop with probability 1 (the distributed
+      // loop's sinks union)
+      val pr = es.map { case (f, t, n) => (idx(f), idx(t), n / out(idx(f))) } ++
+        states.indices.filter(out(_) == 0.0).map(i => (i, i, 1.0))
+      var p = Array.fill(states.length)(1.0 / states.length)
+      var it = 0
+      while (it < iters) {
+        val m = new Array[Double](states.length)
+        pr.foreach { case (f, t, w) => m(t) += p(f) * w }
+        val tot = m.sum
+        p = m.map(_ / tot)
+        it += 1
+      }
+      return states.zip(p).toSeq.toDF("state", "p")
+    }
     val outSum = edges.groupBy(col("from_type"))
       .agg(sum(col("__n")).as("__out"))
     val states = edges.select(col("from_type").as("state"))

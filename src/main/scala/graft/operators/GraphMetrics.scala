@@ -154,11 +154,61 @@ object GraphMetrics {
     * guards pathological chains by THROWING rather than returning a
     * half-peeled subgraph that silently violates the core contract. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxIters: Int = 200): DataFrame = {
+            maxIters: Int = 200,
+            driverThreshold: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
     var nEdges = e.count()
+    // r18 opt: adaptive driver cutover (the PageRank.run /
+    // connectedComponentMinLabel pattern) — a canonical edge list of
+    // integral ids under the threshold peels in a tight local loop
+    // instead of rounds x (degree-agg + two semi-joins +
+    // localCheckpoint + count) jobs, whose per-job overhead dominates
+    // on small graphs (q170's profile: 19 jobs for a 9-round peel).
+    // Simultaneous peeling over integer counts — the surviving core
+    // and in-core degrees are EXACTLY the distributed result (no FP
+    // involved); the maxIters contract throws identically.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType,
+        IntegerType, LongType}
+      val integral = Seq(e.schema("a").dataType, e.schema("b").dataType)
+        .forall {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
+        }
+      val idType =
+        if (Seq(e.schema("a").dataType, e.schema("b").dataType)
+              .contains(LongType)) LongType
+        else e.schema("a").dataType
+      if (integral && nEdges <= driverThreshold) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        var es = e.select(col("a").cast("long"), col("b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        var it = 0
+        var done = es.isEmpty
+        while (!done) {
+          it += 1
+          if (it > maxIters)
+            throw new IllegalStateException(
+              s"k-core peeling did not converge in $maxIters rounds " +
+                s"(${es.length} edges left) — raise maxIters; a " +
+                "partial peel is not a core")
+          val deg = scala.collection.mutable.Map.empty[Long, Int]
+            .withDefaultValue(0)
+          es.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+          val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          done = next.length == es.length
+          es = next
+        }
+        val deg = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+        return deg.toSeq.filter(_._2 >= k).toDF("node", "degree")
+          .select(col("node").cast(idType).as("node"), col("degree"))
+      }
+    }
     var iters = 0
     var converged = nEdges == 0L
     while (!converged) {

@@ -113,12 +113,23 @@ object LangId {
             nMin: Int = 2, nMax: Int = 3): DataFrame = {
     requireM(m); requireN(nMin, nMax)
     require(alpha > 0, s"alpha must be positive, got $alpha")
+    // r18 opt (guide §5 — eager cut): the model plan references this
+    // aggregation THREE times (broadcast(tot), observed's join input,
+    // floor's tot) and the subtrees do not share exchanges —
+    // measured: every model materialization paid the md5-per-gram
+    // explosion 3x. `cnt` is bounded (≤ langs × m rows), so an eager
+    // localCheckpoint computes the explosion exactly once. (A
+    // Partitioning.spread of the input was tried and REVERTED: on a
+    // cached-join input its plan probe materializes AQE stages — a
+    // throwaway job — and the round-robin exchange defeated nothing
+    // that matters once the explosion runs once.)
     val cnt = df
       .filter(col(langCol).isNotNull && col(textCol).isNotNull)
       .select(col(langCol).cast("string").as("lang"),
         explode(bucketArr(col(textCol), m, nMin, nMax)).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val tot = cnt.groupBy(col("lang")).agg(sum(col("cnt")).as("__tot"))
     val am = lit(alpha * m)
     val observed = cnt.join(broadcast(tot), Seq("lang"))

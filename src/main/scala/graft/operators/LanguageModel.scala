@@ -41,9 +41,10 @@ object LanguageModel {
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
                 k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
-    val toks = df
+    // r18 opt: spread the tokenize+explode stage (see trainNgram)
+    val toks = Partitioning.spread(df
       .select(col(idCol).as("__doc"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
+        TextFunctions.tokens(col(textCol)).as("__t")))
 
     // one row per bigram OCCURRENCE; tokens contain no whitespace
     // (they are whitespace-split), so "w1 w2" is a collision-free key.
@@ -128,11 +129,15 @@ object LanguageModel {
   def trainNgram(df: DataFrame, textCol: String, langCol: String,
                  n: Int = 3, m: Int = 4096): DataFrame = {
     requireNm(n, m)
-    val toks = df
+    // r18 opt: spread the fit's gram-explosion stage (guide §2.5 —
+    // a small single-file scan arrives as ONE partition and would
+    // serialize the md5-per-gram work; spread never shrinks inputs
+    // that already carry splits). The groupBy below shuffles anyway.
+    val toks = Partitioning.spread(df
       .filter(col(langCol).isNotNull && col(textCol).isNotNull)
       .select(col(langCol).cast("string").as("lang"),
         TextFunctions.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= n)
+      .filter(size(col("__t")) >= n))
     val grams = toks.select(col("lang"), explode(transform(
       sequence(lit(1), size(col("__t")) - (n - 1)),
       i => {

@@ -120,11 +120,66 @@ object PageRank {
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, sourceIdCol: String,
                    damping: Double = 0.85,
-                   maxIters: Int = 10): DataFrame = {
+                   maxIters: Int = 10,
+                   driverThreshold: Long = 1L << 20): DataFrame = {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
+    // r18 opt: [[run]]'s adaptive driver cutover, extended to the
+    // personalized face (it had only the distributed loop — q182's
+    // stage profile showed 10 rounds x ~5 join/agg jobs on a graph of
+    // a few hundred edges, all per-job overhead). Identical
+    // recurrence, bounded by the same threshold; summation order may
+    // differ at ~1 ulp, as between any two executions of a
+    // distributed sum. Seed ids must be integral too (they index the
+    // same vertex space).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType, DataType}
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val srcT = e.schema("src").dataType
+    val dstT = e.schema("dst").dataType
+    val seedT = sources.schema(sourceIdCol).dataType
+    val idType = if (Seq(srcT, dstT).contains(LongType)) LongType
+                 else if (Seq(srcT, dstT).contains(IntegerType)) IntegerType
+                 else if (Seq(srcT, dstT).contains(ShortType)) ShortType
+                 else srcT
+    if (integral(srcT) && integral(dstT) && integral(seedT) &&
+        e.count() <= driverThreshold) {
+      import spark.implicits._
+      val es = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val verts = es.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct.sorted
+      val idx = verts.zipWithIndex.toMap
+      val seedIds = sources.select(col(sourceIdCol).cast("long"))
+        .distinct().collect().map(_.getLong(0)).filter(idx.contains)
+      require(seedIds.nonEmpty,
+        "no source id is a vertex of the graph — personalized restart " +
+          "has nowhere to land; check the seed set")
+      val p = new Array[Double](verts.length)
+      seedIds.foreach(s => p(idx(s)) = 1.0 / seedIds.length)
+      val deg = new Array[Int](verts.length)
+      es.foreach { case (s, _) => deg(idx(s)) += 1 }
+      var rank = p.clone()
+      var it = 0
+      while (it < maxIters) {
+        val recv = new Array[Double](verts.length)
+        es.foreach { case (s, d) =>
+          recv(idx(d)) += rank(idx(s)) / deg(idx(s))
+        }
+        rank = Array.tabulate(verts.length)(v =>
+          (1.0 - damping) * p(v) + damping * recv(v))
+        it += 1
+      }
+      return verts.zip(rank).toSeq.toDF("id", "rank")
+        .select(col("id").cast(idType).as("id"), col("rank"))
+    }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seeds = sources.select(col(sourceIdCol).as("id")).distinct()

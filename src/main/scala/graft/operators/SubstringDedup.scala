@@ -47,9 +47,12 @@ object SubstringDedup {
     * `hashKeys` (computed map-side, before any exchange). */
   private def grams(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, hashKeys: Boolean): DataFrame = {
-    val g = docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= k)
+    // r18 opt: spread the tokenize + k-gram explosion (guide §2.5 —
+    // a small single-file scan arrives as ONE partition and would
+    // serialize the per-position hashing; never shrinks wide inputs)
+    val g = Partitioning.spread(docs
+        .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= k))
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), size(col("__t")) - (k - 1)),
         i => concat_ws(" ", slice(col("__t"), i, lit(k))))))

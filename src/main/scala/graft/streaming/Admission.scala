@@ -123,18 +123,12 @@ object Admission {
     * semantic and signature spaces): admitCore dispatches to
     * foldInPlace only AFTER the corpus append — an error raised
     * there would leave the corpus mutated with the index unfolded.
-    * The layout is knowable from the schema now, so the unsupported
-    * case refuses write-free. This pays one extra index read
-    * (schema/listing only) per cycle — the accepted price for the
-    * write-free refusal contract. */
-  private def refusePartitionedLayout(batch: DataFrame, indexPath: String,
-                                      what: String, why: String): Unit =
-    require(!batch.sparkSession.read.parquet(indexPath)
-      .columns.contains("part"),
-      s"$what does not support the partitioned in-place layout — " +
-        s"persist it swap-written ($why, the swap rewrite is cheap " +
-        "by construction)")
-
+    * The layout is knowable from the schema of the cycle's own index
+    * read, so the unsupported case refuses write-free. (r18 opt:
+    * this check used to be a separate pre-read of the index path —
+    * one extra parquet listing/footer read per cycle; it now rides
+    * the index frame admitCore reads anyway, same refusal point:
+    * before any count, screen, or write.) */
   private def admitCore(batch: DataFrame, corpusPath: String,
                         indexPath: String, idCol: String, batchId: Long,
                         within: Boolean, collectStats: Boolean,
@@ -142,11 +136,18 @@ object Admission {
                         dedupWithin: DataFrame => DataFrame,
                         fold: (DataFrame, DataFrame) => DataFrame,
                         foldInPlace: (String, DataFrame, DataFrame) => Unit,
-                        forceInPlace: Boolean = false)
+                        forceInPlace: Boolean = false,
+                        refuseInPlace: Option[(String, String)] = None)
   : AdmitStats = {
     val spark = batch.sparkSession
     val corpus = spark.read.parquet(corpusPath)
     val index = spark.read.parquet(indexPath)
+    refuseInPlace.foreach { case (what, why) =>
+      require(!index.columns.contains("part"),
+        s"$what does not support the partitioned in-place layout — " +
+          s"persist it swap-written ($why, the swap rewrite is cheap " +
+          "by construction)")
+    }
     val batchRows = if (collectStats) batch.count() else -1L
     // direct-key id screen (hashKeys = false): the join key is the id
     // column itself, so a corpus BUCKETED by idCol — the cost-model
@@ -292,10 +293,10 @@ object Admission {
                          dedupWithinBatch: Boolean = true,
                          batchId: Long = -1L,
                          collectStats: Boolean = true): AdmitStats = {
-    refusePartitionedLayout(batch, indexPath,
-      "the SemDedup assignment index", "ids-only")
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
       dedupWithinBatch, collectStats,
+      refuseInPlace = Some(("the SemDedup assignment index",
+        "ids-only")),
       screen = (fresh, corpus, index) =>
         graft.operators.SemDedup.screenPairsIndexed(fresh, corpus,
           index, idCol, vecCol, centers, minCosine, maxClusterSize),
@@ -340,10 +341,9 @@ object Admission {
                           dedupWithinBatch: Boolean = true,
                           batchId: Long = -1L,
                           collectStats: Boolean = true): AdmitStats = {
-    refusePartitionedLayout(batch, indexPath,
-      "the signature index", "narrow rows")
     admitCore(batch, corpusPath, indexPath, idCol, batchId,
       dedupWithinBatch, collectStats,
+      refuseInPlace = Some(("the signature index", "narrow rows")),
       screen = (fresh, _, index) =>
         Dedup.signaturePairsAgainstIndex(fresh, index, idCol, sigCol,
             maxDistance, maxBucketSize)
