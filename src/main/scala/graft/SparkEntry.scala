@@ -7641,9 +7641,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+      // r18 opt (guide §5): `joined` feeds the centers collect, BOTH
+      // corpus branches (base + perturbed union), and — through
+      // `corpus` — semDedup's assignment AND its final anti-join;
+      // uncached every reference re-ran the docs⋈emb join from
+      // parquet (ProbeStages r18: six ~32-task stages each re-reading
+      // the same 1.7 MB input). One cache fill, every branch reuses it.
       val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(col("doc_id"), col("text"), col("lang"),
           col("source"), col("label"), col("v"))
+        .cache()
       val f1 = typedLit(Seq.tabulate(64)(j => 1.0 + 0.01 * ((j % 3) - 1)))
       val corpus = joined.drop("label").unionByName(
         joined.filter(col("doc_id") < 40)

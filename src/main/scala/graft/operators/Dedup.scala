@@ -258,7 +258,14 @@ object Dedup {
                        numHashes: Int, bands: Int, shingleLen: Int,
                        seed: Long, maxBucketSize: Int): DataFrame =
     capBuckets(
-      bandedFor(shingledFor(corpus, idCol, textCol, shingleLen),
+      // r18 opt (guide §2.5): the corpus often arrives as a small
+      // single-file scan (1-3 partitions), which serialized the
+      // 64-hash minhash banding on a handful of tasks (q115 probe:
+      // one 3-task stage, 3.3 s exec of a 4.1 s query). spread never
+      // shrinks wide inputs, so a 100 TB corpus scan is untouched;
+      // the groupBy below shuffles anyway.
+      bandedFor(Partitioning.spread(
+          shingledFor(corpus, idCol, textCol, shingleLen)),
           numHashes, bands, seed)
         .groupBy(col("band"), col("bucket"))
         .agg(collect_list(col("id")).as("ids")),
@@ -792,7 +799,13 @@ object Dedup {
     val verified = cand
       .join(newSh.select(col("id").as("id_new"), col("sh").as("sh_new")),
         Seq("id_new"))
-      .join(shingledFor(corpus, idCol, textCol, shingleLen)
+      // r18 opt (guide §2.5): the verification shingling of the
+      // corpus side runs in the scan stage when `cand` broadcasts —
+      // a 1-3-partition corpus scan serialized it; spread (no-op on
+      // already-wide scans) lets the shingle+jaccard work run at
+      // session parallelism.
+      .join(Partitioning.spread(
+          shingledFor(corpus, idCol, textCol, shingleLen))
         .select(col("id").as("id_corpus"), col("sh").as("sh_cor")),
         Seq("id_corpus"))
       .select(col("id_new"), col("id_corpus"),
