@@ -172,9 +172,10 @@ object Dedup {
                    seed: Long = 42L,
                    maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sh = Partitioning.spread(df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0))
+    // raw projection spread first so the shingling itself runs wide
+    // (ADVICE r18 — an exchange above the shingle projection leaves
+    // wordShingles evaluating map-side in the narrow scan stage)
+    val sh = shingledSpread(df, idCol, textCol, shingleLen)
       .cache() // reused for banding and for verification joins
     // band rows carry ONLY (id, band, bucket): the shingle payload
     // would otherwise be duplicated `bands` times through the shuffle
@@ -206,6 +207,21 @@ object Dedup {
     d.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** [[shingledFor]] with the parallelism guard applied to the RAW
+    * (id, text) projection, not above the shingle projection —
+    * ADVICE r18: with `spread(shingledFor(...))` the repartition
+    * exchange sat ABOVE the shingles, so `wordShingles` still
+    * evaluated map-side inside the narrow 1–3-partition scan stage
+    * and only downstream banding/jaccard ran wide. Spreading the raw
+    * projection first makes the shingling itself run at session
+    * parallelism, and the exchange moves text bytes instead of the
+    * strictly larger shingle arrays. `spread` still never shrinks
+    * wide inputs, so a 100 TB corpus scan is untouched. */
+  private def shingledSpread(d: DataFrame, idCol: String, textCol: String,
+                             shingleLen: Int): DataFrame =
+    shingledFor(Partitioning.spread(d.select(col(idCol), col(textCol))),
+      idCol, textCol, shingleLen)
 
   private def bandedFor(s: DataFrame, numHashes: Int, bands: Int,
                         seed: Long): DataFrame =
@@ -263,9 +279,10 @@ object Dedup {
       // 64-hash minhash banding on a handful of tasks (q115 probe:
       // one 3-task stage, 3.3 s exec of a 4.1 s query). spread never
       // shrinks wide inputs, so a 100 TB corpus scan is untouched;
-      // the groupBy below shuffles anyway.
-      bandedFor(Partitioning.spread(
-          shingledFor(corpus, idCol, textCol, shingleLen)),
+      // the groupBy below shuffles anyway. r19: spread moved below
+      // the shingle projection (shingledSpread) so the shingling
+      // itself also runs wide (ADVICE r18).
+      bandedFor(shingledSpread(corpus, idCol, textCol, shingleLen),
           numHashes, bands, seed)
         .groupBy(col("band"), col("bucket"))
         .agg(collect_list(col("id")).as("ids")),
@@ -787,8 +804,8 @@ object Dedup {
                                  shingleLen: Int, threshold: Double,
                                  seed: Long,
                                  broadcastNew: Boolean): DataFrame = {
-    val newSh = Partitioning.spread(
-      shingledFor(newDf, idCol, textCol, shingleLen)).cache()
+    val newSh =
+      shingledSpread(newDf, idCol, textCol, shingleLen).cache()
     val newBands = bandedFor(newSh, numHashes, bands, seed)
       .select(col("id").as("id_new"), col("band"), col("bucket"))
     val cand = corpusIndex
@@ -800,12 +817,12 @@ object Dedup {
       .join(newSh.select(col("id").as("id_new"), col("sh").as("sh_new")),
         Seq("id_new"))
       // r18 opt (guide §2.5): the verification shingling of the
-      // corpus side runs in the scan stage when `cand` broadcasts —
-      // a 1-3-partition corpus scan serialized it; spread (no-op on
-      // already-wide scans) lets the shingle+jaccard work run at
-      // session parallelism.
-      .join(Partitioning.spread(
-          shingledFor(corpus, idCol, textCol, shingleLen))
+      // corpus side ran serialized on a 1-3-partition corpus scan.
+      // r19 (ADVICE r18): the spread now sits BELOW the shingle
+      // projection (shingledSpread), so the shingling itself — not
+      // just the downstream jaccard join — runs at session
+      // parallelism; no-op on already-wide scans.
+      .join(shingledSpread(corpus, idCol, textCol, shingleLen)
         .select(col("id").as("id_corpus"), col("sh").as("sh_cor")),
         Seq("id_corpus"))
       .select(col("id_new"), col("id_corpus"),
@@ -1300,10 +1317,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleLen: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
+    // spread the RAW projection so the shingling itself runs wide
+    // (ADVICE r18 — an exchange above the shingle projection leaves
+    // wordShingles evaluating map-side in the narrow scan stage)
     val sh = Partitioning.spread(
-      df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0))
+        df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(textCol).as("__t")))
+      .select(col("id"), col("blk"),
+        wordShingles(col("__t"), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
@@ -1357,11 +1379,9 @@ object Dedup {
       out: String, threshold: Double,
       counted: (Column, Column, Column) => Column,
       verify: (Column, Column) => Column): DataFrame = {
-    val sh = Partitioning.spread(
-      df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0))
-      .cache()
+    // raw projection spread first so the shingling runs wide
+    // (ADVICE r18); the shingled frame stays the cached artifact
+    val sh = shingledSpread(df, idCol, textCol, shingleLen).cache()
     val tok0 = sh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
     val capped = maxTokenBucket < Int.MaxValue
@@ -1629,11 +1649,9 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, threshold: Double = 0.5,
                          maxTokenBucket: Int = Int.MaxValue): DataFrame = {
-    val sh = Partitioning.spread(
-      df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0))
-      .cache()
+    // raw projection spread first so the shingling runs wide
+    // (ADVICE r18); the shingled frame stays the cached artifact
+    val sh = shingledSpread(df, idCol, textCol, shingleLen).cache()
     val tok = sh.select(col("id"), explode(col("sh")).as("tok"))
     // global shingle frequencies: partial (map-side) aggregation, then
     // a broadcast-or-shuffle join back — both stages linear in corpus

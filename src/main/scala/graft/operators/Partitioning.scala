@@ -56,7 +56,27 @@ private[graft] object Partitioning {
     val hasBroadcast =
       physical.find(_.isInstanceOf[BroadcastExchangeLike]).isDefined
     if (hasShuffle) df
-    else if (hasBroadcast) df.repartition(target)
+    else if (hasBroadcast) {
+      // ADVICE r18: a broadcast-bearing plan can still carry an
+      // already-wide streamed side (e.g. a large corpus scan with a
+      // broadcast enrich join); an unconditional repartition(target)
+      // would SHRINK it to defaultParallelism — a regression for
+      // exactly the wide-input case spread promises never to hurt.
+      // The streamed side's post-join width is unknowable without
+      // executing, but its file-scan leaves' split counts are free
+      // plan metadata (FileScanRDD is built from the already-listed
+      // partitions; constructing it runs zero jobs). When any leaf
+      // scan already carries >= target splits, the heavy projection
+      // downstream runs at least that wide — leave the plan alone.
+      val scanWidth = physical.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          try f.inputRDDs().map(_.getNumPartitions).sum
+          catch { case _: Throwable => 0 }
+        case _ => 0
+      }
+      if (scanWidth.nonEmpty && scanWidth.max >= target) df
+      else df.repartition(target)
+    }
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
