@@ -333,8 +333,8 @@ class DDF(val df: DataFrame) {
   def hashSplit(idCol: String, fraction: Double): (DDF, DDF) = {
     require(fraction >= 0 && fraction <= 1,
       s"fraction must be in [0,1], got $fraction")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8),
-      16, 10).cast("long")
+    val bucket = graft.expressions.TextExpressions.md5Prefix(
+      col(idCol).cast("string"), 8)
     val cut = (fraction * 4294967296.0).toLong
     (wrap(df.filter(bucket < cut)), wrap(df.filter(bucket >= cut)))
   }
@@ -546,8 +546,8 @@ class DDF(val df: DataFrame) {
   def withFold(idCol: String, k: Int, foldCol: String = "fold"): DDF = {
     require(k >= 2, s"k must be at least 2, got $k")
     wrap(df.withColumn(foldCol,
-      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
-        16, 10).cast("long"), lit(k.toLong)).cast("int")))
+      pmod(graft.expressions.TextExpressions.md5Prefix(
+        col(idCol).cast("string"), 8), lit(k.toLong)).cast("int")))
   }
 
   /** reference: functions/etl/hash_partitioner.py */

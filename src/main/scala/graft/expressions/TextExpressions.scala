@@ -249,4 +249,60 @@ object TextExpressions {
 
   def rootLower(text: Column): Column =
     Bridge.column(RootLower(Bridge.expression(text)))
+
+  /** First `nHex` hex chars of md5(input) read as a base-16 integer —
+    * EXACTLY `conv(substring(md5(x), 1, nHex), 16, 10).cast("long")`
+    * (and DuckDB's `CAST('0x' || substr(md5(x), 1, nHex) AS BIGINT)`),
+    * the engine's portable-hash chain, without materializing the hex
+    * string or round-tripping conv's decimal-string output: the SQL
+    * spelling is md5 → hex encode → substring → base-16 parse →
+    * decimal format → decimal parse, six allocating nodes per call —
+    * this is one digest plus bit math (the [[graft.expressions
+    * .VectorExpressions.SimHashMd5]] kernel, generalized). It matters
+    * because DSIR / n-gram-LM / LangId / CountMin hash EVERY gram of
+    * every document through the chain, and inside higher-order-
+    * function lambdas (bucketArr et al.) the chain evaluates
+    * INTERPRETED, paying all six nodes per gram (r19 measurement:
+    * the gram-hash projection dominates those fits).
+    * `nHex` ≤ 15 keeps the value inside a positive long (≤ 60 bits).
+    * Value-identical to the SQL chain — pinned in Md5PrefixSpec —
+    * so every DuckDB oracle replaying the chain stays green.
+    * MessageDigest is not thread-safe → one per thread. */
+  case class Md5Prefix(child: Expression, nHex: Int)
+      extends UnaryExpression {
+    require(nHex >= 1 && nHex <= 15,
+      s"nHex must be in [1, 15] to fit a positive long, got $nHex")
+    override def dataType: DataType = LongType
+    @transient private lazy val md =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    def compute(v: UTF8String): Long = {
+      val d = md.get()
+      d.reset()
+      val digest = d.digest(v.getBytes)
+      // nHex hex chars = the first nHex NIBBLES of the digest,
+      // big-endian (hex encoding emits high nibble first)
+      val full = nHex >> 1
+      var h = 0L
+      var j = 0
+      while (j < full) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      if ((nHex & 1) == 1) h = (h << 4) | ((digest(full) & 0xf0L) >>> 4)
+      h
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ref = ctx.addReferenceObj("md5Prefix", this,
+        classOf[Md5Prefix].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  def md5Prefix(text: Column, nHex: Int): Column =
+    Bridge.column(Md5Prefix(Bridge.expression(text), nHex))
 }

@@ -136,8 +136,10 @@ object TextFunctions {
     * in both — is oracle-verified rather than rows-only. */
   def fingerprintPortable(text: Column): Column = {
     val m = (1L << 31) - 1
+    // native md5-prefix kernel — value-identical to
+    // conv(substring(md5(t),1,15),16,10).cast("long") (Md5PrefixSpec)
     def tokHash(t: Column): Column =
-      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(m))
+      pmod(graft.expressions.TextExpressions.md5Prefix(t, 15), lit(m))
     def roll(mult: Long, seed: Long): Column =
       aggregate(tokens(text), lit(seed), (acc, t) =>
         pmod(acc * lit(mult) + tokHash(t), lit(m)))

@@ -381,8 +381,9 @@ object Budget {
                              seed: Long = 42L): DataFrame = {
     require(groupCols.nonEmpty, "sampleWeightedPerGroup needs group columns")
     require(n > 0, s"n must be positive, got $n")
-    val u = (conv(substring(md5(concat_ws(":", lit(seed.toString),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (graft.expressions.TextExpressions.md5Prefix(
+        concat_ws(":", lit(seed.toString), col(idCol).cast("string")), 8)
+        .cast("double")
       + lit(0.5)) / lit(4294967296.0)
     val key = log(u) / col(weightCol)
     val w = Window.partitionBy(groupCols.map(col): _*)
@@ -455,8 +456,8 @@ object Budget {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
     require(slack > 1.0, s"slack must exceed 1, got $slack")
     val withB = df.withColumn("__b",
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long"))
+      graft.expressions.TextExpressions.md5Prefix(
+        col(idCol).cast("string"), 8))
     // per-group counts + analytic cutoffs: one partial-aggregated
     // pass; eagerly checkpointed (one row per group) so downstream
     // broadcasts don't re-run it

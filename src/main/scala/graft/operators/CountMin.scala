@@ -50,8 +50,10 @@ object CountMin {
   private def bucket(key: Column, d: Column, width: Int,
                      portable: Boolean): Column =
     if (portable)
-      conv(substring(md5(concat(key, lit(":"), d.cast("string"))),
-        1, 8), 16, 10).cast("long") % width
+      // native kernel, value-identical to the SQL chain
+      // conv(substring(md5(..),1,8),16,10).cast("long") (Md5PrefixSpec)
+      graft.expressions.TextExpressions.md5Prefix(
+        concat(key, lit(":"), d.cast("string")), 8) % width
     else pmod(xxhash64(d, key), lit(width.toLong))
 
   private def checkParams(depth: Int, width: Int): Unit = {

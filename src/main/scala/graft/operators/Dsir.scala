@@ -77,7 +77,10 @@ object Dsir {
     * Both stay inside whole-stage codegen. */
   private def bucketOf(g: Column, m: Int, hash: String): Column = hash match {
     case "md5" =>
-      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+      // native kernel, value-identical to the SQL chain
+      // conv(substring(md5(g),1,15),16,10).cast("long") (Md5PrefixSpec)
+      pmod(graft.expressions.TextExpressions.md5Prefix(g, 15),
+        lit(m.toLong))
     case "xxhash64" => pmod(xxhash64(g), lit(m.toLong))
   }
 
@@ -171,8 +174,9 @@ object Dsir {
                      weightCol: String, n: Int,
                      seed: Long = 42L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val u = (conv(substring(md5(concat_ws(":", lit(seed.toString),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (graft.expressions.TextExpressions.md5Prefix(
+        concat_ws(":", lit(seed.toString), col(idCol).cast("string")), 8)
+        .cast("double")
       + lit(0.5)) / lit(4294967296.0)
     val key = round(col(weightCol), 6) - log(-log(u))
     weighted.orderBy(key.desc, col(idCol).asc).limit(n)

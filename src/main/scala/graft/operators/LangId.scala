@@ -90,7 +90,9 @@ object LangId {
     * prefix → 60-bit int → mod m), SQL-replayable so the oracle
     * covers the shipped hashing. */
   private def bucketOf(g: Column, m: Int): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+    // native kernel, value-identical to the SQL chain
+    // conv(substring(md5(g),1,15),16,10).cast("long") (Md5PrefixSpec)
+    pmod(graft.expressions.TextExpressions.md5Prefix(g, 15),
       lit(m.toLong))
 
   private[graft] def bucketArr(text: Column, m: Int, nMin: Int,

@@ -100,7 +100,9 @@ object LanguageModel {
     * prefix → 60-bit int → mod m) — SQL-replayable, so the oracle
     * covers the shipped hashing (the q45/q262 discipline). */
   private def bucketOf(g: Column, m: Int): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+    // native kernel, value-identical to the SQL chain
+    // conv(substring(md5(g),1,15),16,10).cast("long") (Md5PrefixSpec)
+    pmod(graft.expressions.TextExpressions.md5Prefix(g, 15),
       lit(m.toLong))
 
   private def requireNm(n: Int, m: Int): Unit = {

@@ -222,8 +222,8 @@ object Raking {
   def rakeSelectN(df: DataFrame, idCol: String, cols: Seq[String],
                   targets: Seq[Map[String, Double]], totalN: Long,
                   iters: Int = 5, seed: Long = 42L): DataFrame = {
-    val key = conv(substring(md5(concat_ws(":", lit(seed.toString),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val key = graft.expressions.TextExpressions.md5Prefix(
+      concat_ws(":", lit(seed.toString), col(idCol).cast("string")), 8)
     rakeSelectCore(df, idCol, cols, targets, totalN, iters,
       Seq(key.asc, col(idCol).asc))
   }
