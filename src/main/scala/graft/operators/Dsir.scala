@@ -86,9 +86,20 @@ object Dsir {
 
   /** per-row hashed unigram+bigram bucket MULTISET (array<long>) —
     * counts, not a shingle set: the multinomial weights repeated
-    * grams, per the paper. */
+    * grams, per the paper. r19: one native kernel pass
+    * ([[graft.expressions.GramExpressions.HashedGramBuckets]])
+    * instead of the interpreted HOF chain; value-identical
+    * (GramExpressionsSpec pins it against [[bucketArrHof]]). */
   private[graft] def bucketArr(textCol: Column, m: Int,
                                hash: String = "md5"): Column =
+    graft.expressions.GramExpressions.hashedGramBuckets(
+      TextFunctions.tokens(textCol), m, xx = hash == "xxhash64")
+
+  /** column-math formulation of [[bucketArr]] — semantic spec for
+    * the native kernel (equivalence pinned in GramExpressionsSpec;
+    * test-only). */
+  private[graft] def bucketArrHof(textCol: Column, m: Int,
+                                  hash: String = "md5"): Column =
     TextFunctions.bound(TextFunctions.tokens(textCol)) { t =>
       val bigrams = when(size(t) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(t) - 2),
@@ -153,15 +164,16 @@ object Dsir {
       s"ratio table has ${rows.length} rows, expected m=$m " +
         "(build it with logRatioTable over the same m)")
     rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
-    val ratioLit = typedLit(arr.toSeq)
     // null text scores 0.0 like empty text does (a null gram array
     // would otherwise null the fold and make the row unselectable
     // under a NULLS-LAST sort — divergent from the SQL replay's
-    // coalesce and from the empty-string row one byte away)
+    // coalesce and from the empty-string row one byte away).
+    // r19: the fold is one native kernel pass (BucketScore —
+    // sequential sum in array order, bit-identical to the aggregate
+    // + element_at fold; GramExpressionsSpec pins it).
     df.withColumn("log_weight",
-      coalesce(aggregate(bucketArr(col(textCol), m, hash), lit(0.0),
-        (acc, b) => acc + element_at(ratioLit, b.cast("int") + 1)),
-        lit(0.0)))
+      coalesce(graft.expressions.GramExpressions.bucketScore(
+        bucketArr(col(textCol), m, hash), arr), lit(0.0)))
   }
 
   /** Deterministic Gumbel-top-n resampling by importance weight —

@@ -95,8 +95,24 @@ object LangId {
     pmod(graft.expressions.TextExpressions.md5Prefix(g, 15),
       lit(m.toLong))
 
+  /** r19: one native kernel pass (CharGramBuckets — substringSQL +
+    * streaming digest per gram instead of the interpreted charGrams
+    * transform + md5 chain). Null text maps to an EMPTY bucket array
+    * via the coalesce, exactly like charGrams' bound(lower(null))
+    * path; value-identity vs [[bucketArrHof]] is pinned in
+    * GramExpressionsSpec. */
   private[graft] def bucketArr(text: Column, m: Int, nMin: Int,
                                nMax: Int): Column =
+    coalesce(
+      graft.expressions.GramExpressions.charGramBuckets(
+        lower(text), nMin, nMax, m),
+      array().cast("array<long>"))
+
+  /** column-math formulation of [[bucketArr]] — semantic spec for
+    * the native kernel (equivalence pinned in GramExpressionsSpec;
+    * test-only). */
+  private[graft] def bucketArrHof(text: Column, m: Int, nMin: Int,
+                                  nMax: Int): Column =
     transform(charGrams(text, nMin, nMax), g => bucketOf(g, m))
 
   /** Fit the model: (lang, bucket, log_prob, __fmt, __m, __nmin,
@@ -205,11 +221,12 @@ object LangId {
                        dense: Map[String, Array[Double]], m: Int,
                        nMin: Int, nMax: Int): Column =
     TextFunctions.bound(bucketArr(text, m, nMin, nMax)) { bs =>
+      // r19: per-language score = one native BucketScore pass
+      // (sequential sum in array order — bit-identical to the
+      // aggregate + element_at fold; GramExpressionsSpec)
       val scored = langs.map { l =>
-        val arrLit = typedLit(dense(l).toSeq)
         struct(
-          aggregate(bs, lit(0.0),
-            (acc, b) => acc + element_at(arrLit, b.cast("int") + 1))
+          graft.expressions.GramExpressions.bucketScore(bs, dense(l))
             .as("s"),
           lit(l).as("l"))
       }

@@ -48,13 +48,15 @@ object LanguageModel {
 
     // one row per bigram OCCURRENCE; tokens contain no whitespace
     // (they are whitespace-split), so "w1 w2" is a collision-free key.
+    // r19: native one-pass bigram construction (WordNgrams —
+    // UTF8String.concatWs per position instead of the interpreted
+    // transform/element_at/concat_ws chain; value-identical, pinned
+    // in GramExpressionsSpec)
     val bigrams = toks
       .filter(size(col("__t")) >= 2)
-      .select(col("__doc"), explode(transform(
-        sequence(lit(1), size(col("__t")) - 1),
-        i => concat_ws(" ",
-          element_at(col("__t"), i),
-          element_at(col("__t"), i + 1)))).as("bg"))
+      .select(col("__doc"), explode(
+        graft.expressions.GramExpressions.wordNgrams(col("__t"), 2))
+        .as("bg"))
 
     // collapse to (doc, bigram, multiplicity) before any join: the
     // partial agg combines occurrences map-side, so the exchanges
@@ -140,15 +142,13 @@ object LanguageModel {
       .select(col(langCol).cast("string").as("lang"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n))
-    val grams = toks.select(col("lang"), explode(transform(
-      sequence(lit(1), size(col("__t")) - (n - 1)),
-      i => {
-        val full = concat_ws(" ",
-          (0 until n).map(j => element_at(col("__t"), i + j)): _*)
-        val ctx = concat_ws(" ",
-          (0 until n - 1).map(j => element_at(col("__t"), i + j)): _*)
-        struct(bucketOf(full, m).as("ng"), bucketOf(ctx, m).as("ctx"))
-      })).as("b"))
+    // r19: one native kernel pass per row (NgramCtxBuckets — streams
+    // the digest over token bytes + spaces, never building the gram
+    // string; value-identical to the transform/concat_ws/element_at
+    // chain, pinned in GramExpressionsSpec)
+    val grams = toks.select(col("lang"), explode(
+      graft.expressions.GramExpressions.ngramCtxBuckets(
+        col("__t"), n, m)).as("b"))
     grams
       .select(col("lang"), explode(array(
         struct(lit("ng").as("kind"), col("b.ng").as("bucket")),
@@ -229,30 +229,20 @@ object LanguageModel {
     requireNm(n, m)
     require(k > 0, s"smoothing k must be positive, got $k")
     val (langs, dense) = collectNgramModel(model, n, m)
-    def scoreFor(lang: String): Column = {
-      val ngLit = typedLit(dense(lang)._1.toSeq)
-      val ctxLit = typedLit(dense(lang)._2.toSeq)
+    // r19: the per-gram fold is one native kernel pass (NgramNllSum —
+    // same md5 buckets, same operation order, so the double is
+    // bit-identical to the aggregate fold; GramExpressionsSpec pins
+    // it against the column-math spec)
+    def scoreFor(lang: String): Column =
       TextFunctions.bound(TextFunctions.tokens(col(textCol))) { t =>
         TextFunctions.bound(size(t) - (n - 1)) { g =>
           when(g >= 1, struct(
             g.as("cnt"),
-            round(aggregate(
-              // empty-safe [1..g]: sequence(1, 0) would descend
-              slice(sequence(lit(0), g), lit(2), g), lit(0.0),
-              (acc, i) => {
-                val full = concat_ws(" ",
-                  (0 until n).map(j => element_at(t, i + j)): _*)
-                val ctx = concat_ws(" ",
-                  (0 until n - 1).map(j => element_at(t, i + j)): _*)
-                acc - log(
-                  (element_at(ngLit, bucketOf(full, m).cast("int") + 1)
-                    + k) /
-                  (element_at(ctxLit, bucketOf(ctx, m).cast("int") + 1)
-                    + k * m))
-              }) / g.cast("double"), 6).as("nll")))
+            round(graft.expressions.GramExpressions.ngramNllSum(
+                t, n, m, k, dense(lang)._1, dense(lang)._2)
+              / g.cast("double"), 6).as("nll")))
         }
       }
-    }
     val dispatch = langs.foldLeft(
       lit(null).cast("struct<cnt:int,nll:double>")) { (acc, l) =>
       when(col(langCol) === lit(l), scoreFor(l)).otherwise(acc)
