@@ -5583,7 +5583,14 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1), cols, path)
       val est = graft.operators.Profile.kllQuantiles(
         s, path, Seq(0.5, 0.9, 0.99))
-      val longVals = li.select(explode(array(cols.map(c =>
+      // r19 (guide §2.5): spread the projected input so the exact-
+      // percentile count-map build and the rank-error count run at
+      // session parallelism instead of inside the single-partition
+      // scan task; both are partitioning-exact (integer counts; the
+      // 0.0/1.0 indicator sums are exactly representable doubles)
+      val longVals = graft.operators.Partitioning.spread(
+          li.select(cols.map(col): _*))
+        .select(explode(array(cols.map(c =>
           struct(lit(c).as("col_name"),
             col(c).cast("double").as("v"))): _*)).as("x"))
         .select(col("x.col_name"), col("x.v"))
@@ -7339,7 +7346,14 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1), cols, path)
       val est = graft.operators.Profile.kllQuantiles(
         s, path, Seq(0.5, 0.9, 0.99))
-      val longVals = li.select(explode(array(cols.map(c =>
+      // r19 (guide §2.5): spread the projected input so the exact-
+      // percentile count-map build and the rank-error count run at
+      // session parallelism instead of inside the single-partition
+      // scan task; both are partitioning-exact (integer counts; the
+      // 0.0/1.0 indicator sums are exactly representable doubles)
+      val longVals = graft.operators.Partitioning.spread(
+          li.select(cols.map(col): _*))
+        .select(explode(array(cols.map(c =>
           struct(lit(c).as("col_name"),
             col(c).cast("double").as("v"))): _*)).as("x"))
         .select(col("x.col_name"), col("x.v"))

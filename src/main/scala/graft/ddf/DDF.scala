@@ -123,7 +123,16 @@ class DDF(val df: DataFrame) {
           else c => median(col(c))  // exact, single agg
         case _              => c => mode(col(c))
       }
-      val statsRow = df.agg(aggFor(cols.head).as(cols.head),
+      // r19: the exact median's value→count map build is
+      // partitioning-exact (integer counts), so its 1-partition scan
+      // input can spread to session parallelism; mean (FP sum order)
+      // and mode (map-iteration tie order) stay on the raw input
+      val statsIn = statMode match {
+        case FillWithMedian if !approxMedian =>
+          graft.operators.Partitioning.spread(df.select(cols.map(col): _*))
+        case _ => df
+      }
+      val statsRow = statsIn.agg(aggFor(cols.head).as(cols.head),
         cols.tail.map(c => aggFor(c).as(c)): _*).head()
       // coalesce (not na.fill): widens the column type so an int
       // column filled with a fractional mean becomes double, matching
@@ -388,7 +397,17 @@ class DDF(val df: DataFrame) {
   def iqrFilter(valueCol: String, by: Seq[String] = Nil,
                 k: Double = 1.5, broadcastStats: Boolean = true): DDF = {
     val v = col(valueCol)
-    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+    // r19 (guide §2.5): a single-file scan arrives as ONE partition,
+    // so the exact-percentile partial aggregation — the expensive
+    // value→count map build — ran in one task. Spreading the
+    // projected stats input parallelizes it; the RESULT is exactly
+    // partitioning-independent (integer count maps merge
+    // commutatively, interpolation runs over the merged sorted
+    // census), unlike mean/stddev whose FP sum order would drift.
+    val statsIn = graft.operators.Partitioning.spread(
+      df.select((by :+ valueCol).distinct.map(col): _*))
+    val stats = (if (by.isEmpty) statsIn.groupBy()
+                 else statsIn.groupBy(by.map(col): _*))
       .agg(percentile(v, lit(0.25)).as("__q1"),
         percentile(v, lit(0.75)).as("__q3"))
     val iqr = col("__q3") - col("__q1")
@@ -435,7 +454,12 @@ class DDF(val df: DataFrame) {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val v = col(valueCol)
-    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+    // r19: spread the exact-percentile stats input (see iqrFilter —
+    // count-map merges are partitioning-exact, FP stats are not)
+    val statsIn = graft.operators.Partitioning.spread(
+      df.select((by :+ valueCol).distinct.map(col): _*))
+    val stats = (if (by.isEmpty) statsIn.groupBy()
+                 else statsIn.groupBy(by.map(col): _*))
       .agg(percentile(v, lit(pLo)).as("__wlo"),
         percentile(v, lit(pHi)).as("__whi"))
     wrap(joinGroupStats(stats, by, broadcastStats)
