@@ -194,8 +194,10 @@ object AbTest {
     val clean = df.filter(a.isNotNull && !isnan(a)
         && b.isNotNull && !isnan(b))
       .select(a.as("__a"), b.as("__b"))
-    val ranked = Midrank.perRow(
-      Midrank.perRow(clean, "__a", "ra"), "__b", "rb")
+    // r19: both censuses build from `clean` itself (perRowMulti) —
+    // the nested perRow re-evaluated clean ⋈ mids_a just to census b
+    val ranked = Midrank.perRowMulti(clean,
+      Seq("__a" -> "ra", "__b" -> "rb"))
     ranked.agg(count(lit(1)).as("n"),
       round(corr(col("ra"), col("rb")), 6).as("rho"))
   }

@@ -145,4 +145,38 @@ private[graft] object Midrank {
       df.join(broadcast(mids), Seq(valueCol))
     else df.join(mids, Seq(valueCol))
   }
+
+  /** [[perRow]] for SEVERAL value columns at once (r19, the Spearman
+    * shape): every census builds from `df` ITSELF rather than from
+    * the previous join's output — a nested perRow(perRow(df, a), b)
+    * re-evaluates df ⋈ mids_a just to census b, and an inner join on
+    * a non-null value column preserves row multiplicity exactly (one
+    * census row per value), so the censuses are identical either way.
+    * One scan per census + one scan through the join chain, instead
+    * of re-running the join per nesting level. */
+  def perRowMulti(df: DataFrame, specs: Seq[(String, String)],
+                  broadcastRowLimit: Long = BroadcastCensusRows)
+  : DataFrame = {
+    val mids = specs.map { case (valueCol, out) =>
+      val census = df.groupBy(col(valueCol))
+        .agg(count(lit(1)).as("__t"))
+      val (ranked, censusRows) =
+        withMidranksCounted(census, valueCol, "__t", out)
+      val wide = df.schema(valueCol).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      }
+      val limit = if (wide) broadcastRowLimit / WideValueDivisor
+                  else broadcastRowLimit
+      (valueCol, ranked.drop("__t"), censusRows <= limit)
+    }
+    mids.foldLeft(df) { case (acc, (valueCol, m, small)) =>
+      if (small) acc.join(broadcast(m), Seq(valueCol))
+      else acc.join(m, Seq(valueCol))
+    }
+  }
 }
