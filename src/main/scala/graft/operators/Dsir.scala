@@ -239,26 +239,36 @@ object Dsir {
     require(missing.isEmpty,
       s"not a DSIR model file: missing columns $missing — rebuild " +
         s"with Dsir.saveModel (format v$DsirModelFormat)")
-    val stamps = df.select(col("__fmt"), col("__m"), col("__alpha"),
-      col("__hash")).distinct().collect()
+    // r19: one collect instead of three jobs (stamps distinct, row
+    // count, and the scorer's own collect). The table is bounded by
+    // requireM (m ≤ 2²⁰ — the same bounded-driver-read cap the scorer
+    // already relies on), so validating the collected rows locally
+    // and returning them as a LocalRelation keeps every check AND
+    // makes the downstream importanceWeights collect job-free.
+    val rows = df.select(col("bucket").cast("long"),
+      col("log_ratio").cast("double"), col("__fmt").cast("int"),
+      col("__m").cast("int"), col("__alpha").cast("double"),
+      col("__hash").cast("string")).collect()
+    val stamps = rows.map(r => (r.getInt(2), r.getInt(3),
+      r.getDouble(4), r.getString(5))).distinct
     require(stamps.length == 1,
       s"DSIR model stamps not constant (${stamps.length} distinct) — " +
         "the file mixes fits; rebuild with Dsir.saveModel")
-    val st = stamps(0)
-    require(st.getInt(0) == DsirModelFormat,
-      s"DSIR model format ${st.getInt(0)} does not match this " +
+    val (fmt, fm, fa, fh) = stamps(0)
+    require(fmt == DsirModelFormat,
+      s"DSIR model format $fmt does not match this " +
         s"library's v$DsirModelFormat — refit and save again (an " +
         "incompatible layout would score WRONG, not just miss)")
-    require(st.getInt(1) == m && st.getDouble(2) == alpha &&
-      st.getString(3) == hash,
-      s"DSIR model was fit with (m=${st.getInt(1)}, " +
-        s"alpha=${st.getDouble(2)}, hash=${st.getString(3)}) but the " +
+    require(fm == m && fa == alpha && fh == hash,
+      s"DSIR model was fit with (m=$fm, alpha=$fa, hash=$fh) but the " +
         s"caller will score with (m=$m, alpha=$alpha, hash=$hash) — " +
         "every weight would silently change; refit or fix the params")
-    val out = df.select(col("bucket"), col("log_ratio"))
-    require(out.count() == m,
-      s"DSIR model file has ${out.count()} rows, expected m=$m — " +
+    require(rows.length == m,
+      s"DSIR model file has ${rows.length} rows, expected m=$m — " +
         "truncated write? rebuild with Dsir.saveModel")
-    out
+    import spark.implicits._
+    spark.createDataFrame(rows.map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq)
+      .toDF("bucket", "log_ratio")
   }
 }
