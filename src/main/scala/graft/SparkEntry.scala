@@ -3893,10 +3893,7 @@ object SparkEntry {
     // q43/q46/q78/q95/q74/q105). Every stage is deterministic, so
     // the composition must match exactly, not just per-stage.
     Q("q107_training_pipeline", (s, dir) => {
-      // r19 (guide §2.5): spread before the per-doc quality/token
-      // regex work (single-partition scan otherwise serializes it)
-      val docs = graft.operators.Partitioning.spread(
-          t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
         .withColumn("quality", TF.qualityScore(col("text")))
         .withColumn("n_tok", TF.tokenCount(col("text")))
       val filtered = docs.filter(col("quality") >= 0.5)
@@ -8408,13 +8405,7 @@ object SparkEntry {
     // window). FOUR oracled operators under ONE oracle; each CTE is
     // the unit oracle of its stage.
     Q("q244_clean_recipe", (s, dir) => {
-      // r19 (guide §2.5): the gopher/quality regex work per doc ran
-      // inside the single-partition scan task; spread once, every
-      // stage (flags, wc, phrases, quality) runs wide. All downstream
-      // results are partitioning-exact (counts, min-id dedup,
-      // md5/deterministic orders).
-      val docs = graft.operators.Partitioning.spread(
-        t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val passed = docs.filter(TF.gopherFlags(col("text"),
         minWords = 20, minStopwordHits = 1).getField("pass"))
       val wc = docs.select(explode(TF.tokens(col("text"))).as("w"))

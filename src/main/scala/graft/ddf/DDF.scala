@@ -123,16 +123,7 @@ class DDF(val df: DataFrame) {
           else c => median(col(c))  // exact, single agg
         case _              => c => mode(col(c))
       }
-      // r19: the exact median's value→count map build is
-      // partitioning-exact (integer counts), so its 1-partition scan
-      // input can spread to session parallelism; mean (FP sum order)
-      // and mode (map-iteration tie order) stay on the raw input
-      val statsIn = statMode match {
-        case FillWithMedian if !approxMedian =>
-          graft.operators.Partitioning.spread(df.select(cols.map(col): _*))
-        case _ => df
-      }
-      val statsRow = statsIn.agg(aggFor(cols.head).as(cols.head),
+      val statsRow = df.agg(aggFor(cols.head).as(cols.head),
         cols.tail.map(c => aggFor(c).as(c)): _*).head()
       // coalesce (not na.fill): widens the column type so an int
       // column filled with a fractional mean becomes double, matching
@@ -454,12 +445,7 @@ class DDF(val df: DataFrame) {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val v = col(valueCol)
-    // r19: spread the exact-percentile stats input (see iqrFilter —
-    // count-map merges are partitioning-exact, FP stats are not)
-    val statsIn = graft.operators.Partitioning.spread(
-      df.select((by :+ valueCol).distinct.map(col): _*))
-    val stats = (if (by.isEmpty) statsIn.groupBy()
-                 else statsIn.groupBy(by.map(col): _*))
+    val stats = (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
       .agg(percentile(v, lit(pLo)).as("__wlo"),
         percentile(v, lit(pHi)).as("__whi"))
     wrap(joinGroupStats(stats, by, broadcastStats)

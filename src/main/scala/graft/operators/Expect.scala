@@ -93,26 +93,18 @@ object Expect {
     val local = expectations.zipWithIndex.flatMap { case (e, i) =>
       viol(e).map(v => coalesce(v, lit(0L)).as(s"__v$i"))
     }
-    // r19 (guide §2.5): the fused aggregation — including the regex
-    // Matches checks and the count_distinct — ran inside the ONE task
-    // a single-file scan arrives as. Spread the projection of just
-    // the constrained columns; every constraint statistic is
-    // partitioning-exact (long conditional sums, count, exact
-    // count_distinct), so the census is unchanged.
-    val neededCols = expectations.flatMap {
-      case NotNull(c)      => Seq(c)
-      case Unique(cs)      => cs
-      case InRange(c, _, _) => Seq(c)
-      case InSet(c, _)     => Seq(c)
-      case Matches(c, _)   => Seq(c)
-      case _: ForeignKey   => Nil
-    }.distinct
+    // r19 note: spreading the fused aggregation's input was tried and
+    // REVERTED — at gate scale the extra round-robin exchange + AQE
+    // stage cost more than the ~2 s serial aggregation it
+    // parallelized (measured +0.5-0.7 s in two independent bench
+    // windows). At 100 TB the scan arrives with thousands of splits
+    // and the partial aggregation is already wide; the single-file
+    // case is a gate artifact, not the production shape.
     val localRow: Map[Int, (Long, Long)] =
       if (local.isEmpty) Map.empty
       else {
-        val aggIn = Partitioning.spread(df.select(neededCols.map(col): _*))
         val aggs = count(lit(1)).as("__n") +: local
-        val r = aggIn.agg(aggs.head, aggs.tail: _*).collect().head
+        val r = df.agg(aggs.head, aggs.tail: _*).collect().head
         val n = r.getLong(0)
         expectations.zipWithIndex.filter(x => viol(x._1).isDefined)
           .zipWithIndex.map { case ((_, i), j) =>

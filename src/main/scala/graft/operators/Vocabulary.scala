@@ -55,13 +55,9 @@ object Vocabulary {
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // r19 (guide §2.5): spread the raw projection so the tokenize +
-    // explode runs at session parallelism instead of inside the
-    // single-partition scan task; tf counts are partitioning-exact
-    val perDoc = Partitioning.spread(
-        df.select(col(idCol).as("__doc"), col(textCol).as("__txt")))
-      .select(col("__doc"),
-        explode(TextFunctions.tokens(col("__txt"))).as("token"))
+    val perDoc = df
+      .select(col(idCol).as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("__doc"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = perDoc.groupBy(col("token"))
